@@ -1,0 +1,172 @@
+"""Iterative PageRank as a DataFrame fixed-point loop.
+
+Reference semantics (``/root/reference/src/PageRank/PageRank.java``):
+
+* 8 fixed iterations driven from ``main`` (``PageRank.java:473-488``);
+  each Hadoop iteration re-reads and rewrites the full graph+rank state
+  from/to HDFS. Here the loop body is a lazy
+  ``join → explode → groupBy.agg`` plan over cached DataFrames — state
+  never leaves memory; ``localCheckpoint`` every few iterations bounds
+  lineage/plan growth (the Spark-idiomatic replacement for the
+  reference's per-iteration disk materialization).
+* iteration-0 seeding: every page starts at ``1/N``
+  (``PageRank.java:258-264``).
+* update rule: ``rank' = 0.15/N + 0.85 * Σ incoming rank/outdeg``
+  (``PageRank.java:305,316``). Every page receives the ``0.15/N``
+  baseline even with no in-links, because the reference ships each
+  page's adjacency row to itself (``PageRank.java:281``).
+* **parity mode** (default ``parity=True``) reproduces the reference's
+  dangling-node behavior exactly: rank mass flowing into pages with no
+  outlinks is LOST (never redistributed), so ranks do not sum to 1.
+  ``parity=False`` redistributes dangling mass uniformly (textbook
+  PageRank; ranks sum to 1).
+
+Scale notes (100 TB posture):
+
+* The per-iteration join ``adjacency ⋈ ranks`` shuffles both sides on
+  ``id``. We ``repartition(id)`` the static adjacency ONCE and cache
+  it; ranks come out of the previous iteration's ``groupBy(id)`` with
+  the same hash partitioning, so Catalyst/AQE reuses the exchange
+  instead of re-shuffling the big adjacency every iteration.
+* The contribution explode is map-side; the following ``groupBy(dst)``
+  does partial (map-side) aggregation before the shuffle — the
+  Spark equivalent of the reference's hand-rolled HashSet combiner
+  (``PageRank.java:91-93``), for free.
+* No ``collect()`` of rank state; the only driver-side scalar is N
+  (same round-trip the reference does via a Hadoop counter,
+  ``PageRank.java:470-471``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+DAMPING = 0.85
+TELEPORT = 0.15
+
+
+def adjacency_from_edges(edges: DataFrame, dedup: bool = True) -> DataFrame:
+    """Edges ``(src, dst)`` → adjacency ``(id, outlinks array)``.
+
+    The Spark form of the reference's tab-packed adjacency build
+    (``RedLinksReducer``, ``PageRank.java:175-200``): a first-class
+    ``array<>`` column instead of a tab-joined string. ``sort_array``
+    makes the result deterministic (the reference inherits arbitrary
+    shuffle order).
+    """
+    e = edges.select("src", "dst")
+    if dedup:
+        # per-src dedup, as the reference's HashSet (PageRank.java:91-93)
+        agg = F.array_sort(F.collect_set("dst"))
+    else:
+        agg = F.array_sort(F.collect_list("dst"))
+    return e.groupBy(F.col("src").alias("id")).agg(agg.alias("outlinks"))
+
+
+def _with_dangling(adjacency: DataFrame, vertices: DataFrame | None) -> DataFrame:
+    """Ensure every vertex has an adjacency row (possibly empty array).
+
+    The reference guarantees this structurally: every page emits a
+    ``(title,"!")`` marker (``PageRank.java:80``) so dangling pages
+    still appear with an empty outlink list (``PageRank.java:196-197``).
+    """
+    if vertices is None:
+        return adjacency
+    v = vertices.select(F.col(vertices.columns[0]).alias("id")).distinct()
+    return (
+        v.join(adjacency, "id", "left")
+        .select("id", F.coalesce("outlinks", F.array().cast("array<string>")).alias("outlinks"))
+    )
+
+
+def pagerank(
+    edges: DataFrame,
+    *,
+    vertices: DataFrame | None = None,
+    n_iter: int = 8,
+    damping: float = DAMPING,
+    parity: bool = True,
+    checkpoint_interval: int = 4,
+) -> DataFrame:
+    """Run ``n_iter`` PageRank iterations; returns ``(id, rank)``.
+
+    ``edges`` must have string-ish columns ``src, dst``. ``vertices``
+    (optional, single column) adds rank-holding nodes with no outgoing
+    edges; when omitted, the vertex set is all nodes appearing as a
+    ``src`` or ``dst`` (so dangling link targets still hold rank, as in
+    the reference where the semi-join restricts dsts to real pages).
+    """
+    spark = edges.sparkSession
+    if vertices is None:
+        vertices = (
+            edges.select(F.col("src").alias("id"))
+            .unionByName(edges.select(F.col("dst").alias("id")))
+            .distinct()
+        )
+    adjacency = _with_dangling(adjacency_from_edges(edges), vertices)
+
+    # Static side of every iteration's join: partition once on id, keep hot.
+    shuffle_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    adjacency = adjacency.repartition(shuffle_parts, "id").cache()
+    n = adjacency.count()  # driver-side scalar, as PageRank.java:470-471
+    if n == 0:
+        return spark.createDataFrame([], "id string, rank double")
+
+    teleport = (1.0 - damping) / n
+    # iteration-0 seed: rank = 1/N (PageRank.java:258-264)
+    ranks = adjacency.select("id", F.lit(1.0 / n).alias("rank"))
+
+    for i in range(n_iter):
+        joined = adjacency.join(ranks, "id")
+        outdeg = F.size("outlinks")
+        contribs = joined.select(
+            F.explode("outlinks").alias("id"),
+            (F.col("rank") / outdeg).alias("contrib"),
+        )
+        if not parity:
+            # redistribute dangling mass uniformly (corrected mode)
+            dangling = joined.where(outdeg == 0).agg(F.sum("rank")).collect()[0][0] or 0.0
+            extra = damping * dangling / n
+        else:
+            extra = 0.0  # reference loses dangling mass (PageRank.java:305)
+        summed = contribs.groupBy("id").agg(F.sum("contrib").alias("insum"))
+        # left join back to the full vertex set: message-less pages still
+        # get the 0.15/N baseline (self-shipped structure row,
+        # PageRank.java:281,305).
+        ranks = adjacency.select("id").join(summed, "id", "left").select(
+            "id",
+            (
+                F.lit(teleport)
+                + F.lit(damping) * F.coalesce(F.col("insum"), F.lit(0.0))
+                + F.lit(extra)
+            ).alias("rank"),
+        )
+        if (i + 1) % checkpoint_interval == 0 and i + 1 < n_iter:
+            # truncate lineage so the plan doesn't grow unboundedly
+            ranks = ranks.localCheckpoint(eager=True)
+
+    return ranks
+
+
+def top_ranks(
+    ranks: DataFrame,
+    n: int,
+    *,
+    threshold: float | None = None,
+    limit: int | None = None,
+) -> DataFrame:
+    """Reference job 12/13: filter ``rank > 5/N`` then global desc sort.
+
+    ``FlipComparator`` (``PageRank.java:399-419``) exists only to make
+    Hadoop's shuffle sort descending; in Spark this is
+    ``orderBy(desc)`` (range-partitioned total sort), and with a
+    ``limit`` Catalyst plans ``TakeOrderedAndProject`` — no full sort
+    at all.
+    """
+    out = ranks
+    if threshold is not None:
+        out = out.where(F.col("rank") > threshold)  # PageRank.java:336,346
+    out = out.orderBy(F.desc("rank"), F.asc("id"))
+    if limit is not None:
+        out = out.limit(limit)
+    return out

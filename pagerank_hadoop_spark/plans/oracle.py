@@ -1,0 +1,55 @@
+"""ANSI-SQL oracle generators for iterative/graph queries.
+
+The driver cross-checks every declared query against DuckDB. PageRank
+is iterative, so the oracle is generated as a chain of CTEs — one per
+iteration — replaying the exact reference update rule
+(``PageRank.java:305,316``). Fixed iteration count (8, per
+``PageRank.java:473``) makes this finite and fully deterministic.
+"""
+
+from __future__ import annotations
+
+
+def pagerank_oracle_sql(
+    edges_sql: str,
+    n_iter: int = 8,
+    damping: float = 0.85,
+    round_dp: int = 9,
+    limit: int | None = 20,
+    threshold_num: float = 5.0,
+) -> str:
+    """Build nested-CTE PageRank SQL over an edge-producing subquery.
+
+    ``edges_sql`` must yield columns ``src, dst`` (strings). Semantics
+    match ``operators.pagerank.pagerank(parity=True)``: vertex set =
+    src ∪ dst, seed 1/N, teleport (1-d)/N, dangling mass lost.
+    """
+    ctes = [
+        f"edges AS ({edges_sql})",
+        "vertices AS (SELECT DISTINCT src AS id FROM edges"
+        " UNION SELECT DISTINCT dst AS id FROM edges)",
+        "adj AS (SELECT src AS id, CAST(COUNT(DISTINCT dst) AS DOUBLE) AS outdeg"
+        " FROM edges GROUP BY src)",
+        "uedges AS (SELECT DISTINCT src, dst FROM edges)",
+        "nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM vertices)",
+        "r0 AS (SELECT id, 1.0 / nn.n AS rank FROM vertices, nn)",
+    ]
+    for i in range(n_iter):
+        ctes.append(
+            f"r{i + 1} AS (SELECT v.id, "
+            f"(1.0 - {damping}) / nn.n + {damping} * COALESCE(s.insum, 0.0) AS rank "
+            f"FROM vertices v CROSS JOIN nn LEFT JOIN ("
+            f"SELECT e.dst AS id, SUM(r.rank / a.outdeg) AS insum "
+            f"FROM uedges e JOIN r{i} r ON e.src = r.id "
+            f"JOIN adj a ON e.src = a.id GROUP BY e.dst) s ON v.id = s.id)"
+        )
+    # Order by the ROUNDED rank (+ id tiebreak): float summation order
+    # differs between engines at ~1e-16, rounding first makes the
+    # top-k selection identical on both sides.
+    tail = (
+        f"SELECT id, ROUND(rank, {round_dp}) AS rank FROM r{n_iter} "
+        f"CROSS JOIN nn WHERE rank > {threshold_num} / nn.n ORDER BY 2 DESC, 1"
+    )
+    if limit is not None:
+        tail += f" LIMIT {limit}"
+    return "WITH " + ",\n".join(ctes) + "\n" + tail

@@ -1,0 +1,78 @@
+"""Splittable tag-delimited XML page source (reference operator S1).
+
+The reference carves ``<page>…</page>`` blocks out of a Wikipedia dump
+with a custom Hadoop record reader that is *split-boundary aware*: a
+reader whose split ends mid-record keeps reading into the next split to
+finish it (``/root/reference/src/PageRank/XmlInputFormat.java:21-123``,
+tag-match loop at ``104-121``).
+
+Spark-first equivalent: Hadoop's ``TextInputFormat`` already implements
+exactly that boundary-crossing protocol for an arbitrary record
+delimiter (``textinputformat.record.delimiter``) — so we delimit on the
+END tag and strip everything before the start tag. This stays fully
+splittable (one task per HDFS/Parquet-style split), which is what makes
+it work on a 100 TB dump; no whole-file reads.
+
+``parse_pages`` then projects ``title`` and ``revision/text`` — the
+reference uses a DOM + XPath per page (``PageRank.java:63-73``); we use
+non-greedy regexp extraction, which avoids materializing a DOM per row
+and stays inside whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+START_TAG = "<page>"
+END_TAG = "</page>"
+
+
+def read_pages(
+    spark: SparkSession,
+    path: str,
+    start_tag: str = START_TAG,
+    end_tag: str = END_TAG,
+) -> DataFrame:
+    """Read raw page blocks: ``DataFrame[page_xml: string]``.
+
+    Splittable: uses the Hadoop record-delimiter protocol (the same
+    split-boundary handling the reference hand-codes at
+    ``XmlInputFormat.java:52-62,119``).
+    """
+    conf = {"textinputformat.record.delimiter": end_tag}
+    rdd = spark.sparkContext.newAPIHadoopFile(
+        path,
+        "org.apache.hadoop.mapreduce.lib.input.TextInputFormat",
+        "org.apache.hadoop.io.LongWritable",
+        "org.apache.hadoop.io.Text",
+        conf=conf,
+    ).map(lambda kv: (kv[1],))
+    raw = spark.createDataFrame(rdd, "page_xml string")
+    # Each record is "…junk…<page>body"; keep records that contain a
+    # start tag and re-append the end tag to make the block well-formed.
+    start_idx = F.instr("page_xml", F.lit(start_tag))
+    return (
+        raw.where(start_idx > 0)
+        .select(
+            F.concat(
+                F.substring_index("page_xml", start_tag, -1).alias("body"),
+            ).alias("body")
+        )
+        .select(F.concat(F.lit(start_tag), F.col("body"), F.lit(end_tag)).alias("page_xml"))
+    )
+
+
+def parse_pages(pages: DataFrame, xml_col: str = "page_xml") -> DataFrame:
+    """Project ``title`` and revision ``text`` from raw page blocks.
+
+    Mirrors the XPath projections ``/page/title`` and
+    ``/page/revision/text`` (``PageRank.java:71-73``) and the
+    space→underscore title normalization (``PageRank.java:72``).
+    """
+    c = F.col(xml_col)
+    title = F.regexp_extract(c, r"(?s)<title>(.*?)</title>", 1)
+    text = F.regexp_extract(c, r"(?s)<text[^>]*>(.*?)</text>", 1)
+    return pages.select(
+        F.translate(title, " ", "_").alias("title"),
+        text.alias("text"),
+    ).where(F.col("title") != "")

@@ -1,0 +1,99 @@
+"""Golden-graph PageRank tests (SURVEY.md §5 item 2).
+
+Closed-form / hand-iterated expectations for tiny graphs, in both
+reference-parity mode (dangling mass lost — PageRank.java:305) and
+corrected mode (mass redistributed; ranks sum to 1).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pagerank_hadoop_spark.operators import adjacency_from_edges, pagerank, top_ranks
+
+
+def _ranks(df):
+    return {r["id"]: r["rank"] for r in df.collect()}
+
+
+def _reference_pagerank(edges, n_iter=8, damping=0.85, parity=True):
+    """Pure-Python replay of PageRank.java:258-324 semantics."""
+    nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
+    out = {v: sorted({d for s, d in edges if s == v}) for v in nodes}
+    n = len(nodes)
+    rank = {v: 1.0 / n for v in nodes}
+    for _ in range(n_iter):
+        incoming = {v: 0.0 for v in nodes}
+        dangling = 0.0
+        for v in nodes:
+            if out[v]:
+                share = rank[v] / len(out[v])
+                for d in out[v]:
+                    incoming[d] += share
+            else:
+                dangling += rank[v]
+        extra = 0.0 if parity else damping * dangling / n
+        rank = {v: (1 - damping) / n + damping * incoming[v] + extra for v in nodes}
+    return rank
+
+
+CYCLE2 = [("a", "b"), ("b", "a")]
+STAR3 = [("hub", "s1"), ("hub", "s2"), ("hub", "s3")]  # spokes dangle
+K3 = [(a, b) for a in "xyz" for b in "xyz" if a != b]
+
+
+@pytest.mark.parametrize("edges", [CYCLE2, STAR3, K3], ids=["2cycle", "3star", "K3"])
+@pytest.mark.parametrize("parity", [True, False], ids=["parity", "corrected"])
+def test_matches_reference_replay(spark, edges, parity):
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = _ranks(pagerank(df, n_iter=8, parity=parity))
+    want = _reference_pagerank(edges, n_iter=8, parity=parity)
+    assert got.keys() == want.keys()
+    for k in want:
+        assert got[k] == pytest.approx(want[k], abs=1e-12)
+
+
+def test_fixed_point_2cycle(spark):
+    # symmetric 2-cycle: fixed point rank = 0.5 each, reached immediately
+    df = spark.createDataFrame(CYCLE2, "src string, dst string")
+    got = _ranks(pagerank(df, n_iter=8, parity=True))
+    assert got["a"] == pytest.approx(0.5, abs=1e-12)
+    assert got["b"] == pytest.approx(0.5, abs=1e-12)
+
+
+def test_corrected_mode_mass_conserved(spark):
+    df = spark.createDataFrame(STAR3, "src string, dst string")
+    got = _ranks(pagerank(df, n_iter=8, parity=False))
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+
+
+def test_parity_mode_loses_dangling_mass(spark):
+    df = spark.createDataFrame(STAR3, "src string, dst string")
+    got = _ranks(pagerank(df, n_iter=8, parity=True))
+    assert sum(got.values()) < 1.0  # PageRank.java:305 — mass is lost
+
+
+def test_teleport_floor_invariant(spark):
+    # every vertex's rank >= 0.15/N (property test, SURVEY.md §5 item 3)
+    df = spark.createDataFrame(K3 + STAR3, "src string, dst string")
+    got = _ranks(pagerank(df, n_iter=8, parity=True))
+    n = len(got)
+    assert all(v >= 0.15 / n - 1e-15 for v in got.values())
+
+
+def test_top_ranks_threshold_and_order(spark):
+    df = spark.createDataFrame(STAR3, "src string, dst string")
+    ranks = pagerank(df, n_iter=8, parity=True)
+    n = 4
+    out = top_ranks(ranks, n, threshold=5.0 / n).collect()
+    vals = [r["rank"] for r in out]
+    assert vals == sorted(vals, reverse=True)
+    assert all(v > 5.0 / n for v in vals)
+
+
+def test_adjacency_is_sorted_and_deduped(spark):
+    df = spark.createDataFrame(
+        [("a", "c"), ("a", "b"), ("a", "c")], "src string, dst string"
+    )
+    rows = adjacency_from_edges(df).collect()
+    assert rows[0]["outlinks"] == ["b", "c"]
