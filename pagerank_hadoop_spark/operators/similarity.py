@@ -1,0 +1,189 @@
+"""Similarity search over embedding columns ([EXT] E3).
+
+* ``cosine_topk`` — brute-force exact top-k: broadcast the (small)
+  query side, scan the corpus once, per-query window top-k. The
+  baseline and the verifier for approximate variants.
+* ``lsh_topk`` — bucketed approximate variant: random-hyperplane
+  signature restricts candidates to matching buckets (multi-probe via
+  band split), then exact cosine inside buckets. At 100 TB the corpus
+  scan shuffles only (bucket, id, vec-slice) — candidates ≪ n.
+* ``ivf_topk`` — IVF-style: k-means-free coarse quantizer using
+  deterministic pseudo-random centroids (hash-derived), probe the
+  nearest ``nprobe`` cells.
+
+All cosine math is JVM array expressions (functions.vectors); no UDF.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
+
+from pagerank_hadoop_spark.functions.vectors import cosine_similarity, dot
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    round_dp: int | None = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+    q_id_col: str = "q_id",
+    q_vec_col: str = "qv",
+) -> DataFrame:
+    """Exact brute-force cosine top-k; returns (q_id, vec_id, sim).
+
+    Broadcast nested-loop of corpus × queries (query side is small by
+    construction), then ``row_number`` per query. Rounding before the
+    window order makes the selected set engine-portable.
+    """
+    sim = cosine_similarity(F.col(q_vec_col), F.col(vec_col))
+    if round_dp is not None:
+        sim = F.round(sim, round_dp)
+    pairs = corpus.crossJoin(F.broadcast(queries)).where(
+        F.col(id_col) != F.col(q_id_col)
+    )
+    w = Window.partitionBy(q_id_col).orderBy(F.desc("sim"), F.asc(id_col))
+    return (
+        pairs.select(q_id_col, id_col, sim.alias("sim"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .drop("rn")
+    )
+
+
+def _hyperplane_bucket(vec, n_planes: int = 12):
+    """Deterministic random-hyperplane sign sketch (see dedup module)."""
+    def plane_bit(p: int):
+        proj = F.aggregate(
+            F.zip_with(
+                vec,
+                F.sequence(F.lit(0), F.size(vec) - 1),
+                lambda x, d: x * (F.xxhash64(F.lit(p), d).cast("double") / F.lit(float(2**63))),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        return F.when(proj >= 0, F.lit(1)).otherwise(F.lit(0)).cast("long")
+
+    sketch = F.lit(0).cast("long")
+    for p in range(n_planes):
+        sketch = sketch + F.shiftleft(plane_bit(p), p)
+    return sketch
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_planes: int = 12,
+    bands: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+    q_id_col: str = "q_id",
+    q_vec_col: str = "qv",
+) -> DataFrame:
+    """Approximate top-k: candidates share at least one signature band
+    with the query (multi-probe), exact cosine re-rank inside.
+
+    Recall < 1 by design; verified against cosine_topk in tests.
+    """
+    width = n_planes // bands
+    mask = (1 << width) - 1
+
+    def banded(df: DataFrame, vcol: str, idc: str, prefix: str) -> DataFrame:
+        sk = _hyperplane_bucket(F.col(vcol), n_planes)
+        return df.select(
+            idc,
+            vcol,
+            F.explode(
+                F.array(*[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright(sk, b * width).bitwiseAND(F.lit(mask)).alias("bh"),
+                    )
+                    for b in range(bands)
+                ])
+            ).alias("bb"),
+        ).select(idc, vcol, F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+
+    c = banded(corpus, vec_col, id_col, "c")
+    q = banded(queries, q_vec_col, q_id_col, "q")
+    cands = (
+        c.join(F.broadcast(q), ["band", "bh"])
+        .where(F.col(id_col) != F.col(q_id_col))
+        .select(q_id_col, q_vec_col, id_col, vec_col)
+        .dropDuplicates([q_id_col, id_col])
+    )
+    sim = F.round(cosine_similarity(F.col(q_vec_col), F.col(vec_col)), 6)
+    w = Window.partitionBy(q_id_col).orderBy(F.desc("sim"), F.asc(id_col))
+    return (
+        cands.select(q_id_col, id_col, sim.alias("sim"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .drop("rn")
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+    q_id_col: str = "q_id",
+    q_vec_col: str = "qv",
+) -> DataFrame:
+    """IVF-flat style ANN: assign vectors to their nearest of
+    ``n_cells`` deterministic pseudo-random centroids; queries probe
+    their ``nprobe`` nearest cells; exact cosine re-rank inside.
+
+    The cell assignment is a one-pass map (no shuffle); the probe join
+    is cell-partitioned — the scale path for corpus ≫ memory.
+    """
+    def centroid(cell: int):
+        # unit-ish pseudo-random centroid component per dim via hash
+        return lambda d: (F.xxhash64(F.lit(7919 * cell), d).cast("double") / F.lit(float(2**63)))
+
+    def cell_sims(vec):
+        return F.array(*[
+            F.struct(
+                F.aggregate(
+                    F.zip_with(
+                        vec,
+                        F.sequence(F.lit(0), F.size(vec) - 1),
+                        lambda x, d, c=cell: x * centroid(c)(d),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ).alias("sim"),
+                F.lit(cell).alias("cell"),
+            )
+            for cell in range(n_cells)
+        ])
+
+    # corpus: argmax cell
+    c_assigned = corpus.withColumn("cell", F.array_max(cell_sims(F.col(vec_col)))["cell"])
+    # queries: top-nprobe cells
+    q_probed = (
+        queries.withColumn(
+            "cells",
+            F.slice(F.reverse(F.array_sort(cell_sims(F.col(q_vec_col)))), 1, nprobe),
+        )
+        .select(q_id_col, q_vec_col, F.explode("cells").alias("pc"))
+        .select(q_id_col, q_vec_col, F.col("pc.cell").alias("cell"))
+    )
+    cands = c_assigned.join(F.broadcast(q_probed), "cell").where(
+        F.col(id_col) != F.col(q_id_col)
+    )
+    sim = F.round(cosine_similarity(F.col(q_vec_col), F.col(vec_col)), 6)
+    w = Window.partitionBy(q_id_col).orderBy(F.desc("sim"), F.asc(id_col))
+    return (
+        cands.select(q_id_col, id_col, sim.alias("sim"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .drop("rn")
+    )

@@ -1,0 +1,107 @@
+"""Text-analysis operators for training-data pipelines ([EXT] E4).
+
+Language-ID, quality scoring, token counting, and document
+fingerprinting — all pure Column expressions (whole-stage codegen, no
+Python in the hot path; these run over every document of a 100 TB
+corpus).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# tiny per-language stopword profiles for the n-gram/stopword heuristic
+_LANG_STOPWORDS = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "that"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "zu"],
+    "fr": ["le", "la", "les", "et", "de", "un", "une", "est"],
+    "es": ["el", "la", "los", "de", "que", "y", "un", "es"],
+}
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count (matches duckdb
+    ``len(string_split_regex(trim(text), '\\s+'))``)."""
+    return F.size(F.split(F.trim(text), r"\s+"))
+
+
+def word_tokens(text: Column) -> Column:
+    """BPE-ish word/punctuation tokenizer: letter runs, digit runs, or
+    single non-space symbols (regexp-based, deterministic)."""
+    return F.regexp_extract_all(
+        F.lower(text), F.lit(r"([a-z]+|[0-9]+|[^a-z0-9\s])"), F.lit(1)
+    )
+
+
+def stopword_hits(text: Column, lang: str) -> Column:
+    """Number of stopword occurrences for one language profile."""
+    words = _LANG_STOPWORDS[lang]
+    lc = F.concat(F.lit(" "), F.lower(text), F.lit(" "))
+    total = F.lit(0).cast("int")
+    for w in words:
+        # count non-overlapping occurrences of " w "
+        occurrences = (
+            (F.length(lc) - F.length(F.replace(lc, F.lit(f" {w} "), F.lit(""))))
+            / (len(w) + 2)
+        ).cast("int")
+        total = total + occurrences
+    return total
+
+
+def lang_id(text: Column) -> Column:
+    """Heuristic language ID: argmax of stopword-profile hits, 'und'
+    (undetermined) when no profile matches."""
+    scored = F.array(*[
+        F.struct(stopword_hits(text, lang).alias("hits"), F.lit(lang).alias("lang"))
+        for lang in sorted(_LANG_STOPWORDS)
+    ])
+    best = F.array_max(scored)  # struct compare: hits first, lang tiebreak
+    return F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und"))
+
+
+def quality_score(text: Column) -> Column:
+    """Composite [0,1] quality score: length band, alpha ratio,
+    mean-word-length band, whitespace sanity. The standard cheap
+    pre-filter shape for web-corpus curation."""
+    n_chars = F.length(text)
+    alpha = F.length(F.regexp_replace(text, r"[^A-Za-z]", ""))
+    alpha_ratio = alpha / F.greatest(n_chars, F.lit(1))
+    n_tokens = token_count(text)
+    mean_word = n_chars / F.greatest(n_tokens, F.lit(1))
+    len_ok = (n_chars >= 20) & (n_chars <= 100000)
+    word_ok = (mean_word >= 2.0) & (mean_word <= 12.0)
+    score = (
+        F.when(len_ok, 0.4).otherwise(0.0)
+        + F.when(word_ok, 0.3).otherwise(0.0)
+        + alpha_ratio * 0.3
+    )
+    return F.round(score, 6)
+
+
+def doc_fingerprint(text: Column, window: int = 8) -> Column:
+    """Rolling-hash document fingerprint (winnowing-style): min
+    xxhash64 over character windows — a compact content id robust to
+    reordering-free edits at the margins."""
+    cleaned = F.lower(F.regexp_replace(text, r"\s+", " "))
+    count = F.greatest(F.length(cleaned) - F.lit(window - 1), F.lit(1))
+    grams = F.transform(
+        F.sequence(F.lit(1), count),
+        lambda i: F.xxhash64(F.substring(cleaned, i, window)),
+    )
+    return F.array_min(grams)
+
+
+def text_profile(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document profile: tokens, chars, language guess, quality,
+    fingerprint — the one-pass curation scan."""
+    t = F.col(text_col)
+    return docs.select(
+        F.col(id_col),
+        token_count(t).alias("n_tokens"),
+        F.length(t).alias("n_chars"),
+        lang_id(t).alias("lang_guess"),
+        quality_score(t).alias("quality"),
+        doc_fingerprint(t).alias("fingerprint"),
+    )

@@ -55,6 +55,21 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events table with ``ts`` as a proper timestamp.
+
+    The parquet stores TIMESTAMP(NANOS), which Spark reads as a
+    nanosecond long under ``spark.sql.legacy.parquet.nanosAsLong``;
+    integer-divide to µs (same truncation DuckDB applies reading the
+    same file) and convert. ``ts DIV 1000`` stays integral — a double
+    division would lose precision above 2^53 ns.
+    """
+    ev = _t(spark, sf_dir, "events")
+    if dict(ev.dtypes)["ts"] in ("bigint", "long"):
+        ev = ev.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    return ev
+
+
 def dsum(col, alias: str):
     """Order-independent double sum: sum exact decimals, cast back."""
     return (
@@ -105,4 +120,584 @@ def q_pagerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         out.select("id", F.round("rank", 9).alias("rank"))
         .orderBy(F.desc("rank"), F.asc("id"))
         .limit(20)
+    )
+
+
+@register(
+    "pagerank_iter1",
+    pagerank_oracle_sql(_PAGERANK_EDGES_SQL, n_iter=1, limit=20, threshold_num=1.0),
+)
+def q_pagerank_iter1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C3: the reference snapshots ordered ranks after iteration 1
+    (PageRank.java:480-487) as well as after iteration 8."""
+    edges = _pagerank_edges(spark, sf_dir)
+    ranks = pagerank(edges, n_iter=1, parity=True)
+    n = ranks.count()
+    out = top_ranks(ranks, n, threshold=1.0 / n)
+    return (
+        out.select("id", F.round("rank", 9).alias("rank"))
+        .orderBy(F.desc("rank"), F.asc("id"))
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Relational core (SURVEY.md §7 step 2): scans, P-ops, joins, aggs, top-k
+# ---------------------------------------------------------------------------
+
+@register(
+    "pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(38,4))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,4))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,4)) * (CAST(1.0 AS DECIMAL(6,4)) - CAST(l_discount AS DECIMAL(6,4)))) AS DOUBLE) AS sum_disc_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,4)) * (CAST(1.0 AS DECIMAL(6,4)) - CAST(l_discount AS DECIMAL(6,4))) * (CAST(1.0 AS DECIMAL(6,4)) + CAST(l_tax AS DECIMAL(6,4)))) AS DOUBLE) AS sum_charge,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(38,4))) AS DOUBLE) / COUNT(*) AS avg_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,4))) AS DOUBLE) / COUNT(*) AS avg_price,
+           CAST(SUM(CAST(l_discount AS DECIMAL(38,4))) AS DOUBLE) / COUNT(*) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q1-shaped scan→filter→hash-agg (A3/P8/P10/P11 shapes).
+
+    Sums go through DECIMAL(38,4) so the result is bitwise independent
+    of partition/summation order (decimal addition is associative).
+    The date filter + column pruning reach the Parquet scan (verified
+    in tests via .explain).
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    # Arithmetic on DECIMAL casts of the BASE columns: casting a
+    # *computed* double to decimal is engine-dependent at rounding
+    # boundaries (Spark goes through the shortest string repr,
+    # HALF_UP; DuckDB rounds the exact binary value), but base
+    # columns are 2-dp-quantized so their 4-dp casts agree, and
+    # decimal × / + are exact in both engines.
+    price_d = F.col("l_extendedprice").cast("decimal(14,4)")
+    one = F.lit(1.0).cast("decimal(6,4)")
+    disc_price = price_d * (one - F.col("l_discount").cast("decimal(6,4)"))
+    charge = disc_price * (one + F.col("l_tax").cast("decimal(6,4)"))
+    cnt = F.count(F.lit(1))
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity", "sum_qty"),
+            dsum("l_extendedprice", "sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("double").alias("sum_charge"),
+            (F.sum(F.col("l_quantity").cast("decimal(38,4)")).cast("double") / cnt).alias("avg_qty"),
+            (F.sum(F.col("l_extendedprice").cast("decimal(38,4)")).cast("double") / cnt).alias("avg_price"),
+            (F.sum(F.col("l_discount").cast("decimal(38,4)")).cast("double") / cnt).alias("avg_disc"),
+            cnt.alias("count_order"),
+        )
+    )
+
+
+@register(
+    "topk_orders",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+    """,
+)
+def q_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1/O2: global desc sort + limit → Catalyst TakeOrderedAndProject
+    (no full sort materialization; the Spark replacement for the
+    reference's FlipComparator job, PageRank.java:399-419)."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "semi_join_parts",
+    """
+    SELECT p_partkey, p_brand FROM part
+    WHERE p_partkey IN (SELECT l_partkey FROM lineitem WHERE l_quantity > 45)
+    """,
+)
+def q_semi_join_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1: real left-semi join (the reference fakes this with tagged
+    marker rows in one reducer, PageRank.java:80,130-157,442)."""
+    part = _t(spark, sf_dir, "part")
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_quantity") > 45)
+    return part.join(
+        li.select(F.col("l_partkey").alias("p_partkey")), "p_partkey", "left_semi"
+    ).select("p_partkey", "p_brand")
+
+
+@register(
+    "anti_join_customers",
+    """
+    SELECT c_custkey, c_name FROM customer
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+    """,
+)
+def q_anti_join_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join: customers with no orders."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return cust.join(
+        orders.select(F.col("o_custkey").alias("c_custkey")), "c_custkey", "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+@register(
+    "region_revenue",
+    """
+    SELECT r_name,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,4))) AS DOUBLE) AS revenue,
+           COUNT(DISTINCT o_orderkey) AS n_orders
+    FROM region
+    JOIN nation ON n_regionkey = r_regionkey
+    JOIN customer ON c_nationkey = n_nationkey
+    JOIN orders ON o_custkey = c_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    GROUP BY r_name
+    """,
+)
+def q_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-way star join rolled up to region. The dimension chain
+    (region→nation→customer) is broadcast by Catalyst (asserted in
+    tests); only the orders⋈lineitem side shuffles."""
+    region = _t(spark, sf_dir, "region")
+    nation = _t(spark, sf_dir, "nation")
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        F.broadcast(region.join(nation, nation.n_regionkey == region.r_regionkey))
+        .join(cust, cust.c_nationkey == F.col("n_nationkey"))
+        .join(orders, orders.o_custkey == cust.c_custkey)
+        .join(li, li.l_orderkey == orders.o_orderkey)
+        .groupBy("r_name")
+        .agg(
+            F.sum(revenue.cast("decimal(38,4)")).cast("double").alias("revenue"),
+            F.countDistinct("o_orderkey").alias("n_orders"),
+        )
+    )
+
+
+@register(
+    "adjacency_list",
+    """
+    SELECT src, string_agg(dst, ',' ORDER BY dst) AS outlinks
+    FROM (SELECT DISTINCT CAST(l_partkey AS VARCHAR) AS src,
+                 's' || CAST(l_suppkey AS VARCHAR) AS dst FROM lineitem)
+    GROUP BY src
+    """,
+)
+def q_adjacency_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1: groupBy + collect_set adjacency build (RedLinksReducer,
+    PageRank.java:175-200) — emitted as a sorted CSV string so the
+    hash compare is deterministic and portable."""
+    edges = _pagerank_edges(spark, sf_dir)
+    return edges.groupBy("src").agg(
+        F.array_join(F.array_sort(F.collect_set("dst")), ",").alias("outlinks")
+    )
+
+
+@register(
+    "count_vertices",
+    """
+    SELECT COUNT(*) AS n FROM (
+      SELECT CAST(l_partkey AS VARCHAR) AS id FROM lineitem
+      UNION
+      SELECT 's' || CAST(l_suppkey AS VARCHAR) FROM lineitem)
+    """,
+)
+def q_count_vertices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2: global count(*) — the reference burns a whole MapReduce job
+    plus a counter side-channel on this (PageRank.java:205-238,470)."""
+    edges = _pagerank_edges(spark, sf_dir)
+    verts = edges.select(F.col("src").alias("id")).union(
+        edges.select(F.col("dst").alias("id"))
+    ).distinct()
+    return verts.agg(F.count(F.lit(1)).alias("n"))
+
+
+@register(
+    "string_funcs",
+    """
+    SELECT p_partkey,
+           lower(p_type) AS type_lc,
+           replace(p_name, ' ', '_') AS name_us,
+           trim(split_part(p_name, ' ', 1)) AS first_word,
+           regexp_replace(p_name, '[aeiou]', '', 'g') AS name_novowel
+    FROM part
+    WHERE NOT regexp_matches(p_name, '[{}<>#]')
+      AND NOT contains(lower(p_name), 'image:')
+    """,
+)
+def q_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3-P7: the reference's string kernel (replace/split/trim/lower +
+    isValidWikiLink-style rejection, PageRank.java:72-92,115-126) as
+    codegen'd Column expressions."""
+    from pagerank_hadoop_spark.functions.wikitext import valid_wiki_link
+
+    part = _t(spark, sf_dir, "part")
+    return part.where(valid_wiki_link(F.col("p_name"))).select(
+        "p_partkey",
+        F.lower("p_type").alias("type_lc"),
+        F.translate(F.col("p_name"), " ", "_").alias("name_us"),
+        F.trim(F.split(F.col("p_name"), " ").getItem(0)).alias("first_word"),
+        F.regexp_replace("p_name", "[aeiou]", "").alias("name_novowel"),
+    )
+
+
+@register(
+    "json_extract_events",
+    """
+    SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) AS k, COUNT(*) AS cnt
+    FROM events GROUP BY 1
+    """,
+)
+def q_json_extract_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured projection: JSON field extraction from the
+    events.props column (an [EXT] P-op; the reference is pure text)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.select(F.get_json_object("props", "$.k").cast("int").alias("k"))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# [EXT] E7/E8: window analytics, grouping sets
+# ---------------------------------------------------------------------------
+
+@register(
+    "window_rank_orders",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice, rn, rnk, prev_price
+    FROM (
+      SELECT o_orderkey, o_custkey, o_totalprice,
+             ROW_NUMBER() OVER w AS rn,
+             RANK() OVER w AS rnk,
+             LAG(o_totalprice) OVER (PARTITION BY o_custkey
+                                     ORDER BY o_orderdate, o_orderkey) AS prev_price
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+    ) WHERE rn <= 3
+    """,
+)
+def q_window_rank_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E7: ranking + offset window functions (top-3 orders per
+    customer by price, with previous order's price by date)."""
+    orders = _t(spark, sf_dir, "orders")
+    w_price = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    w_date = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        orders.select(
+            "o_orderkey",
+            "o_custkey",
+            "o_totalprice",
+            F.row_number().over(w_price).alias("rn"),
+            F.rank().over(w_price).alias("rnk"),
+            F.lag("o_totalprice").over(w_date).alias("prev_price"),
+        )
+        .where(F.col("rn") <= 3)
+    )
+
+
+@register(
+    "rolling_avg_events",
+    """
+    SELECT event_id, user_id, value,
+           CAST(SUM(CAST(value AS DECIMAL(38,4))) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS roll_sum
+    FROM events
+    """,
+)
+def q_rolling_avg_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E7: sliding rowsBetween frame (3-event rolling sum per user)."""
+    ev = _events(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-2, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.sum(F.col("value").cast("decimal(38,4)")).over(w).cast("double").alias("roll_sum"),
+    )
+
+
+@register(
+    "rollup_sales",
+    """
+    SELECT COALESCE(l_returnflag, '(all)') AS returnflag,
+           COALESCE(l_linestatus, '(all)') AS linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(38,4))) AS DOUBLE) AS sum_qty,
+           COUNT(*) AS cnt
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def q_rollup_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E8: hierarchical rollup with subtotal + grand-total rows."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(dsum("l_quantity", "sum_qty"), F.count(F.lit(1)).alias("cnt"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("(all)")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("(all)")).alias("linestatus"),
+            "sum_qty",
+            "cnt",
+        )
+    )
+
+
+@register(
+    "cube_orders",
+    """
+    SELECT COALESCE(o_orderstatus, '(all)') AS status,
+           COALESCE(o_orderpriority, '(all)') AS priority,
+           COUNT(*) AS cnt,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE) AS sum_price
+    FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def q_cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E8: full cube over two dimensions."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("cnt"), dsum("o_totalprice", "sum_price"))
+        .select(
+            F.coalesce("o_orderstatus", F.lit("(all)")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("(all)")).alias("priority"),
+            "cnt",
+            "sum_price",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# [EXT] E6: event-time windows (batch twins of the streaming forms in
+# pagerank_hadoop_spark/streaming/)
+# ---------------------------------------------------------------------------
+
+@register(
+    "events_tumbling",
+    """
+    SELECT CAST(FLOOR(epoch(time_bucket(INTERVAL '10 minutes', ts))) AS BIGINT) AS wstart,
+           event_type,
+           COUNT(*) AS cnt,
+           CAST(SUM(CAST(value AS DECIMAL(38,4))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q_events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E6 batch form: 10-minute tumbling event-time window. The same
+    window() call runs under readStream+watermark in
+    streaming/windows.py (rows-only checked)."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy(F.window("ts", "10 minutes").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.col("value").cast("decimal(38,4)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("wstart"),
+            "event_type",
+            "cnt",
+            "sum_value",
+        )
+    )
+
+
+@register(
+    "events_sliding",
+    """
+    WITH buckets AS (
+      SELECT CAST(FLOOR(epoch(time_bucket(INTERVAL '5 minutes', ts))) AS BIGINT) AS b,
+             value FROM events
+    ), offsets AS (SELECT 0 AS off UNION ALL SELECT 300)
+    SELECT b - off AS wstart, COUNT(*) AS cnt
+    FROM buckets CROSS JOIN offsets
+    GROUP BY 1
+    """,
+)
+def q_events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E6: sliding window (10-minute window, 5-minute slide) — each
+    event lands in 2 overlapping windows."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(F.unix_timestamp(F.col("w.start")).alias("wstart"), "cnt")
+    )
+
+
+@register(
+    "events_session",
+    """
+    WITH ordered AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       >= INTERVAL '30 minutes'
+                  OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ), numbered AS (
+      SELECT user_id, ts,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+      FROM ordered
+    )
+    SELECT user_id,
+           CAST(FLOOR(epoch(date_trunc('second', MIN(ts)))) AS BIGINT) AS session_start,
+           COUNT(*) AS n_events
+    FROM numbered GROUP BY user_id, sid
+    """,
+)
+def q_events_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E6: session windows (30-minute gap) via session_window();
+    oracle replays the same semantics with a lag+cumsum sessionization
+    (a new session starts when the gap is >= the timeout)."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_timestamp(F.col("w.start")).alias("session_start"),
+            "n_events",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# [EXT] E1/E4: dedup + text analysis on documents
+# ---------------------------------------------------------------------------
+
+@register(
+    "dedup_exact",
+    """
+    WITH crawl AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 2 = 0
+    )
+    SELECT MIN(doc_id) AS keeper, COUNT(*) AS copies
+    FROM crawl GROUP BY text
+    """,
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1: exact dedup via hash-groupBy, keeping the lowest doc_id per
+    identical text (simulated re-crawl: even doc_ids appear twice).
+    Uses operators.dedup.exact_dedup."""
+    from pagerank_hadoop_spark.operators.dedup import exact_dedup_groups
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    recrawl = docs.where(F.col("doc_id") % 2 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    return exact_dedup_groups(docs.unionByName(recrawl), key="text", id_col="doc_id")
+
+
+@register(
+    "text_stats",
+    """
+    SELECT lang, source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CAST(n_chars AS DECIMAL(38,4))) AS DOUBLE) / COUNT(*) AS avg_chars,
+           CAST(SUM(CAST(len(string_split_regex(trim(text), '\\s+')) AS DECIMAL(38,4))) AS DOUBLE)
+             / COUNT(*) AS avg_tokens
+    FROM documents GROUP BY lang, source
+    """,
+)
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4: whitespace token counting + corpus stats per (lang, source).
+    Uses operators.text_analysis.token_count (pure Column expr)."""
+    from pagerank_hadoop_spark.operators.text_analysis import token_count
+
+    docs = _t(spark, sf_dir, "documents")
+    cnt = F.count(F.lit(1))
+    return docs.groupBy("lang", "source").agg(
+        cnt.alias("n_docs"),
+        (F.sum(F.col("n_chars").cast("decimal(38,4)")).cast("double") / cnt).alias("avg_chars"),
+        (F.sum(token_count(F.col("text")).cast("decimal(38,4)")).cast("double") / cnt).alias(
+            "avg_tokens"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# [EXT] E3: embedding similarity top-k
+# ---------------------------------------------------------------------------
+
+@register(
+    "cosine_topk",
+    """
+    WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT vec_id AS q_id, v AS qv FROM emb WHERE vec_id % 100 = 0),
+    sims AS (
+      SELECT q.q_id, e.vec_id,
+             ROUND(list_dot_product(q.qv, e.v) /
+                   (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(e.v, e.v))),
+                   6) AS sim
+      FROM q CROSS JOIN emb e WHERE e.vec_id <> q.q_id
+    )
+    SELECT q_id, vec_id, sim FROM (
+      SELECT q_id, vec_id, sim,
+             ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rn
+      FROM sims
+    ) WHERE rn <= 5
+    """,
+)
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3: brute-force cosine top-k via broadcast query side + array
+    expressions (JVM-side, no UDF). Uses operators.similarity."""
+    from pagerank_hadoop_spark.operators.similarity import cosine_topk
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    queries_df = emb.where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
+    )
+    return cosine_topk(emb, queries_df, k=5, round_dp=6)
+
+
+# ---------------------------------------------------------------------------
+# [EXT] E5: multimodal binary columns
+# ---------------------------------------------------------------------------
+
+@register(
+    "multimodal_meta",
+    """
+    SELECT doc_id,
+           octet_length(encode(text)) AS n_bytes,
+           md5(text) AS digest
+    FROM documents
+    """,
+)
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5: opaque binary payload + typed metadata — the plumbing shape
+    for image/audio columns (operators.multimodal makes the payload a
+    real binary column and stubs the decode UDF)."""
+    docs = _t(spark, sf_dir, "documents")
+    payload = F.encode("text", "utf-8")
+    return docs.select(
+        "doc_id",
+        F.octet_length(payload).alias("n_bytes"),
+        F.md5(payload).alias("digest"),
     )
