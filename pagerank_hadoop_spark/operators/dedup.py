@@ -71,10 +71,12 @@ def minhash_signature(shingle_hashes: Column, num_hashes: int = 32) -> Column:
 
     Universal-hash family h_i(x) = (a_i*x + b_i) mod p over the shingle
     hashes; min per i. Constants are fixed primes → deterministic
-    across runs/engines.
+    across runs/engines. p is a 33-bit prime so (p-1)*a_i + b_i stays
+    far inside int64 (ANSI mode overflow-checks long arithmetic), and
+    pmod (not abs%) keeps Long.MIN_VALUE safe.
     """
-    p = 2305843009213693951  # 2^61 - 1 (Mersenne prime)
-    max_h = F.lit(p)
+    p = 4294967311  # smallest prime > 2^32
+    max_h = F.lit(p).cast("long")
 
     def one_hash(i: int) -> Column:
         a = 2 * i + 1
@@ -82,7 +84,7 @@ def minhash_signature(shingle_hashes: Column, num_hashes: int = 32) -> Column:
         return F.aggregate(
             shingle_hashes,
             max_h,
-            lambda acc, x: F.least(acc, ((F.abs(x) % p) * a + b) % p),
+            lambda acc, x: F.least(acc, (F.pmod(x, F.lit(p)) * a + b) % p),
         )
 
     return F.array(*[one_hash(i) for i in range(num_hashes)])

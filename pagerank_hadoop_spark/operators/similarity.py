@@ -148,6 +148,11 @@ def ivf_topk(
         # unit-ish pseudo-random centroid component per dim via hash
         return lambda d: (F.xxhash64(F.lit(7919 * cell), d).cast("double") / F.lit(float(2**63)))
 
+    def _dot_with_centroid(c: int):
+        # bind the cell id via closure (a default arg would change the
+        # lambda's arity, which zip_with validates)
+        return lambda x, d: x * centroid(c)(d)
+
     def cell_sims(vec):
         return F.array(*[
             F.struct(
@@ -155,7 +160,7 @@ def ivf_topk(
                     F.zip_with(
                         vec,
                         F.sequence(F.lit(0), F.size(vec) - 1),
-                        lambda x, d, c=cell: x * centroid(c)(d),
+                        _dot_with_centroid(cell),
                     ),
                     F.lit(0.0),
                     lambda acc, x: acc + x,

@@ -21,7 +21,7 @@ and stays inside whole-stage codegen.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 
 START_TAG = "<page>"
 END_TAG = "</page>"
@@ -73,6 +73,22 @@ def parse_pages(pages: DataFrame, xml_col: str = "page_xml") -> DataFrame:
     title = F.regexp_extract(c, r"(?s)<title>(.*?)</title>", 1)
     text = F.regexp_extract(c, r"(?s)<text[^>]*>(.*?)</text>", 1)
     return pages.select(
-        F.translate(title, " ", "_").alias("title"),
-        text.alias("text"),
+        F.translate(_xml_unescape(title), " ", "_").alias("title"),
+        _xml_unescape(text).alias("text"),
     ).where(F.col("title") != "")
+
+
+def _xml_unescape(col: Column) -> Column:
+    """Decode the five XML entities — the reference gets this for free
+    from its DOM parse (PageRank.java:63-70); the regex fast path must
+    decode before the link-validity rules see `<`/`>`."""
+    out = col
+    for ent, ch in (
+        ("&lt;", "<"),
+        ("&gt;", ">"),
+        ("&quot;", '"'),
+        ("&apos;", "'"),
+        ("&amp;", "&"),  # last, so &amp;lt; decodes to &lt; not <
+    ):
+        out = F.replace(out, F.lit(ent), F.lit(ch))
+    return out

@@ -1,0 +1,101 @@
+"""Structured Streaming operators ([EXT] E6).
+
+True ``readStream`` forms of the batch window queries in
+``queries.py`` (events_tumbling / events_sliding / events_session):
+the aggregation bodies are shared Column expressions, so the batch
+oracle check covers the semantics and the streaming tests cover the
+plumbing (watermark, late-data drop, output modes, availableNow).
+
+Scale posture: event-time windows + watermark bound state; session
+windows use Spark's built-in ``session_window`` state merge. For
+custom stateful logic beyond these, ``applyInPandasWithState`` is the
+escape hatch (see ``stateful_dedup_stream``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+EVENT_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", StringType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def read_events_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int = 1
+) -> DataFrame:
+    """File-source stream over event JSON/parquet drops.
+
+    On a cluster this is the same code against a cloud-storage bucket
+    or Kafka (swap ``format``); the file source gives deterministic
+    replayable tests.
+    """
+    return (
+        spark.readStream.format("json")
+        .schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .load(path)
+    )
+
+
+def tumbling_agg(events: DataFrame, width: str = "10 minutes", watermark: str = "30 minutes") -> DataFrame:
+    """Tumbling event-time window counts with late-data drop."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", width).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(F.col("w.start").alias("wstart"), "event_type", "cnt")
+    )
+
+
+def sliding_agg(
+    events: DataFrame,
+    width: str = "10 minutes",
+    slide: str = "5 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", width, slide).alias("w"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(F.col("w.start").alias("wstart"), "cnt")
+    )
+
+
+def session_agg(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "30 minutes"
+) -> DataFrame:
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("session_start"), "user_id", "n_events")
+    )
+
+
+def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "append"):
+    """Drain a stream into an in-memory table with availableNow (test
+    harness; production would writeStream to a sink with checkpointing)."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return q

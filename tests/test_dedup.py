@@ -1,0 +1,97 @@
+"""Dedup operator tests ([EXT] E1/E2): exact, MinHash-LSH, SimHash,
+n-gram Jaccard, embedding near-dup."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from pagerank_hadoop_spark.operators.dedup import (
+    embedding_near_dups,
+    exact_dedup,
+    jaccard_pairs,
+    minhash_dedup,
+    minhash_lsh_candidates,
+    simhash_candidates,
+)
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the rain in spain "
+    "falls mainly on the plain and every good boy deserves fudge today"
+)
+NEAR = BASE.replace("lazy", "sleepy")  # one-word edit → high jaccard
+FAR = (
+    "completely different content about databases query engines and "
+    "distributed systems with partitions shuffles and broadcast joins"
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, BASE),
+        (2, BASE),        # exact dup of 1
+        (3, NEAR),        # near dup of 1
+        (4, FAR),
+        (5, FAR + " extra tail words"),  # near dup of 4
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string").cache()
+
+
+def test_exact_dedup_keeps_lowest_id(docs):
+    kept = exact_dedup(docs, key="text", id_col="doc_id")
+    ids = sorted(r["doc_id"] for r in kept.collect())
+    assert ids == [1, 3, 4, 5]
+
+
+def test_exact_dedup_idempotent(docs):
+    once = exact_dedup(docs, key="text", id_col="doc_id")
+    twice = exact_dedup(once, key="text", id_col="doc_id")
+    assert sorted(r["doc_id"] for r in twice.collect()) == sorted(
+        r["doc_id"] for r in once.collect()
+    )
+
+
+def test_minhash_candidates_find_near_dups(docs):
+    cands = {(r["id_a"], r["id_b"]) for r in minhash_lsh_candidates(docs).collect()}
+    assert (1, 2) in cands  # exact dups always collide
+    assert (1, 3) in cands or (2, 3) in cands  # near dup found
+    assert (4, 5) in cands
+
+
+def test_jaccard_values(docs, spark):
+    pairs = spark.createDataFrame([(1, 2), (1, 3), (1, 4)], "id_a long, id_b long")
+    j = {(r["id_a"], r["id_b"]): r["jaccard"] for r in jaccard_pairs(docs, pairs).collect()}
+    assert j[(1, 2)] == 1.0
+    assert 0.7 < j[(1, 3)] < 1.0
+    assert j[(1, 4)] < 0.2
+
+
+def test_minhash_dedup_removes_dups(docs):
+    kept = minhash_dedup(docs, jaccard_threshold=0.7)
+    ids = sorted(r["doc_id"] for r in kept.collect())
+    assert 1 in ids and 4 in ids
+    assert 2 not in ids          # exact dup removed
+    assert 3 not in ids          # near dup removed
+    assert len(ids) == 2
+
+
+def test_simhash_candidates(docs):
+    cands = {(r["id_a"], r["id_b"]) for r in simhash_candidates(docs, max_hamming=10).collect()}
+    assert (1, 2) in cands
+    hams = {(r["id_a"], r["id_b"]): r["hamming"] for r in
+            simhash_candidates(docs, max_hamming=64).collect()}
+    assert hams.get((1, 2)) == 0  # identical text → identical fingerprint
+
+
+def test_embedding_near_dups(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.999, 0.001, 0.0, 0.0]),   # near-identical direction
+        (3, [0.0, 1.0, 0.0, 0.0]),       # orthogonal
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    pairs = {(r["id_a"], r["id_b"]) for r in
+             embedding_near_dups(emb, threshold=0.99).collect()}
+    assert (1, 2) in pairs
+    assert all(3 not in p for p in pairs)

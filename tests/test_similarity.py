@@ -1,0 +1,77 @@
+"""Similarity search tests ([EXT] E3): exact top-k, LSH and IVF
+approximate variants measured for recall against the exact answer."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from pagerank_hadoop_spark.operators.similarity import cosine_topk, ivf_topk, lsh_topk
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+        .cache()
+    )
+
+
+@pytest.fixture(scope="module")
+def queries_df(emb):
+    return emb.where(F.col("vec_id") % 250 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
+    )
+
+
+@pytest.fixture(scope="module")
+def exact(emb, queries_df):
+    return cosine_topk(emb, queries_df, k=5).collect()
+
+
+def test_exact_topk_shape_and_range(exact):
+    by_q = {}
+    for r in exact:
+        by_q.setdefault(r["q_id"], []).append(r)
+    for q, rows in by_q.items():
+        assert len(rows) == 5
+        sims = [r["sim"] for r in rows]
+        assert sims == sorted(sims, reverse=True)
+        assert all(-1.0 <= s <= 1.0 for s in sims)
+        assert all(r["vec_id"] != q for r in rows)
+
+
+def test_exact_topk_matches_numpy(emb, queries_df, exact):
+    import numpy as np
+
+    vecs = {r["vec_id"]: np.array(r["v"]) for r in emb.collect()}
+    qs = {r["q_id"]: np.array(r["qv"]) for r in queries_df.collect()}
+    for q_id, qv in qs.items():
+        sims = {
+            vid: float(np.dot(qv, v) / (np.linalg.norm(qv) * np.linalg.norm(v)))
+            for vid, v in vecs.items()
+            if vid != q_id
+        }
+        want = sorted(sims, key=lambda k: (-round(sims[k], 6), k))[:5]
+        got = [r["vec_id"] for r in exact if r["q_id"] == q_id]
+        assert got == want
+
+
+@pytest.mark.parametrize("fn", [lsh_topk, ivf_topk], ids=["lsh", "ivf"])
+def test_approximate_recall(emb, queries_df, exact, fn):
+    approx = fn(emb, queries_df, k=5).collect()
+    exact_sets = {}
+    for r in exact:
+        exact_sets.setdefault(r["q_id"], set()).add(r["vec_id"])
+    got_sets = {}
+    for r in approx:
+        got_sets.setdefault(r["q_id"], set()).add(r["vec_id"])
+    recalls = [
+        len(exact_sets[q] & got_sets.get(q, set())) / len(exact_sets[q])
+        for q in exact_sets
+    ]
+    # approximate methods must find a reasonable share of true neighbors
+    assert sum(recalls) / len(recalls) >= 0.2, recalls

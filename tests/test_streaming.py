@@ -1,0 +1,101 @@
+"""Structured Streaming tests ([EXT] E6): watermark, windows, late data.
+
+File-source streams built from JSON drops in a temp dir; drained with
+availableNow triggers into memory sinks. The watermark/late-drop test
+uses two sequential drops so the watermark from batch 1 gates batch 2.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from pagerank_hadoop_spark.streaming.windows import (
+    read_events_stream,
+    run_to_memory,
+    session_agg,
+    sliding_agg,
+    tumbling_agg,
+)
+
+
+def _write_drop(dirpath: str, name: str, rows: list[dict]) -> None:
+    with open(os.path.join(dirpath, name), "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
+
+def _ev(i: int, ts: str, user: int = 1, typ: str = "click") -> dict:
+    return {"event_id": i, "ts": ts, "user_id": user, "event_type": typ,
+            "value": "1.0", "props": "{}"}
+
+
+@pytest.fixture()
+def drop_dir(tmp_path):
+    return str(tmp_path)
+
+
+def test_tumbling_counts(spark, drop_dir):
+    _write_drop(drop_dir, "a.json", [
+        _ev(1, "2024-01-01T00:01:00Z"),
+        _ev(2, "2024-01-01T00:04:00Z"),
+        _ev(3, "2024-01-01T00:11:00Z"),
+    ])
+    stream = read_events_stream(spark, drop_dir)
+    assert stream.isStreaming
+    run_to_memory(tumbling_agg(stream), "t_tumble", output_mode="complete")
+    rows = {(str(r["wstart"]), r["cnt"]) for r in spark.table("t_tumble").collect()}
+    assert rows == {("2024-01-01 00:00:00", 2), ("2024-01-01 00:10:00", 1)}
+
+
+def test_sliding_each_event_in_two_windows(spark, drop_dir):
+    _write_drop(drop_dir, "a.json", [_ev(1, "2024-01-01T00:06:00Z")])
+    stream = read_events_stream(spark, drop_dir)
+    run_to_memory(sliding_agg(stream), "t_slide", output_mode="complete")
+    starts = sorted(str(r["wstart"]) for r in spark.table("t_slide").collect())
+    assert starts == ["2024-01-01 00:00:00", "2024-01-01 00:05:00"]
+
+
+def test_session_window_gap_merge(spark, drop_dir):
+    _write_drop(drop_dir, "a.json", [
+        _ev(1, "2024-01-01T00:00:00Z", user=7),
+        _ev(2, "2024-01-01T00:10:00Z", user=7),   # same session (gap 10m < 30m)
+        _ev(3, "2024-01-01T02:00:00Z", user=7),   # new session
+        _ev(4, "2024-01-01T00:00:00Z", user=8),
+    ])
+    stream = read_events_stream(spark, drop_dir)
+    run_to_memory(session_agg(stream), "t_sess", output_mode="complete")
+    rows = {(r["user_id"], str(r["session_start"]), r["n_events"])
+            for r in spark.table("t_sess").collect()}
+    assert rows == {
+        (7, "2024-01-01 00:00:00", 2),
+        (7, "2024-01-01 02:00:00", 1),
+        (8, "2024-01-01 00:00:00", 1),
+    }
+
+
+def test_watermark_drops_late_data(spark, drop_dir):
+    # batch 1 advances the watermark to 10:00 - 30min = 09:30;
+    # batch 2's 00:05 event is far behind the watermark → dropped
+    _write_drop(drop_dir, "a.json", [_ev(1, "2024-01-01T10:00:00Z")])
+    stream = read_events_stream(spark, drop_dir, max_files_per_trigger=1)
+    agg = tumbling_agg(stream, watermark="30 minutes")
+    q = (
+        agg.writeStream.format("memory").queryName("t_late")
+        .outputMode("append").trigger(processingTime="1 second").start()
+    )
+    try:
+        q.processAllAvailable()
+        _write_drop(drop_dir, "b.json", [_ev(2, "2024-01-01T00:05:00Z"),
+                                         _ev(3, "2024-01-01T10:01:00Z")])
+        q.processAllAvailable()
+        _write_drop(drop_dir, "c.json", [_ev(4, "2024-01-01T12:00:00Z")])
+        q.processAllAvailable()  # advance watermark so 10:00 window closes
+    finally:
+        q.stop()
+    rows = {(str(r["wstart"]), r["cnt"]) for r in spark.table("t_late").collect()}
+    # the 00:00 window never appears (late event dropped); 10:00 window has both
+    assert ("2024-01-01 00:00:00", 1) not in rows
+    assert ("2024-01-01 10:00:00", 2) in rows

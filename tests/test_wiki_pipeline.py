@@ -1,0 +1,90 @@
+"""Wiki-parity pipeline tests (SURVEY.md §5 item 4, §3.1 jobs 1-3).
+
+Replays the reference's graph-construction semantics on a synthetic
+dump: XML record framing (XmlInputFormat.java), title/text projection,
+[[link]] extraction with validity rules (PageRank.java:74-126),
+red-link semi-join (PageRank.java:130-157), adjacency + count + ranks.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from pagerank_hadoop_spark.functions.wikitext import extract_links, remove_red_links
+from pagerank_hadoop_spark.operators import adjacency_from_edges, pagerank
+from pagerank_hadoop_spark.sources.wiki import parse_pages, read_pages
+
+FIXTURE = os.path.join(os.path.dirname(__file__), "fixtures", "pages.xml")
+
+
+@pytest.fixture(scope="module")
+def parsed(spark):
+    return parse_pages(read_pages(spark, FIXTURE)).cache()
+
+
+def test_read_pages_frames_records(spark):
+    pages = read_pages(spark, FIXTURE)
+    rows = pages.collect()
+    assert len(rows) == 4
+    for r in rows:
+        assert r["page_xml"].startswith("<page>")
+        assert r["page_xml"].endswith("</page>")
+
+
+def test_parse_titles_underscored(parsed):
+    titles = {r["title"] for r in parsed.collect()}
+    assert titles == {"Alpha_Page", "Beta", "Gamma_Page", "Delta"}
+
+
+def test_extract_links_validity_alias_dedup(parsed):
+    edges = extract_links(parsed)
+    got = {(r["src"], r["dst"]) for r in edges.collect()}
+    assert got == {
+        # Alpha: Beta deduped, alias split on Gamma, red link kept (pre-semi-join)
+        ("Alpha_Page", "Beta"),
+        ("Alpha_Page", "Gamma_Page"),
+        ("Alpha_Page", "Nowhere"),
+        # Beta: alias split makes Alpha_Page a dup → deduped
+        ("Beta", "Alpha_Page"),
+        ("Beta", "Gamma_Page"),
+        # Delta: trim " Beta ", hash link rejected
+        ("Delta", "Alpha_Page"),
+        ("Delta", "Beta"),
+    }
+    # none of the invalid targets survived
+    bad = {d for _, d in got} & {"has{brace", "has#hash", "image:pic.png"}
+    assert not bad
+
+
+def test_red_link_semi_join(spark, parsed):
+    edges = extract_links(parsed)
+    clean = remove_red_links(edges, parsed)
+    dsts = {r["dst"] for r in clean.collect()}
+    assert "Nowhere" not in dsts
+    assert clean.count() == 6
+
+
+def test_adjacency_and_count(spark, parsed):
+    edges = remove_red_links(extract_links(parsed), parsed)
+    adj = adjacency_from_edges(edges)
+    rows = {r["id"]: r["outlinks"] for r in adj.collect()}
+    assert rows["Alpha_Page"] == ["Beta", "Gamma_Page"]
+    assert rows["Beta"] == ["Alpha_Page", "Gamma_Page"]
+    assert rows["Delta"] == ["Alpha_Page", "Beta"]
+    # N counted over pages (PageRank.java:211-221): 4, though Gamma is
+    # dangling (no adjacency row from edges — restored by pagerank())
+    assert adj.count() == 3
+
+
+def test_end_to_end_pagerank_on_wiki_graph(spark, parsed):
+    edges = remove_red_links(extract_links(parsed), parsed)
+    ranks = pagerank(edges, vertices=parsed.select("title"), n_iter=8, parity=True)
+    got = {r["id"]: r["rank"] for r in ranks.collect()}
+    assert set(got) == {"Alpha_Page", "Beta", "Gamma_Page", "Delta"}
+    # Alpha is cited by Beta and Delta; Delta by nobody
+    assert got["Alpha_Page"] > got["Delta"]
+    assert got["Gamma_Page"] > got["Delta"]  # Gamma cited twice, dangling
+    n = 4
+    assert all(v >= 0.15 / n - 1e-15 for v in got.values())
