@@ -88,13 +88,37 @@ def pagerank(
     parity: bool = True,
     checkpoint_interval: int = 4,
 ) -> DataFrame:
-    """Run ``n_iter`` PageRank iterations; returns ``(id, rank)``.
+    """Run ``n_iter`` PageRank iterations; returns ``(id, rank)``."""
+    ranks, _ = pagerank_with_n(
+        edges,
+        vertices=vertices,
+        n_iter=n_iter,
+        damping=damping,
+        parity=parity,
+        checkpoint_interval=checkpoint_interval,
+    )
+    return ranks
+
+
+def pagerank_with_n(
+    edges: DataFrame,
+    *,
+    vertices: DataFrame | None = None,
+    n_iter: int = 8,
+    damping: float = DAMPING,
+    parity: bool = True,
+    checkpoint_interval: int = 4,
+) -> tuple[DataFrame, int]:
+    """Run ``n_iter`` PageRank iterations; returns ``((id, rank), N)``.
 
     ``edges`` must have string-ish columns ``src, dst``. ``vertices``
     (optional, single column) adds rank-holding nodes with no outgoing
     edges; when omitted, the vertex set is all nodes appearing as a
     ``src`` or ``dst`` (so dangling link targets still hold rank, as in
     the reference where the semi-join restricts dsts to real pages).
+    N (the vertex count) is computed once as part of the run — callers
+    needing it for thresholds (rank > k/N) should use this instead of
+    re-counting.
     """
     spark = edges.sparkSession
     if vertices is None:
@@ -110,7 +134,7 @@ def pagerank(
     adjacency = adjacency.repartition(shuffle_parts, "id").cache()
     n = adjacency.count()  # driver-side scalar, as PageRank.java:470-471
     if n == 0:
-        return spark.createDataFrame([], "id string, rank double")
+        return spark.createDataFrame([], "id string, rank double"), 0
 
     teleport = (1.0 - damping) / n
     # iteration-0 seed: rank = 1/N (PageRank.java:258-264)
@@ -145,7 +169,7 @@ def pagerank(
             # truncate lineage so the plan doesn't grow unboundedly
             ranks = ranks.localCheckpoint(eager=True)
 
-    return ranks
+    return ranks, n
 
 
 def top_ranks(

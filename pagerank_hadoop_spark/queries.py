@@ -24,7 +24,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.window import Window
 
-from pagerank_hadoop_spark.operators.pagerank import pagerank, top_ranks
+from pagerank_hadoop_spark.operators.pagerank import pagerank_with_n, top_ranks
 from pagerank_hadoop_spark.plans.oracle import pagerank_oracle_sql
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -113,8 +113,7 @@ def q_pagerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     flagship uses 1/N; the 5/N form is covered by unit tests.
     """
     edges = _pagerank_edges(spark, sf_dir)
-    ranks = pagerank(edges, n_iter=8, parity=True)
-    n = ranks.count()
+    ranks, n = pagerank_with_n(edges, n_iter=8, parity=True)
     out = top_ranks(ranks, n, threshold=1.0 / n)
     return (
         out.select("id", F.round("rank", 9).alias("rank"))
@@ -131,8 +130,7 @@ def q_pagerank_iter1(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C3: the reference snapshots ordered ranks after iteration 1
     (PageRank.java:480-487) as well as after iteration 8."""
     edges = _pagerank_edges(spark, sf_dir)
-    ranks = pagerank(edges, n_iter=1, parity=True)
-    n = ranks.count()
+    ranks, n = pagerank_with_n(edges, n_iter=1, parity=True)
     out = top_ranks(ranks, n, threshold=1.0 / n)
     return (
         out.select("id", F.round("rank", 9).alias("rank"))

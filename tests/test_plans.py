@@ -1,0 +1,96 @@
+"""Physical-plan tests: the plans we'd want at 100 TB, pinned at test SF.
+
+SURVEY.md §4: predicate pushdown, column pruning, broadcast semi-join
+for the red-link removal, TakeOrderedAndProject for top-k — all the
+things the reference hand-codes (or gets wrong, like its single-reducer
+job) must come out of Catalyst in the shapes that scale.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from pagerank_hadoop_spark import queries as Q
+from pagerank_hadoop_spark.plans.checks import (
+    assert_broadcast_join,
+    assert_no_cartesian,
+    assert_pushed_filter,
+    assert_read_schema_only,
+    assert_take_ordered,
+    assert_whole_stage_codegen,
+    count_exchanges,
+    formatted_plan,
+)
+
+
+def test_pricing_summary_pushdown_and_pruning(spark, sf_dir):
+    df = Q.queries()["pricing_summary"](spark, sf_dir)
+    assert_pushed_filter(df, "l_shipdate")
+    assert_read_schema_only(
+        df,
+        {
+            "l_returnflag",
+            "l_linestatus",
+            "l_quantity",
+            "l_extendedprice",
+            "l_discount",
+            "l_tax",
+            "l_shipdate",
+        },
+    )
+    assert_whole_stage_codegen(df)
+
+
+def test_topk_orders_uses_heap_not_global_sort(spark, sf_dir):
+    df = Q.queries()["topk_orders"](spark, sf_dir)
+    assert_take_ordered(df)
+
+
+def test_semi_join_broadcasts_small_side(spark, sf_dir):
+    df = Q.queries()["semi_join_parts"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "LeftSemi" in plan
+    assert_broadcast_join(df)
+
+
+def test_region_revenue_broadcasts_dims_no_cartesian(spark, sf_dir):
+    df = Q.queries()["region_revenue"](spark, sf_dir)
+    assert_broadcast_join(df)
+    assert_no_cartesian(df)
+
+
+def test_column_pruning_on_projection(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    df = li.select("l_orderkey")
+    assert_read_schema_only(df, {"l_orderkey"})
+
+
+def test_partial_aggregation_before_shuffle(spark, sf_dir):
+    # groupBy must plan partial (map-side) + final hash aggregate —
+    # the free replacement for the reference's combiner HashSet
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    df = li.groupBy("l_returnflag").agg(F.count(F.lit(1)).alias("c"))
+    plan = formatted_plan(df)
+    assert plan.count("HashAggregate") >= 2, plan
+
+
+def test_cosine_topk_broadcasts_queries(spark, sf_dir):
+    df = Q.queries()["cosine_topk"](spark, sf_dir)
+    assert_broadcast_join(df)
+
+
+def test_pagerank_iteration_reuses_adjacency_exchange(spark):
+    # the static adjacency must not re-shuffle every iteration: with
+    # the explicit repartition+cache, each iteration's join reads the
+    # cached partitioned adjacency (InMemoryTableScan), adding no new
+    # adjacency-side Exchange
+    from pagerank_hadoop_spark.operators import pagerank
+
+    edges = spark.createDataFrame(
+        [(str(i), str((i * 7 + 1) % 50)) for i in range(200)],
+        "src string, dst string",
+    )
+    ranks = pagerank(edges, n_iter=2)
+    plan = formatted_plan(ranks)
+    assert "InMemoryTableScan" in plan or "TableCacheQueryStage" in plan, plan
