@@ -16,7 +16,10 @@ built-ins (xxhash64, transform, aggregate), all whole-stage-codegen.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql.functions import pandas_udf
 from pyspark.sql.window import Window
 
 
@@ -66,6 +69,37 @@ def shingles(text: Column, n: int = 5) -> Column:
     return F.array_distinct(grams)
 
 
+def raw_shingles(text: Column, n: int = 5) -> Column:
+    """Un-hashed character n-gram set (array<string>, distinct).
+
+    The oracle-checkable twin of :func:`shingles`: identical set
+    semantics, but elements are the raw substrings, so an external SQL
+    engine can reproduce them exactly. Use :func:`shingles` (hashed)
+    in production — it never ships document text through a shuffle.
+    """
+    cleaned = F.lower(text)
+    count = F.greatest(F.length(cleaned) - F.lit(n - 1), F.lit(1))
+    return F.array_distinct(
+        F.transform(F.sequence(F.lit(1), count), lambda i: F.substring(cleaned, i, n))
+    )
+
+
+_MINHASH_P = 4294967311  # smallest prime > 2^32
+
+
+def _spread(df: DataFrame) -> DataFrame:
+    """Ensure per-document CPU-heavy stages use all cores.
+
+    Small corpora arrive as 1-2 parquet splits, serializing the
+    shingle/signature work; repartition up to the cluster's default
+    parallelism. At scale the scan already has ≥ parallelism splits
+    and this is a no-op (no shuffle of document text)."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def minhash_signature(shingle_hashes: Column, num_hashes: int = 32) -> Column:
     """MinHash signature (array<bigint> of length ``num_hashes``).
 
@@ -74,20 +108,95 @@ def minhash_signature(shingle_hashes: Column, num_hashes: int = 32) -> Column:
     across runs/engines. p is a 33-bit prime so (p-1)*a_i + b_i stays
     far inside int64 (ANSI mode overflow-checks long arithmetic), and
     pmod (not abs%) keeps Long.MIN_VALUE safe.
+
+    Single ``aggregate`` pass: the accumulator is the whole signature
+    array, merged per shingle via ``zip_with`` — the shingle array is
+    evaluated once, not once per hash function (which costs
+    ``num_hashes``× the shingling work; Catalyst does not reliably
+    de-duplicate sibling aggregate expressions).
     """
-    p = 4294967311  # smallest prime > 2^32
-    max_h = F.lit(p).cast("long")
+    p = _MINHASH_P
+    init = F.array_repeat(F.lit(p).cast("long"), num_hashes)
+    ids = F.sequence(F.lit(0), F.lit(num_hashes - 1))
+    return F.aggregate(
+        shingle_hashes,
+        init,
+        lambda acc, x: F.zip_with(
+            acc,
+            ids,
+            lambda m, i: F.least(m, (F.pmod(x, F.lit(p)) * (i * 2 + 1) + (i + 1) * 104729) % p),
+        ),
+    )
 
-    def one_hash(i: int) -> Column:
-        a = 2 * i + 1
-        b = 104729 * (i + 1)
-        return F.aggregate(
-            shingle_hashes,
-            max_h,
-            lambda acc, x: F.least(acc, (F.pmod(x, F.lit(p)) * a + b) % p),
-        )
 
-    return F.array(*[one_hash(i) for i in range(num_hashes)])
+def minhash_band_hashes(
+    text: Column, num_hashes: int = 32, bands: int = 4, shingle_n: int = 5
+) -> Column:
+    """Per-band LSH bucket keys (array<bigint> of length ``bands``) in
+    ONE aggregate pass: shingling → signature (accumulator) → band
+    hashing (finish lambda, where the signature is a bound value and
+    can be sliced ``bands`` times for free)."""
+    p = _MINHASH_P
+    rows = num_hashes // bands
+    init = F.array_repeat(F.lit(p).cast("long"), num_hashes)
+    ids = F.sequence(F.lit(0), F.lit(num_hashes - 1))
+    band_ids = F.sequence(F.lit(0), F.lit(bands - 1))
+    return F.aggregate(
+        shingles(text, shingle_n),
+        init,
+        lambda acc, x: F.zip_with(
+            acc,
+            ids,
+            lambda m, i: F.least(m, (F.pmod(x, F.lit(p)) * (i * 2 + 1) + (i + 1) * 104729) % p),
+        ),
+        lambda sig: F.transform(
+            band_ids,
+            lambda b: F.xxhash64(F.slice(sig, b * rows + 1, rows).cast("string")),
+        ),
+    )
+
+
+def _minhash_sig_arrow(num_hashes: int):
+    """Arrow-batched NumPy twin of :func:`minhash_signature` —
+    bit-identical output (same hash family/constants, and NumPy's
+    ``%`` matches Spark's pmod sign convention). The Column form costs
+    ~num_hashes lambda evaluations per shingle in Spark's interpreted
+    HOF path; here the (n_shingles × num_hashes) min-reduction is one
+    vectorized einsum-shaped kernel per document."""
+    p = _MINHASH_P
+    a = np.arange(num_hashes, dtype=np.int64) * 2 + 1
+    b = (np.arange(num_hashes, dtype=np.int64) + 1) * 104729
+
+    @pandas_udf("array<long>")
+    def sig(hashes: pd.Series) -> pd.Series:
+        out = []
+        for h in hashes:
+            x = np.asarray(h, dtype=np.int64) % p
+            out.append(((x[:, None] * a + b) % p).min(axis=0))
+        return pd.Series(out)
+
+    return sig
+
+
+def _simhash_arrow_udf():
+    """Arrow-batched NumPy twin of :func:`simhash` — bit-identical
+    (bit b of the fingerprint = sign of the tally of bit b of each
+    shingle hash, little-endian unpack matches ``(x >> b) & 1``).
+    Built lazily: pandas_udf needs an active SparkSession."""
+
+    @pandas_udf("long")
+    def sim(hashes: pd.Series) -> pd.Series:
+        weights = np.left_shift(np.uint64(1), np.arange(64, dtype=np.uint64))
+        out = np.empty(len(hashes), dtype=np.int64)
+        for i, h in enumerate(hashes):
+            x = np.asarray(h, dtype=np.int64).view(np.uint64)
+            bits = np.unpackbits(x.view(np.uint8), bitorder="little").reshape(-1, 64)
+            tallies = 2 * bits.sum(axis=0, dtype=np.int64) - len(x)
+            fp = (weights * (tallies > 0).astype(np.uint64)).sum(dtype=np.uint64)
+            out[i] = fp.astype(np.int64)  # two's-complement reinterpret
+        return pd.Series(out)
+
+    return sim
 
 
 def minhash_lsh_candidates(
@@ -95,33 +204,52 @@ def minhash_lsh_candidates(
     id_col: str = "doc_id",
     text_col: str = "text",
     num_hashes: int = 32,
-    bands: int = 8,
+    bands: int = 4,
     shingle_n: int = 5,
+    use_arrow: bool = True,
 ) -> DataFrame:
     """Candidate near-dup pairs via banded MinHash-LSH.
 
-    rows → (id, band, band_signature) → groupBy bucket → intra-bucket
+    rows → (id, band, band_hash) → groupBy bucket → intra-bucket
     pairs. Output: ``(id_a, id_b)`` with ``id_a < id_b``, distinct.
     The join is bucket-local: at 100 TB the shuffle carries only ids +
     band hashes, and skewed mega-buckets are split by AQE.
+
+    Default 32 hashes / 4 bands (8 rows per band): the candidate
+    probability is s^8 per band — ~0.66 per band (0.99 over 4 bands)
+    at s=0.95, but 6.5e-5 at s=0.3, so heavily-overlapping corpora
+    (e.g. templated web text) don't explode the candidate set the way
+    4-row bands do.
+
+    ``use_arrow`` picks the NumPy signature kernel (default; ~10×
+    faster); the pure-Column fallback produces identical signatures.
     """
+    df = _spread(df)
     rows = num_hashes // bands
-    sig = df.select(
-        F.col(id_col).alias("id"),
-        minhash_signature(shingles(F.col(text_col), shingle_n), num_hashes).alias("sig"),
-    )
-    banded = sig.select(
-        "id",
-        F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(b).alias("band"),
-                    F.xxhash64(F.slice("sig", b * rows + 1, rows).cast("string")).alias("bh"),
-                )
-                for b in range(bands)
-            ])
-        ).alias("bb"),
-    ).select("id", "bb.band", "bb.bh")
+    if use_arrow:
+        sig_df = df.select(
+            F.col(id_col).alias("id"),
+            _minhash_sig_arrow(num_hashes)(shingles(F.col(text_col), shingle_n)).alias(
+                "sig"
+            ),
+        )
+        band_cols = [
+            F.xxhash64(F.slice("sig", b * rows + 1, rows).cast("string"))
+            for b in range(bands)
+        ]
+        banded = sig_df.select(
+            "id", F.posexplode(F.array(*band_cols)).alias("band", "bh")
+        )
+    else:
+        banded = df.select(
+            F.col(id_col).alias("id"),
+            F.posexplode(
+                minhash_band_hashes(F.col(text_col), num_hashes, bands, shingle_n)
+            ).alias("band", "bh"),
+        )
+    # materialize: both sides of the self-join read the (small)
+    # banded rows instead of re-running shingling+signatures twice
+    banded = banded.localCheckpoint(eager=True)
     left = banded.select("band", "bh", F.col("id").alias("id_a"))
     right = banded.select("band", "bh", F.col("id").alias("id_b"))
     return (
@@ -144,10 +272,10 @@ def jaccard_pairs(
 
     ``|A∩B| / |A∪B|`` over shingle-hash sets via array expressions.
     """
-    sh = df.select(
+    sh = _spread(df).select(
         F.col(id_col).alias("id"),
         shingles(F.col(text_col), shingle_n).alias("sh"),
-    )
+    ).localCheckpoint(eager=True)
     a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
@@ -185,29 +313,64 @@ def minhash_dedup(
 # E2b: SimHash
 # ---------------------------------------------------------------------------
 
+def _simhash_counts(text: Column, shingle_n: int):
+    """Single-pass per-bit ±1 tallies (array<long>[64]) over shingle
+    hashes. One aggregate: the shingle array is computed once; each
+    merge step adds the 64 sign contributions of one shingle hash via
+    zip_with. (The naive form — 64 sibling aggregates, one per bit —
+    re-evaluates the shingling 64×.)"""
+    sh = shingles(text, shingle_n)
+
+    def merge(acc, x):
+        contribs = F.array(*[
+            F.when(F.shiftright(x, b).bitwiseAND(F.lit(1)) == 1, F.lit(1))
+            .otherwise(F.lit(-1))
+            .cast("long")
+            for b in range(64)
+        ])
+        return F.zip_with(acc, contribs, lambda c, d: c + d)
+
+    return sh, merge
+
+
+def _pack_bits_63_and_sign(counts: Column) -> Column:
+    """Pack 64 sign bits (count>0) into one signed long without ANSI
+    overflow. Bits are summed as powers of two in double in two
+    chunks small enough to stay exact (a single 63-bit sum would
+    exceed the 53-bit mantissa and silently round): bits 0..31 and
+    32..62, recombined with exact long arithmetic; bit 63 is added as
+    Long.MIN_VALUE — the two's-complement value of 1<<63."""
+
+    def chunk(start_bit: int, n_bits: int) -> Column:
+        return F.aggregate(
+            F.zip_with(
+                F.slice(counts, start_bit + 1, n_bits),
+                F.sequence(F.lit(0), F.lit(n_bits - 1)),
+                lambda c, b: F.when(c > 0, F.pow(F.lit(2.0), b)).otherwise(F.lit(0.0)),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).cast("long")
+
+    low32 = chunk(0, 32)                       # < 2^32, exact in double
+    mid31 = chunk(32, 31)                      # < 2^31, exact in double
+    sign = F.when(F.element_at(counts, 64) > 0, F.lit(-(2**63))).otherwise(
+        F.lit(0).cast("long")
+    )
+    return low32 + mid31 * F.lit(2**32).cast("long") + sign
+
+
 def simhash(text: Column, shingle_n: int = 5) -> Column:
     """64-bit SimHash fingerprint from shingle hashes (pure codegen).
 
     For each bit b: sign(Σ_shingles ±1 by bit b of the shingle hash).
+    One aggregate pass (see _simhash_counts); the packing runs in the
+    aggregate's finish lambda where the tally array is a bound value,
+    so nothing is re-evaluated.
     """
-    sh = shingles(text, shingle_n)
-    bits = [
-        F.when(
-            F.aggregate(
-                sh,
-                F.lit(0).cast("long"),
-                lambda acc, x: acc
-                + F.when(F.shiftright(x, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
-            )
-            > 0,
-            F.lit(1).cast("long"),
-        ).otherwise(F.lit(0).cast("long"))
-        for b in range(64)
-    ]
-    out = F.lit(0).cast("long")
-    for b, bit in enumerate(bits):
-        out = out + F.shiftleft(bit, b)
-    return out
+    sh, merge = _simhash_counts(text, shingle_n)
+    init = F.array_repeat(F.lit(0).cast("long"), 64)
+    return F.aggregate(sh, init, merge, _pack_bits_63_and_sign)
 
 
 def simhash_candidates(
@@ -216,10 +379,24 @@ def simhash_candidates(
     text_col: str = "text",
     bands: int = 4,
     max_hamming: int = 3,
+    use_arrow: bool = True,
 ) -> DataFrame:
     """Near-dup candidates: equal 16-bit SimHash band → candidate;
-    verify by full Hamming distance <= ``max_hamming``."""
-    fp = df.select(F.col(id_col).alias("id"), simhash(F.col(text_col)).alias("fp"))
+    verify by full Hamming distance <= ``max_hamming``.
+
+    ``use_arrow`` picks the NumPy fingerprint kernel (default); the
+    pure-Column :func:`simhash` fallback is bit-identical.
+    """
+    fingerprint = (
+        _simhash_arrow_udf()(shingles(F.col(text_col)))
+        if use_arrow
+        else simhash(F.col(text_col))
+    )
+    fp = (
+        _spread(df)
+        .select(F.col(id_col).alias("id"), fingerprint.alias("fp"))
+        .localCheckpoint(eager=True)
+    )
     width = 64 // bands
     banded = fp.select(
         "id",
@@ -285,7 +462,9 @@ def embedding_near_dups(
     for p in range(n_planes):
         sketch = sketch + F.shiftleft(plane_bit(p), p)
 
-    sk = emb.select(F.col(id_col).alias("id"), v.alias("v"), sketch.alias("bucket"))
+    sk = emb.select(
+        F.col(id_col).alias("id"), v.alias("v"), sketch.alias("bucket")
+    ).localCheckpoint(eager=True)  # sketch computed once, not per join side
     a = sk.select(F.col("id").alias("id_a"), F.col("v").alias("v_a"), "bucket")
     b = sk.select(F.col("id").alias("id_b"), F.col("v").alias("v_b"), "bucket")
     return (

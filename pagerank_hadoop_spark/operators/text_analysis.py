@@ -78,6 +78,29 @@ def quality_score(text: Column) -> Column:
     return F.round(score, 6)
 
 
+def quality_micro(text: Column) -> Column:
+    """Quality score as micro-units (bigint, score × 1e6).
+
+    floor(x·1e6 + 0.5) is pure IEEE arithmetic — unlike decimal
+    rounding of a double (engines disagree on ties like 0.9428125),
+    it is bit-reproducible across engines, so the oracle can match it
+    exactly.
+    """
+    n_chars = F.length(text)
+    alpha = F.length(F.regexp_replace(text, r"[^A-Za-z]", ""))
+    alpha_ratio = alpha / F.greatest(n_chars, F.lit(1))
+    n_tokens = token_count(text)
+    mean_word = n_chars / F.greatest(n_tokens, F.lit(1))
+    len_ok = (n_chars >= 20) & (n_chars <= 100000)
+    word_ok = (mean_word >= 2.0) & (mean_word <= 12.0)
+    score = (
+        F.when(len_ok, 0.4).otherwise(0.0)
+        + F.when(word_ok, 0.3).otherwise(0.0)
+        + alpha_ratio * 0.3
+    )
+    return F.floor(score * 1e6 + F.lit(0.5)).cast("bigint")
+
+
 def doc_fingerprint(text: Column, window: int = 8) -> Column:
     """Rolling-hash document fingerprint (winnowing-style): min
     xxhash64 over character windows — a compact content id robust to

@@ -680,6 +680,411 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 @register(
+    "ngram_jaccard",
+    """
+    WITH sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               generate_series(1, greatest(length(lower(text)) - 4, 1)),
+               i -> substr(lower(text), i, 5))) AS grams
+      FROM documents
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           ROUND(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                 / len(list_distinct(list_concat(a.grams, b.grams))), 6) AS jaccard
+    FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
+    WHERE a.doc_id % 5 = 0
+    """,
+)
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2: exact n-gram Jaccard similarity on document pairs.
+
+    Oracle-checkable twin of operators.dedup.jaccard_pairs: same set
+    semantics over raw (un-hashed) 5-gram shingles, so DuckDB can
+    reproduce it. Production uses hashed shingles (xxhash64) to keep
+    document text out of the shuffle.
+    """
+    from pagerank_hadoop_spark.operators.dedup import raw_shingles
+
+    docs = _t(spark, sf_dir, "documents")
+    sh = docs.select("doc_id", raw_shingles(F.col("text"), 5).alias("grams"))
+    a = sh.where(F.col("doc_id") % 5 == 0).select(
+        F.col("doc_id").alias("id_a"), F.col("grams").alias("g_a")
+    )
+    b = sh.select(F.col("doc_id").alias("id_b"), F.col("grams").alias("g_b"))
+    inter = F.size(F.array_intersect("g_a", "g_b")).cast("double")
+    union = F.size(F.array_union("g_a", "g_b"))
+    return (
+        a.join(b, b.id_b == a.id_a + 1)
+        .select("id_a", "id_b", F.round(inter / union, 6).alias("jaccard"))
+    )
+
+
+def _near_dup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ∪ perturbed copies: every doc_id % 3 == 0 reappears as
+    doc_id + 1000000 with a short tail appended — known near-dups with
+    deterministic ids, the fixture for the LSH candidate queries."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    dups = docs.where(F.col("doc_id") % 3 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat("text", F.lit(" near dup tail")).alias("text"),
+    )
+    return docs.unionByName(dups)
+
+
+@register("minhash_lsh_pairs")
+def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2: banded MinHash-LSH candidate pairs over a corpus with
+    planted near-dups (rows-only: band hashes derive from xxhash64,
+    which no oracle engine reproduces; exact-Jaccard verification of
+    the same pipeline is covered by ngram_jaccard + unit tests)."""
+    from pagerank_hadoop_spark.operators.dedup import minhash_lsh_candidates
+
+    corpus = _near_dup_corpus(spark, sf_dir)
+    return minhash_lsh_candidates(corpus, "doc_id", "text").orderBy("id_a", "id_b")
+
+
+@register("minhash_dedup_survivors")
+def q_minhash_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2: full near-dup removal (LSH candidates → exact Jaccard ≥ 0.8
+    → drop higher id). Survivor count ≈ original corpus size: every
+    planted near-dup pair loses its high-id member."""
+    from pagerank_hadoop_spark.operators.dedup import minhash_dedup
+
+    corpus = _near_dup_corpus(spark, sf_dir)
+    return minhash_dedup(corpus, "doc_id", "text").select("doc_id").orderBy("doc_id")
+
+
+@register("simhash_pairs")
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2b: SimHash near-dup candidates (16-bit band match, Hamming
+    distance ≤ 3 on the 64-bit fingerprint) over the planted corpus."""
+    from pagerank_hadoop_spark.operators.dedup import simhash_candidates
+
+    corpus = _near_dup_corpus(spark, sf_dir)
+    return simhash_candidates(corpus, "doc_id", "text").orderBy("id_a", "id_b")
+
+
+@register("embedding_near_dups")
+def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2c: embedding-cosine near-dup pairs via random-hyperplane LSH
+    buckets + exact cosine ≥ 0.95. Fixture plants near-dups: every
+    vec_id % 5 == 0 reappears as vec_id + 1000000 with dim 0 nudged."""
+    from pagerank_hadoop_spark.operators.dedup import embedding_near_dups
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    dups = emb.where(F.col("vec_id") % 5 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: x + F.when(i == 0, F.lit(0.05)).otherwise(F.lit(0.0)),
+        ).alias("embedding"),
+    )
+    corpus = emb.unionByName(dups)
+    return (
+        embedding_near_dups(corpus, "vec_id", "embedding", threshold=0.95)
+        .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+        .orderBy("id_a", "id_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# [EXT] E3b: approximate nearest-neighbor variants (scale path)
+# ---------------------------------------------------------------------------
+
+def _ann_inputs(spark: SparkSession, sf_dir: str):
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    queries_df = emb.where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
+    )
+    return emb, queries_df
+
+
+@register("lsh_topk")
+def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3: LSH-bucketed approximate top-k (hyperplane signature bands
+    restrict candidates; exact cosine re-rank inside buckets). Recall
+    vs the exact cosine_topk baseline is asserted in unit tests."""
+    from pagerank_hadoop_spark.operators.similarity import lsh_topk
+
+    emb, queries_df = _ann_inputs(spark, sf_dir)
+    return lsh_topk(emb, queries_df, k=5).orderBy("q_id", F.desc("sim"), "vec_id")
+
+
+@register("ivf_topk")
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3: IVF-style ANN — deterministic coarse quantizer cells,
+    nprobe=4 probing, exact cosine re-rank inside probed cells."""
+    from pagerank_hadoop_spark.operators.similarity import ivf_topk
+
+    emb, queries_df = _ann_inputs(spark, sf_dir)
+    return ivf_topk(emb, queries_df, k=5).orderBy("q_id", F.desc("sim"), "vec_id")
+
+
+# ---------------------------------------------------------------------------
+# [EXT] E4b: language-ID, quality scoring, BPE-ish tokens, fingerprints
+# ---------------------------------------------------------------------------
+
+def _lang_id_oracle_sql() -> str:
+    """DuckDB twin of text_analysis.lang_id, generated from the same
+    stopword table so there is one source of truth. Tie-break matches
+    Spark's array_max over (hits, lang) structs: greatest lang wins."""
+    from pagerank_hadoop_spark.operators.text_analysis import _LANG_STOPWORDS
+
+    def hits(lang: str) -> str:
+        terms = [
+            f"CAST((length(lc) - length(replace(lc, ' {w} ', ''))) / {len(w) + 2} AS INT)"
+            for w in _LANG_STOPWORDS[lang]
+        ]
+        return " + ".join(terms)
+
+    langs = sorted(_LANG_STOPWORDS)  # de en es fr
+    hit_cols = ",\n             ".join(f"({hits(lg)}) AS h_{lg}" for lg in langs)
+    best = f"greatest({', '.join('h_' + lg for lg in langs)})"
+    # descending lang order replicates max-struct tie-breaking
+    cases = " ".join(f"WHEN h_{lg} = best THEN '{lg}'" for lg in reversed(langs))
+    return f"""
+    WITH lc AS (SELECT ' ' || lower(text) || ' ' AS lc FROM documents),
+    hits AS (SELECT {hit_cols} FROM lc),
+    best AS (SELECT *, {best} AS best FROM hits)
+    SELECT CASE WHEN best = 0 THEN 'und' {cases} END AS lang_guess,
+           COUNT(*) AS n
+    FROM best GROUP BY 1
+    """
+
+
+@register("lang_id_dist", None)
+def q_lang_id_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4: heuristic language ID (stopword-profile argmax) — guessed
+    language distribution over the corpus."""
+    from pagerank_hadoop_spark.operators.text_analysis import lang_id
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(lang_id(F.col("text")).alias("lang_guess"))
+        .groupBy("lang_guess")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+_ORACLES["lang_id_dist"] = _lang_id_oracle_sql()
+
+
+@register(
+    "quality_scores",
+    """
+    WITH q AS (
+      SELECT doc_id,
+             length(text) AS n_chars,
+             length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha,
+             len(string_split_regex(trim(text), '\\s+')) AS n_tokens
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(FLOOR((
+             (CASE WHEN n_chars BETWEEN 20 AND 100000 THEN CAST(0.4 AS DOUBLE) ELSE 0 END)
+             + (CASE WHEN CAST(n_chars AS DOUBLE) / greatest(n_tokens, 1) BETWEEN 2.0 AND 12.0
+                     THEN CAST(0.3 AS DOUBLE) ELSE 0 END)
+             + (CAST(alpha AS DOUBLE) / greatest(n_chars, 1)) * CAST(0.3 AS DOUBLE)
+           ) * 1e6 + 0.5) AS BIGINT) AS quality_micro
+    FROM q
+    """,
+)
+def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4: composite document quality score (length band, mean word
+    length band, alphabetic ratio) — the cheap web-corpus pre-filter.
+    Emitted in micro-units (×1e6, bigint): floor-scaling is IEEE-exact
+    in both engines where decimal rounding of a double is not."""
+    from pagerank_hadoop_spark.operators.text_analysis import quality_micro
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", quality_micro(F.col("text")).alias("quality_micro"))
+
+
+@register(
+    "bpe_tokens",
+    r"""
+    SELECT source,
+           CAST(SUM(len(regexp_extract_all(lower(text),
+                '([a-z]+|[0-9]+|[^a-z0-9\s])', 1))) AS BIGINT) AS n_bpe_tokens,
+           CAST(SUM(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS n_ws_tokens
+    FROM documents GROUP BY source
+    """,
+)
+def q_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4: BPE-ish regex tokenizer vs whitespace tokenizer, corpus
+    token totals per source."""
+    from pagerank_hadoop_spark.operators.text_analysis import token_count, word_tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.groupBy("source").agg(
+        F.sum(F.size(word_tokens(F.col("text")))).alias("n_bpe_tokens"),
+        F.sum(token_count(F.col("text"))).alias("n_ws_tokens"),
+    )
+
+
+@register("doc_fingerprints")
+def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4: rolling-hash (winnowing-style) document fingerprints —
+    rows-only (xxhash64-derived). Idempotence and edit-robustness are
+    asserted in unit tests."""
+    from pagerank_hadoop_spark.operators.text_analysis import doc_fingerprint
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", doc_fingerprint(F.col("text")).alias("fingerprint"))
+
+
+# ---------------------------------------------------------------------------
+# Set operations + date/time kernel (relational completeness)
+# ---------------------------------------------------------------------------
+
+@register(
+    "setops_customers",
+    """
+    SELECT 'both' AS tag, c_custkey FROM (
+      SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+      INTERSECT
+      SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+    UNION ALL
+    SELECT 'building_only' AS tag, c_custkey FROM (
+      SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+      EXCEPT
+      SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+    """,
+)
+def q_setops_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operators (INTERSECT / EXCEPT / UNION ALL): BUILDING-segment
+    customers split by whether they placed an urgent order."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    building = cust.where(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    urgent = orders.where(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    both = building.intersect(urgent).select(F.lit("both").alias("tag"), "c_custkey")
+    only = building.subtract(urgent).select(
+        F.lit("building_only").alias("tag"), "c_custkey"
+    )
+    return both.unionByName(only)
+
+
+@register(
+    "date_funcs",
+    """
+    SELECT event_id,
+           date_trunc('hour', ts) AS hour_ts,
+           year(ts) AS y, month(ts) AS mo, day(ts) AS d,
+           hour(ts) AS h, minute(ts) AS mi,
+           dayofweek(ts) + 1 AS dow,
+           ts + INTERVAL '90 minutes' AS later,
+           CAST(FLOOR(epoch(ts)) AS BIGINT) AS unix_s,
+           datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS days_since,
+           CAST(ts AS DATE) + 30 AS plus_30d
+    FROM events WHERE event_id % 10 = 0
+    """,
+)
+def q_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time function kernel: truncation, field extraction,
+    interval arithmetic, epoch, date difference. (Spark dayofweek is
+    1=Sunday; the oracle aligns DuckDB's 0=Sunday to it.)"""
+    ev = _events(spark, sf_dir).where(F.col("event_id") % 10 == 0)
+    return ev.select(
+        "event_id",
+        F.date_trunc("hour", "ts").alias("hour_ts"),
+        F.year("ts").alias("y"),
+        F.month("ts").alias("mo"),
+        F.dayofmonth("ts").alias("d"),
+        F.hour("ts").alias("h"),
+        F.minute("ts").alias("mi"),
+        F.dayofweek("ts").alias("dow"),
+        (F.col("ts") + F.expr("INTERVAL 90 MINUTES")).alias("later"),
+        F.unix_timestamp("ts").alias("unix_s"),
+        F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")).alias(
+            "days_since"
+        ),
+        F.date_add(F.col("ts").cast("date"), 30).alias("plus_30d"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# [EXT] E5b: multimodal decode / frame-sample plumbing (mapInPandas)
+# ---------------------------------------------------------------------------
+
+@register("media_decoded")
+def q_media_decoded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5: binary media payloads → Arrow-batched mapInPandas decode
+    (deterministic stub codec; see operators.multimodal). Rows-only:
+    exercises the real UDF plumbing through the driver gate."""
+    from pagerank_hadoop_spark.operators.multimodal import attach_media, decode_media
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", F.encode("text", "utf-8").alias("payload"))
+    media = attach_media(docs, F.col("payload"))
+    return decode_media(media, strict=False).orderBy("media_id")
+
+
+@register("media_frames")
+def q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5: frame sampling (every 4th frame per decoded clip) — pure
+    relational sequence+explode on decoded metadata."""
+    from pagerank_hadoop_spark.operators.multimodal import (
+        attach_media,
+        decode_media,
+        frame_sample,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", F.encode("text", "utf-8").alias("payload"))
+    decoded = decode_media(attach_media(docs, F.col("payload")), strict=False)
+    return frame_sample(decoded, every_n=4).orderBy("media_id", "frame_idx")
+
+
+# ---------------------------------------------------------------------------
+# [EXT] E6b: true Structured Streaming (availableNow) with batch oracle
+# ---------------------------------------------------------------------------
+
+_STREAM_SEQ = {"n": 0}
+
+
+@register(
+    "stream_tumbling",
+    """
+    SELECT CAST(FLOOR(epoch(time_bucket(INTERVAL '10 minutes', ts))) AS BIGINT) AS wstart,
+           event_type,
+           COUNT(*) AS cnt
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E6: REAL readStream (file source, availableNow trigger) through
+    the same tumbling-window aggregation as events_tumbling, drained to
+    a memory sink and checked against the batch SQL oracle — streaming
+    ≡ batch on bounded input."""
+    from pagerank_hadoop_spark.streaming.windows import run_to_memory, tumbling_agg
+
+    schema = (
+        "event_id long, ts long, user_id long, event_type string, "
+        "value double, props string"
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        # the file stream source wants a directory; glob-filter to the
+        # events table inside the sf_dir
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    )
+    _STREAM_SEQ["n"] += 1
+    name = f"stream_tumbling_{_STREAM_SEQ['n']}"
+    run_to_memory(tumbling_agg(stream), name, output_mode="complete")
+    return spark.table(name).select(
+        F.unix_timestamp("wstart").alias("wstart"), "event_type", "cnt"
+    )
+
+
+@register(
     "multimodal_meta",
     """
     SELECT doc_id,

@@ -53,10 +53,20 @@ def test_exact_dedup_idempotent(docs):
 
 
 def test_minhash_candidates_find_near_dups(docs):
-    cands = {(r["id_a"], r["id_b"]) for r in minhash_lsh_candidates(docs).collect()}
+    # 4-row bands (num_hashes=32, bands=8): sensitive down to moderate
+    # jaccard — right for small curated corpora
+    cands = {(r["id_a"], r["id_b"])
+             for r in minhash_lsh_candidates(docs, bands=8).collect()}
     assert (1, 2) in cands  # exact dups always collide
     assert (1, 3) in cands or (2, 3) in cands  # near dup found
     assert (4, 5) in cands
+
+
+def test_minhash_default_bands_catch_exact_and_high_sim(docs):
+    # the scale default (8-row bands) still catches exact and ~0.95+
+    # jaccard dups while keeping candidate prob at s=0.3 to ~6e-5
+    cands = {(r["id_a"], r["id_b"]) for r in minhash_lsh_candidates(docs).collect()}
+    assert (1, 2) in cands
 
 
 def test_jaccard_values(docs, spark):
@@ -68,7 +78,7 @@ def test_jaccard_values(docs, spark):
 
 
 def test_minhash_dedup_removes_dups(docs):
-    kept = minhash_dedup(docs, jaccard_threshold=0.7)
+    kept = minhash_dedup(docs, jaccard_threshold=0.7, bands=8)
     ids = sorted(r["doc_id"] for r in kept.collect())
     assert 1 in ids and 4 in ids
     assert 2 not in ids          # exact dup removed
@@ -95,3 +105,14 @@ def test_embedding_near_dups(spark):
              embedding_near_dups(emb, threshold=0.99).collect()}
     assert (1, 2) in pairs
     assert all(3 not in p for p in pairs)
+
+
+def test_arrow_and_column_backends_identical(spark, sf_dir):
+    # the NumPy kernels must be bit-identical to the Column forms
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(50)
+    a = minhash_lsh_candidates(docs, use_arrow=True)
+    b = minhash_lsh_candidates(docs, use_arrow=False)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+    sa = simhash_candidates(docs, max_hamming=64, use_arrow=True)
+    sb = simhash_candidates(docs, max_hamming=64, use_arrow=False)
+    assert sorted(map(tuple, sa.collect())) == sorted(map(tuple, sb.collect()))

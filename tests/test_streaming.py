@@ -99,3 +99,35 @@ def test_watermark_drops_late_data(spark, drop_dir):
     # the 00:00 window never appears (late event dropped); 10:00 window has both
     assert ("2024-01-01 00:00:00", 1) not in rows
     assert ("2024-01-01 10:00:00", 2) in rows
+
+
+def test_stateful_dedup_across_batches(spark, drop_dir):
+    from pagerank_hadoop_spark.streaming.stateful import stateful_dedup_stream
+
+    _write_drop(drop_dir, "a.json", [
+        _ev(1, "2024-01-01T00:00:00Z", user=1),
+        _ev(2, "2024-01-01T00:01:00Z", user=1),
+        _ev(2, "2024-01-01T00:01:30Z", user=1),   # dup within batch
+        _ev(1, "2024-01-01T00:00:00Z", user=2),
+    ])
+    stream = read_events_stream(spark, drop_dir, max_files_per_trigger=1)
+    deduped = stateful_dedup_stream(stream)
+    q = (
+        deduped.writeStream.format("memory").queryName("t_dedup")
+        .outputMode("append").trigger(processingTime="1 second").start()
+    )
+    try:
+        q.processAllAvailable()
+        _write_drop(drop_dir, "b.json", [
+            _ev(1, "2024-01-01T00:05:00Z", user=1),   # dup across batches
+            _ev(3, "2024-01-01T00:06:00Z", user=1),   # new
+        ])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.table("t_dedup").collect()
+    emitted = {(r["user_id"], r["event_id"]) for r in rows}
+    assert emitted == {(1, 1), (1, 2), (1, 3), (2, 1)}
+    # batch 1 dropped one dup for user 1; batch 2 dropped one more
+    dropped_u1 = sorted(r["n_dups_dropped"] for r in rows if r["user_id"] == 1)
+    assert dropped_u1 == [1, 1, 1]  # [batch1 rows x2 report 1, batch2 row reports 1]
