@@ -137,36 +137,79 @@ def pagerank_with_n(
         return spark.createDataFrame([], "id string, rank double"), 0
 
     teleport = (1.0 - damping) / n
-    # iteration-0 seed: rank = 1/N (PageRank.java:258-264)
-    ranks = adjacency.select("id", F.lit(1.0 / n).alias("rank"))
+    outdeg = F.size("outlinks")
 
+    if parity:
+        # Sparse-rank loop: `ranks_sparse` holds only vertices that
+        # received messages; every other vertex's rank is exactly the
+        # teleport baseline (0.15/N — the self-shipped structure row of
+        # PageRank.java:281,305), restored by coalesce at the next
+        # join. One join per iteration instead of two (no dense
+        # left-join-back), and the shuffle carries only message
+        # receivers.
+        ranks_sparse: DataFrame | None = None  # iteration-0: uniform 1/N
+        for i in range(n_iter):
+            if ranks_sparse is None:
+                src_ranks = adjacency.select(
+                    "id", "outlinks", F.lit(1.0 / n).alias("rank")
+                )
+            else:
+                src_ranks = adjacency.join(ranks_sparse, "id", "left").select(
+                    "id",
+                    "outlinks",
+                    F.coalesce("rank", F.lit(teleport)).alias("rank"),
+                )
+            contribs = src_ranks.select(
+                F.explode("outlinks").alias("id"),
+                (F.col("rank") / outdeg).alias("contrib"),
+            )
+            ranks_sparse = (
+                contribs.groupBy("id")
+                .agg(F.sum("contrib").alias("insum"))
+                .select(
+                    "id",
+                    (F.lit(teleport) + F.lit(damping) * F.col("insum")).alias("rank"),
+                )
+            )
+            if (i + 1) % checkpoint_interval == 0 and i + 1 < n_iter:
+                # truncate lineage so the plan doesn't grow unboundedly
+                ranks_sparse = ranks_sparse.localCheckpoint(eager=True)
+        if ranks_sparse is None:
+            return adjacency.select("id", F.lit(1.0 / n).alias("rank")), n
+        ranks = adjacency.select("id").join(ranks_sparse, "id", "left").select(
+            "id", F.coalesce("rank", F.lit(teleport)).alias("rank")
+        )
+        return ranks, n
+
+    # Corrected mode: dangling mass is redistributed uniformly each
+    # iteration. The mass is a 1-row aggregate broadcast back via
+    # crossJoin — kept lazy (a per-iteration collect() would re-execute
+    # the whole lineage from scratch every iteration).
+    ranks = adjacency.select("id", F.lit(1.0 / n).alias("rank"))
     for i in range(n_iter):
         joined = adjacency.join(ranks, "id")
-        outdeg = F.size("outlinks")
         contribs = joined.select(
             F.explode("outlinks").alias("id"),
             (F.col("rank") / outdeg).alias("contrib"),
         )
-        if not parity:
-            # redistribute dangling mass uniformly (corrected mode)
-            dangling = joined.where(outdeg == 0).agg(F.sum("rank")).collect()[0][0] or 0.0
-            extra = damping * dangling / n
-        else:
-            extra = 0.0  # reference loses dangling mass (PageRank.java:305)
+        extra_df = joined.where(outdeg == 0).agg(
+            (F.lit(damping) * F.coalesce(F.sum("rank"), F.lit(0.0)) / n).alias("extra")
+        )
         summed = contribs.groupBy("id").agg(F.sum("contrib").alias("insum"))
-        # left join back to the full vertex set: message-less pages still
-        # get the 0.15/N baseline (self-shipped structure row,
-        # PageRank.java:281,305).
-        ranks = adjacency.select("id").join(summed, "id", "left").select(
-            "id",
-            (
-                F.lit(teleport)
-                + F.lit(damping) * F.coalesce(F.col("insum"), F.lit(0.0))
-                + F.lit(extra)
-            ).alias("rank"),
+        ranks = (
+            adjacency.select("id")
+            .join(summed, "id", "left")
+            .crossJoin(F.broadcast(extra_df))
+            .select(
+                "id",
+                (
+                    F.lit(teleport)
+                    + F.lit(damping) * F.coalesce(F.col("insum"), F.lit(0.0))
+                    + F.col("extra")
+                ).alias("rank"),
+            )
         )
         if (i + 1) % checkpoint_interval == 0 and i + 1 < n_iter:
-            # truncate lineage so the plan doesn't grow unboundedly
             ranks = ranks.localCheckpoint(eager=True)
 
     return ranks, n
