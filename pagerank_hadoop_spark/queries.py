@@ -1011,6 +1011,75 @@ def q_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Wiki-parity pipeline (reference jobs 1-2 end-to-end: S1 XML source,
+# P1-P7 extraction, J1 red-link semi-join, A1 adjacency)
+# ---------------------------------------------------------------------------
+
+@register(
+    "wiki_pipeline",
+    """
+    WITH pages AS (SELECT 'doc_' || doc_id AS title, doc_id FROM documents),
+    links AS (
+      SELECT 'doc_' || doc_id AS src, 'doc_' || (doc_id + 1) AS dst FROM documents
+      UNION ALL
+      SELECT 'doc_' || doc_id, 'doc_' || (doc_id * 2) FROM documents
+      UNION ALL
+      SELECT 'doc_' || doc_id, 'doc_' || (doc_id + 1000000) FROM documents
+    ),
+    deduped AS (SELECT DISTINCT src, dst FROM links),
+    real AS (SELECT d.src, d.dst FROM deduped d
+             WHERE d.dst IN (SELECT title FROM pages))
+    SELECT src, string_agg(dst, ',' ORDER BY dst) AS outlinks
+    FROM real GROUP BY src
+    """,
+)
+def q_wiki_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference jobs 1-2 as one lazy plan, through the REAL file
+    source: synthesize a deterministic wiki dump from `documents`
+    (each doc a <page> whose text links to doc_id+1, doc_id*2 aliased,
+    a never-existing page, an invalid {brace} link and an Image:
+    link), write it as text, re-read via the splittable tag-delimited
+    source (Hadoop record-delimiter protocol = XmlInputFormat.java's
+    boundary handling), then title/text projection, [[link]]
+    extraction with validity rules + alias split + underscore
+    normalization, red-link left-semi join, and collect_set adjacency.
+    The oracle derives the same edges from first principles — an
+    independent check of the whole XML round-trip.
+    """
+    import tempfile
+
+    from pagerank_hadoop_spark.functions.wikitext import (
+        extract_links,
+        remove_red_links,
+    )
+    from pagerank_hadoop_spark.sources.wiki import parse_pages, read_pages
+
+    d = F.col("doc_id").cast("string")
+    xml = _t(spark, sf_dir, "documents").select(
+        F.concat(
+            F.lit("<page><title>doc "), d,
+            F.lit("</title><revision><text>intro [[doc "),
+            (F.col("doc_id") + 1).cast("string"),
+            F.lit("]] mid [[doc "),
+            (F.col("doc_id") * 2).cast("string"),
+            F.lit("|alias]] far [[doc "),
+            (F.col("doc_id") + 1000000).cast("string"),
+            F.lit("]] bad [[x{y}]] media [[Image:pic]] tail</text></revision></page>"),
+        ).alias("page_xml")
+    )
+    dump_dir = os.path.join(
+        tempfile.gettempdir(), "wiki_dump_" + sf_dir.strip("/").replace("/", "_")
+    )
+    xml.coalesce(4).write.mode("overwrite").text(dump_dir)
+
+    parsed = parse_pages(read_pages(spark, dump_dir))
+    edges = remove_red_links(extract_links(parsed), parsed)
+    return edges.groupBy("src").agg(
+        F.array_join(F.array_sort(F.collect_set("dst")), ",").alias("outlinks")
+    )
+
+
+# ---------------------------------------------------------------------------
 # [EXT] E5b: multimodal decode / frame-sample plumbing (mapInPandas)
 # ---------------------------------------------------------------------------
 

@@ -35,19 +35,17 @@ def read_pages(
 ) -> DataFrame:
     """Read raw page blocks: ``DataFrame[page_xml: string]``.
 
-    Splittable: uses the Hadoop record-delimiter protocol (the same
-    split-boundary handling the reference hand-codes at
-    ``XmlInputFormat.java:52-62,119``).
+    Splittable: ``spark.read.text`` with a custom ``lineSep`` uses the
+    Hadoop record-delimiter protocol (the same split-boundary handling
+    the reference hand-codes at ``XmlInputFormat.java:52-62,119``) and
+    stays entirely JVM-side — no Python round-trip per record, which
+    would be the throughput ceiling on a 100 TB dump.
     """
-    conf = {"textinputformat.record.delimiter": end_tag}
-    rdd = spark.sparkContext.newAPIHadoopFile(
-        path,
-        "org.apache.hadoop.mapreduce.lib.input.TextInputFormat",
-        "org.apache.hadoop.io.LongWritable",
-        "org.apache.hadoop.io.Text",
-        conf=conf,
-    ).map(lambda kv: (kv[1],))
-    raw = spark.createDataFrame(rdd, "page_xml string")
+    raw = (
+        spark.read.option("lineSep", end_tag)
+        .text(path)
+        .withColumnRenamed("value", "page_xml")
+    )
     # Each record is "…junk…<page>body"; keep records that contain a
     # start tag and re-append the end tag to make the block well-formed.
     start_idx = F.instr("page_xml", F.lit(start_tag))
