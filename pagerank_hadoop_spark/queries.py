@@ -1010,6 +1010,171 @@ def q_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "outer_join_nations",
+    """
+    SELECT n.n_name,
+           COALESCE(s.n_suppliers, 0) AS n_suppliers,
+           COALESCE(c.n_customers, 0) AS n_customers
+    FROM nation n
+    LEFT JOIN (SELECT s_nationkey, COUNT(*) AS n_suppliers
+               FROM supplier GROUP BY s_nationkey) s
+      ON s.s_nationkey = n.n_nationkey
+    FULL JOIN (SELECT c_nationkey, COUNT(*) AS n_customers
+               FROM customer GROUP BY c_nationkey) c
+      ON c.c_nationkey = n.n_nationkey
+    """,
+)
+def q_outer_join_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left + full outer joins: per-nation supplier/customer counts
+    with nations preserved when either side is empty."""
+    nation = _t(spark, sf_dir, "nation")
+    supp = (
+        _t(spark, sf_dir, "supplier")
+        .groupBy("s_nationkey")
+        .agg(F.count(F.lit(1)).alias("n_suppliers"))
+    )
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+    return (
+        nation.join(supp, supp.s_nationkey == nation.n_nationkey, "left")
+        .join(cust, cust.c_nationkey == nation.n_nationkey, "full")
+        .select(
+            "n_name",
+            F.coalesce("n_suppliers", F.lit(0)).alias("n_suppliers"),
+            F.coalesce("n_customers", F.lit(0)).alias("n_customers"),
+        )
+    )
+
+
+@register(
+    "exists_high_value",
+    """
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+      AND c_acctbal > (SELECT AVG(c_acctbal) FROM customer)
+    """,
+)
+def q_exists_high_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS + uncorrelated scalar subquery, via Spark SQL
+    (Catalyst rewrites EXISTS to a left-semi join; the scalar subquery
+    becomes a broadcast one-row join)."""
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+          AND c_acctbal > (SELECT AVG(c_acctbal) FROM customer)
+        """
+    )
+
+
+@register(
+    "conditional_agg",
+    """
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_finished,
+           CAST(SUM(CASE WHEN o_totalprice > 200000
+                         THEN CAST(o_totalprice AS DECIMAL(38,4)) END) AS DOUBLE) AS big_total
+    FROM orders
+    GROUP BY o_orderpriority
+    HAVING COUNT(*) > 10
+    """,
+)
+def q_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASE-gated aggregation + HAVING (the filter-after-agg shape)."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)).alias(
+                "n_finished"
+            ),
+            F.sum(
+                F.when(
+                    F.col("o_totalprice") > 200000,
+                    F.col("o_totalprice").cast("decimal(38,4)"),
+                )
+            )
+            .cast("double")
+            .alias("big_total"),
+        )
+        .where(F.col("n_orders") > 10)
+    )
+
+
+@register(
+    "percentile_prices",
+    """
+    SELECT o_orderstatus,
+           ROUND(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+           ROUND(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+           ROUND(quantile_cont(o_totalprice, 0.99), 4) AS p99
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def q_percentile_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact continuous percentiles (Spark `percentile` ≡ DuckDB
+    `quantile_cont`, both exact linear interpolation). The approximate
+    KLL/GK-sketch path (`percentile_approx`) is covered rows-only by
+    `approx_stats` — sketches are engine-specific by design."""
+    orders = _t(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(o_totalprice, 0.9)"), 4).alias("p90"),
+        F.round(F.expr("percentile(o_totalprice, 0.99)"), 4).alias("p99"),
+    )
+
+
+@register("approx_stats")
+def q_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch aggregates for 100 TB cardinality/quantile work:
+    HyperLogLog++ distinct counts and KLL approximate percentiles.
+    Rows-only (sketch internals are engine-specific); relative-error
+    bounds vs exact values are asserted in unit tests."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("approx_p50"),
+    )
+
+
+@register(
+    "pivot_status",
+    """
+    SELECT o_orderpriority,
+           CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS F,
+           CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS O,
+           CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS P
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def q_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: order counts by priority × status. Spark's pivot()
+    plans the same CASE-gated aggregate the oracle spells out."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+        .select(
+            "o_orderpriority",
+            F.coalesce("F", F.lit(0)).alias("F"),
+            F.coalesce("O", F.lit(0)).alias("O"),
+            F.coalesce("P", F.lit(0)).alias("P"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Wiki-parity pipeline (reference jobs 1-2 end-to-end: S1 XML source,
 # P1-P7 extraction, J1 red-link semi-join, A1 adjacency)

@@ -94,3 +94,53 @@ def test_pagerank_iteration_reuses_adjacency_exchange(spark):
     ranks = pagerank(edges, n_iter=2)
     plan = formatted_plan(ranks)
     assert "InMemoryTableScan" in plan or "TableCacheQueryStage" in plan, plan
+
+
+def test_partitioned_sink_prunes_partitions(spark, sf_dir, tmp_path):
+    from pagerank_hadoop_spark.sources.sinks import write_partitioned
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = str(tmp_path / "ev_part")
+    write_partitioned(ev, out, ["event_type"])
+    back = spark.read.parquet(out).where(F.col("event_type") == "click")
+    plan = formatted_plan(back)
+    assert "PartitionFilters" in plan and "event_type" in plan.split("PartitionFilters", 1)[1].split("]", 1)[0]
+    # pruning is observable: only the matching directory is scanned
+    assert back.count() == ev.where(F.col("event_type") == "click").count()
+
+
+def test_bucketed_tables_join_without_shuffle(spark, sf_dir, tmp_path):
+    from pagerank_hadoop_spark.sources.sinks import write_bucketed_table
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    write_bucketed_table(orders, "t_orders_b", ["o_custkey"], 8)
+    write_bucketed_table(
+        cust.withColumnRenamed("c_custkey", "o_custkey"), "t_cust_b", ["o_custkey"], 8
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = spark.table("t_orders_b").join(spark.table("t_cust_b"), "o_custkey")
+        assert count_exchanges(j) == 0, formatted_plan(j)
+        assert j.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS t_orders_b")
+        spark.sql("DROP TABLE IF EXISTS t_cust_b")
+
+
+def test_salted_join_matches_plain_join(spark, sf_dir):
+    from pagerank_hadoop_spark.operators.joins import salted_join
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_custkey"
+    )
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        F.col("c_custkey").alias("o_custkey"), "c_name"
+    )
+    salted = salted_join(orders, cust, "o_custkey", n_salts=4)
+    plain = orders.join(cust, "o_custkey")
+    assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, plain.collect()))
+    with pytest.raises(ValueError):
+        salted_join(orders, cust, "o_custkey", how="full")
