@@ -1211,6 +1211,16 @@ def q_wiki_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     The oracle derives the same edges from first principles — an
     independent check of the whole XML round-trip.
     """
+    edges = _wiki_edges(spark, sf_dir)
+    return edges.groupBy("src").agg(
+        F.array_join(F.array_sort(F.collect_set("dst")), ",").alias("outlinks")
+    )
+
+
+def _wiki_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthesized-dump link edges via the REAL pipeline: XML text
+    written to disk, re-read through the splittable page source,
+    parsed, link-extracted, red-link-filtered."""
     import tempfile
 
     from pagerank_hadoop_spark.functions.wikitext import (
@@ -1238,9 +1248,40 @@ def q_wiki_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     xml.coalesce(4).write.mode("overwrite").text(dump_dir)
 
     parsed = parse_pages(read_pages(spark, dump_dir))
-    edges = remove_red_links(extract_links(parsed), parsed)
-    return edges.groupBy("src").agg(
-        F.array_join(F.array_sort(F.collect_set("dst")), ",").alias("outlinks")
+    return remove_red_links(extract_links(parsed), parsed)
+
+
+_WIKI_EDGES_SQL = """
+    SELECT d.src, d.dst FROM (
+      SELECT DISTINCT src, dst FROM (
+        SELECT 'doc_' || doc_id AS src, 'doc_' || (doc_id + 1) AS dst FROM documents
+        UNION ALL
+        SELECT 'doc_' || doc_id, 'doc_' || (doc_id * 2) FROM documents
+        UNION ALL
+        SELECT 'doc_' || doc_id, 'doc_' || (doc_id + 1000000) FROM documents
+      )
+    ) d WHERE d.dst IN (SELECT 'doc_' || doc_id FROM documents)
+"""
+
+
+@register(
+    "wiki_pagerank",
+    pagerank_oracle_sql(_WIKI_EDGES_SQL, n_iter=8, limit=20, threshold_num=1.0),
+)
+def q_wiki_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's COMPLETE 13-job DAG as one lazy Spark plan:
+    XML dump (real file source) → parse → link extraction → red-link
+    semi-join → 8 PageRank iterations (parity semantics) → threshold
+    cut → descending sort → top-20. The oracle derives the same edges
+    from first principles and replays the rank recurrence as chained
+    CTEs."""
+    edges = _wiki_edges(spark, sf_dir)
+    ranks, n = pagerank_with_n(edges, n_iter=8, parity=True)
+    out = top_ranks(ranks, n, threshold=1.0 / n)
+    return (
+        out.select("id", F.round("rank", 9).alias("rank"))
+        .orderBy(F.desc("rank"), F.asc("id"))
+        .limit(20)
     )
 
 

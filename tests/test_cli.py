@@ -1,0 +1,49 @@
+"""End-to-end CLI test: the reference's `hadoop jar <in> <out>` shape
+(`python -m pagerank_hadoop_spark <in> <out>`) on a synthetic dump."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+from pagerank_hadoop_spark.__main__ import main
+
+
+def _page(title: str, body: str) -> str:
+    return (
+        f"<page><title>{title}</title><revision>"
+        f"<text>{body}</text></revision></page>"
+    )
+
+
+def test_cli_writes_ordered_snapshots(spark, tmp_path):
+    dump = tmp_path / "dump"
+    dump.mkdir()
+    # absorbing star: everybody (incl. Hub itself) links to Hub, so the
+    # hub's rank is stable across iterations (a Hub→A edge instead
+    # would 2-cycle the mass and drop both below the cut at iter 8).
+    # With 8 vertices rank(Hub) ≈ 0.86 > 5/8, the only survivor.
+    spokes = "".join(
+        _page(f"S{i}", "[[Hub]] junk [[Missing Page]]") for i in range(6)
+    )
+    (dump / "part0.xml").write_text(
+        _page("Hub", "[[Hub]]")
+        + _page("A", "[[Hub]] [[Image:x]] [[bad{link}]]")
+        + spokes
+    )
+    out = tmp_path / "result"
+    assert main([str(dump), str(out)]) == 0
+
+    for snap in ("PageRank.iter1.out", "PageRank.iter8.out"):
+        files = glob.glob(os.path.join(out, snap, "part-*.csv"))
+        assert files, f"missing TSV snapshot {snap}"
+        rows = [
+            line.split("\t")
+            for f in files
+            for line in open(f).read().splitlines()
+        ]
+        ranks = [float(r) for _, r in rows]
+        assert ranks == sorted(ranks, reverse=True)
+        assert rows[0][0] == "Hub"  # the only page above 5/N, or at least top
+    pq = spark.read.parquet(str(out / "pagerank_iter8.parquet"))
+    assert pq.columns == ["id", "rank"]
