@@ -1,0 +1,155 @@
+"""Corpus-curation operators for training-data pipelines ([EXT]).
+
+The reference ends at ranked pages; a modern 100 TB corpus pipeline
+also needs deterministic dataset splits, context-window packing, and
+benchmark-contamination screening. All three are pure Column/Window
+expressions — no Python in the hot path — and every one is
+oracle-checkable in ANSI SQL (see ``queries.py``).
+
+Scale posture:
+
+* ``split_bucket`` is a stateless hash of the document id — no RNG
+  state, no driver coordination, stable across retries/backfills.
+  Re-running the pipeline on a grown corpus never moves an existing
+  document between splits.
+* ``pack_bins`` windows are partitioned by a stream column (``lang``
+  here) — never a single global ORDER BY, which would serialize 100 TB
+  through one task. Each stream packs independently; at cluster scale
+  add a coarser stream key (e.g. ``(lang, shard)``) to bound any one
+  window partition.
+* ``ngram_keys`` shuffles 8-byte gram keys (hex-truncated md5 —
+  engine-portable, unlike xxhash64), never the gram text; the
+  contamination check is a semi-join on those keys.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+TRAIN, VALIDATION, TEST = "train", "validation", "test"
+
+
+def split_bucket(id_col: Column, n_buckets: int = 100) -> Column:
+    """Deterministic hash bucket in ``[0, n_buckets)`` for dataset
+    splits: first 4 hex digits of md5 of the id's decimal string.
+
+    md5-hex is bit-identical across engines (Spark, DuckDB, Python),
+    so split membership can be verified — and reproduced by a
+    downstream consumer — without sharing any engine-specific hash.
+    """
+    return (
+        F.conv(F.substring(F.md5(id_col.cast("string")), 1, 4), 16, 10)
+        .cast("long")
+        % n_buckets
+    )
+
+
+def split_name(
+    id_col: Column, train_pct: int = 90, validation_pct: int = 5
+) -> Column:
+    """Map a hash bucket to train/validation/test split labels."""
+    b = split_bucket(id_col)
+    return (
+        F.when(b < train_pct, F.lit(TRAIN))
+        .when(b < train_pct + validation_pct, F.lit(VALIDATION))
+        .otherwise(F.lit(TEST))
+    )
+
+
+def with_split(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    train_pct: int = 90,
+    validation_pct: int = 5,
+) -> DataFrame:
+    """Add a deterministic ``split`` column (90/5/5 by default)."""
+    return docs.withColumn(
+        "split", split_name(F.col(id_col), train_pct, validation_pct)
+    )
+
+
+def pack_bins(
+    docs: DataFrame,
+    tokens_col: str,
+    context_len: int,
+    stream_col: str = "lang",
+    order_col: str = "doc_id",
+) -> DataFrame:
+    """Assign each document to a context-window bin (GPT-style
+    concatenate-and-cut packing).
+
+    Documents are laid end-to-end in ``order_col`` order within each
+    ``stream_col`` stream; a document belongs to the bin its FIRST
+    token lands in: ``bin = floor(start_offset / context_len)``. Adds
+    ``start_offset`` and ``bin`` columns.
+
+    The window is a running sum of token counts — partitioned by
+    stream so no global sort exists. Map-side nothing shuffles but
+    ``(stream, order, n_tokens)``.
+    """
+    w = (
+        Window.partitionBy(stream_col)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    start = F.sum(tokens_col).over(w) - F.col(tokens_col)
+    return docs.withColumn("start_offset", start).withColumn(
+        "bin", F.floor(F.col("start_offset") / context_len)
+    )
+
+
+def word_ngrams(text: Column, n: int = 5) -> Column:
+    """Whitespace word ``n``-grams as an array of strings (empty when
+    the document has fewer than ``n`` words)."""
+    words = F.split(F.lower(F.trim(text)), r"\s+")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(words) - (n - 1)),
+        lambda i: F.array_join(F.slice(words, i, n), " "),
+    )
+    return F.when(F.size(words) >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def ngram_key(gram: Column) -> Column:
+    """Engine-portable 60-bit integer key for an n-gram: first 15 hex
+    digits of md5. Joins shuffle this 8-byte key, not the gram text."""
+    return F.conv(F.substring(F.md5(gram), 1, 15), 16, 10).cast("long")
+
+
+def ngram_keys(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 5
+) -> DataFrame:
+    """Explode documents to distinct ``(id, gram_key)`` rows."""
+    return (
+        docs.select(
+            F.col(id_col), F.explode(word_ngrams(F.col(text_col), n)).alias("gram")
+        )
+        .select(F.col(id_col), ngram_key(F.col("gram")).alias("gram_key"))
+        .distinct()
+    )
+
+
+def contaminated_ids(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+) -> DataFrame:
+    """Documents in ``corpus`` sharing at least one word ``n``-gram
+    with any ``benchmark`` document — the standard decontamination
+    screen before training.
+
+    Shape: explode both sides to 8-byte gram keys, LEFT SEMI join
+    corpus grams against the (small) benchmark gram set — Catalyst
+    broadcasts the benchmark side when it fits, so the 100 TB corpus
+    side never shuffles its grams at all. Returns distinct ids.
+    """
+    bench_keys = ngram_keys(benchmark, text_col, id_col, n).select("gram_key").distinct()
+    corpus_keys = ngram_keys(corpus, text_col, id_col, n)
+    return (
+        corpus_keys.join(F.broadcast(bench_keys), "gram_key", "left_semi")
+        .select(id_col)
+        .distinct()
+    )

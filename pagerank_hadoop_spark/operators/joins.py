@@ -12,7 +12,7 @@ at the cost of replicating the (small) build side.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 
 def salted_join(
@@ -42,3 +42,73 @@ def salted_join(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
     )
     return left.join(right, [on, "__salt"], how).drop("__salt")
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    by: str | list[str],
+    ts: str,
+    how: str = "left",
+) -> DataFrame:
+    """Backward as-of join: each ``left`` row picks the single latest
+    ``right`` row with the same ``by`` key and ``right.ts <= left.ts``
+    (inclusive — DuckDB ``ASOF JOIN ... ON l.ts >= r.ts`` semantics).
+
+    Spark has no built-in as-of join; the naive encoding
+    (range-condition join + per-left-row max) explodes to
+    |left|x|matching right| intermediate rows. This is the scalable
+    merge shape instead: tag and union both sides, sort within each
+    key by time, and carry the most recent right-side values forward
+    with ``last(..., ignorenulls=True)`` over a running window —
+    ONE shuffle on the key, linear scan per key group, no row
+    explosion regardless of how many right rows precede a left row.
+
+    Non-key/non-ts column names must be disjoint between the two
+    sides (rename before calling); right values arrive as nullable
+    columns of the result. ``how='inner'`` drops left rows with no
+    preceding right row.
+    """
+    by = [by] if isinstance(by, str) else list(by)
+    lcols = [c for c in left.columns if c not in by and c != ts]
+    rcols = [c for c in right.columns if c not in by and c != ts]
+    overlap = set(lcols) & set(rcols)
+    if overlap:
+        raise ValueError(f"rename overlapping value columns: {sorted(overlap)}")
+    rtypes = dict(right.dtypes)
+    ltypes = dict(left.dtypes)
+
+    lside = left.select(
+        *by,
+        F.col(ts).alias("__ts"),
+        F.lit(1).alias("__side"),
+        *lcols,
+        *[F.lit(None).cast(rtypes[c]).alias(c) for c in rcols],
+    )
+    rside = right.select(
+        *by,
+        F.col(ts).alias("__ts"),
+        F.lit(0).alias("__side"),
+        *[F.lit(None).cast(ltypes[c]).alias(c) for c in lcols],
+        *rcols,
+    )
+    w = (
+        Window.partitionBy(*by)
+        .orderBy("__ts", "__side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = (
+        lside.unionByName(rside)
+        .select(
+            *by,
+            "__ts",
+            "__side",
+            *lcols,
+            *[F.last(c, ignorenulls=True).over(w).alias(c) for c in rcols],
+        )
+        .where(F.col("__side") == 1)
+        .select(*by, F.col("__ts").alias(ts), *lcols, *rcols)
+    )
+    if how == "inner" and rcols:
+        out = out.where(F.col(rcols[0]).isNotNull())
+    return out

@@ -1379,3 +1379,236 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.octet_length(payload).alias("n_bytes"),
         F.md5(payload).alias("digest"),
     )
+
+
+# ---------------------------------------------------------------------------
+# [EXT] corpus curation: deterministic splits, context packing,
+# benchmark decontamination, as-of enrichment (operators.curation /
+# operators.joins.asof_join)
+# ---------------------------------------------------------------------------
+
+@register(
+    "train_split_counts",
+    """
+    WITH s AS (
+      SELECT lang, text,
+             CASE WHEN b < 90 THEN 'train'
+                  WHEN b < 95 THEN 'validation'
+                  ELSE 'test' END AS split
+      FROM (
+        SELECT *,
+               ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 100 AS b
+        FROM documents
+      )
+    )
+    SELECT split, lang, COUNT(*) AS n_docs,
+           CAST(SUM(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT) AS n_tokens
+    FROM s GROUP BY split, lang
+    """,
+)
+def q_train_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 90/5/5 train/validation/test split via an
+    engine-portable md5 bucket of doc_id (operators.curation): a
+    stateless hash, so re-running on a grown corpus never migrates an
+    existing document between splits. Checked as per-(split, lang)
+    doc and token counts."""
+    from pagerank_hadoop_spark.operators.curation import with_split
+    from pagerank_hadoop_spark.operators.text_analysis import token_count
+
+    docs = _t(spark, sf_dir, "documents")
+    return with_split(docs).groupBy("split", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_count(F.col("text"))).cast("bigint").alias("n_tokens"),
+    )
+
+
+@register(
+    "packed_bins",
+    """
+    WITH toks AS (
+      SELECT doc_id, lang,
+             len(string_split_regex(trim(text), '\\s+')) AS n_tokens
+      FROM documents
+    ),
+    offs AS (
+      SELECT lang, n_tokens,
+             SUM(n_tokens) OVER (
+               PARTITION BY lang ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) - n_tokens AS start_offset
+      FROM toks
+    )
+    SELECT lang, CAST(FLOOR(start_offset / 2048.0) AS BIGINT) AS bin,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens
+    FROM offs GROUP BY lang, bin
+    """,
+)
+def q_packed_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window packing (GPT-style concatenate-and-cut into
+    2048-token windows): a running-sum window PARTITIONED BY the lang
+    stream — never a global sort — assigns each doc the bin its first
+    token lands in (operators.curation.pack_bins)."""
+    from pagerank_hadoop_spark.operators.curation import pack_bins
+    from pagerank_hadoop_spark.operators.text_analysis import token_count
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "lang", token_count(F.col("text")).alias("n_tokens")
+    )
+    return pack_bins(toks, "n_tokens", 2048).groupBy("lang", "bin").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("bin_tokens"),
+    )
+
+
+_NGRAM_KEYS_SQL = """
+      SELECT doc_id, ('0x' || substr(md5(g), 1, 15))::BIGINT AS gram_key
+      FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(ws) - 3),
+                                     i -> array_to_string(ws[i:i+4], ' '))) AS g
+        FROM (
+          SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ws
+          FROM documents WHERE doc_id % 97 {op} 0
+        )
+      )
+"""
+
+
+@register(
+    "contamination_screen",
+    f"""
+    WITH bench_keys AS (
+      SELECT DISTINCT gram_key FROM ({_NGRAM_KEYS_SQL.format(op="=")})
+    ),
+    bad AS (
+      SELECT DISTINCT doc_id FROM ({_NGRAM_KEYS_SQL.format(op="<>")})
+      WHERE gram_key IN (SELECT gram_key FROM bench_keys)
+    )
+    SELECT source, COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN doc_id IN (SELECT doc_id FROM bad)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated
+    FROM documents WHERE doc_id % 97 <> 0
+    GROUP BY source
+    """,
+)
+def q_contamination_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: corpus docs sharing any word 5-gram
+    with a held-out benchmark set (doc_id % 97 == 0 here). The corpus
+    side semi-joins 8-byte gram keys against a BROADCAST benchmark key
+    set (operators.curation.contaminated_ids) — at 100 TB the corpus
+    never shuffles its grams. Checked as per-source contamination
+    counts."""
+    from pagerank_hadoop_spark.operators.curation import contaminated_ids
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 97 == 0)
+    corpus = docs.where(F.col("doc_id") % 97 != 0)
+    bad = contaminated_ids(corpus, bench).withColumn("hit", F.lit(1))
+    return (
+        corpus.join(bad, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.coalesce("hit", F.lit(0))).cast("bigint").alias("n_contaminated"),
+        )
+    )
+
+
+@register(
+    "asof_purchase_click",
+    """
+    WITH p AS (
+      SELECT user_id, ts, event_id AS purchase_id, value AS purchase_value
+      FROM events WHERE event_type = 'purchase'
+    ),
+    c AS (
+      SELECT user_id, ts, MAX(event_id) AS click_id
+      FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+    )
+    SELECT p.user_id, p.ts, p.purchase_id, p.purchase_value,
+           c.click_id, c.ts AS click_ts
+    FROM p ASOF LEFT JOIN c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+)
+def q_asof_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (a temporal operator Spark lacks natively): each
+    purchase event picks the same user's latest click at or before it.
+    operators.joins.asof_join uses the merge shape — tagged union +
+    last(ignorenulls) over a keyed time window — one shuffle, no
+    row explosion; the oracle is DuckDB's native ASOF LEFT JOIN."""
+    from pagerank_hadoop_spark.operators.joins import asof_join
+
+    ev = _events(spark, sf_dir)
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("purchase_id"),
+        F.col("value").alias("purchase_value"),
+    )
+    clicks = (
+        ev.where(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")  # collapse exact-ts ties deterministically
+        .agg(F.max("event_id").alias("click_id"))
+        .withColumn("click_ts", F.col("ts"))
+    )
+    return asof_join(purchases, clicks, by="user_id", ts="ts")
+
+
+# ---------------------------------------------------------------------------
+# Relational surface: unpivot (melt) and GROUPING SETS
+# ---------------------------------------------------------------------------
+
+@register(
+    "unpivot_measures",
+    """
+    SELECT measure,
+           CAST(SUM(CAST(val AS DECIMAL(38,4))) AS DOUBLE) AS total,
+           COUNT(*) AS cnt
+    FROM (
+      SELECT 'l_quantity' AS measure, l_quantity AS val FROM lineitem
+      UNION ALL SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+      UNION ALL SELECT 'l_discount', l_discount FROM lineitem
+    ) GROUP BY measure
+    """,
+)
+def q_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long unpivot (melt) of lineitem's numeric measures, then
+    per-measure totals — DataFrame.unpivot is one scan (Catalyst
+    Expand node), vs the oracle's 3-scan UNION ALL."""
+    li = _t(spark, sf_dir, "lineitem")
+    melted = li.unpivot(
+        [],
+        ["l_quantity", "l_extendedprice", "l_discount"],
+        "measure",
+        "val",
+    )
+    return melted.groupBy("measure").agg(
+        dsum("val", "total"), F.count(F.lit(1)).alias("cnt")
+    )
+
+
+@register(
+    "grouping_sets_orders",
+    """
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE) AS total
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+)
+def q_grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E8: explicit GROUPING SETS (the general form behind
+    cube/rollup) via Spark SQL over a temp view — one Expand +
+    hash-aggregate, partial aggregation map-side."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders_gs")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE) AS total
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )

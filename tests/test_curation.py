@@ -1,0 +1,122 @@
+"""Unit tests for corpus-curation operators (splits, packing,
+decontamination) and the as-of join."""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import Row, functions as F
+
+from pagerank_hadoop_spark.operators.curation import (
+    contaminated_ids,
+    pack_bins,
+    with_split,
+    word_ngrams,
+)
+from pagerank_hadoop_spark.operators.joins import asof_join
+
+
+def test_split_deterministic_and_total(spark):
+    docs = spark.range(1000).withColumnRenamed("id", "doc_id")
+    a = {r.doc_id: r.split for r in with_split(docs).collect()}
+    b = {r.doc_id: r.split for r in with_split(docs).collect()}
+    assert a == b  # stateless hash: identical across runs
+    counts = {
+        s: sum(1 for v in a.values() if v == s) for s in set(a.values())
+    }
+    assert sum(counts.values()) == 1000
+    # 90/5/5 within loose tolerance (md5 is uniform-ish)
+    assert 850 <= counts["train"] <= 950
+    assert counts["validation"] + counts["test"] <= 150
+
+
+def test_split_stable_under_corpus_growth(spark):
+    small = spark.range(100).withColumnRenamed("id", "doc_id")
+    grown = spark.range(1000).withColumnRenamed("id", "doc_id")
+    a = {r.doc_id: r.split for r in with_split(small).collect()}
+    b = {r.doc_id: r.split for r in with_split(grown).collect()}
+    assert all(b[k] == v for k, v in a.items())
+
+
+def test_pack_bins_boundaries(spark):
+    rows = [Row(doc_id=i, lang="en", n_tokens=t) for i, t in
+            enumerate([100, 900, 30, 100])]
+    out = {
+        r.doc_id: (r.start_offset, r.bin)
+        for r in pack_bins(
+            spark.createDataFrame(rows), "n_tokens", 1000
+        ).collect()
+    }
+    # offsets 0, 100, 1000, 1030 -> bins 0, 0, 1, 1
+    assert out == {0: (0, 0), 1: (100, 0), 2: (1000, 1), 3: (1030, 1)}
+
+
+def test_pack_bins_streams_independent(spark):
+    rows = [
+        Row(doc_id=1, lang="en", n_tokens=1100),
+        Row(doc_id=2, lang="en", n_tokens=600),
+        Row(doc_id=1, lang="de", n_tokens=1100),
+    ]
+    out = pack_bins(spark.createDataFrame(rows), "n_tokens", 1000).collect()
+    bins = {(r.lang, r.doc_id): r.bin for r in out}
+    assert bins[("en", 2)] == 1  # second en doc spills into bin 1
+    assert bins[("de", 1)] == 0  # de stream starts fresh
+
+
+def test_word_ngrams(spark):
+    df = spark.createDataFrame(
+        [("a b c d e f",), ("one two",)], ["text"]
+    ).select(word_ngrams(F.col("text"), 5).alias("g"))
+    grams, short = [r.g for r in df.collect()]
+    assert grams == ["a b c d e", "b c d e f"]
+    assert short == []
+
+
+def test_contaminated_ids(spark):
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "completely unrelated text with no overlap at all here"),
+        ],
+        ["doc_id", "text"],
+    )
+    bench = spark.createDataFrame(
+        [(100, "we saw the quick brown fox jumps today")], ["doc_id", "text"]
+    )
+    hits = [r.doc_id for r in contaminated_ids(corpus, bench).collect()]
+    assert hits == [1]
+
+
+def _ts(minute: int) -> datetime.datetime:
+    return datetime.datetime(2024, 1, 1, 12, minute)
+
+
+def test_asof_join_backward_inclusive(spark):
+    left = spark.createDataFrame(
+        [(1, _ts(10), "p1"), (1, _ts(20), "p2"), (2, _ts(5), "p3")],
+        ["uid", "ts", "pid"],
+    )
+    right = spark.createDataFrame(
+        [(1, _ts(10), "c1"), (1, _ts(15), "c2"), (3, _ts(0), "c3")],
+        ["uid", "ts", "cid"],
+    )
+    out = {r.pid: r.cid for r in asof_join(left, right, "uid", "ts").collect()}
+    # p1 at ts=10 matches c1 at ts=10 (inclusive); p2 takes latest (c2);
+    # p3's user has no clicks -> null
+    assert out == {"p1": "c1", "p2": "c2", "p3": None}
+
+
+def test_asof_join_inner_drops_unmatched(spark):
+    left = spark.createDataFrame([(1, _ts(1), "p")], ["uid", "ts", "pid"])
+    right = spark.createDataFrame([(1, _ts(2), "c")], ["uid", "ts", "cid"])
+    assert asof_join(left, right, "uid", "ts", how="inner").count() == 0
+
+
+def test_asof_join_rejects_column_overlap(spark):
+    df = spark.createDataFrame([(1, _ts(0), "x")], ["uid", "ts", "v"])
+    try:
+        asof_join(df, df, "uid", "ts")
+    except ValueError as e:
+        assert "overlap" in str(e)
+    else:
+        raise AssertionError("expected ValueError")
