@@ -93,11 +93,14 @@ _PAGERANK_EDGES_SQL = (
 
 
 def _pagerank_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # NOT .distinct()ed: every consumer dedups downstream anyway
+    # (collect_set adjacency, DISTINCT vertex union), so an edge-level
+    # distinct would only add a full extra shuffle of the edge list.
     li = _t(spark, sf_dir, "lineitem")
     return li.select(
         F.col("l_partkey").cast("string").alias("src"),
         F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
-    ).distinct()
+    )
 
 
 @register(
