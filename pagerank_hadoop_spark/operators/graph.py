@@ -1,0 +1,137 @@
+"""Property-graph facade over DataFrames (GraphX-shaped API).
+
+GraphX is Scala-only and GraphFrames is an external jar; the
+Spark-native PySpark expression of a property graph is exactly two
+DataFrames (``vertices``, ``edges``) plus relational algebra — this
+facade names the common graph operations so callers get the
+GraphX/GraphFrames API surface (degrees, pagerank) with Catalyst
+planning everything.
+
+Reference parity: the reference's only graph op is PageRank over the
+wiki link graph (``/root/reference/src/PageRank/PageRank.java``);
+degrees correspond to the outdeg computed inline at
+``PageRank.java:268-279`` (message fan-out divides by outdegree).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from pagerank_hadoop_spark.operators.pagerank import pagerank_with_n
+
+
+class PropertyGraph:
+    """A property graph: ``vertices(id, ...)`` + ``edges(src, dst, ...)``."""
+
+    def __init__(self, vertices: DataFrame, edges: DataFrame):
+        self.vertices = vertices
+        self.edges = edges
+
+    @classmethod
+    def from_edges(cls, edges: DataFrame) -> "PropertyGraph":
+        """Vertex set = every id appearing as src or dst."""
+        v = (
+            edges.select(F.col("src").alias("id"))
+            .unionByName(edges.select(F.col("dst").alias("id")))
+            .distinct()
+        )
+        return cls(v, edges)
+
+    def out_degrees(self) -> DataFrame:
+        """(id, out_degree) — distinct successors per vertex; one
+        partial-aggregated shuffle on src."""
+        return self.edges.groupBy(F.col("src").alias("id")).agg(
+            F.countDistinct("dst").alias("out_degree")
+        )
+
+    def in_degrees(self) -> DataFrame:
+        return self.edges.groupBy(F.col("dst").alias("id")).agg(
+            F.countDistinct("src").alias("in_degree")
+        )
+
+    def degrees(self) -> DataFrame:
+        """(id, in_degree, out_degree), 0 where absent — full outer
+        join of the two degree aggregates on the 8-byte-ish id key."""
+        return (
+            self.out_degrees()
+            .join(self.in_degrees(), "id", "full_outer")
+            .select(
+                "id",
+                F.coalesce("in_degree", F.lit(0)).alias("in_degree"),
+                F.coalesce("out_degree", F.lit(0)).alias("out_degree"),
+            )
+        )
+
+    def page_rank(
+        self, n_iter: int = 8, damping: float = 0.85, parity: bool = True
+    ) -> DataFrame:
+        """Iterative PageRank (see operators.pagerank for semantics
+        and the 100 TB loop design)."""
+        ranks, _ = pagerank_with_n(
+            self.edges,
+            vertices=self.vertices,
+            n_iter=n_iter,
+            damping=damping,
+            parity=parity,
+        )
+        return ranks
+
+
+def connected_components(
+    edges: DataFrame,
+    max_iter: int = 50,
+) -> DataFrame:
+    """Undirected connected components by hash-min label propagation:
+    every vertex's label converges to the minimum vertex id in its
+    component. Returns ``(id, component)``.
+
+    Loop shape (the GraphFrames/Pregel-standard approach, expressed
+    relationally): symmetrize edges once, cache; each round sends the
+    current label across every edge and takes the per-vertex min of
+    (own label, neighbor labels) — a join + partial-aggregated
+    groupBy, both shuffling only (id, label) pairs. The driver
+    checks a single changed-count aggregate per round (same
+    round-trip the PageRank N computation does) and stops at the
+    fixpoint; rounds needed = graph diameter. Labels are
+    localCheckpoint'ed EVERY round: the changed-count forces
+    execution anyway, so materializing costs nothing extra and the
+    next round starts from data instead of replaying lineage.
+    """
+    # NOT distinct'ed: duplicate edges send duplicate min-messages,
+    # which the per-vertex min() absorbs — a distinct here would cost
+    # a full shuffle of the doubled edge list every bit as large as
+    # one propagation round.
+    sym = edges.select("src", "dst").unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    shuffle_parts = int(
+        edges.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    sym = sym.repartition(shuffle_parts, "src").cache()
+
+    labels = (
+        sym.select(F.col("src").alias("id")).distinct().withColumn("component", F.col("id"))
+    ).localCheckpoint(eager=True)
+
+    for i in range(max_iter):
+        msgs = (
+            sym.join(labels, sym.src == labels.id)
+            .select(F.col("dst").alias("id"), "component")
+        )
+        new_labels = (
+            labels.unionByName(msgs)
+            .groupBy("id")
+            .agg(F.min("component").alias("component"))
+        ).localCheckpoint(eager=True)
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .where(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+
+    sym.unpersist()
+    return labels

@@ -1615,3 +1615,142 @@ def q_grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# Graph facade degrees, text K/V round-trip, stateful-stream dedup
+# ---------------------------------------------------------------------------
+
+@register(
+    "graph_degrees",
+    """
+    WITH outs AS (
+      SELECT src AS id, COUNT(DISTINCT dst) AS out_degree
+      FROM (SELECT CAST(l_partkey AS VARCHAR) AS src,
+                   's' || CAST(l_suppkey AS VARCHAR) AS dst FROM lineitem)
+      GROUP BY src
+    ),
+    ins AS (
+      SELECT dst AS id, COUNT(DISTINCT src) AS in_degree
+      FROM (SELECT CAST(l_partkey AS VARCHAR) AS src,
+                   's' || CAST(l_suppkey AS VARCHAR) AS dst FROM lineitem)
+      GROUP BY dst
+    )
+    SELECT COALESCE(outs.id, ins.id) AS id,
+           COALESCE(in_degree, 0) AS in_degree,
+           COALESCE(out_degree, 0) AS out_degree
+    FROM outs FULL OUTER JOIN ins ON outs.id = ins.id
+    """,
+)
+def q_graph_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Property-graph degrees via the GraphX-shaped facade
+    (operators.graph.PropertyGraph): two partial-aggregated shuffles +
+    a full outer join on vertex id."""
+    from pagerank_hadoop_spark.operators.graph import PropertyGraph
+
+    g = PropertyGraph.from_edges(_pagerank_edges(spark, sf_dir))
+    return g.degrees()
+
+
+@register(
+    "tsv_roundtrip",
+    """
+    SELECT s_nationkey,
+           COUNT(*) AS n_suppliers,
+           CAST(SUM(CAST(s_acctbal AS DECIMAL(38,4))) AS DOUBLE) AS total_bal
+    FROM supplier GROUP BY s_nationkey
+    """,
+)
+def q_tsv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2/S3: the reference's tab-separated K/V text format as a REAL
+    write+read round trip (TextOutputFormat / TextInputFormat,
+    PageRank.java:445,512): supplier rows → TSV files on disk → typed
+    re-read with an explicit schema → aggregate. Values survive the
+    string round trip exactly (acctbal has 2 decimal digits)."""
+    import tempfile
+
+    sup = _t(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey", "s_acctbal"
+    )
+    tsv_dir = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_tsv_{os.path.basename(sf_dir)}"
+    )
+    sup.write.mode("overwrite").option("sep", "\t").csv(tsv_dir)
+    back = spark.read.schema(
+        "s_suppkey long, s_nationkey long, s_acctbal double"
+    ).option("sep", "\t").csv(tsv_dir)
+    return back.groupBy("s_nationkey").agg(
+        F.count(F.lit(1)).alias("n_suppliers"), dsum("s_acctbal", "total_bal")
+    )
+
+
+@register(
+    "stream_stateful_dedup",
+    """
+    SELECT user_id, COUNT(DISTINCT event_id % 1000) AS n_unique
+    FROM events GROUP BY user_id
+    """,
+)
+def q_stream_stateful_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E6: custom keyed state through the driver gate — a REAL
+    readStream piped through applyInPandasWithState cross-batch dedup
+    (streaming/stateful.py), drained with availableNow, then checked
+    against batch COUNT(DISTINCT): the surviving set of
+    (user, event_id % 1000) pairs is exactly the distinct set.
+    event_id is folded mod 1000 to plant real duplicates."""
+    from pagerank_hadoop_spark.streaming.stateful import stateful_dedup_stream
+    from pagerank_hadoop_spark.streaming.windows import run_to_memory
+
+    schema = (
+        "event_id long, ts long, user_id long, event_type string, "
+        "value double, props string"
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn("event_id", F.col("event_id") % 1000)
+    )
+    _STREAM_SEQ["n"] += 1
+    name = f"stream_stateful_{_STREAM_SEQ['n']}"
+    run_to_memory(stateful_dedup_stream(stream), name, output_mode="append")
+    return (
+        spark.table(name)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_unique"))
+    )
+
+
+@register(
+    "connected_components",
+    """
+    WITH RECURSIVE e AS (
+      SELECT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+             'o' || CAST(o_orderkey AS VARCHAR) AS dst
+      FROM orders
+    ),
+    sym(src, dst) AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+    reach(id, r) AS (
+      SELECT src, src FROM sym
+      UNION
+      SELECT s.dst, reach.r FROM reach JOIN sym s ON s.src = reach.id
+    )
+    SELECT component, COUNT(*) AS size FROM (
+      SELECT id, MIN(r) AS component FROM reach GROUP BY id
+    ) GROUP BY component
+    """,
+)
+def q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Undirected connected components (hash-min label propagation
+    with a driver fixpoint loop, operators.graph) over the
+    customer-order graph; checked against a DuckDB recursive-CTE
+    transitive closure. Output: per-component sizes."""
+    from pagerank_hadoop_spark.operators.graph import connected_components
+
+    orders = _t(spark, sf_dir, "orders")
+    edges = orders.select(
+        F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+        F.concat(F.lit("o"), F.col("o_orderkey").cast("string")).alias("dst"),
+    )
+    cc = connected_components(edges)
+    return cc.groupBy("component").agg(F.count(F.lit(1)).alias("size"))

@@ -1,0 +1,48 @@
+"""PropertyGraph facade tests (degrees + pagerank delegation)."""
+
+from __future__ import annotations
+
+from pagerank_hadoop_spark.operators.graph import PropertyGraph
+
+
+def _graph(spark):
+    edges = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"), ("a", "b")],
+        ["src", "dst"],
+    )
+    return PropertyGraph.from_edges(edges)
+
+
+def test_from_edges_vertices(spark):
+    g = _graph(spark)
+    assert {r.id for r in g.vertices.collect()} == {"a", "b", "c"}
+
+
+def test_degrees(spark):
+    g = _graph(spark)
+    deg = {r.id: (r.in_degree, r.out_degree) for r in g.degrees().collect()}
+    # duplicate a->b edge counts once (distinct successors)
+    assert deg == {"a": (1, 2), "b": (1, 1), "c": (2, 1)}
+
+
+def test_pagerank_delegation_sums_to_one_corrected(spark):
+    g = _graph(spark)
+    ranks = g.page_rank(n_iter=12, parity=False)
+    total = sum(r.rank for r in ranks.collect())
+    assert abs(total - 1.0) < 1e-9
+
+
+def test_connected_components_chain_and_islands(spark):
+    from pagerank_hadoop_spark.operators.graph import connected_components
+
+    # a 6-node path (diameter 5, needs multiple propagation rounds),
+    # a triangle, and an isolated pair
+    chain = [(f"n{i}", f"n{i+1}") for i in range(5)]
+    edges = spark.createDataFrame(
+        chain + [("t1", "t2"), ("t2", "t3"), ("t3", "t1"), ("x", "y")],
+        ["src", "dst"],
+    )
+    cc = {r.id: r.component for r in connected_components(edges).collect()}
+    assert {cc[f"n{i}"] for i in range(6)} == {"n0"}
+    assert cc["t1"] == cc["t2"] == cc["t3"] == "t1"
+    assert cc["x"] == cc["y"] == "x"
