@@ -112,3 +112,49 @@ def asof_join(
     if how == "inner" and rcols:
         out = out.where(F.col(rcols[0]).isNotNull())
     return out
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    by: list[str],
+    left_ts: str,
+    right_ts: str,
+    lower: int,
+    upper: int,
+) -> DataFrame:
+    """Band join: pairs where ``right_ts`` falls in
+    ``[left_ts + lower, left_ts + upper]`` (inclusive; integral time
+    units, e.g. epoch micros) and the ``by`` keys match.
+
+    Spark plans a key-equality + range predicate as a sort-merge join
+    on the keys with a post-filter — per-key O(n_l x n_r), which dies
+    on hot keys. This adds a time-bucket equality of width
+    ``upper - lower`` to the join key: each left row lands in one
+    bucket, each right row is exploded to the (at most 2) buckets its
+    admissible window can intersect, and the exact band predicate
+    filters inside the bucket. Work per pair is found in exactly one
+    bucket (no dedup needed); shuffle and comparison cost drop from
+    per-key quadratic to per-(key, bucket).
+    """
+    width = max(upper - lower, 1)
+    lb = left.withColumn("__bucket", F.floor(F.col(left_ts) / width))
+    # a right row r admits left rows with left_ts in [r-upper, r-lower]:
+    # explode to every bucket that interval can touch
+    rb = right.withColumn(
+        "__bucket",
+        F.explode(
+            F.sequence(
+                F.floor((F.col(right_ts) - upper) / width),
+                F.floor((F.col(right_ts) - lower) / width),
+            )
+        ),
+    )
+    cond = [lb[c] == rb[c] for c in by] + [
+        lb["__bucket"] == rb["__bucket"],
+        rb[right_ts] >= lb[left_ts] + lower,
+        rb[right_ts] <= lb[left_ts] + upper,
+    ]
+    lcols = [lb[c] for c in left.columns]
+    rcols = [rb[c] for c in right.columns if c not in by]
+    return lb.join(rb, cond, "inner").select(*lcols, *rcols)

@@ -1754,3 +1754,39 @@ def q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cc = connected_components(edges)
     return cc.groupBy("component").agg(F.count(F.lit(1)).alias("size"))
+
+
+@register(
+    "range_join_purchase_error",
+    """
+    SELECT p.user_id, p.event_id AS purchase_id, e.event_id AS error_id
+    FROM events p JOIN events e
+      ON p.user_id = e.user_id
+     AND p.event_type = 'purchase' AND e.event_type = 'error'
+     AND epoch_us(e.ts) >= epoch_us(p.ts)
+     AND epoch_us(e.ts) <= epoch_us(p.ts) + 7200000000
+    """,
+)
+def q_range_join_purchase_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Band/range join (operators.joins.range_join): errors within 2
+    hours after a purchase by the same user. The bucketized plan
+    keeps the predicate an equi-join on (user, time-bucket) — Spark's
+    native plan for key+range is a per-key nested scan, quadratic on
+    hot users."""
+    from pagerank_hadoop_spark.operators.joins import range_join
+
+    ev = _events(spark, sf_dir)
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.unix_micros("ts").alias("p_us"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    errors = ev.where(F.col("event_type") == "error").select(
+        "user_id",
+        F.unix_micros("ts").alias("e_us"),
+        F.col("event_id").alias("error_id"),
+    )
+    out = range_join(
+        purchases, errors, ["user_id"], "p_us", "e_us", 0, 7_200_000_000
+    )
+    return out.select("user_id", "purchase_id", "error_id")

@@ -120,3 +120,21 @@ def test_asof_join_rejects_column_overlap(spark):
         assert "overlap" in str(e)
     else:
         raise AssertionError("expected ValueError")
+
+
+def test_range_join_band_edges(spark):
+    from pagerank_hadoop_spark.operators.joins import range_join
+
+    left = spark.createDataFrame(
+        [(1, 1000, "a"), (2, 1000, "b")], ["uid", "lt", "lid"]
+    )
+    right = spark.createDataFrame(
+        [(1, 999, "early"), (1, 1000, "lo"), (1, 1100, "hi"),
+         (1, 1101, "late"), (2, 1100, "other")],
+        ["uid", "rt", "rid"],
+    )
+    out = range_join(left, right, ["uid"], "lt", "rt", 0, 100)
+    got = {(r.lid, r.rid) for r in out.collect()}
+    # inclusive band [lt, lt+100]; keys partition; no duplicates
+    assert got == {("a", "lo"), ("a", "hi"), ("b", "other")}
+    assert out.count() == len(got)
