@@ -144,3 +144,62 @@ def test_salted_join_matches_plain_join(spark, sf_dir):
     assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, plain.collect()))
     with pytest.raises(ValueError):
         salted_join(orders, cust, "o_custkey", how="full")
+
+
+def test_contamination_broadcasts_benchmark_keys(spark, sf_dir):
+    """The 100 TB corpus side must never shuffle its grams: the
+    benchmark key set is broadcast into a map-side semi-join."""
+    from pagerank_hadoop_spark.operators.curation import contaminated_ids
+    from pagerank_hadoop_spark.plans.checks import formatted_plan
+    from pagerank_hadoop_spark.session import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 97 == 0)
+    corpus = docs.where(F.col("doc_id") % 97 != 0)
+    plan = formatted_plan(contaminated_ids(corpus, bench))
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+
+
+def test_asof_join_single_key_shuffle(spark):
+    """The merge-shape as-of join shuffles each side once on the key
+    (one exchange per input + the window's) — and never plans a
+    nested-loop or cartesian join."""
+    from pagerank_hadoop_spark.operators.joins import asof_join
+    from pagerank_hadoop_spark.plans.checks import count_exchanges, formatted_plan
+
+    left = spark.createDataFrame([(1, 10, "p")], ["uid", "ts", "pid"])
+    right = spark.createDataFrame([(1, 5, "c")], ["uid", "ts", "cid"])
+    out = asof_join(left, right, "uid", "ts")
+    plan = formatted_plan(out)
+    assert "Join" not in plan  # pure union + window: no join operator at all
+    assert count_exchanges(out) <= 2  # union inputs coalesce into the window shuffle
+
+
+def test_range_join_is_equi_join(spark):
+    """The bucketized band join must plan a hash/merge equi-join, not
+    BroadcastNestedLoopJoin (Spark's plan for pure range predicates)."""
+    from pagerank_hadoop_spark.operators.joins import range_join
+    from pagerank_hadoop_spark.plans.checks import formatted_plan
+
+    left = spark.createDataFrame([(1, 1000, "a")], ["uid", "lt", "lid"])
+    right = spark.createDataFrame([(1, 1050, "x")], ["uid", "rt", "rid"])
+    plan = formatted_plan(range_join(left, right, ["uid"], "lt", "rt", 0, 100))
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+    assert "HashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_unpivot_plans_expand_single_scan(spark, sf_dir):
+    """DataFrame.unpivot is one scan + Expand — not a UNION of scans."""
+    from pagerank_hadoop_spark.plans.checks import formatted_plan
+    from pagerank_hadoop_spark.session import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    melted = li.unpivot(
+        [], ["l_quantity", "l_extendedprice", "l_discount"], "measure", "val"
+    )
+    import re
+
+    plan = formatted_plan(melted)
+    assert "Expand" in plan
+    # one scan node (each appears once in the tree and once in details)
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
