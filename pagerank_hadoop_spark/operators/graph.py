@@ -113,6 +113,18 @@ def connected_components(
         sym.select(F.col("src").alias("id")).distinct().withColumn("component", F.col("id"))
     ).localCheckpoint(eager=True)
 
+    # Right-size the per-round task count to the edge count (see
+    # pagerank._iter_partitions): a small cached graph over 32
+    # partitions makes every round 32 near-empty tasks.
+    from pagerank_hadoop_spark.operators.pagerank import _iter_partitions
+
+    n_edges = sym.count()
+    parts = _iter_partitions(n_edges, shuffle_parts)
+    if parts < shuffle_parts:
+        old = sym
+        sym = old.repartition(parts, "src").localCheckpoint(eager=True)
+        old.unpersist()
+
     for i in range(max_iter):
         msgs = (
             sym.join(labels, sym.src == labels.id)

@@ -44,6 +44,21 @@ from pyspark.sql import DataFrame, functions as F
 DAMPING = 0.85
 TELEPORT = 0.15
 
+# target vertices per task in iterative loops: small graphs collapse to
+# a handful of partitions (32 near-empty tasks per iteration is pure
+# scheduler overhead — measured 2x on the sf0.1 bench); a 1e9-vertex
+# graph still fans out to ~10k tasks, far above any shuffle_partitions
+# default, and AQE coalesces from there
+ROWS_PER_ITER_TASK = 100_000
+
+
+def _iter_partitions(n: int, shuffle_parts: int) -> int:
+    """Partition count for iterative state: ~ROWS_PER_ITER_TASK rows
+    per task, never more than the session's shuffle partitions for
+    small graphs, never fewer than shuffle partitions for big ones."""
+    need = -(-n // ROWS_PER_ITER_TASK)
+    return max(1, min(shuffle_parts, need)) if need < shuffle_parts else shuffle_parts
+
 
 def adjacency_from_edges(edges: DataFrame, dedup: bool = True) -> DataFrame:
     """Edges ``(src, dst)`` → adjacency ``(id, outlinks array)``.
@@ -135,6 +150,30 @@ def pagerank_with_n(
     n = adjacency.count()  # driver-side scalar, as PageRank.java:470-471
     if n == 0:
         return spark.createDataFrame([], "id string, rank double"), 0
+    # Now that N is known, right-size the iteration partitioning: for a
+    # graph far smaller than shuffle_parts x ROWS_PER_ITER_TASK, re-lay
+    # the (tiny, already-materialized) adjacency onto fewer partitions
+    # so the 8-iteration loop isn't dominated by empty-task scheduling.
+    # (The rank-side shuffles stay at shuffle_parts and AQE coalesces
+    # them at runtime; what AQE can NOT fix is the partition count of
+    # the cached static side, which sets the task count of every
+    # iteration's join.)
+    parts = _iter_partitions(n, shuffle_parts)
+    if parts < shuffle_parts:
+        old = adjacency
+        adjacency = old.repartition(parts, "id").localCheckpoint(eager=True)
+        old.unpersist()
+    return _pagerank_loop(adjacency, n, n_iter, damping, parity, checkpoint_interval), n
+
+
+def _pagerank_loop(
+    adjacency: DataFrame,
+    n: int,
+    n_iter: int,
+    damping: float,
+    parity: bool,
+    checkpoint_interval: int,
+) -> DataFrame:
 
     teleport = (1.0 - damping) / n
     outdeg = F.size("outlinks")
@@ -175,11 +214,10 @@ def pagerank_with_n(
                 # truncate lineage so the plan doesn't grow unboundedly
                 ranks_sparse = ranks_sparse.localCheckpoint(eager=True)
         if ranks_sparse is None:
-            return adjacency.select("id", F.lit(1.0 / n).alias("rank")), n
-        ranks = adjacency.select("id").join(ranks_sparse, "id", "left").select(
+            return adjacency.select("id", F.lit(1.0 / n).alias("rank"))
+        return adjacency.select("id").join(ranks_sparse, "id", "left").select(
             "id", F.coalesce("rank", F.lit(teleport)).alias("rank")
         )
-        return ranks, n
 
     # Corrected mode: dangling mass is redistributed uniformly each
     # iteration. The mass is a 1-row aggregate broadcast back via
@@ -212,7 +250,7 @@ def pagerank_with_n(
         if (i + 1) % checkpoint_interval == 0 and i + 1 < n_iter:
             ranks = ranks.localCheckpoint(eager=True)
 
-    return ranks, n
+    return ranks
 
 
 def top_ranks(

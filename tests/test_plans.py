@@ -81,10 +81,12 @@ def test_cosine_topk_broadcasts_queries(spark, sf_dir):
 
 
 def test_pagerank_iteration_reuses_adjacency_exchange(spark):
-    # the static adjacency must not re-shuffle every iteration: with
-    # the explicit repartition+cache, each iteration's join reads the
-    # cached partitioned adjacency (InMemoryTableScan), adding no new
-    # adjacency-side Exchange
+    # the static adjacency must not be recomputed or re-shuffled every
+    # iteration: each iteration's join reads a materialized partitioned
+    # adjacency — the id-partitioned cache (InMemoryTableScan) for big
+    # graphs, or the right-sized localCheckpoint (Scan ExistingRDD)
+    # that replaces it for graphs far smaller than the session's
+    # shuffle partitioning
     from pagerank_hadoop_spark.operators import pagerank
 
     edges = spark.createDataFrame(
@@ -93,7 +95,14 @@ def test_pagerank_iteration_reuses_adjacency_exchange(spark):
     )
     ranks = pagerank(edges, n_iter=2)
     plan = formatted_plan(ranks)
-    assert "InMemoryTableScan" in plan or "TableCacheQueryStage" in plan, plan
+    materialized = (
+        "InMemoryTableScan" in plan
+        or "TableCacheQueryStage" in plan
+        or "Scan ExistingRDD" in plan
+    )
+    assert materialized, plan
+    # and the raw edge scan must not appear once per iteration
+    assert plan.count("LocalTableScan") <= 2, plan
 
 
 def test_partitioned_sink_prunes_partitions(spark, sf_dir, tmp_path):
