@@ -20,6 +20,10 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 def main() -> None:
     spark = get_spark("bench")
+    # untimed warmup: JVM/codegen/Arrow spin-up and the parquet footer
+    # reads otherwise land entirely on whichever query runs first
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    spark.read.parquet(os.path.join(SF_DIR, "lineitem.parquet")).limit(1).collect()
     qs = _registry.queries()
     names = sys.argv[1:] or sorted(qs)
     timings: dict[str, float] = {}
