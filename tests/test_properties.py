@@ -1,0 +1,90 @@
+"""Property-based invariants (SURVEY.md §5.3) over random small graphs
+and corpora — hypothesis generates the structures, Spark must uphold:
+
+* corrected-mode PageRank is a probability distribution (Σ = 1);
+* parity mode loses only dangling mass (Σ ≤ 1, equality iff no
+  dangling vertex), and every rank ≥ the teleport baseline;
+* top_ranks output is monotone non-increasing;
+* exact dedup is idempotent and keeps the lowest id per key.
+
+Examples are kept few and small: each one drives real Spark jobs.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from pagerank_hadoop_spark.operators.dedup import exact_dedup
+from pagerank_hadoop_spark.operators.pagerank import pagerank_with_n, top_ranks
+
+NODES = [f"v{i}" for i in range(6)]
+
+edges_strategy = st.lists(
+    st.tuples(st.sampled_from(NODES), st.sampled_from(NODES)),
+    min_size=1,
+    max_size=12,
+)
+
+SETTINGS = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@given(edges=edges_strategy)
+@SETTINGS
+def test_pagerank_mass_invariants(spark, edges):
+    df = spark.createDataFrame(edges, "src string, dst string")
+
+    corrected, n = pagerank_with_n(df, n_iter=4, parity=False)
+    rows = corrected.collect()
+    assert len(rows) == n
+    total = sum(r.rank for r in rows)
+    assert abs(total - 1.0) < 1e-9  # probability distribution
+
+    parity, n2 = pagerank_with_n(df, n_iter=4, parity=True)
+    prows = parity.collect()
+    assert n2 == n
+    teleport = 0.15 / n
+    ptotal = sum(r.rank for r in prows)
+    assert ptotal <= 1.0 + 1e-9  # dangling mass only ever leaks OUT
+    assert all(r.rank >= teleport - 1e-12 for r in prows)
+
+    srcs = {s for s, _ in edges}
+    dangling = {d for _, d in edges} - srcs
+    if not dangling:
+        # no dangling vertices -> parity loses nothing
+        assert abs(ptotal - 1.0) < 1e-9
+
+
+@given(edges=edges_strategy)
+@SETTINGS
+def test_top_ranks_monotone(spark, edges):
+    df = spark.createDataFrame(edges, "src string, dst string")
+    ranks, n = pagerank_with_n(df, n_iter=2, parity=True)
+    out = [r.rank for r in top_ranks(ranks, n, threshold=0.5 / n).collect()]
+    assert out == sorted(out, reverse=True)
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 50), st.sampled_from(["a", "b", "c", "d"])),
+        min_size=1,
+        max_size=30,
+        unique_by=lambda t: t[0],
+    )
+)
+@SETTINGS
+def test_exact_dedup_idempotent_keeps_min_id(spark, rows):
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    once = exact_dedup(df, "text", "doc_id")
+    twice = exact_dedup(once, "text", "doc_id")
+    got_once = sorted(map(tuple, once.collect()))
+    assert got_once == sorted(map(tuple, twice.collect()))
+    # exactly one survivor per distinct key: the minimum id
+    expect = {}
+    for i, t in rows:
+        expect[t] = min(expect.get(t, i), i)
+    assert got_once == sorted((i, t) for t, i in expect.items())
