@@ -72,7 +72,7 @@ def pack_bins(
     docs: DataFrame,
     tokens_col: str,
     context_len: int,
-    stream_col: str = "lang",
+    stream_col: str | list[str] = "lang",
     order_col: str = "doc_id",
 ) -> DataFrame:
     """Assign each document to a context-window bin (GPT-style
@@ -87,8 +87,9 @@ def pack_bins(
     stream so no global sort exists. Map-side nothing shuffles but
     ``(stream, order, n_tokens)``.
     """
+    streams = [stream_col] if isinstance(stream_col, str) else list(stream_col)
     w = (
-        Window.partitionBy(stream_col)
+        Window.partitionBy(*streams)
         .orderBy(order_col)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )

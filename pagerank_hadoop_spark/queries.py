@@ -1790,3 +1790,77 @@ def q_range_join_purchase_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         purchases, errors, ["user_id"], "p_us", "e_us", 0, 7_200_000_000
     )
     return out.select("user_id", "purchase_id", "error_id")
+
+
+@register(
+    "curation_pipeline",
+    """
+    WITH q AS (
+      SELECT doc_id, text, lang,
+             length(text) AS n_chars,
+             length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha,
+             len(string_split_regex(trim(text), '\\s+')) AS n_tokens
+      FROM documents
+    ),
+    clean AS (
+      SELECT doc_id, text, lang, n_tokens FROM q
+      WHERE CAST(FLOOR((
+              (CASE WHEN n_chars BETWEEN 20 AND 100000 THEN CAST(0.4 AS DOUBLE) ELSE 0 END)
+            + (CASE WHEN CAST(n_chars AS DOUBLE) / greatest(n_tokens, 1) BETWEEN 2.0 AND 12.0
+                    THEN CAST(0.3 AS DOUBLE) ELSE 0 END)
+            + (CAST(alpha AS DOUBLE) / greatest(n_chars, 1)) * CAST(0.3 AS DOUBLE)
+            ) * 1e6 + 0.5) AS BIGINT) >= 945000
+    ),
+    deduped AS (
+      SELECT * FROM clean
+      WHERE doc_id IN (SELECT MIN(doc_id) FROM clean GROUP BY text)
+    ),
+    s AS (
+      SELECT doc_id, lang, n_tokens,
+             CASE WHEN b < 90 THEN 'train'
+                  WHEN b < 95 THEN 'validation'
+                  ELSE 'test' END AS split
+      FROM (
+        SELECT *,
+               ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 100 AS b
+        FROM deduped
+      )
+    ),
+    offs AS (
+      SELECT split, lang, n_tokens,
+             SUM(n_tokens) OVER (
+               PARTITION BY split, lang ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) - n_tokens AS start_offset
+      FROM s
+    )
+    SELECT split, lang, COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+           CAST(MAX(FLOOR(start_offset / 2048.0)) + 1 AS BIGINT) AS n_bins
+    FROM offs GROUP BY split, lang
+    """,
+)
+def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composite training-data pipeline as ONE lazy plan: quality
+    filter (>= 0.945) → exact dedup (lowest id per text) →
+    deterministic 90/5/5 split → per-(split, lang) context packing →
+    summary. Each stage is the oracle-checked operator from
+    operators.curation / operators.dedup; the composition stays a
+    single Catalyst plan with no materialization between stages."""
+    from pagerank_hadoop_spark.operators.curation import pack_bins, with_split
+    from pagerank_hadoop_spark.operators.dedup import exact_dedup
+    from pagerank_hadoop_spark.operators.text_analysis import quality_micro, token_count
+
+    docs = _t(spark, sf_dir, "documents")
+    clean = docs.where(quality_micro(F.col("text")) >= 945000)
+    deduped = exact_dedup(clean, "text", "doc_id")
+    split = with_split(deduped)
+    toks = split.select(
+        "doc_id", "lang", "split", token_count(F.col("text")).alias("n_tokens")
+    )
+    packed = pack_bins(toks, "n_tokens", 2048, stream_col=["split", "lang"])
+    return packed.groupBy("split", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+        (F.max("bin") + 1).cast("bigint").alias("n_bins"),
+    )
