@@ -115,3 +115,65 @@ def frame_sample(decoded: DataFrame, every_n: int = 4) -> DataFrame:
             F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(every_n))
         ).alias("frame_idx"),
     )
+
+
+def resize_media(
+    decoded: DataFrame, target_w: int = 224, target_h: int = 224
+) -> DataFrame:
+    """Aspect-preserving resize plan: output dimensions for a
+    fit-within-(target_w x target_h) resample. Pure Column arithmetic
+    (the pixel resample itself belongs in the decode UDF); adds
+    ``out_width``/``out_height``/``scale``."""
+    scale = F.least(
+        F.lit(float(target_w)) / F.col("width"),
+        F.lit(float(target_h)) / F.col("height"),
+    )
+    return decoded.select(
+        "*",
+        scale.alias("scale"),
+        F.floor(F.col("width") * scale).cast("int").alias("out_width"),
+        F.floor(F.col("height") * scale).cast("int").alias("out_height"),
+    )
+
+
+FEATURE_DIM = 16
+
+
+def extract_features(media: DataFrame, dim: int = FEATURE_DIM) -> DataFrame:
+    """Feature-extraction plumbing: payload -> embedding
+    (array<float>) via Arrow-batched mapInPandas — the bridge from
+    media columns into the similarity-search operators. The real model
+    forward pass is stubbed with a deterministic digest-derived
+    vector; batch shape, schema, and partition sizing are the
+    production ones."""
+    from pyspark.sql.types import ArrayType, FloatType
+
+    schema = StructType(
+        [
+            StructField("media_id", LongType()),
+            StructField("embedding", ArrayType(FloatType())),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        def vec(payload: bytes) -> list[float]:
+            out: list[float] = []
+            h = b""
+            i = 0
+            while len(out) < dim:
+                h = hashlib.sha256(payload + bytes([i])).digest()
+                out.extend(b / 255.0 - 0.5 for b in h)
+                i += 1
+            return out[:dim]
+
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "embedding": pdf["payload"].map(vec),
+                }
+            )
+
+    return media.mapInPandas(batches, schema)

@@ -1864,3 +1864,81 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tokens").cast("bigint").alias("n_tokens"),
         (F.max("bin") + 1).cast("bigint").alias("n_bins"),
     )
+
+
+@register(
+    "media_resized",
+    """
+    WITH decoded AS (
+      SELECT doc_id AS media_id,
+             64 + ('0x' || substr(sha256(text), 1, 2))::INT % 192 AS width,
+             64 + ('0x' || substr(sha256(text), 3, 2))::INT % 192 AS height
+      FROM documents
+    )
+    SELECT media_id, width, height,
+           CAST(FLOOR(width * least(224.0 / width, 224.0 / height)) AS INT) AS out_width,
+           CAST(FLOOR(height * least(224.0 / width, 224.0 / height)) AS INT) AS out_height
+    FROM decoded
+    """,
+)
+def q_media_resized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5: aspect-preserving resize plan over decoded media metadata —
+    relational arithmetic only. Oracle-checkable because the stub
+    decode derives dimensions from sha256(payload), which DuckDB
+    reproduces byte-for-byte."""
+    from pagerank_hadoop_spark.operators.multimodal import (
+        attach_media,
+        decode_media,
+        resize_media,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("payload")
+    )
+    decoded = decode_media(attach_media(docs, F.col("payload")), strict=False)
+    return resize_media(decoded).select(
+        "media_id", "width", "height", "out_width", "out_height"
+    )
+
+
+@register("media_features")
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5→E3 bridge: payloads → deterministic stub embeddings via
+    Arrow-batched mapInPandas, then brute-force cosine top-1 against
+    the first 4 media vectors — the full multimodal similarity path
+    through real UDF plumbing (rows-only: float arrays + xxhash-free
+    but UDF-derived values)."""
+    from pagerank_hadoop_spark.functions.vectors import cosine_similarity
+    from pagerank_hadoop_spark.operators.multimodal import attach_media, extract_features
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("payload")
+    )
+    feats = extract_features(attach_media(docs, F.col("payload")))
+    queries_side = feats.where(F.col("media_id") < 4).select(
+        F.col("media_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    sims = feats.crossJoin(F.broadcast(queries_side)).where(
+        F.col("media_id") != F.col("q_id")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("q_id").orderBy(
+        F.desc("sim"), F.asc("media_id")
+    )
+    return (
+        sims.select(
+            "q_id",
+            "media_id",
+            F.round(
+                cosine_similarity(
+                    F.col("q_vec").cast("array<double>"),
+                    F.col("embedding").cast("array<double>"),
+                ),
+                9,
+            ).alias("sim"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )

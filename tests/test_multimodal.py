@@ -55,3 +55,38 @@ def test_frame_sampling(media):
         per[r["media_id"]] += 1
     for mid, nf in joined.items():
         assert per[mid] == (nf + 3) // 4
+
+
+def test_resize_media_fits_target_and_preserves_aspect(spark):
+    from pagerank_hadoop_spark.operators.multimodal import (
+        attach_media,
+        decode_media,
+        resize_media,
+    )
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [(1, b"payload-one"), (2, b"another-payload")], ["id", "payload"]
+    )
+    decoded = decode_media(attach_media(docs, F.col("payload")), strict=False)
+    for r in resize_media(decoded, 224, 224).collect():
+        assert r.out_width <= 224 and r.out_height <= 224
+        assert max(r.out_width, r.out_height) == 224  # fit, not shrink-to-nothing
+        got = r.out_width / r.out_height
+        want = r.width / r.height
+        assert abs(got - want) / want < 0.05  # aspect preserved within floor()
+
+
+def test_extract_features_deterministic_shape(spark):
+    from pagerank_hadoop_spark.operators.multimodal import attach_media, extract_features
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [(1, b"payload-one"), (2, b"another-payload")], ["id", "payload"]
+    )
+    media = attach_media(docs, F.col("payload"))
+    a = {r.media_id: r.embedding for r in extract_features(media).collect()}
+    b = {r.media_id: r.embedding for r in extract_features(media).collect()}
+    assert a == b  # digest-derived: deterministic across runs
+    assert all(len(v) == 16 for v in a.values())
+    assert a[1] != a[2]
