@@ -1942,3 +1942,73 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") == 1)
         .drop("rn")
     )
+
+
+@register(
+    "stream_band_join",
+    """
+    SELECT p.user_id, p.event_id AS purchase_id, e.event_id AS error_id
+    FROM events p JOIN events e
+      ON p.user_id = e.user_id
+     AND p.event_type = 'purchase' AND e.event_type = 'error'
+     AND epoch_us(e.ts) >= epoch_us(p.ts)
+     AND epoch_us(e.ts) <= epoch_us(p.ts) + 7200000000
+    """,
+)
+def q_stream_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E6: watermarked STREAM-STREAM inner join (the stateful join
+    surface of Structured Streaming) — purchases joined to errors
+    within 2 hours, both sides watermarked so join state is bounded.
+    Drained with availableNow; on bounded input the result equals the
+    batch inequality join, which is the oracle (same SQL as
+    range_join_purchase_error's)."""
+    from pagerank_hadoop_spark.streaming.windows import (
+        run_to_memory,
+        stream_stream_band_join,
+    )
+
+    schema = (
+        "event_id long, ts long, user_id long, event_type string, "
+        "value double, props string"
+    )
+
+    def side(event_type: str, prefix: str):
+        return (
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+            .where(F.col("event_type") == event_type)
+            .select(
+                F.col("user_id").alias(f"{prefix}_user_id"),
+                F.expr("timestamp_micros(ts DIV 1000)").alias(f"{prefix}_ts"),
+                F.col("event_id").alias(f"{prefix}_event_id"),
+            )
+        )
+
+    joined = stream_stream_band_join(
+        side("purchase", "p"),
+        side("error", "e"),
+        "p_user_id",
+        "e_user_id",
+        "p_ts",
+        "e_ts",
+        band="2 hours",
+        watermark="1 hour",
+    )
+    _STREAM_SEQ["n"] += 1
+    name = f"stream_band_{_STREAM_SEQ['n']}"
+    # the stream drains fully inside run_to_memory, so scoping the
+    # shuffle/state partitioning down is safe: join state here is a
+    # few thousand rows, and 32 state stores x N micro-batches is
+    # pure overhead (a real deployment sizes this to state volume)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        run_to_memory(joined, name, output_mode="append")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.table(name).select(
+        F.col("p_user_id").alias("user_id"),
+        F.col("p_event_id").alias("purchase_id"),
+        F.col("e_event_id").alias("error_id"),
+    )

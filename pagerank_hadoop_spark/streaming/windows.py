@@ -99,3 +99,32 @@ def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "append"):
     )
     q.awaitTermination(120)
     return q
+
+
+def stream_stream_band_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    left_ts: str,
+    right_ts: str,
+    band: str = "2 hours",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Watermarked stream-stream inner join: right rows within
+    ``[left_ts, left_ts + band]`` for the same key.
+
+    Both sides carry a watermark and the join condition bounds event
+    time on BOTH ends — that pair is what lets Spark evict join state:
+    buffered left rows older than (watermark + band) can never match a
+    future right row, so state stays O(band x rate) instead of
+    unbounded. Key/ts column names must differ across sides
+    (pre-rename) so the joined schema is unambiguous.
+    """
+    lw = left.withWatermark(left_ts, watermark)
+    rw = right.withWatermark(right_ts, watermark)
+    cond = F.expr(
+        f"{left_key} = {right_key} AND {right_ts} >= {left_ts} "
+        f"AND {right_ts} <= {left_ts} + interval {band}"
+    )
+    return lw.join(rw, cond, "inner")
