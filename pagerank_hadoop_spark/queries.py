@@ -2012,3 +2012,18 @@ def q_stream_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p_event_id").alias("purchase_id"),
         F.col("e_event_id").alias("error_id"),
     )
+
+
+@register("ivf_kmeans_topk")
+def q_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3: IVF ANN with a REAL seeded-KMeans coarse quantizer
+    (pyspark.ml) — the trained-centroid upgrade of ivf_topk; same
+    shuffle-free cell-assignment map, centers inlined as literals.
+    Rows-only: learned centroids aren't SQL-reproducible; recall vs
+    the exact baseline is asserted in unit tests."""
+    from pagerank_hadoop_spark.operators.similarity import ivf_kmeans_topk
+
+    emb, queries_df = _ann_inputs(spark, sf_dir)
+    return ivf_kmeans_topk(emb, queries_df, k=5).orderBy(
+        "q_id", F.desc("sim"), "vec_id"
+    )

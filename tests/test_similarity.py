@@ -75,3 +75,32 @@ def test_approximate_recall(emb, queries_df, exact, fn):
     ]
     # approximate methods must find a reasonable share of true neighbors
     assert sum(recalls) / len(recalls) >= 0.2, recalls
+
+
+def test_ivf_kmeans_recall_against_exact(spark, sf_dir):
+    from pagerank_hadoop_spark.operators.similarity import cosine_topk, ivf_kmeans_topk
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    queries = emb.where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
+    )
+    exact = {
+        (r.q_id, r.vec_id)
+        for r in cosine_topk(emb, queries, k=5).collect()
+    }
+    approx = {
+        (r.q_id, r.vec_id)
+        for r in ivf_kmeans_topk(emb, queries, k=5, nprobe=8).collect()
+    }
+    # trained quantizer with wide probing: decent recall on tiny data
+    assert len(approx & exact) / len(exact) >= 0.5
+
+    # determinism: seeded fit -> identical result sets across runs
+    again = {
+        (r.q_id, r.vec_id)
+        for r in ivf_kmeans_topk(emb, queries, k=5, nprobe=8).collect()
+    }
+    assert approx == again
