@@ -128,3 +128,29 @@ def stream_stream_band_join(
         f"AND {right_ts} <= {left_ts} + interval {band}"
     )
     return lw.join(rw, cond, "inner")
+
+
+def stream_to_parquet_idempotent(
+    stream_df: DataFrame, path: str, checkpoint_dir: str
+):
+    """Production stream sink: foreachBatch writing each micro-batch to
+    a ``batch_id=N`` parquet partition with overwrite — re-processing
+    a batch after failure rewrites the same directory, so the sink is
+    exactly-once end-to-end (checkpoint tracks offsets, the overwrite
+    makes the write idempotent). availableNow-triggered; returns the
+    drained query.
+    """
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(
+            f"{path}/batch_id={batch_id}"
+        )
+
+    q = (
+        stream_df.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return q

@@ -131,3 +131,34 @@ def test_stateful_dedup_across_batches(spark, drop_dir):
     # batch 1 dropped one dup for user 1; batch 2 dropped one more
     dropped_u1 = sorted(r["n_dups_dropped"] for r in rows if r["user_id"] == 1)
     assert dropped_u1 == [1, 1, 1]  # [batch1 rows x2 report 1, batch2 row reports 1]
+
+
+def test_foreachbatch_parquet_sink_idempotent(spark, sf_dir, tmp_path):
+    from pagerank_hadoop_spark.streaming.windows import (
+        stream_to_parquet_idempotent,
+    )
+
+    schema = (
+        "event_id long, ts long, user_id long, event_type string, "
+        "value double, props string"
+    )
+
+    def drain(out, ckpt):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+            .select("event_id", "user_id")
+        )
+        stream_to_parquet_idempotent(stream, out, ckpt)
+
+    src_count = (
+        spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    )
+    out, ckpt = str(tmp_path / "sink"), str(tmp_path / "ckpt")
+    drain(out, ckpt)
+    assert spark.read.parquet(out).count() == src_count
+    # re-drain with the SAME checkpoint: offsets already committed ->
+    # no new batches, no duplicated rows
+    drain(out, ckpt)
+    assert spark.read.parquet(out).count() == src_count
