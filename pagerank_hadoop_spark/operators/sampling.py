@@ -1,0 +1,105 @@
+"""Deterministic sampling + ordering operators for corpus work ([EXT]).
+
+A 100 TB training pipeline needs samples that are (a) reproducible
+across retries and engine versions, (b) stable under corpus growth —
+a document's membership must never depend on which other rows exist —
+and (c) cheap: no global sort, no RNG state shipped to executors.
+
+All operators here key off the same engine-portable hash family as
+``operators.curation.split_bucket`` (hex-truncated md5 of the row id),
+so every sample is oracle-checkable in ANSI SQL and identical in
+Spark, DuckDB, and plain Python. ``Math.random``-style sampling
+(``df.sample``) is kept out of declared queries on purpose: it is
+seed × partitioning dependent, which breaks both the oracle gate and
+backfill reproducibility.
+
+Scale posture:
+
+* ``hash_sample`` / ``stratified_sample`` are stateless per-row
+  filters — they push down to the scan side of every plan, shuffle
+  nothing, and compose with later joins/aggs as ordinary predicates.
+* ``deterministic_shuffle`` totally orders rows by a salted hash —
+  a range-partitioned sort on an 8-byte key, the standard way to
+  produce a reproducible global training order. The payload sorts by
+  the key; only the key participates in range exchange sampling.
+* ``reservoir_per_key`` takes exactly ``k`` rows per group via a
+  hash-ordered ``row_number`` window — bounded memory per key, no
+  driver involvement.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+# 16^6 buckets; plenty of resolution for per-mille sampling rates
+_HASH_SPAN = 16**6
+
+
+def sample_key(id_col: Column, salt: str = "") -> Column:
+    """Uniform integer in [0, 16^6) derived from md5(salt || id) —
+    bit-identical across engines (Spark `conv`, DuckDB `'0x'||`,
+    Python `int(..., 16)`)."""
+    return (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(salt), id_col.cast("string"))), 1, 6),
+            16,
+            10,
+        )
+        .cast("long")
+    )
+
+
+def hash_sample(
+    df: DataFrame, id_col: str, fraction: float, salt: str = ""
+) -> DataFrame:
+    """Deterministic Bernoulli sample: keep rows whose hash bucket
+    falls below ``fraction`` of the hash span.
+
+    Unlike ``DataFrame.sample`` this is row-content-addressed — stable
+    across retries, partitioning changes, and engine versions — and is
+    a plain pushdown-able filter (no RNG, no shuffle).
+    """
+    cut = int(fraction * _HASH_SPAN)
+    return df.where(sample_key(F.col(id_col), salt) < cut)
+
+
+def stratified_sample(
+    df: DataFrame, id_col: str, fractions: dict[str, float], strata_col: str, salt: str = ""
+) -> DataFrame:
+    """Per-stratum deterministic sample (e.g. downsample dominant
+    languages, keep 100% of rare ones). Strata missing from
+    ``fractions`` are dropped — the common curation contract."""
+    key = sample_key(F.col(id_col), salt)
+    pred = F.lit(False)
+    for stratum, fraction in sorted(fractions.items()):
+        cut = int(fraction * _HASH_SPAN)
+        pred = pred | ((F.col(strata_col) == stratum) & (key < cut))
+    return df.where(pred)
+
+
+def deterministic_shuffle(
+    df: DataFrame, id_col: str, salt: str = "shuffle"
+) -> DataFrame:
+    """Reproducible global shuffle for training order: total sort by
+    (salted hash, id). The trailing ``id_col`` tiebreak makes the
+    order a strict total order even on hash collisions."""
+    return df.orderBy(
+        sample_key(F.col(id_col), salt).asc(), F.col(id_col).asc()
+    )
+
+
+def reservoir_per_key(
+    df: DataFrame, key_cols: list[str], id_col: str, k: int, salt: str = ""
+) -> DataFrame:
+    """Exactly ``min(k, |group|)`` deterministic rows per key — the
+    distributed stand-in for per-key reservoir sampling. Hash-ordered
+    ``row_number`` keeps selection content-addressed; the window sort
+    is per-key (never global) and AQE splits skewed keys."""
+    w = Window.partitionBy(*key_cols).orderBy(
+        sample_key(F.col(id_col), salt).asc(), F.col(id_col).asc()
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .drop("__rn")
+    )

@@ -2014,6 +2014,235 @@ def q_stream_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# [EXT] deterministic sampling / training order (operators.sampling)
+# ---------------------------------------------------------------------------
+
+_SAMPLE_KEY_SQL = "('0x' || substr(md5({expr}), 1, 6))::BIGINT"
+
+
+@register(
+    "sample_documents",
+    f"""
+    SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM(CAST(n_chars AS DECIMAL(38,4))) AS DOUBLE) AS total_chars
+    FROM documents
+    WHERE {_SAMPLE_KEY_SQL.format(expr="CAST(doc_id AS VARCHAR)")} < CAST(0.1 * 16777216 AS BIGINT)
+    GROUP BY lang
+    """,
+)
+def q_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 10% Bernoulli sample (content-addressed md5
+    bucket, operators.sampling.hash_sample): reproducible across
+    engines/retries, pure pushdown-able filter — unlike df.sample,
+    whose output depends on seed × partitioning."""
+    from pagerank_hadoop_spark.operators.sampling import hash_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return hash_sample(docs, "doc_id", 0.1).groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        dsum("n_chars", "total_chars"),
+    )
+
+
+_STRATA_FRACTIONS = {"en": 0.2, "de": 0.5, "es": 0.5, "fr": 1.0, "zh": 1.0}
+
+
+@register(
+    "stratified_sample_counts",
+    f"""
+    SELECT lang, COUNT(*) AS n_docs FROM documents
+    WHERE ({_SAMPLE_KEY_SQL.format(expr="CAST(doc_id AS VARCHAR)")})
+          < CAST(CASE lang WHEN 'en' THEN 0.2 WHEN 'de' THEN 0.5 WHEN 'es' THEN 0.5
+                           WHEN 'fr' THEN 1.0 WHEN 'zh' THEN 1.0 ELSE 0 END
+                 * 16777216 AS BIGINT)
+    GROUP BY lang
+    """,
+)
+def q_stratified_sample_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified deterministic sampling: rebalance the corpus by
+    downsampling dominant languages (en 20%, de/es 50%) while keeping
+    all of the rare ones — the standard language-rebalancing pass."""
+    from pagerank_hadoop_spark.operators.sampling import stratified_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        stratified_sample(docs, "doc_id", _STRATA_FRACTIONS, "lang")
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+@register(
+    "training_order_head",
+    f"""
+    SELECT doc_id,
+           {_SAMPLE_KEY_SQL.format(expr="'shuffle' || CAST(doc_id AS VARCHAR)")} AS shuffle_key
+    FROM documents
+    ORDER BY shuffle_key, doc_id LIMIT 50
+    """,
+)
+def q_training_order_head(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible global training order (salted-hash total sort,
+    operators.sampling.deterministic_shuffle) — first 50 docs. The
+    sort is a range-partitioned exchange on an 8-byte key; top-k here
+    collapses it to TakeOrderedAndProject."""
+    from pagerank_hadoop_spark.operators.sampling import (
+        deterministic_shuffle,
+        sample_key,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", sample_key(F.col("doc_id"), "shuffle").alias("shuffle_key")
+    )
+    return deterministic_shuffle(docs, "doc_id", "shuffle").limit(50)
+
+
+@register(
+    "reservoir_per_lang",
+    f"""
+    SELECT lang, doc_id FROM (
+      SELECT lang, doc_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY lang
+               ORDER BY {_SAMPLE_KEY_SQL.format(expr="CAST(doc_id AS VARCHAR)")}, doc_id
+             ) AS rn
+      FROM documents
+    ) WHERE rn <= 3
+    """,
+)
+def q_reservoir_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-k-per-group sampling (k=3 docs per language) via a
+    hash-ordered row_number window — bounded state per key, no global
+    sort (operators.sampling.reservoir_per_key)."""
+    from pagerank_hadoop_spark.operators.sampling import reservoir_per_key
+
+    docs = _t(spark, sf_dir, "documents").select("lang", "doc_id")
+    return reservoir_per_key(docs, ["lang"], "doc_id", 3)
+
+
+# ---------------------------------------------------------------------------
+# Higher-order array functions + string-distance kernel
+# ---------------------------------------------------------------------------
+
+@register(
+    "vector_stats",
+    """
+    SELECT vec_id,
+           ROUND(sqrt(list_sum(list_transform(v, x -> x * x))), 6) AS l2_norm,
+           ROUND(list_max(v), 6) AS max_elem,
+           ROUND(list_sum(v) / len(v), 6) AS mean_elem,
+           len(list_filter(v, x -> x > 0)) AS n_positive
+    FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+    WHERE vec_id % 20 = 0
+    """,
+)
+def q_vector_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array kernel (transform / aggregate / filter /
+    array_max) over embedding vectors — all JVM-side codegen'd
+    lambdas, the no-UDF path for vector math at 100 TB."""
+    emb = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") % 20 == 0)
+    v = F.col("embedding").cast("array<double>")
+    sq_sum = F.aggregate(
+        F.transform(v, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
+    )
+    return emb.select(
+        "vec_id",
+        F.round(F.sqrt(sq_sum), 6).alias("l2_norm"),
+        F.round(F.array_max(v), 6).alias("max_elem"),
+        F.round(
+            F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x) / F.size(v), 6
+        ).alias("mean_elem"),
+        F.size(F.filter(v, lambda x: x > 0)).alias("n_positive"),
+    )
+
+
+@register(
+    "edit_distance_pairs",
+    """
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           levenshtein(substr(a.text, 1, 80), substr(b.text, 1, 80)) AS edit_dist
+    FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+    WHERE a.doc_id % 10 = 0
+    """,
+)
+def q_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-distance kernel: Levenshtein edit distance between
+    adjacent documents' 80-char prefixes (the fuzzy-matching primitive
+    behind title/URL dedup). Prefix-capped because the DP is O(len²)
+    per pair — at corpus scale always band the inputs first."""
+    docs = _t(spark, sf_dir, "documents")
+    a = docs.where(F.col("doc_id") % 10 == 0).select(
+        F.col("doc_id").alias("id_a"), F.substring("text", 1, 80).alias("t_a")
+    )
+    b = docs.select(
+        F.col("doc_id").alias("id_b"), F.substring("text", 1, 80).alias("t_b")
+    )
+    return (
+        a.join(b, b.id_b == a.id_a + 1)
+        .select("id_a", "id_b", F.levenshtein("t_a", "t_b").alias("edit_dist"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sources/sinks: JSONL round-trip, partitioned-parquet pruning
+# ---------------------------------------------------------------------------
+
+@register(
+    "jsonl_roundtrip",
+    """
+    SELECT source, COUNT(*) AS n_docs,
+           CAST(SUM(CAST(n_chars AS DECIMAL(38,4))) AS DOUBLE) AS total_chars
+    FROM documents GROUP BY source
+    """,
+)
+def q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S-ops [EXT]: newline-delimited JSON as a REAL write+read round
+    trip (the lingua franca of web-corpus interchange): documents →
+    JSONL files → schema'd re-read → per-source stats. Values survive
+    because n_chars is integral and text is JSON-escaped losslessly."""
+    import tempfile
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    out = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_jsonl_{os.path.basename(sf_dir)}"
+    )
+    docs.write.mode("overwrite").json(out)
+    back = spark.read.schema("doc_id long, source string, n_chars long").json(out)
+    return back.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"), dsum("n_chars", "total_chars")
+    )
+
+
+@register(
+    "partitioned_scan_prune",
+    """
+    SELECT user_id, COUNT(*) AS n_purchases,
+           CAST(SUM(CAST(value AS DECIMAL(38,4))) AS DOUBLE) AS total_value
+    FROM events WHERE event_type = 'purchase'
+    GROUP BY user_id
+    """,
+)
+def q_partitioned_scan_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4 sink+scan: events written as event_type-partitioned Parquet
+    (hive layout), re-read with a partition filter — the scan touches
+    ONLY the purchase directory (partition pruning, pinned in
+    tests/test_plans.py). The layout every 100 TB event lake uses."""
+    import tempfile
+
+    from pagerank_hadoop_spark.sources.sinks import write_partitioned
+
+    ev = _events(spark, sf_dir)
+    out = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_evpart_{os.path.basename(sf_dir)}"
+    )
+    write_partitioned(ev, out, ["event_type"])
+    back = spark.read.parquet(out).where(F.col("event_type") == "purchase")
+    return back.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_purchases"), dsum("value", "total_value")
+    )
+
+
 @register("ivf_kmeans_topk")
 def q_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E3: IVF ANN with a REAL seeded-KMeans coarse quantizer

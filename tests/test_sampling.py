@@ -1,0 +1,90 @@
+"""Deterministic sampling / ordering operators (operators.sampling)."""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from pagerank_hadoop_spark.operators.sampling import (
+    deterministic_shuffle,
+    hash_sample,
+    reservoir_per_key,
+    sample_key,
+    stratified_sample,
+)
+
+
+def _py_key(val: str, salt: str = "") -> int:
+    return int(hashlib.md5((salt + val).encode()).hexdigest()[:6], 16)
+
+
+def test_sample_key_matches_python_md5(spark):
+    df = spark.createDataFrame([(i,) for i in range(20)], "doc_id long")
+    got = {
+        r["doc_id"]: r["k"]
+        for r in df.select(
+            "doc_id", sample_key(F.col("doc_id"), "s").alias("k")
+        ).collect()
+    }
+    assert got == {i: _py_key(str(i), "s") for i in range(20)}
+
+
+def test_hash_sample_deterministic_and_stable_under_growth(spark):
+    small = spark.createDataFrame([(i,) for i in range(500)], "doc_id long")
+    big = spark.createDataFrame([(i,) for i in range(1000)], "doc_id long")
+    pick_small = {r[0] for r in hash_sample(small, "doc_id", 0.2).collect()}
+    pick_big = {r[0] for r in hash_sample(big, "doc_id", 0.2).collect()}
+    # growing the corpus never changes membership of existing rows
+    assert pick_small == {i for i in pick_big if i < 500}
+    # rate lands near the target (md5 is uniform)
+    assert 0.1 < len(pick_big) / 1000 < 0.3
+
+
+def test_stratified_sample_respects_fractions(spark):
+    rows = [(i, "en" if i % 2 == 0 else "fr") for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = stratified_sample(df, "doc_id", {"en": 0.1, "fr": 1.0}, "lang")
+    by_lang = {
+        r["lang"]: r["n"]
+        for r in out.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert by_lang["fr"] == 500  # fraction 1.0 keeps everything
+    assert 20 <= by_lang["en"] <= 120
+    # a stratum absent from fractions is dropped
+    df2 = df.withColumn("lang", F.lit("zh"))
+    assert stratified_sample(df2, "doc_id", {"en": 1.0}, "lang").count() == 0
+
+
+def test_deterministic_shuffle_is_total_and_reproducible(spark):
+    df = spark.createDataFrame([(i,) for i in range(100)], "doc_id long")
+    a = [r[0] for r in deterministic_shuffle(df, "doc_id").collect()]
+    b = [r[0] for r in deterministic_shuffle(df.repartition(7), "doc_id").collect()]
+    assert a == b  # partitioning-independent
+    assert sorted(a) == list(range(100))
+    assert a != sorted(a)  # actually shuffled
+
+
+def test_reservoir_per_key_exact_k(spark):
+    rows = [(i, f"g{i % 5}") for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, g string")
+    out = reservoir_per_key(df, ["g"], "doc_id", 7)
+    counts = {r["g"]: r["n"] for r in out.groupBy("g").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert counts == {f"g{i}": 7 for i in range(5)}
+    # small groups keep everything
+    tiny = spark.createDataFrame([(1, "a"), (2, "a")], "doc_id long, g string")
+    assert reservoir_per_key(tiny, ["g"], "doc_id", 7).count() == 2
+
+
+def test_hash_sample_filter_reaches_scan(spark, sf_dir):
+    """The sample predicate must stay a scan-side filter: no shuffle,
+    no extra exchange beyond the aggregation's."""
+    from pagerank_hadoop_spark.plans.checks import count_exchanges
+
+    from pagerank_hadoop_spark.plans.checks import formatted_plan
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sampled = hash_sample(docs, "doc_id", 0.1).groupBy("lang").count()
+    # formatted explain lists each Exchange node twice (tree + details):
+    # exactly the aggregation's single shuffle, nothing from the sample
+    assert count_exchanges(sampled) <= 2, formatted_plan(sampled)
