@@ -126,22 +126,26 @@ def connected_components(
         old.unpersist()
 
     for i in range(max_iter):
-        msgs = (
+        # min incoming neighbor label per vertex (partial agg shrinks
+        # the shuffle to one (id, label) row per vertex per mapper)
+        min_msgs = (
             sym.join(labels, sym.src == labels.id)
-            .select(F.col("dst").alias("id"), "component")
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.min("component").alias("__m"))
         )
+        # merge into the label table with least(); the __changed flag
+        # makes convergence detection a filter-count on the already-
+        # materialized frame instead of a join against the old labels
         new_labels = (
-            labels.unionByName(msgs)
-            .groupBy("id")
-            .agg(F.min("component").alias("component"))
+            labels.join(min_msgs, "id", "left")
+            .select(
+                "id",
+                F.least("component", "__m").alias("component"),
+                (F.col("__m") < F.col("component")).alias("__changed"),
+            )
         ).localCheckpoint(eager=True)
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .where(F.col("n.component") != F.col("o.component"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.where(F.col("__changed")).count()
+        labels = new_labels.drop("__changed")
         if changed == 0:
             break
 
