@@ -224,10 +224,15 @@ def ivf_kmeans_topk(
     # the quantizer needs only enough points to place n_cells centers:
     # cap the fit input (~200 points per center) instead of scanning
     # the whole corpus — at 100 TB the fit is a constant-size job
-    train = corpus.select(
-        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
-    ).limit(n_cells * 200)
+    train = (
+        corpus.select(
+            array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
+        )
+        .limit(n_cells * 200)
+        .cache()  # each of the fit's iterations rescans this frame
+    )
     model = KMeans(k=n_cells, seed=seed, maxIter=8).fit(train)
+    train.unpersist()
     centers = [[float(x) for x in c] for c in model.clusterCenters()]
 
     def center_dot(vec, center: list[float]):

@@ -839,11 +839,8 @@ def _lang_id_oracle_sql() -> str:
     from pagerank_hadoop_spark.operators.text_analysis import _LANG_STOPWORDS
 
     def hits(lang: str) -> str:
-        terms = [
-            f"CAST((length(lc) - length(replace(lc, ' {w} ', ''))) / {len(w) + 2} AS INT)"
-            for w in _LANG_STOPWORDS[lang]
-        ]
-        return " + ".join(terms)
+        in_list = ", ".join(f"'{w}'" for w in _LANG_STOPWORDS[lang])
+        return f"len(list_filter(toks, t -> t IN ({in_list})))"
 
     langs = sorted(_LANG_STOPWORDS)  # de en es fr
     hit_cols = ",\n             ".join(f"({hits(lg)}) AS h_{lg}" for lg in langs)
@@ -851,7 +848,7 @@ def _lang_id_oracle_sql() -> str:
     # descending lang order replicates max-struct tie-breaking
     cases = " ".join(f"WHEN h_{lg} = best THEN '{lg}'" for lg in reversed(langs))
     return f"""
-    WITH lc AS (SELECT ' ' || lower(text) || ' ' AS lc FROM documents),
+    WITH lc AS (SELECT string_split_regex(lower(text), '\\s+') AS toks FROM documents),
     hits AS (SELECT {hit_cols} FROM lc),
     best AS (SELECT *, {best} AS best FROM hits)
     SELECT CASE WHEN best = 0 THEN 'und' {cases} END AS lang_guess,
