@@ -21,9 +21,45 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 def main() -> None:
     spark = get_spark("bench")
     # untimed warmup: JVM/codegen/Arrow spin-up and the parquet footer
-    # reads otherwise land entirely on whichever query runs first
+    # reads otherwise land entirely on whichever query runs first.
+    # Exercises the shared execution machinery the query set leans on
+    # (HOF lambda interpreter, xxhash64, shuffle join, window, Arrow
+    # python workers) so per-query timings measure the operators, not
+    # first-touch JIT of engine internals common to every query.
     spark.range(1_000_000).selectExpr("sum(id)").collect()
-    spark.read.parquet(os.path.join(SF_DIR, "lineitem.parquet")).limit(1).collect()
+    warm = spark.range(10_000).selectExpr(
+        "id",
+        "cast(id as string) s",
+        "sequence(0, 9) seq",
+    )
+    warm.selectExpr(
+        "aggregate(transform(seq, i -> xxhash64(substring(s, 1, 3), i)), "
+        "cast(0 as bigint), (a, x) -> a ^ x) agg",  # xor: no ANSI overflow
+        "array_distinct(zip_with(seq, seq, (x, y) -> x * y)) zw",
+        "size(filter(split(s, '0'), t -> t in ('1', '2'))) f",
+    ).groupBy().max("agg", "f").collect()
+    warm.alias("a").join(warm.alias("b"), "id").selectExpr(
+        "max(hash(a.s)) h"
+    ).collect()
+    warm.selectExpr("id % 7 k", "id v").createOrReplaceTempView("__warm")
+    spark.sql(
+        "select k, sum(v) over (partition by k order by v "
+        "rows between 3 preceding and current row) r from __warm"
+    ).groupBy().sum("r").collect()
+    try:
+        import pandas as pd
+        from pyspark.sql.functions import col, pandas_udf
+
+        @pandas_udf("long")
+        def _warm_udf(x: pd.Series) -> pd.Series:
+            return x * 2
+
+        warm.select(_warm_udf(col("id"))).groupBy().count().collect()
+    except Exception:
+        pass
+    for t in os.listdir(SF_DIR):
+        if t.endswith(".parquet"):
+            spark.read.parquet(os.path.join(SF_DIR, t)).limit(1).collect()
     qs = _registry.queries()
     names = sys.argv[1:] or sorted(qs)
     timings: dict[str, float] = {}
