@@ -86,44 +86,41 @@ def connected_components(
     component. Returns ``(id, component)``.
 
     Loop shape (the GraphFrames/Pregel-standard approach, expressed
-    relationally): symmetrize edges once, cache; each round sends the
-    current label across every edge and takes the per-vertex min of
-    (own label, neighbor labels) — a join + partial-aggregated
-    groupBy, both shuffling only (id, label) pairs. The driver
-    checks a single changed-count aggregate per round (same
-    round-trip the PageRank N computation does) and stops at the
-    fixpoint; rounds needed = graph diameter. Labels are
-    localCheckpoint'ed EVERY round: the changed-count forces
-    execution anyway, so materializing costs nothing extra and the
-    next round starts from data instead of replaying lineage.
+    relationally): symmetrize edges once, right-size the task count to
+    the edge count, materialize; each round sends the current label
+    across every edge and takes the per-vertex min of (own label,
+    neighbor labels) — a join + partial-aggregated groupBy, both
+    shuffling only (id, label) pairs. Rounds needed = graph diameter.
+
+    Job economy: each round runs exactly ONE Spark job. The new label
+    table carries a ``__changed`` flag and is localCheckpoint'ed
+    *lazily*; the driver's changed-count action both materializes the
+    checkpoint (every partition is computed and pinned by the count)
+    and answers the fixpoint question — no second pass, no lineage
+    replay next round.
     """
     # NOT distinct'ed: duplicate edges send duplicate min-messages,
     # which the per-vertex min() absorbs — a distinct here would cost
     # a full shuffle of the doubled edge list every bit as large as
     # one propagation round.
-    sym = edges.select("src", "dst").unionByName(
-        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    )
     shuffle_parts = int(
         edges.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
     )
-    sym = sym.repartition(shuffle_parts, "src").cache()
+    # Right-size the per-round task count to the edge count (see
+    # pagerank._iter_partitions): a small graph over 32 partitions
+    # makes every round 32 near-empty tasks. The count is a
+    # column-pruned scan of the (not yet doubled) edge frame.
+    from pagerank_hadoop_spark.operators.pagerank import _iter_partitions
+
+    parts = _iter_partitions(2 * edges.count(), shuffle_parts)
+    sym = edges.select("src", "dst").unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    sym = sym.repartition(parts, "src").localCheckpoint(eager=True)
 
     labels = (
         sym.select(F.col("src").alias("id")).distinct().withColumn("component", F.col("id"))
     ).localCheckpoint(eager=True)
-
-    # Right-size the per-round task count to the edge count (see
-    # pagerank._iter_partitions): a small cached graph over 32
-    # partitions makes every round 32 near-empty tasks.
-    from pagerank_hadoop_spark.operators.pagerank import _iter_partitions
-
-    n_edges = sym.count()
-    parts = _iter_partitions(n_edges, shuffle_parts)
-    if parts < shuffle_parts:
-        old = sym
-        sym = old.repartition(parts, "src").localCheckpoint(eager=True)
-        old.unpersist()
 
     for i in range(max_iter):
         # min incoming neighbor label per vertex (partial agg shrinks
@@ -134,8 +131,8 @@ def connected_components(
             .agg(F.min("component").alias("__m"))
         )
         # merge into the label table with least(); the __changed flag
-        # makes convergence detection a filter-count on the already-
-        # materialized frame instead of a join against the old labels
+        # makes convergence detection a filter-count on the
+        # checkpointed frame instead of a join against the old labels
         new_labels = (
             labels.join(min_msgs, "id", "left")
             .select(
@@ -143,7 +140,9 @@ def connected_components(
                 F.least("component", "__m").alias("component"),
                 (F.col("__m") < F.col("component")).alias("__changed"),
             )
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)
+        # one job: computes every partition (count touches all), which
+        # materializes the lazy checkpoint, and yields the fixpoint test
         changed = new_labels.where(F.col("__changed")).count()
         labels = new_labels.drop("__changed")
         if changed == 0:

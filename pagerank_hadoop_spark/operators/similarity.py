@@ -194,6 +194,33 @@ def ivf_topk(
     )
 
 
+def _lloyd(points, k: int, seed: int, n_iter: int = 8):
+    """Deterministic Lloyd's k-means on a driver-local sample
+    (ndarray [n, dim] → ndarray [k, dim]). Seeded-RNG init over
+    distinct points; empty clusters keep their previous center. All
+    steps are whole-array NumPy ops — one (n × k) distance matrix per
+    iteration."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    n = len(points)
+    if n == 0:
+        raise ValueError("k-means fit sample is empty")
+    init_idx = rng.choice(n, size=min(k, n), replace=False)
+    centers = points[np.sort(init_idx)].copy()
+    if len(centers) < k:  # tiny sample: pad by repeating points
+        centers = np.vstack([centers, points[: k - len(centers)]])
+    for _ in range(n_iter):
+        # ||x - c||^2 = ||x||^2 - 2 x·c + ||c||^2; argmin drops ||x||^2
+        d = (centers * centers).sum(axis=1)[None, :] - 2.0 * points @ centers.T
+        assign = d.argmin(axis=1)
+        for c in range(k):
+            members = points[assign == c]
+            if len(members):
+                centers[c] = members.mean(axis=0)
+    return centers
+
+
 def ivf_kmeans_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -206,34 +233,34 @@ def ivf_kmeans_topk(
     q_id_col: str = "q_id",
     q_vec_col: str = "qv",
 ) -> DataFrame:
-    """IVF with a REAL trained coarse quantizer: fit
-    ``pyspark.ml.clustering.KMeans`` (seeded → deterministic) on the
-    corpus, then the same probe shape as :func:`ivf_topk` with the
-    learned centroids inlined as literal arrays.
+    """IVF with a REAL trained coarse quantizer: Lloyd's k-means
+    (seeded → deterministic) fit on a bounded corpus sample, then the
+    same probe shape as :func:`ivf_topk` with the learned centroids
+    inlined as literal arrays.
 
-    Scale notes: the fit runs on a sample (k-means needs only enough
-    points to place ``n_cells`` centers — ``fit_sample_fraction`` of a
-    100 TB corpus, not all of it); the centers themselves are tiny
-    (n_cells x dim doubles) and travel to executors as plan literals,
-    so cell assignment stays a one-pass, shuffle-free map exactly like
-    the hash-centroid variant.
+    Scale notes: k-means needs only enough points to place
+    ``n_cells`` centers, so the fit input is capped at ~200 points
+    per center — a constant-size sample even from a 100 TB corpus.
+    That sample is driver-sized *by construction*, so the fit runs as
+    one vectorized NumPy Lloyd loop on the driver (one Spark job to
+    collect the sample) instead of 2·maxIter distributed jobs over a
+    few thousand rows; the centers themselves are tiny (n_cells × dim
+    doubles) and travel to executors as plan literals, so cell
+    assignment stays a one-pass, shuffle-free map exactly like the
+    hash-centroid variant.
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
+    import numpy as np
 
-    # the quantizer needs only enough points to place n_cells centers:
-    # cap the fit input (~200 points per center) instead of scanning
-    # the whole corpus — at 100 TB the fit is a constant-size job
-    train = (
-        corpus.select(
-            array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
-        )
-        .limit(n_cells * 200)
-        .cache()  # each of the fit's iterations rescans this frame
+    sample = np.array(
+        [
+            r[0]
+            for r in corpus.select(F.col(vec_col).cast("array<double>"))
+            .limit(n_cells * 200)
+            .collect()
+        ],
+        dtype=np.float64,
     )
-    model = KMeans(k=n_cells, seed=seed, maxIter=8).fit(train)
-    train.unpersist()
-    centers = [[float(x) for x in c] for c in model.clusterCenters()]
+    centers = [[float(x) for x in c] for c in _lloyd(sample, n_cells, seed)]
 
     def center_dot(vec, center: list[float]):
         lits = F.array(*[F.lit(x) for x in center])
