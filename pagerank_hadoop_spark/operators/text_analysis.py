@@ -113,6 +113,58 @@ def doc_fingerprint(text: Column, window: int = 8) -> Column:
     return F.array_min(grams)
 
 
+def tfidf_top_terms(
+    docs: DataFrame,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document top-``k`` TF-IDF terms: ``(doc_id, term, score)``.
+
+    score = tf(term, doc) · ln(N / df(term)), rounded to 6 dp before
+    the per-document ranking so the selected set is engine-portable
+    (ties broken by term, ascending).
+
+    Scale shape: the token explode + (doc, term) count is one
+    partial-aggregated shuffle; the document-frequency table is
+    vocabulary-sized (≪ corpus) and is broadcast back onto the term
+    counts, so the corpus-sized side never reshuffles; the final
+    top-k is a bounded per-doc window.
+    """
+    terms = docs.select(
+        F.col(id_col),
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col(text_col)), F.lit("[a-z]+"), F.lit(0))
+        ).alias("term"),
+    )
+    n_docs = docs.count()
+    tf = terms.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    score = F.round(
+        F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6
+    ).alias("score")
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(id_col).orderBy(F.desc("score"), F.asc("term"))
+    return (
+        tf.join(F.broadcast(df_), "term")
+        .select(F.col(id_col), "term", score)
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+def scrub_pii(text: Column) -> Column:
+    """Mask email addresses and digit runs — the cheap deterministic
+    PII pre-scrub every training corpus gets before tokenization.
+    Pure regexp_replace (codegen, corpus-wide pass stays JVM-side)."""
+    no_email = F.regexp_replace(
+        text, r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"
+    )
+    return F.regexp_replace(no_email, r"[0-9]+", "<NUM>")
+
+
 def text_profile(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

@@ -2253,3 +2253,125 @@ def q_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_kmeans_topk(emb, queries_df, k=5).orderBy(
         "q_id", F.desc("sim"), "vec_id"
     )
+
+
+@register(
+    "tfidf_top_terms",
+    """
+    WITH toks AS (
+      SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term),
+    df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    nd AS (SELECT COUNT(*) AS n FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term,
+             ROUND(tf.tf * ln(CAST(nd.n AS DOUBLE) / df.df), 6) AS score
+      FROM tf JOIN df USING (term) CROSS JOIN nd
+    )
+    SELECT doc_id, term, score FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY doc_id ORDER BY score DESC, term
+      ) AS rn FROM scored
+    ) WHERE rn <= 3
+    """,
+)
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4: per-document top-3 TF-IDF terms
+    (operators.text_analysis.tfidf_top_terms): explode-count tf, a
+    broadcast vocabulary-sized df table, per-doc ranking window."""
+    from pagerank_hadoop_spark.operators.text_analysis import tfidf_top_terms
+
+    docs = _t(spark, sf_dir, "documents")
+    return tfidf_top_terms(docs, k=3)
+
+
+@register(
+    "ship_priority",
+    """
+    SELECT l.l_orderkey,
+           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(38,4)))
+                AS DOUBLE) AS revenue,
+           CAST(o.o_orderdate AS DATE) AS odate,
+           o.o_orderpriority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-06-01'
+      AND l.l_shipdate > TIMESTAMP '1998-06-01'
+    GROUP BY l.l_orderkey, CAST(o.o_orderdate AS DATE), o.o_orderpriority
+    ORDER BY revenue DESC, l.l_orderkey
+    LIMIT 10
+    """,
+)
+def q_ship_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-shaped shipping-priority query: segment-filtered
+    customers (broadcast) ⋈ date-filtered orders ⋈ lineitem, exact
+    decimal revenue per order, global top-10. All three predicates
+    push into the parquet scans; the customer side broadcasts."""
+    cust = _t(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1998-06-01").cast("timestamp")
+    )
+    li = _t(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1998-06-01").cast("timestamp")
+    )
+    rev = F.sum(
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+            "decimal(38,4)"
+        )
+    ).cast("double")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy(
+            "l_orderkey",
+            F.to_date("o_orderdate").alias("odate"),
+            "o_orderpriority",
+        )
+        .agg(rev.alias("revenue"))
+        .select("l_orderkey", "revenue", "odate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "pii_scrub",
+    """
+    WITH seeded AS (
+      SELECT doc_id,
+             'contact user' || CAST(doc_id AS VARCHAR) ||
+             '@example.com or call 555-' || CAST(doc_id % 10000 AS VARCHAR) ||
+             ' ' || text AS raw
+      FROM documents
+    )
+    SELECT doc_id,
+           regexp_replace(
+             regexp_replace(raw,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '[0-9]+', '<NUM>', 'g') AS clean_text
+    FROM seeded
+    """,
+)
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4: deterministic PII scrub (operators.text_analysis.scrub_pii)
+    over documents with synthesized email/phone strings (the corpus
+    itself is digit-free); masks emails then digit runs, one
+    codegen'd regexp pass each."""
+    from pagerank_hadoop_spark.operators.text_analysis import scrub_pii
+
+    docs = _t(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.lit("contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or call 555-"),
+        (F.col("doc_id") % 10000).cast("string"),
+        F.lit(" "),
+        F.col("text"),
+    )
+    return docs.select("doc_id", scrub_pii(raw).alias("clean_text"))

@@ -74,3 +74,49 @@ def test_text_profile_schema(samples):
     assert prof.columns == ["doc_id", "n_tokens", "n_chars", "lang_guess",
                             "quality", "fingerprint"]
     assert prof.count() == 5
+
+
+def test_tfidf_top_terms(spark):
+    from pagerank_hadoop_spark.operators.text_analysis import tfidf_top_terms
+
+    df = spark.createDataFrame(
+        [
+            (1, "apple apple banana"),
+            (2, "banana cherry"),
+            (3, "cherry cherry cherry date"),
+        ],
+        "doc_id long, text string",
+    )
+    out = tfidf_top_terms(df, k=1).collect()
+    top = {r["doc_id"]: r["term"] for r in out}
+    # 'apple' appears only in doc 1 (df=1, tf=2) -> highest score there;
+    # 'date' is unique to doc 3 but tf=1 vs cherry tf=3 df=2
+    assert top[1] == "apple"
+    assert all(r["score"] > 0 for r in out)
+    # 'banana' is in 2 of 3 docs; doc 2's winner must outscore it or be it
+    assert top[3] == "cherry"
+
+
+def test_tfidf_unique_term_beats_common(spark):
+    from pagerank_hadoop_spark.operators.text_analysis import tfidf_top_terms
+
+    df = spark.createDataFrame(
+        [(1, "shared zebra"), (2, "shared shared"), (3, "shared")],
+        "doc_id long, text string",
+    )
+    out = {(r["doc_id"], r["term"]): r["score"] for r in
+           tfidf_top_terms(df, k=2).collect()}
+    # 'shared' is in all 3 docs -> idf = ln(1) = 0
+    assert out[(1, "shared")] == 0.0
+    assert out[(1, "zebra")] > 0.0
+
+
+def test_scrub_pii_masks_emails_and_numbers(spark):
+    from pagerank_hadoop_spark.operators.text_analysis import scrub_pii
+
+    df = spark.createDataFrame(
+        [(1, "mail jane.doe+x@sub.example.org or 555-0192 x99 ok")],
+        "doc_id long, text string",
+    )
+    got = df.select(scrub_pii(F.col("text")).alias("c")).collect()[0]["c"]
+    assert got == "mail <EMAIL> or <NUM>-<NUM> x<NUM> ok"
