@@ -2242,11 +2242,12 @@ def q_partitioned_scan_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("ivf_kmeans_topk")
 def q_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """E3: IVF ANN with a REAL seeded-KMeans coarse quantizer
-    (pyspark.ml) — the trained-centroid upgrade of ivf_topk; same
-    shuffle-free cell-assignment map, centers inlined as literals.
-    Rows-only: learned centroids aren't SQL-reproducible; recall vs
-    the exact baseline is asserted in unit tests."""
+    """E3: IVF ANN with a REAL trained coarse quantizer (seeded
+    Lloyd's k-means on a bounded driver-local sample) — the
+    trained-centroid upgrade of ivf_topk; same shuffle-free
+    cell-assignment map, centers inlined as literals. Rows-only:
+    learned centroids aren't SQL-reproducible; recall vs the exact
+    baseline is asserted in unit tests."""
     from pagerank_hadoop_spark.operators.similarity import ivf_kmeans_topk
 
     emb, queries_df = _ann_inputs(spark, sf_dir)
