@@ -55,6 +55,14 @@ def main() -> None:
             return x * 2
 
         warm.select(_warm_udf(col("id"))).groupBy().count().collect()
+        # array<long>-returning Arrow kernel + localCheckpoint: the
+        # serde/codegen shapes every MinHash/SimHash pipeline stage
+        # reuses (first-touch otherwise lands on one dedup query)
+        from pagerank_hadoop_spark.operators.dedup import minhash_signatures
+
+        minhash_signatures(
+            warm.limit(64).selectExpr("id as doc_id", "repeat(s, 8) as text")
+        ).localCheckpoint(eager=True).count()
     except Exception:
         pass
     for t in os.listdir(SF_DIR):

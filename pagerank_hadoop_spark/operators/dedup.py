@@ -316,18 +316,32 @@ def jaccard_pairs(
         .select(F.col(id_col).alias("id"), F.col(text_col).alias("__t"))
         .join(pair_ids, "id", "left_semi")
         .select("id", shingles(F.col("__t"), shingle_n).alias("sh"))
+        .withColumn("n", F.size("sh"))
         .localCheckpoint(eager=True)
     )
-    a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
-    b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    union = F.size(F.array_union("sh_a", "sh_b"))
+    a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"), F.col("n").alias("n_a"))
+    b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"), F.col("n").alias("n_b"))
+    # one hash-set pass per pair: |A∪B| = |A| + |B| - |A∩B| with the
+    # set sizes precomputed per document (an array_union here would
+    # re-walk both arrays a second time for every candidate pair).
+    # The intersection size gets its own projection so it is computed
+    # once — inlined into the division it would appear (and run) twice
     return (
         pairs.join(a, "id_a").join(b, "id_b")
         .select(
             "id_a",
             "id_b",
-            (inter.cast("double") / union).alias("jaccard"),
+            F.size(F.array_intersect("sh_a", "sh_b")).alias("__i"),
+            "n_a",
+            "n_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("__i").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("__i"))
+            ).alias("jaccard"),
         )
         .where(F.col("jaccard") >= threshold)
     )

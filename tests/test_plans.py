@@ -212,3 +212,23 @@ def test_unpivot_plans_expand_single_scan(spark, sf_dir):
     assert "Expand" in plan
     # one scan node (each appears once in the tree and once in details)
     assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+
+
+def test_ship_priority_pushdown_broadcast_topk(spark, sf_dir):
+    df = Q.queries()["ship_priority"](spark, sf_dir)
+    # all three predicates reach the parquet scans; the segment-
+    # filtered customer side broadcasts; top-10 is a heap, not a sort
+    assert_pushed_filter(df, "o_orderdate")
+    assert_pushed_filter(df, "l_shipdate")
+    assert_pushed_filter(df, "c_mktsegment")
+    assert_broadcast_join(df)
+    assert_take_ordered(df)
+
+
+def test_tfidf_broadcasts_vocabulary(spark, sf_dir):
+    df = Q.queries()["tfidf_top_terms"](spark, sf_dir)
+    # the vocabulary-sized document-frequency table must broadcast so
+    # the corpus-sized term-count side never reshuffles for the join
+    assert_broadcast_join(df)
+    # only the two needed document columns are scanned
+    assert_read_schema_only(df, {"doc_id", "text"})
