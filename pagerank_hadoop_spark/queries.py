@@ -2376,3 +2376,71 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("text"),
     )
     return docs.select("doc_id", scrub_pii(raw).alias("clean_text"))
+
+
+@register(
+    "triangle_count",
+    """
+    WITH canon AS (
+      SELECT DISTINCT least(s1.s_suppkey, s2.s_suppkey) AS a,
+                      greatest(s1.s_suppkey, s2.s_suppkey) AS b
+      FROM supplier s1 JOIN supplier s2
+        ON s1.s_nationkey = s2.s_nationkey AND s1.s_suppkey <> s2.s_suppkey
+    )
+    SELECT COUNT(*) AS n_triangles
+    FROM canon e1
+    JOIN canon e2 ON e1.b = e2.a
+    JOIN canon e3 ON e3.a = e1.a AND e3.b = e2.b
+    """,
+)
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph: global triangle count (operators.graph.triangle_count,
+    wedge-closure double join) over the same-nation supplier graph —
+    25 nation-cliques, so the count is 25 · C(n_i, 3)-ish and the
+    wedge fan-out actually exercises the join path."""
+    from pagerank_hadoop_spark.operators.graph import triangle_count
+
+    sup = _t(spark, sf_dir, "supplier")
+    s1 = sup.select(F.col("s_suppkey").alias("src"), F.col("s_nationkey").alias("nk"))
+    s2 = sup.select(F.col("s_suppkey").alias("dst"), F.col("s_nationkey").alias("nk"))
+    edges = s1.join(s2, "nk").where(F.col("src") != F.col("dst")).select("src", "dst")
+    return triangle_count(edges)
+
+
+@register(
+    "label_centroids",
+    """
+    WITH exploded AS (
+      SELECT label,
+             UNNEST(range(0, len(embedding))) AS dim,
+             embedding AS emb
+      FROM embeddings
+    )
+    SELECT label, CAST(dim AS INT) AS dim,
+           CAST(SUM(CAST(CAST(emb[CAST(dim AS INT) + 1] AS DOUBLE)
+                         AS DECIMAL(38,12)))
+                AS DOUBLE) / COUNT(*) AS mean_val
+    FROM exploded
+    GROUP BY label, dim
+    ORDER BY label, dim
+    """,
+)
+def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3/vector: per-label embedding centroid, relational shape —
+    posexplode to (label, dim, component), decimal-exact partial-
+    aggregated mean per (label, dim) cell. The shuffle carries
+    n_labels x dim aggregation cells, never the vectors."""
+    emb = _t(spark, sf_dir, "embeddings")
+    exploded = emb.select(
+        "label", F.posexplode(F.col("embedding").cast("array<double>"))
+    ).select("label", F.col("pos").alias("dim"), F.col("col").alias("val"))
+    return (
+        exploded.groupBy("label", "dim")
+        .agg(
+            (
+                F.sum(F.col("val").cast("decimal(38,12)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("mean_val")
+        )
+        .orderBy("label", "dim")
+    )

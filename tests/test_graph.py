@@ -46,3 +46,24 @@ def test_connected_components_chain_and_islands(spark):
     assert {cc[f"n{i}"] for i in range(6)} == {"n0"}
     assert cc["t1"] == cc["t2"] == cc["t3"] == "t1"
     assert cc["x"] == cc["y"] == "x"
+
+
+def test_triangle_count_known_graphs(spark):
+    from pagerank_hadoop_spark.operators.graph import triangle_count
+
+    # K4 has C(4,3)=4 triangles; edges given directed/duplicated to
+    # exercise canonicalization + distinct
+    k4 = [(a, b) for a in "abcd" for b in "abcd" if a != b]
+    edges = spark.createDataFrame(k4 + [("a", "b")], ["src", "dst"])
+    assert triangle_count(edges).collect()[0].n_triangles == 4
+
+    # path graph: no triangles
+    path = spark.createDataFrame([("a", "b"), ("b", "c"), ("c", "d")], ["src", "dst"])
+    assert triangle_count(path).collect()[0].n_triangles == 0
+
+    # two disjoint triangles
+    two = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a"), ("x", "y"), ("y", "z"), ("z", "x")],
+        ["src", "dst"],
+    )
+    assert triangle_count(two).collect()[0].n_triangles == 2
