@@ -55,18 +55,24 @@ def exact_dedup_groups(df: DataFrame, key: str, id_col: str) -> DataFrame:
 # E2: MinHash + LSH near-dup
 # ---------------------------------------------------------------------------
 
-def shingles(text: Column, n: int = 5) -> Column:
+def shingles(text: Column, n: int = 5, distinct: bool = True) -> Column:
     """Character n-gram shingle hash set (array<bigint>, distinct).
 
     ``sequence`` + ``transform`` + ``xxhash64`` — pure codegen; the
     text column itself never leaves the row.
+
+    ``distinct=False`` skips the per-document hash-set build. Min-wise
+    hashing is invariant to duplicate elements (min over a multiset ==
+    min over its set), so the MinHash signature path uses the raw
+    multiset and saves the dedup pass; set-cardinality consumers
+    (exact Jaccard) need the default.
     """
     cleaned = F.lower(F.trim(text))
     count = F.greatest(F.length(cleaned) - F.lit(n - 1), F.lit(1))
     grams = F.transform(
         F.sequence(F.lit(1), count), lambda i: F.xxhash64(F.substring(cleaned, i, n))
     )
-    return F.array_distinct(grams)
+    return F.array_distinct(grams) if distinct else grams
 
 
 def raw_shingles(text: Column, n: int = 5) -> Column:
@@ -219,7 +225,7 @@ def minhash_signatures(
     pure-Column fallback produces bit-identical signatures.
     """
     df = _spread(df)
-    sh = shingles(F.col(text_col), shingle_n)
+    sh = shingles(F.col(text_col), shingle_n, distinct=False)
     sig = (
         _minhash_sig_arrow(num_hashes)(sh)
         if use_arrow
@@ -304,8 +310,12 @@ def jaccard_pairs(
     """
     # materialize the candidate set once: it is read three times below
     # (two id projections + the verification join), and its lineage is
-    # the whole LSH self-join
-    pairs = pairs.localCheckpoint(eager=True)
+    # the whole LSH self-join. Then spread it: AQE coalesces the tiny
+    # (id, id) shuffle output down to ~1 partition, which would run
+    # the per-pair set-intersection below on a single core — the
+    # partition count must follow the CPU cost, not the byte count.
+    par = df.sparkSession.sparkContext.defaultParallelism
+    pairs = pairs.localCheckpoint(eager=True).repartition(par)
     pair_ids = (
         pairs.select(F.col("id_a").alias("id"))
         .unionByName(pairs.select(F.col("id_b").alias("id")))
@@ -382,7 +392,11 @@ def minhash_dedup(
     sigs = minhash_signatures(
         df, id_col, text_col, num_hashes, shingle_n
     ).localCheckpoint(eager=True)
-    cands = _band_pairs(sigs, num_hashes, bands)
+    # spread the candidate set before the estimate screen: AQE
+    # coalesces the pair shuffle to ~1 partition by byte size, but the
+    # 64-component zip_with estimate is CPU-bound per row
+    par = df.sparkSession.sparkContext.defaultParallelism
+    cands = _band_pairs(sigs, num_hashes, bands).repartition(par)
     a = sigs.select(F.col("id").alias("id_a"), F.col("sig").alias("__sa"))
     b = sigs.select(F.col("id").alias("id_b"), F.col("sig").alias("__sb"))
     t = jaccard_threshold
