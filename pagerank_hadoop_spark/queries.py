@@ -2444,3 +2444,56 @@ def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label", "dim")
     )
+
+
+@register(
+    "stream_session",
+    """
+    WITH ordered AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       >= INTERVAL '30 minutes'
+                  OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ), numbered AS (
+      SELECT user_id, ts,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+      FROM ordered
+    )
+    SELECT user_id,
+           CAST(FLOOR(epoch(date_trunc('second', MIN(ts)))) AS BIGINT) AS session_start,
+           COUNT(*) AS n_events
+    FROM numbered GROUP BY user_id, sid
+    """,
+)
+def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E6: REAL readStream session windows — the state-merging
+    ``session_window`` aggregation (streaming/windows.session_agg)
+    over a file stream with availableNow, drained to a memory sink in
+    complete mode and checked against the same lag+cumsum
+    sessionization oracle as the batch twin ``events_session``.
+    Complete mode (not append) so sessions past the final watermark
+    are still emitted on bounded input; production would run append
+    with a real watermark-driven sink."""
+    from pagerank_hadoop_spark.streaming.windows import run_to_memory, session_agg
+
+    schema = (
+        "event_id long, ts long, user_id long, event_type string, "
+        "value double, props string"
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    )
+    _STREAM_SEQ["n"] += 1
+    name = f"stream_session_{_STREAM_SEQ['n']}"
+    run_to_memory(session_agg(stream), name, output_mode="complete")
+    return spark.table(name).select(
+        "user_id",
+        F.unix_timestamp("session_start").alias("session_start"),
+        "n_events",
+    )
