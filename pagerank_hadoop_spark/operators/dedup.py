@@ -389,6 +389,27 @@ def minhash_dedup(
     shuffles ~the confirmed set, not the candidate set. At corpus
     scale this is the difference between verifying 30× too many pairs
     and verifying ~1.5× too many."""
+    confirmed = confirmed_near_dup_pairs(
+        df, id_col, text_col, jaccard_threshold, num_hashes, bands, shingle_n
+    )
+    losers = confirmed.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(losers, id_col, "left_anti")
+
+
+def confirmed_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    jaccard_threshold: float = 0.8,
+    num_hashes: int = 64,
+    bands: int = 8,
+    shingle_n: int = 5,
+) -> DataFrame:
+    """Exact-verified near-dup pairs ``(id_a, id_b, jaccard)`` with
+    ``id_a < id_b``: banded-LSH candidates → signature-estimate screen
+    (``est >= threshold - 3σ``) → exact n-gram Jaccard ≥ threshold.
+    The shared front half of :func:`minhash_dedup` and
+    :func:`near_dup_clusters`."""
     sigs = minhash_signatures(
         df, id_col, text_col, num_hashes, shingle_n
     ).localCheckpoint(eager=True)
@@ -407,11 +428,45 @@ def minhash_dedup(
         .where(sig_jaccard_estimate(F.col("__sa"), F.col("__sb"), num_hashes) >= t - margin)
         .select("id_a", "id_b")
     )
-    confirmed = jaccard_pairs(
+    return jaccard_pairs(
         df, screened, id_col, text_col, shingle_n, jaccard_threshold
     )
-    losers = confirmed.select(F.col("id_b").alias(id_col)).distinct()
-    return df.join(losers, id_col, "left_anti")
+
+
+def near_dup_clusters(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    jaccard_threshold: float = 0.8,
+    num_hashes: int = 64,
+    bands: int = 8,
+    shingle_n: int = 5,
+) -> DataFrame:
+    """Transitive near-dup clustering: ``(id, cluster)`` for every
+    document, where ``cluster`` is the minimum doc id of its connected
+    component in the confirmed-pair graph (singletons cluster to
+    themselves).
+
+    Closure semantics differ from :func:`minhash_dedup`'s greedy
+    pair-drop on open triangles: with confirmed pairs (a,c) and (b,c)
+    only, greedy keeps both a and b (c is the only id_b); clustering
+    puts all three in one cluster. Closure is the standard corpus-
+    curation choice (one canonical doc per duplicate *family*); the
+    component step shuffles only (id, label) pairs for documents that
+    appear in ≥1 confirmed pair — a sliver of the corpus."""
+    from pagerank_hadoop_spark.operators.graph import connected_components
+
+    confirmed = confirmed_near_dup_pairs(
+        df, id_col, text_col, jaccard_threshold, num_hashes, bands, shingle_n
+    )
+    edges = confirmed.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    )
+    cc = connected_components(edges)
+    ids = df.select(F.col(id_col).alias("id"))
+    return ids.join(cc, "id", "left").select(
+        "id", F.coalesce("component", F.col("id")).alias("cluster")
+    )
 
 
 # ---------------------------------------------------------------------------

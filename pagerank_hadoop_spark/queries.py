@@ -2497,3 +2497,95 @@ def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_timestamp("session_start").alias("session_start"),
         "n_events",
     )
+
+
+@register(
+    "orc_roundtrip",
+    """
+    SELECT o_orderstatus, COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE) AS total_price
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S-ops [EXT]: ORC as a REAL write+read round trip — the other
+    columnar lake format Spark reads natively (predicate pushdown +
+    column pruning work the same as parquet). Decimal-exact sums
+    survive the trip because ORC stores typed columns."""
+    import tempfile
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    out = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_orc_{os.path.basename(sf_dir)}"
+    )
+    orders.write.mode("overwrite").orc(out)
+    back = spark.read.orc(out)
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"), dsum("o_totalprice", "total_price")
+    )
+
+
+@register(
+    "stream_static_join",
+    """
+    SELECT c.c_mktsegment AS mktsegment,
+           COUNT(*) AS n_purchases,
+           CAST(SUM(CAST(e.value AS DECIMAL(38,4))) AS DOUBLE) AS total_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    WHERE e.event_type = 'purchase'
+    GROUP BY c.c_mktsegment
+    """,
+)
+def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E6: stream-static enrichment join — a REAL readStream of
+    events joined to the static customer dimension (the canonical
+    "enrich the click stream with the user table" shape), then a
+    per-segment aggregate, drained with availableNow in complete
+    mode. The static side is planned per micro-batch, so Catalyst
+    broadcasts it exactly as in batch; no stream-stream state is
+    created. Oracle: the identical batch join."""
+    from pagerank_hadoop_spark.streaming.windows import run_to_memory
+
+    schema = (
+        "event_id long, ts long, user_id long, event_type string, "
+        "value double, props string"
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .where(F.col("event_type") == "purchase")
+    )
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    joined = stream.join(cust, "user_id").groupBy(
+        F.col("c_mktsegment").alias("mktsegment")
+    ).agg(
+        F.count(F.lit(1)).alias("n_purchases"), dsum("value", "total_value")
+    )
+    _STREAM_SEQ["n"] += 1
+    name = f"stream_static_{_STREAM_SEQ['n']}"
+    run_to_memory(joined, name, output_mode="complete")
+    return spark.table(name)
+
+
+@register("near_dup_clusters")
+def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2: transitive near-dup clustering (operators.dedup.
+    near_dup_clusters: LSH candidates → exact Jaccard ≥ 0.8 →
+    connected components → min-id canonical). Rows-only: the LSH
+    stage derives from xxhash64. Summary shape so the check is
+    stable: one row per non-singleton cluster with its size."""
+    from pagerank_hadoop_spark.operators.dedup import near_dup_clusters
+
+    corpus = _near_dup_corpus(spark, sf_dir)
+    clusters = near_dup_clusters(corpus, "doc_id", "text")
+    return (
+        clusters.groupBy("cluster")
+        .agg(F.count(F.lit(1)).alias("n_members"))
+        .where(F.col("n_members") > 1)
+        .orderBy("cluster")
+    )

@@ -116,3 +116,22 @@ def test_arrow_and_column_backends_identical(spark, sf_dir):
     sa = simhash_candidates(docs, max_hamming=64, use_arrow=True)
     sb = simhash_candidates(docs, max_hamming=64, use_arrow=False)
     assert sorted(map(tuple, sa.collect())) == sorted(map(tuple, sb.collect()))
+
+
+def test_near_dup_clusters_transitive_closure(spark):
+    from pagerank_hadoop_spark.operators.dedup import near_dup_clusters
+
+    base = "the quick brown fox jumps over the lazy dog " * 8
+    rows = [
+        (1, base),                    # family head
+        (2, base + " tail-a"),        # near-dup of 1
+        (3, base + " tail-a tweak"),  # near-dup of 2 (and 1, transitively)
+        (10, "completely different content about spark physical plans " * 8),
+        (11, "completely different content about spark physical plans " * 8 + " x"),
+        (20, "a lone unique document with nothing similar in the corpus " * 8),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r.id: r.cluster for r in near_dup_clusters(df).collect()}
+    assert got[1] == got[2] == got[3] == 1
+    assert got[10] == got[11] == 10
+    assert got[20] == 20
