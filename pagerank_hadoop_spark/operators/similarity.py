@@ -300,3 +300,131 @@ def ivf_kmeans_topk(
         .where(F.col("rn") <= k)
         .drop("rn")
     )
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    m: int = 8,
+    n_codes: int = 16,
+    refine: int = 4,
+    seed: int = 13,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+    q_id_col: str = "q_id",
+    q_vec_col: str = "qv",
+) -> DataFrame:
+    """Product-quantization ANN with ADC scoring and exact re-rank.
+
+    The memory-compression scale path: each vector is encoded as ``m``
+    sub-space code bytes (here ``m`` ints ≤ ``n_codes``), so a 100 TB
+    float corpus scans as ~m bytes/vector — the classic IVF-PQ layout
+    without the float payload in the hot loop.
+
+    * **Train**: per-subspace Lloyd codebooks (:func:`_lloyd`, seeded
+      → deterministic) on a driver-local bounded sample
+      (``n_codes * 200`` rows regardless of corpus size); codebooks
+      travel to executors as plan literals.
+    * **Encode** (one shuffle-free map over the corpus): per subspace
+      the nearest code by L2 via ``argmin(||c||² - 2·x_sub·c)`` —
+      array expressions only, the vector never leaves the row.
+    * **ADC scan**: per query a lookup table
+      ``lut[s][c] = q_sub_s · codebook_s[c]`` is computed once
+      (query side is broadcast); the approximate dot of query and any
+      encoded vector is ``Σ_s lut[s][codes[s]]`` — an m-element
+      ``element_at`` sum per (query, code-row) pair, no float-vector
+      math in the scan.
+    * **Re-rank**: the top ``refine·k`` ADC candidates per query join
+      back to their full vectors for exact cosine; final top-k. Only
+      refine·k·|queries| full vectors are ever materialized.
+    """
+    import numpy as np
+
+    sample = np.array(
+        [
+            r[0]
+            for r in corpus.select(F.col(vec_col).cast("array<double>"))
+            .limit(n_codes * 200)
+            .collect()
+        ],
+        dtype=np.float64,
+    )
+    dim = sample.shape[1]
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
+    sub = dim // m
+    books = [
+        [[float(x) for x in c] for c in _lloyd(sample[:, s * sub : (s + 1) * sub], n_codes, seed + s)]
+        for s in range(m)
+    ]
+
+    def sub_slice(vec, s: int):
+        return F.slice(vec, s * sub + 1, sub)
+
+    def sub_dot(vec, s: int, center: list[float]):
+        lits = F.array(*[F.lit(x) for x in center])
+        return F.aggregate(
+            F.zip_with(sub_slice(vec, s), lits, lambda x, c: x * c),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    def encode(vec):
+        # per subspace: argmin_c ||x_sub - c||^2; drop the ||x_sub||^2
+        # term (constant per row) -> argmin(||c||^2 - 2 x_sub . c)
+        return F.array(*[
+            F.array_min(
+                F.array(*[
+                    F.struct(
+                        (F.lit(sum(x * x for x in c)) - 2.0 * sub_dot(vec, s, c)).alias("d"),
+                        F.lit(j).alias("code"),
+                    )
+                    for j, c in enumerate(books[s])
+                ])
+            )["code"]
+            for s in range(m)
+        ])
+
+    def luts(vec):
+        return F.array(*[
+            F.array(*[sub_dot(vec, s, c) for c in books[s]])
+            for s in range(m)
+        ])
+
+    # the ADC scan touches ONLY (id, codes): the float vectors stay in
+    # the parquet files until the refine join below
+    encoded = corpus.select(id_col, encode(F.col(vec_col)).alias("codes"))
+    q_luts = queries.select(q_id_col, luts(F.col(q_vec_col)).alias("luts"))
+
+    adc = F.aggregate(
+        F.zip_with(
+            F.col("codes"), F.col("luts"),
+            lambda code, lut: F.element_at(lut, code + 1),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    w = Window.partitionBy(q_id_col).orderBy(F.desc("adc"), F.asc(id_col))
+    shortlist = (
+        encoded.crossJoin(F.broadcast(q_luts))
+        .where(F.col(id_col) != F.col(q_id_col))
+        .select(q_id_col, id_col, adc.alias("adc"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= refine * k)
+        .select(q_id_col, id_col)
+    )
+    cands = (
+        shortlist.join(corpus.select(id_col, vec_col), id_col)
+        .join(
+            F.broadcast(queries.select(q_id_col, q_vec_col)), q_id_col
+        )
+    )
+    sim = F.round(cosine_similarity(F.col(q_vec_col), F.col(vec_col)), 6)
+    w2 = Window.partitionBy(q_id_col).orderBy(F.desc("sim"), F.asc(id_col))
+    return (
+        cands.select(q_id_col, id_col, sim.alias("sim"))
+        .withColumn("rn", F.row_number().over(w2))
+        .where(F.col("rn") <= k)
+        .drop("rn")
+    )

@@ -2589,3 +2589,15 @@ def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("n_members") > 1)
         .orderBy("cluster")
     )
+
+
+@register("pq_topk")
+def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3b: product-quantization ANN (operators.similarity.pq_topk:
+    driver-fit per-subspace codebooks → m-byte codes → ADC lookup
+    scan → exact cosine re-rank). Rows-only: the trained codebooks
+    have no SQL twin; recall vs cosine_topk is asserted in tests."""
+    from pagerank_hadoop_spark.operators.similarity import pq_topk
+
+    emb, queries_df = _ann_inputs(spark, sf_dir)
+    return pq_topk(emb, queries_df, k=5).orderBy("q_id", F.desc("sim"), "vec_id")

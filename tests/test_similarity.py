@@ -104,3 +104,23 @@ def test_ivf_kmeans_recall_against_exact(spark, sf_dir):
         for r in ivf_kmeans_topk(emb, queries, k=5, nprobe=8).collect()
     }
     assert approx == again
+
+
+def test_pq_recall_against_exact(emb, queries_df, exact):
+    from pagerank_hadoop_spark.operators.similarity import pq_topk
+
+    approx = pq_topk(emb, queries_df, k=5).collect()
+    exact_sets = {}
+    for r in exact:
+        exact_sets.setdefault(r["q_id"], set()).add(r["vec_id"])
+    got_sets = {}
+    for r in approx:
+        got_sets.setdefault(r["q_id"], set()).add(r["vec_id"])
+    for q, rows in got_sets.items():
+        assert len(rows) == 5
+    recalls = [
+        len(exact_sets[q] & got_sets.get(q, set())) / len(exact_sets[q])
+        for q in exact_sets
+    ]
+    # 8x16 codebooks + 4x refine on 64-dim data: strong recall
+    assert sum(recalls) / len(recalls) >= 0.5, recalls
