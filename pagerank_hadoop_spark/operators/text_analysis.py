@@ -179,3 +179,30 @@ def text_profile(
         quality_score(t).alias("quality"),
         doc_fingerprint(t).alias("fingerprint"),
     )
+
+
+def repetition_micro(text: Column) -> Column:
+    """Repetition signals as micro-unit bigints (×1e6, floor+0.5 —
+    see :func:`quality_micro` for why that beats decimal rounding):
+    a struct of
+
+    * ``dup_line_micro`` — 1 − distinct_lines / lines
+    * ``dup_word_micro`` — 1 − distinct_words / words
+
+    The MassiveText/Gopher-style repetition pre-filter: boilerplate
+    and scraped-template pages score high and get cut before any
+    expensive dedup runs. Pure array expressions — the split arrays
+    live only inside the row's projection, never in a shuffle."""
+    lines = F.split(text, "\n")
+    words = F.split(F.trim(text), r"\s+")
+
+    def frac(arr):
+        dup = F.lit(1.0) - (
+            F.size(F.array_distinct(arr)).cast("double")
+            / F.greatest(F.size(arr), F.lit(1)).cast("double")
+        )
+        return F.floor(dup * 1e6 + F.lit(0.5)).cast("bigint")
+
+    return F.struct(
+        frac(lines).alias("dup_line_micro"), frac(words).alias("dup_word_micro")
+    )

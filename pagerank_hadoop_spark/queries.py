@@ -2601,3 +2601,75 @@ def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb, queries_df = _ann_inputs(spark, sf_dir)
     return pq_topk(emb, queries_df, k=5).orderBy("q_id", F.desc("sim"), "vec_id")
+
+
+@register(
+    "range_frame_events",
+    """
+    SELECT event_id, user_id,
+           COUNT(*) OVER w AS n_trailing_30m,
+           CAST(SUM(CAST(value AS DECIMAL(38,4))) OVER w AS DOUBLE)
+             AS sum_trailing_30m
+    FROM events
+    WINDOW w AS (
+      PARTITION BY user_id ORDER BY epoch(ts)
+      RANGE BETWEEN 1800 PRECEDING AND CURRENT ROW
+    )
+    """,
+)
+def q_range_frame_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E7: event-time RANGE window frame — per user, count and sum of
+    events in the trailing 30 minutes *by timestamp* (not row count).
+    RANGE frames include all peers of the current order value, so tie
+    handling is engine-identical; both sides order by epoch seconds
+    (double) with an inclusive 1800 s lower bound."""
+    ev = _events(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").cast("double"))
+        .rangeBetween(-1800, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).alias("n_trailing_30m"),
+        F.sum(F.col("value").cast("decimal(38,4)"))
+        .over(w)
+        .cast("double")
+        .alias("sum_trailing_30m"),
+    )
+
+
+@register(
+    "repetition_stats",
+    r"""
+    WITH s AS (
+      SELECT doc_id,
+             string_split(text, chr(10)) AS lines,
+             string_split_regex(trim(text), '\s+') AS words
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(FLOOR((1.0 - CAST(len(list_distinct(lines)) AS DOUBLE)
+                             / greatest(len(lines), 1)) * 1e6 + 0.5) AS BIGINT)
+             AS dup_line_micro,
+           CAST(FLOOR((1.0 - CAST(len(list_distinct(words)) AS DOUBLE)
+                             / greatest(len(words), 1)) * 1e6 + 0.5) AS BIGINT)
+             AS dup_word_micro
+    FROM s
+    """,
+)
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4: repetition pre-filter (operators.text_analysis.
+    repetition_micro) — duplicate-line and duplicate-word fractions
+    per document, the boilerplate/template screen that runs before
+    any expensive near-dedup."""
+    from pagerank_hadoop_spark.operators.text_analysis import repetition_micro
+
+    docs = _t(spark, sf_dir, "documents")
+    rep = repetition_micro(F.col("text"))
+    return docs.select(
+        "doc_id",
+        rep["dup_line_micro"].alias("dup_line_micro"),
+        rep["dup_word_micro"].alias("dup_word_micro"),
+    )

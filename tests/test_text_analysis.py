@@ -120,3 +120,24 @@ def test_scrub_pii_masks_emails_and_numbers(spark):
     )
     got = df.select(scrub_pii(F.col("text")).alias("c")).collect()[0]["c"]
     assert got == "mail <EMAIL> or <NUM>-<NUM> x<NUM> ok"
+
+
+def test_repetition_micro_known_values(spark):
+    from pagerank_hadoop_spark.operators.text_analysis import repetition_micro
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, "a b c d"),            # all words distinct -> 0
+        (2, "a a a a"),            # 1 distinct of 4 -> 0.75
+        (3, "x\nx\ny"),            # 2 distinct lines of 3 -> 1/3
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r.doc_id: (r.rep.dup_line_micro, r.rep.dup_word_micro)
+        for r in df.select(
+            "doc_id", repetition_micro(F.col("text")).alias("rep")
+        ).collect()
+    }
+    assert got[1] == (0, 0)
+    assert got[2] == (0, 750000)
+    assert got[3] == (333333, 333333)
