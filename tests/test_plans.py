@@ -232,3 +232,45 @@ def test_tfidf_broadcasts_vocabulary(spark, sf_dir):
     assert_broadcast_join(df)
     # only the two needed document columns are scanned
     assert_read_schema_only(df, {"doc_id", "text"})
+
+
+def test_triangle_count_no_cartesian_single_agg(spark, sf_dir):
+    df = Q.queries()["triangle_count"](spark, sf_dir)
+    assert_no_cartesian(df)
+    plan = formatted_plan(df)
+    # the count must partial-aggregate before the final single-row agg,
+    # never collect the wedge fan-out anywhere central
+    assert "partial_count" in plan or "partial" in plan.lower()
+
+
+def test_pq_scan_broadcasts_query_luts(spark, sf_dir):
+    from pagerank_hadoop_spark.operators.similarity import pq_topk
+    from pagerank_hadoop_spark.queries import _ann_inputs
+
+    emb, _ = _ann_inputs(spark, sf_dir)
+    df = pq_topk(emb, emb.limit(3).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
+    ), k=3)
+    # the ADC scan streams the encoded corpus against broadcast
+    # per-query lookup tables — the corpus side must never shuffle
+    # into the scan join
+    plan = formatted_plan(df)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_repetition_stats_projection_only(spark, sf_dir):
+    df = Q.queries()["repetition_stats"](spark, sf_dir)
+    # a pure per-row projection: zero exchanges end to end
+    assert count_exchanges(df) == 0
+    assert_read_schema_only(df, {"doc_id", "text"})
+
+
+def test_stream_static_join_oracle_shape_broadcasts_dim(spark, sf_dir):
+    # the batch twin of the stream-static join must broadcast the
+    # customer dim; the streaming micro-batch plans the same way
+    ev = Q._events(spark, sf_dir).where(F.col("event_type") == "purchase")
+    cust = Q._t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    df = ev.join(cust, "user_id").groupBy("c_mktsegment").count()
+    assert_broadcast_join(df)
