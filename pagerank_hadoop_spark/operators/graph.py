@@ -179,3 +179,62 @@ def connected_components(
 
     sym.unpersist()
     return labels
+
+
+def shortest_paths(
+    edges: DataFrame,
+    source: str,
+    max_iter: int = 20,
+) -> DataFrame:
+    """Single-source BFS shortest paths over an undirected graph:
+    ``(id, dist)`` for every vertex reachable from ``source`` within
+    ``max_iter`` hops (unreachable vertices are absent).
+
+    Same one-job-per-round relaxation loop as
+    :func:`connected_components` — each round sends ``dist + 1``
+    across every edge and keeps the per-vertex minimum; the shuffle
+    carries only (id, dist) pairs and the fixpoint test rides the
+    materializing count. Rounds needed = graph eccentricity of the
+    source, each round one join + partial-aggregated groupBy.
+    """
+    shuffle_parts = int(
+        edges.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    from pagerank_hadoop_spark.operators.pagerank import _iter_partitions
+
+    parts = _iter_partitions(2 * edges.count(), shuffle_parts)
+    sym = edges.select("src", "dst").unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    sym = sym.repartition(parts, "src").localCheckpoint(eager=True)
+
+    dist = (
+        sym.select(F.col("src").alias("id"))
+        .distinct()
+        .where(F.col("id") == source)
+        .withColumn("dist", F.lit(0))
+    ).localCheckpoint(eager=True)
+
+    for _ in range(max_iter):
+        msgs = (
+            sym.join(dist, sym.src == dist.id)
+            .groupBy(F.col("dst").alias("id"))
+            .agg((F.min("dist") + 1).alias("__m"))
+        )
+        new_dist = (
+            dist.join(msgs, "id", "full")
+            .select(
+                "id",
+                F.least("dist", "__m").alias("dist"),
+                (F.col("dist").isNull() | (F.col("__m") < F.col("dist"))).alias(
+                    "__changed"
+                ),
+            )
+        ).localCheckpoint(eager=False)
+        changed = new_dist.where(F.col("__changed")).count()
+        dist = new_dist.drop("__changed")
+        if changed == 0:
+            break
+
+    sym.unpersist()
+    return dist

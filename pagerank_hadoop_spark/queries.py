@@ -2673,3 +2673,94 @@ def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         rep["dup_line_micro"].alias("dup_line_micro"),
         rep["dup_word_micro"].alias("dup_word_micro"),
     )
+
+
+@register(
+    "bfs_hops",
+    """
+    WITH RECURSIVE e AS (
+      SELECT DISTINCT 'p:' || l_partkey AS a, 's:' || l_suppkey AS b
+      FROM lineitem
+    ), sym AS (
+      SELECT a AS src, b AS dst FROM e
+      UNION ALL
+      SELECT b, a FROM e
+    ), walk(id, dist) AS (
+      SELECT 's:1', 0
+      UNION
+      SELECT s.dst, w.dist + 1
+      FROM walk w JOIN sym s ON s.src = w.id
+      WHERE w.dist < 6
+    )
+    SELECT id, CAST(MIN(dist) AS INT) AS dist
+    FROM walk GROUP BY id ORDER BY id
+    """,
+)
+def q_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph: single-source BFS shortest paths (operators.graph.
+    shortest_paths, one relaxation job per round) over the bipartite
+    part↔supplier graph from lineitem, from supplier 1. Oracle: a
+    bounded recursive-CTE walk with per-node MIN(dist)."""
+    from pagerank_hadoop_spark.operators.graph import shortest_paths
+
+    li = _t(spark, sf_dir, "lineitem")
+    edges = (
+        li.select(
+            F.concat(F.lit("p:"), F.col("l_partkey")).alias("src"),
+            F.concat(F.lit("s:"), F.col("l_suppkey")).alias("dst"),
+        ).distinct()
+    )
+    return shortest_paths(edges, "s:1").orderBy("id")
+
+
+@register(
+    "funnel_counts",
+    """
+    WITH v AS (
+      SELECT user_id, MIN(ts) AS t0 FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ), c AS (
+      SELECT e.user_id, MIN(e.ts) AS t1 FROM events e
+      JOIN v ON e.user_id = v.user_id AND e.ts > v.t0
+      WHERE e.event_type = 'click' GROUP BY e.user_id
+    ), p AS (
+      SELECT e.user_id, MIN(e.ts) AS t2 FROM events e
+      JOIN c ON e.user_id = c.user_id AND e.ts > c.t1
+      WHERE e.event_type = 'purchase' GROUP BY e.user_id
+    )
+    SELECT (SELECT COUNT(*) FROM v) AS n_view,
+           (SELECT COUNT(*) FROM c) AS n_view_click,
+           (SELECT COUNT(*) FROM p) AS n_full_funnel
+    """,
+)
+def q_funnel_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E7b: ordered-sequence funnel (view → later click → later
+    purchase per user) by first-occurrence chaining — three
+    partial-aggregated groupBys and two broadcast-sized joins; the
+    event table is scanned per stage with the event-type filter
+    pushed to parquet."""
+    ev = _events(spark, sf_dir)
+    v = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t0"))
+    )
+    c = (
+        ev.where(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .where(F.col("ts") > F.col("t0"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .where(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    return (
+        v.agg(F.count(F.lit(1)).alias("n_view"))
+        .crossJoin(c.agg(F.count(F.lit(1)).alias("n_view_click")))
+        .crossJoin(p.agg(F.count(F.lit(1)).alias("n_full_funnel")))
+    )

@@ -67,3 +67,18 @@ def test_triangle_count_known_graphs(spark):
         ["src", "dst"],
     )
     assert triangle_count(two).collect()[0].n_triangles == 2
+
+
+def test_shortest_paths_chain_and_unreachable(spark):
+    from pagerank_hadoop_spark.operators.graph import shortest_paths
+
+    # path a-b-c-d plus an isolated pair x-y: BFS from a
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("x", "y")], ["src", "dst"]
+    )
+    got = {r.id: r.dist for r in shortest_paths(edges, "a").collect()}
+    assert got == {"a": 0, "b": 1, "c": 2, "d": 3}
+
+    # undirected: BFS from d walks the chain backwards
+    got_d = {r.id: r.dist for r in shortest_paths(edges, "d").collect()}
+    assert got_d == {"d": 0, "c": 1, "b": 2, "a": 3}
