@@ -2764,3 +2764,94 @@ def q_funnel_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(c.agg(F.count(F.lit(1)).alias("n_view_click")))
         .crossJoin(p.agg(F.count(F.lit(1)).alias("n_full_funnel")))
     )
+
+
+@register(
+    "salted_revenue",
+    """
+    SELECT s.s_nationkey AS nationkey,
+           COUNT(*) AS n_items,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(38,4))) AS DOUBLE)
+             AS revenue
+    FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    GROUP BY s.s_nationkey ORDER BY nationkey
+    """,
+)
+def q_salted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew posture: the lineitem↔supplier join run through
+    operators.joins.salted_join (content-hash salt on the fat side,
+    salt-replicated small side) — the manual mitigation for when one
+    hot key ≫ a task, result-identical to the plain join the oracle
+    runs. At 100 TB, AQE's skew split handles sort-merge cases; the
+    salt is the fallback for broadcast-infeasible hot keys."""
+    from pagerank_hadoop_spark.operators.joins import salted_join
+
+    li = _t(spark, sf_dir, "lineitem").select("l_suppkey", "l_extendedprice")
+    sup = _t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("l_suppkey"), "s_nationkey"
+    )
+    joined = salted_join(li, sup, "l_suppkey", n_salts=8)
+    return (
+        joined.groupBy(F.col("s_nationkey").alias("nationkey"))
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            dsum("l_extendedprice", "revenue"),
+        )
+        .orderBy("nationkey")
+    )
+
+
+@register(
+    "gap_filled_buckets",
+    """
+    WITH bounds AS (
+      SELECT user_id,
+             time_bucket(INTERVAL '1 hour', MIN(ts)) AS t_min,
+             time_bucket(INTERVAL '1 hour', MAX(ts)) AS t_max
+      FROM events WHERE user_id < 50 GROUP BY user_id
+    ), spine AS (
+      SELECT user_id,
+             UNNEST(generate_series(t_min, t_max, INTERVAL '1 hour')) AS bucket
+      FROM bounds
+    ), actual AS (
+      SELECT user_id, time_bucket(INTERVAL '1 hour', ts) AS bucket,
+             COUNT(*) AS cnt
+      FROM events WHERE user_id < 50 GROUP BY 1, 2
+    )
+    SELECT sp.user_id,
+           CAST(FLOOR(epoch(sp.bucket)) AS BIGINT) AS bucket,
+           COALESCE(a.cnt, 0) AS cnt
+    FROM spine sp LEFT JOIN actual a
+      ON sp.user_id = a.user_id AND sp.bucket = a.bucket
+    ORDER BY sp.user_id, bucket
+    """,
+)
+def q_gap_filled_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E7c: time-spine gap filling — per user, a dense hourly spine
+    from first to last event (``sequence`` + ``explode``), left-joined
+    to actual hourly counts with zero-fill. The resample shape every
+    time-series pipeline needs; the spine is generated, never stored,
+    and the join shuffles only (user, bucket) pairs."""
+    ev = _events(spark, sf_dir).where(F.col("user_id") < 50)
+    hour = lambda c: F.date_trunc("hour", c)
+    bounds = ev.groupBy("user_id").agg(
+        hour(F.min("ts")).alias("t_min"), hour(F.max("ts")).alias("t_max")
+    )
+    spine = bounds.select(
+        "user_id",
+        F.explode(
+            F.sequence("t_min", "t_max", F.expr("interval 1 hour"))
+        ).alias("bucket"),
+    )
+    actual = ev.groupBy(
+        "user_id", hour(F.col("ts")).alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    return (
+        spine.join(actual, ["user_id", "bucket"], "left")
+        .select(
+            "user_id",
+            F.unix_timestamp("bucket").alias("bucket"),
+            F.coalesce("cnt", F.lit(0)).alias("cnt"),
+        )
+        .orderBy("user_id", "bucket")
+    )
