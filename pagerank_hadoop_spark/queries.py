@@ -2855,3 +2855,77 @@ def q_gap_filled_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "bucket")
     )
+
+
+@register(
+    "doc_chunks",
+    """
+    WITH starts AS (
+      SELECT doc_id, text,
+             UNNEST(generate_series(1, greatest(len(text), 1), 400)) AS start
+      FROM documents
+    )
+    SELECT doc_id, CAST(start AS INT) AS start,
+           substr(text, CAST(start AS INT), 500) AS chunk
+    FROM starts ORDER BY doc_id, start
+    """,
+)
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E9: overlapping document chunking for training-context windows
+    — 500-char chunks on a 400-char stride (100 overlap), generated
+    with sequence+explode+substring entirely inside the row; the
+    shuffle (for the declared ordering only) carries chunks, which at
+    100 TB is the same bytes as the corpus ~1.25x."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    starts = docs.select(
+        "doc_id",
+        "text",
+        F.explode(
+            F.sequence(
+                F.lit(1),
+                F.greatest(F.length("text"), F.lit(1)),
+                F.lit(400),
+            )
+        ).alias("start"),
+    )
+    return starts.select(
+        "doc_id", "start", F.substring(F.col("text"), F.col("start"), 500).alias("chunk")
+    ).orderBy("doc_id", "start")
+
+
+@register(
+    "price_deciles",
+    """
+    WITH t AS (
+      SELECT o_totalprice,
+             NTILE(10) OVER (ORDER BY o_totalprice, o_orderkey) AS decile
+      FROM orders
+    )
+    SELECT decile, COUNT(*) AS n_orders,
+           CAST(MIN(o_totalprice) AS DOUBLE) AS lo,
+           CAST(MAX(o_totalprice) AS DOUBLE) AS hi
+    FROM t GROUP BY decile ORDER BY decile
+    """,
+)
+def q_price_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E7: NTILE decile bucketing of order prices (orderkey
+    tiebreak makes the bucket edges engine-deterministic), then
+    per-decile count and bounds — the histogram/equi-depth shape.
+
+    Scale note: an un-partitioned NTILE is a global range sort whose
+    window pass lands on one task — exact and fine into the
+    ~100 M-row range, but at 100 TB the equi-depth answer is
+    approx_percentile cutpoints (percentile_prices) + width_bucket,
+    which stays fully parallel."""
+    ords = _t(spark, sf_dir, "orders")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    t = ords.select("o_totalprice", F.ntile(10).over(w).alias("decile"))
+    return (
+        t.groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min("o_totalprice").cast("double").alias("lo"),
+            F.max("o_totalprice").cast("double").alias("hi"),
+        )
+        .orderBy("decile")
+    )
