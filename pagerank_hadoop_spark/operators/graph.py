@@ -215,9 +215,14 @@ def shortest_paths(
         .withColumn("dist", F.lit(0))
     ).localCheckpoint(eager=True)
 
+    # delta iteration: with unit edge weights a vertex's distance is
+    # final the round it is discovered, so only the newly-discovered
+    # frontier needs to message its neighbors — per-round join input
+    # is |frontier|, not |all discovered so far|
+    frontier = dist
     for _ in range(max_iter):
         msgs = (
-            sym.join(dist, sym.src == dist.id)
+            sym.join(frontier, sym.src == frontier.id)
             .groupBy(F.col("dst").alias("id"))
             .agg((F.min("dist") + 1).alias("__m"))
         )
@@ -232,6 +237,7 @@ def shortest_paths(
             )
         ).localCheckpoint(eager=False)
         changed = new_dist.where(F.col("__changed")).count()
+        frontier = new_dist.where(F.col("__changed")).select("id", "dist")
         dist = new_dist.drop("__changed")
         if changed == 0:
             break
