@@ -2929,3 +2929,75 @@ def q_price_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("decile")
     )
+
+
+@register(
+    "corr_stats",
+    """
+    SELECT l_returnflag,
+           CAST(FLOOR(corr(l_quantity, l_extendedprice) * 1e6 + 0.5) AS BIGINT)
+             AS corr_micro,
+           CAST(FLOOR(regr_slope(l_extendedprice, l_quantity) * 1e2 + 0.5)
+                AS BIGINT) AS slope_centi
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def q_corr_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E8b: bivariate statistics — Pearson correlation and regression
+    slope of price on quantity per return flag, partial-aggregated
+    (both are one-pass sum-of-products aggregates; the shuffle
+    carries one moment tuple per group per mapper). Micro/centi
+    scaling absorbs the engines' differing accumulation orders."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.floor(
+                F.corr("l_quantity", "l_extendedprice") * 1e6 + F.lit(0.5)
+            ).cast("bigint").alias("corr_micro"),
+            F.floor(
+                F.regr_slope("l_extendedprice", "l_quantity") * 1e2 + F.lit(0.5)
+            ).cast("bigint").alias("slope_centi"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "json_badrecords",
+    """
+    WITH planted AS (
+      SELECT event_type,
+             CASE WHEN event_id % 7 = 0 THEN '{' || props ELSE props END AS props
+      FROM events
+    )
+    SELECT event_type,
+           SUM(CASE WHEN json_valid(props) THEN 1 ELSE 0 END) AS n_valid,
+           SUM(CASE WHEN json_valid(props) THEN 0 ELSE 1 END) AS n_corrupt
+    FROM planted GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q_json_badrecords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data quality: corrupt-record screening on a semi-structured
+    column — every 7th event's props is corrupted, then counted
+    valid/corrupt per type. Uses try-parse semantics
+    (``try_parse_json`` → null VARIANT on failure; plain ``from_json``
+    in PERMISSIVE mode yields a null-field struct, which cannot
+    distinguish corrupt from all-null), the shape a 100 TB ingest
+    needs instead of failing the job on one bad record."""
+    ev = _t(spark, sf_dir, "events")
+    planted = ev.select(
+        "event_type",
+        F.when(
+            F.col("event_id") % 7 == 0, F.concat(F.lit("{"), "props")
+        ).otherwise(F.col("props")).alias("props"),
+    )
+    ok = F.try_parse_json("props").isNotNull().cast("int")
+    return (
+        planted.groupBy("event_type")
+        .agg(
+            F.sum(ok).alias("n_valid"),
+            F.sum(F.lit(1) - ok).alias("n_corrupt"),
+        )
+        .orderBy("event_type")
+    )
