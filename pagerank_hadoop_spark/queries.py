@@ -3001,3 +3001,59 @@ def q_json_badrecords(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "label_norm_zscores",
+    """
+    WITH n AS (
+      SELECT vec_id, label,
+             sqrt(list_aggregate(
+               list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+               'sum')) AS nrm
+      FROM embeddings
+    )
+    SELECT vec_id, label,
+           CAST(FLOOR(
+             (nrm - AVG(nrm) OVER (PARTITION BY label))
+             / CASE WHEN STDDEV_POP(nrm) OVER (PARTITION BY label) = 0
+                    THEN 1 ELSE STDDEV_POP(nrm) OVER (PARTITION BY label) END
+             * 1e2 + 0.5) AS BIGINT) AS z_centi
+    FROM n ORDER BY vec_id
+    """,
+)
+def q_label_norm_zscores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E-custom: grouped-map ``applyInPandas`` — per-label z-score of
+    embedding L2 norms, one Arrow batch per label group through a
+    NumPy kernel. The grouped-map path is the escape hatch for
+    per-group logic Spark expressions can't reach (whitening, group
+    model fits); here the kernel is chosen SQL-checkable so the whole
+    Arrow round trip is value-verified, centi-scaled (micro-scale
+    floor-flips on ~1e-8 accumulation-order drift between NumPy's
+    pairwise and SQL's streaming moments). Shuffles once on the
+    group key."""
+    import numpy as np
+    import pandas as pd
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+
+    def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+        mat = np.stack(pdf["embedding"].to_numpy())
+        norms = np.sqrt((mat * mat).sum(axis=1))
+        sd = norms.std(ddof=0)
+        z = (norms - norms.mean()) / (sd if sd > 0 else 1.0)
+        return pd.DataFrame(
+            {
+                "vec_id": pdf["vec_id"],
+                "label": pdf["label"],
+                "z_centi": np.floor(z * 1e2 + 0.5).astype("int64"),
+            }
+        )
+
+    return (
+        emb.groupBy("label")
+        .applyInPandas(zscore, "vec_id long, label int, z_centi long")
+        .orderBy("vec_id")
+    )
