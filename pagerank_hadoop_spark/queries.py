@@ -3057,3 +3057,40 @@ def q_label_norm_zscores(spark: SparkSession, sf_dir: str) -> DataFrame:
         .applyInPandas(zscore, "vec_id long, label int, z_centi long")
         .orderBy("vec_id")
     )
+
+
+@register(
+    "stream_sliding",
+    """
+    WITH buckets AS (
+      SELECT CAST(FLOOR(epoch(time_bucket(INTERVAL '5 minutes', ts))) AS BIGINT) AS b,
+             value FROM events
+    ), offsets AS (SELECT 0 AS off UNION ALL SELECT 300)
+    SELECT b - off AS wstart, COUNT(*) AS cnt
+    FROM buckets CROSS JOIN offsets
+    GROUP BY 1
+    """,
+)
+def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E6: REAL readStream sliding windows (10-minute window,
+    5-minute slide) through streaming.windows.sliding_agg, drained
+    with availableNow in complete mode — streaming ≡ batch on bounded
+    input, same oracle as the batch twin events_sliding."""
+    from pagerank_hadoop_spark.streaming.windows import run_to_memory, sliding_agg
+
+    schema = (
+        "event_id long, ts long, user_id long, event_type string, "
+        "value double, props string"
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    )
+    _STREAM_SEQ["n"] += 1
+    name = f"stream_sliding_{_STREAM_SEQ['n']}"
+    run_to_memory(sliding_agg(stream), name, output_mode="complete")
+    return spark.table(name).select(
+        F.unix_timestamp("wstart").alias("wstart"), "cnt"
+    )
