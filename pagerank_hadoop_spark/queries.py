@@ -65,9 +65,41 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     division would lose precision above 2^53 ns.
     """
     ev = _t(spark, sf_dir, "events")
-    if dict(ev.dtypes)["ts"] in ("bigint", "long"):
+    dt = dict(ev.dtypes)["ts"]
+    if dt in ("bigint", "long"):
         ev = ev.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    elif dt == "timestamp_ntz":
+        # TIMESTAMP(MICROS, isAdjustedToUTC=0) parquet reads as NTZ;
+        # session tz is pinned UTC so this cast is a no-op instant-wise
+        # and restores castability to double (epoch seconds) for RANGE
+        # frames — NTZ→DOUBLE is not a legal cast.
+        ev = ev.withColumn("ts", F.col("ts").cast("timestamp"))
     return ev
+
+
+def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream over the events parquet with ``ts`` normalized to
+    TimestampType, mirroring :func:`_events` for the three physical
+    encodings the driver has shipped (INT64 nanos-as-long, MICROS-NTZ,
+    MICROS-UTC). The file source needs an explicit schema, so the
+    batch-side dtype decides which one to declare."""
+    dt = dict(_t(spark, sf_dir, "events").dtypes)["ts"]
+    ts_decl, fix = {
+        "bigint": ("long", F.expr("timestamp_micros(ts DIV 1000)")),
+        "timestamp_ntz": ("timestamp_ntz", F.col("ts").cast("timestamp")),
+    }.get(dt, ("timestamp", F.col("ts")))
+    schema = (
+        f"event_id long, ts {ts_decl}, user_id long, event_type string, "
+        "value double, props string"
+    )
+    return (
+        spark.readStream.schema(schema)
+        # the file stream source wants a directory; glob-filter to the
+        # events table inside the sf_dir
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn("ts", fix)
+    )
 
 
 def dsum(col, alias: str):
@@ -1339,18 +1371,7 @@ def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     ≡ batch on bounded input."""
     from pagerank_hadoop_spark.streaming.windows import run_to_memory, tumbling_agg
 
-    schema = (
-        "event_id long, ts long, user_id long, event_type string, "
-        "value double, props string"
-    )
-    stream = (
-        spark.readStream.schema(schema)
-        # the file stream source wants a directory; glob-filter to the
-        # events table inside the sf_dir
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-        .withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
-    )
+    stream = _stream_events(spark, sf_dir)
     _STREAM_SEQ["n"] += 1
     name = f"stream_tumbling_{_STREAM_SEQ['n']}"
     run_to_memory(tumbling_agg(stream), name, output_mode="complete")
@@ -1698,15 +1719,8 @@ def q_stream_stateful_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pagerank_hadoop_spark.streaming.stateful import stateful_dedup_stream
     from pagerank_hadoop_spark.streaming.windows import run_to_memory
 
-    schema = (
-        "event_id long, ts long, user_id long, event_type string, "
-        "value double, props string"
-    )
-    stream = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-        .withColumn("event_id", F.col("event_id") % 1000)
+    stream = _stream_events(spark, sf_dir).withColumn(
+        "event_id", F.col("event_id") % 1000
     )
     _STREAM_SEQ["n"] += 1
     name = f"stream_stateful_{_STREAM_SEQ['n']}"
@@ -1964,20 +1978,13 @@ def q_stream_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream_stream_band_join,
     )
 
-    schema = (
-        "event_id long, ts long, user_id long, event_type string, "
-        "value double, props string"
-    )
-
     def side(event_type: str, prefix: str):
         return (
-            spark.readStream.schema(schema)
-            .option("pathGlobFilter", "events.parquet")
-            .parquet(sf_dir)
+            _stream_events(spark, sf_dir)
             .where(F.col("event_type") == event_type)
             .select(
                 F.col("user_id").alias(f"{prefix}_user_id"),
-                F.expr("timestamp_micros(ts DIV 1000)").alias(f"{prefix}_ts"),
+                F.col("ts").alias(f"{prefix}_ts"),
                 F.col("event_id").alias(f"{prefix}_event_id"),
             )
         )
@@ -2479,16 +2486,7 @@ def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     with a real watermark-driven sink."""
     from pagerank_hadoop_spark.streaming.windows import run_to_memory, session_agg
 
-    schema = (
-        "event_id long, ts long, user_id long, event_type string, "
-        "value double, props string"
-    )
-    stream = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-        .withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
-    )
+    stream = _stream_events(spark, sf_dir)
     _STREAM_SEQ["n"] += 1
     name = f"stream_session_{_STREAM_SEQ['n']}"
     run_to_memory(session_agg(stream), name, output_mode="complete")
@@ -2548,15 +2546,8 @@ def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     created. Oracle: the identical batch join."""
     from pagerank_hadoop_spark.streaming.windows import run_to_memory
 
-    schema = (
-        "event_id long, ts long, user_id long, event_type string, "
-        "value double, props string"
-    )
-    stream = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-        .where(F.col("event_type") == "purchase")
+    stream = _stream_events(spark, sf_dir).where(
+        F.col("event_type") == "purchase"
     )
     cust = _t(spark, sf_dir, "customer").select(
         F.col("c_custkey").alias("user_id"), "c_mktsegment"
@@ -3078,16 +3069,7 @@ def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     input, same oracle as the batch twin events_sliding."""
     from pagerank_hadoop_spark.streaming.windows import run_to_memory, sliding_agg
 
-    schema = (
-        "event_id long, ts long, user_id long, event_type string, "
-        "value double, props string"
-    )
-    stream = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-        .withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
-    )
+    stream = _stream_events(spark, sf_dir)
     _STREAM_SEQ["n"] += 1
     name = f"stream_sliding_{_STREAM_SEQ['n']}"
     run_to_memory(sliding_agg(stream), name, output_mode="complete")
