@@ -3076,3 +3076,328 @@ def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name).select(
         F.unix_timestamp("wstart").alias("wstart"), "cnt"
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H-shaped decision-support queries — the canonical complex
+# relational shapes a warehouse engine must plan well (the reference's
+# single hard-coded DAG has none of these; they are the [EXT]
+# relational-core widening of SURVEY.md §2.3-2.4). Each picks a
+# distinct physical challenge: outer-join count distribution (Q13),
+# conditional aggregation (Q14), correlated scalar subquery decorrelated
+# into a self-join (Q17), group-HAVING semi filter (Q18), disjunctive
+# predicate pushdown (Q19), anti-join + global scalar threshold (Q22),
+# a 6-table snowflake with two roles for one dimension (Q7), and
+# per-group argmin via window (Q2).
+# ---------------------------------------------------------------------------
+
+@register(
+    "cust_order_distribution",
+    """
+    SELECT c_count, COUNT(*) AS custdist FROM (
+      SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+      GROUP BY c_custkey)
+    GROUP BY c_count
+    """,
+)
+def q_cust_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: how many customers placed k orders, for each k.
+    Left outer join so zero-order customers land in the k=0 bucket
+    (COUNT of a column skips the nulls the outer join manufactures),
+    then a second, much smaller aggregation over the per-customer
+    counts. At scale the first groupBy shuffles on c_custkey — already
+    the join key, so AQE reuses the exchange; the second input is ~one
+    row per customer."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy(cust.c_custkey)
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@register(
+    "promo_revenue",
+    """
+    SELECT CAST(SUM(CASE WHEN p_type = 'PROMO'
+                 THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,4))
+                 ELSE CAST(0 AS DECIMAL(38,4)) END) AS DOUBLE) AS promo_rev,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,4))) AS DOUBLE) AS total_rev
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    """,
+)
+def q_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: conditional aggregation — promo-part revenue
+    vs all revenue in one pass (no second scan, no self-join). part is
+    broadcast; the CASE rides inside the same partial agg. Decimal-cast
+    sums keep the result order-independent across partitions."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(38,4)"
+    )
+    zero = F.lit(0).cast("decimal(38,4)")
+    return (
+        li.join(F.broadcast(part), part.p_partkey == li.l_partkey)
+        .agg(
+            F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(zero))
+            .cast("double")
+            .alias("promo_rev"),
+            F.sum(rev).cast("double").alias("total_rev"),
+        )
+    )
+
+
+@register(
+    "small_qty_revenue",
+    """
+    WITH pstats AS (
+      SELECT l_partkey AS pk, COUNT(*) AS cnt,
+             SUM(CAST(l_quantity AS BIGINT)) AS sq
+      FROM lineitem GROUP BY l_partkey)
+    SELECT COUNT(*) AS n_small,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,4))) AS DOUBLE) AS small_rev
+    FROM lineitem JOIN pstats ON l_partkey = pk
+    WHERE CAST(l_quantity AS BIGINT) * cnt * 5 < sq
+    """,
+)
+def q_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: revenue from lineitems whose quantity is under
+    20% of their part's average — a correlated scalar subquery
+    decorrelated into aggregate-then-self-join, the rewrite every
+    optimizer (and this engine, explicitly) applies. The avg threshold
+    is compared in exact integer arithmetic (qty*cnt*5 < sum) instead
+    of a float avg, so the boundary can't flip between engines. Both
+    sides shuffle on l_partkey; at 100 TB the aggregate side is tiny
+    (one row per part) and AQE picks a broadcast for it."""
+    li = _t(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast("bigint")
+    pstats = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.count(F.lit(1)).alias("cnt"), F.sum(qty).alias("sq")
+    )
+    return (
+        li.join(pstats, li.l_partkey == pstats.pk)
+        .where(qty * F.col("cnt") * 5 < F.col("sq"))
+        .agg(
+            F.count(F.lit(1)).alias("n_small"),
+            dsum("l_extendedprice", "small_rev"),
+        )
+    )
+
+
+@register(
+    "big_orders",
+    """
+    SELECT c_name, o_orderkey, SUM(CAST(l_quantity AS BIGINT)) AS total_qty
+    FROM orders
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    GROUP BY c_name, o_orderkey
+    HAVING SUM(CAST(l_quantity AS BIGINT)) > 250
+    """,
+)
+def q_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: orders whose total quantity exceeds 250, with
+    the owning customer. Aggregate-then-filter (HAVING); quantities are
+    integral so the sum is exact in int64. The orders⋈lineitem join
+    shuffles on orderkey; customer is broadcast onto the surviving
+    aggregate rows (a few per million orders) — filter-before-join on
+    the expensive side."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    cust = _t(spark, sf_dir, "customer")
+    per_order = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("bigint")).alias("total_qty"))
+        .where(F.col("total_qty") > 250)
+    )
+    return (
+        per_order.join(orders, orders.o_orderkey == per_order.l_orderkey)
+        .join(F.broadcast(cust), cust.c_custkey == orders.o_custkey)
+        .select("c_name", "o_orderkey", "total_qty")
+    )
+
+
+@register(
+    "disjunctive_parts_revenue",
+    """
+    SELECT COUNT(*) AS n_items,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,4))) AS DOUBLE) AS revenue
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 1 AND 21)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 5 AND 25
+           AND l_quantity BETWEEN 10 AND 30)
+       OR (p_brand = 'Brand#34' AND p_size BETWEEN 10 AND 40
+           AND l_quantity BETWEEN 20 AND 40)
+    """,
+)
+def q_disjunctive_parts_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: an OR-of-ANDs predicate spanning both join
+    sides. Catalyst extracts the common per-side conjuncts from the
+    disjunction (brand IN (...) below part's scan, quantity <= 40
+    below lineitem's) and pushes them into the parquet scans, so the
+    join sees pre-filtered inputs — asserted in tests via
+    PushedFilters."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    q, b, s = F.col("l_quantity"), F.col("p_brand"), F.col("p_size")
+    cond = (
+        ((b == "Brand#12") & s.between(1, 15) & q.between(1, 21))
+        | ((b == "Brand#23") & s.between(5, 25) & q.between(10, 30))
+        | ((b == "Brand#34") & s.between(10, 40) & q.between(20, 40))
+    )
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(38,4)"
+    )
+    return (
+        li.join(F.broadcast(part), part.p_partkey == li.l_partkey)
+        .where(cond)
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(rev).cast("double").alias("revenue"),
+        )
+    )
+
+
+@register(
+    "idle_rich_customers",
+    """
+    WITH stats AS (
+      SELECT COUNT(*) AS cnt,
+             SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS tot
+      FROM customer WHERE c_acctbal > 0)
+    SELECT c_nationkey, COUNT(*) AS numcust,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS totacctbal
+    FROM customer CROSS JOIN stats
+    WHERE CAST(c_acctbal AS DECIMAL(18,4)) * CAST(cnt AS DECIMAL(10,0)) > tot
+      AND c_custkey NOT IN (SELECT o_custkey FROM orders
+                            WHERE o_totalprice > 400000)
+    GROUP BY c_nationkey
+    """,
+)
+def q_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: customers above the average positive balance
+    with no large (>400k) order, grouped by nation. The scalar subquery (global
+    avg) becomes a one-row aggregate broadcast-cross-joined onto the
+    scan — zero extra shuffles; the no-orders test is a left-anti join.
+    The avg threshold is compared exactly (bal*cnt > sum in decimal),
+    sidestepping float-avg order sensitivity. Balances are 2 dp so
+    DECIMAL(18,4) is exact."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    bal = F.col("c_acctbal").cast("decimal(18,4)")
+    stats = cust.where(F.col("c_acctbal") > 0).agg(
+        F.count(F.lit(1)).cast("decimal(10,0)").alias("cnt"),
+        F.sum(bal).alias("tot"),
+    )
+    return (
+        cust.crossJoin(F.broadcast(stats))
+        .where(bal * F.col("cnt") > F.col("tot"))
+        .join(
+            orders.where(F.col("o_totalprice") > 400000).select(
+                F.col("o_custkey").alias("c_custkey")
+            ),
+            "c_custkey",
+            "left_anti",
+        )
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum(bal).cast("double").alias("totacctbal"),
+        )
+    )
+
+
+@register(
+    "volume_shipping",
+    """
+    SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
+           CAST(EXTRACT(year FROM l_shipdate) AS INTEGER) AS ship_year,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,4))) AS DOUBLE) AS revenue
+    FROM lineitem
+    JOIN orders ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    JOIN nation cn ON cn.n_nationkey = c_nationkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation sn ON sn.n_nationkey = s_nationkey
+    WHERE cn.n_name <> sn.n_name
+    GROUP BY 1, 2, 3
+    """,
+)
+def q_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: cross-border trade volume by (customer nation,
+    supplier nation, ship year). The nation dimension joins twice in
+    different roles — aliased DataFrames, both broadcast; only
+    lineitem⋈orders shuffles. The inequality filter drops same-nation
+    flows before aggregation."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    cn = nation.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    sn = nation.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(38,4)"
+    )
+    return (
+        li.join(orders, orders.o_orderkey == li.l_orderkey)
+        .join(F.broadcast(cust), cust.c_custkey == orders.o_custkey)
+        .join(F.broadcast(cn), F.col("cn_key") == cust.c_nationkey)
+        .join(F.broadcast(supp), supp.s_suppkey == li.l_suppkey)
+        .join(F.broadcast(sn), F.col("sn_key") == supp.s_nationkey)
+        .where(F.col("cust_nation") != F.col("supp_nation"))
+        .groupBy(
+            "cust_nation",
+            "supp_nation",
+            F.year("l_shipdate").alias("ship_year"),
+        )
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+    )
+
+
+@register(
+    "min_cost_supplier",
+    """
+    WITH costs AS (
+      SELECT l_partkey AS p_partkey, l_suppkey AS s_suppkey,
+             MIN(l_extendedprice / l_quantity) AS unit_cost
+      FROM lineitem GROUP BY 1, 2),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY p_partkey ORDER BY unit_cost, s_suppkey) AS rn
+      FROM costs)
+    SELECT p_partkey, s_suppkey, s_name, unit_cost
+    FROM ranked JOIN supplier USING (s_suppkey)
+    WHERE rn = 1
+    """,
+)
+def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: for every part, the supplier with the cheapest
+    observed unit price — per-group argmin via row_number over a
+    pre-aggregated (part, supplier) table, ties broken by supplier key
+    so the winner is unique and engine-independent. One shuffle on
+    l_partkey serves both the aggregate and the window (same
+    partitioning); supplier names broadcast onto the one-row-per-part
+    result."""
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    costs = li.groupBy(
+        F.col("l_partkey").alias("p_partkey"),
+        F.col("l_suppkey").alias("s_suppkey"),
+    ).agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost"))
+    w = Window.partitionBy("p_partkey").orderBy("unit_cost", "s_suppkey")
+    return (
+        costs.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .join(F.broadcast(supp.select("s_suppkey", "s_name")), "s_suppkey")
+        .select("p_partkey", "s_suppkey", "s_name", "unit_cost")
+    )

@@ -274,3 +274,50 @@ def test_stream_static_join_oracle_shape_broadcasts_dim(spark, sf_dir):
     )
     df = ev.join(cust, "user_id").groupBy("c_mktsegment").count()
     assert_broadcast_join(df)
+
+
+def test_disjunctive_parts_pushes_common_conjuncts(spark, sf_dir):
+    # TPC-H Q19 shape: Catalyst must extract per-side filters from the
+    # OR-of-ANDs and push them into both parquet scans
+    df = Q.queries()["disjunctive_parts_revenue"](spark, sf_dir)
+    assert_pushed_filter(df, "p_brand")
+    assert_pushed_filter(df, "l_quantity")
+    assert_broadcast_join(df)
+
+
+def test_volume_shipping_broadcasts_all_dims(spark, sf_dir):
+    # Q7 shape: both nation roles + customer + supplier broadcast;
+    # only the lineitem⋈orders fact join may shuffle
+    df = Q.queries()["volume_shipping"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert plan.count("BroadcastHashJoin") >= 4, plan
+    assert_no_cartesian(df)
+
+
+def test_small_qty_revenue_single_fact_shuffle_key(spark, sf_dir):
+    # Q17 decorrelation: aggregate + self-join both key on l_partkey;
+    # no cartesian, and the plan stays in codegen
+    df = Q.queries()["small_qty_revenue"](spark, sf_dir)
+    assert_no_cartesian(df)
+    assert_whole_stage_codegen(df)
+
+
+def test_idle_rich_scalar_stats_broadcast(spark, sf_dir):
+    # Q22 shape: the one-row stats aggregate must broadcast (nested
+    # loop on a single row, not a shuffled cartesian), and the
+    # no-big-order test must plan as a broadcast anti join
+    df = Q.queries()["idle_rich_customers"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "LeftAnti" in plan, plan
+
+
+def test_big_orders_filters_before_customer_join(spark, sf_dir):
+    # Q18 shape: the HAVING filter must run on the aggregate subtree
+    # (a Filter on total_qty below the joins), so the broadcast join
+    # sees only surviving rows; and the whole plan stays join-local
+    df = Q.queries()["big_orders"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert_broadcast_join(df)
+    assert_no_cartesian(df)
+    assert "total_qty" in plan and "Filter" in plan, plan
