@@ -3401,3 +3401,90 @@ def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(supp.select("s_suppkey", "s_name")), "s_suppkey")
         .select("p_partkey", "s_suppkey", "s_name", "unit_cost")
     )
+
+
+@register(
+    "bucketed_colocated_join",
+    """
+    SELECT o_orderstatus,
+           COUNT(*) AS n_items,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,4))) AS DOUBLE) AS gross
+    FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    GROUP BY o_orderstatus
+    """,
+)
+def q_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4 [EXT]: bucketed-table co-located fact⋈fact join. Both sides
+    are written once bucketed+sorted on the order key (8 buckets here;
+    thousands on a cluster), so the join planner sees matching output
+    partitionings and emits a SortMergeJoin with ZERO Exchange on
+    either side (pinned in tests) — the one physical trick that makes
+    repeated 100 TB fact joins affordable, amortizing the shuffle into
+    the write path. DuckDB oracle is the logically identical plain
+    join; bucketing only changes the physical plan."""
+    import tempfile
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    wh = os.path.join(tempfile.gettempdir(), f"spark_graft_buckets_{tag}")
+    names = {"orders": "o_orderkey", "lineitem": "l_orderkey"}
+    for tbl, key in names.items():
+        tname = f"bkt_{tag}_{tbl}".replace(".", "_")
+        if not spark.catalog.tableExists(tname):
+            (
+                _t(spark, sf_dir, tbl)
+                .write.bucketBy(8, key)
+                .sortBy(key)
+                .option("path", os.path.join(wh, tname))
+                .mode("overwrite")
+                .saveAsTable(tname)
+            )
+    o = spark.table(f"bkt_{tag}_orders".replace(".", "_"))
+    li = spark.table(f"bkt_{tag}_lineitem".replace(".", "_"))
+    # hint MERGE: at test SF Catalyst would broadcast the small side,
+    # which hides exactly the property this query exists to pin — at
+    # 100 TB neither fact side fits in memory and SMJ over co-bucketed
+    # scans (no exchange on either side) is the plan that matters.
+    return (
+        o.hint("merge")
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            dsum("l_extendedprice", "gross"),
+        )
+    )
+
+
+@register(
+    "sql_surface_revenue",
+    """
+    SELECT n_name,
+           COUNT(DISTINCT c_custkey) AS n_buyers,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE) AS gross
+    FROM nation
+    JOIN customer ON c_nationkey = n_nationkey
+    JOIN orders ON o_custkey = c_custkey
+    WHERE o_orderstatus <> 'F'
+    GROUP BY n_name
+    """,
+)
+def q_sql_surface_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine's ANSI-SQL front door: tables registered as temp
+    views, the query text handed to spark.sql — same Catalyst plan as
+    the DataFrame API (the reference has no query language at all;
+    this is the [EXT] user surface). The SQL here is byte-identical to
+    the oracle string, proving the dialect overlap."""
+    for tbl in ("nation", "customer", "orders"):
+        _t(spark, sf_dir, tbl).createOrReplaceTempView(tbl)
+    return spark.sql(
+        """
+        SELECT n_name,
+               COUNT(DISTINCT c_custkey) AS n_buyers,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE) AS gross
+        FROM nation
+        JOIN customer ON c_nationkey = n_nationkey
+        JOIN orders ON o_custkey = c_custkey
+        WHERE o_orderstatus <> 'F'
+        GROUP BY n_name
+        """
+    )

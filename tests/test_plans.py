@@ -321,3 +321,25 @@ def test_big_orders_filters_before_customer_join(spark, sf_dir):
     assert_broadcast_join(df)
     assert_no_cartesian(df)
     assert "total_qty" in plan and "Filter" in plan, plan
+
+
+def test_bucketed_join_has_no_join_side_exchange(spark, sf_dir):
+    # co-bucketed fact join: SortMergeJoin straight over the bucketed
+    # scans; the ONLY exchange in the plan is the final tiny group-by
+    # on o_orderstatus — the join itself never shuffles
+    df = Q.queries()["bucketed_colocated_join"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "SortMergeJoin" in plan, plan
+    # tree section only (details repeat each node once more): exactly
+    # one Exchange, and it sits above the join (aggregate side)
+    tree = plan.split("\n\n", 1)[0]
+    exchange_lines = [l for l in tree.splitlines() if "Exchange" in l]
+    assert len(exchange_lines) == 1, plan
+    join_subtree = tree.split("SortMergeJoin", 1)[1]
+    assert "Exchange" not in join_subtree, plan
+
+
+def test_sql_surface_matches_dataframe_plan(spark, sf_dir):
+    df = Q.queries()["sql_surface_revenue"](spark, sf_dir)
+    assert_broadcast_join(df)
+    assert_no_cartesian(df)
