@@ -3488,3 +3488,111 @@ def q_sql_surface_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY n_name
         """
     )
+
+
+@register(
+    "embedding_quantize",
+    """
+    WITH q AS (
+      SELECT vec_id, label,
+             list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale,
+             embedding
+      FROM embeddings WHERE vec_id % 4 = 0),
+    err AS (
+      SELECT vec_id, label,
+             list_max(list_transform(embedding,
+               x -> abs(CAST(x AS DOUBLE) - round(CAST(x AS DOUBLE) / scale) * scale))) AS verr
+      FROM q)
+    SELECT label, COUNT(*) AS n_vecs,
+           CAST(SUM(CAST(round(verr, 9) AS DECIMAL(18,10))) AS DOUBLE) AS total_err,
+           round(MAX(verr), 9) AS max_err
+    FROM err GROUP BY label
+    """,
+)
+def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3c [EXT]: symmetric int8 quantization of the embedding column
+    — per-vector scale = max|x|/127, reconstruct, and report the
+    per-label reconstruction error envelope. The 4x compression every
+    100 TB vector store applies before ANN; here it is pure JVM-side
+    array lambdas (transform/array_max — no UDF, no shuffle besides
+    the final tiny group-by). Error aggregates stay portable: max is
+    order-free and the sum runs over 9-dp-rounded decimals."""
+    emb = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") % 4 == 0)
+    v = F.col("embedding").cast("array<double>")
+    scale = F.array_max(F.transform(v, F.abs)) / 127.0
+    q = emb.select(
+        "vec_id",
+        "label",
+        F.array_max(
+            F.transform(v, lambda x: F.abs(x - F.round(x / scale) * scale))
+        ).alias("verr"),
+    )
+    return q.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.sum(F.round("verr", 9).cast("decimal(18,10)"))
+        .cast("double")
+        .alias("total_err"),
+        F.round(F.max("verr"), 9).alias("max_err"),
+    )
+
+
+@register(
+    "upsert_customers",
+    """
+    WITH updates AS (
+      SELECT c_custkey, c_name, c_nationkey,
+             round(c_acctbal + 100.0, 2) AS c_acctbal, c_mktsegment
+      FROM customer WHERE c_custkey % 10 = 0
+      UNION ALL
+      SELECT c_custkey + 1000000, 'new_' || CAST(c_custkey AS VARCHAR),
+             c_nationkey, 0.0, c_mktsegment
+      FROM customer WHERE c_custkey % 100 = 0)
+    SELECT c_mktsegment,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS total_bal
+    FROM (
+      SELECT COALESCE(u.c_custkey, c.c_custkey) AS c_custkey,
+             COALESCE(u.c_mktsegment, c.c_mktsegment) AS c_mktsegment,
+             COALESCE(u.c_acctbal, c.c_acctbal) AS c_acctbal
+      FROM customer c FULL OUTER JOIN updates u ON c.c_custkey = u.c_custkey)
+    GROUP BY c_mktsegment
+    """,
+)
+def q_upsert_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD-1 upsert (MERGE-into semantics) as a full outer join with
+    update-wins COALESCE: modified rows replace, unmatched new rows
+    insert, untouched rows survive — the lakehouse maintenance
+    primitive Spark expresses without a table format (with Delta or
+    Iceberg this compiles to MERGE INTO; the join IS the fallback
+    plan). Both sides shuffle on the same custkey, checked as
+    per-segment row counts and exact decimal balance totals."""
+    cust = _t(spark, sf_dir, "customer")
+    updates = (
+        cust.where(F.col("c_custkey") % 10 == 0)
+        .withColumn("c_acctbal", F.round(F.col("c_acctbal") + 100.0, 2))
+        .unionByName(
+            cust.where(F.col("c_custkey") % 100 == 0).select(
+                (F.col("c_custkey") + 1000000).alias("c_custkey"),
+                F.concat(F.lit("new_"), F.col("c_custkey").cast("string")).alias(
+                    "c_name"
+                ),
+                "c_nationkey",
+                F.lit(0.0).alias("c_acctbal"),
+                "c_mktsegment",
+            )
+        )
+    )
+    u, c = updates.alias("u"), cust.alias("c")
+    merged = u.join(
+        c, F.col("u.c_custkey") == F.col("c.c_custkey"), "full_outer"
+    ).select(
+        F.coalesce("u.c_custkey", "c.c_custkey").alias("c_custkey"),
+        F.coalesce("u.c_mktsegment", "c.c_mktsegment").alias("c_mktsegment"),
+        F.coalesce("u.c_acctbal", "c.c_acctbal").alias("c_acctbal"),
+    )
+    return merged.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("c_acctbal").cast("decimal(18,4)"))
+        .cast("double")
+        .alias("total_bal"),
+    )
