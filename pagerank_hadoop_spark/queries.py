@@ -3596,3 +3596,80 @@ def q_upsert_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("total_bal"),
     )
+
+
+@register(
+    "udtf_doc_ngrams",
+    """
+    SELECT g.gram, COUNT(*) AS cnt
+    FROM (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0) d,
+    LATERAL (
+      SELECT w.w || ' ' || lead(w.w) OVER (ORDER BY w.i) AS gram
+      FROM (SELECT unnest(string_split_regex(trim(d.text), '\\s+')) AS w,
+                   generate_subscripts(string_split_regex(trim(d.text), '\\s+'), 1) AS i) AS w(w, i)
+      QUALIFY lead(w.w) OVER (ORDER BY w.i) IS NOT NULL
+    ) g
+    GROUP BY g.gram
+    HAVING COUNT(*) >= 12
+    """,
+)
+def q_udtf_doc_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The user-extensible table-function surface (PySpark 4 UDTF,
+    Arrow-batched): one document row in → one row per word bigram out,
+    then a frequent-bigram count. The reference's only "function
+    surface" is recompiling mapper Java (SURVEY.md §2.7); this is the
+    engine's sanctioned plug-in point for row-expanding logic that
+    built-ins can't express. Hot paths should still prefer
+    explode/sequence (JVM-side) — the UDTF here is deliberately the
+    API-coverage query, and the oracle replays it relationally."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="gram: string")
+    class Bigrams:
+        def eval(self, text: str):
+            words = text.split()
+            for a, b in zip(words, words[1:]):
+                yield (f"{a} {b}",)
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") % 5 == 0)
+    spark.udtf.register("doc_bigrams", Bigrams)
+    docs.select(F.trim("text").alias("text")).createOrReplaceTempView(
+        "_udtf_docs"
+    )
+    return spark.sql(
+        """
+        SELECT g.gram, COUNT(*) AS cnt
+        FROM _udtf_docs d, LATERAL doc_bigrams(d.text) g
+        GROUP BY g.gram HAVING COUNT(*) >= 12
+        """
+    )
+
+
+@register(
+    "lateral_top_customers",
+    """
+    SELECT n_name, c_name, c_acctbal
+    FROM nation, LATERAL (
+      SELECT c_name, c_acctbal FROM customer
+      WHERE c_nationkey = n_nationkey
+      ORDER BY c_acctbal DESC, c_name LIMIT 2) t
+    """,
+)
+def q_lateral_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery — top-2 customers per nation by
+    balance, written the way an analyst writes it; Catalyst
+    decorrelates the per-row subquery into a ranked join
+    (DecorrelateInnerQuery), the same plan as the explicit window
+    form. Deterministic tie-break on name keeps both engines
+    aligned."""
+    for tbl in ("nation", "customer"):
+        _t(spark, sf_dir, tbl).createOrReplaceTempView(tbl)
+    return spark.sql(
+        """
+        SELECT n_name, c_name, c_acctbal
+        FROM nation, LATERAL (
+          SELECT c_name, c_acctbal FROM customer
+          WHERE c_nationkey = n_nationkey
+          ORDER BY c_acctbal DESC, c_name LIMIT 2) t
+        """
+    )
