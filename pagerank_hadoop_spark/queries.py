@@ -3673,3 +3673,98 @@ def q_lateral_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
           ORDER BY c_acctbal DESC, c_name LIMIT 2) t
         """
     )
+
+
+@register(
+    "analytic_functions",
+    """
+    SELECT o_orderkey, o_custkey,
+           lag(o_totalprice) OVER w AS prev_price,
+           lead(o_totalprice) OVER w AS next_price,
+           first_value(o_totalprice) OVER w AS first_price,
+           round(percent_rank() OVER w, 9) AS pct_rank,
+           round(cume_dist() OVER w, 9) AS cume,
+           nth_value(o_totalprice, 2) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+           ) AS second_price
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def q_analytic_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E7: the full analytic-function surface over one per-customer
+    order timeline — offset functions (lag/lead), frame navigation
+    (first_value, nth_value with an explicit full frame), and
+    distribution ranks (percent_rank, cume_dist; 9-dp rounded for
+    cross-engine float parity). One shuffle on o_custkey serves every
+    function: same partitioning, same sort."""
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.lag("o_totalprice").over(w).alias("prev_price"),
+        F.lead("o_totalprice").over(w).alias("next_price"),
+        F.first("o_totalprice").over(w).alias("first_price"),
+        F.round(F.percent_rank().over(w), 9).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 9).alias("cume"),
+        F.nth_value("o_totalprice", 2).over(wf).alias("second_price"),
+    )
+
+
+@register(
+    "array_set_ops",
+    """
+    WITH per_cust AS (
+      SELECT o_custkey,
+             COALESCE(list_sort(list_distinct(list(o_orderpriority)
+               FILTER (WHERE o_orderstatus = 'O'))), []) AS open_prios,
+             COALESCE(list_sort(list_distinct(list(o_orderpriority)
+               FILTER (WHERE o_orderstatus = 'F'))), []) AS closed_prios
+      FROM orders GROUP BY o_custkey)
+    SELECT o_custkey,
+           COALESCE(list_aggregate(
+             list_sort(list_intersect(open_prios, closed_prios)),
+             'string_agg', ','), '') AS both_prios,
+           len(list_filter(open_prios,
+                           x -> NOT list_contains(closed_prios, x))) AS open_only_n,
+           len(list_distinct(list_concat(open_prios, closed_prios))) AS all_n
+    FROM per_cust
+    WHERE o_custkey % 20 = 0
+    """,
+)
+def q_array_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-algebra surface: per-customer priority sets built with
+    filtered collect_set, then array_intersect / except-via-filter /
+    union — the JVM-side set operations a feature-engineering pipeline
+    leans on instead of exploding to rows and re-grouping (which would
+    cost a second shuffle). Intersections are emitted sorted+joined so
+    the value hash is canonical."""
+    orders = _t(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.sort_array(
+            F.collect_set(
+                F.when(F.col("o_orderstatus") == "O", F.col("o_orderpriority"))
+            )
+        ).alias("open_prios"),
+        F.sort_array(
+            F.collect_set(
+                F.when(F.col("o_orderstatus") == "F", F.col("o_orderpriority"))
+            )
+        ).alias("closed_prios"),
+    )
+    return per_cust.where(F.col("o_custkey") % 20 == 0).select(
+        "o_custkey",
+        F.array_join(
+            F.array_sort(F.array_intersect("open_prios", "closed_prios")), ","
+        ).alias("both_prios"),
+        F.size(
+            F.filter(
+                "open_prios",
+                lambda x: ~F.array_contains(F.col("closed_prios"), x),
+            )
+        ).alias("open_only_n"),
+        F.size(F.array_union("open_prios", "closed_prios")).alias("all_n"),
+    )
