@@ -3768,3 +3768,39 @@ def q_array_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("open_only_n"),
         F.size(F.array_union("open_prios", "closed_prios")).alias("all_n"),
     )
+
+
+@register(
+    "stream_sink_roundtrip",
+    """
+    SELECT event_type, COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(38,4))) AS DOUBLE) AS total_value
+    FROM events GROUP BY event_type
+    """,
+)
+def q_stream_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E6: the production sink path end-to-end — readStream →
+    foreachBatch exactly-once parquet sink (batch_id=N partition
+    overwrite + checkpoint, streaming/windows.stream_to_parquet_
+    idempotent) → re-read the sunk files → aggregate. Oracle is the
+    batch aggregate of the source: nothing may be lost or duplicated
+    crossing the sink. The batch_id partition layout is what makes
+    failure-replay idempotent on object storage."""
+    import shutil
+    import tempfile
+
+    from pagerank_hadoop_spark.streaming.windows import (
+        stream_to_parquet_idempotent,
+    )
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    base = os.path.join(tempfile.gettempdir(), f"spark_graft_sink_{tag}")
+    shutil.rmtree(base, ignore_errors=True)
+    stream = _stream_events(spark, sf_dir)
+    stream_to_parquet_idempotent(
+        stream, f"{base}/data", f"{base}/ckpt"
+    )
+    back = spark.read.parquet(f"{base}/data")
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"), dsum("value", "total_value")
+    )
