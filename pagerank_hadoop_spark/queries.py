@@ -3804,3 +3804,73 @@ def q_stream_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_events"), dsum("value", "total_value")
     )
+
+
+@register(
+    "stream_dedup_watermark",
+    """
+    SELECT user_id, COUNT(*) AS n_unique FROM (
+      SELECT DISTINCT user_id, event_id % 500 AS eid FROM events)
+    GROUP BY user_id
+    """,
+)
+def q_stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E6: Spark's BUILT-IN streaming dedup —
+    dropDuplicatesWithinWatermark on a watermarked stream (state
+    evicted once the watermark passes an id's event time, so memory is
+    bounded by the dup horizon, not the stream length). event_id is
+    folded mod 500 to plant real duplicates; on the bounded
+    availableNow drain the surviving set equals batch DISTINCT, which
+    is the oracle. Complements stream_stateful_dedup (the custom
+    applyInPandasWithState form) with the operator users reach for
+    first."""
+    from pagerank_hadoop_spark.streaming.windows import run_to_memory
+
+    stream = (
+        _stream_events(spark, sf_dir)
+        .withColumn("eid", F.col("event_id") % 500)
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["user_id", "eid"])
+    )
+    _STREAM_SEQ["n"] += 1
+    name = f"stream_ddw_{_STREAM_SEQ['n']}"
+    run_to_memory(stream, name, output_mode="append")
+    return (
+        spark.table(name)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_unique"))
+    )
+
+
+@register(
+    "variant_extract",
+    """
+    SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
+           COUNT(*) AS cnt,
+           CAST(SUM(CAST(value AS DECIMAL(38,4))) AS DOUBLE) AS total_value
+    FROM events
+    WHERE json_extract_string(props, '$.k') IS NOT NULL
+    GROUP BY 1
+    """,
+)
+def q_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured VARIANT surface (Spark 4): parse_json once into
+    a VARIANT column, then typed variant_get path extraction — the
+    open-schema ingestion shape (store first, type on read) that
+    replaces rigid from_json struct schemas when 100 TB of event
+    payloads don't share one. Oracle replays it with plain JSON path
+    extraction."""
+    ev = _t(spark, sf_dir, "events")
+    v = ev.select(
+        "value", F.parse_json("props").alias("vp")
+    ).select(
+        F.expr("variant_get(vp, '$.k', 'int')").alias("k"), "value"
+    )
+    return (
+        v.where(F.col("k").isNotNull())
+        .groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            dsum("value", "total_value"),
+        )
+    )
