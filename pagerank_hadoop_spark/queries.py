@@ -3874,3 +3874,30 @@ def q_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("value", "total_value"),
         )
     )
+
+
+@register(
+    "argmax_aggregates",
+    """
+    SELECT c_nationkey,
+           arg_max(c_name, c_acctbal) AS richest,
+           arg_min(c_name, c_acctbal) AS poorest,
+           max(c_acctbal) AS max_bal,
+           count(DISTINCT c_mktsegment) AS n_segments
+    FROM customer GROUP BY c_nationkey
+    """,
+)
+def q_argmax_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate-function surface: max_by/min_by (argmax without the
+    self-join-back-to-the-max detour) plus countDistinct in one pass.
+    One shuffle on the group key; balances are unique per nation in
+    the fixture so the argmax winner is engine-independent (with ties
+    you'd order by a struct of (value, key) — see min_cost_supplier
+    for the window form)."""
+    cust = _t(spark, sf_dir, "customer")
+    return cust.groupBy("c_nationkey").agg(
+        F.max_by("c_name", "c_acctbal").alias("richest"),
+        F.min_by("c_name", "c_acctbal").alias("poorest"),
+        F.max("c_acctbal").alias("max_bal"),
+        F.countDistinct("c_mktsegment").alias("n_segments"),
+    )
