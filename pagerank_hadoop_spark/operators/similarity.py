@@ -370,21 +370,34 @@ def pq_topk(
             lambda acc, x: acc + x,
         )
 
+    # corpus-side encoder: per subspace argmin_c ||x_sub - c||^2, with
+    # the row-constant ||x_sub||^2 dropped -> argmin(||c||^2 - 2 x.c).
+    # Arrow-batched NumPy, not Column expressions: the expression form
+    # is m*n_codes (128 here) interpreted HOF dot products per row AND
+    # bakes the trained codebooks into plan literals, so every train
+    # produces a brand-new giant plan for Janino to recompile. The
+    # kernel does one (batch x n_codes) GEMM per subspace and the
+    # codebooks live in the closure, off the plan.
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    books_np = np.asarray(books, dtype=np.float64)  # (m, n_codes, sub)
+    c_norms = (books_np * books_np).sum(axis=2)  # (m, n_codes)
+
+    @pandas_udf("array<int>")
+    def encode_udf(vecs):
+        if vecs.empty:
+            return pd.Series([], dtype=object)
+        X = np.array([np.asarray(v, dtype=np.float64) for v in vecs])
+        codes = np.empty((X.shape[0], m), dtype=np.int32)
+        for s in range(m):
+            Xs = X[:, s * sub : (s + 1) * sub]
+            d = c_norms[s][None, :] - 2.0 * (Xs @ books_np[s].T)
+            codes[:, s] = np.argmin(d, axis=1)
+        return pd.Series(list(codes))
+
     def encode(vec):
-        # per subspace: argmin_c ||x_sub - c||^2; drop the ||x_sub||^2
-        # term (constant per row) -> argmin(||c||^2 - 2 x_sub . c)
-        return F.array(*[
-            F.array_min(
-                F.array(*[
-                    F.struct(
-                        (F.lit(sum(x * x for x in c)) - 2.0 * sub_dot(vec, s, c)).alias("d"),
-                        F.lit(j).alias("code"),
-                    )
-                    for j, c in enumerate(books[s])
-                ])
-            )["code"]
-            for s in range(m)
-        ])
+        return encode_udf(vec)
 
     def luts(vec):
         return F.array(*[
@@ -393,8 +406,13 @@ def pq_topk(
         ])
 
     # the ADC scan touches ONLY (id, codes): the float vectors stay in
-    # the parquet files until the refine join below
-    encoded = corpus.select(id_col, encode(F.col(vec_col)).alias("codes"))
+    # the parquet files until the refine join below. Materialize the
+    # codes (m ints + id per row — the PQ index itself, which any real
+    # deployment persists): under the query crossJoin the encoder
+    # would otherwise re-run once per (query, vector) pair.
+    encoded = corpus.select(
+        id_col, encode(F.col(vec_col)).alias("codes")
+    ).localCheckpoint(eager=True)
     q_luts = queries.select(q_id_col, luts(F.col(q_vec_col)).alias("luts"))
 
     adc = F.aggregate(
