@@ -3901,3 +3901,39 @@ def q_argmax_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("c_acctbal").alias("max_bal"),
         F.countDistinct("c_mktsegment").alias("n_segments"),
     )
+
+
+@register(
+    "observed_quality_agg",
+    """
+    SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM(CAST(n_chars AS DECIMAL(38,4))) AS DOUBLE) AS total_chars
+    FROM documents WHERE n_chars >= 200 GROUP BY lang
+    """,
+)
+def q_observed_quality_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline observability: df.observe attaches named metrics
+    (rows scanned, rows below the length floor) that the listener
+    reads from the SAME pass that computes the aggregate — the
+    zero-extra-cost replacement for the reference's Hadoop counter
+    side-channel (PageRank.java:41-43,219,470-471), and how a 100 TB
+    curation job reports drop rates without a second scan. The metrics
+    ride the action; the returned aggregate is what the oracle
+    checks."""
+    from pyspark.sql import Observation
+
+    docs = _t(spark, sf_dir, "documents")
+    obs = Observation("quality")
+    observed = docs.observe(
+        obs,
+        F.count(F.lit(1)).alias("rows_scanned"),
+        F.sum((F.col("n_chars") < 200).cast("int")).alias("rows_too_short"),
+    )
+    return (
+        observed.where(F.col("n_chars") >= 200)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            dsum("n_chars", "total_chars"),
+        )
+    )
