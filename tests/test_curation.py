@@ -138,3 +138,22 @@ def test_range_join_band_edges(spark):
     # inclusive band [lt, lt+100]; keys partition; no duplicates
     assert got == {("a", "lo"), ("a", "hi"), ("b", "other")}
     assert out.count() == len(got)
+
+
+def test_observe_metrics_ride_the_action(spark, sf_dir):
+    # the observe() metrics must equal what a separate pass would
+    # compute, without costing one
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    obs = Observation("q")
+    observed = docs.observe(
+        obs,
+        F.count(F.lit(1)).alias("rows_scanned"),
+        F.sum((F.col("n_chars") < 200).cast("int")).alias("rows_too_short"),
+    )
+    observed.where(F.col("n_chars") >= 200).groupBy("lang").count().collect()
+    got = obs.get
+    assert got["rows_scanned"] == docs.count()
+    assert got["rows_too_short"] == docs.where(F.col("n_chars") < 200).count()
