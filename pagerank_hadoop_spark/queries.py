@@ -3937,3 +3937,44 @@ def q_observed_quality_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("n_chars", "total_chars"),
         )
     )
+
+
+@register(
+    "recursive_cte_hierarchy",
+    """
+    WITH RECURSIVE anc(custkey, node, depth) AS (
+      SELECT c_custkey, c_custkey, 0 FROM customer
+      UNION ALL
+      SELECT custkey, node // 2, depth + 1 FROM anc WHERE node > 1
+    )
+    SELECT depth, COUNT(*) AS n_nodes,
+           COUNT(DISTINCT custkey) AS n_customers
+    FROM anc GROUP BY depth
+    """,
+)
+def q_recursive_cte_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-native iteration (Spark 4 WITH RECURSIVE): every customer
+    walks its binary-key ancestor chain to the root, and the result is
+    the per-depth population — the org-hierarchy/BOM query shape,
+    expressed declaratively instead of a driver loop. The walk halves
+    the key each step, so depth is bounded by log2(max key); each
+    recursion step is one self-join the engine plans like any other.
+    The driver-loop twin of this capability is bfs_hops /
+    connected_components (frontier loops in operators/graph.py) for
+    graphs with cycles, where UNION-ALL recursion would not
+    terminate."""
+    cust = _t(spark, sf_dir, "customer")
+    cust.createOrReplaceTempView("customer")
+    return spark.sql(
+        """
+        WITH RECURSIVE anc(custkey, node, depth) AS (
+          SELECT c_custkey, c_custkey, 0 FROM customer
+          UNION ALL
+          SELECT custkey, node DIV 2, depth + 1 FROM anc WHERE node > 1
+        )
+        SELECT depth, COUNT(*) AS n_nodes,
+               COUNT(DISTINCT custkey) AS n_customers
+        FROM anc GROUP BY depth
+        """
+    )
+
