@@ -3978,3 +3978,34 @@ def q_recursive_cte_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
     )
 
+
+
+@register(
+    "safe_arithmetic",
+    """
+    SELECT l_linestatus,
+           COUNT(*) AS n_rows,
+           COUNT(CASE WHEN l_discount = 0 THEN NULL ELSE 1 END) AS n_discounted,
+           CAST(SUM(CAST(COALESCE(l_extendedprice / NULLIF(l_discount, 0), 0)
+                         AS DECIMAL(38,4))) AS DOUBLE) AS markup_sum,
+           COUNT(TRY_CAST(l_returnflag AS INTEGER)) AS n_numeric_flags
+    FROM lineitem GROUP BY l_linestatus
+    """,
+)
+def q_safe_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-mode safety surface: Spark 4 runs ANSI SQL by default, so
+    a single zero divisor or malformed cast fails the whole job unless
+    guarded — try_divide and try_cast yield NULL instead, which is the
+    only sane contract for a 100 TB ingest (one bad row must not kill
+    a 6-hour job; json_badrecords covers the same posture for JSON).
+    The oracle replays try-semantics with NULLIF/TRY_CAST."""
+    li = _t(spark, sf_dir, "lineitem")
+    markup = F.try_divide("l_extendedprice", "l_discount")
+    return li.groupBy("l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(markup).alias("n_discounted"),
+        F.sum(F.coalesce(markup, F.lit(0.0)).cast("decimal(38,4)"))
+        .cast("double")
+        .alias("markup_sum"),
+        F.count(F.expr("try_cast(l_returnflag AS int)")).alias("n_numeric_flags"),
+    )
