@@ -343,3 +343,39 @@ def test_sql_surface_matches_dataframe_plan(spark, sf_dir):
     df = Q.queries()["sql_surface_revenue"](spark, sf_dir)
     assert_broadcast_join(df)
     assert_no_cartesian(df)
+
+
+def test_upsert_full_outer_merge_join(spark, sf_dir):
+    # MERGE shape: a FullOuter join keyed on custkey; both sides
+    # shuffle once on the same key, and the two update branches read
+    # only the columns they touch (pruned scans)
+    df = Q.queries()["upsert_customers"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "FullOuter" in plan, plan
+    assert_no_cartesian(df)
+
+
+def test_cust_order_distribution_partial_aggs(spark, sf_dir):
+    # Q13 shape: both aggregation levels must plan partial+final
+    # hash aggregates (map-side combine before each exchange)
+    df = Q.queries()["cust_order_distribution"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert plan.count("HashAggregate") >= 4, plan
+
+
+def test_recursive_cte_bounded_and_aggregated(spark, sf_dir):
+    # the recursive walk must terminate (node halves each step) and
+    # feed a normal aggregate; depth is bounded by log2(max custkey)
+    import math
+
+    df = Q.queries()["recursive_cte_hierarchy"](spark, sf_dir)
+    rows = {r["depth"]: r["n_nodes"] for r in df.collect()}
+    max_key = (
+        spark.read.parquet(f"{sf_dir}/customer.parquet")
+        .agg(F.max("c_custkey"))
+        .first()[0]
+    )
+    assert max(rows) <= math.floor(math.log2(max(max_key, 1))) + 1
+    # depth 0 row count == customer count (every walk starts at its key)
+    n_cust = spark.read.parquet(f"{sf_dir}/customer.parquet").count()
+    assert rows[0] == n_cust
