@@ -4009,3 +4009,52 @@ def q_safe_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("markup_sum"),
         F.count(F.expr("try_cast(l_returnflag AS int)")).alias("n_numeric_flags"),
     )
+
+
+@register(
+    "intradoc_dedup_words",
+    r"""
+    WITH w AS (
+      SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS word,
+             generate_subscripts(string_split_regex(trim(text), '\s+'), 1) AS pos
+      FROM documents WHERE doc_id % 25 = 0)
+    SELECT doc_id,
+           COUNT(*) AS n_words,
+           COUNT(DISTINCT word) AS n_kept,
+           CAST(SUM(CASE WHEN first_pos = pos THEN length(word) ELSE 0 END)
+                AS BIGINT) AS kept_chars
+    FROM (SELECT doc_id, word, pos,
+                 MIN(pos) OVER (PARTITION BY doc_id, word) AS first_pos
+          FROM w)
+    GROUP BY doc_id
+    """,
+)
+def q_intradoc_dedup_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document sequence dedup (the word-granularity form of
+    repeated-paragraph scrubbing): posexplode the token stream, keep
+    each token's FIRST occurrence (min-position window), report
+    kept/total counts and surviving characters. The doc_id partition
+    key means the explode never shuffles tokens across documents —
+    the whole op is one window inside the per-doc partition, the shape
+    that holds when a document is 1 MB of text at 100 TB corpus
+    scale."""
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") % 25 == 0)
+    w = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.trim("text"), r"\s+")).alias("pos0", "word"),
+    ).select("doc_id", "word", (F.col("pos0") + 1).alias("pos"))
+    first = Window.partitionBy("doc_id", "word")
+    return (
+        w.withColumn("first_pos", F.min("pos").over(first))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.countDistinct("word").alias("n_kept"),
+            F.sum(
+                F.when(F.col("first_pos") == F.col("pos"), F.length("word"))
+                .otherwise(F.lit(0))
+            )
+            .cast("bigint")
+            .alias("kept_chars"),
+        )
+    )
