@@ -109,6 +109,7 @@ def triangle_count(edges: DataFrame) -> DataFrame:
 def connected_components(
     edges: DataFrame,
     max_iter: int = 50,
+    jump: bool | None = None,
 ) -> DataFrame:
     """Undirected connected components by hash-min label propagation:
     every vertex's label converges to the minimum vertex id in its
@@ -141,7 +142,15 @@ def connected_components(
     # column-pruned scan of the (not yet doubled) edge frame.
     from pagerank_hadoop_spark.operators.pagerank import _iter_partitions
 
-    parts = _iter_partitions(2 * edges.count(), shuffle_parts)
+    n_edges = edges.count()
+    parts = _iter_partitions(2 * n_edges, shuffle_parts)
+    # pointer jumping pays one extra (id, label) join per round to cut
+    # rounds from O(diameter) to O(log diameter). On a small graph the
+    # extra per-round stage overhead outweighs the saved rounds (the
+    # whole label table fits in one task); auto-enable it only when
+    # the graph is big enough for round count to dominate.
+    if jump is None:
+        jump = n_edges >= 50_000
     sym = edges.select("src", "dst").unionByName(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
@@ -159,16 +168,39 @@ def connected_components(
             .groupBy(F.col("dst").alias("id"))
             .agg(F.min("component").alias("__m"))
         )
-        # merge into the label table with least(); the __changed flag
-        # makes convergence detection a filter-count on the
-        # checkpointed frame instead of a join against the old labels
-        new_labels = (
-            labels.join(min_msgs, "id", "left")
-            .select(
-                "id",
-                F.least("component", "__m").alias("component"),
-                (F.col("__m") < F.col("component")).alias("__changed"),
+        # merge into the label table with least(), then POINTER-JUMP:
+        # replace each vertex's label with its label's label. Labels
+        # are monotone non-increasing and always ≤ the vertex id, so
+        # the jump only tightens; hash-min alone needs diameter
+        # rounds, hash-min + jump converges in O(log diameter) — on a
+        # 100 TB graph the difference between ~10 and ~40 shuffle
+        # rounds. The jump join keys the merged side by its label
+        # (skewed toward big components near convergence); AQE skew
+        # splitting carries it, and the round count it saves dominates.
+        merged = labels.join(min_msgs, "id", "left").select(
+            "id",
+            F.least("component", "__m").alias("__c1"),
+            F.col("component").alias("__old"),
+        )
+        if jump:
+            parent = labels.select(
+                F.col("id").alias("__pid"), F.col("component").alias("__pcomp")
             )
+            stepped = merged.join(
+                parent, merged.__c1 == parent.__pid, "left"
+            ).select(
+                "id",
+                F.least("__c1", "__pcomp").alias("component"),
+                F.col("__old"),
+            )
+        else:
+            stepped = merged.select(
+                "id", F.col("__c1").alias("component"), "__old"
+            )
+        new_labels = stepped.select(
+            "id",
+            "component",
+            (F.col("component") < F.col("__old")).alias("__changed"),
         ).localCheckpoint(eager=False)
         # one job: computes every partition (count touches all), which
         # materializes the lazy checkpoint, and yields the fixpoint test
