@@ -3404,6 +3404,487 @@ def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "order_priority_check",
+    """
+    SELECT o_orderpriority, COUNT(*) AS n_late_orders
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey
+                    AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
+    GROUP BY o_orderpriority
+    """,
+)
+def q_order_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: orders (one year) with at least one line shipped
+    more than 90 days after ordering, counted per priority class. The
+    EXISTS is a left-semi join whose condition mixes an equi key with a
+    cross-side date inequality — Spark keeps the equi part as the hash
+    key and evaluates the inequality as a residual, so no nested loop.
+    The date filter prunes orders before the join (test table lacks
+    l_commitdate/l_receiptdate; shipdate-vs-orderdate is the analogue)."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    win = orders.where(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1997-01-01")
+    )
+    return (
+        win.join(
+            li,
+            (li.l_orderkey == win.o_orderkey)
+            & (li.l_shipdate > win.o_orderdate + F.expr("INTERVAL 90 DAYS")),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_late_orders"))
+    )
+
+
+@register(
+    "national_market_share",
+    """
+    SELECT CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS o_year,
+           CAST(SUM(CASE WHEN sn.n_name = 'NATION_3'
+                THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,4))
+                ELSE CAST(0 AS DECIMAL(38,4)) END) AS DOUBLE) AS nation_rev,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,4))) AS DOUBLE) AS total_rev,
+           round(CAST(SUM(CASE WHEN sn.n_name = 'NATION_3'
+                THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,4))
+                ELSE CAST(0 AS DECIMAL(38,4)) END) AS DOUBLE)
+             / CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,4))) AS DOUBLE), 9) AS mkt_share
+    FROM lineitem
+    JOIN orders ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    JOIN nation cn ON cn.n_nationkey = c_nationkey
+    JOIN region ON r_regionkey = cn.n_regionkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation sn ON sn.n_nationkey = s_nationkey
+    JOIN part ON p_partkey = l_partkey
+    WHERE r_name = 'ASIA' AND p_type = 'PROMO'
+    GROUP BY 1
+    """,
+)
+def q_national_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: NATION_3's share of PROMO-part revenue sold to
+    ASIA customers, per order year — a ratio of two conditional sums in
+    one aggregation pass over a 7-table snowflake (nation joined twice
+    in customer/supplier roles). Every dimension broadcasts; the only
+    shuffles are lineitem⋈orders and the final tiny group-by. Both
+    ratio operands are exact decimal sums, so the double division is
+    bit-identical across engines."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    part = _t(spark, sf_dir, "part")
+    cn = nation.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cn_reg")
+    )
+    sn = nation.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(38,4)"
+    )
+    zero = F.lit(0).cast("decimal(38,4)")
+    nrev = F.sum(
+        F.when(F.col("supp_nation") == "NATION_3", rev).otherwise(zero)
+    ).cast("double")
+    trev = F.sum(rev).cast("double")
+    return (
+        li.join(orders, orders.o_orderkey == li.l_orderkey)
+        .join(F.broadcast(cust), cust.c_custkey == orders.o_custkey)
+        .join(F.broadcast(cn), F.col("cn_key") == cust.c_nationkey)
+        .join(
+            F.broadcast(region.where(F.col("r_name") == "ASIA")),
+            F.col("r_regionkey") == F.col("cn_reg"),
+        )
+        .join(F.broadcast(supp), supp.s_suppkey == li.l_suppkey)
+        .join(F.broadcast(sn), F.col("sn_key") == supp.s_nationkey)
+        .join(
+            F.broadcast(part.where(F.col("p_type") == "PROMO")),
+            F.col("p_partkey") == li.l_partkey,
+        )
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            nrev.alias("nation_rev"),
+            trev.alias("total_rev"),
+            F.round(nrev / trev, 9).alias("mkt_share"),
+        )
+    )
+
+
+@register(
+    "product_profit",
+    """
+    SELECT sn.n_name AS supp_nation,
+           CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS o_year,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,4))
+                  - CAST(p_retailprice * l_quantity AS DECIMAL(38,4))) AS DOUBLE) AS profit
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation sn ON sn.n_nationkey = s_nationkey
+    JOIN orders ON o_orderkey = l_orderkey
+    WHERE p_name LIKE '%gear%'
+    GROUP BY 1, 2
+    """,
+)
+def q_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: pseudo-profit (revenue minus retail cost of the
+    shipped quantity — the test schema has no partsupp/supplycost) on
+    'gear' parts, by supplier nation and order year. The LIKE filter
+    lands on the broadcast part dimension before the join, shrinking
+    the probe output ~8x; profit is a difference of two exact decimal
+    products summed in one pass."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    orders = _t(spark, sf_dir, "orders")
+    sn = nation.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    profit = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(38,4)"
+    ) - (F.col("p_retailprice") * F.col("l_quantity")).cast("decimal(38,4)")
+    return (
+        li.join(
+            F.broadcast(part.where(F.col("p_name").like("%gear%"))),
+            F.col("p_partkey") == li.l_partkey,
+        )
+        .join(F.broadcast(supp), supp.s_suppkey == li.l_suppkey)
+        .join(F.broadcast(sn), F.col("sn_key") == supp.s_nationkey)
+        .join(orders, orders.o_orderkey == li.l_orderkey)
+        .groupBy("supp_nation", F.year("o_orderdate").alias("o_year"))
+        .agg(F.sum(profit).cast("double").alias("profit"))
+    )
+
+
+@register(
+    "returned_items",
+    """
+    SELECT c_custkey, c_name, n_name,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,4))) AS DOUBLE) AS revenue
+    FROM customer
+    JOIN orders ON o_custkey = c_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation ON n_nationkey = c_nationkey
+    WHERE l_returnflag = 'R'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+    GROUP BY 1, 2, 3
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def q_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: the 20 customers who returned the most revenue
+    in a half-year window. Aggregate on the shuffled customer key, then
+    TakeOrderedAndProject — the top-k never materializes a global sort.
+    The revenue tie-break on c_custkey makes the LIMIT deterministic
+    across engines."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    nation = _t(spark, sf_dir, "nation")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(38,4)"
+    )
+    return (
+        li.where(F.col("l_returnflag") == "R")
+        .join(
+            orders.where(
+                (F.col("o_orderdate") >= "1996-01-01")
+                & (F.col("o_orderdate") < "1996-07-01")
+            ),
+            orders.o_orderkey == li.l_orderkey,
+        )
+        .join(F.broadcast(cust), cust.c_custkey == orders.o_custkey)
+        .join(F.broadcast(nation), nation.n_nationkey == cust.c_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+@register(
+    "important_parts",
+    """
+    WITH pv AS (
+      SELECT l_partkey,
+             SUM(CAST(l_extendedprice AS DECIMAL(38,4))) AS val
+      FROM lineitem GROUP BY l_partkey),
+    tot AS (SELECT SUM(val) AS total, COUNT(*) AS n_parts FROM pv)
+    SELECT l_partkey, CAST(val AS DOUBLE) AS part_value
+    FROM pv CROSS JOIN tot
+    WHERE CAST(val AS DOUBLE) * n_parts > 1.5 * CAST(total AS DOUBLE)
+    """,
+)
+def q_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: parts whose lineitem value exceeds 1.5x the
+    average part's (no partsupp in the test schema, so value =
+    extendedprice sums; a mean-relative cut stays non-degenerate at
+    every SF, unlike Q11's fixed global fraction). The global total is
+    a one-row aggregate broadcast onto the per-part rows — the
+    HAVING-against-a-scalar-subquery plan with zero extra shuffles.
+    Both compare operands derive from exact decimal sums and 1.5 is
+    binary-exact, so the boundary cannot flip between engines."""
+    li = _t(spark, sf_dir, "lineitem")
+    # materialized once: without the checkpoint the crossJoin would
+    # re-run the full lineitem scan+aggregate for the scalar side
+    pv = (
+        li.groupBy("l_partkey")
+        .agg(F.sum(F.col("l_extendedprice").cast("decimal(38,4)")).alias("val"))
+        .localCheckpoint(eager=True)
+    )
+    tot = pv.agg(
+        F.sum("val").alias("total"), F.count(F.lit(1)).alias("n_parts")
+    )
+    return (
+        pv.crossJoin(F.broadcast(tot))
+        .where(
+            F.col("val").cast("double") * F.col("n_parts")
+            > 1.5 * F.col("total").cast("double")
+        )
+        .select("l_partkey", F.col("val").cast("double").alias("part_value"))
+    )
+
+
+@register(
+    "late_shipment_priority",
+    """
+    SELECT CAST(EXTRACT(year FROM l_shipdate) AS INTEGER) AS ship_year,
+           SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_count,
+           SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS low_count
+    FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+    GROUP BY 1
+    """,
+)
+def q_late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: of lines shipped more than 60 days after
+    ordering, how many belong to urgent vs routine orders, per ship
+    year (the test schema has no l_shipmode; lateness plays its role).
+    The cross-side date inequality is a post-join residual on the
+    orderkey hash join; both CASE branches aggregate in the same
+    partial pass."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    urgent = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, orders.o_orderkey == li.l_orderkey)
+        .where(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        .groupBy(F.year("l_shipdate").alias("ship_year"))
+        .agg(
+            F.sum(F.when(urgent, 1).otherwise(0)).alias("high_count"),
+            F.sum(F.when(urgent, 0).otherwise(1)).alias("low_count"),
+        )
+    )
+
+
+@register(
+    "top_supplier",
+    """
+    WITH rev AS (
+      SELECT l_suppkey,
+             SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,4))) AS total_rev_dec
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+      GROUP BY l_suppkey)
+    SELECT s_suppkey, s_name, CAST(total_rev_dec AS DOUBLE) AS total_rev
+    FROM rev JOIN supplier ON s_suppkey = l_suppkey
+    WHERE total_rev_dec = (SELECT MAX(total_rev_dec) FROM rev)
+    """,
+)
+def q_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: the supplier(s) with the maximum revenue over a
+    quarter — the classic view + scalar-MAX-subquery pattern. The max
+    re-aggregates the per-supplier view (tiny) and broadcasts one row
+    back onto it; revenue is an exact decimal so the equality with MAX
+    is safe (float revenue here could silently drop the winner)."""
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    # materialized once: the MAX subquery and the probe side would
+    # otherwise each re-scan lineitem for the same quarter aggregate
+    rev = (
+        li.where(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1996-04-01")
+        )
+        .groupBy("l_suppkey")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(38,4)"
+                )
+            ).alias("total_rev_dec")
+        )
+        .localCheckpoint(eager=True)
+    )
+    mx = rev.agg(F.max("total_rev_dec").alias("mx"))
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .where(F.col("total_rev_dec") == F.col("mx"))
+        .join(F.broadcast(supp), supp.s_suppkey == F.col("l_suppkey"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("total_rev_dec").cast("double").alias("total_rev"),
+        )
+    )
+
+
+@register(
+    "parts_supplier_cnt",
+    """
+    SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#45'
+      AND p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY 1, 2, 3
+    """,
+)
+def q_parts_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: how many distinct suppliers ship each surviving
+    (brand, type, size) combination, excluding one brand, a size set,
+    and a supplier blacklist (negative balance — the schema's stand-in
+    for the complaint LIKE). The NOT IN is a left-anti join against a
+    6-row broadcast; count-distinct expands to a two-phase aggregate on
+    the group keys + suppkey."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    supp = _t(spark, sf_dir, "supplier")
+    pf = part.where(
+        (F.col("p_brand") != "Brand#45")
+        & F.col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45)
+    )
+    blacklist = supp.where(F.col("s_acctbal") < 0).select(
+        F.col("s_suppkey").alias("l_suppkey")
+    )
+    return (
+        li.join(F.broadcast(pf), pf.p_partkey == li.l_partkey)
+        .join(F.broadcast(blacklist), "l_suppkey", "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "promo_part_suppliers",
+    """
+    SELECT s_suppkey, s_name FROM supplier
+    WHERE s_suppkey IN (
+      SELECT l_suppkey
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      WHERE p_name LIKE 'small%'
+        AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      GROUP BY l_suppkey, l_partkey
+      HAVING SUM(CAST(l_quantity AS BIGINT)) > 50)
+    """,
+)
+def q_promo_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: suppliers who moved real volume (>50 units in a
+    year) of any 'small…' part — an aggregate-with-HAVING nested inside
+    a semi-join. The inner aggregate groups on (suppkey, partkey); its
+    surviving keys collapse to a distinct supplier set that semi-joins
+    the supplier table. Quantity sums in exact int64."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    supp = _t(spark, sf_dir, "supplier")
+    movers = (
+        li.where(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+        )
+        .join(
+            F.broadcast(part.where(F.col("p_name").like("small%"))),
+            F.col("p_partkey") == li.l_partkey,
+        )
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum(F.col("l_quantity").cast("bigint")).alias("qty"))
+        .where(F.col("qty") > 50)
+        .select(F.col("l_suppkey").alias("s_suppkey"))
+    )
+    return supp.join(movers, "s_suppkey", "left_semi").select(
+        "s_suppkey", "s_name"
+    )
+
+
+@register(
+    "waiting_suppliers",
+    """
+    SELECT s_name, COUNT(*) AS numwait
+    FROM lineitem l1
+    JOIN orders ON o_orderkey = l1.l_orderkey
+    JOIN supplier ON s_suppkey = l1.l_suppkey
+    WHERE o_orderstatus = 'F'
+      AND l1.l_shipdate > o_orderdate + INTERVAL 90 DAY
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_shipdate > o_orderdate + INTERVAL 90 DAY)
+    GROUP BY s_name
+    """,
+)
+def q_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: suppliers who were the sole late shipper in a
+    finished multi-supplier order (late = shipped >90 days after the
+    order date; the schema's receipt/commit-date analogue). Instead of
+    the oracle's EXISTS + NOT-EXISTS double self-join, the engine
+    computes per-order facts once — distinct suppliers and distinct
+    late suppliers — and joins them back to the late lines: three scans
+    of lineitem collapse to one, and both the fact aggregation and the
+    re-join shuffle on the same orderkey, so the exchange is reused.
+    Equivalent because "some other supplier exists ∧ no other late
+    supplier" ⇔ n_supps ≥ 2 ∧ late_supps = 1 for a late line."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    supp = _t(spark, sf_dir, "supplier")
+    lo = li.join(
+        orders.where(F.col("o_orderstatus") == "F").select(
+            "o_orderkey", "o_orderdate"
+        ),
+        F.col("o_orderkey") == li.l_orderkey,
+    ).withColumn(
+        "late",
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"),
+    )
+    per_order = lo.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.countDistinct(F.when(F.col("late"), F.col("l_suppkey"))).alias(
+            "late_supps"
+        ),
+    )
+    return (
+        lo.where(F.col("late"))
+        .select("l_orderkey", "l_suppkey")
+        .join(
+            per_order.where(
+                (F.col("n_supps") >= 2) & (F.col("late_supps") == 1)
+            ),
+            "l_orderkey",
+        )
+        .join(F.broadcast(supp), supp.s_suppkey == F.col("l_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
+@register(
     "bucketed_colocated_join",
     """
     SELECT o_orderstatus,

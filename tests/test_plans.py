@@ -363,6 +363,70 @@ def test_cust_order_distribution_partial_aggs(spark, sf_dir):
     assert plan.count("HashAggregate") >= 4, plan
 
 
+def test_order_priority_semi_join_with_residual(spark, sf_dir):
+    # Q4 shape: EXISTS plans as a LeftSemi hash join on the orderkey
+    # with the date inequality as a residual — never a nested loop;
+    # the one-year window is pushed into the orders scan
+    df = Q.queries()["order_priority_check"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "LeftSemi" in plan, plan
+    assert "NestedLoop" not in plan, plan
+    assert_pushed_filter(df, "o_orderdate")
+
+
+def test_national_market_share_broadcasts_snowflake(spark, sf_dir):
+    # Q8 shape: all six dimension joins broadcast (nation twice);
+    # region/part filters reach their scans before the broadcast
+    df = Q.queries()["national_market_share"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert plan.count("BroadcastHashJoin") >= 5, plan
+    assert_pushed_filter(df, "r_name")
+    assert_pushed_filter(df, "p_type")
+
+
+def test_returned_items_topk_heap_and_pushdown(spark, sf_dir):
+    # Q10 shape: returnflag + date window pushed to the scans; the
+    # final top-20 is TakeOrderedAndProject, not a global sort
+    df = Q.queries()["returned_items"](spark, sf_dir)
+    assert_pushed_filter(df, "l_returnflag")
+    assert_pushed_filter(df, "o_orderdate")
+    assert_take_ordered(df)
+    assert_broadcast_join(df)
+
+
+def test_important_parts_single_fact_aggregate(spark, sf_dir):
+    # Q11 shape: the per-part aggregate materializes once (checkpoint)
+    # and the global total broadcasts back onto it — exactly one
+    # lineitem scan in the whole plan
+    df = Q.queries()["important_parts"](spark, sf_dir)
+    plan = formatted_plan(df)
+    import re
+
+    assert len(re.findall(r"Scan parquet", plan.split("\n\n", 1)[0])) == 0, plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
+
+
+def test_top_supplier_exact_decimal_max_equality(spark, sf_dir):
+    # Q15 shape: the revenue view materializes once; the scalar MAX
+    # broadcasts; the winner set is nonempty and exact-decimal unique
+    df = Q.queries()["top_supplier"](spark, sf_dir)
+    rows = df.collect()
+    assert len(rows) >= 1
+    assert len({r["total_rev"] for r in rows}) == 1
+
+
+def test_waiting_suppliers_no_triple_scan(spark, sf_dir):
+    # Q21 shape: the EXISTS/NOT-EXISTS double self-join collapses to
+    # per-order facts + one re-join — lineitem is scanned at most
+    # twice (facts + late lines), never three times as the literal
+    # SQL would
+    df = Q.queries()["waiting_suppliers"](spark, sf_dir)
+    plan = formatted_plan(df)
+    # scan nodes list their Location once each in the details section
+    assert plan.count("lineitem.parquet") <= 2, plan
+    assert_no_cartesian(df)
+
+
 def test_recursive_cte_bounded_and_aggregated(spark, sf_dir):
     # the recursive walk must terminate (node halves each step) and
     # feed a normal aggregate; depth is bounded by log2(max custkey)
