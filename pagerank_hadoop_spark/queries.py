@@ -4539,3 +4539,137 @@ def q_intradoc_dedup_words(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("kept_chars"),
         )
     )
+
+
+@register(
+    "map_event_profiles",
+    """
+    WITH ue AS (
+      SELECT user_id, event_type, COUNT(*) AS c
+      FROM events GROUP BY user_id, event_type)
+    SELECT event_type,
+           COUNT(*) AS n_heavy_users,
+           CAST(SUM(c) AS BIGINT) AS heavy_events
+    FROM ue WHERE c >= 3 GROUP BY event_type
+    """,
+)
+def q_map_event_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] MapType surface (the reference is string-typed throughout;
+    SURVEY.md §1 'no maps'): per-user event-type profiles built as a
+    real ``map<string,bigint>`` column (map_from_entries over
+    collect_list), pruned JVM-side with ``map_filter`` (keep types the
+    user fired ≥3 times), then exploded back to rows and re-aggregated.
+    The map stays inside Tungsten rows end to end — no UDF, no JSON
+    detour; the oracle is the equivalent relational HAVING."""
+    ev = _t(spark, sf_dir, "events")
+    profiles = (
+        ev.groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("user_id")
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("event_type", "c"))
+            ).alias("profile")
+        )
+        .select(
+            "user_id",
+            F.map_filter("profile", lambda k, v: v >= 3).alias("heavy"),
+        )
+    )
+    return (
+        profiles.select("user_id", F.explode("heavy").alias("event_type", "c"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_heavy_users"),
+            F.sum("c").cast("bigint").alias("heavy_events"),
+        )
+    )
+
+
+@register(
+    "cohort_retention",
+    """
+    WITH fm AS (
+      SELECT user_id, MIN(CAST(date_trunc('day', ts) AS DATE)) AS cohort_day
+      FROM events GROUP BY user_id),
+    act AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS act_day
+      FROM events)
+    SELECT cohort_day,
+           date_diff('day', cohort_day, act_day) AS days_since,
+           COUNT(*) AS active_users
+    FROM act JOIN fm USING (user_id)
+    GROUP BY 1, 2
+    """,
+)
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] cohort-retention analytics: users cohorted by first-active
+    day; for each (cohort, days-since) cell, how many are still active
+    (day granularity because the test stream spans one month). One
+    groupBy(user_id) collapses the event stream to a per-user
+    active-day set (collect_set partial-aggregates map-side; state is
+    bounded by the calendar, ≤31 entries here), the cohort day falls
+    out as array_min of that set, and the explode feeds the final tiny
+    group-by — two exchanges total, vs the window-plus-dedup shape's
+    four. Date arithmetic stays on truncated days (integral diffs),
+    immune to DST/precision drift."""
+    ev = _events(spark, sf_dir).select(
+        "user_id", F.date_trunc("day", "ts").cast("date").alias("act_day")
+    )
+    per_user = ev.groupBy("user_id").agg(
+        F.collect_set("act_day").alias("days")
+    )
+    return (
+        per_user.select(
+            F.array_min("days").alias("cohort_day"),
+            F.explode("days").alias("act_day"),
+        )
+        .groupBy(
+            "cohort_day",
+            F.datediff("act_day", "cohort_day").alias("days_since"),
+        )
+        .agg(F.count(F.lit(1)).alias("active_users"))
+    )
+
+
+@register(
+    "schema_evolution_union",
+    """
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN doc_id % 2 = 1 THEN n_chars END) AS BIGINT) AS new_chars,
+           SUM(CASE WHEN doc_id % 2 = 1 THEN 0 ELSE 1 END) AS n_legacy
+    FROM documents GROUP BY lang
+    """,
+)
+def q_schema_evolution_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4 [EXT] schema evolution: a dataset written in two generations
+    — a legacy batch without the ``n_chars`` column and a current batch
+    with it — read back as ONE table via parquet ``mergeSchema``
+    (missing columns null-fill). This is the append-only reality of a
+    100 TB corpus: producers add columns over years and readers must
+    union the history without rewriting it. Merging schemas costs a
+    footer read per file generation, so production tables pin the
+    merged schema in a catalog instead of re-inferring per query; the
+    null-fill semantics are identical. Oracle: the same aggregate
+    derived relationally from the source table."""
+    import tempfile
+
+    docs = _t(spark, sf_dir, "documents")
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    base = os.path.join(tempfile.gettempdir(), f"spark_graft_evo_{tag}")
+    legacy, current = os.path.join(base, "v1"), os.path.join(base, "v2")
+    docs.where(F.col("doc_id") % 2 == 0).select("doc_id", "lang").write.mode(
+        "overwrite"
+    ).parquet(legacy)
+    docs.where(F.col("doc_id") % 2 == 1).select(
+        "doc_id", "lang", "n_chars"
+    ).write.mode("overwrite").parquet(current)
+    merged = spark.read.option("mergeSchema", "true").parquet(legacy, current)
+    return merged.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("new_chars"),
+        F.sum(F.when(F.col("n_chars").isNull(), 1).otherwise(0)).alias(
+            "n_legacy"
+        ),
+    )
