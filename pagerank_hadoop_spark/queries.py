@@ -4673,3 +4673,99 @@ def q_schema_evolution_union(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_legacy"
         ),
     )
+
+
+@register(
+    "local_supplier_volume",
+    """
+    SELECT n_name,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,4))) AS DOUBLE) AS revenue
+    FROM customer
+    JOIN orders ON o_custkey = c_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON s_suppkey = l_suppkey AND s_nationkey = c_nationkey
+    JOIN nation ON n_nationkey = c_nationkey
+    JOIN region ON r_regionkey = n_regionkey
+    WHERE r_name = 'EUROPE'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY n_name
+    """,
+)
+def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape (completing the 22-shape set): revenue from
+    orders where the supplier sits in the CUSTOMER's nation, rolled up
+    by nation within one region/year. The defining feature is the
+    cross-dimension equality s_nationkey = c_nationkey — an extra
+    conjunct on the supplier join, not a filter after it, so the hash
+    join key is (suppkey) with the nation equality as a cheap residual
+    and non-local pairs never leave the join. Dimension chain
+    broadcasts; lineitem⋈orders is the only real shuffle."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(38,4)"
+    )
+    return (
+        li.join(
+            orders.where(
+                (F.col("o_orderdate") >= "1996-01-01")
+                & (F.col("o_orderdate") < "1997-01-01")
+            ),
+            orders.o_orderkey == li.l_orderkey,
+        )
+        .join(F.broadcast(cust), cust.c_custkey == orders.o_custkey)
+        .join(
+            F.broadcast(supp),
+            (supp.s_suppkey == li.l_suppkey)
+            & (supp.s_nationkey == cust.c_nationkey),
+        )
+        .join(F.broadcast(nation), nation.n_nationkey == cust.c_nationkey)
+        .join(
+            F.broadcast(region.where(F.col("r_name") == "EUROPE")),
+            F.col("r_regionkey") == nation.n_regionkey,
+        )
+        .groupBy("n_name")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+    )
+
+
+@register(
+    "forecast_revenue",
+    """
+    SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(38,4))) AS DOUBLE) AS revenue_delta,
+           COUNT(*) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: the revenue impact of dropping a discount band —
+    a pure scan→filter→global-aggregate with NO join and NO group-by,
+    the plan whose entire cost is the parquet scan. All three
+    predicates must reach PushedFilters (pinned in tests) so row
+    groups outside the date/discount/quantity bounds never
+    decompress; the aggregate itself is one partial sum per task plus
+    a single-row final reduce."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+            & (F.col("l_discount").between(0.05, 0.07))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum((F.col("l_extendedprice") * F.col("l_discount")).cast("decimal(38,4)"))
+            .cast("double")
+            .alias("revenue_delta"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )

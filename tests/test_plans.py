@@ -443,3 +443,24 @@ def test_recursive_cte_bounded_and_aggregated(spark, sf_dir):
     # depth 0 row count == customer count (every walk starts at its key)
     n_cust = spark.read.parquet(f"{sf_dir}/customer.parquet").count()
     assert rows[0] == n_cust
+
+
+def test_forecast_revenue_all_predicates_pushed(spark, sf_dir):
+    # Q6 shape: scan-only plan — every predicate lands in the parquet
+    # scan, no exchange beyond the single-row final aggregate
+    df = Q.queries()["forecast_revenue"](spark, sf_dir)
+    assert_pushed_filter(df, "l_shipdate")
+    assert_pushed_filter(df, "l_discount")
+    assert_pushed_filter(df, "l_quantity")
+    plan = formatted_plan(df)
+    assert "Join" not in plan, plan
+
+
+def test_local_supplier_volume_nation_residual(spark, sf_dir):
+    # Q5 shape: the s_nationkey = c_nationkey cross-dimension equality
+    # rides the supplier hash join (no post-join filter explosion, no
+    # cartesian); all dims broadcast
+    df = Q.queries()["local_supplier_volume"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert plan.count("BroadcastHashJoin") >= 4, plan
+    assert_no_cartesian(df)
