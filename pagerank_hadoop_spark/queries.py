@@ -4769,3 +4769,46 @@ def q_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_lines"),
         )
     )
+
+
+@register(
+    "stream_chained_agg",
+    """
+    WITH mx AS (SELECT MAX(ts) AS m FROM events),
+    pu AS (
+      SELECT time_bucket(INTERVAL '10 minutes', ts) AS w, user_id,
+             COUNT(*) AS n
+      FROM events GROUP BY 1, 2)
+    SELECT CAST(FLOOR(epoch(w)) AS BIGINT) AS wstart,
+           COUNT(*) AS active_users,
+           MAX(n) AS max_user_burst
+    FROM pu, mx
+    WHERE w + INTERVAL '10 minutes' <= m - INTERVAL '30 minutes'
+    GROUP BY 1
+    """,
+)
+def q_stream_chained_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E6: TWO stateful aggregations chained in ONE streaming query
+    (multi-stateful-operator support, Spark 3.4+/4.x): per
+    (window, user) counts re-aggregated per window to active-user
+    count + max per-user burst, drained in append mode. Append only
+    emits watermark-finalized windows, so the oracle applies the same
+    cutoff (window end ≤ max event time − 30 min watermark) — the
+    late tail of the bounded stream is *correctly* absent from both
+    sides. Pre-3.4 engines need an intermediate sink and a second
+    query for this shape; chained state keeps it one lineage and one
+    checkpoint."""
+    from pagerank_hadoop_spark.streaming.windows import (
+        chained_windowed_agg,
+        run_to_memory,
+    )
+
+    stream = _stream_events(spark, sf_dir)
+    _STREAM_SEQ["n"] += 1
+    name = f"stream_chained_{_STREAM_SEQ['n']}"
+    run_to_memory(chained_windowed_agg(stream), name, output_mode="append")
+    return spark.table(name).select(
+        F.unix_timestamp("wstart").alias("wstart"),
+        "active_users",
+        "max_user_burst",
+    )

@@ -154,3 +154,35 @@ def stream_to_parquet_idempotent(
     )
     q.awaitTermination(120)
     return q
+
+
+def chained_windowed_agg(
+    events: DataFrame,
+    width: str = "10 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Two stateful aggregations CHAINED in one streaming query
+    (Spark 4 multi-stateful-operator support): per (window, user)
+    event counts, re-aggregated per window into active-user count and
+    max per-user burst. Pre-3.4 engines force an intermediate sink +
+    second query here; chaining keeps it one lineage, one checkpoint,
+    exactly-once end to end.
+
+    The second groupBy keys on the first's ``window`` struct column —
+    the event-time column the engine propagates through the first
+    aggregate — so watermark semantics survive into the second state
+    store and both stores evict together.
+    """
+    per_user = (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", width).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        per_user.groupBy("w")
+        .agg(
+            F.count(F.lit(1)).alias("active_users"),
+            F.max("n").alias("max_user_burst"),
+        )
+        .select(F.col("w.start").alias("wstart"), "active_users", "max_user_burst")
+    )
