@@ -4812,3 +4812,55 @@ def q_stream_chained_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "active_users",
         "max_user_burst",
     )
+
+
+@register(
+    "wiki_pysource_scan",
+    """
+    SELECT (SELECT COUNT(*) FROM documents) AS n_pages,
+           COUNT(*) AS n_valid_links
+    FROM (
+      SELECT DISTINCT doc_id, t FROM (
+        SELECT doc_id, doc_id + 1 AS t FROM documents
+        UNION ALL SELECT doc_id, doc_id * 2 FROM documents
+        UNION ALL SELECT doc_id, doc_id + 1000000 FROM documents))
+    """,
+)
+def q_wiki_pysource_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1 via the Spark 4 Python DataSource extension API: the
+    synthesized dump re-read through ``format("xmlpages")`` —
+    XmlInputFormat.java's byte-range record protocol restated in
+    Python (sources/wiki.py) — with a 64 KiB split size so records
+    genuinely straddle split boundaries, then title parse + link
+    extraction with validity rules. Each generated page carries 3
+    valid links (the {brace} and Image: links are screened) minus
+    per-page dedup collisions (doc_1's +1 and ×2 targets coincide), so
+    exactly-once record ownership across splits is what the oracle
+    counts actually verify. The JVM lineSep source (read_pages) stays
+    the production path; this pins the pluggable-source surface."""
+    import tempfile
+
+    from pagerank_hadoop_spark.functions.wikitext import extract_links
+    from pagerank_hadoop_spark.sources.wiki import (
+        parse_pages,
+        register_xmlpages,
+    )
+
+    # ensure the dump exists (same generation as _wiki_edges)
+    _wiki_edges(spark, sf_dir)
+    dump_dir = os.path.join(
+        tempfile.gettempdir(), "wiki_dump_" + sf_dir.strip("/").replace("/", "_")
+    )
+    register_xmlpages(spark)
+    pages = (
+        spark.read.format("xmlpages")
+        .option("path", dump_dir)
+        .option("split_size", str(64 << 10))
+        .load()
+    )
+    # materialize once: the two aggregate branches would otherwise
+    # each run the full Python-source scan
+    parsed = parse_pages(pages).localCheckpoint(eager=True)
+    return parsed.agg(F.countDistinct("title").alias("n_pages")).crossJoin(
+        extract_links(parsed).agg(F.count(F.lit(1)).alias("n_valid_links"))
+    )

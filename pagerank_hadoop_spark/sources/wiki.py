@@ -90,3 +90,122 @@ def _xml_unescape(col: Column) -> Column:
     ):
         out = F.replace(out, F.lit(ent), F.lit(ch))
     return out
+
+
+# ---------------------------------------------------------------------------
+# S1 as a pluggable Python DataSource (PySpark 4 extension API)
+# ---------------------------------------------------------------------------
+
+try:  # the Python DataSource API landed in Spark 4
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceReader,
+        InputPartition,
+    )
+
+    class _ByteRange(InputPartition):
+        """One planned split: records whose START tag begins inside
+        ``[start, end)`` of ``path`` belong to this partition."""
+
+        def __init__(self, path: str, start: int, end: int):
+            self.path = path
+            self.start = start
+            self.end = end
+
+    class XmlPagesReader(DataSourceReader):
+        """Split-boundary-aware tag-delimited record reader — the
+        reference's ``XmlRecordReader`` protocol
+        (``XmlInputFormat.java:21-123``) restated over explicit byte
+        ranges:
+
+        * record ownership: a record belongs to the split where its
+          START tag's first byte lies (``XmlInputFormat.java:52-57``);
+        * boundary crossing: a reader whose record is cut by the split
+          end keeps reading past it until the END tag closes
+          (``XmlInputFormat.java:62,119``);
+        * a start tag straddling the boundary is visible to the left
+          split via a ``len(start_tag)-1`` overlap read and invisible
+          to the right split (its first byte is before that split's
+          range), so every record is read exactly once.
+
+        This Python path exists as the *extensibility surface* demo —
+        the production ingest is :func:`read_pages` (JVM record
+        delimiter, no per-record Python hop); a plan-level row count
+        is the only thing that should cross the language boundary at
+        100 TB, not the dump.
+        """
+
+        def __init__(self, options):
+            self.path = options.get("path")
+            if not self.path:
+                raise ValueError("xmlpages: 'path' option is required")
+            self.split_size = int(options.get("split_size", 128 << 20))
+            self.start_tag = options.get("start_tag", START_TAG).encode()
+            self.end_tag = options.get("end_tag", END_TAG).encode()
+
+        def partitions(self):
+            import os as _os
+
+            paths = []
+            if _os.path.isdir(self.path):
+                for entry in sorted(_os.scandir(self.path), key=lambda e: e.name):
+                    if entry.is_file() and not entry.name.startswith(("_", ".")):
+                        paths.append((entry.path, entry.stat().st_size))
+            else:
+                paths.append((self.path, _os.path.getsize(self.path)))
+            out = []
+            for p, size in paths:
+                off = 0
+                while off < size:
+                    out.append(_ByteRange(p, off, min(off + self.split_size, size)))
+                    off += self.split_size
+            return out or [_ByteRange(self.path, 0, 0)]
+
+        def read(self, partition):
+            stag, etag = self.start_tag, self.end_tag
+            span = partition.end - partition.start
+            with open(partition.path, "rb") as f:
+                f.seek(partition.start)
+                # overlap so a start tag straddling the split end is
+                # seen by THIS split (it owns the tag's first byte)
+                buf = f.read(span + len(stag) - 1)
+                pos = 0
+                while True:
+                    i = buf.find(stag, pos)
+                    if i < 0 or i >= span:
+                        return
+                    j = buf.find(etag, i)
+                    while j < 0:
+                        more = f.read(1 << 20)
+                        if not more:
+                            return  # truncated trailing record: drop
+                        buf += more
+                        j = buf.find(etag, i)
+                    yield (buf[i : j + len(etag)].decode("utf-8", "replace"),)
+                    pos = j + len(etag)
+
+    class XmlPagesDataSource(DataSource):
+        """``spark.read.format("xmlpages")`` — S1 as a registered
+        source. Options: ``path`` (file or directory), ``split_size``
+        (bytes, default 128 MiB), ``start_tag``/``end_tag``."""
+
+        @classmethod
+        def name(cls):
+            return "xmlpages"
+
+        def schema(self):
+            return "page_xml string"
+
+        def reader(self, schema):
+            return XmlPagesReader(self.options)
+
+    def register_xmlpages(spark: SparkSession) -> None:
+        spark.dataSource.register(XmlPagesDataSource)
+
+except ImportError:  # pragma: no cover - pre-4.0 pyspark
+
+    def register_xmlpages(spark: SparkSession) -> None:
+        raise ModuleNotFoundError(
+            "pyspark.sql.datasource (Spark 4 Python DataSource API) "
+            "is unavailable; use read_pages() instead"
+        )

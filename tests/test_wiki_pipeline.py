@@ -88,3 +88,39 @@ def test_end_to_end_pagerank_on_wiki_graph(spark, parsed):
     assert got["Gamma_Page"] > got["Delta"]  # Gamma cited twice, dangling
     n = 4
     assert all(v >= 0.15 / n - 1e-15 for v in got.values())
+
+
+def test_python_datasource_matches_jvm_reader_across_splits(spark, tmp_path):
+    """The xmlpages Python DataSource (explicit XmlInputFormat.java
+    byte-range protocol) must recover every page exactly once even
+    when tiny splits cut records — and agree with the JVM lineSep
+    reader byte for byte."""
+    from pagerank_hadoop_spark.sources.wiki import (
+        read_pages,
+        register_xmlpages,
+    )
+
+    pages = [
+        f"<page><title>p {i}</title><revision><text>body {i} "
+        + "x" * (37 * (i % 11))
+        + "</text></revision></page>"
+        for i in range(200)
+    ]
+    dump = tmp_path / "dump.xml"
+    dump.write_text("garbage-preamble " + " inter ".join(pages) + " trailing")
+
+    register_xmlpages(spark)
+    # 256-byte splits: every record straddles at least one boundary
+    via_py = (
+        spark.read.format("xmlpages")
+        .option("path", str(dump))
+        .option("split_size", "256")
+        .load()
+    )
+    assert via_py.rdd.getNumPartitions() > 10
+    got = sorted(r["page_xml"] for r in via_py.collect())
+    assert got == sorted(pages)
+    via_jvm = sorted(
+        r["page_xml"] for r in read_pages(spark, str(dump)).collect()
+    )
+    assert got == via_jvm
