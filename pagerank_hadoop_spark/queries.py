@@ -4864,3 +4864,66 @@ def q_wiki_pysource_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return parsed.agg(F.countDistinct("title").alias("n_pages")).crossJoin(
         extract_links(parsed).agg(F.count(F.lit(1)).alias("n_valid_links"))
     )
+
+
+@register(
+    "compacted_events_agg",
+    """
+    SELECT event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(38,4))) AS DOUBLE) AS total_value
+    FROM events GROUP BY event_type
+    """,
+)
+def q_compacted_events_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table maintenance [EXT]: the events table deliberately
+    shattered into 64 small files, then compacted back to
+    byte-targeted files (sources/sinks.py::compact_parquet) and
+    aggregated. The oracle aggregates the ORIGINAL table, so the hash
+    match proves the shatter→compact round trip is lossless; the
+    file-count mechanics are pinned in unit tests. At 100 TB this is
+    the nightly pass that keeps scan task counts proportional to
+    bytes, not to historical write patterns."""
+    import tempfile
+
+    from pagerank_hadoop_spark.sources.sinks import compact_parquet
+
+    ev = _events(spark, sf_dir)
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    base = os.path.join(tempfile.gettempdir(), f"spark_graft_compact_{tag}")
+    shattered, compacted = os.path.join(base, "small"), os.path.join(base, "big")
+    ev.repartition(64).write.mode("overwrite").parquet(shattered)
+    out = compact_parquet(spark, shattered, compacted, target_file_bytes=64 << 20)
+    return out.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"), dsum("value", "total_value")
+    )
+
+
+@register(
+    "collated_group_counts",
+    """
+    SELECT lower(CASE WHEN p_partkey % 2 = 0 THEN upper(p_name)
+                      ELSE p_name END) AS name,
+           COUNT(*) AS n
+    FROM part GROUP BY 1
+    """,
+)
+def q_collated_group_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL surface [EXT]: collation-aware grouping (Spark 4 string
+    collations). Part names with deliberately mixed casing group under
+    UTF8_LCASE — the aggregation's hash/equality respects the
+    collation directly instead of materializing a lower() projection
+    of every string first (on a 100 TB text column that projection is
+    a full extra pass and a second copy in the shuffle). The emitted
+    key is lowercased for cross-engine determinism: a collated group
+    otherwise surfaces whichever representative casing a partition
+    saw first."""
+    part = _t(spark, sf_dir, "part")
+    mixed = F.when(
+        F.col("p_partkey") % 2 == 0, F.upper("p_name")
+    ).otherwise(F.col("p_name"))
+    return (
+        part.select(F.collate(mixed, "UTF8_LCASE").alias("cname"))
+        .groupBy("cname")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lower("cname").alias("name"), "n")
+    )

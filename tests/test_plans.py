@@ -464,3 +464,20 @@ def test_local_supplier_volume_nation_residual(spark, sf_dir):
     plan = formatted_plan(df)
     assert plan.count("BroadcastHashJoin") >= 4, plan
     assert_no_cartesian(df)
+
+
+def test_compaction_reduces_file_count_losslessly(spark, sf_dir, tmp_path):
+    from pagerank_hadoop_spark.sources.sinks import compact_parquet
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    small = str(tmp_path / "small")
+    big = str(tmp_path / "big")
+    ev.repartition(32).write.parquet(small)
+    import os
+
+    n_small = sum(1 for f in os.listdir(small) if f.endswith(".parquet"))
+    assert n_small == 32
+    out = compact_parquet(spark, small, big, target_file_bytes=1 << 30)
+    n_big = sum(1 for f in os.listdir(big) if f.endswith(".parquet"))
+    assert n_big == 1  # whole table under one target-size file
+    assert out.count() == ev.count()
