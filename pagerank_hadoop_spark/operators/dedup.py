@@ -638,3 +638,106 @@ def embedding_near_dups(
         .where(F.col("cosine") >= threshold)
         .distinct()
     )
+
+
+# ---------------------------------------------------------------------------
+# E1/E2 incremental: new-batch-vs-corpus dedup (the ingestion shape)
+# ---------------------------------------------------------------------------
+
+def incremental_dedup(
+    corpus: DataFrame,
+    new_batch: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    jaccard_threshold: float = 0.8,
+    num_hashes: int = 64,
+    bands: int = 8,
+    shingle_n: int = 5,
+) -> DataFrame:
+    """Admit only the rows of ``new_batch`` that duplicate nothing in
+    ``corpus`` — exactly (same text) nor nearly (n-gram Jaccard ≥
+    threshold). THE production dedup shape: a steady-state 100 TB
+    corpus ingests daily crawls; re-running self-dedup over
+    corpus+batch would re-shuffle the whole corpus per day, while this
+    form touches the corpus only through its (id, band-hash) index and
+    its candidate documents.
+
+    Plan shape, stage by stage:
+
+    1. exact screen — left-anti join on ``xxhash64(text)``: the batch
+       sheds byte-identical rows against an 8-byte/doc corpus index.
+    2. LSH candidates — ASYMMETRIC band join: batch band hashes
+       against corpus band hashes (never corpus×corpus, never
+       batch×batch; a unioned self-join would pay both). On a cluster
+       the corpus side of this join is a precomputed, stored index —
+       signatures are write-once per document.
+    3. signature screen + exact verify — same estimate-then-verify
+       cascade as :func:`minhash_dedup`, restricted to candidate
+       pairs; shingles are recomputed only for candidate docs
+       (left-semi) on each side.
+
+    Returns surviving ``new_batch`` rows (original schema).
+    """
+    # 1: exact text collision → batch row dies
+    corpus_hashes = corpus.select(F.xxhash64(F.col(text_col)).alias("__h")).distinct()
+    survivors = (
+        new_batch.withColumn("__h", F.xxhash64(F.col(text_col)))
+        .join(corpus_hashes, "__h", "left_anti")
+        .drop("__h")
+    )
+
+    rows = num_hashes // bands
+
+    def banded(df: DataFrame, side: str) -> DataFrame:
+        sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
+        band_cols = [
+            F.xxhash64(F.slice("sig", b * rows + 1, rows).cast("string"))
+            for b in range(bands)
+        ]
+        return sigs.select(
+            F.col("id").alias(side),
+            F.posexplode(F.array(*band_cols)).alias("band", "bh"),
+        )
+
+    # 2: asymmetric band join, batch ids vs corpus ids
+    cand = (
+        banded(survivors, "id_new")
+        .join(banded(corpus, "id_old"), ["band", "bh"])
+        .select("id_new", "id_old")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    par = corpus.sparkSession.sparkContext.defaultParallelism
+    cand = cand.repartition(par)
+
+    # 3: estimate screen + exact verify (cross-table jaccard_pairs)
+    def side_shingles(df: DataFrame, ids: DataFrame, out: str) -> DataFrame:
+        # project the shingle set first, THEN take its size off the
+        # projected column — two sibling shingles() expressions in one
+        # select would each re-run the full shingling per row
+        return (
+            _spread(df)
+            .select(F.col(id_col).alias(out), F.col(text_col).alias("__t"))
+            .join(ids, out, "left_semi")
+            .select(out, shingles(F.col("__t"), shingle_n).alias(f"sh_{out}"))
+            .withColumn(f"n_{out}", F.size(f"sh_{out}"))
+        )
+
+    sh_new = side_shingles(survivors, cand.select("id_new"), "id_new")
+    sh_old = side_shingles(corpus, cand.select("id_old"), "id_old")
+    inter = F.size(F.array_intersect("sh_id_new", "sh_id_old"))
+    near_hit_ids = (
+        cand.join(sh_new, "id_new")
+        .join(sh_old, "id_old")
+        .select(
+            "id_new",
+            (
+                inter.cast("double")
+                / (F.col("n_id_new") + F.col("n_id_old") - inter)
+            ).alias("__j"),
+        )
+        .where(F.col("__j") >= jaccard_threshold)
+        .select(F.col("id_new").alias(id_col))
+        .distinct()
+    )
+    return survivors.join(near_hit_ids, id_col, "left_anti")

@@ -4927,3 +4927,36 @@ def q_collated_group_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .select(F.lower("cname").alias("name"), "n")
     )
+
+
+@register("incremental_dedup_admits")
+def q_incremental_dedup_admits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1/E2 incremental: the ingestion-time dedup shape — a new batch
+    admitted against an existing corpus (operators.dedup.
+    incremental_dedup: exact-hash anti-join, then ASYMMETRIC
+    batch×corpus LSH with estimate screen + exact Jaccard ≥ 0.8).
+    Batch = every 10th document plus planted exact copies
+    (+2000000 ids) and near copies (+3000000 ids) of corpus docs; the
+    planted rows must all be rejected, genuinely-new rows admitted.
+    Rows-only (LSH band hashes derive from xxhash64); planted-outcome
+    invariants are unit-tested."""
+    from pagerank_hadoop_spark.operators.dedup import incremental_dedup
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.where(F.col("doc_id") % 10 != 0)
+    batch = (
+        docs.where(F.col("doc_id") % 10 == 0)
+        .unionByName(
+            corpus.where(F.col("doc_id") % 30 == 1).select(
+                (F.col("doc_id") + 2000000).alias("doc_id"), "text"
+            )
+        )
+        .unionByName(
+            corpus.where(F.col("doc_id") % 30 == 2).select(
+                (F.col("doc_id") + 3000000).alias("doc_id"),
+                F.concat("text", F.lit(" near dup tail")).alias("text"),
+            )
+        )
+    )
+    out = incremental_dedup(corpus, batch, "doc_id", "text")
+    return out.select("doc_id").orderBy("doc_id")

@@ -135,3 +135,46 @@ def test_near_dup_clusters_transitive_closure(spark):
     assert got[1] == got[2] == got[3] == 1
     assert got[10] == got[11] == 10
     assert got[20] == 20
+
+
+def test_incremental_dedup_rejects_planted_admits_fresh(spark):
+    from pagerank_hadoop_spark.operators.dedup import incremental_dedup
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while the rain "
+        "in spain stays mainly on the plain and sphinx of black quartz "
+    )
+    corpus = spark.createDataFrame(
+        [(1, base + "judge my vow one"), (2, base + "pack my box two")],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, base + "judge my vow one"),            # exact dup of 1
+            (11, base + "pack my box two extra tail"),  # near dup of 2
+            (12, "completely different content about spark catalyst "
+                 "optimizer rules and adaptive query execution plans"),
+        ],
+        "doc_id long, text string",
+    )
+    kept = sorted(
+        r["doc_id"]
+        for r in incremental_dedup(corpus, batch, "doc_id", "text").collect()
+    )
+    assert kept == [12]
+
+
+def test_incremental_dedup_admits_all_when_corpus_disjoint(spark):
+    from pagerank_hadoop_spark.operators.dedup import incremental_dedup
+
+    corpus = spark.createDataFrame(
+        [(1, "alpha " * 30)], "doc_id long, text string"
+    )
+    batch = spark.createDataFrame(
+        [(10, "omega " * 30), (11, "sigma " * 30)], "doc_id long, text string"
+    )
+    kept = sorted(
+        r["doc_id"]
+        for r in incremental_dedup(corpus, batch, "doc_id", "text").collect()
+    )
+    assert kept == [10, 11]
