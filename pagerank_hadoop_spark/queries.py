@@ -4960,3 +4960,47 @@ def q_incremental_dedup_admits(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = incremental_dedup(corpus, batch, "doc_id", "text")
     return out.select("doc_id").orderBy("doc_id")
+
+
+@register(
+    "winsorized_values",
+    """
+    WITH b AS (SELECT quantile_cont(value, 0.01) AS lo,
+                      quantile_cont(value, 0.99) AS hi
+               FROM events)
+    SELECT event_type, COUNT(*) AS n,
+           SUM(CASE WHEN value < lo OR value > hi THEN 1 ELSE 0 END) AS n_clipped,
+           CAST(SUM(CAST(round(least(greatest(value, lo), hi), 6)
+                         AS DECIMAL(38,6))) AS DOUBLE) AS clipped_sum
+    FROM events CROSS JOIN b
+    GROUP BY event_type
+    """,
+)
+def q_winsorized_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] data cleaning: winsorization — clip the value column to
+    its global [p1, p99] band before aggregation, the standard
+    outlier-robustification pass for training-signal columns. The two
+    exact percentiles are a one-row aggregate broadcast back onto the
+    scan (no second shuffle); both engines interpolate identically
+    (percentile ≡ quantile_cont) so the clip bounds are bit-equal, and
+    the clipped sum runs over 6-dp-rounded decimals for order
+    independence."""
+    ev = _events(spark, sf_dir)
+    bounds = ev.agg(
+        F.expr("percentile(value, 0.01)").alias("lo"),
+        F.expr("percentile(value, 0.99)").alias("hi"),
+    )
+    clipped = F.round(F.least(F.greatest("value", F.col("lo")), F.col("hi")), 6)
+    return (
+        ev.crossJoin(F.broadcast(bounds))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.when(
+                    (F.col("value") < F.col("lo")) | (F.col("value") > F.col("hi")), 1
+                ).otherwise(0)
+            ).alias("n_clipped"),
+            F.sum(clipped.cast("decimal(38,6)")).cast("double").alias("clipped_sum"),
+        )
+    )
