@@ -5004,3 +5004,61 @@ def q_winsorized_values(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(clipped.cast("decimal(38,6)")).cast("double").alias("clipped_sum"),
         )
     )
+
+
+@register(
+    "label_dispersion_arrow",
+    """
+    WITH x AS (
+      SELECT label, e AS v
+      FROM embeddings, unnest(embedding) AS t(e)
+      WHERE vec_id % 4 = 0)
+    SELECT label,
+           COUNT(*) AS n_components,
+           CAST(FLOOR((SUM(CAST(v AS DOUBLE) * CAST(v AS DOUBLE))
+                 - SUM(CAST(v AS DOUBLE)) * SUM(CAST(v AS DOUBLE)) / COUNT(*))
+                * 1e3 + 0.5) AS BIGINT) AS sq_dev_milli
+    FROM x GROUP BY label
+    """,
+)
+def q_label_dispersion_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3/UDF surface [EXT]: per-label embedding dispersion (total
+    squared deviation over all vector components) via ``applyInArrow``
+    — the Arrow-NATIVE grouped map: the UDF receives pyarrow
+    RecordBatches and runs a NumPy kernel on zero-copy buffers, never
+    materializing pandas objects (for numeric array columns the
+    pandas conversion is pure overhead; this is the fast lane of the
+    applyInPandas family shown by label_norm_zscores). The result is
+    compared in milli-units: the two engines sum the same float64
+    values in different orders (NumPy pairwise vs DuckDB sequential),
+    bounding the divergence near n*eps*|s2| ~ 1e-5 for 1e5 components
+    — far inside the 5e-4 rounding grain, where a 1e-6 grain could
+    flip at larger group sizes."""
+    import numpy as np
+    import pyarrow as pa
+
+    emb = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") % 4 == 0)
+
+    from typing import Tuple
+
+    def dispersion(key: Tuple[pa.Scalar, ...], table: pa.Table) -> pa.Table:
+        flat = table.column("embedding").combine_chunks().flatten()
+        v = flat.to_numpy(zero_copy_only=False).astype(np.float64)
+        s, s2, n = float(v.sum()), float((v * v).sum()), len(v)
+        dev = s2 - s * s / n
+        return pa.table(
+            {
+                "label": pa.array([key[0].as_py()], pa.int32()),
+                "n_components": pa.array([n], pa.int64()),
+                "sq_dev_milli": pa.array([int(np.floor(dev * 1e3 + 0.5))], pa.int64()),
+            }
+        )
+
+    return (
+        emb.select("label", "embedding")
+        .groupBy("label")
+        .applyInArrow(
+            dispersion,
+            schema="label int, n_components long, sq_dev_milli long",
+        )
+    )
