@@ -102,6 +102,20 @@ def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _stream_parts(spark: SparkSession, sf_dir: str):
+    """Scope streaming state partitioning to the events source size
+    (streaming/windows.py::stream_shuffle_partitions) for one
+    start+drain — per-partition state-store overhead dominates small
+    streams at the session's batch-sized 32."""
+    from pagerank_hadoop_spark.streaming.windows import (
+        stream_shuffle_partitions,
+    )
+
+    return stream_shuffle_partitions(
+        spark, os.path.getsize(os.path.join(sf_dir, "events.parquet"))
+    )
+
+
 def dsum(col, alias: str):
     """Order-independent double sum: sum exact decimals, cast back."""
     return (
@@ -1374,7 +1388,8 @@ def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = _stream_events(spark, sf_dir)
     _STREAM_SEQ["n"] += 1
     name = f"stream_tumbling_{_STREAM_SEQ['n']}"
-    run_to_memory(tumbling_agg(stream), name, output_mode="complete")
+    with _stream_parts(spark, sf_dir):
+        run_to_memory(tumbling_agg(stream), name, output_mode="complete")
     return spark.table(name).select(
         F.unix_timestamp("wstart").alias("wstart"), "event_type", "cnt"
     )
@@ -1724,7 +1739,8 @@ def q_stream_stateful_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     _STREAM_SEQ["n"] += 1
     name = f"stream_stateful_{_STREAM_SEQ['n']}"
-    run_to_memory(stateful_dedup_stream(stream), name, output_mode="append")
+    with _stream_parts(spark, sf_dir):
+        run_to_memory(stateful_dedup_stream(stream), name, output_mode="append")
     return (
         spark.table(name)
         .groupBy("user_id")
@@ -2489,7 +2505,8 @@ def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = _stream_events(spark, sf_dir)
     _STREAM_SEQ["n"] += 1
     name = f"stream_session_{_STREAM_SEQ['n']}"
-    run_to_memory(session_agg(stream), name, output_mode="complete")
+    with _stream_parts(spark, sf_dir):
+        run_to_memory(session_agg(stream), name, output_mode="complete")
     return spark.table(name).select(
         "user_id",
         F.unix_timestamp("session_start").alias("session_start"),
@@ -2559,7 +2576,8 @@ def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     _STREAM_SEQ["n"] += 1
     name = f"stream_static_{_STREAM_SEQ['n']}"
-    run_to_memory(joined, name, output_mode="complete")
+    with _stream_parts(spark, sf_dir):
+        run_to_memory(joined, name, output_mode="complete")
     return spark.table(name)
 
 
@@ -3072,7 +3090,8 @@ def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = _stream_events(spark, sf_dir)
     _STREAM_SEQ["n"] += 1
     name = f"stream_sliding_{_STREAM_SEQ['n']}"
-    run_to_memory(sliding_agg(stream), name, output_mode="complete")
+    with _stream_parts(spark, sf_dir):
+        run_to_memory(sliding_agg(stream), name, output_mode="complete")
     return spark.table(name).select(
         F.unix_timestamp("wstart").alias("wstart"), "cnt"
     )
@@ -4315,7 +4334,8 @@ def q_stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     _STREAM_SEQ["n"] += 1
     name = f"stream_ddw_{_STREAM_SEQ['n']}"
-    run_to_memory(stream, name, output_mode="append")
+    with _stream_parts(spark, sf_dir):
+        run_to_memory(stream, name, output_mode="append")
     return (
         spark.table(name)
         .groupBy("user_id")
@@ -4806,7 +4826,8 @@ def q_stream_chained_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = _stream_events(spark, sf_dir)
     _STREAM_SEQ["n"] += 1
     name = f"stream_chained_{_STREAM_SEQ['n']}"
-    run_to_memory(chained_windowed_agg(stream), name, output_mode="append")
+    with _stream_parts(spark, sf_dir):
+        run_to_memory(chained_windowed_agg(stream), name, output_mode="append")
     return spark.table(name).select(
         F.unix_timestamp("wstart").alias("wstart"),
         "active_users",
