@@ -204,3 +204,24 @@ def test_transform_with_state_gated_on_protobuf(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n"), F.max("value").alias("mx"))
     )
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_stream_shuffle_partitions_scopes_and_restores(spark):
+    from pagerank_hadoop_spark.streaming.windows import (
+        stream_shuffle_partitions,
+    )
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    with stream_shuffle_partitions(spark, 1 << 20):  # 1 MiB source
+        assert spark.conf.get("spark.sql.shuffle.partitions") == "8"
+    assert spark.conf.get("spark.sql.shuffle.partitions") == prev
+    # big source: capped at the session default, never above
+    with stream_shuffle_partitions(spark, 1 << 40):
+        assert spark.conf.get("spark.sql.shuffle.partitions") == prev
+    # restore survives an exception inside the scope
+    try:
+        with stream_shuffle_partitions(spark, 1 << 20):
+            raise RuntimeError("boom")
+    except RuntimeError:
+        pass
+    assert spark.conf.get("spark.sql.shuffle.partitions") == prev
