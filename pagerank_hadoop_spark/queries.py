@@ -5139,3 +5139,60 @@ def q_label_dispersion_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
             schema="label int, n_components long, sq_dev_milli long",
         )
     )
+
+
+@register(
+    "group_by_all_revenue",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE) AS gross
+    FROM orders
+    GROUP BY ALL
+    """,
+)
+def q_group_by_all_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL surface [EXT]: GROUP BY ALL — the analyst-dialect shorthand
+    both Spark (3.4+) and DuckDB resolve to the non-aggregate select
+    columns. The query text is byte-identical on both engines, the
+    strongest possible dialect-parity statement for the ANSI front
+    door."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE) AS gross
+        FROM orders
+        GROUP BY ALL
+        """
+    )
+
+
+@register(
+    "parameterized_sql_topn",
+    """
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    WHERE o_totalprice > 400000 AND o_orderstatus = 'O'
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 25
+    """,
+)
+def q_parameterized_sql_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL surface [EXT]: named-parameter binding — ``spark.sql(text,
+    args={...})`` substitutes typed literals at parse time, the
+    injection-safe templating surface an engine exposes to
+    applications (string-formatted SQL is the alternative and is both
+    unsafe and uncacheable). The oracle inlines the same literals."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_totalprice
+        FROM orders
+        WHERE o_totalprice > :min_price AND o_orderstatus = :status
+        ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT 25
+        """,
+        args={"min_price": 400000, "status": "O"},
+    )
