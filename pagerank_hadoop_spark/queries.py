@@ -5196,3 +5196,117 @@ def q_parameterized_sql_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         args={"min_price": 400000, "status": "O"},
     )
+
+
+_BM25_TERMS = ("spark", "join", "vector")
+_BM25_K1, _BM25_B = 1.2, 0.75
+
+
+def _bm25_sql() -> str:
+    k1, b = _BM25_K1, _BM25_B
+    per_term = " + ".join(
+        f"""(CASE WHEN tf_{t} > 0 THEN
+              ln((CAST(n_docs - df_{t} AS DOUBLE) + 0.5) / (CAST(df_{t} AS DOUBLE) + 0.5) + 1.0)
+              * (CAST(tf_{t} AS DOUBLE) * ({k1} + 1.0))
+              / (CAST(tf_{t} AS DOUBLE) + {k1} * (1.0 - {b} + {b} * CAST(dl AS DOUBLE) / avg_dl))
+            ELSE 0.0 END)"""
+        for t in _BM25_TERMS
+    )
+    tf_cols = ", ".join(
+        f"SUM(CASE WHEN w = '{t}' THEN 1 ELSE 0 END) AS tf_{t}"
+        for t in _BM25_TERMS
+    )
+    df_cols = ", ".join(
+        f"COUNT(DISTINCT CASE WHEN w = '{t}' THEN doc_id END) AS df_{t}"
+        for t in _BM25_TERMS
+    )
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, w FROM (
+        SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z]+')) AS w
+        FROM documents)
+      WHERE w <> ''),
+    lens AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id),
+    tfs AS (SELECT doc_id, {tf_cols} FROM tok GROUP BY doc_id),
+    stats AS (
+      SELECT {df_cols},
+             (SELECT COUNT(*) FROM lens) AS n_docs,
+             (SELECT CAST(SUM(dl) AS DOUBLE) / COUNT(*) FROM lens) AS avg_dl
+      FROM tok)
+    SELECT doc_id, round({per_term}, 9) AS bm25
+    FROM tfs JOIN lens USING (doc_id) CROSS JOIN stats
+    WHERE tf_spark + tf_join + tf_vector > 0
+    ORDER BY bm25 DESC, doc_id
+    LIMIT 20
+    """
+
+
+@register("bm25_search", None)
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4/retrieval [EXT]: BM25 ranking of the corpus against a fixed
+    term set — the standard lexical-retrieval scorer a curation
+    pipeline uses for query-based corpus slicing. All statistics (tf,
+    df, N, doc length) are exact integers aggregated in one pass over
+    the token explode; the per-document score is fixed-order double
+    arithmetic over those integers, identical across engines to well
+    below the 9-dp compare grain (ln() may differ by an ulp between
+    libms — 1e-16 relative, seven orders under the grain). One
+    shuffle on doc_id serves lengths and tfs; the 1-row stats
+    aggregate broadcasts."""
+    docs = _t(spark, sf_dir, "documents")
+    k1, b = _BM25_K1, _BM25_B
+    tok = (
+        docs.select(
+            "doc_id",
+            F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("w"),
+        )
+        .where(F.col("w") != "")
+    )
+    # one token explode serves everything: per-doc lengths and term
+    # frequencies come straight off it, and the corpus stats (df per
+    # term = docs with tf>0, avg length, N) re-aggregate the per-doc
+    # table instead of re-scanning tokens
+    per_doc = (
+        tok.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("dl"),
+            *[
+                F.sum(F.when(F.col("w") == t, 1).otherwise(0)).alias(f"tf_{t}")
+                for t in _BM25_TERMS
+            ],
+        )
+        .localCheckpoint(eager=True)
+    )
+    stats = per_doc.agg(
+        *[
+            F.sum((F.col(f"tf_{t}") > 0).cast("long")).alias(f"df_{t}")
+            for t in _BM25_TERMS
+        ],
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avg_dl"),
+    )
+    score = None
+    for t in _BM25_TERMS:
+        tf = F.col(f"tf_{t}").cast("double")
+        idf = F.log(
+            ((F.col("n_docs") - F.col(f"df_{t}")).cast("double") + 0.5)
+            / (F.col(f"df_{t}").cast("double") + 0.5)
+            + 1.0
+        )
+        part = F.when(
+            F.col(f"tf_{t}") > 0,
+            idf
+            * (tf * (k1 + 1.0))
+            / (tf + k1 * (1.0 - b + b * F.col("dl").cast("double") / F.col("avg_dl"))),
+        ).otherwise(F.lit(0.0))
+        score = part if score is None else score + part
+    return (
+        per_doc.crossJoin(F.broadcast(stats))
+        .where(sum(F.col(f"tf_{t}") for t in _BM25_TERMS) > 0)
+        .select("doc_id", F.round(score, 9).alias("bm25"))
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(20)
+    )
+
+
+_ORACLES["bm25_search"] = _bm25_sql()
