@@ -5236,23 +5236,12 @@ def _bm25_sql() -> str:
     SELECT doc_id, round({per_term}, 9) AS bm25
     FROM tfs JOIN lens USING (doc_id) CROSS JOIN stats
     WHERE tf_spark + tf_join + tf_vector > 0
-    ORDER BY bm25 DESC, doc_id
-    LIMIT 20
     """
 
 
-@register("bm25_search", None)
-def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """E4/retrieval [EXT]: BM25 ranking of the corpus against a fixed
-    term set — the standard lexical-retrieval scorer a curation
-    pipeline uses for query-based corpus slicing. All statistics (tf,
-    df, N, doc length) are exact integers aggregated in one pass over
-    the token explode; the per-document score is fixed-order double
-    arithmetic over those integers, identical across engines to well
-    below the 9-dp compare grain (ln() may differ by an ulp between
-    libms — 1e-16 relative, seven orders under the grain). One
-    shuffle on doc_id serves lengths and tfs; the 1-row stats
-    aggregate broadcasts."""
+def _bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full (doc_id, bm25) score table — shared by the top-k search
+    and the RRF fusion query."""
     docs = _t(spark, sf_dir, "documents")
     k1, b = _BM25_K1, _BM25_B
     tok = (
@@ -5304,9 +5293,109 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         per_doc.crossJoin(F.broadcast(stats))
         .where(sum(F.col(f"tf_{t}") for t in _BM25_TERMS) > 0)
         .select("doc_id", F.round(score, 9).alias("bm25"))
+    )
+
+
+@register("bm25_search", None)
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4/retrieval [EXT]: BM25 ranking of the corpus against a fixed
+    term set — the standard lexical-retrieval scorer a curation
+    pipeline uses for query-based corpus slicing. All statistics (tf,
+    df, N, doc length) are exact integers aggregated in one pass over
+    the token explode; the per-document score is fixed-order double
+    arithmetic over those integers, identical across engines to well
+    below the 9-dp compare grain (ln() may differ by an ulp between
+    libms — 1e-16 relative, seven orders under the grain). One
+    shuffle on doc_id serves lengths and tfs; the 1-row stats
+    aggregate broadcasts."""
+    return (
+        _bm25_scores(spark, sf_dir)
         .orderBy(F.desc("bm25"), F.asc("doc_id"))
         .limit(20)
     )
 
 
-_ORACLES["bm25_search"] = _bm25_sql()
+_ORACLES["bm25_search"] = (
+    f"SELECT doc_id, bm25 FROM ({_bm25_sql()}) "
+    "ORDER BY bm25 DESC, doc_id LIMIT 20"
+)
+
+
+@register("hybrid_rrf_search", None)
+def q_hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval fusion [EXT]: reciprocal-rank fusion of the lexical
+    (BM25) and vector (cosine-to-query-embedding) rankings — the
+    standard hybrid-search combiner (k=60). Ranks come from
+    row_number over ROUNDED scores with id tie-breaks, so both
+    engines derive identical integer ranks; the RRF sum
+    1/(60+r_lex) + 1/(60+r_vec) is then fixed-order double math.
+    Documents and embeddings share the 0..N-1 id space (vec_id ==
+    doc_id); absent list membership contributes 0 via the outer
+    join's coalesce. The global rank windows single-partition their
+    input by construction — at corpus scale each retriever first cuts
+    to a bounded candidate list (top-1000 via TakeOrdered), so the
+    fused window never sees more than retrievers × candidates rows."""
+    lex = _bm25_scores(spark, sf_dir)
+    w_lex = Window.orderBy(F.desc("bm25"), F.asc("doc_id"))
+    lex_ranked = lex.select(
+        F.col("doc_id").alias("id"), F.row_number().over(w_lex).alias("r_lex")
+    )
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    qv = emb.where(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
+    dot = F.aggregate(
+        F.zip_with("v", "qv", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    sims = (
+        emb.where(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            F.col("vec_id").alias("id"),
+            F.round(dot / (norm(F.col("v")) * norm(F.col("qv"))), 6).alias("sim"),
+        )
+    )
+    w_vec = Window.orderBy(F.desc("sim"), F.asc("id"))
+    vec_ranked = sims.select("id", F.row_number().over(w_vec).alias("r_vec"))
+    rrf = (
+        lex_ranked.join(vec_ranked, "id", "full")
+        .select(
+            "id",
+            F.round(
+                F.coalesce(1.0 / (60 + F.col("r_lex")), F.lit(0.0))
+                + F.coalesce(1.0 / (60 + F.col("r_vec")), F.lit(0.0)),
+                9,
+            ).alias("rrf"),
+        )
+    )
+    return rrf.orderBy(F.desc("rrf"), F.asc("id")).limit(20)
+
+
+_ORACLES["hybrid_rrf_search"] = f"""
+    WITH lex AS ({_bm25_sql()}),
+    lexr AS (
+      SELECT doc_id AS id,
+             ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS r_lex
+      FROM lex),
+    emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT v AS qv FROM emb WHERE vec_id = 0),
+    sims AS (
+      SELECT e.vec_id AS id,
+             ROUND(list_dot_product(e.v, q.qv) /
+                   (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv))),
+                   6) AS sim
+      FROM emb e CROSS JOIN q WHERE e.vec_id <> 0),
+    vecr AS (
+      SELECT id, ROW_NUMBER() OVER (ORDER BY sim DESC, id) AS r_vec FROM sims)
+    SELECT id,
+           round(coalesce(1.0 / (60 + r_lex), 0.0)
+                 + coalesce(1.0 / (60 + r_vec), 0.0), 9) AS rrf
+    FROM lexr FULL JOIN vecr USING (id)
+    ORDER BY rrf DESC, id
+    LIMIT 20
+"""
