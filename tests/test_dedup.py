@@ -178,3 +178,57 @@ def test_incremental_dedup_admits_all_when_corpus_disjoint(spark):
         for r in incremental_dedup(corpus, batch, "doc_id", "text").collect()
     )
     assert kept == [10, 11]
+
+
+def test_oph_signatures_estimate_jaccard(spark):
+    """OPH signatures must estimate Jaccard within sampling error on
+    planted near-identical and unrelated pairs, and be deterministic."""
+    from pagerank_hadoop_spark.operators.dedup import (
+        minhash_signatures,
+        sig_jaccard_estimate,
+    )
+    from pyspark.sql import functions as F
+
+    base = " ".join(f"tok{i}" for i in range(200))
+    near = base + " tail bit"
+    other = " ".join(f"zzz{i}" for i in range(200))
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, other)], "doc_id long, text string"
+    )
+    sigs = minhash_signatures(df, num_hashes=64, scheme="oph")
+    rows = {r["id"]: r["sig"] for r in sigs.collect()}
+    assert all(len(s) == 64 for s in rows.values())
+    # determinism
+    rows2 = {r["id"]: r["sig"] for r in minhash_signatures(df, num_hashes=64, scheme="oph").collect()}
+    assert rows == rows2
+    est = (
+        sigs.alias("a")
+        .crossJoin(sigs.alias("b"))
+        .where(F.col("a.id") < F.col("b.id"))
+        .select(
+            "a.id",
+            "b.id",
+            sig_jaccard_estimate(F.col("a.sig"), F.col("b.sig"), 64).alias("e"),
+        )
+        .collect()
+    )
+    vals = {(r[0], r[1]): r["e"] for r in est}
+    assert vals[(1, 2)] > 0.75   # true jaccard ~0.97
+    assert vals[(1, 3)] < 0.25   # disjoint vocab
+    assert vals[(2, 3)] < 0.25
+
+
+def test_oph_end_to_end_dedup_finds_planted(spark):
+    from pagerank_hadoop_spark.operators.dedup import (
+        _band_pairs,
+        minhash_signatures,
+    )
+
+    docs = [(i, " ".join(f"w{i}_{j}" for j in range(120))) for i in range(20)]
+    docs.append((100, docs[5][1] + " extra"))   # planted near-dup of 5
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    sigs = minhash_signatures(df, num_hashes=64, scheme="oph").localCheckpoint(
+        eager=True
+    )
+    pairs = {(r["id_a"], r["id_b"]) for r in _band_pairs(sigs, 64, 8).collect()}
+    assert (5, 100) in pairs
