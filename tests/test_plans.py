@@ -481,3 +481,22 @@ def test_compaction_reduces_file_count_losslessly(spark, sf_dir, tmp_path):
     n_big = sum(1 for f in os.listdir(big) if f.endswith(".parquet"))
     assert n_big == 1  # whole table under one target-size file
     assert out.count() == ev.count()
+
+
+def test_bm25_single_token_explode(spark, sf_dir):
+    # one Generate (explode) feeds lengths, tfs, and corpus stats —
+    # the stats side re-aggregates per_doc, never re-scans tokens
+    df = Q.queries()["bm25_search"](spark, sf_dir)
+    plan = formatted_plan(df)
+    tree = plan.split("\n\n", 1)[0]
+    assert tree.count("Generate") <= 1, plan
+    assert_take_ordered(df)
+
+
+def test_hybrid_rrf_no_cartesian_blowup(spark, sf_dir):
+    # the query vector broadcasts onto the embedding scan; the fusion
+    # join is a keyed full-outer, never a cartesian over both lists
+    df = Q.queries()["hybrid_rrf_search"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "FullOuter" in plan, plan

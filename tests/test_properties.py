@@ -88,3 +88,52 @@ def test_exact_dedup_idempotent_keeps_min_id(spark, rows):
     for i, t in rows:
         expect[t] = min(expect.get(t, i), i)
     assert got_once == sorted((i, t) for t, i in expect.items())
+
+
+def test_winsorized_values_within_bounds(spark, sf_dir):
+    """Clipped aggregates are bounded by the percentile band: the
+    clipped sum can never exceed n * hi nor undercut n * lo."""
+    from pagerank_hadoop_spark import queries as Q
+    from pyspark.sql import functions as F
+
+    ev = Q._events(spark, sf_dir)
+    lo, hi = ev.agg(
+        F.expr("percentile(value, 0.01)"), F.expr("percentile(value, 0.99)")
+    ).first()
+    rows = Q.queries()["winsorized_values"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["clipped_sum"] <= r["n"] * hi + 1e-6
+        assert r["clipped_sum"] >= r["n"] * lo - 1e-6
+        assert 0 <= r["n_clipped"] <= r["n"]
+
+
+def test_bm25_rank_sanity(spark, sf_dir):
+    """Top-ranked BM25 docs must actually contain query terms, and
+    scores must be positive and non-increasing down the ranking."""
+    from pagerank_hadoop_spark import queries as Q
+
+    rows = Q.queries()["bm25_search"](spark, sf_dir).collect()
+    assert len(rows) == 20
+    scores = [r["bm25"] for r in rows]
+    assert all(s > 0 for s in scores)
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_incremental_dedup_is_idempotent(spark, sf_dir):
+    """Admitting an already-admitted batch against corpus+batch must
+    admit nothing new (every row now exact-duplicates the corpus)."""
+    from pagerank_hadoop_spark.operators.dedup import incremental_dedup
+    from pyspark.sql import functions as F
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+        .where(F.col("doc_id") < 60)
+    )
+    corpus = docs.where(F.col("doc_id") % 2 == 0)
+    batch = docs.where(F.col("doc_id") % 2 == 1)
+    admitted = incremental_dedup(corpus, batch)
+    grown = corpus.unionByName(admitted)
+    readmit = incremental_dedup(grown, admitted)
+    assert readmit.count() == 0
