@@ -275,3 +275,67 @@ def top_ranks(
     if limit is not None:
         out = out.limit(limit)
     return out
+
+
+def personalized_pagerank(
+    edges: DataFrame,
+    source: str,
+    *,
+    n_iter: int = 8,
+    damping: float = DAMPING,
+    checkpoint_interval: int = 4,
+) -> DataFrame:
+    """Personalized PageRank: the teleport mass returns to ``source``
+    instead of spreading uniformly — GraphX's
+    ``personalizedPageRank`` surface, the relevance-to-a-seed ranking
+    used for related-item and local-community queries.
+
+    Update rule (dangling mass lost, matching parity-mode semantics):
+    ``r_{i+1}(v) = (1-d)·[v = source] + d·Σ_{u→v} r_i(u)/deg(u)``,
+    seeded ``r_0 = [v = source]``. Ranks are SPARSE throughout: a
+    vertex untouched by propagation holds exactly 0 and never enters
+    the iteration shuffle — on a 100 TB graph the frontier grows from
+    1 vertex outward, so early iterations ship only the seed's
+    neighborhood instead of the whole vertex set (the uniform variant
+    cannot do this; its baseline is nonzero everywhere).
+    """
+    spark = edges.sparkSession
+    vertices = (
+        edges.select(F.col("src").alias("id"))
+        .unionByName(edges.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    adjacency = _with_dangling(adjacency_from_edges(edges), vertices)
+    shuffle_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    adjacency = adjacency.repartition(shuffle_parts, "id").cache()
+    n = adjacency.count()
+    if n == 0:
+        return spark.createDataFrame([], "id string, rank double")
+    parts = _iter_partitions(n, shuffle_parts)
+    if parts < shuffle_parts:
+        old = adjacency
+        adjacency = old.repartition(parts, "id").localCheckpoint(eager=True)
+        old.unpersist()
+
+    outdeg = F.size("outlinks")
+    seed = spark.createDataFrame([(source,)], "id string")
+    ranks = seed.select("id", F.lit(1.0).alias("rank"))
+    base = seed.select("id", F.lit(1.0 - damping).alias("rank"))
+    for i in range(n_iter):
+        contribs = (
+            adjacency.join(ranks, "id")
+            .select(
+                F.explode("outlinks").alias("id"),
+                (F.col("rank") / outdeg * damping).alias("rank"),
+            )
+        )
+        # teleport lands only on the source; propagated mass unions in
+        # and the per-vertex sum collapses both — still sparse
+        ranks = (
+            base.unionByName(contribs)
+            .groupBy("id")
+            .agg(F.sum("rank").alias("rank"))
+        )
+        if (i + 1) % checkpoint_interval == 0 and i + 1 < n_iter:
+            ranks = ranks.localCheckpoint(eager=True)
+    return ranks

@@ -53,3 +53,44 @@ def pagerank_oracle_sql(
     if limit is not None:
         tail += f" LIMIT {limit}"
     return "WITH " + ",\n".join(ctes) + "\n" + tail
+
+
+def ppr_oracle_sql(
+    edges_sql: str,
+    source: str,
+    n_iter: int = 8,
+    damping: float = 0.85,
+    round_dp: int = 9,
+    limit: int | None = 20,
+) -> str:
+    """Chained-CTE oracle for personalized PageRank: teleport mass
+    returns to ``source`` only; seed r0 = [v = source]; dangling mass
+    lost (operators.pagerank.personalized_pagerank semantics)."""
+    s = source.replace("'", "''")
+    ctes = [
+        f"edges AS ({edges_sql})",
+        "vertices AS (SELECT DISTINCT src AS id FROM edges"
+        " UNION SELECT DISTINCT dst AS id FROM edges)",
+        "adj AS (SELECT src AS id, CAST(COUNT(DISTINCT dst) AS DOUBLE) AS outdeg"
+        " FROM edges GROUP BY src)",
+        "uedges AS (SELECT DISTINCT src, dst FROM edges)",
+        f"r0 AS (SELECT id, CASE WHEN id = '{s}' THEN 1.0 ELSE 0.0 END AS rank"
+        " FROM vertices)",
+    ]
+    for i in range(n_iter):
+        ctes.append(
+            f"r{i + 1} AS (SELECT v.id, "
+            f"CASE WHEN v.id = '{s}' THEN 1.0 - {damping} ELSE 0.0 END "
+            f"+ {damping} * COALESCE(sm.insum, 0.0) AS rank "
+            f"FROM vertices v LEFT JOIN ("
+            f"SELECT e.dst AS id, SUM(r.rank / a.outdeg) AS insum "
+            f"FROM uedges e JOIN r{i} r ON e.src = r.id "
+            f"JOIN adj a ON e.src = a.id GROUP BY e.dst) sm ON v.id = sm.id)"
+        )
+    tail = (
+        f"SELECT id, ROUND(rank, {round_dp}) AS rank FROM r{n_iter} "
+        f"WHERE rank > 0 ORDER BY 2 DESC, 1"
+    )
+    if limit is not None:
+        tail += f" LIMIT {limit}"
+    return "WITH " + ",\n".join(ctes) + "\n" + tail

@@ -5399,3 +5399,31 @@ _ORACLES["hybrid_rrf_search"] = f"""
     ORDER BY rrf DESC, id
     LIMIT 20
 """
+
+
+@register("ppr_from_part")
+def q_ppr_from_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph [EXT]: personalized PageRank from a seed vertex (GraphX's
+    personalizedPageRank surface) on the part→supplier citation graph
+    — relevance-to-seed ranking, teleport mass returning to the seed.
+    Ranks stay sparse: the frontier grows outward from one vertex, so
+    early iterations ship only the seed's neighborhood (impossible in
+    the uniform variant, whose baseline is nonzero everywhere). Oracle
+    replays the recurrence as chained CTEs."""
+    from pagerank_hadoop_spark.operators.pagerank import personalized_pagerank
+
+    edges = _pagerank_edges(spark, sf_dir)
+    ranks = personalized_pagerank(edges, "1", n_iter=8)
+    return (
+        ranks.select("id", F.round("rank", 9).alias("rank"))
+        .where(F.col("rank") > 0)
+        .orderBy(F.desc("rank"), F.asc("id"))
+        .limit(20)
+    )
+
+
+from pagerank_hadoop_spark.plans.oracle import ppr_oracle_sql  # noqa: E402
+
+_ORACLES["ppr_from_part"] = ppr_oracle_sql(
+    _PAGERANK_EDGES_SQL, source="1", n_iter=8, limit=20
+)

@@ -97,3 +97,42 @@ def test_adjacency_is_sorted_and_deduped(spark):
     )
     rows = adjacency_from_edges(df).collect()
     assert rows[0]["outlinks"] == ["b", "c"]
+
+
+def test_personalized_pagerank_two_cycle_golden(spark):
+    """2-cycle a<->b, seed a, d=0.85: closed form r(a) ≈ (1-d)/(1-d²)
+    and r(b) ≈ d(1-d)/(1-d²) at convergence; after 8 iterations the
+    truncated geometric series is exact to the partial sum."""
+    from pagerank_hadoop_spark.operators.pagerank import personalized_pagerank
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "a")], "src string, dst string"
+    )
+    got = {
+        r["id"]: r["rank"]
+        for r in personalized_pagerank(edges, "a", n_iter=8).collect()
+    }
+    d = 0.85
+    # replay the recurrence exactly (dangling-free graph, deg 1)
+    ra, rb = 1.0, 0.0
+    for _ in range(8):
+        ra, rb = (1 - d) + d * rb, d * ra
+    assert abs(got["a"] - ra) < 1e-12
+    assert abs(got["b"] - rb) < 1e-12
+
+
+def test_personalized_pagerank_mass_stays_near_seed(spark):
+    """On a star out of the seed, the seed keeps the largest rank and
+    unreachable vertices hold exactly zero (absent from the sparse
+    result)."""
+    from pagerank_hadoop_spark.operators.pagerank import personalized_pagerank
+
+    edges = spark.createDataFrame(
+        [("s", "x"), ("s", "y"), ("u", "v")], "src string, dst string"
+    )
+    got = {
+        r["id"]: r["rank"]
+        for r in personalized_pagerank(edges, "s", n_iter=8).collect()
+    }
+    assert got["s"] == max(got.values())
+    assert "u" not in got and "v" not in got  # unreachable from seed
