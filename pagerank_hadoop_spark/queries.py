@@ -5427,3 +5427,82 @@ from pagerank_hadoop_spark.plans.oracle import ppr_oracle_sql  # noqa: E402
 _ORACLES["ppr_from_part"] = ppr_oracle_sql(
     _PAGERANK_EDGES_SQL, source="1", n_iter=8, limit=20
 )
+
+
+@register(
+    "null_safe_join_stats",
+    """
+    WITH c AS (SELECT c_custkey,
+                      CASE WHEN c_custkey % 7 = 0 THEN NULL
+                           ELSE c_nationkey END AS nk
+               FROM customer),
+    s AS (SELECT s_suppkey,
+                 CASE WHEN s_suppkey % 5 = 0 THEN NULL
+                      ELSE s_nationkey END AS nk
+          FROM supplier)
+    SELECT COALESCE(CAST(c.nk AS VARCHAR), 'NULL') AS nation_key,
+           COUNT(*) AS n_pairs
+    FROM c JOIN s ON c.nk IS NOT DISTINCT FROM s.nk
+    GROUP BY 1
+    ORDER BY n_pairs DESC, nation_key
+    """,
+)
+def q_null_safe_join_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL semantics [EXT]: null-safe equality join (``<=>`` ≡ IS NOT
+    DISTINCT FROM) — NULL keys MATCH each other instead of silently
+    dropping, the semantics entity-resolution pipelines need when
+    "unknown" is a joinable value. Spark plans ``<=>`` as a hash join
+    (null gets a hash bucket like any value); a plain ``=`` would
+    discard every NULL row on both sides. The NULL group's pair count
+    (null customers × null suppliers) is the behavior under test."""
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.when(F.col("c_custkey") % 7 == 0, None)
+        .otherwise(F.col("c_nationkey"))
+        .alias("nk_c"),
+    )
+    supp = _t(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        F.when(F.col("s_suppkey") % 5 == 0, None)
+        .otherwise(F.col("s_nationkey"))
+        .alias("nk_s"),
+    )
+    return (
+        cust.join(supp, cust.nk_c.eqNullSafe(supp.nk_s))
+        .groupBy(
+            F.coalesce(F.col("nk_c").cast("string"), F.lit("NULL")).alias(
+                "nation_key"
+            )
+        )
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .orderBy(F.desc("n_pairs"), F.asc("nation_key"))
+    )
+
+
+@register(
+    "null_ordering_acctbal",
+    """
+    SELECT s_suppkey,
+           CASE WHEN s_suppkey % 4 = 0 THEN NULL ELSE s_acctbal END AS bal
+    FROM supplier
+    ORDER BY bal DESC NULLS FIRST, s_suppkey
+    LIMIT 30
+    """,
+)
+def q_null_ordering_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL semantics [EXT]: explicit null ordering. Engines disagree
+    by default (Spark sorts NULLs first ascending / last descending;
+    DuckDB defaults NULLS LAST) — portable plans must say what they
+    mean. desc_nulls_first ≡ DESC NULLS FIRST pins identical row
+    order, which the LIMIT then makes semantically load-bearing."""
+    supp = _t(spark, sf_dir, "supplier")
+    return (
+        supp.select(
+            "s_suppkey",
+            F.when(F.col("s_suppkey") % 4 == 0, None)
+            .otherwise(F.col("s_acctbal"))
+            .alias("bal"),
+        )
+        .orderBy(F.desc_nulls_first("bal"), F.asc("s_suppkey"))
+        .limit(30)
+    )
