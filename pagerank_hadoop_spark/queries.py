@@ -5506,3 +5506,56 @@ def q_null_ordering_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc_nulls_first("bal"), F.asc("s_suppkey"))
         .limit(30)
     )
+
+
+@register(
+    "max_concurrency",
+    """
+    WITH iv AS (
+      SELECT user_id, ts AS s, ts + INTERVAL 5 MINUTE AS e
+      FROM events WHERE event_type = 'view'),
+    pts AS (
+      SELECT user_id, s AS t, 1 AS delta FROM iv
+      UNION ALL
+      SELECT user_id, e AS t, -1 AS delta FROM iv),
+    run AS (
+      SELECT user_id,
+             SUM(delta) OVER (PARTITION BY user_id ORDER BY t, delta DESC
+                              ROWS UNBOUNDED PRECEDING) AS conc
+      FROM pts)
+    SELECT user_id, MAX(conc) AS max_concurrent
+    FROM run GROUP BY user_id
+    """,
+)
+def q_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E7 [EXT]: interval-overlap analytics — peak concurrent 5-minute
+    view sessions per user, by the classic +1/-1 boundary sweep: each
+    interval contributes an open and a close point, the running sum
+    ordered by time is the live count, its max the answer. One
+    user-partitioned window over 2x the interval rows — no
+    interval×interval self-join (the naive O(n²) overlap test). Ties
+    order opens before closes (delta DESC), so touching intervals
+    count as overlapping AND the peak is permutation-invariant within
+    a tied timestamp (the running sum over identical +1s peaks at the
+    run's end regardless of their order)."""
+    ev = _events(spark, sf_dir).where(F.col("event_type") == "view")
+    iv = ev.select(
+        "user_id",
+        F.col("ts").alias("s"),
+        (F.col("ts") + F.expr("INTERVAL 5 MINUTES")).alias("e"),
+    )
+    pts = iv.select(
+        "user_id", F.col("s").alias("t"), F.lit(1).alias("delta")
+    ).unionByName(
+        iv.select("user_id", F.col("e").alias("t"), F.lit(-1).alias("delta"))
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.asc("t"), F.desc("delta"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        pts.withColumn("conc", F.sum("delta").over(w))
+        .groupBy("user_id")
+        .agg(F.max("conc").alias("max_concurrent"))
+    )
