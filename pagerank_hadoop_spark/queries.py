@@ -5559,3 +5559,54 @@ def q_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(F.max("conc").alias("max_concurrent"))
     )
+
+
+@register(
+    "events_session_dynamic",
+    """
+    WITH pts AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN event_type = 'view' THEN INTERVAL 10 MINUTE
+                  ELSE INTERVAL 5 MINUTE END AS gap
+      FROM events),
+    marked AS (
+      SELECT user_id, ts, ts + gap AS e,
+             MAX(ts + gap) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS prev_max_end
+      FROM pts),
+    flagged AS (
+      SELECT user_id, ts, e,
+             CASE WHEN prev_max_end IS NULL OR ts >= prev_max_end
+                  THEN 1 ELSE 0 END AS is_new
+      FROM marked),
+    sessions AS (
+      SELECT user_id, ts,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, is_new DESC
+                               ROWS UNBOUNDED PRECEDING) AS sid
+      FROM flagged)
+    SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events
+    FROM sessions GROUP BY user_id, sid
+    """,
+)
+def q_events_session_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E6 [EXT]: DYNAMIC-gap session windows — the per-event gap form
+    of session_window (views keep a session alive 10 minutes, other
+    events 5), which fixed-gap sessionization cannot express. Spark's
+    session semantics are interval-union: half-open [ts, ts+gap)
+    windows merge while they overlap, so a session's end is the
+    running MAX of member ends, not the last event's. The oracle
+    replays exactly that with a running-max islands construction
+    (break when ts >= max prior end) — the hash match doubles as a
+    semantics proof of the operator."""
+    ev = _events(spark, sf_dir)
+    gap = F.when(F.col("event_type") == "view", "10 minutes").otherwise(
+        "5 minutes"
+    )
+    return (
+        ev.groupBy(F.session_window(F.col("ts"), gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id", F.col("w.start").alias("session_start"), "n_events"
+        )
+    )
