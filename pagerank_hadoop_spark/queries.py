@@ -5610,3 +5610,97 @@ def q_events_session_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id", F.col("w.start").alias("session_start"), "n_events"
         )
     )
+
+
+@register(
+    "clustering_coefficients",
+    """
+    WITH ids AS (SELECT DISTINCT c_custkey % 500 AS v FROM customer),
+    raw AS (
+      SELECT v AS x, (v * 7 + 1) % 500 AS y FROM ids
+      UNION ALL SELECT v, (v * 13 + 3) % 500 FROM ids),
+    canon AS (
+      SELECT DISTINCT least(x, y) AS a, greatest(x, y) AS b
+      FROM raw WHERE x <> y),
+    deg AS (
+      SELECT v, COUNT(*) AS d FROM (
+        SELECT a AS v FROM canon UNION ALL SELECT b AS v FROM canon)
+      GROUP BY v),
+    tri AS (
+      SELECT e1.a AS v1, e1.b AS v2, e2.b AS v3
+      FROM canon e1
+      JOIN canon e2 ON e1.b = e2.a
+      JOIN canon e3 ON e3.a = e1.a AND e3.b = e2.b),
+    pertri AS (
+      SELECT v, COUNT(*) AS t FROM (
+        SELECT v1 AS v FROM tri UNION ALL SELECT v2 FROM tri
+        UNION ALL SELECT v3 FROM tri)
+      GROUP BY v)
+    SELECT d.v AS vertex, d.d AS degree,
+           COALESCE(p.t, 0) AS n_triangles,
+           round(2.0 * COALESCE(p.t, 0) / (d.d * (d.d - 1)), 9) AS coeff
+    FROM deg d LEFT JOIN pertri p ON p.v = d.v
+    WHERE d.d >= 2
+    ORDER BY coeff DESC, vertex
+    LIMIT 20
+    """,
+)
+def q_clustering_coefficients(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph [EXT]: local clustering coefficient — per-vertex triangle
+    density 2t/(d(d-1)), the standard community-structure signal the
+    global triangle count cannot localize. Triangles enumerate once
+    through the ordered wedge join (a<b<c, each counted exactly once)
+    and attribute to all three corners; degrees come from the
+    canonical edge list. Everything is exact integer math until the
+    single final division. Deterministic synthetic graph derived from
+    customer keys (the same-nation supplier graph is a clique union —
+    every coefficient 1.0, useless as a fixture)."""
+    cust = _t(spark, sf_dir, "customer")
+    ids = cust.select((F.col("c_custkey") % 500).alias("v")).distinct()
+    raw = ids.select(
+        F.col("v").alias("x"), ((F.col("v") * 7 + 1) % 500).alias("y")
+    ).unionByName(
+        ids.select(
+            F.col("v").alias("x"), ((F.col("v") * 13 + 3) % 500).alias("y")
+        )
+    )
+    canon = (
+        raw.where(F.col("x") != F.col("y"))
+        .select(
+            F.least("x", "y").alias("a"), F.greatest("x", "y").alias("b")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    deg = (
+        canon.select(F.col("a").alias("v"))
+        .unionByName(canon.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    e1 = canon.select(F.col("a").alias("v1"), F.col("b").alias("v2"))
+    e2 = canon.select(F.col("a").alias("v2"), F.col("b").alias("v3"))
+    e3 = canon.select(F.col("a").alias("v1"), F.col("b").alias("v3"))
+    tri = e1.join(e2, "v2").join(e3, ["v1", "v3"])
+    pertri = (
+        tri.select(F.col("v1").alias("v"))
+        .unionByName(tri.select(F.col("v2").alias("v")))
+        .unionByName(tri.select(F.col("v3").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("t"))
+    )
+    return (
+        deg.join(pertri, deg.v == pertri.v, "left")
+        .select(
+            deg.v.alias("vertex"),
+            F.col("d").alias("degree"),
+            F.coalesce("t", F.lit(0)).alias("n_triangles"),
+            F.round(
+                2.0 * F.coalesce("t", F.lit(0)) / (F.col("d") * (F.col("d") - 1)),
+                9,
+            ).alias("coeff"),
+        )
+        .where(F.col("degree") >= 2)
+        .orderBy(F.desc("coeff"), F.asc("vertex"))
+        .limit(20)
+    )
