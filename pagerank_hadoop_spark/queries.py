@@ -5704,3 +5704,78 @@ def q_clustering_coefficients(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("coeff"), F.asc("vertex"))
         .limit(20)
     )
+
+
+@register(
+    "event_transitions",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events)
+    SELECT prev_type, event_type AS next_type, COUNT(*) AS n
+    FROM seq WHERE prev_type IS NOT NULL
+    GROUP BY prev_type, event_type
+    ORDER BY n DESC, prev_type, next_type
+    LIMIT 25
+    """,
+)
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E7b [EXT]: behavioral path mining — the event-type transition
+    matrix (ordered bigrams per user) behind Markov attribution and
+    next-action models. LAG over the user partition pairs consecutive
+    events without a self-join; the (ts, event_id) sort key makes the
+    pairing deterministic under timestamp ties."""
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .where(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("prev_type"), F.asc("next_type"))
+        .limit(25)
+    )
+
+
+@register(
+    "user_type_entropy",
+    """
+    WITH c AS (
+      SELECT user_id, event_type, COUNT(*) AS k
+      FROM events GROUP BY user_id, event_type),
+    tot AS (SELECT user_id, SUM(k) AS n FROM c GROUP BY user_id)
+    SELECT c.user_id,
+           CAST(tot.n AS BIGINT) AS n_events,
+           round(-SUM((CAST(k AS DOUBLE) / n) * ln(CAST(k AS DOUBLE) / n)), 9)
+             AS type_entropy
+    FROM c JOIN tot ON c.user_id = tot.user_id
+    GROUP BY c.user_id, tot.n
+    ORDER BY type_entropy DESC, c.user_id
+    LIMIT 30
+    """,
+)
+def q_user_type_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4/E7 [EXT]: Shannon entropy of each user's event-type mix — an
+    information-theoretic diversity score (the same formula scores
+    token diversity in corpus-quality filters). Probabilities derive
+    from exact integer counts; the entropy sum runs over ≤5 terms per
+    user in groupBy's deterministic per-key order, rounded to 9 dp.
+    Two aggregations share the user_id exchange."""
+    ev = _events(spark, sf_dir)
+    c = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("k"))
+    tot = c.groupBy("user_id").agg(F.sum("k").alias("n"))
+    p = F.col("k").cast("double") / F.col("n")
+    return (
+        c.join(tot, "user_id")
+        .groupBy("user_id", "n")
+        .agg(F.round(-F.sum(p * F.log(p)), 9).alias("type_entropy"))
+        .select(
+            "user_id",
+            F.col("n").cast("bigint").alias("n_events"),
+            "type_entropy",
+        )
+        .orderBy(F.desc("type_entropy"), F.asc("user_id"))
+        .limit(30)
+    )
