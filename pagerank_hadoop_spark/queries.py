@@ -5779,3 +5779,61 @@ def q_user_type_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("type_entropy"), F.asc("user_id"))
         .limit(30)
     )
+
+
+@register(
+    "udf_iter_model_score",
+    """
+    SELECT doc_id,
+           round(1.0 / (1.0 + exp(-(
+             CAST(length(text) AS DOUBLE) * 0.001
+             + CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE) * 0.01
+             - 3.0))), 9) AS score
+    FROM documents
+    ORDER BY doc_id
+    LIMIT 100
+    """,
+)
+def q_udf_iter_model_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UDF surface [EXT]: iterator-form Pandas UDF
+    (``Iterator[Series] -> Iterator[Series]``) — the model-scoring
+    shape: expensive per-worker initialization (loading weights /
+    a tokenizer / an ONNX session) happens ONCE before the batch loop
+    instead of per batch, then every Arrow batch streams through the
+    loaded state. Here the "model" is a deterministic 2-feature
+    logistic scorer so DuckDB can replay it; in production the init
+    block is the model load and the formula is model.predict. The
+    per-batch math is NumPy-vectorized; feature extraction stays
+    JVM-side so only two small numeric columns cross into Python."""
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    # functionType passed explicitly: this module's `from __future__
+    # import annotations` stringifies type hints, which pyspark's
+    # signature inference cannot evaluate for locally-imported names
+    @pandas_udf("double", PandasUDFType.SCALAR_ITER)
+    def score(batches):
+        import numpy as np
+
+        # one-time per-worker init (the expensive part in production)
+        weights = np.array([0.001, 0.01])
+        bias = -3.0
+        for n_chars, n_tokens in batches:
+            z = n_chars * weights[0] + n_tokens * weights[1] + bias
+            yield 1.0 / (1.0 + np.exp(-z))
+
+    docs = _t(spark, sf_dir, "documents")
+    feats = docs.select(
+        "doc_id",
+        F.length("text").cast("double").alias("n_chars"),
+        F.size(F.split(F.trim("text"), r"\s+")).cast("double").alias("n_tokens"),
+    )
+    return (
+        feats.select(
+            "doc_id",
+            F.round(
+                score(F.col("n_chars"), F.col("n_tokens")), 9
+            ).alias("score"),
+        )
+        .orderBy("doc_id")
+        .limit(100)
+    )
