@@ -5837,3 +5837,59 @@ def q_udf_iter_model_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("doc_id")
         .limit(100)
     )
+
+
+def _morton_sql(a: str, b: str) -> str:
+    def spread(x):
+        out = f"CAST({x} AS BIGINT)"
+        for shift, mask in (
+            (16, 0x0000FFFF0000FFFF),
+            (8, 0x00FF00FF00FF00FF),
+            (4, 0x0F0F0F0F0F0F0F0F),
+            (2, 0x3333333333333333),
+            (1, 0x5555555555555555),
+        ):
+            out = f"(({out} | ({out} << {shift})) & {mask})"
+        return out
+
+    return f"({spread(a)} | ({spread(b)} << 1))"
+
+
+@register(
+    "zorder_key_stats",
+    f"""
+    WITH k AS (
+      SELECT user_id % 10 AS bucket,
+             {_morton_sql("user_id", "CAST(FLOOR(epoch(ts)) AS BIGINT) % 2147483648")} AS z
+      FROM events)
+    SELECT bucket, COUNT(*) AS n, MIN(z) AS min_z, MAX(z) AS max_z
+    FROM k GROUP BY bucket
+    """,
+)
+def q_zorder_key_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Layout [EXT]: Z-order keys as native bit arithmetic
+    (functions/vectors.py::morton_key) — writing a table sorted by the
+    interleaved key clusters rows that are close in BOTH dimensions
+    (user, time) into the same row groups, so min/max stats prune
+    scans filtered on EITHER column; a single-column sort can only
+    serve one. The oracle replays the identical five-round bit-spread
+    per engine, proving the key is portable integer math end to end;
+    the write-side usage is `df.repartitionByRange(n, z).sortWithin
+    Partitions(z).write...` (same mechanics the partitioned/bucketed
+    sinks already pin)."""
+    from pagerank_hadoop_spark.functions.vectors import morton_key
+
+    ev = _events(spark, sf_dir)
+    z = morton_key(
+        F.col("user_id"),
+        F.floor(F.col("ts").cast("double")).cast("long") % 2147483648,
+    )
+    return (
+        ev.select((F.col("user_id") % 10).alias("bucket"), z.alias("z"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("z").alias("min_z"),
+            F.max("z").alias("max_z"),
+        )
+    )

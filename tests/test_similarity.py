@@ -124,3 +124,33 @@ def test_pq_recall_against_exact(emb, queries_df, exact):
     ]
     # 8x16 codebooks + 4x refine on 64-dim data: strong recall
     assert sum(recalls) / len(recalls) >= 0.5, recalls
+
+
+def test_morton_key_known_values_and_locality(spark):
+    from pagerank_hadoop_spark.functions.vectors import morton_key
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(0, 0), (1, 0), (0, 1), (3, 5), (2**31 - 1, 2**31 - 1)],
+        "a long, b long",
+    )
+    got = [
+        r["z"]
+        for r in df.select(morton_key(F.col("a"), F.col("b")).alias("z"))
+        .orderBy("a", "b")
+        .collect()
+    ]
+
+    def py_morton(a, b):
+        z = 0
+        for i in range(32):
+            z |= ((a >> i) & 1) << (2 * i) | ((b >> i) & 1) << (2 * i + 1)
+        return z
+
+    want = [py_morton(a, b) for a, b in [(0, 0), (0, 1), (1, 0), (3, 5), (2**31 - 1, 2**31 - 1)]]
+    assert got == want
+    # locality: adjacent morton-sorted cells differ little in (a, b)
+    cells = [(a, b) for a in range(16) for b in range(16)]
+    keys = sorted(cells, key=lambda ab: py_morton(*ab))
+    jumps = [abs(x1 - x0) + abs(y1 - y0) for (x0, y0), (x1, y1) in zip(keys, keys[1:])]
+    assert sum(jumps) / len(jumps) < 3  # vs ~8 expected for random order
