@@ -94,3 +94,40 @@ def ppr_oracle_sql(
     if limit is not None:
         tail += f" LIMIT {limit}"
     return "WITH " + ",\n".join(ctes) + "\n" + tail
+
+
+def weighted_pagerank_oracle_sql(
+    edges_sql: str,
+    n_iter: int = 8,
+    damping: float = 0.85,
+    round_dp: int = 9,
+    limit: int | None = 20,
+) -> str:
+    """Chained-CTE oracle for weighted PageRank: ``edges_sql`` yields
+    ``src, dst, weight``; rank ships proportionally to the source's
+    normalized weights; dangling mass lost."""
+    ctes = [
+        f"raw AS ({edges_sql})",
+        "wedges AS (SELECT src, dst, SUM(weight) AS w FROM raw GROUP BY src, dst)",
+        "vertices AS (SELECT DISTINCT src AS id FROM raw"
+        " UNION SELECT DISTINCT dst AS id FROM raw)",
+        "tot AS (SELECT src, CAST(SUM(w) AS DOUBLE) AS W FROM wedges GROUP BY src)",
+        "nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM vertices)",
+        "r0 AS (SELECT id, 1.0 / nn.n AS rank FROM vertices, nn)",
+    ]
+    for i in range(n_iter):
+        ctes.append(
+            f"r{i + 1} AS (SELECT v.id, "
+            f"(1.0 - {damping}) / nn.n + {damping} * COALESCE(s.insum, 0.0) AS rank "
+            f"FROM vertices v CROSS JOIN nn LEFT JOIN ("
+            f"SELECT e.dst AS id, SUM(r.rank * e.w / t.W) AS insum "
+            f"FROM wedges e JOIN r{i} r ON e.src = r.id "
+            f"JOIN tot t ON e.src = t.src GROUP BY e.dst) s ON v.id = s.id)"
+        )
+    tail = (
+        f"SELECT id, ROUND(rank, {round_dp}) AS rank FROM r{n_iter} "
+        f"ORDER BY 2 DESC, 1"
+    )
+    if limit is not None:
+        tail += f" LIMIT {limit}"
+    return "WITH " + ",\n".join(ctes) + "\n" + tail

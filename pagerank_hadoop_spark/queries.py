@@ -5893,3 +5893,42 @@ def q_zorder_key_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("z").alias("max_z"),
         )
     )
+
+
+from pagerank_hadoop_spark.plans.oracle import (  # noqa: E402
+    weighted_pagerank_oracle_sql,
+)
+
+_WEIGHTED_EDGES_SQL = (
+    "SELECT CAST(l_partkey AS VARCHAR) AS src, "
+    "'s' || CAST(l_suppkey AS VARCHAR) AS dst, 1 AS weight FROM lineitem"
+)
+
+
+@register(
+    "weighted_pagerank_topk",
+    weighted_pagerank_oracle_sql(_WEIGHTED_EDGES_SQL, n_iter=8, limit=20),
+)
+def q_weighted_pagerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph [EXT]: WEIGHTED PageRank (GraphX's weight-normalized
+    form) on the part→supplier graph with link MULTIPLICITY as the
+    edge weight — a part that ships ten times through one supplier
+    sends that supplier ten shares of rank, where the uniform variant
+    counts the relationship once. Weights normalize once into the
+    cached adjacency (struct<dst, wfrac> arrays), so iterations never
+    re-aggregate totals; oracle replays the weighted recurrence as
+    chained CTEs."""
+    from pagerank_hadoop_spark.operators.pagerank import weighted_pagerank
+
+    li = _t(spark, sf_dir, "lineitem")
+    edges = li.select(
+        F.col("l_partkey").cast("string").alias("src"),
+        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+        F.lit(1).alias("weight"),
+    )
+    ranks = weighted_pagerank(edges, n_iter=8)
+    return (
+        ranks.select("id", F.round("rank", 9).alias("rank"))
+        .orderBy(F.desc("rank"), F.asc("id"))
+        .limit(20)
+    )

@@ -136,3 +136,46 @@ def test_personalized_pagerank_mass_stays_near_seed(spark):
     }
     assert got["s"] == max(got.values())
     assert "u" not in got and "v" not in got  # unreachable from seed
+
+
+def test_weighted_pagerank_reduces_to_uniform_on_equal_weights(spark):
+    """With all weights equal, the weighted recurrence must reproduce
+    the uniform parity-mode ranks exactly (wfrac = 1/deg)."""
+    from pagerank_hadoop_spark.operators.pagerank import (
+        pagerank,
+        weighted_pagerank,
+    )
+    from pyspark.sql import functions as F
+
+    edges = spark.createDataFrame(
+        [(str(i), str((i * 3 + 1) % 20)) for i in range(40)],
+        "src string, dst string",
+    ).distinct()
+    uni = {
+        r["id"]: r["rank"] for r in pagerank(edges, n_iter=4, parity=True).collect()
+    }
+    wtd = {
+        r["id"]: r["rank"]
+        for r in weighted_pagerank(
+            edges.withColumn("weight", F.lit(2)), n_iter=4
+        ).collect()
+    }
+    assert set(uni) == set(wtd)
+    assert all(abs(uni[k] - wtd[k]) < 1e-12 for k in uni)
+
+
+def test_weighted_pagerank_follows_the_heavy_edge(spark):
+    """Two targets, 9:1 weights: the heavy target must collect ~9x the
+    propagated (non-teleport) rank of the light one."""
+    from pagerank_hadoop_spark.operators.pagerank import weighted_pagerank
+
+    edges = spark.createDataFrame(
+        [("s", "heavy", 9), ("s", "light", 1)],
+        "src string, dst string, weight long",
+    )
+    got = {r["id"]: r["rank"] for r in weighted_pagerank(edges, n_iter=1).collect()}
+    n = 3
+    teleport = 0.15 / n
+    prop_heavy = got["heavy"] - teleport
+    prop_light = got["light"] - teleport
+    assert abs(prop_heavy / prop_light - 9.0) < 1e-9
