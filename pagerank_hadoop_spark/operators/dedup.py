@@ -286,6 +286,11 @@ def minhash_signatures(
     df = _spread(df)
     sh = shingles(F.col(text_col), shingle_n, distinct=False)
     if scheme == "oph":
+        if not use_arrow:
+            raise ValueError(
+                "scheme='oph' has no non-Arrow fallback; use the "
+                "default universal scheme with use_arrow=False"
+            )
         sig = _oph_sig_arrow(num_hashes)(sh)
     elif use_arrow:
         sig = _minhash_sig_arrow(num_hashes)(sh)
@@ -304,15 +309,22 @@ def sig_jaccard_estimate(sig_a: Column, sig_b: Column, num_hashes: int) -> Colum
     return total.cast("double") / F.lit(float(num_hashes))
 
 
+def _band_cols(num_hashes: int, bands: int) -> list:
+    """Per-band bucket-key expressions over a ``sig`` column — the ONE
+    definition of the banding scheme; self-join and cross-corpus LSH
+    must hash bands identically or candidates silently vanish."""
+    rows = num_hashes // bands
+    return [
+        F.xxhash64(F.slice("sig", b * rows + 1, rows).cast("string"))
+        for b in range(bands)
+    ]
+
+
 def _band_pairs(sigs: DataFrame, num_hashes: int, bands: int) -> DataFrame:
     """(id_a, id_b) distinct pairs sharing ≥1 LSH band bucket, from a
     materialized ``(id, sig)`` DataFrame. The shuffle carries only ids
     + band hashes; skewed mega-buckets are split by AQE."""
-    rows = num_hashes // bands
-    band_cols = [
-        F.xxhash64(F.slice("sig", b * rows + 1, rows).cast("string"))
-        for b in range(bands)
-    ]
+    band_cols = _band_cols(num_hashes, bands)
     banded = sigs.select("id", F.posexplode(F.array(*band_cols)).alias("band", "bh"))
     left = banded.select("band", "bh", F.col("id").alias("id_a"))
     right = banded.select("band", "bh", F.col("id").alias("id_b"))
@@ -512,6 +524,7 @@ def near_dup_clusters(
     num_hashes: int = 64,
     bands: int = 8,
     shingle_n: int = 5,
+    pairs: DataFrame | None = None,
 ) -> DataFrame:
     """Transitive near-dup clustering: ``(id, cluster)`` for every
     document, where ``cluster`` is the minimum doc id of its connected
@@ -527,7 +540,9 @@ def near_dup_clusters(
     appear in ≥1 confirmed pair — a sliver of the corpus."""
     from pagerank_hadoop_spark.operators.graph import connected_components
 
-    confirmed = confirmed_near_dup_pairs(
+    # ``pairs``: a precomputed confirmed-pair set (id_a, id_b), e.g.
+    # the per-snapshot artifact shared with the survivor-drop policy
+    confirmed = pairs if pairs is not None else confirmed_near_dup_pairs(
         df, id_col, text_col, jaccard_threshold, num_hashes, bands, shingle_n
     )
     edges = confirmed.select(
@@ -749,37 +764,63 @@ def incremental_dedup(
 
     Returns surviving ``new_batch`` rows (original schema).
     """
-    # 1: exact text collision → batch row dies
+    # 1: exact text collision → batch row dies. Materialized once:
+    # banding, candidate shingling, and the final anti-join all read
+    # the survivor set — unmaterialized they would each replay the
+    # exact-screen lineage
     corpus_hashes = corpus.select(F.xxhash64(F.col(text_col)).alias("__h")).distinct()
     survivors = (
         new_batch.withColumn("__h", F.xxhash64(F.col(text_col)))
         .join(corpus_hashes, "__h", "left_anti")
         .drop("__h")
+        .localCheckpoint(eager=True)
     )
 
-    rows = num_hashes // bands
+    # signatures materialize once per side: band explode AND the
+    # estimate screen both read them
+    sig_new = minhash_signatures(
+        survivors, id_col, text_col, num_hashes, shingle_n
+    ).localCheckpoint(eager=True)
+    sig_old = minhash_signatures(
+        corpus, id_col, text_col, num_hashes, shingle_n
+    ).localCheckpoint(eager=True)
 
-    def banded(df: DataFrame, side: str) -> DataFrame:
-        sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
-        band_cols = [
-            F.xxhash64(F.slice("sig", b * rows + 1, rows).cast("string"))
-            for b in range(bands)
-        ]
+    def banded(sigs: DataFrame, side: str) -> DataFrame:
         return sigs.select(
             F.col("id").alias(side),
-            F.posexplode(F.array(*band_cols)).alias("band", "bh"),
+            F.posexplode(F.array(*_band_cols(num_hashes, bands))).alias(
+                "band", "bh"
+            ),
         )
 
     # 2: asymmetric band join, batch ids vs corpus ids
     cand = (
-        banded(survivors, "id_new")
-        .join(banded(corpus, "id_old"), ["band", "bh"])
+        banded(sig_new, "id_new")
+        .join(banded(sig_old, "id_old"), ["band", "bh"])
         .select("id_new", "id_old")
         .distinct()
         .localCheckpoint(eager=True)
     )
     par = corpus.sparkSession.sparkContext.defaultParallelism
     cand = cand.repartition(par)
+
+    # 2b: the estimate-then-verify cascade (same screen as
+    # minhash_dedup): candidates whose signature-estimated Jaccard
+    # can't plausibly reach the threshold never see the expensive
+    # shingle intersection
+    t = jaccard_threshold
+    margin = 3.0 * (t * (1.0 - t) / num_hashes) ** 0.5
+    a = sig_new.select(F.col("id").alias("id_new"), F.col("sig").alias("__sn"))
+    b = sig_old.select(F.col("id").alias("id_old"), F.col("sig").alias("__so"))
+    cand = (
+        cand.join(a, "id_new")
+        .join(b, "id_old")
+        .where(
+            sig_jaccard_estimate(F.col("__sn"), F.col("__so"), num_hashes)
+            >= t - margin
+        )
+        .select("id_new", "id_old")
+    )
 
     # 3: estimate screen + exact verify (cross-table jaccard_pairs)
     def side_shingles(df: DataFrame, ids: DataFrame, out: str) -> DataFrame:

@@ -806,8 +806,13 @@ def _confirmed_pairs_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     rebuilds."""
     from pagerank_hadoop_spark.operators.dedup import confirmed_near_dup_pairs
 
-    key = (spark.sparkContext.applicationId, sf_dir)
+    app = spark.sparkContext.applicationId
+    key = (app, sf_dir)
     if key not in _PAIR_MEMO:
+        # evict entries from dead sessions: their checkpointed RDDs
+        # are unusable and would otherwise pin memory forever
+        for stale in [k for k in _PAIR_MEMO if k[0] != app]:
+            del _PAIR_MEMO[stale]
         corpus = _near_dup_corpus(spark, sf_dir)
         _PAIR_MEMO[key] = confirmed_near_dup_pairs(
             corpus, "doc_id", "text"
@@ -2617,17 +2622,11 @@ def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     Rows-only: the LSH stage derives from xxhash64. Summary shape so
     the check is stable: one row per non-singleton cluster with its
     size."""
-    from pagerank_hadoop_spark.operators.graph import connected_components
+    from pagerank_hadoop_spark.operators.dedup import near_dup_clusters
 
     corpus = _near_dup_corpus(spark, sf_dir)
-    confirmed = _confirmed_pairs_cached(spark, sf_dir)
-    edges = confirmed.select(
-        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
-    )
-    cc = connected_components(edges)
-    ids = corpus.select(F.col("doc_id").alias("id"))
-    clusters = ids.join(cc, "id", "left").select(
-        "id", F.coalesce("component", F.col("id")).alias("cluster")
+    clusters = near_dup_clusters(
+        corpus, "doc_id", "text", pairs=_confirmed_pairs_cached(spark, sf_dir)
     )
     return (
         clusters.groupBy("cluster")
@@ -4732,8 +4731,11 @@ def q_schema_evolution_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     docs = _t(spark, sf_dir, "documents")
+    # namespaced by applicationId: a fixed path would race with a
+    # concurrent process overwriting mid-read
     tag = os.path.basename(sf_dir.rstrip("/"))
-    base = os.path.join(tempfile.gettempdir(), f"spark_graft_evo_{tag}")
+    app = spark.sparkContext.applicationId
+    base = os.path.join(tempfile.gettempdir(), f"spark_graft_evo_{tag}_{app}")
     legacy, current = os.path.join(base, "v1"), os.path.join(base, "v2")
     docs.where(F.col("doc_id") % 2 == 0).select("doc_id", "lang").write.mode(
         "overwrite"
@@ -4965,8 +4967,12 @@ def q_compacted_events_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pagerank_hadoop_spark.sources.sinks import compact_parquet
 
     ev = _events(spark, sf_dir)
+    # namespaced by applicationId against concurrent-process races
     tag = os.path.basename(sf_dir.rstrip("/"))
-    base = os.path.join(tempfile.gettempdir(), f"spark_graft_compact_{tag}")
+    app = spark.sparkContext.applicationId
+    base = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_compact_{tag}_{app}"
+    )
     shattered, compacted = os.path.join(base, "small"), os.path.join(base, "big")
     ev.repartition(64).write.mode("overwrite").parquet(shattered)
     out = compact_parquet(spark, shattered, compacted, target_file_bytes=64 << 20)
@@ -5414,9 +5420,11 @@ def q_ppr_from_part(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     edges = _pagerank_edges(spark, sf_dir)
     ranks = personalized_pagerank(edges, "1", n_iter=8)
+    # filter on the UNROUNDED rank (matching the oracle): a reachable
+    # vertex whose rank rounds to 0.000000000 must still be emitted
     return (
-        ranks.select("id", F.round("rank", 9).alias("rank"))
-        .where(F.col("rank") > 0)
+        ranks.where(F.col("rank") > 0)
+        .select("id", F.round("rank", 9).alias("rank"))
         .orderBy(F.desc("rank"), F.asc("id"))
         .limit(20)
     )

@@ -164,6 +164,10 @@ try:  # the Python DataSource API landed in Spark 4
         def read(self, partition):
             stag, etag = self.start_tag, self.end_tag
             span = partition.end - partition.start
+            if span <= 0:
+                # the empty-input fallback partition may carry a
+                # directory path — never open it
+                return
             with open(partition.path, "rb") as f:
                 f.seek(partition.start)
                 # overlap so a start tag straddling the split end is

@@ -162,7 +162,12 @@ def running_user_stats_stream(events: DataFrame) -> DataFrame:
             pass
 
     spark = events.sparkSession
-    # transformWithState requires the RocksDB state store provider
+    # transformWithState requires the RocksDB state store provider.
+    # NOTE: this is a SESSION-wide conf with no per-query scope — it
+    # stays set, and later streams (including ones resuming HDFS-
+    # backed checkpoints, which would then fail on provider mismatch)
+    # inherit it. Callers mixing state-store providers in one session
+    # must manage the conf themselves.
     spark.conf.set(
         "spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state."

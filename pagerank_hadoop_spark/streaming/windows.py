@@ -210,7 +210,10 @@ def stream_shuffle_partitions(spark: SparkSession, source_bytes: int):
     for peak.
     """
     prev = spark.conf.get("spark.sql.shuffle.partitions")
-    need = max(8, min(int(prev), -(-source_bytes // (16 << 20))))
+    # floor 8 — but never ABOVE the session default (a session already
+    # configured below 8 keeps its own, smaller, setting)
+    floor = min(8, int(prev))
+    need = max(floor, min(int(prev), -(-source_bytes // (16 << 20))))
     spark.conf.set("spark.sql.shuffle.partitions", str(need))
     try:
         yield
