@@ -179,12 +179,19 @@ def _minhash_sig_arrow(num_hashes: int):
             return pd.Series([], dtype=object)
         lens = np.fromiter((len(h) for h in hashes), dtype=np.int64, count=len(hashes))
         flat = np.concatenate([np.asarray(h, dtype=np.int64) for h in hashes]) % p
-        # one (Σ shingles × num_hashes) kernel for the whole Arrow
-        # batch, min-reduced at document boundaries — no per-doc loop
-        mat = (flat[:, None] * a + b) % p
         offsets = np.zeros(len(hashes), dtype=np.int64)
         np.cumsum(lens[:-1], out=offsets[1:])
-        mins = np.minimum.reduceat(mat, offsets, axis=0)
+        # (Σ shingles × num_hashes) multiply-mod, min-reduced at doc
+        # boundaries — evaluated 8 hash functions at a time. The full
+        # matrix form allocates 3 (Σshingles × k) int64 temporaries
+        # (mul, add, mod) that fall out of L2 and, with every executor
+        # core running the same kernel, saturate memory bandwidth:
+        # measured 2.5-6.4 s for this stage at sf0.1/local[32] vs
+        # 0.6 s chunked (bit-identical output).
+        mins = np.empty((len(hashes), num_hashes), dtype=np.int64)
+        for j in range(0, num_hashes, 8):
+            mat = (flat[:, None] * a[j : j + 8] + b[j : j + 8]) % p
+            mins[:, j : j + 8] = np.minimum.reduceat(mat, offsets, axis=0)
         return pd.Series(list(mins))
 
     return sig
