@@ -1,0 +1,97 @@
+"""Data-quality / governance operators ([EXT]): column profiling,
+declarative constraint validation, and deterministic content sharding.
+
+The reference has no notion of data quality (its inputs are trusted
+wiki dumps, `PageRank.java:57-73` parses them unconditionally); at
+100 TB ingest these checks are the gate every batch passes before it
+reaches dedup/training-export, so they are first-class operators here.
+
+Scale posture:
+
+* ``profile_columns`` is ONE aggregation pass; exact ``countDistinct``
+  over k columns Expand-multiplies rows by k+1 before the partial
+  aggregate, so at 100 TB swap ``exact=False`` to HLL
+  ``approx_count_distinct`` (same plan shape, no expansion blow-up).
+* ``constraint_counts`` unions per-rule 1-row aggregates; FK rules are
+  left-anti joins whose small (dimension) side Catalyst broadcasts.
+* ``shard_key`` is a pure Column expression (md5 prefix mod n) — a
+  deterministic, content-based, engine-portable partitioner for
+  training-data export: the same document lands in the same shard on
+  every run and on every engine, so downstream consumers can cache,
+  diff, and resume per-shard.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def profile_columns(
+    df: DataFrame, cols: list[str], exact: bool = True
+) -> DataFrame:
+    """Per-column profile in long form:
+    ``(col_name, n_nulls, n_distinct, n_rows)``.
+
+    One aggregation pass over ``df`` (no per-column scans): null and
+    distinct counts for every requested column are sibling aggregates,
+    unpivoted driver-side into one row per column. ``exact=False``
+    switches NDV to ``approx_count_distinct`` (HLL±5%) — the 100 TB
+    default, since k exact distincts cost a (k+1)× row expansion.
+    """
+    ndv = F.countDistinct if exact else F.approx_count_distinct
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in cols:
+        aggs.append(F.count(c).alias(f"__nn_{c}"))
+        aggs.append(ndv(c).alias(f"__nd_{c}"))
+    one = df.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', n_rows - __nn_{c}, cast(__nd_{c} as bigint)" for c in cols
+    )
+    return one.selectExpr(
+        f"stack({len(cols)}, {stack_args}) as (col_name, n_nulls, n_distinct)",
+        "n_rows",
+    )
+
+
+def constraint_counts(rules: list[tuple[str, DataFrame]]) -> DataFrame:
+    """Declarative constraint validation: ``(rule, violations)`` with
+    one row per rule, where each rule is a (name, violating-rows
+    DataFrame) pair — e.g. an anti-join for an FK rule, a filter for a
+    domain rule. Each count is a group-less aggregate (map-side
+    partial, 1-row shuffle); the union is rule-count wide, not
+    data wide."""
+    counted = [
+        vdf.agg(F.count(F.lit(1)).alias("violations")).select(
+            F.lit(name).alias("rule"), "violations"
+        )
+        for name, vdf in rules
+    ]
+    out = counted[0]
+    for c in counted[1:]:
+        out = out.unionByName(c)
+    return out
+
+
+def fk_violations(child: DataFrame, child_key: str, parent: DataFrame, parent_key: str) -> DataFrame:
+    """Rows of ``child`` whose ``child_key`` has no match in
+    ``parent.parent_key`` (NULL keys are not violations — SQL FK
+    semantics). Left-anti join; Catalyst broadcasts a small parent."""
+    p = parent.select(F.col(parent_key).alias("__pk")).distinct()
+    return (
+        child.where(F.col(child_key).isNotNull())
+        .join(p, F.col(child_key) == F.col("__pk"), "left_anti")
+    )
+
+
+def shard_key(text: Column, n_shards: int = 64) -> Column:
+    """Deterministic content-based shard id in ``[0, n_shards)``.
+
+    First 16 bits of ``md5(text)`` mod ``n_shards`` — stable across
+    runs, engines, and partitionings (unlike ``hash()``/``xxhash64``
+    whose algorithms differ per engine). Uniform when ``n_shards``
+    divides 65536 (any power of two ≤ 2^16). Used to lay out training
+    exports: ``df.repartition(n, shard).write.partitionBy(shard)``.
+    """
+    return (
+        F.conv(F.substring(F.md5(text), 1, 4), 16, 10).cast("long") % n_shards
+    ).cast("long")

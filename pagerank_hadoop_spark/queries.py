@@ -5940,3 +5940,146 @@ def q_weighted_pagerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("rank"), F.asc("id"))
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# [EXT] data quality / governance (operators/quality.py)
+# ---------------------------------------------------------------------------
+
+@register(
+    "table_profile",
+    """
+    WITH m AS (
+      SELECT COUNT(*) AS n_rows,
+             COUNT(o_custkey) AS nn1, COUNT(DISTINCT o_custkey) AS nd1,
+             COUNT(o_orderstatus) AS nn2, COUNT(DISTINCT o_orderstatus) AS nd2,
+             COUNT(o_orderpriority) AS nn3, COUNT(DISTINCT o_orderpriority) AS nd3,
+             COUNT(o_totalprice) AS nn4, COUNT(DISTINCT o_totalprice) AS nd4
+      FROM orders
+    )
+    SELECT 'o_custkey' AS col_name, n_rows - nn1 AS n_nulls, nd1 AS n_distinct, n_rows FROM m
+    UNION ALL
+    SELECT 'o_orderstatus', n_rows - nn2, nd2, n_rows FROM m
+    UNION ALL
+    SELECT 'o_orderpriority', n_rows - nn3, nd3, n_rows FROM m
+    UNION ALL
+    SELECT 'o_totalprice', n_rows - nn4, nd4, n_rows FROM m
+    """,
+)
+def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Governance [EXT]: per-column data profile (nulls, exact NDV,
+    row count) of ``orders`` in long form — the pre-ingest health
+    check a curation pipeline runs before admitting a batch. ONE
+    aggregation pass (sibling aggregates + driver-side stack); the
+    oracle unions per-column projections of the same single-scan CTE.
+    Uses operators.quality.profile_columns (``exact=False`` flips NDV
+    to HLL for the 100 TB path)."""
+    from pagerank_hadoop_spark.operators.quality import profile_columns
+
+    return profile_columns(
+        _t(spark, sf_dir, "orders"),
+        ["o_custkey", "o_orderstatus", "o_orderpriority", "o_totalprice"],
+    )
+
+
+@register(
+    "constraint_violations",
+    """
+    SELECT 'fk_orders_customer' AS rule, (
+      SELECT COUNT(*) FROM orders o
+      WHERE o.o_custkey IS NOT NULL
+        AND NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+    ) AS violations
+    UNION ALL
+    SELECT 'fk_lineitem_orders', (
+      SELECT COUNT(*) FROM lineitem l
+      WHERE l.l_orderkey IS NOT NULL
+        AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+    )
+    UNION ALL
+    SELECT 'nonneg_totalprice', (
+      SELECT COUNT(*) FROM orders WHERE o_totalprice < 0
+    )
+    UNION ALL
+    SELECT 'status_domain', (
+      SELECT COUNT(*) FROM orders
+      WHERE o_orderstatus IS NOT NULL AND o_orderstatus NOT IN ('O', 'F', 'P')
+    )
+    UNION ALL
+    SELECT 'custkey_not_null', (
+      SELECT COUNT(*) FROM orders WHERE o_custkey IS NULL
+    )
+    """,
+)
+def q_constraint_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Governance [EXT]: declarative constraint validation — FK
+    integrity (left-anti joins, dimension side broadcast), domain
+    membership, range and null checks, one violation count per rule.
+    The admission gate shape for batch ingest: each rule is a
+    group-less aggregate (1-row shuffle), the union is rule-wide not
+    data-wide. Uses operators.quality.constraint_counts +
+    fk_violations."""
+    from pagerank_hadoop_spark.operators.quality import (
+        constraint_counts,
+        fk_violations,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    lineitem = _t(spark, sf_dir, "lineitem")
+    return constraint_counts([
+        ("fk_orders_customer",
+         fk_violations(orders, "o_custkey", customer, "c_custkey")),
+        ("fk_lineitem_orders",
+         fk_violations(lineitem, "l_orderkey", orders, "o_orderkey")),
+        ("nonneg_totalprice", orders.where(F.col("o_totalprice") < 0)),
+        ("status_domain",
+         orders.where(
+             F.col("o_orderstatus").isNotNull()
+             & ~F.col("o_orderstatus").isin("O", "F", "P")
+         )),
+        ("custkey_not_null", orders.where(F.col("o_custkey").isNull())),
+    ])
+
+
+@register(
+    "shard_manifest",
+    """
+    WITH h AS (
+      SELECT doc_id, lang, n_chars,
+             ( (strpos('0123456789abcdef', substr(md5(text), 1, 1)) - 1) * 4096
+             + (strpos('0123456789abcdef', substr(md5(text), 2, 1)) - 1) * 256
+             + (strpos('0123456789abcdef', substr(md5(text), 3, 1)) - 1) * 16
+             + (strpos('0123456789abcdef', substr(md5(text), 4, 1)) - 1)
+             ) % 64 AS shard
+      FROM documents
+    )
+    SELECT shard, COUNT(*) AS n_docs, SUM(n_chars) AS sum_chars,
+           COUNT(DISTINCT lang) AS n_langs,
+           MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+    FROM h GROUP BY shard
+    """,
+)
+def q_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Governance [EXT]: training-export shard manifest. Documents are
+    assigned to 64 shards by a content hash (first 16 bits of
+    md5(text) mod 64 — deterministic across runs, partitionings, AND
+    engines, which ``xxhash64``/``hash`` are not); the manifest
+    reports per-shard doc count, byte mass, and language spread. The
+    export layout step a 100 TB pipeline runs so consumers can cache,
+    diff, and resume per-shard. Uses operators.quality.shard_key; the
+    oracle reproduces the hex-prefix arithmetic nibble-by-nibble."""
+    from pagerank_hadoop_spark.operators.quality import shard_key
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("shard", shard_key(F.col("text"), 64))
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.countDistinct("lang").alias("n_langs"),
+            F.min("doc_id").alias("min_id"),
+            F.max("doc_id").alias("max_id"),
+        )
+    )

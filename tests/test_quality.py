@@ -1,0 +1,71 @@
+"""Unit tests for operators/quality.py (profiling, constraints,
+content sharding)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from pagerank_hadoop_spark.operators.quality import (
+    constraint_counts,
+    fk_violations,
+    profile_columns,
+    shard_key,
+)
+
+
+@pytest.fixture(scope="module")
+def people(spark):
+    return spark.createDataFrame(
+        [(1, "a", 10.0), (2, "a", None), (3, None, 10.0), (4, "b", 20.0)],
+        "id long, grp string, val double",
+    )
+
+
+def test_profile_columns(people):
+    rows = {r.col_name: r for r in profile_columns(people, ["grp", "val"]).collect()}
+    assert rows["grp"].n_nulls == 1
+    assert rows["grp"].n_distinct == 2
+    assert rows["val"].n_nulls == 1
+    assert rows["val"].n_distinct == 2
+    assert all(r.n_rows == 4 for r in rows.values())
+
+
+def test_profile_columns_approx(people):
+    # HLL path: exact on tiny cardinalities, same schema
+    rows = {
+        r.col_name: r
+        for r in profile_columns(people, ["grp"], exact=False).collect()
+    }
+    assert rows["grp"].n_distinct == 2
+
+
+def test_fk_violations_null_keys_pass(spark):
+    child = spark.createDataFrame([(1, 10), (2, 99), (3, None)], "id long, fk long")
+    parent = spark.createDataFrame([(10,)], "pk long")
+    bad = fk_violations(child, "fk", parent, "pk").collect()
+    # NULL FK is not a violation (SQL semantics); only the dangling 99 is
+    assert [r.id for r in bad] == [2]
+
+
+def test_constraint_counts_one_row_per_rule(people):
+    out = constraint_counts([
+        ("null_grp", people.where(F.col("grp").isNull())),
+        ("never", people.where(F.lit(False))),
+    ]).collect()
+    got = {r.rule: r.violations for r in out}
+    assert got == {"null_grp": 1, "never": 0}
+
+
+def test_shard_key_range_and_determinism(spark):
+    docs = spark.range(200).select(
+        F.concat(F.lit("doc-"), F.col("id")).alias("text")
+    )
+    a = docs.select(shard_key(F.col("text"), 64).alias("s"))
+    stats = a.agg(
+        F.min("s").alias("lo"), F.max("s").alias("hi"),
+        F.countDistinct("s").alias("nd"),
+    ).first()
+    assert 0 <= stats.lo and stats.hi < 64
+    assert stats.nd > 32  # 200 docs spread over most of 64 shards
+    # deterministic: same input -> same assignment on re-evaluation
+    b = docs.select(shard_key(F.col("text"), 64).alias("s"))
+    assert a.exceptAll(b).count() == 0
