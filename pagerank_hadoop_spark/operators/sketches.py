@@ -1,0 +1,165 @@
+"""Mergeable-sketch aggregation operators.
+
+The reference's only distinct-count is the global vertex count N
+(``PageRank.java:211-238``, a map-to-("N",1) + single reducer). At
+100 TB the interesting versions of that job are *re-aggregatable*
+summaries: a sketch computed once per shard/partition and merged later
+without touching the raw data again — the shape every incremental
+ingestion pipeline needs (today's shard's sketch ∪ yesterday's stored
+sketch, no rescan of yesterday's 100 TB).
+
+Three tiers, all built on Spark 4 built-in aggregates (JVM-side,
+partial-aggregation friendly — no UDFs, no driver loops):
+
+* :func:`bitmap_distinct` — **exact** distinct counts via RoaringBitmap-
+  style bucketed bitmaps (``bitmap_construct_agg``). Memory is
+  ~1 bit per present key within 32k-wide buckets; merge is bitwise OR.
+  The scale path for dense integral key spaces (user ids, row ids).
+* :func:`hll_distinct` — Apache DataSketches HLL
+  (``hll_sketch_agg`` / ``hll_union_agg``): fixed ~2^lgk bytes per
+  group regardless of cardinality, sketches stored per shard and
+  unioned later. Estimate is order- and partition-insensitive
+  (register-wise max), so results are deterministic for a dataset.
+* :func:`cms_frequencies` — Count-Min frequency sketch
+  (``count_min_sketch``): sub-linear heavy-hitter estimation; the
+  merged sketch is a plain byte blob any later job (or the driver) can
+  query. Estimates only over-count, never under-count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def bitmap_distinct(
+    df: DataFrame, key: Column | str, groups: list[str]
+) -> DataFrame:
+    """Exact ``COUNT(DISTINCT key)`` per group via mergeable bitmaps.
+
+    Two-level plan::
+
+        groupBy(groups, bitmap_bucket_number(k))
+            .agg(bitmap_construct_agg(bitmap_bit_position(k)))   # per bucket
+        groupBy(groups).agg(sum(bitmap_count(bitmap)))           # roll up
+
+    Each 32768-key-wide bucket becomes one ≤4 KB bitmap; buckets (not
+    keys) shuffle, so a billion distinct ids per group moves as ~30k
+    bitmap rows instead of 1e9 key rows. Unlike ``countDistinct`` the
+    intermediate per-bucket bitmaps are storable and OR-mergeable
+    across ingestion increments (``bitmap_or_agg``); unlike
+    ``approx_count_distinct`` the result is exact.
+
+    ``key`` must be integral. Values are shifted +1 because
+    ``bitmap_bit_position`` is 1-based (0 would land at position -1 of
+    bucket 0 and silently drop).
+    """
+    k = (F.col(key) if isinstance(key, str) else key).cast("long") + F.lit(1)
+    per_bucket = df.groupBy(
+        *groups, F.bitmap_bucket_number(k).alias("__bucket")
+    ).agg(F.bitmap_construct_agg(F.bitmap_bit_position(k)).alias("__bm"))
+    return per_bucket.groupBy(*groups).agg(
+        F.sum(F.bitmap_count("__bm")).alias("n_distinct")
+    )
+
+
+def hll_distinct(
+    df: DataFrame,
+    key: Column | str,
+    groups: list[str],
+    shard: Column | str | None = None,
+    lgk: int = 12,
+) -> DataFrame:
+    """DataSketches-HLL distinct estimate per group, built shard-first.
+
+    When ``shard`` is given the plan materializes one sketch per
+    (group, shard) and then ``hll_union_agg``-merges them per group —
+    the exact dataflow of an incremental pipeline that persists
+    per-shard sketches and never rescans old shards. With
+    ``shard=None`` it is a single-level sketch aggregation.
+
+    ``lgk=12`` → 4 KB sketches, ~1.6% standard error. The estimate is
+    rounded to a long; it is deterministic for a given dataset (the
+    sketch is an order-insensitive register-max), but not
+    SQL-expressible, so the registry exposes it rows-only with
+    error-bound unit tests.
+    """
+    k = F.col(key) if isinstance(key, str) else key
+    if shard is not None:
+        sh = F.col(shard) if isinstance(shard, str) else shard
+        per_shard = df.groupBy(*groups, sh.alias("__shard")).agg(
+            F.hll_sketch_agg(k, F.lit(lgk)).alias("__sk")
+        )
+        merged = per_shard.groupBy(*groups).agg(
+            F.hll_union_agg("__sk").alias("__sk")
+        )
+    else:
+        merged = df.groupBy(*groups).agg(
+            F.hll_sketch_agg(k, F.lit(lgk)).alias("__sk")
+        )
+    return merged.select(
+        *groups,
+        F.round(F.hll_sketch_estimate("__sk")).cast("long").alias(
+            "approx_distinct"
+        ),
+    )
+
+
+def cms_frequencies(
+    df: DataFrame,
+    key: Column | str,
+    eps: float = 0.0001,
+    confidence: float = 0.999,
+    seed: int = 42,
+) -> tuple[bytes, "object"]:
+    """Build a merged Count-Min sketch over ``key`` and return
+    ``(serialized_bytes, jvm_sketch)``.
+
+    ``count_min_sketch`` does partial aggregation: each task sketches
+    its partition and Spark merges sketches (element-wise counter
+    add), so the driver receives one ~``O(d·w)`` blob no matter how
+    many rows were scanned. Width ``w = ceil(e/eps)``, depth
+    ``d = ceil(ln(1/(1-confidence)))``.
+
+    The returned JVM handle answers ``estimateCount(item)`` point
+    queries; the bytes round-trip through
+    ``CountMinSketch.readFrom`` for storage/merge in later jobs.
+    """
+    k = F.col(key) if isinstance(key, str) else key
+    blob = bytes(
+        df.agg(
+            F.count_min_sketch(
+                k, F.lit(eps), F.lit(confidence), F.lit(seed)
+            ).alias("cms")
+        ).head()[0]
+    )
+    jvm = df.sparkSession._jvm
+    sketch = jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(blob)
+    return blob, sketch
+
+
+def cms_group_estimates(
+    df: DataFrame,
+    key: str,
+    eps: float = 0.0001,
+    confidence: float = 0.999,
+    seed: int = 42,
+) -> DataFrame:
+    """Per-value frequency estimates from one merged Count-Min sketch.
+
+    The candidate set (distinct values of ``key``) is assumed small —
+    heavy-hitter candidates in practice; here the exact distinct list,
+    so the sketch's answers can be compared 1:1 against exact
+    ``COUNT(*)``. With width ``ceil(e/eps)`` ≫ candidates the
+    collision probability is ~(c²/w)^depth — vanishing, and
+    deterministic for a fixed seed — so estimates equal exact counts
+    on the test corpora (verified against the DuckDB oracle).
+
+    Scale shape: the 100 TB scan compresses to one ~100 KB blob
+    driver-side; only the (tiny) candidate list is collected.
+    """
+    _, sketch = cms_frequencies(df, key, eps, confidence, seed)
+    values = [r[0] for r in df.select(key).distinct().collect()]
+    rows = [(v, sketch.estimateCount(v)) for v in values]
+    return df.sparkSession.createDataFrame(
+        rows, f"{key} string, est_count long"
+    )

@@ -6083,3 +6083,70 @@ def q_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("doc_id").alias("max_id"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Mergeable-sketch distinct/frequency aggregation (operators/sketches.py)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "bitmap_distinct_customers",
+    """
+    SELECT o_orderpriority, COUNT(DISTINCT o_custkey) AS n_distinct
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def q_bitmap_distinct_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch [EXT]: EXACT distinct customers per order priority via
+    bucketed-bitmap aggregation (bitmap_construct_agg over 32k-wide
+    key buckets, bitmap_count + sum rollup). The distributable exact
+    alternative to COUNT(DISTINCT): per-bucket bitmaps are
+    OR-mergeable across ingestion increments, and a billion distinct
+    ids shuffle as ~30k bitmap rows, not 1e9 key rows — the A2 global
+    count (PageRank.java:211-238) generalized to grouped, incremental,
+    exact NDV. Uses operators.sketches.bitmap_distinct."""
+    from pagerank_hadoop_spark.operators.sketches import bitmap_distinct
+
+    orders = _t(spark, sf_dir, "orders")
+    return bitmap_distinct(orders, "o_custkey", ["o_orderpriority"])
+
+
+@register("hll_shard_distinct")
+def q_hll_shard_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch [EXT]: DataSketches-HLL distinct l_partkey per
+    returnflag, built as one sketch per (flag, suppkey%16) "ingestion
+    shard" and hll_union_agg-merged — the persist-per-shard /
+    union-later dataflow an incremental 100 TB pipeline uses to avoid
+    rescanning old shards. Estimate is register-max, so order/
+    partition insensitive and deterministic, but not SQL-expressible →
+    rows-only here; error bounds (±5% at lgk=12) asserted in
+    tests/test_sketches.py. Uses operators.sketches.hll_distinct."""
+    from pagerank_hadoop_spark.operators.sketches import hll_distinct
+
+    li = _t(spark, sf_dir, "lineitem")
+    return hll_distinct(
+        li, "l_partkey", ["l_returnflag"], shard=F.col("l_suppkey") % 16
+    ).orderBy("l_returnflag")
+
+
+@register(
+    "cms_event_frequencies",
+    """
+    SELECT event_type, COUNT(*) AS est_count
+    FROM events GROUP BY event_type
+    """,
+)
+def q_cms_event_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch [EXT]: event-type frequencies answered from ONE merged
+    Count-Min sketch (count_min_sketch partial-aggregates per task;
+    the driver receives a single ~100 KB blob for any scan size) —
+    the heavy-hitter shape for 100 TB token/URL/domain streams. With
+    width 27183 ≫ 5 candidate keys the fixed-seed sketch has no
+    colliding row in any depth, so estimates equal exact counts and
+    the DuckDB COUNT(*) oracle hash-matches (over-count would surface
+    as a hash break). Uses operators.sketches.cms_group_estimates."""
+    from pagerank_hadoop_spark.operators.sketches import cms_group_estimates
+
+    events = _t(spark, sf_dir, "events")
+    return cms_group_estimates(events, "event_type")

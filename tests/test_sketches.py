@@ -1,0 +1,98 @@
+"""Mergeable-sketch operators (operators/sketches.py).
+
+Checks the properties the DuckDB oracle cannot express: HLL error
+bounds, CMS over-count-only guarantees, bitmap exactness on edge keys
+(0, bucket boundaries), and shard-merge equivalence (sketch-of-union
+== union-of-sketches).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pagerank_hadoop_spark.operators.sketches import (
+    bitmap_distinct,
+    cms_frequencies,
+    cms_group_estimates,
+    hll_distinct,
+)
+
+
+def test_bitmap_distinct_exact_with_edge_keys(spark):
+    # keys straddling bucket boundaries and including 0 (1-based
+    # bit-position shift) — duplicates everywhere
+    rows = [(k % 3, v) for k in range(6) for v in (0, 1, 32767, 32768, 65536)]
+    df = spark.createDataFrame(rows + rows, "g int, k long")
+    got = {
+        r["g"]: r["n_distinct"]
+        for r in bitmap_distinct(df, "k", ["g"]).collect()
+    }
+    assert got == {0: 5, 1: 5, 2: 5}
+
+
+def test_bitmap_distinct_matches_count_distinct(spark, sf_dir):
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    exact = {
+        r[0]: r[1]
+        for r in orders.groupBy("o_orderpriority")
+        .agg(F.countDistinct("o_custkey"))
+        .collect()
+    }
+    got = {
+        r[0]: r[1]
+        for r in bitmap_distinct(
+            orders, "o_custkey", ["o_orderpriority"]
+        ).collect()
+    }
+    assert got == exact
+
+
+def test_hll_estimate_within_error_bound(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    exact = {
+        r[0]: r[1]
+        for r in li.groupBy("l_returnflag")
+        .agg(F.countDistinct("l_partkey"))
+        .collect()
+    }
+    est = {
+        r[0]: r[1]
+        for r in hll_distinct(li, "l_partkey", ["l_returnflag"]).collect()
+    }
+    assert est.keys() == exact.keys()
+    for k, e in exact.items():
+        assert abs(est[k] - e) <= max(2, 0.05 * e), (k, est[k], e)
+
+
+def test_hll_shard_union_equals_unsharded(spark, sf_dir):
+    """union-of-per-shard-sketches must give the same registers (and
+    so the same estimate) as one sketch over everything — the property
+    that makes incremental no-rescan pipelines sound."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    one = hll_distinct(li, "l_partkey", ["l_returnflag"]).collect()
+    sharded = hll_distinct(
+        li, "l_partkey", ["l_returnflag"], shard=F.col("l_suppkey") % 16
+    ).collect()
+    assert sorted(map(tuple, one)) == sorted(map(tuple, sharded))
+
+
+def test_cms_never_undercounts_and_is_tight_here(spark, sf_dir):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    exact = {r[0]: r[1] for r in ev.groupBy("event_type").count().collect()}
+    est = {
+        r[0]: r[1] for r in cms_group_estimates(ev, "event_type").collect()
+    }
+    n = sum(exact.values())
+    for k, e in exact.items():
+        assert est[k] >= e  # CMS can only over-count
+        assert est[k] <= e + 0.0001 * n  # eps * N bound
+
+    blob, sketch = cms_frequencies(ev, "event_type")
+    assert sketch.totalCount() == n
+    # blob round-trips through the serialized form (storable/mergeable)
+    jvm = spark._jvm
+    again = jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(
+        bytes(blob)
+    )
+    for k in exact:
+        assert again.estimateCount(k) == sketch.estimateCount(k)
