@@ -37,6 +37,61 @@ def as_double_array(a: Column | str) -> Column:
     return _c(a).cast("array<double>")
 
 
+def jl_sign_matrix(d_in: int, d_out: int, seed: str = "jl") -> list[list[int]]:
+    """±1 Johnson-Lindenstrauss projection matrix, derived from md5 so
+    any engine (or the DuckDB oracle) can re-derive the identical
+    matrix: sign[j][i] = +1 iff the first hex nibble of
+    md5("{seed}:{i}:{j}") is 0-7. No fitted model to persist or
+    broadcast — the matrix is a pure function of (d_in, d_out, seed)
+    and ships as ~d_in·d_out plan literals (1 KB-scale), so a 100 TB
+    corpus projects in a shuffle-free map."""
+    import hashlib
+
+    return [
+        [
+            1
+            if hashlib.md5(f"{seed}:{i}:{j}".encode()).hexdigest()[0] in "01234567"
+            else -1
+            for i in range(d_in)
+        ]
+        for j in range(d_out)
+    ]
+
+
+def jl_project(vec: Column | str, signs: list[list[int]]) -> Column:
+    """Project an array<float/double> column to ``len(signs)`` dims:
+    proj[j] = Σ_i sign[j][i]·vec[i] / sqrt(d_out). Achlioptas-style
+    database-friendly JL transform — pure ``zip_with``/``aggregate``
+    Column arithmetic (JVM codegen, no UDF, no shuffle). The left-fold
+    accumulation order is fixed by the expression, so results are
+    bit-deterministic across partitionings/engines.
+
+    The scale role: a 64-float embedding becomes d_out doubles in a
+    map-only pass; downstream pair screens (near-dup, ANN shortlist)
+    run on the compressed vectors and only survivors touch the full-
+    width column — the same "cheap sketch first, exact on candidates"
+    shape as MinHash/PQ."""
+    v = as_double_array(vec)
+    inv = 1.0 / float(len(signs)) ** 0.5
+    return F.array(
+        *[
+            (
+                F.aggregate(
+                    F.zip_with(
+                        v,
+                        F.array(*[F.lit(float(s)) for s in row]),
+                        lambda x, s: x * s,
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+                * F.lit(inv)
+            )
+            for row in signs
+        ]
+    )
+
+
 def morton_key(a, b):
     """64-bit Z-order (Morton) key: the bits of two 32-bit-ranged
     columns interleaved — rows sorted by this key cluster rows close

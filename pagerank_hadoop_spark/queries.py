@@ -6150,3 +6150,53 @@ def q_cms_event_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     events = _t(spark, sf_dir, "events")
     return cms_group_estimates(events, "event_type")
+
+
+def _jl_oracle_sql(signs: list[list[int]]) -> str:
+    """DuckDB twin of functions.vectors.jl_project: the SAME md5-derived
+    ±1 matrix as plan literals and the SAME left-fold add order, so the
+    doubles are bit-identical — no rounding required on either side."""
+    inv = 1.0 / float(len(signs)) ** 0.5
+    outs = []
+    for row in signs:
+        expr = "0.0"
+        for i, s in enumerate(row):
+            expr = (
+                f"({expr} + (CAST(embedding[{i + 1}] AS DOUBLE) * {float(s)}))"
+            )
+        outs.append(f"(({expr}) * {inv!r})")
+    return (
+        "SELECT vec_id, [" + ", ".join(outs) + "] AS proj "
+        "FROM embeddings ORDER BY vec_id"
+    )
+
+
+_JL_D_OUT = 16
+
+
+def _jl_signs():
+    from pagerank_hadoop_spark.functions.vectors import jl_sign_matrix
+
+    return jl_sign_matrix(64, _JL_D_OUT)
+
+
+@register("jl_projection_vectors", None)
+def q_jl_projection_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3 [EXT]: Johnson-Lindenstrauss ±1 random projection, 64 floats
+    → 16 doubles, as pure zip_with/aggregate Column arithmetic — the
+    map-only, shuffle-free dimensionality-reduction pass a 100 TB
+    embedding pipeline runs before pair screens so candidate
+    generation reads 4x fewer bytes (same sketch-then-verify shape as
+    MinHash/PQ). The matrix is md5-derived (engine-independent), ships
+    as plan literals, and the fold order is fixed, so the DuckDB twin
+    reproduces bit-identical doubles. Distortion bounds in
+    tests/test_sketches.py. Uses functions.vectors.jl_project."""
+    from pagerank_hadoop_spark.functions.vectors import jl_project
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id", jl_project("embedding", _jl_signs()).alias("proj")
+    ).orderBy("vec_id")
+
+
+_ORACLES["jl_projection_vectors"] = _jl_oracle_sql(_jl_signs())

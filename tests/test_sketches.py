@@ -96,3 +96,44 @@ def test_cms_never_undercounts_and_is_tight_here(spark, sf_dir):
     )
     for k in exact:
         assert again.estimateCount(k) == sketch.estimateCount(k)
+
+
+def test_jl_projection_preserves_distances(spark, sf_dir):
+    """JL guarantee, empirically: pairwise distances in the 16-dim
+    projection stay within a modest distortion band of the 64-dim
+    originals, and the Spark expression matches a NumPy reference."""
+    import numpy as np
+
+    from pagerank_hadoop_spark.functions.vectors import (
+        jl_project,
+        jl_sign_matrix,
+    )
+
+    signs = jl_sign_matrix(64, 16)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(64)
+    rows = (
+        emb.select("vec_id", "embedding",
+                   jl_project("embedding", signs).alias("proj"))
+        .orderBy("vec_id")
+        .collect()
+    )
+    S = np.array(signs, dtype=np.float64)  # (16, 64)
+    X = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    P = np.array([r["proj"] for r in rows])
+    np.testing.assert_allclose(P, X @ S.T / np.sqrt(16), rtol=1e-12)
+
+    rng = np.random.default_rng(7)
+    idx = rng.integers(0, len(rows), size=(200, 2))
+    ratios = []
+    for a, b in idx:
+        if a == b:
+            continue
+        d0 = np.linalg.norm(X[a] - X[b])
+        d1 = np.linalg.norm(P[a] - P[b])
+        if d0 > 0:
+            ratios.append(d1 / d0)
+    ratios = np.array(ratios)
+    # 16 dims from 64: distortion is loose but bounded; the median
+    # ratio must sit near 1 and no pair may collapse to ~0
+    assert 0.7 < np.median(ratios) < 1.3
+    assert ratios.min() > 0.2 and ratios.max() < 2.5
