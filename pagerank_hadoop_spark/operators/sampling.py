@@ -103,3 +103,49 @@ def reservoir_per_key(
         .where(F.col("__rn") <= k)
         .drop("__rn")
     )
+
+
+def mixture_rebalance(
+    df: DataFrame,
+    id_col: str,
+    stratum_col: str,
+    weight_col: str,
+    budget_frac: float,
+    salt: str = "mix",
+) -> DataFrame:
+    """Rebalance a multi-source corpus to an equal-share token budget.
+
+    The dataset-mixing step of a pretraining pipeline: given a total
+    budget of ``budget_frac`` × Σweight (chars/tokens), give every
+    source an equal share; sources over their share are downsampled
+    with the deterministic content-addressed Bernoulli filter
+    (:func:`sample_key`), sources under it keep everything
+    (keep-fraction capped at 1).
+
+    Scale shape: per-source masses are a tiny aggregate (one row per
+    source) broadcast back onto the corpus — the 100 TB scan happens
+    once, with a pushdown-able hash filter; no RNG state, no shuffle
+    of payloads, reproducible across retries/partitionings/engines.
+    Derived keep-fractions stay in exact-int sums + one fixed-order
+    double expression so the DuckDB oracle computes bit-identical
+    thresholds.
+    """
+    mass = df.groupBy(stratum_col).agg(F.sum(weight_col).alias("__mass"))
+    tot = mass.agg(
+        F.sum("__mass").alias("__total"), F.count(F.lit(1)).alias("__k")
+    )
+    frac = mass.crossJoin(F.broadcast(tot)).select(
+        stratum_col,
+        F.least(
+            F.lit(1.0),
+            F.lit(budget_frac) * F.col("__total") / F.col("__k") / F.col("__mass"),
+        ).alias("__frac"),
+    )
+    return (
+        df.join(F.broadcast(frac), stratum_col)
+        .where(
+            sample_key(F.col(id_col), salt)
+            < F.floor(F.col("__frac") * F.lit(float(_HASH_SPAN))).cast("long")
+        )
+        .drop("__frac")
+    )

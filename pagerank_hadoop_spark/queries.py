@@ -6200,3 +6200,44 @@ def q_jl_projection_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _ORACLES["jl_projection_vectors"] = _jl_oracle_sql(_jl_signs())
+
+
+@register(
+    "mixture_rebalanced_sources",
+    f"""
+    WITH mass AS (
+      SELECT source, SUM(n_chars) AS m FROM documents GROUP BY source
+    ), tot AS (
+      SELECT SUM(m) AS total, COUNT(*) AS k FROM mass
+    ), frac AS (
+      SELECT source,
+             LEAST(1.0, 0.5 * total / k / m) AS f
+      FROM mass CROSS JOIN tot
+    )
+    SELECT d.source, COUNT(*) AS n_docs,
+           {_dsum_sql("d.n_chars", "kept_chars")}
+    FROM documents d JOIN frac USING (source)
+    WHERE {_SAMPLE_KEY_SQL.format(expr="'mix' || CAST(d.doc_id AS VARCHAR)")}
+          < CAST(FLOOR(f * 16777216.0) AS BIGINT)
+    GROUP BY d.source
+    """,
+)
+def q_mixture_rebalanced_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E9 [EXT]: dataset mixing — rebalance sources to an equal-share
+    half-total char budget. Per-source masses (exact integer sums)
+    derive keep-fractions in one fixed-order double expression; heavy
+    sources are downsampled by the content-addressed md5 Bernoulli
+    filter, light sources pass whole. The per-source fraction table is
+    broadcast, so the corpus is scanned exactly once with a pushdown-
+    able filter — no RNG state, reproducible across engines (DuckDB
+    twin computes bit-identical thresholds). Uses
+    operators.sampling.mixture_rebalance."""
+    from pagerank_hadoop_spark.operators.sampling import mixture_rebalance
+
+    docs = _t(spark, sf_dir, "documents")
+    return mixture_rebalance(docs, "doc_id", "source", "n_chars", 0.5).groupBy(
+        "source"
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        dsum("n_chars", "kept_chars"),
+    )

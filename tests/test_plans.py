@@ -500,3 +500,25 @@ def test_hybrid_rrf_no_cartesian_blowup(spark, sf_dir):
     plan = formatted_plan(df)
     assert "CartesianProduct" not in plan, plan
     assert "FullOuter" in plan, plan
+
+
+def test_bitmap_distinct_avoids_expand_and_raw_key_shuffle(spark, sf_dir):
+    """COUNT(DISTINCT) plans an Expand + a shuffle of raw keys; the
+    bitmap plan must be two plain hash aggregations (bucket bitmaps,
+    then bitmap_count rollup) with no Expand node anywhere."""
+    df = Q.queries()["bitmap_distinct_customers"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "Expand" not in plan
+    # map-side combine: per-bucket bitmaps are built BEFORE the shuffle
+    assert "partial_bitmap_construct_agg" in plan
+    assert count_exchanges(df) <= 4  # 2 physical (tree+detail lines)
+
+
+def test_jl_projection_is_map_only_jvm_side(spark, sf_dir):
+    """The JL transform itself must add no shuffle beyond the final
+    presentation orderBy and must stay out of Python (pure Column
+    arithmetic, codegen-eligible)."""
+    df = Q.queries()["jl_projection_vectors"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "PythonUDF" not in plan and "BatchEvalPython" not in plan
+    assert count_exchanges(df) <= 2  # 1 physical: the orderBy range exchange

@@ -88,3 +88,30 @@ def test_hash_sample_filter_reaches_scan(spark, sf_dir):
     # formatted explain lists each Exchange node twice (tree + details):
     # exactly the aggregation's single shuffle, nothing from the sample
     assert count_exchanges(sampled) <= 2, formatted_plan(sampled)
+
+
+def test_mixture_rebalance_equal_shares(spark):
+    from pagerank_hadoop_spark.operators.sampling import mixture_rebalance
+
+    # one dominant source (80% of mass), three light ones
+    rows = []
+    did = 0
+    for src, n, chars in [("big", 800, 100), ("a", 70, 100),
+                          ("b", 70, 100), ("c", 60, 100)]:
+        for _ in range(n):
+            rows.append((did, src, chars))
+            did += 1
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_chars long")
+    out = mixture_rebalance(df, "doc_id", "source", "n_chars", 0.5)
+    got = {
+        r["source"]: r["n"]
+        for r in out.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    # equal share = 0.5 * 100000 / 4 = 12500 chars = 125 docs per source
+    assert got["a"] == 70 and got["b"] == 70 and got["c"] == 60  # kept whole
+    # dominant source downsampled to ~125 docs (Bernoulli, hash jitter)
+    assert 90 <= got["big"] <= 160
+    # idempotent: re-applying with the same budget keeps survivors'
+    # fractions >= before only for "big"; light sources unchanged
+    again = mixture_rebalance(out, "doc_id", "source", "n_chars", 1.0)
+    assert again.count() == out.count()
