@@ -49,9 +49,9 @@ def bitmap_distinct(
     across ingestion increments (``bitmap_or_agg``); unlike
     ``approx_count_distinct`` the result is exact.
 
-    ``key`` must be integral. Values are shifted +1 because
-    ``bitmap_bit_position`` is 1-based (0 would land at position -1 of
-    bucket 0 and silently drop).
+    ``key`` must be integral and non-negative (ids, surrogate keys).
+    Values are shifted +1 because ``bitmap_bit_position`` is 1-based
+    (0 would land at position -1 of bucket 0 and silently drop).
     """
     k = (F.col(key) if isinstance(key, str) else key).cast("long") + F.lit(1)
     per_bucket = df.groupBy(
