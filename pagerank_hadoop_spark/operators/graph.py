@@ -276,3 +276,71 @@ def shortest_paths(
 
     sym.unpersist()
     return dist
+
+
+def k_core(edges: DataFrame, k: int, max_iter: int = 30) -> DataFrame:
+    """Vertices of the undirected k-core with their within-core degree:
+    iteratively peel vertices of degree < k until a fixpoint — the
+    standard graph-densification/noise-trim primitive (GraphFrames has
+    no built-in; this is the relational Pregel expression).
+
+    Round shape: one partial-aggregated ``groupBy(src).count`` builds
+    the surviving-vertex set, then TWO left-semi joins restrict the
+    edge list to edges whose BOTH endpoints survive. Only (src, dst)
+    id pairs ever shuffle; the semi-join build side (surviving ids) is
+    the same exchange on both probes, so Spark's exchange reuse pays
+    for it once. The new edge list is lazily localCheckpoint'ed and
+    the per-round count() both materializes it (bounded lineage) and
+    answers the fixpoint test — one job per round, mirroring
+    connected_components' loop economy.
+
+    Rounds = peel-cascade depth ≤ graph degeneracy chain; the edge
+    list shrinks monotonically, so late rounds are cheap. Returns
+    ``(id, core_deg)`` — empty when the whole graph peels away.
+    """
+    from pagerank_hadoop_spark.operators.pagerank import _iter_partitions
+
+    shuffle_parts = int(
+        edges.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    n_edges = edges.count()
+    parts = _iter_partitions(2 * n_edges, shuffle_parts)
+    # k-core degree is a SIMPLE-graph notion: dedupe the symmetrized
+    # edge list (unlike pagerank/CC, where duplicate messages are
+    # absorbed by the aggregate, duplicates here inflate degrees and
+    # change which vertices survive). dropDuplicates doubles as the
+    # repartition — its shuffle hashes on both key columns.
+    cur = (
+        edges.select("src", "dst")
+        .unionByName(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .repartition(parts, "src", "dst")
+        .dropDuplicates(["src", "dst"])
+        .localCheckpoint(eager=True)
+    )
+    prev_edges = cur.count()
+    for _ in range(max_iter):
+        # keep derives FROM cur, so the semi-joins are self-joins;
+        # name-based join keys (not cross-plan Column refs) keep the
+        # analyzer from resolving the condition into the shared subplan
+        keep = (
+            cur.groupBy("src")
+            .agg(F.count(F.lit(1)).alias("__d"))
+            .where(F.col("__d") >= k)
+            .select("src")
+        )
+        nxt = (
+            cur.join(keep, "src", "left_semi")
+            .join(keep.select(F.col("src").alias("dst")), "dst", "left_semi")
+            .select("src", "dst")
+            .localCheckpoint(eager=False)
+        )
+        n = nxt.count()  # materializes the checkpoint + fixpoint test
+        cur = nxt
+        if n == prev_edges:
+            break
+        prev_edges = n
+    return cur.groupBy(F.col("src").alias("id")).agg(
+        F.count(F.lit(1)).alias("core_deg")
+    )

@@ -6241,3 +6241,49 @@ def q_mixture_rebalanced_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         dsum("n_chars", "kept_chars"),
     )
+
+
+def _k_core_oracle_sql(k: int, rounds: int) -> str:
+    """Chained-CTE unrolling of the k-core peel (same trick as the
+    PageRank/PPR oracles): ``rounds`` must be ≥ the cascade depth at
+    the checked SF (fixpoint is stable, extra rounds are no-ops, so
+    any larger value matches Spark's early-stopped loop)."""
+    # AS MATERIALIZED: DuckDB inlines plain CTEs, which re-evaluates
+    # the whole peel chain per reference (exponential); materializing
+    # each round makes the unroll linear like Spark's checkpoints
+    parts = [
+        "WITH e AS MATERIALIZED (SELECT DISTINCT CAST(l_partkey AS VARCHAR)"
+        " AS src, 's' || CAST(l_suppkey AS VARCHAR) AS dst FROM lineitem), "
+        "s0 AS MATERIALIZED "
+        "(SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e)"
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f"k{i} AS MATERIALIZED (SELECT src AS id FROM s{i-1} "
+            f"GROUP BY src HAVING COUNT(*) >= {k})"
+        )
+        parts.append(
+            f"s{i} AS MATERIALIZED (SELECT t.src, t.dst FROM s{i-1} t "
+            f"JOIN k{i} a ON t.src = a.id JOIN k{i} b ON t.dst = b.id)"
+        )
+    return (
+        ", ".join(parts)
+        + f" SELECT src AS id, COUNT(*) AS core_deg FROM s{rounds} GROUP BY src"
+    )
+
+
+@register("k_core_vertices", None)
+def q_k_core_vertices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph [EXT]: 30-core of the part–supplier graph — iterative
+    degree-peel to a fixpoint (one groupBy + two semi-joins per round,
+    ids-only shuffles, exchange reuse on the survivor set, lazily
+    checkpointed edge state). The densification/noise-trim primitive
+    for link graphs; cascade-depth unit tests in tests/test_graph.py.
+    DuckDB twin unrolls the peel as chained CTEs. Uses
+    operators.graph.k_core."""
+    from pagerank_hadoop_spark.operators.graph import k_core
+
+    return k_core(_pagerank_edges(spark, sf_dir), k=30)
+
+
+_ORACLES["k_core_vertices"] = _k_core_oracle_sql(30, 5)

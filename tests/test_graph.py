@@ -82,3 +82,32 @@ def test_shortest_paths_chain_and_unreachable(spark):
     # undirected: BFS from d walks the chain backwards
     got_d = {r.id: r.dist for r in shortest_paths(edges, "d").collect()}
     assert got_d == {"d": 0, "c": 1, "b": 2, "a": 3}
+
+
+def test_k_core_peels_pendant_chain_to_clique(spark):
+    from pagerank_hadoop_spark.operators.graph import k_core
+
+    # 4-clique {a,b,c,d} + pendant chain d-e-f-g: 2-core must peel
+    # g, then f, then e (three cascade rounds) and keep the clique
+    clique = [("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"),
+              ("b", "d"), ("c", "d")]
+    chain = [("d", "e"), ("e", "f"), ("f", "g")]
+    edges = spark.createDataFrame(clique + chain, "src string, dst string")
+    got = {r["id"]: r["core_deg"] for r in k_core(edges, 2).collect()}
+    assert got == {"a": 3, "b": 3, "c": 3, "d": 3}
+
+    # k above the clique degree peels everything
+    assert k_core(edges, 4).count() == 0
+
+
+def test_k_core_ignores_duplicate_edges(spark):
+    from pagerank_hadoop_spark.operators.graph import k_core
+
+    # triangle with every edge duplicated 3x: simple-graph degree is
+    # still 2, so the 3-core must be empty (multigraph degree 6 would
+    # wrongly keep it)
+    tri = [("x", "y"), ("y", "z"), ("z", "x")] * 3
+    edges = spark.createDataFrame(tri, "src string, dst string")
+    assert k_core(edges, 3).count() == 0
+    got = {r["id"]: r["core_deg"] for r in k_core(edges, 2).collect()}
+    assert got == {"x": 2, "y": 2, "z": 2}
