@@ -8,6 +8,8 @@ corpus).
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame, functions as F
 
 # tiny per-language stopword profiles for the n-gram/stopword heuristic
@@ -206,3 +208,37 @@ def repetition_micro(text: Column) -> Column:
     return F.struct(
         frac(lines).alias("dup_line_micro"), frac(words).alias("dup_word_micro")
     )
+
+
+_WS_RUN = "[ \\t\\r\\n]+"
+_CTRL = "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]"
+
+
+def nfc_normalize(text: Column) -> Column:
+    """Unicode NFC normalization as an Arrow-batched Pandas UDF.
+
+    The one text-cleaning step the JVM function library lacks (no
+    ``normalize`` builtin): composed/decomposed forms (é vs e+U+0301)
+    must unify BEFORE any hash-based dedup or shingling, or visually
+    identical documents land in different buckets. Row-independent
+    map — no shuffle, scales with scan bandwidth; Arrow batches keep
+    the Python hop amortized (pandas ``Series.str.normalize`` is the
+    vectorized unicodedata path).
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _nfc(s: pd.Series) -> pd.Series:
+        return s.str.normalize("NFC")
+
+    return _nfc(text)
+
+
+def clean_text(text: Column) -> Column:
+    """Canonical cleaning pipeline: strip C0 control characters (JVM
+    regex), NFC-normalize (Python hop), collapse whitespace runs to
+    single spaces and trim (JVM again). Pattern strings are shared
+    with the DuckDB oracle verbatim — Java regex and RE2 agree on
+    these classes — so the result is value-checked end to end."""
+    stripped = F.regexp_replace(text, _CTRL, "")
+    return F.trim(F.regexp_replace(nfc_normalize(stripped), _WS_RUN, " "))

@@ -6287,3 +6287,37 @@ def q_k_core_vertices(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _ORACLES["k_core_vertices"] = _k_core_oracle_sql(30, 5)
+
+
+@register(
+    "normalized_doc_hashes",
+    """
+    WITH c AS (
+      SELECT doc_id,
+             trim(regexp_replace(
+               nfc_normalize(regexp_replace(
+                 text, '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]', '', 'g')),
+               '[ \\t\\r\\n]+', ' ', 'g')) AS clean
+      FROM documents
+    )
+    SELECT doc_id, md5(clean) AS text_md5, LENGTH(clean) AS n_norm_chars
+    FROM c
+    """,
+)
+def q_normalized_doc_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4 [EXT]: canonical text cleaning — control-char strip (JVM
+    regex), Unicode NFC (Arrow-batched Pandas UDF: the one step the
+    JVM function library lacks), whitespace collapse + trim (JVM).
+    Emitted as per-doc md5 + length so the oracle value-checks every
+    byte of every cleaned document, not just aggregates. The mandatory
+    pre-pass before hash dedup/shingling: un-normalized composed/
+    decomposed forms split identical docs across buckets. Uses
+    operators.text_analysis.clean_text."""
+    from pagerank_hadoop_spark.operators.text_analysis import clean_text
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.md5(clean_text(F.col("text"))).alias("text_md5"),
+        F.length(clean_text(F.col("text"))).alias("n_norm_chars"),
+    )

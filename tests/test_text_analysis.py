@@ -141,3 +141,22 @@ def test_repetition_micro_known_values(spark):
     assert got[1] == (0, 0)
     assert got[2] == (0, 750000)
     assert got[3] == (333333, 333333)
+
+
+def test_clean_text_nfc_control_whitespace(spark):
+    from pagerank_hadoop_spark.operators.text_analysis import clean_text
+
+    decomposed = "été"          # é as e + combining acute
+    composed = "été"              # precomposed é
+    rows = [
+        (1, decomposed),
+        (2, composed),
+        (3, "a\x00b\x07c"),                 # C0 control chars stripped
+        (4, "  x\t\ty \r\n z  "),           # runs collapse, ends trim
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    got = {r["id"]: r["c"] for r in df.select("id", clean_text(df.text).alias("c")).collect()}
+    # composed and decomposed unify to the same bytes
+    assert got[1] == got[2] == composed
+    assert got[3] == "abc"
+    assert got[4] == "x y z"
