@@ -6321,3 +6321,86 @@ def q_normalized_doc_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(clean_text(F.col("text"))).alias("text_md5"),
         F.length(clean_text(F.col("text"))).alias("n_norm_chars"),
     )
+
+
+@register(
+    "stream_left_outer_band_join",
+    """
+    SELECT p.user_id, p.event_id AS purchase_id, e.event_id AS error_id
+    FROM events p LEFT JOIN events e
+      ON p.user_id = e.user_id
+     AND e.event_type = 'error'
+     AND epoch_us(e.ts) >= epoch_us(p.ts)
+     AND epoch_us(e.ts) <= epoch_us(p.ts) + 7200000000
+    WHERE p.event_type = 'purchase'
+    """,
+)
+def q_stream_left_outer_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E6: watermarked stream-stream LEFT OUTER interval join —
+    purchases with their errors within 2 h, unmatched purchases
+    emitted with NULLs. Outer emission is watermark-gated (a match
+    could still arrive), and the watermark only advances between
+    micro-batches, so a plain drain withholds the newest rows forever;
+    the query stages the source with two far-future PUNCTUATION files
+    (streaming/windows.py::punctuated_events_dir, the operational
+    "close the books" pattern) in their own micro-batches to flush all
+    join state. Sentinel rows (user_id -1) are filtered out; the
+    oracle is the batch LEFT JOIN over the real events."""
+    from pagerank_hadoop_spark.streaming.windows import (
+        punctuated_events_dir,
+        run_to_memory,
+        stream_stream_band_join,
+    )
+
+    dt = dict(_t(spark, sf_dir, "events").dtypes)["ts"]
+    src_dir = punctuated_events_dir(sf_dir, dt)
+    ts_decl, fix = {
+        "bigint": ("long", F.expr("timestamp_micros(ts DIV 1000)")),
+        "timestamp_ntz": ("timestamp_ntz", F.col("ts").cast("timestamp")),
+    }.get(dt, ("timestamp", F.col("ts")))
+    schema = (
+        f"event_id long, ts {ts_decl}, user_id long, event_type string, "
+        "value double, props string"
+    )
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+        .withColumn("ts", fix)
+    )
+
+    def side(event_type: str, prefix: str):
+        return src.where(F.col("event_type") == event_type).select(
+            F.col("user_id").alias(f"{prefix}_user_id"),
+            F.col("ts").alias(f"{prefix}_ts"),
+            F.col("event_id").alias(f"{prefix}_event_id"),
+        )
+
+    joined = stream_stream_band_join(
+        side("purchase", "p"),
+        side("error", "e"),
+        "p_user_id",
+        "e_user_id",
+        "p_ts",
+        "e_ts",
+        band="2 hours",
+        watermark="1 hour",
+        how="leftOuter",
+    )
+    _STREAM_SEQ["n"] += 1
+    name = f"stream_louter_{_STREAM_SEQ['n']}"
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        run_to_memory(joined, name, output_mode="append")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return (
+        spark.table(name)
+        .where(F.col("p_user_id") >= 0)  # drop punctuation sentinels
+        .select(
+            F.col("p_user_id").alias("user_id"),
+            F.col("p_event_id").alias("purchase_id"),
+            F.col("e_event_id").alias("error_id"),
+        )
+    )

@@ -110,8 +110,9 @@ def stream_stream_band_join(
     right_ts: str,
     band: str = "2 hours",
     watermark: str = "1 hour",
+    how: str = "inner",
 ) -> DataFrame:
-    """Watermarked stream-stream inner join: right rows within
+    """Watermarked stream-stream join: right rows within
     ``[left_ts, left_ts + band]`` for the same key.
 
     Both sides carry a watermark and the join condition bounds event
@@ -120,6 +121,14 @@ def stream_stream_band_join(
     future right row, so state stays O(band x rate) instead of
     unbounded. Key/ts column names must differ across sides
     (pre-rename) so the joined schema is unambiguous.
+
+    ``how="leftOuter"`` additionally emits each unmatched left row
+    (nulls on the right) — but only once the watermark passes the
+    row's match window, because until then a matching right row may
+    still arrive. Consequence: rows younger than (watermark + band) at
+    end-of-stream stay buffered forever; a drain that must flush them
+    needs a watermark-advancing punctuation event (see
+    ``stream_left_outer_band_join`` in queries.py).
     """
     lw = left.withWatermark(left_ts, watermark)
     rw = right.withWatermark(right_ts, watermark)
@@ -127,7 +136,7 @@ def stream_stream_band_join(
         f"{left_key} = {right_key} AND {right_ts} >= {left_ts} "
         f"AND {right_ts} <= {left_ts} + interval {band}"
     )
-    return lw.join(rw, cond, "inner")
+    return lw.join(rw, cond, how)
 
 
 def stream_to_parquet_idempotent(
@@ -219,3 +228,78 @@ def stream_shuffle_partitions(spark: SparkSession, source_bytes: int):
         yield
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+def punctuated_events_dir(sf_dir: str, ts_dtype: str) -> str:
+    """Stage a streaming source directory: the real events file plus
+    two far-future PUNCTUATION files (one purchase + one error row
+    each, ``user_id = -1``).
+
+    Outer stream-stream join results are watermark-gated: an unmatched
+    left row emits only after the watermark passes its match window,
+    and the watermark only moves between micro-batches — so a drained
+    bounded stream withholds every row younger than
+    (watermark + band) forever. The operational fix is this
+    punctuation pattern: append sentinel events far past the real
+    range; with ``maxFilesPerTrigger=1`` they land in their own
+    micro-batches, each advancing the watermark committed by the
+    previous one, and the final (empty) batch flushes all remaining
+    state. Two sentinels → two advances → robust to the one-batch lag
+    between watermark computation and outer-result emission.
+
+    The real file is symlinked (no copy; its old mtime orders it
+    first); sentinels are written with pyarrow — no ``_SUCCESS``
+    markers, whose zero-row batches would otherwise burn the
+    per-trigger file budget — with explicit mtimes, matching the
+    physical ``ts`` encoding of the main file (``ts_dtype`` from the
+    batch read: int64-nanos, micros-NTZ, or micros-UTC).
+
+    TRAP: filter the sentinels out of the DRAINED result, never
+    inside the streaming plan. A ``where(user_id >= 0)`` upstream of
+    the sink is pushed by Catalyst into the source scan, so the
+    punctuation rows are deleted before they ever reach the
+    watermark operator — and the flush silently stops happening.
+    """
+    import os
+    import tempfile
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    base = tempfile.mkdtemp(prefix="spark_graft_punct_")
+    os.symlink(
+        os.path.join(sf_dir, "events.parquet"),
+        os.path.join(base, "events.parquet"),
+    )
+    if ts_dtype in ("bigint", "long"):
+        ts_type, ts_val = pa.int64(), lambda us: us * 1000
+    elif ts_dtype == "timestamp_ntz":
+        ts_type, ts_val = pa.timestamp("us"), lambda us: us
+    else:
+        ts_type, ts_val = pa.timestamp("us", tz="UTC"), lambda us: us
+    schema = pa.schema(
+        [
+            ("event_id", pa.int64()),
+            ("ts", ts_type),
+            ("user_id", pa.int64()),
+            ("event_type", pa.string()),
+            ("value", pa.float64()),
+            ("props", pa.string()),
+        ]
+    )
+    # 2124-01-01 / 2124-07-01 in epoch-µs: a century past the data
+    now = time.time()
+    for i, us in enumerate((4859827200_000_000, 4875552000_000_000)):
+        rows = {
+            "event_id": [-1, -2],
+            "ts": [ts_val(us)] * 2,
+            "user_id": [-1, -1],
+            "event_type": ["purchase", "error"],
+            "value": [0.0, 0.0],
+            "props": [None, None],
+        }
+        path = os.path.join(base, f"zz_punctuation_{i}.parquet")
+        pq.write_table(pa.table(rows, schema=schema), path)
+        os.utime(path, (now + 10 * (i + 1), now + 10 * (i + 1)))
+    return base

@@ -225,3 +225,81 @@ def test_stream_shuffle_partitions_scopes_and_restores(spark):
     except RuntimeError:
         pass
     assert spark.conf.get("spark.sql.shuffle.partitions") == prev
+
+
+def test_left_outer_band_join_needs_punctuation_to_flush(spark, tmp_path):
+    """The watermark-gating semantics the punctuation pattern exists
+    for: without sentinels the unmatched-but-young left rows stay
+    buffered at drain; with punctuated_events_dir they all flush."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from pagerank_hadoop_spark.streaming.windows import (
+        punctuated_events_dir,
+        run_to_memory,
+        stream_stream_band_join,
+    )
+
+    schema = pa.schema(
+        [
+            ("event_id", pa.int64()),
+            ("ts", pa.timestamp("us", tz="UTC")),
+            ("user_id", pa.int64()),
+            ("event_type", pa.string()),
+            ("value", pa.float64()),
+            ("props", pa.string()),
+        ]
+    )
+    base_us = 1_704_067_200_000_000  # 2024-01-01T00:00Z
+    rows = {
+        "event_id": [1, 2, 3],
+        "ts": [base_us, base_us + 600_000_000, base_us + 3_600_000_000],
+        "user_id": [1, 1, 2],
+        "event_type": ["purchase", "error", "purchase"],
+        "value": [0.0] * 3,
+        "props": [None] * 3,
+    }
+    sf = tmp_path / "mini_sf"
+    sf.mkdir()
+    pq.write_table(pa.table(rows, schema=schema), sf / "events.parquet")
+
+    def run(src_dir: str, name: str):
+        src = (
+            spark.readStream.schema(
+                "event_id long, ts timestamp, user_id long, "
+                "event_type string, value double, props string"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src_dir)
+        )
+
+        def side(et, p):
+            return src.where(F.col("event_type") == et).select(
+                F.col("user_id").alias(f"{p}_user_id"),
+                F.col("ts").alias(f"{p}_ts"),
+                F.col("event_id").alias(f"{p}_event_id"),
+            )
+
+        j = stream_stream_band_join(
+            side("purchase", "p"), side("error", "e"),
+            "p_user_id", "e_user_id", "p_ts", "e_ts",
+            band="2 hours", watermark="1 hour", how="leftOuter",
+        )
+        # sentinel filter goes on the DRAINED table, never inside the
+        # streaming plan: Catalyst pushes it into the source scan,
+        # which deletes the punctuation rows before they can advance
+        # the watermark (punctuated_events_dir docstring)
+        run_to_memory(j, name)
+        return {
+            (r["p_event_id"], r["e_event_id"])
+            for r in spark.table(name)
+            .where(F.col("p_user_id") >= 0)
+            .collect()
+        }
+
+    # bare drain: matched pair emits, unmatched purchase 3 is withheld
+    assert run(str(sf), "t_louter_bare") == {(1, 2)}
+    # punctuated drain: everything flushes
+    punct = punctuated_events_dir(str(sf), "timestamp")
+    assert run(punct, "t_louter_punct") == {(1, 2), (3, None)}
