@@ -119,3 +119,23 @@ def morton_key(a, b):
         return x
 
     return spread(a).bitwiseOR(F.shiftleft(spread(b), 1))
+
+
+def mrl_truncate(vec: Column | str, dims: int) -> Column:
+    """Matryoshka (MRL) truncation: keep the first ``dims`` dimensions
+    and renormalize to unit length — the storage/serving knob of
+    nested-representation embedding models, where prefixes are trained
+    to be usable standalone. Pure slice + fold + transform Column
+    arithmetic: a map-only pass that cuts vector bytes by d/dims with
+    no shuffle and no model, composable in front of the ANN/near-dup
+    screens exactly like jl_project (sketch first, full width only for
+    survivors). Zero vectors pass through as zeros (no 0/0)."""
+    s = F.slice(as_double_array(vec), 1, dims)
+    n = F.sqrt(
+        F.aggregate(
+            F.zip_with(s, s, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    return F.transform(s, lambda x: F.when(n > 0, x / n).otherwise(F.lit(0.0)))

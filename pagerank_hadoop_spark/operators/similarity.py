@@ -446,3 +446,32 @@ def pq_topk(
         .where(F.col("rn") <= k)
         .drop("rn")
     )
+
+
+def hard_negative_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    round_dp: int | None = 6,
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: per query, the
+    k most-similar corpus vectors with a DIFFERENT label — maximally
+    confusable wrong answers. Same broadcast scan + per-query window
+    as :func:`cosine_topk` (one corpus pass, no n×n blowup); the
+    label-mismatch predicate lands scan-side, so same-label rows never
+    reach the ranking. Expects corpus (vec_id, v, label) and queries
+    (q_id, qv, q_label); returns (q_id, vec_id, sim).
+    """
+    sim = cosine_similarity(F.col("qv"), F.col("v"))
+    if round_dp is not None:
+        sim = F.round(sim, round_dp)
+    pairs = corpus.crossJoin(F.broadcast(queries)).where(
+        F.col("label") != F.col("q_label")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("vec_id"))
+    return (
+        pairs.select("q_id", "vec_id", sim.alias("sim"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .drop("rn")
+    )

@@ -6404,3 +6404,78 @@ def q_stream_left_outer_band_join(spark: SparkSession, sf_dir: str) -> DataFrame
             F.col("e_event_id").alias("error_id"),
         )
     )
+
+
+@register(
+    "mrl_truncated_vectors",
+    """
+    WITH t AS (
+      SELECT vec_id, (embedding::DOUBLE[])[1:16] AS s FROM embeddings
+    )
+    SELECT vec_id,
+           list_transform(
+             s, x -> CASE WHEN sqrt(list_dot_product(s, s)) > 0
+                          THEN ROUND(x / sqrt(list_dot_product(s, s)), 6)
+                          ELSE 0.0 END) AS mrl
+    FROM t ORDER BY vec_id
+    """,
+)
+def q_mrl_truncated_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3 [EXT]: Matryoshka truncation — 64-dim embeddings cut to
+    their first 16 dims and renormalized to unit length, the serving-
+    time compression knob of MRL-trained models. Map-only Column
+    arithmetic (slice + fold + transform), no shuffle, no model;
+    rounded to 6 dp so the DuckDB list-expression twin matches. Uses
+    functions.vectors.mrl_truncate."""
+    from pagerank_hadoop_spark.functions.vectors import mrl_truncate
+
+    emb = _t(spark, sf_dir, "embeddings")
+    trunc = mrl_truncate("embedding", 16)
+    return emb.select(
+        "vec_id",
+        F.transform(trunc, lambda x: F.round(x, 6)).alias("mrl"),
+    ).orderBy("vec_id")
+
+
+@register(
+    "hard_negative_mining",
+    """
+    WITH emb AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings
+    ),
+    q AS (SELECT vec_id AS q_id, v AS qv, label AS q_label
+          FROM emb WHERE vec_id % 100 = 0),
+    sims AS (
+      SELECT q.q_id, e.vec_id,
+             ROUND(list_dot_product(q.qv, e.v) /
+                   (sqrt(list_dot_product(q.qv, q.qv)) *
+                    sqrt(list_dot_product(e.v, e.v))), 6) AS sim
+      FROM q CROSS JOIN emb e WHERE e.label <> q.q_label
+    )
+    SELECT q_id, vec_id, sim FROM (
+      SELECT q_id, vec_id, sim,
+             ROW_NUMBER() OVER (PARTITION BY q_id
+                                ORDER BY sim DESC, vec_id) AS rn
+      FROM sims
+    ) WHERE rn <= 5
+    """,
+)
+def q_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3 [EXT]: hard-negative mining for contrastive training — per
+    anchor, the 5 most-similar vectors with a DIFFERENT label (the
+    maximally confusable wrong answers that make triplet/InfoNCE
+    batches informative). One broadcast corpus pass + per-anchor
+    window, label-mismatch predicate scan-side — the cosine_topk plan
+    with a semantics twist, not a new shuffle. Uses
+    operators.similarity.hard_negative_topk."""
+    from pagerank_hadoop_spark.operators.similarity import hard_negative_topk
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v"), "label"
+    )
+    queries_df = emb.where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("v").alias("qv"),
+        F.col("label").alias("q_label"),
+    )
+    return hard_negative_topk(emb, queries_df, k=5)

@@ -154,3 +154,41 @@ def test_morton_key_known_values_and_locality(spark):
     keys = sorted(cells, key=lambda ab: py_morton(*ab))
     jumps = [abs(x1 - x0) + abs(y1 - y0) for (x0, y0), (x1, y1) in zip(keys, keys[1:])]
     assert sum(jumps) / len(jumps) < 3  # vs ~8 expected for random order
+
+
+def test_mrl_truncate_unit_norm_and_proportionality(spark):
+    import math
+
+    from pagerank_hadoop_spark.functions.vectors import mrl_truncate
+
+    df = spark.createDataFrame(
+        [(1, [3.0, 4.0, 100.0, -7.0]), (2, [0.0, 0.0, 5.0, 5.0])],
+        "id long, v array<double>",
+    )
+    got = {r["id"]: r["m"] for r in df.select("id", mrl_truncate("v", 2).alias("m")).collect()}
+    # renormalized prefix keeps direction, gains unit norm
+    assert abs(got[1][0] - 0.6) < 1e-12 and abs(got[1][1] - 0.8) < 1e-12
+    assert abs(math.hypot(*got[1]) - 1.0) < 1e-12
+    # zero prefix stays zero instead of NaN
+    assert got[2] == [0.0, 0.0]
+
+
+def test_hard_negatives_exclude_same_label(spark, sf_dir):
+    from pagerank_hadoop_spark.operators.similarity import hard_negative_topk
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v"), "label"
+    )
+    q = emb.limit(3).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("v").alias("qv"),
+        F.col("label").alias("q_label"),
+    )
+    out = hard_negative_topk(emb, q, k=4)
+    labels = {r["vec_id"]: r["label"] for r in emb.select("vec_id", "label").collect()}
+    qlabels = {r["q_id"]: r["q_label"] for r in q.collect()}
+    rows = out.collect()
+    assert len(rows) == 12  # 3 queries x k
+    for r in rows:
+        assert labels[r["vec_id"]] != qlabels[r["q_id"]]
