@@ -6479,3 +6479,62 @@ def q_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("label").alias("q_label"),
     )
     return hard_negative_topk(emb, queries_df, k=5)
+
+
+@register(
+    "scd2_user_state_history",
+    """
+    WITH ordered AS (
+      SELECT user_id, event_type, ts,
+             LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events
+    ),
+    changes AS (
+      SELECT user_id, event_type, ts AS valid_from
+      FROM ordered
+      WHERE prev_type IS NULL OR event_type <> prev_type
+    )
+    SELECT user_id, event_type, valid_from,
+           LEAD(valid_from) OVER (PARTITION BY user_id
+                                  ORDER BY valid_from) AS valid_to,
+           (LEAD(valid_from) OVER (PARTITION BY user_id
+                                   ORDER BY valid_from) IS NULL) AS is_current
+    FROM changes
+    """,
+)
+def q_scd2_user_state_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Warehouse [EXT]: slowly-changing-dimension type 2 built from an
+    event log — per user, consecutive duplicate states collapse and
+    each state change opens a [valid_from, valid_to) interval, the
+    last one NULL-terminated and flagged current. Both windows key on
+    user_id, so Catalyst plans ONE Exchange; the filter between them
+    preserves the partitioning (and the time order, so the second
+    Sort is elided too — plan-verified). The history build costs a
+    single shuffle of (user, type, ts) triples — the standard
+    dimension-maintenance pass of a nightly 100 TB warehouse load.
+    Ties broken by event_id for a total order both engines agree on."""
+    ev = _events(spark, sf_dir)
+    w_ord = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        ev.select(
+            "user_id",
+            "event_type",
+            "ts",
+            F.lag("event_type").over(w_ord).alias("prev_type"),
+        )
+        .where(
+            F.col("prev_type").isNull()
+            | (F.col("event_type") != F.col("prev_type"))
+        )
+        .select("user_id", "event_type", F.col("ts").alias("valid_from"))
+    )
+    w_hist = Window.partitionBy("user_id").orderBy("valid_from")
+    valid_to = F.lead("valid_from").over(w_hist)
+    return changes.select(
+        "user_id",
+        "event_type",
+        "valid_from",
+        valid_to.alias("valid_to"),
+        valid_to.isNull().alias("is_current"),
+    )
