@@ -6538,3 +6538,65 @@ def q_scd2_user_state_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         valid_to.alias("valid_to"),
         valid_to.isNull().alias("is_current"),
     )
+
+
+@register(
+    "deletion_cascade_audit",
+    """
+    WITH del_cust AS (
+      SELECT c_custkey FROM customer WHERE c_custkey % 97 = 0
+    ),
+    del_ord AS (
+      SELECT o_orderkey FROM orders
+      WHERE o_custkey IN (SELECT c_custkey FROM del_cust)
+    ),
+    del_li AS (
+      SELECT 1 AS x FROM lineitem
+      WHERE l_orderkey IN (SELECT o_orderkey FROM del_ord)
+    )
+    SELECT 'customer' AS table_name,
+           (SELECT COUNT(*) FROM del_cust) AS n_purged,
+           (SELECT COUNT(*) FROM customer) AS n_total
+    UNION ALL
+    SELECT 'orders', (SELECT COUNT(*) FROM del_ord),
+           (SELECT COUNT(*) FROM orders)
+    UNION ALL
+    SELECT 'lineitem', (SELECT COUNT(*) FROM del_li),
+           (SELECT COUNT(*) FROM lineitem)
+    """,
+)
+def q_deletion_cascade_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Governance [EXT]: right-to-erasure deletion propagated through
+    the FK chain customer → orders → lineitem, with a per-table purge
+    audit (the compliance artifact). Each hop is a LEFT SEMI join
+    against the previous hop's keys — at 100 TB the deletion list is
+    small, so every hop broadcasts ids and the facts are touched in
+    one scan each; the audit is three 1-row aggregates, not a data
+    copy. The same semi-join frames, anti-joined instead, ARE the
+    retained tables — one plan, purge and audit from the same scan."""
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    lineitem = _t(spark, sf_dir, "lineitem")
+    del_cust = customer.where(F.col("c_custkey") % 97 == 0).select("c_custkey")
+    del_ord = orders.join(
+        del_cust.withColumnRenamed("c_custkey", "o_custkey"),
+        "o_custkey",
+        "left_semi",
+    ).select("o_orderkey")
+    del_li = lineitem.join(
+        del_ord.withColumnRenamed("o_orderkey", "l_orderkey"),
+        "l_orderkey",
+        "left_semi",
+    )
+
+    def audit(name: str, purged: DataFrame, total: DataFrame) -> DataFrame:
+        return purged.agg(
+            F.lit(name).alias("table_name"),
+            F.count(F.lit(1)).alias("n_purged"),
+        ).crossJoin(total.agg(F.count(F.lit(1)).alias("n_total")))
+
+    return (
+        audit("customer", del_cust, customer)
+        .unionByName(audit("orders", del_ord, orders))
+        .unionByName(audit("lineitem", del_li, lineitem))
+    )
