@@ -137,3 +137,97 @@ def test_incremental_dedup_is_idempotent(spark, sf_dir):
     grown = corpus.unionByName(admitted)
     readmit = incremental_dedup(grown, admitted)
     assert readmit.count() == 0
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2),      # group
+            st.integers(min_value=0, max_value=70_000),  # key (spans buckets)
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+@SETTINGS
+def test_bitmap_distinct_equals_count_distinct(spark, rows):
+    from pagerank_hadoop_spark.operators.sketches import bitmap_distinct
+
+    df = spark.createDataFrame(rows, "g int, k long")
+    exact = {
+        r[0]: r[1]
+        for r in df.groupBy("g").agg(F.countDistinct("k")).collect()
+    }
+    got = {
+        r[0]: r[1] for r in bitmap_distinct(df, "k", ["g"]).collect()
+    }
+    assert got == exact
+
+
+@given(
+    masses=st.lists(
+        st.integers(min_value=1, max_value=500), min_size=2, max_size=5
+    ),
+    budget=st.sampled_from([0.25, 0.5, 0.9]),
+)
+@SETTINGS
+def test_mixture_rebalance_nested_and_capped(spark, masses, budget):
+    """Two invariants: (a) light sources (mass ≤ equal share) are kept
+    whole; (b) samples are NESTED — a bigger budget's survivor set
+    contains the smaller budget's (same salt ⇒ monotone thresholds),
+    the property that makes budget sweeps reproducible."""
+    from pagerank_hadoop_spark.operators.sampling import mixture_rebalance
+
+    rows, did = [], 0
+    for s, m in enumerate(masses):
+        for _ in range(m):
+            rows.append((did, f"s{s}", 10))
+            did += 1
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_chars long")
+    share = budget * sum(masses) * 10 / len(masses)
+    small = mixture_rebalance(df, "doc_id", "source", "n_chars", budget)
+    counts = {
+        r["source"]: r["n"]
+        for r in small.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    for s, m in enumerate(masses):
+        if m * 10 <= share:
+            assert counts.get(f"s{s}", 0) == m  # kept whole
+    big_ids = {
+        r["doc_id"]
+        for r in mixture_rebalance(
+            df, "doc_id", "source", "n_chars", min(1.0, budget * 2)
+        ).collect()
+    }
+    small_ids = {r["doc_id"] for r in small.collect()}
+    assert small_ids <= big_ids
+
+
+@given(
+    vec=st.lists(
+        st.floats(
+            min_value=-10, max_value=10, allow_nan=False, allow_infinity=False
+        ),
+        min_size=4,
+        max_size=8,
+    ),
+    scale=st.sampled_from([0.5, 2.0, -3.0]),
+)
+@SETTINGS
+def test_jl_projection_is_linear(spark, vec, scale):
+    """JL is a linear map: proj(c·v) == c·proj(v) exactly (same fold
+    order, scalar factors out of every term)."""
+    from pagerank_hadoop_spark.functions.vectors import (
+        jl_project,
+        jl_sign_matrix,
+    )
+
+    signs = jl_sign_matrix(len(vec), 4)
+    df = spark.createDataFrame(
+        [(vec,), ([x * scale for x in vec],)], "v array<double>"
+    )
+    p1, p2 = [
+        r["p"] for r in df.select(jl_project("v", signs).alias("p")).collect()
+    ]
+    for a, b in zip(p1, p2):
+        assert abs(b - a * scale) <= 1e-9 * max(1.0, abs(b))
