@@ -344,3 +344,85 @@ def k_core(edges: DataFrame, k: int, max_iter: int = 30) -> DataFrame:
     return cur.groupBy(F.col("src").alias("id")).agg(
         F.count(F.lit(1)).alias("core_deg")
     )
+
+
+def maximal_independent_set(edges: DataFrame, max_iter: int = 30) -> DataFrame:
+    """Deterministic Luby maximal independent set: no two chosen
+    vertices are adjacent, every unchosen vertex has a chosen
+    neighbor. The symmetry-breaking primitive under distributed
+    coloring/matching/scheduling.
+
+    Luby's randomness is replaced by a content-derived priority
+    (md5-prefix of the vertex id — the engine-portable trick the
+    sampling operators use), so the result is a pure function of the
+    graph: re-runs, re-partitionings, and the DuckDB oracle all agree.
+    Per round: each ACTIVE vertex joins the min (priority, id) of its
+    active neighbors (one partial-aggregated groupBy over the edge
+    list); vertices strictly below that min enter the set; winners and
+    their neighbors deactivate. Expected O(log n) rounds; shuffles
+    carry (id, priority) pairs only. Self-loops are dropped (a vertex
+    adjacent to itself could never enter any independent set).
+    """
+    from pagerank_hadoop_spark.operators.pagerank import _iter_partitions
+
+    shuffle_parts = int(
+        edges.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    parts = _iter_partitions(2 * edges.count(), shuffle_parts)
+    base = edges.select("src", "dst").where(F.col("src") != F.col("dst"))
+    sym = (
+        base.unionByName(
+            base.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .repartition(parts, "src")
+        .localCheckpoint(eager=True)
+    )
+    pri = F.conv(F.substring(F.md5(F.col("id")), 1, 6), 16, 10).cast("long")
+    active = (
+        sym.select(F.col("src").alias("id"))
+        .distinct()
+        .select("id", pri.alias("pri"))
+        .localCheckpoint(eager=True)
+    )
+    chosen = None
+    for _ in range(max_iter):
+        # min active-neighbor (pri, id) per vertex; duplicate edges are
+        # absorbed by the min, so the symmetrized list is not deduped
+        neigh = (
+            sym.join(
+                active.select(
+                    F.col("id").alias("dst"), F.struct("pri", "id").alias("__p")
+                ),
+                "dst",
+            )
+            .groupBy(F.col("src").alias("id"))
+            .agg(F.min("__p").alias("__minp"))
+        )
+        winners = (
+            active.join(neigh, "id", "left")
+            .where(
+                F.col("__minp").isNull()
+                | (F.struct("pri", "id") < F.col("__minp"))
+            )
+            .select("id")
+            .localCheckpoint(eager=False)
+        )
+        n_win = winners.count()
+        if n_win == 0:
+            break
+        chosen = (
+            winners if chosen is None else chosen.unionByName(winners)
+        ).localCheckpoint(eager=True)
+        touched = winners.unionByName(
+            sym.join(
+                winners.withColumnRenamed("id", "src"), "src", "left_semi"
+            ).select(F.col("dst").alias("id"))
+        )
+        active = (
+            active.join(touched, "id", "left_anti").localCheckpoint(eager=False)
+        )
+        if active.count() == 0:
+            break
+    if chosen is None:
+        return active.select("id").where(F.lit(False))
+    return chosen.select("id")

@@ -6600,3 +6600,51 @@ def q_deletion_cascade_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(audit("orders", del_ord, orders))
         .unionByName(audit("lineitem", del_li, lineitem))
     )
+
+
+def _mis_oracle_sql(rounds: int) -> str:
+    """Unrolled deterministic-Luby rounds (MATERIALIZED like the
+    k-core oracle); ``rounds`` ≥ the converged round count at the
+    checked SF — later rounds are empty and add nothing."""
+    parts = [
+        "WITH e AS MATERIALIZED (SELECT DISTINCT CAST(l_partkey AS VARCHAR)"
+        " AS src, 's' || CAST(l_suppkey AS VARCHAR) AS dst FROM lineitem"
+        " WHERE CAST(l_partkey AS VARCHAR) <> 's' || CAST(l_suppkey AS VARCHAR)), "
+        "sym AS MATERIALIZED (SELECT src, dst FROM e "
+        "UNION SELECT dst, src FROM e), "
+        "a0 AS MATERIALIZED (SELECT DISTINCT src AS id, "
+        "('0x' || substr(md5(src), 1, 6))::BIGINT AS pri FROM sym)"
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f"w{i} AS MATERIALIZED (SELECT a.id FROM a{i-1} a "
+            f"WHERE NOT EXISTS (SELECT 1 FROM sym s JOIN a{i-1} b "
+            f"ON b.id = s.dst WHERE s.src = a.id "
+            f"AND (b.pri < a.pri OR (b.pri = a.pri AND b.id < a.id))))"
+        )
+        parts.append(
+            f"a{i} AS MATERIALIZED (SELECT a.id, a.pri FROM a{i-1} a "
+            f"WHERE a.id NOT IN (SELECT id FROM w{i}) "
+            f"AND a.id NOT IN (SELECT s.dst FROM sym s "
+            f"JOIN w{i} w ON w.id = s.src))"
+        )
+    union = " UNION ALL ".join(f"SELECT id FROM w{i}" for i in range(1, rounds + 1))
+    return ", ".join(parts) + " " + union
+
+
+@register("maximal_independent_set", None)
+def q_maximal_independent_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph [EXT]: deterministic Luby maximal independent set over
+    the part–supplier graph — the distributed symmetry-breaking
+    primitive (coloring, matching, scheduling). Luby's coin flips are
+    replaced by md5-prefix priorities, so the set is a pure function
+    of the graph and the DuckDB unrolled-round twin reproduces it
+    exactly. Independence + maximality invariants are property-tested
+    in tests/test_graph.py. Uses
+    operators.graph.maximal_independent_set."""
+    from pagerank_hadoop_spark.operators.graph import maximal_independent_set
+
+    return maximal_independent_set(_pagerank_edges(spark, sf_dir))
+
+
+_ORACLES["maximal_independent_set"] = _mis_oracle_sql(5)

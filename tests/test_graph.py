@@ -111,3 +111,36 @@ def test_k_core_ignores_duplicate_edges(spark):
     assert k_core(edges, 3).count() == 0
     got = {r["id"]: r["core_deg"] for r in k_core(edges, 2).collect()}
     assert got == {"x": 2, "y": 2, "z": 2}
+
+
+def test_mis_independent_and_maximal(spark):
+    from pagerank_hadoop_spark.operators.graph import maximal_independent_set
+
+    # petersen-ish random-ish graph incl. a self-loop (must be ignored)
+    edges = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"), ("e", "a"),
+             ("a", "f"), ("b", "f"), ("c", "g"), ("g", "h"), ("h", "d"),
+             ("f", "g"), ("e", "h"), ("x", "x"), ("x", "a")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    mis = {r["id"] for r in maximal_independent_set(df).collect()}
+    nbrs = {}
+    for s, d in edges:
+        if s != d:
+            nbrs.setdefault(s, set()).add(d)
+            nbrs.setdefault(d, set()).add(s)
+    # independence: no two chosen vertices adjacent
+    for v in mis:
+        assert not (nbrs[v] & mis), (v, mis)
+    # maximality: every unchosen vertex has a chosen neighbor
+    for v in nbrs:
+        if v not in mis:
+            assert nbrs[v] & mis, (v, mis)
+
+
+def test_mis_deterministic_across_partitionings(spark):
+    from pagerank_hadoop_spark.operators.graph import maximal_independent_set
+
+    edges = [(f"v{i}", f"v{(i * 7 + 3) % 20}") for i in range(40)]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    a = {r["id"] for r in maximal_independent_set(df).collect()}
+    b = {r["id"] for r in maximal_independent_set(df.repartition(7)).collect()}
+    assert a == b
