@@ -6648,3 +6648,48 @@ def q_maximal_independent_set(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _ORACLES["maximal_independent_set"] = _mis_oracle_sql(5)
+
+
+@register(
+    "stream_cdc_latest_state",
+    """
+    SELECT user_id, event_type AS last_type, value AS last_value
+    FROM (
+      SELECT user_id, event_type, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def q_stream_cdc_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E6 [EXT]: streaming CDC apply — the event stream folded into a
+    keyed state table (latest row per user under the (ts, event_id)
+    total order) via the foreachBatch MERGE pattern with versioned,
+    replay-idempotent parquet state
+    (streaming/windows.py::cdc_apply_to_parquet). The keep-latest fold
+    is associative over the total order, so the final state is
+    batching-independent — which is exactly what the batch argmax
+    oracle checks. Multi-batch + replay idempotency are unit-tested."""
+    import tempfile
+
+    from pagerank_hadoop_spark.streaming.windows import (
+        cdc_apply_to_parquet,
+        read_cdc_state,
+    )
+
+    changes = _stream_events(spark, sf_dir).select(
+        "user_id", "ts", "event_id", "event_type", "value"
+    )
+    state_dir = tempfile.mkdtemp(prefix="spark_graft_cdc_state_")
+    ckpt = tempfile.mkdtemp(prefix="spark_graft_cdc_ckpt_")
+    with _stream_parts(spark, sf_dir):
+        cdc_apply_to_parquet(
+            changes, state_dir, ckpt,
+            key_cols=["user_id"], order_cols=["ts", "event_id"],
+        )
+    return read_cdc_state(spark, state_dir).select(
+        "user_id",
+        F.col("event_type").alias("last_type"),
+        F.col("value").alias("last_value"),
+    )

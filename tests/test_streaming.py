@@ -303,3 +303,60 @@ def test_left_outer_band_join_needs_punctuation_to_flush(spark, tmp_path):
     # punctuated drain: everything flushes
     punct = punctuated_events_dir(str(sf), "timestamp")
     assert run(punct, "t_louter_punct") == {(1, 2), (3, None)}
+
+
+def test_cdc_apply_multi_batch_and_replay_idempotent(spark, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import os, time
+
+    from pagerank_hadoop_spark.streaming.windows import (
+        cdc_apply_to_parquet,
+        read_cdc_state,
+    )
+
+    schema = pa.schema(
+        [("event_id", pa.int64()), ("ts", pa.int64()), ("user_id", pa.int64()),
+         ("v", pa.string())]
+    )
+    src = tmp_path / "cdc_src"
+    src.mkdir()
+    batches = [
+        {"event_id": [1, 2], "ts": [10, 20], "user_id": [1, 2], "v": ["a", "b"]},
+        {"event_id": [3, 4], "ts": [15, 30], "user_id": [1, 2], "v": ["c", "d"]},
+        {"event_id": [5], "ts": [30], "user_id": [2], "v": ["e"]},
+    ]
+    now = time.time()
+    for i, rows in enumerate(batches):
+        p = src / f"b{i}.parquet"
+        pq.write_table(pa.table(rows, schema=schema), p)
+        os.utime(p, (now + 10 * i, now + 10 * i))
+
+    stream = (
+        spark.readStream.schema("event_id long, ts long, user_id long, v string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    state = str(tmp_path / "state")
+    cdc_apply_to_parquet(
+        stream, state, str(tmp_path / "ck1"),
+        key_cols=["user_id"], order_cols=["ts", "event_id"],
+    )
+    # latest per user under (ts, event_id): u1 -> (ts20,'a'? no: u1 rows
+    # (10,'a'),(15,'c') -> 'a' has ts10... u1 latest = (15,'c');
+    # u2 rows (20,'b'),(30,'d'),(30,'e') -> tie on ts=30, event_id 5 wins
+    got = {r["user_id"]: r["v"] for r in read_cdc_state(spark, state).collect()}
+    assert got == {1: "c", 2: "e"}
+    # marker reflects three per-file batches, not one
+    with open(os.path.join(state, "_LATEST")) as fh:
+        assert int(fh.read()) >= 2
+
+    # replay the whole stream with a FRESH checkpoint over the SAME
+    # state dir: every batch refolds from its predecessor version;
+    # final state must be unchanged
+    cdc_apply_to_parquet(
+        stream, state, str(tmp_path / "ck2"),
+        key_cols=["user_id"], order_cols=["ts", "event_id"],
+    )
+    again = {r["user_id"]: r["v"] for r in read_cdc_state(spark, state).collect()}
+    assert again == got
