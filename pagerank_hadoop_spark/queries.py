@@ -6693,3 +6693,41 @@ def q_stream_cdc_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_type").alias("last_type"),
         F.col("value").alias("last_value"),
     )
+
+
+@register(
+    "sql_script_threshold",
+    """
+    WITH t AS (
+      SELECT CAST(AVG(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE) AS thresh
+      FROM orders
+    )
+    SELECT o_orderpriority, COUNT(*) AS n_above
+    FROM orders, t WHERE o_totalprice > t.thresh
+    GROUP BY o_orderpriority
+    """,
+)
+def q_sql_script_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL [EXT]: Spark 4 SQL scripting (BEGIN/DECLARE/SET blocks) —
+    a data-derived scalar computed into a session variable and reused
+    by the final statement, entirely engine-side (no driver round-trip
+    between the two queries; compare the reference's counter-to-
+    JobConf hop, PageRank.java:470-471,547). The script returns its
+    last statement's result, so the registry sees an ordinary
+    DataFrame. Decimal-summed average keeps the threshold bit-stable
+    for the (plain-SQL) DuckDB twin."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
+    return spark.sql(
+        """
+        BEGIN
+          DECLARE thresh DOUBLE;
+          SET thresh = (
+            SELECT CAST(AVG(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE)
+            FROM orders_v
+          );
+          SELECT o_orderpriority, COUNT(*) AS n_above
+          FROM orders_v WHERE o_totalprice > thresh
+          GROUP BY o_orderpriority;
+        END
+        """
+    )
