@@ -1294,17 +1294,10 @@ def q_wiki_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _wiki_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Synthesized-dump link edges via the REAL pipeline: XML text
-    written to disk, re-read through the splittable page source,
-    parsed, link-extracted, red-link-filtered."""
+def _wiki_dump(spark: SparkSession, sf_dir: str) -> str:
+    """Synthesize the deterministic wiki dump from `documents` and
+    write it as text; returns the dump directory."""
     import tempfile
-
-    from pagerank_hadoop_spark.functions.wikitext import (
-        extract_links,
-        remove_red_links,
-    )
-    from pagerank_hadoop_spark.sources.wiki import parse_pages, read_pages
 
     d = F.col("doc_id").cast("string")
     xml = _t(spark, sf_dir, "documents").select(
@@ -1323,8 +1316,20 @@ def _wiki_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         tempfile.gettempdir(), "wiki_dump_" + sf_dir.strip("/").replace("/", "_")
     )
     xml.coalesce(4).write.mode("overwrite").text(dump_dir)
+    return dump_dir
 
-    parsed = parse_pages(read_pages(spark, dump_dir))
+
+def _wiki_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthesized-dump link edges via the REAL pipeline: XML text
+    written to disk, re-read through the splittable page source,
+    parsed, link-extracted, red-link-filtered."""
+    from pagerank_hadoop_spark.functions.wikitext import (
+        extract_links,
+        remove_red_links,
+    )
+    from pagerank_hadoop_spark.sources.wiki import parse_pages, read_pages
+
+    parsed = parse_pages(read_pages(spark, _wiki_dump(spark, sf_dir)))
     return remove_red_links(extract_links(parsed), parsed)
 
 
@@ -6731,3 +6736,30 @@ def q_sql_script_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
         END
         """
     )
+
+
+@register(
+    "wiki_xpath_parse",
+    """
+    SELECT 'doc_' || doc_id AS title,
+           md5('intro [[doc ' || (doc_id + 1) || ']] mid [[doc ' ||
+               (doc_id * 2) || '|alias]] far [[doc ' ||
+               (doc_id + 1000000) ||
+               ']] bad [[x{y}]] media [[Image:pic]] tail') AS text_md5
+    FROM documents
+    """,
+)
+def q_wiki_xpath_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1+P1 via a REAL XML parse: the synthesized dump re-read through
+    the splittable page source, then xpath_string projections of
+    /page/title and /page/revision/text — the reference's actual
+    DOM+XPath semantics (PageRank.java:63-73), where wiki_pipeline
+    exercises the codegen-friendly regex fast path. Output is
+    (title, md5(text)) per page so the oracle value-checks every byte
+    the XPath produced against the template the dump was synthesized
+    from. Uses sources.wiki.parse_pages_xpath."""
+    from pagerank_hadoop_spark.sources.wiki import parse_pages_xpath, read_pages
+
+    dump_dir = _wiki_dump(spark, sf_dir)
+    parsed = parse_pages_xpath(read_pages(spark, dump_dir))
+    return parsed.select("title", F.md5(F.col("text")).alias("text_md5"))

@@ -124,3 +124,21 @@ def test_python_datasource_matches_jvm_reader_across_splits(spark, tmp_path):
         r["page_xml"] for r in read_pages(spark, str(dump)).collect()
     )
     assert got == via_jvm
+
+
+def test_xpath_parse_matches_regex_parse(spark):
+    """The codegen regex fast path must agree with the faithful
+    DOM/XPath projection (the reference's actual semantics,
+    PageRank.java:63-73) on every fixture page — including entity
+    decoding and title underscore normalization."""
+    from pagerank_hadoop_spark.sources.wiki import (
+        parse_pages,
+        parse_pages_xpath,
+        read_pages,
+    )
+
+    pages = read_pages(spark, FIXTURE)
+    a = sorted(map(tuple, parse_pages(pages).collect()))
+    b = sorted(map(tuple, parse_pages_xpath(pages).collect()))
+    assert a == b
+    assert len(a) > 0
