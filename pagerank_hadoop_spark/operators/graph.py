@@ -305,15 +305,17 @@ def k_core(edges: DataFrame, k: int, max_iter: int = 30) -> DataFrame:
     )
     n_edges = edges.count()
     parts = _iter_partitions(2 * n_edges, shuffle_parts)
-    # k-core degree is a SIMPLE-graph notion: dedupe the symmetrized
-    # edge list (unlike pagerank/CC, where duplicate messages are
-    # absorbed by the aggregate, duplicates here inflate degrees and
-    # change which vertices survive). dropDuplicates doubles as the
-    # repartition — its shuffle hashes on both key columns.
+    # k-core degree is a SIMPLE-graph notion: drop self-loops (they
+    # would count +1 degree and wrongly keep a pendant vertex) and
+    # dedupe the symmetrized edge list (unlike pagerank/CC, where
+    # duplicate messages are absorbed by the aggregate, duplicates
+    # here inflate degrees and change which vertices survive).
+    # dropDuplicates doubles as the repartition — its shuffle hashes
+    # on both key columns.
+    base = edges.select("src", "dst").where(F.col("src") != F.col("dst"))
     cur = (
-        edges.select("src", "dst")
-        .unionByName(
-            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        base.unionByName(
+            base.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         )
         .repartition(parts, "src", "dst")
         .dropDuplicates(["src", "dst"])
@@ -360,8 +362,10 @@ def maximal_independent_set(edges: DataFrame, max_iter: int = 30) -> DataFrame:
     active neighbors (one partial-aggregated groupBy over the edge
     list); vertices strictly below that min enter the set; winners and
     their neighbors deactivate. Expected O(log n) rounds; shuffles
-    carry (id, priority) pairs only. Self-loops are dropped (a vertex
-    adjacent to itself could never enter any independent set).
+    carry (id, priority) pairs only. A self-looped vertex is its own
+    neighbor, so it can never be independent: such vertices are
+    excluded from eligibility entirely (dropping just the loop edge
+    would have the OPPOSITE effect of making them free to win).
     """
     from pagerank_hadoop_spark.operators.pagerank import _iter_partitions
 
@@ -369,6 +373,11 @@ def maximal_independent_set(edges: DataFrame, max_iter: int = 30) -> DataFrame:
         edges.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
     )
     parts = _iter_partitions(2 * edges.count(), shuffle_parts)
+    looped = (
+        edges.where(F.col("src") == F.col("dst"))
+        .select(F.col("src").alias("id"))
+        .distinct()
+    )
     base = edges.select("src", "dst").where(F.col("src") != F.col("dst"))
     sym = (
         base.unionByName(
@@ -381,6 +390,7 @@ def maximal_independent_set(edges: DataFrame, max_iter: int = 30) -> DataFrame:
     active = (
         sym.select(F.col("src").alias("id"))
         .distinct()
+        .join(looped, "id", "left_anti")
         .select("id", pri.alias("pri"))
         .localCheckpoint(eager=True)
     )
@@ -418,11 +428,12 @@ def maximal_independent_set(edges: DataFrame, max_iter: int = 30) -> DataFrame:
                 winners.withColumnRenamed("id", "src"), "src", "left_semi"
             ).select(F.col("dst").alias("id"))
         )
+        # no per-round active.count(): an empty active set just makes
+        # the NEXT round's winners.count() return 0 and exit — one
+        # fewer job per round (the lazy checkpoint pins on first use)
         active = (
             active.join(touched, "id", "left_anti").localCheckpoint(eager=False)
         )
-        if active.count() == 0:
-            break
     if chosen is None:
         return active.select("id").where(F.lit(False))
     return chosen.select("id")

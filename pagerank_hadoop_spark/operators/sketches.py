@@ -160,6 +160,7 @@ def cms_group_estimates(
     _, sketch = cms_frequencies(df, key, eps, confidence, seed)
     values = [r[0] for r in df.select(key).distinct().collect()]
     rows = [(v, sketch.estimateCount(v)) for v in values]
+    key_type = df.schema[key].dataType.simpleString()
     return df.sparkSession.createDataFrame(
-        rows, f"{key} string, est_count long"
+        rows, f"{key} {key_type}, est_count long"
     )

@@ -77,12 +77,20 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev
 
 
-def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _stream_events(
+    spark: SparkSession,
+    sf_dir: str,
+    src_dir: str | None = None,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
     """readStream over the events parquet with ``ts`` normalized to
     TimestampType, mirroring :func:`_events` for the three physical
     encodings the driver has shipped (INT64 nanos-as-long, MICROS-NTZ,
     MICROS-UTC). The file source needs an explicit schema, so the
-    batch-side dtype decides which one to declare."""
+    batch-side dtype decides which one to declare. ``src_dir``
+    overrides the streamed directory (e.g. a punctuated staging dir
+    whose sentinel files share the sf_dir encoding);
+    ``max_files_per_trigger`` forces per-file micro-batches."""
     dt = dict(_t(spark, sf_dir, "events").dtypes)["ts"]
     ts_decl, fix = {
         "bigint": ("long", F.expr("timestamp_micros(ts DIV 1000)")),
@@ -92,14 +100,15 @@ def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"event_id long, ts {ts_decl}, user_id long, event_type string, "
         "value double, props string"
     )
-    return (
-        spark.readStream.schema(schema)
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    if src_dir is None:
         # the file stream source wants a directory; glob-filter to the
         # events table inside the sf_dir
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-        .withColumn("ts", fix)
-    )
+        reader = reader.option("pathGlobFilter", "events.parquet")
+        src_dir = sf_dir
+    return reader.parquet(src_dir).withColumn("ts", fix)
 
 
 def _stream_parts(spark: SparkSession, sf_dir: str):
@@ -6321,10 +6330,16 @@ def q_normalized_doc_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pagerank_hadoop_spark.operators.text_analysis import clean_text
 
     docs = _t(spark, sf_dir, "documents")
-    return docs.select(
+    # the two clean_text calls are distinct pandas_udf instances, but
+    # Spark dedups equal UDF expressions into ONE ArrowEvalPython pass
+    # (plan-verified); the alias keeps that intent explicit anyway
+    cleaned = docs.select(
+        "doc_id", clean_text(F.col("text")).alias("__clean")
+    )
+    return cleaned.select(
         "doc_id",
-        F.md5(clean_text(F.col("text"))).alias("text_md5"),
-        F.length(clean_text(F.col("text"))).alias("n_norm_chars"),
+        F.md5(F.col("__clean")).alias("text_md5"),
+        F.length(F.col("__clean")).alias("n_norm_chars"),
     )
 
 
@@ -6358,20 +6373,11 @@ def q_stream_left_outer_band_join(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
     dt = dict(_t(spark, sf_dir, "events").dtypes)["ts"]
-    src_dir = punctuated_events_dir(sf_dir, dt)
-    ts_decl, fix = {
-        "bigint": ("long", F.expr("timestamp_micros(ts DIV 1000)")),
-        "timestamp_ntz": ("timestamp_ntz", F.col("ts").cast("timestamp")),
-    }.get(dt, ("timestamp", F.col("ts")))
-    schema = (
-        f"event_id long, ts {ts_decl}, user_id long, event_type string, "
-        "value double, props string"
-    )
-    src = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(src_dir)
-        .withColumn("ts", fix)
+    src = _stream_events(
+        spark,
+        sf_dir,
+        src_dir=punctuated_events_dir(sf_dir, dt),
+        max_files_per_trigger=1,
     )
 
     def side(event_type: str, prefix: str):
@@ -6394,12 +6400,8 @@ def q_stream_left_outer_band_join(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     _STREAM_SEQ["n"] += 1
     name = f"stream_louter_{_STREAM_SEQ['n']}"
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
-    try:
+    with _stream_parts(spark, sf_dir):
         run_to_memory(joined, name, output_mode="append")
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return (
         spark.table(name)
         .where(F.col("p_user_id") >= 0)  # drop punctuation sentinels
@@ -6490,21 +6492,22 @@ def q_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     "scd2_user_state_history",
     """
     WITH ordered AS (
-      SELECT user_id, event_type, ts,
+      SELECT user_id, event_type, ts, event_id,
              LAG(event_type) OVER (PARTITION BY user_id
                                    ORDER BY ts, event_id) AS prev_type
       FROM events
     ),
     changes AS (
-      SELECT user_id, event_type, ts AS valid_from
+      SELECT user_id, event_type, ts AS valid_from, event_id
       FROM ordered
       WHERE prev_type IS NULL OR event_type <> prev_type
     )
     SELECT user_id, event_type, valid_from,
            LEAD(valid_from) OVER (PARTITION BY user_id
-                                  ORDER BY valid_from) AS valid_to,
+                                  ORDER BY valid_from, event_id) AS valid_to,
            (LEAD(valid_from) OVER (PARTITION BY user_id
-                                   ORDER BY valid_from) IS NULL) AS is_current
+                                   ORDER BY valid_from, event_id) IS NULL)
+             AS is_current
     FROM changes
     """,
 )
@@ -6526,15 +6529,23 @@ def q_scd2_user_state_history(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id",
             "event_type",
             "ts",
+            "event_id",
             F.lag("event_type").over(w_ord).alias("prev_type"),
         )
         .where(
             F.col("prev_type").isNull()
             | (F.col("event_type") != F.col("prev_type"))
         )
-        .select("user_id", "event_type", F.col("ts").alias("valid_from"))
+        .select(
+            "user_id",
+            "event_type",
+            F.col("ts").alias("valid_from"),
+            "event_id",
+        )
     )
-    w_hist = Window.partitionBy("user_id").orderBy("valid_from")
+    # event_id carried through as the tiebreaker: equal-ts changes
+    # for one user would otherwise make valid_to order-nondeterministic
+    w_hist = Window.partitionBy("user_id").orderBy("valid_from", "event_id")
     valid_to = F.lead("valid_from").over(w_hist)
     return changes.select(
         "user_id",
@@ -6610,7 +6621,10 @@ def q_deletion_cascade_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _mis_oracle_sql(rounds: int) -> str:
     """Unrolled deterministic-Luby rounds (MATERIALIZED like the
     k-core oracle); ``rounds`` ≥ the converged round count at the
-    checked SF — later rounds are empty and add nothing."""
+    checked SF — later rounds are empty and add nothing. The operator
+    also bars self-looped vertices from eligibility; this graph
+    cannot produce one ('s'-prefixed dst never equals a numeric src),
+    so the twin omits that clause."""
     parts = [
         "WITH e AS MATERIALIZED (SELECT DISTINCT CAST(l_partkey AS VARCHAR)"
         " AS src, 's' || CAST(l_suppkey AS VARCHAR) AS dst FROM lineitem"

@@ -228,7 +228,6 @@ def parse_pages_xpath(pages: DataFrame, xml_col: str = "page_xml") -> DataFrame:
     alternative to the DOM. Keeping both lets the test suite pin the
     fast path against the faithful one on every fixture.
     """
-    c = F.col(xml_col)
     return pages.select(
         F.translate(
             F.expr(f"xpath_string({xml_col}, '/page/title')"), " ", "_"

@@ -268,8 +268,10 @@ def punctuated_events_dir(sf_dir: str, ts_dtype: str) -> str:
     import pyarrow.parquet as pq
 
     base = tempfile.mkdtemp(prefix="spark_graft_punct_")
+    # abspath: the symlink target string is stored verbatim, so a
+    # relative sf_dir would dangle when resolved from inside /tmp
     os.symlink(
-        os.path.join(sf_dir, "events.parquet"),
+        os.path.abspath(os.path.join(sf_dir, "events.parquet")),
         os.path.join(base, "events.parquet"),
     )
     if ts_dtype in ("bigint", "long"):
@@ -377,7 +379,10 @@ def cdc_apply_to_parquet(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    if not q.awaitTermination(120):
+        # a silent timeout would hand the caller stale mid-run state
+        q.stop()
+        raise TimeoutError("CDC drain did not finish within 120s")
     return q
 
 

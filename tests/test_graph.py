@@ -127,12 +127,15 @@ def test_mis_independent_and_maximal(spark):
         if s != d:
             nbrs.setdefault(s, set()).add(d)
             nbrs.setdefault(d, set()).add(s)
+    # a self-looped vertex is its own neighbor: never eligible
+    assert "x" not in mis
     # independence: no two chosen vertices adjacent
     for v in mis:
         assert not (nbrs[v] & mis), (v, mis)
-    # maximality: every unchosen vertex has a chosen neighbor
+    # maximality over ELIGIBLE vertices: every unchosen loop-free
+    # vertex has a chosen neighbor
     for v in nbrs:
-        if v not in mis:
+        if v != "x" and v not in mis:
             assert nbrs[v] & mis, (v, mis)
 
 
@@ -144,3 +147,14 @@ def test_mis_deterministic_across_partitionings(spark):
     a = {r["id"] for r in maximal_independent_set(df).collect()}
     b = {r["id"] for r in maximal_independent_set(df.repartition(7)).collect()}
     assert a == b
+
+
+def test_k_core_self_loop_does_not_inflate_degree(spark):
+    from pagerank_hadoop_spark.operators.graph import k_core
+
+    # triangle + pendant d with a self-loop: d's simple degree is 1,
+    # so the 2-core must exclude it (loop would fake degree 2)
+    edges = [("a", "b"), ("b", "c"), ("c", "a"), ("d", "d"), ("d", "a")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {r["id"]: r["core_deg"] for r in k_core(df, 2).collect()}
+    assert got == {"a": 2, "b": 2, "c": 2}

@@ -137,3 +137,14 @@ def test_jl_projection_preserves_distances(spark, sf_dir):
     # ratio must sit near 1 and no pair may collapse to ~0
     assert 0.7 < np.median(ratios) < 1.3
     assert ratios.min() > 0.2 and ratios.max() < 2.5
+
+
+def test_cms_group_estimates_integer_key(spark, sf_dir):
+    from pagerank_hadoop_spark.operators.sketches import cms_group_estimates
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").limit(500)
+    est = {r[0]: r[1] for r in cms_group_estimates(ev, "user_id").collect()}
+    exact = {r[0]: r[1] for r in ev.groupBy("user_id").count().collect()}
+    assert est.keys() == exact.keys()
+    for k, e in exact.items():
+        assert est[k] >= e
