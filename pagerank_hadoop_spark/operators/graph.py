@@ -420,9 +420,10 @@ def maximal_independent_set(edges: DataFrame, max_iter: int = 30) -> DataFrame:
         n_win = winners.count()
         if n_win == 0:
             break
-        chosen = (
-            winners if chosen is None else chosen.unionByName(winners)
-        ).localCheckpoint(eager=True)
+        # each winners frame is already pinned by its count; collect
+        # references and union once at the end instead of paying an
+        # eager re-checkpoint of the growing chosen set every round
+        chosen = winners if chosen is None else chosen.unionByName(winners)
         touched = winners.unionByName(
             sym.join(
                 winners.withColumnRenamed("id", "src"), "src", "left_semi"
