@@ -21,6 +21,8 @@ from __future__ import annotations
 import os
 from collections.abc import Callable
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.window import Window
 
@@ -6777,3 +6779,56 @@ def q_wiki_xpath_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     dump_dir = _wiki_dump(spark, sf_dir)
     parsed = parse_pages_xpath(read_pages(spark, dump_dir))
     return parsed.select("title", F.md5(F.col("text")).alias("text_md5"))
+
+
+@register(
+    "trimmed_mean_prices",
+    """
+    WITH c AS (
+      SELECT l_returnflag,
+             CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents
+      FROM lineitem
+    ),
+    r AS (
+      SELECT l_returnflag, cents,
+             ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY cents) AS rn,
+             COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+      FROM c
+    )
+    SELECT l_returnflag,
+           ROUND(CAST(SUM(cents) AS DOUBLE) / COUNT(*) / 100, 6)
+             AS trimmed_mean
+    FROM r
+    WHERE rn > CAST(FLOOR(n * 0.1) AS BIGINT)
+      AND rn <= n - CAST(FLOOR(n * 0.1) AS BIGINT)
+    GROUP BY l_returnflag
+    """,
+)
+def q_trimmed_mean_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UDF [EXT]: grouped-AGGREGATE Pandas UDF (Series → scalar inside
+    groupBy.agg — the one Arrow UDF shape the other queries don't
+    exercise): 10%-trimmed mean price per returnflag, the robust-mean
+    step of outlier-heavy quality scoring. Arrow ships each group's
+    column once; the kernel works in exact integer cents (sort, trim,
+    int64 sum) so the result is partition-order independent and the
+    DuckDB row_number twin reproduces it bit-for-bit. Spark cannot
+    partial-aggregate a custom UDAF, so each group's values DO shuffle
+    to one task — fine for bounded group counts (5 flags here); for
+    high-cardinality robust means use approx_percentile clipping
+    (winsorized_values) instead."""
+    import numpy as np
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def trimmed_mean(s: pd.Series) -> float:
+        v = np.sort(np.round(s.to_numpy() * 100).astype(np.int64))
+        k = int(len(v) * 0.1)
+        if len(v) > 2 * k:
+            v = v[k : len(v) - k]
+        return round(float(v.sum()) / len(v) / 100, 6)
+
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        trimmed_mean("l_extendedprice").alias("trimmed_mean")
+    )
