@@ -360,3 +360,69 @@ def test_cdc_apply_multi_batch_and_replay_idempotent(spark, tmp_path):
     )
     again = {r["user_id"]: r["v"] for r in read_cdc_state(spark, state).collect()}
     assert again == got
+
+
+def test_checkpoint_recovery_exactly_once(spark, tmp_path):
+    """Kill-and-restart semantics: a query stopped after its first
+    micro-batch, restarted with the SAME checkpoint against a sink
+    that deduplicates by batch overwrite, neither loses nor
+    duplicates rows — the exactly-once contract the foreachBatch
+    sink pattern exists for."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import os, time
+
+    schema = pa.schema([("event_id", pa.int64()), ("v", pa.string())])
+    src = tmp_path / "rec_src"
+    src.mkdir()
+    now = time.time()
+    for i in range(3):
+        p = src / f"f{i}.parquet"
+        pq.write_table(
+            pa.table({"event_id": [i * 10, i * 10 + 1], "v": ["a", "b"]},
+                     schema=schema),
+            p,
+        )
+        os.utime(p, (now + i * 10, now + i * 10))
+
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    def start():
+        stream = (
+            spark.readStream.schema("event_id long, v string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+
+        def write_batch(df, bid):
+            df.write.mode("overwrite").parquet(f"{out}/batch_id={bid}")
+
+        return (
+            stream.writeStream.foreachBatch(write_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    # first run: stop as soon as the first batch has committed
+    q = start()
+    deadline = time.time() + 60
+    while time.time() < deadline:
+        if q.lastProgress and q.lastProgress["batchId"] >= 0:
+            break
+        time.sleep(0.2)
+    q.stop()
+    q.awaitTermination(60)
+    seen_after_kill = spark.read.parquet(out).count()
+    # usually interrupted mid-stream (< 6); on a fast machine all
+    # three single-file batches may have committed — either way the
+    # restart below must converge to exactly-once
+    assert seen_after_kill <= 6
+
+    # restart from the same checkpoint: the remaining files drain,
+    # nothing is lost, nothing is double-written
+    q2 = start()
+    assert q2.awaitTermination(120)
+    rows = spark.read.parquet(out)
+    assert rows.count() == 6
+    assert rows.select("event_id").distinct().count() == 6
