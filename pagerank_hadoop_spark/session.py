@@ -43,6 +43,10 @@ def get_spark(app_name: str = "pagerank-hadoop-spark") -> SparkSession:
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Arrow-batch Python UDTF exchange too (defaults to pickled
+        # row-at-a-time); with it every Python hop in the engine is
+        # Arrow-vectorized — audited in PLANS.md
+        .config("spark.sql.execution.pythonUDTF.arrow.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
