@@ -6832,3 +6832,26 @@ def q_trimmed_mean_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.groupBy("l_returnflag").agg(
         trimmed_mean("l_extendedprice").alias("trimmed_mean")
     )
+
+
+@register("bpe_merge_table")
+def q_bpe_merge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4 [EXT]: tokenizer TRAINING, not just tokenization — the BPE
+    merge loop run as an iterative Spark job over the corpus
+    (operators.text_analysis.bpe_train_merges): per round one
+    pair-count aggregation (shuffle carries (pair, count) only), a
+    1-row driver argmax with deterministic tie-break, and a map-only
+    Arrow-batched greedy rewrite. Returns the ranked merge table.
+    Data-dependent control flow per round makes a static SQL twin
+    inexpressible → rows-only here; planted-corpus merge sequences,
+    greedy-overlap semantics, and determinism are unit-tested."""
+    from pagerank_hadoop_spark.operators.text_analysis import (
+        bpe_train_merges,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    merges, _ = bpe_train_merges(docs, n_merges=6)
+    return spark.createDataFrame(
+        [(i + 1, a, b, n) for i, (a, b, n) in enumerate(merges)],
+        "rank int, left string, right string, pair_count long",
+    )

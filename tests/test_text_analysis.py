@@ -160,3 +160,47 @@ def test_clean_text_nfc_control_whitespace(spark):
     assert got[1] == got[2] == composed
     assert got[3] == "abc"
     assert got[4] == "x y z"
+
+
+def test_bpe_merges_planted_sequence(spark):
+    from pagerank_hadoop_spark.operators.text_analysis import (
+        bpe_train_merges,
+    )
+
+    # "a b" appears 4x, "c d" 3x, then the merged "a▁b c" pair emerges
+    rows = [
+        (1, "a b c d x"),
+        (2, "a b c d y"),
+        (3, "a b c d z"),
+        (4, "a b q"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    merges, final = bpe_train_merges(docs, n_merges=3)
+    assert merges[0] == ("a", "b", 4)
+    # ("a▁b","c") ties ("c","d") at 3; lexicographic tie-break wins
+    assert merges[1] == ("a▁b", "c", 3)
+    assert merges[2] == ("a▁b▁c", "d", 3)
+    out = {r["doc_id"]: r["syms"] for r in final.collect()}
+    assert out[1] == ["a▁b▁c▁d", "x"]
+    assert out[4] == ["a▁b", "q"]
+
+
+def test_bpe_greedy_left_to_right_overlap(spark):
+    from pagerank_hadoop_spark.operators.text_analysis import (
+        bpe_train_merges,
+    )
+
+    # "x x x x x" with pair (x,x): greedy left-to-right merges
+    # non-overlapping -> [xx, xx, x]; also checks determinism across
+    # partitionings
+    docs = spark.createDataFrame(
+        [(1, "x x x x x"), (2, "x x")], "doc_id long, text string"
+    )
+    merges, final = bpe_train_merges(docs, n_merges=1)
+    assert merges[0] == ("x", "x", 5)  # 4 overlapping in doc1 + 1 in doc2
+    out = {r["doc_id"]: r["syms"] for r in final.collect()}
+    assert out[1] == ["x▁x", "x▁x", "x"]
+    assert out[2] == ["x▁x"]
+
+    merges2, _ = bpe_train_merges(docs.repartition(5), n_merges=1)
+    assert merges2 == merges
