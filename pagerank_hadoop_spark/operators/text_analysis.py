@@ -335,3 +335,43 @@ def bpe_train_merges(
             "doc_id", make_merge_udf()("syms").alias("syms")
         ).localCheckpoint(eager=False)
     return merges, cur
+
+
+def bpe_apply(
+    docs: DataFrame,
+    merges: list[tuple[str, str, int]],
+    text: str = "text",
+) -> DataFrame:
+    """Tokenize with a TRAINED merge table — the inference half of
+    :func:`bpe_train_merges`: one Arrow-batched pass applying every
+    merge in rank order (greedy left-to-right, identical semantics to
+    training). The merge list rides the closure as plan literals, so
+    encoding a new 100 TB corpus with a saved tokenizer is a
+    shuffle-free map; training equivalence (apply(train(c).merges, c)
+    == train(c).final) is unit-pinned."""
+    from pyspark.sql.functions import pandas_udf
+
+    pairs = [(a, b, a + "▁" + b) for a, b, _ in merges]
+
+    @pandas_udf("array<string>")
+    def encode(s: pd.Series) -> pd.Series:
+        def one(text_val):
+            arr = text_val
+            for a, b, joined in pairs:
+                out, i = [], 0
+                while i < len(arr):
+                    if i + 1 < len(arr) and arr[i] == a and arr[i + 1] == b:
+                        out.append(joined)
+                        i += 2
+                    else:
+                        out.append(arr[i])
+                        i += 1
+                arr = out
+            return arr
+
+        return s.map(one)
+
+    return docs.select(
+        "doc_id",
+        encode(F.split(F.lower(F.col(text)), " +")).alias("syms"),
+    )

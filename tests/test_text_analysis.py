@@ -204,3 +204,21 @@ def test_bpe_greedy_left_to_right_overlap(spark):
 
     merges2, _ = bpe_train_merges(docs.repartition(5), n_merges=1)
     assert merges2 == merges
+
+
+def test_bpe_apply_reproduces_training_tokenization(spark):
+    from pagerank_hadoop_spark.operators.text_analysis import (
+        bpe_apply,
+        bpe_train_merges,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d x"), (2, "a b c d y"), (3, "a b q"), (4, "x x x")],
+        "doc_id long, text string",
+    )
+    merges, final = bpe_train_merges(docs, n_merges=3)
+    trained = {r["doc_id"]: r["syms"] for r in final.collect()}
+    applied = {
+        r["doc_id"]: r["syms"] for r in bpe_apply(docs, merges).collect()
+    }
+    assert applied == trained
