@@ -6855,3 +6855,74 @@ def q_bpe_merge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(i + 1, a, b, n) for i, (a, b, n) in enumerate(merges)],
         "rank int, left string, right string, pair_count long",
     )
+
+
+@register(
+    "locf_filled_values",
+    """
+    WITH ev AS (SELECT * FROM events WHERE user_id < 20),
+    bounds AS (
+      SELECT user_id,
+             time_bucket(INTERVAL '1 hour', MIN(ts)) AS t_min,
+             time_bucket(INTERVAL '1 hour', MAX(ts)) AS t_max
+      FROM ev GROUP BY user_id
+    ), spine AS (
+      SELECT user_id,
+             UNNEST(generate_series(t_min, t_max, INTERVAL '1 hour')) AS bucket
+      FROM bounds
+    ), actual AS (
+      SELECT user_id, time_bucket(INTERVAL '1 hour', ts) AS bucket,
+             CAST(SUM(CAST(value AS DECIMAL(38,4))) AS DOUBLE) AS obs
+      FROM ev GROUP BY 1, 2
+    )
+    SELECT user_id, bucket, filled, was_observed FROM (
+      SELECT sp.user_id,
+             CAST(FLOOR(epoch(sp.bucket)) AS BIGINT) AS bucket,
+             LAST_VALUE(a.obs IGNORE NULLS) OVER (
+               PARTITION BY sp.user_id ORDER BY sp.bucket
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS filled,
+             (a.obs IS NOT NULL) AS was_observed
+      FROM spine sp LEFT JOIN actual a
+        ON sp.user_id = a.user_id AND sp.bucket = a.bucket
+    )
+    """,
+)
+def q_locf_filled_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E7c [EXT]: LOCF (last-observation-carried-forward) imputation —
+    the dense hourly spine from gap_filled_buckets, but empty buckets
+    inherit the most recent observed hourly value via
+    last(ignorenulls) over an unbounded-preceding frame: the standard
+    sensor/metric forward-fill. Buckets before a user's first
+    observation stay NULL (both engines agree). Observed sums are
+    decimal-exact, so the carried values hash-match the DuckDB
+    IGNORE NULLS twin. One (user, bucket) shuffle + one window over
+    the same partitioning."""
+    ev = _events(spark, sf_dir).where(F.col("user_id") < 20)
+    hour = lambda c: F.date_trunc("hour", c)  # noqa: E731
+    bounds = ev.groupBy("user_id").agg(
+        hour(F.min("ts")).alias("t_min"), hour(F.max("ts")).alias("t_max")
+    )
+    spine = bounds.select(
+        "user_id",
+        F.explode(
+            F.sequence("t_min", "t_max", F.expr("interval 1 hour"))
+        ).alias("bucket"),
+    )
+    actual = ev.groupBy("user_id", hour(F.col("ts")).alias("bucket")).agg(
+        dsum("value", "obs")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        spine.join(actual, ["user_id", "bucket"], "left")
+        .select(
+            "user_id",
+            F.unix_timestamp("bucket").alias("bucket"),
+            F.last("obs", ignorenulls=True).over(w).alias("filled"),
+            F.col("obs").isNotNull().alias("was_observed"),
+        )
+    )
