@@ -6926,3 +6926,53 @@ def q_locf_filled_values(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("obs").isNotNull().alias("was_observed"),
         )
     )
+
+
+@register(
+    "contrastive_triplets",
+    f"""
+    WITH n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    anchors AS (
+      SELECT doc_id AS anchor_id,
+             doc_id + 1000000 AS positive_id,
+             {_SAMPLE_KEY_SQL.format(expr="'neg:' || CAST(doc_id AS VARCHAR)")}
+               % (SELECT n_docs FROM n) AS neg_raw
+      FROM documents WHERE doc_id % 3 = 0
+    )
+    SELECT anchor_id, positive_id,
+           CASE WHEN neg_raw = anchor_id
+                THEN (neg_raw + 1) % (SELECT n_docs FROM n)
+                ELSE neg_raw END AS negative_id
+    FROM anchors
+    """,
+)
+def q_contrastive_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E9 [EXT]: contrastive-training triplet export — (anchor,
+    positive, negative) ids where positives are the planted near-dup
+    partners (the confirmed-pair artifact shape: in production this
+    column comes from the verified near-dup set) and negatives are
+    content-addressed md5 uniform picks over the dense id space,
+    nudged off anchor collisions. Fully deterministic, no RNG state:
+    the same triplets come out of every engine, retry, and
+    partitioning — which is what makes a training set reproducible.
+    Map-only over the anchor set; the doc count is the only aggregate
+    (1-row broadcast)."""
+    from pagerank_hadoop_spark.operators.sampling import sample_key
+
+    docs = _t(spark, sf_dir, "documents")
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    anchors = docs.where(F.col("doc_id") % 3 == 0).select(
+        F.col("doc_id").alias("anchor_id"),
+        (F.col("doc_id") + 1000000).alias("positive_id"),
+        sample_key(F.col("doc_id"), "neg:").alias("__k"),
+    )
+    return anchors.crossJoin(F.broadcast(n_docs)).select(
+        "anchor_id",
+        "positive_id",
+        F.when(
+            (F.col("__k") % F.col("n_docs")) == F.col("anchor_id"),
+            (F.col("__k") % F.col("n_docs") + 1) % F.col("n_docs"),
+        )
+        .otherwise(F.col("__k") % F.col("n_docs"))
+        .alias("negative_id"),
+    )
