@@ -158,3 +158,45 @@ def test_k_core_self_loop_does_not_inflate_degree(spark):
     df = spark.createDataFrame(edges, "src string, dst string")
     got = {r["id"]: r["core_deg"] for r in k_core(df, 2).collect()}
     assert got == {"a": 2, "b": 2, "c": 2}
+
+
+def test_aggregate_messages_degrees_and_rank_step(spark):
+    from pyspark.sql import functions as F
+
+    from pagerank_hadoop_spark.operators.graph import (
+        PropertyGraph,
+        aggregate_messages,
+    )
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("b", "c"), ("c", "a")], "src string, dst string"
+    )
+    g = PropertyGraph.from_edges(edges)
+
+    # in-degree via message "1 to dst"
+    indeg = {
+        r["id"]: r["msg"]
+        for r in aggregate_messages(
+            g.vertices, edges, to_dst=F.lit(1), to_src=None, agg=F.sum
+        ).collect()
+    }
+    assert indeg == {"b": 1, "c": 2, "a": 1}
+
+    # one PageRank contribution step == the hand-written operator's
+    # message shape: rank/out_deg shipped along each out-edge
+    state = g.vertices.join(
+        g.out_degrees(), "id", "left"
+    ).select("id", F.lit(1.0).alias("rank"), F.col("out_degree").alias("deg"))
+    contribs = {
+        r["id"]: r["msg"]
+        for r in aggregate_messages(
+            state,
+            edges,
+            to_dst=F.col("src_rank") / F.col("src_deg"),
+            to_src=None,
+            agg=F.sum,
+        ).collect()
+    }
+    assert abs(contribs["c"] - (0.5 + 1.0)) < 1e-12  # from a(2 out) + b(1 out)
+    assert abs(contribs["b"] - 0.5) < 1e-12
+    assert abs(contribs["a"] - 1.0) < 1e-12  # from c
