@@ -6976,3 +6976,37 @@ def q_contrastive_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("__k") % F.col("n_docs"))
         .alias("negative_id"),
     )
+
+
+@register(
+    "message_degrees",
+    """
+    WITH e AS (SELECT DISTINCT CAST(l_partkey AS VARCHAR) AS src,
+                      's' || CAST(l_suppkey AS VARCHAR) AS dst
+               FROM lineitem),
+    m AS (
+      SELECT dst AS id, 1 AS v FROM e
+      UNION ALL
+      SELECT src AS id, 1 AS v FROM e
+    )
+    SELECT id, SUM(v) AS msg FROM m GROUP BY id
+    """,
+)
+def q_message_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph [EXT]: undirected degree computed through the GraphX-
+    style aggregateMessages primitive (operators.graph) — "send 1
+    both ways, sum per recipient" — gating the generic message-
+    passing surface itself, not just the specialized built-ins: two
+    vertex-state joins plus ONE partial-aggregated (id, msg) shuffle,
+    the plan every custom Pregel step written against the facade
+    inherits."""
+    from pagerank_hadoop_spark.operators.graph import (
+        PropertyGraph,
+        aggregate_messages,
+    )
+
+    edges = _pagerank_edges(spark, sf_dir).dropDuplicates(["src", "dst"])
+    g = PropertyGraph.from_edges(edges)
+    return aggregate_messages(
+        g.vertices, edges, to_dst=F.lit(1), to_src=F.lit(1), agg=F.sum
+    ).withColumn("msg", F.col("msg").cast("long"))
