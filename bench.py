@@ -99,13 +99,42 @@ def main() -> None:
         print(f"# {name}: {timings[name]}s rows={n}", file=sys.stderr)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     total = round(sum(timings.values()), 3)
+    # The driver captures/parses ONE stdout JSON line; round 1 showed a
+    # 177-entry map overflows it ("parsed": null). Keep the line compact:
+    # headline queries + total, with the full per-query map written to
+    # BENCH_FULL.json next to this script (and echoed to stderr above).
+    headline = [
+        "wiki_pagerank",
+        "pagerank_topk",
+        "ppr_from_part",
+        "pricing_summary",
+        "minhash_dedup_survivors",
+        "cosine_topk",
+        "pq_topk",
+        "connected_components",
+        "stream_tumbling",
+        "quality_scores",
+        "bpe_tokens",
+        "packed_bins",
+    ]
+    full_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"
+    )
+    with open(full_path, "w") as fh:
+        json.dump(
+            {"sf": sf, "n_queries": len(timings), "queries": timings}, fh
+        )
     print(
         json.dumps(
             {
                 "metric": "total_query_wall_seconds",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
+                "queries": {
+                    k: timings[k] for k in headline if k in timings
+                },
+                "n_queries": len(timings),
+                "full": "BENCH_FULL.json",
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
