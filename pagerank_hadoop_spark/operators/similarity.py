@@ -53,18 +53,40 @@ def cosine_topk(
     )
 
 
-def _hyperplane_bucket(vec, n_planes: int = 12):
-    """Deterministic random-hyperplane sign sketch (see dedup module)."""
+def _lit_dot(vec, consts: list[float]):
+    """Dot product of an array column with a literal float vector —
+    JVM array expressions, the vector never leaves the row."""
+    lits = F.array(*[F.lit(float(x)) for x in consts])
+    return F.aggregate(
+        F.zip_with(vec, lits, lambda x, c: x * c),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _hyperplane_bucket(
+    vec, n_planes: int = 12, planes: list[list[float]] | None = None
+):
+    """Deterministic random-hyperplane sign sketch (see dedup module).
+
+    ``planes`` (optional, ``n_planes`` × dim literal floats) replaces
+    the xxhash64-derived pseudo-random components with explicit
+    hyperplanes — same plan shape, but reproducible by any engine
+    (the oracle-checkable form; xxhash64 exists only in Spark).
+    """
     def plane_bit(p: int):
-        proj = F.aggregate(
-            F.zip_with(
-                vec,
-                F.sequence(F.lit(0), F.size(vec) - 1),
-                lambda x, d: x * (F.xxhash64(F.lit(p), d).cast("double") / F.lit(float(2**63))),
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
+        if planes is not None:
+            proj = _lit_dot(vec, planes[p])
+        else:
+            proj = F.aggregate(
+                F.zip_with(
+                    vec,
+                    F.sequence(F.lit(0), F.size(vec) - 1),
+                    lambda x, d: x * (F.xxhash64(F.lit(p), d).cast("double") / F.lit(float(2**63))),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
         return F.when(proj >= 0, F.lit(1)).otherwise(F.lit(0)).cast("long")
 
     sketch = F.lit(0).cast("long")
@@ -83,17 +105,19 @@ def lsh_topk(
     vec_col: str = "v",
     q_id_col: str = "q_id",
     q_vec_col: str = "qv",
+    planes: list[list[float]] | None = None,
 ) -> DataFrame:
     """Approximate top-k: candidates share at least one signature band
     with the query (multi-probe), exact cosine re-rank inside.
 
-    Recall < 1 by design; verified against cosine_topk in tests.
+    Recall < 1 by design; verified against cosine_topk in tests and,
+    with explicit ``planes``, by the ``recall_lsh_topk`` oracle query.
     """
     width = n_planes // bands
     mask = (1 << width) - 1
 
     def banded(df: DataFrame, vcol: str, idc: str, prefix: str) -> DataFrame:
-        sk = _hyperplane_bucket(F.col(vcol), n_planes)
+        sk = _hyperplane_bucket(F.col(vcol), n_planes, planes)
         return df.select(
             idc,
             vcol,
@@ -136,6 +160,7 @@ def ivf_topk(
     vec_col: str = "v",
     q_id_col: str = "q_id",
     q_vec_col: str = "qv",
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """IVF-flat style ANN: assign vectors to their nearest of
     ``n_cells`` deterministic pseudo-random centroids; queries probe
@@ -143,6 +168,9 @@ def ivf_topk(
 
     The cell assignment is a one-pass map (no shuffle); the probe join
     is cell-partitioned — the scale path for corpus ≫ memory.
+    ``centroids`` (optional, ``n_cells`` × dim literal floats)
+    replaces the xxhash64-derived pseudo-random centroids with
+    explicit ones — the oracle-checkable form (``recall_ivf_topk``).
     """
     def centroid(cell: int):
         # unit-ish pseudo-random centroid component per dim via hash
@@ -153,18 +181,23 @@ def ivf_topk(
         # lambda's arity, which zip_with validates)
         return lambda x, d: x * centroid(c)(d)
 
+    def one_cell_sim(vec, cell: int):
+        if centroids is not None:
+            return _lit_dot(vec, centroids[cell])
+        return F.aggregate(
+            F.zip_with(
+                vec,
+                F.sequence(F.lit(0), F.size(vec) - 1),
+                _dot_with_centroid(cell),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
     def cell_sims(vec):
         return F.array(*[
             F.struct(
-                F.aggregate(
-                    F.zip_with(
-                        vec,
-                        F.sequence(F.lit(0), F.size(vec) - 1),
-                        _dot_with_centroid(cell),
-                    ),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
-                ).alias("sim"),
+                one_cell_sim(vec, cell).alias("sim"),
                 F.lit(cell).alias("cell"),
             )
             for cell in range(n_cells)
@@ -445,6 +478,41 @@ def pq_topk(
         .withColumn("rn", F.row_number().over(w2))
         .where(F.col("rn") <= k)
         .drop("rn")
+    )
+
+
+def recall_vs_exact(
+    approx: DataFrame,
+    exact: DataFrame,
+    k: int,
+    q_id_col: str = "q_id",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Per-query recall@k of an ANN result against the exact top-k:
+    ``(q_id, hits, recall)`` with ``recall = |approx ∩ exact| / k``.
+
+    Deterministic given deterministic inputs (both sides break ties by
+    rounded-sim desc, id asc), so it is a HARD gate for approximate
+    variants — the driver oracle checks the exact recall value, not
+    just that rows came back.
+    """
+    j = exact.select(q_id_col, id_col).join(
+        approx.select(
+            F.col(q_id_col).alias("__q"), F.col(id_col).alias("__hit_id")
+        ),
+        (F.col(q_id_col) == F.col("__q"))
+        & (F.col(id_col) == F.col("__hit_id")),
+        "left",
+    )
+    return (
+        j.groupBy(q_id_col)
+        .agg(F.count("__hit_id").alias("hits"))
+        .select(
+            q_id_col,
+            "hits",
+            F.round(F.col("hits") / F.lit(float(k)), 6).alias("recall"),
+        )
+        .orderBy(q_id_col)
     )
 
 

@@ -55,6 +55,55 @@ def pagerank_oracle_sql(
     return "WITH " + ",\n".join(ctes) + "\n" + tail
 
 
+def pagerank_corrected_oracle_sql(
+    edges_sql: str,
+    n_iter: int = 8,
+    damping: float = 0.85,
+    round_dp: int = 9,
+    limit: int | None = 20,
+) -> str:
+    """Chained-CTE oracle for CORRECTED-mode PageRank
+    (``operators.pagerank.pagerank(parity=False)``): dangling-vertex
+    mass is redistributed uniformly each iteration, so ranks sum to 1
+    (textbook Brin/Page, the mode users should default to — the parity
+    mode exists only to reproduce ``PageRank.java:305,316`` exactly).
+
+    Per-iteration: ``dang_i = Σ r_i(v) over v with no out-edges``;
+    ``r_{i+1}(v) = (1-d)/N + d·(Σ_{u→v} r_i(u)/outdeg(u) + dang_i/N)``.
+    """
+    ctes = [
+        f"edges AS ({edges_sql})",
+        "vertices AS (SELECT DISTINCT src AS id FROM edges"
+        " UNION SELECT DISTINCT dst AS id FROM edges)",
+        "adj AS (SELECT src AS id, CAST(COUNT(DISTINCT dst) AS DOUBLE) AS outdeg"
+        " FROM edges GROUP BY src)",
+        "uedges AS (SELECT DISTINCT src, dst FROM edges)",
+        "nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM vertices)",
+        "r0 AS (SELECT id, 1.0 / nn.n AS rank FROM vertices, nn)",
+    ]
+    for i in range(n_iter):
+        ctes.append(
+            f"d{i} AS (SELECT COALESCE(SUM(r.rank), 0.0) AS dang "
+            f"FROM r{i} r LEFT JOIN adj a ON r.id = a.id WHERE a.id IS NULL)"
+        )
+        ctes.append(
+            f"r{i + 1} AS (SELECT v.id, "
+            f"(1.0 - {damping}) / nn.n + {damping} * "
+            f"(COALESCE(s.insum, 0.0) + d{i}.dang / nn.n) AS rank "
+            f"FROM vertices v CROSS JOIN nn CROSS JOIN d{i} LEFT JOIN ("
+            f"SELECT e.dst AS id, SUM(r.rank / a.outdeg) AS insum "
+            f"FROM uedges e JOIN r{i} r ON e.src = r.id "
+            f"JOIN adj a ON e.src = a.id GROUP BY e.dst) s ON v.id = s.id)"
+        )
+    tail = (
+        f"SELECT id, ROUND(rank, {round_dp}) AS rank FROM r{n_iter} "
+        f"ORDER BY 2 DESC, 1"
+    )
+    if limit is not None:
+        tail += f" LIMIT {limit}"
+    return "WITH " + ",\n".join(ctes) + "\n" + tail
+
+
 def ppr_oracle_sql(
     edges_sql: str,
     source: str,

@@ -27,7 +27,10 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.window import Window
 
 from pagerank_hadoop_spark.operators.pagerank import pagerank_with_n, top_ranks
-from pagerank_hadoop_spark.plans.oracle import pagerank_oracle_sql
+from pagerank_hadoop_spark.plans.oracle import (
+    pagerank_corrected_oracle_sql,
+    pagerank_oracle_sql,
+)
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -242,6 +245,29 @@ def q_pagerank_iter1(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = top_ranks(ranks, n, threshold=1.0 / n)
     return (
         out.select("id", F.round("rank", 9).alias("rank"))
+        .orderBy(F.desc("rank"), F.asc("id"))
+        .limit(20)
+    )
+
+
+@register(
+    "pagerank_corrected",
+    pagerank_corrected_oracle_sql(_PAGERANK_EDGES_SQL, n_iter=8, limit=20),
+)
+def q_pagerank_corrected(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corrected-mode PageRank (``parity=False``): dangling mass
+    redistributed uniformly each iteration, ranks sum to 1 — the
+    textbook variant users should default to. The parity flag's other
+    half (``PageRank.java:305,316`` dangling-mass loss) is gated by
+    ``pagerank_topk``; this gate pins the redistribution term against
+    a chained-CTE oracle with an explicit per-iteration dangling sum.
+    """
+    from pagerank_hadoop_spark.operators.pagerank import pagerank_with_n
+
+    edges = _pagerank_edges(spark, sf_dir)
+    ranks, n = pagerank_with_n(edges, n_iter=8, parity=False)
+    return (
+        ranks.select("id", F.round("rank", 9).alias("rank"))
         .orderBy(F.desc("rank"), F.asc("id"))
         .limit(20)
     )
@@ -962,6 +988,152 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb, queries_df = _ann_inputs(spark, sf_dir)
     return ivf_topk(emb, queries_df, k=5).orderBy("q_id", F.desc("sim"), "vec_id")
+
+
+def _seeded_gaussians(n: int, dim: int, seed: int) -> list[list[float]]:
+    """Seeded gaussian rows (hyperplanes / centroids) — generated ONCE
+    at import so the Spark query and the DuckDB oracle embed bitwise
+    identical literals (repr round-trips doubles exactly)."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    return [[float(x) for x in row] for row in rng.normal(size=(n, dim))]
+
+
+_ANN_DIM = 64  # embeddings.parquet vector length (driver testdata)
+_ANN_PLANES = _seeded_gaussians(12, _ANN_DIM, 42)
+_ANN_CENTROIDS = _seeded_gaussians(16, _ANN_DIM, 43)
+
+
+def _sql_dlist(xs: list[float]) -> str:
+    return "[" + ", ".join(repr(x) for x in xs) + "]::DOUBLE[]"
+
+
+_ANN_COSINE_SQL = (
+    "ROUND(list_dot_product(qe.v, e.v) / "
+    "(sqrt(list_dot_product(qe.v, qe.v)) * sqrt(list_dot_product(e.v, e.v)))"
+    ", 6)"
+)
+
+_ANN_EXACT_CTE = """
+    exact AS (SELECT q_id, vec_id FROM (
+      SELECT q.q_id, e.vec_id,
+             ROW_NUMBER() OVER (PARTITION BY q.q_id ORDER BY
+               ROUND(list_dot_product(q.qv, e.v) /
+                 (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(e.v, e.v))), 6)
+               DESC, e.vec_id) AS rn
+      FROM q CROSS JOIN emb e WHERE e.vec_id <> q.q_id) WHERE rn <= 5)
+"""
+
+_ANN_RECALL_TAIL = """
+    SELECT x.q_id, COUNT(a.vec_id) AS hits,
+           ROUND(COUNT(a.vec_id) / 5.0, 6) AS recall
+    FROM exact x LEFT JOIN approx a
+      ON x.q_id = a.q_id AND x.vec_id = a.vec_id
+    GROUP BY x.q_id
+"""
+
+
+def _lsh_recall_oracle_sql() -> str:
+    """DuckDB replica of lsh_topk(planes=_ANN_PLANES) → recall@5 vs the
+    exact top-5: sign sketch from the SAME literal hyperplanes, 3 bands
+    of 4 bits, bucket-join candidates, exact-cosine re-rank, then the
+    per-query hit count against the exact set."""
+    terms = " + ".join(
+        f"(CASE WHEN list_dot_product(v, {_sql_dlist(p)}) >= 0 "
+        f"THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(_ANN_PLANES)
+    )
+    return f"""
+    WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT vec_id AS q_id, v AS qv FROM emb WHERE vec_id % 100 = 0),
+    sk AS (SELECT vec_id, ({terms})::BIGINT AS sketch FROM emb),
+    cb AS (SELECT vec_id, t.b, (sketch >> (t.b * 4)) & 15 AS bh
+           FROM sk CROSS JOIN (SELECT unnest([0, 1, 2]) AS b) t),
+    qb AS (SELECT vec_id AS q_id, b, bh FROM cb WHERE vec_id % 100 = 0),
+    cand AS (SELECT DISTINCT qb.q_id, cb.vec_id
+             FROM cb JOIN qb ON cb.b = qb.b AND cb.bh = qb.bh
+             WHERE cb.vec_id <> qb.q_id),
+    asims AS (SELECT c.q_id, c.vec_id, {_ANN_COSINE_SQL} AS sim
+              FROM cand c JOIN emb e ON c.vec_id = e.vec_id
+              JOIN emb qe ON c.q_id = qe.vec_id),
+    approx AS (SELECT q_id, vec_id FROM (
+      SELECT q_id, vec_id,
+             ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rn
+      FROM asims) WHERE rn <= 5),
+    {_ANN_EXACT_CTE.strip()}
+    {_ANN_RECALL_TAIL}
+    """
+
+
+def _ivf_recall_oracle_sql() -> str:
+    """DuckDB replica of ivf_topk(centroids=_ANN_CENTROIDS) → recall@5:
+    argmax-cell assignment (tie → larger cell, matching Spark's
+    max-struct), nprobe=4 probing, exact-cosine re-rank, recall vs the
+    exact top-5."""
+    cent_rows = ", ".join(
+        f"({i}, {_sql_dlist(c)})" for i, c in enumerate(_ANN_CENTROIDS)
+    )
+    return f"""
+    WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT vec_id AS q_id, v AS qv FROM emb WHERE vec_id % 100 = 0),
+    cents(cell, cv) AS (VALUES {cent_rows}),
+    cs AS (SELECT vec_id, c.cell, list_dot_product(v, c.cv) AS csim
+           FROM emb CROSS JOIN cents c),
+    assign AS (SELECT vec_id, cell FROM (
+      SELECT vec_id, cell,
+             ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY csim DESC, cell DESC) AS rn
+      FROM cs) WHERE rn = 1),
+    probe AS (SELECT vec_id AS q_id, cell FROM (
+      SELECT vec_id, cell,
+             ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY csim DESC, cell DESC) AS rn
+      FROM cs WHERE vec_id % 100 = 0) WHERE rn <= 4),
+    cand AS (SELECT p.q_id, a.vec_id FROM assign a JOIN probe p
+             ON a.cell = p.cell WHERE a.vec_id <> p.q_id),
+    asims AS (SELECT c.q_id, c.vec_id, {_ANN_COSINE_SQL} AS sim
+              FROM cand c JOIN emb e ON c.vec_id = e.vec_id
+              JOIN emb qe ON c.q_id = qe.vec_id),
+    approx AS (SELECT q_id, vec_id FROM (
+      SELECT q_id, vec_id,
+             ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rn
+      FROM asims) WHERE rn <= 5),
+    {_ANN_EXACT_CTE.strip()}
+    {_ANN_RECALL_TAIL}
+    """
+
+
+@register("recall_lsh_topk", _lsh_recall_oracle_sql())
+def q_recall_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3 hard gate: recall@5 of the LSH variant vs exact cosine top-5,
+    per query — deterministic given the literal seeded hyperplanes, so
+    the DuckDB oracle checks the exact recall VALUES (the xxhash64
+    production path stays covered rows-only by lsh_topk)."""
+    from pagerank_hadoop_spark.operators.similarity import (
+        cosine_topk,
+        lsh_topk,
+        recall_vs_exact,
+    )
+
+    emb, queries_df = _ann_inputs(spark, sf_dir)
+    approx = lsh_topk(emb, queries_df, k=5, planes=_ANN_PLANES)
+    exact = cosine_topk(emb, queries_df, k=5, round_dp=6)
+    return recall_vs_exact(approx, exact, 5)
+
+
+@register("recall_ivf_topk", _ivf_recall_oracle_sql())
+def q_recall_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3 hard gate: recall@5 of the IVF variant (literal seeded
+    centroids, nprobe=4) vs exact cosine top-5, per query."""
+    from pagerank_hadoop_spark.operators.similarity import (
+        cosine_topk,
+        ivf_topk,
+        recall_vs_exact,
+    )
+
+    emb, queries_df = _ann_inputs(spark, sf_dir)
+    approx = ivf_topk(emb, queries_df, k=5, centroids=_ANN_CENTROIDS)
+    exact = cosine_topk(emb, queries_df, k=5, round_dp=6)
+    return recall_vs_exact(approx, exact, 5)
 
 
 # ---------------------------------------------------------------------------
