@@ -15,9 +15,72 @@ degrees correspond to the outdeg computed inline at
 
 from __future__ import annotations
 
+import warnings
+
 from pyspark.sql import DataFrame, functions as F
 
 from pagerank_hadoop_spark.operators.pagerank import pagerank_with_n
+
+
+class PregelNotConverged(RuntimeError):
+    """An iterative graph loop hit ``max_iter`` before its fixpoint."""
+
+
+def _nonconvergence(label: str, max_iter: int, on_max_iter: str) -> None:
+    msg = (
+        f"{label}: no fixpoint after max_iter={max_iter} rounds — "
+        "the returned state is the last iterate, not the converged "
+        "result. Raise max_iter (rounds scale with graph diameter / "
+        "peel depth) or pass on_max_iter='ignore' to accept it."
+    )
+    if on_max_iter == "raise":
+        raise PregelNotConverged(msg)
+    if on_max_iter != "ignore":
+        warnings.warn(msg, RuntimeWarning, stacklevel=3)
+
+
+def pregel(
+    edges: DataFrame,
+    init: DataFrame,
+    step,
+    max_iter: int = 50,
+    on_max_iter: str = "warn",
+    label: str = "pregel",
+) -> DataFrame:
+    """Generic fixed-point loop driver — the one-job-per-round +
+    lazy-checkpoint economy every iterative operator in this module
+    shares, factored out so custom algorithms inherit it.
+
+    ``step(edges, state, changed)`` returns the next state with a
+    boolean ``__changed`` column; ``changed`` is the previous round's
+    changed rows (the delta frontier — sparse algorithms like BFS
+    message only from it; dense ones ignore it; round 0 gets ``init``).
+    Per round exactly ONE Spark job runs: the new state is
+    localCheckpoint'ed *lazily* and the driver's changed-count action
+    both materializes it (pinning every partition, truncating lineage)
+    and answers the fixpoint test. Exhausting ``max_iter`` without a
+    fixpoint warns (or raises with ``on_max_iter='raise'``) instead of
+    silently returning a non-converged iterate.
+
+    ``edges`` is passed through untouched — shape it first (symmetrize,
+    right-size partitions, eager-checkpoint) as the built-ins do.
+    """
+    state = init
+    changed_rows = init
+    converged = False
+    for _ in range(max_iter):
+        new_state = step(edges, state, changed_rows).localCheckpoint(
+            eager=False
+        )
+        n_changed = new_state.where(F.col("__changed")).count()
+        changed_rows = new_state.where(F.col("__changed")).drop("__changed")
+        state = new_state.drop("__changed")
+        if n_changed == 0:
+            converged = True
+            break
+    if not converged:
+        _nonconvergence(label, max_iter, on_max_iter)
+    return state
 
 
 class PropertyGraph:
@@ -156,15 +219,15 @@ def connected_components(
     )
     sym = sym.repartition(parts, "src").localCheckpoint(eager=True)
 
-    labels = (
+    init = (
         sym.select(F.col("src").alias("id")).distinct().withColumn("component", F.col("id"))
     ).localCheckpoint(eager=True)
 
-    for i in range(max_iter):
+    def step(sym_e: DataFrame, labels: DataFrame, _changed: DataFrame) -> DataFrame:
         # min incoming neighbor label per vertex (partial agg shrinks
         # the shuffle to one (id, label) row per vertex per mapper)
         min_msgs = (
-            sym.join(labels, sym.src == labels.id)
+            sym_e.join(labels, sym_e.src == labels.id)
             .groupBy(F.col("dst").alias("id"))
             .agg(F.min("component").alias("__m"))
         )
@@ -197,18 +260,15 @@ def connected_components(
             stepped = merged.select(
                 "id", F.col("__c1").alias("component"), "__old"
             )
-        new_labels = stepped.select(
+        return stepped.select(
             "id",
             "component",
             (F.col("component") < F.col("__old")).alias("__changed"),
-        ).localCheckpoint(eager=False)
-        # one job: computes every partition (count touches all), which
-        # materializes the lazy checkpoint, and yields the fixpoint test
-        changed = new_labels.where(F.col("__changed")).count()
-        labels = new_labels.drop("__changed")
-        if changed == 0:
-            break
+        )
 
+    labels = pregel(
+        sym, init, step, max_iter=max_iter, label="connected_components"
+    )
     sym.unpersist()
     return labels
 
@@ -240,7 +300,7 @@ def shortest_paths(
     )
     sym = sym.repartition(parts, "src").localCheckpoint(eager=True)
 
-    dist = (
+    init = (
         sym.select(F.col("src").alias("id"))
         .distinct()
         .where(F.col("id") == source)
@@ -249,36 +309,31 @@ def shortest_paths(
 
     # delta iteration: with unit edge weights a vertex's distance is
     # final the round it is discovered, so only the newly-discovered
-    # frontier needs to message its neighbors — per-round join input
-    # is |frontier|, not |all discovered so far|
-    frontier = dist
-    for _ in range(max_iter):
+    # frontier (pregel's `changed` delta) needs to message its
+    # neighbors — per-round join input is |frontier|, not |all
+    # discovered so far|
+    def step(sym_e: DataFrame, dist: DataFrame, frontier: DataFrame) -> DataFrame:
         msgs = (
-            sym.join(frontier, sym.src == frontier.id)
+            sym_e.join(frontier, sym_e.src == frontier.id)
             .groupBy(F.col("dst").alias("id"))
             .agg((F.min("dist") + 1).alias("__m"))
         )
-        new_dist = (
-            dist.join(msgs, "id", "full")
-            .select(
-                "id",
-                F.least("dist", "__m").alias("dist"),
-                (F.col("dist").isNull() | (F.col("__m") < F.col("dist"))).alias(
-                    "__changed"
-                ),
-            )
-        ).localCheckpoint(eager=False)
-        changed = new_dist.where(F.col("__changed")).count()
-        frontier = new_dist.where(F.col("__changed")).select("id", "dist")
-        dist = new_dist.drop("__changed")
-        if changed == 0:
-            break
+        return dist.join(msgs, "id", "full").select(
+            "id",
+            F.least("dist", "__m").alias("dist"),
+            (F.col("dist").isNull() | (F.col("__m") < F.col("dist"))).alias(
+                "__changed"
+            ),
+        )
 
+    dist = pregel(sym, init, step, max_iter=max_iter, label="shortest_paths")
     sym.unpersist()
     return dist
 
 
-def k_core(edges: DataFrame, k: int, max_iter: int = 30) -> DataFrame:
+def k_core(
+    edges: DataFrame, k: int, max_iter: int = 30, on_max_iter: str = "warn"
+) -> DataFrame:
     """Vertices of the undirected k-core with their within-core degree:
     iteratively peel vertices of degree < k until a fixpoint — the
     standard graph-densification/noise-trim primitive (GraphFrames has
@@ -322,6 +377,7 @@ def k_core(edges: DataFrame, k: int, max_iter: int = 30) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     prev_edges = cur.count()
+    converged = False
     for _ in range(max_iter):
         # keep derives FROM cur, so the semi-joins are self-joins;
         # name-based join keys (not cross-plan Column refs) keep the
@@ -341,14 +397,22 @@ def k_core(edges: DataFrame, k: int, max_iter: int = 30) -> DataFrame:
         n = nxt.count()  # materializes the checkpoint + fixpoint test
         cur = nxt
         if n == prev_edges:
+            converged = True
             break
         prev_edges = n
+    if not converged:
+        # the peel cascade was still shrinking the edge list when the
+        # round budget ran out: the result would contain vertices a
+        # deeper cascade peels away — not a k-core
+        _nonconvergence("k_core", max_iter, on_max_iter)
     return cur.groupBy(F.col("src").alias("id")).agg(
         F.count(F.lit(1)).alias("core_deg")
     )
 
 
-def maximal_independent_set(edges: DataFrame, max_iter: int = 30) -> DataFrame:
+def maximal_independent_set(
+    edges: DataFrame, max_iter: int = 30, on_max_iter: str = "warn"
+) -> DataFrame:
     """Deterministic Luby maximal independent set: no two chosen
     vertices are adjacent, every unchosen vertex has a chosen
     neighbor. The symmetry-breaking primitive under distributed
@@ -395,6 +459,7 @@ def maximal_independent_set(edges: DataFrame, max_iter: int = 30) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     chosen = None
+    converged = False
     for _ in range(max_iter):
         # min active-neighbor (pri, id) per vertex; duplicate edges are
         # absorbed by the min, so the symmetrized list is not deduped
@@ -419,6 +484,7 @@ def maximal_independent_set(edges: DataFrame, max_iter: int = 30) -> DataFrame:
         )
         n_win = winners.count()
         if n_win == 0:
+            converged = True
             break
         # each winners frame is already pinned by its count; collect
         # references and union once at the end instead of paying an
@@ -435,6 +501,11 @@ def maximal_independent_set(edges: DataFrame, max_iter: int = 30) -> DataFrame:
         active = (
             active.join(touched, "id", "left_anti").localCheckpoint(eager=False)
         )
+    # Luby rounds exhausted with eligible vertices still active → the
+    # set is independent but possibly NOT maximal; only the final
+    # exhaustion path pays the active-count job
+    if not converged and active.limit(1).count() > 0:
+        _nonconvergence("maximal_independent_set", max_iter, on_max_iter)
     if chosen is None:
         return active.select("id").where(F.lit(False))
     return chosen.select("id")
@@ -446,6 +517,7 @@ def aggregate_messages(
     to_dst,
     to_src,
     agg,
+    drop_missing: bool = True,
 ) -> DataFrame:
     """GraphX's core primitive (``aggregateMessages``) as relational
     algebra: every Pregel-style step — degree counting, rank
@@ -471,8 +543,17 @@ def aggregate_messages(
             to_src=None,
             agg=F.sum,
         )
+
+    ``drop_missing=True`` (default) matches GraphX: an edge whose
+    endpoint is absent from ``vertices`` produces NO messages — its
+    triplet has no vertex attributes, and letting it through would
+    silently feed null ``src_*``/``dst_*`` attributes into the
+    message expressions (nulls a sum/min then absorbs). Pass
+    ``drop_missing=False`` to keep such edges (null attributes) when
+    the message expression handles them explicitly.
     """
     vcols = vertices.columns
+    how = "inner" if drop_missing else "left"
     src_state = vertices.select(
         F.col("id").alias("src"),
         *[F.col(c).alias(f"src_{c}") for c in vcols if c != "id"],
@@ -481,8 +562,8 @@ def aggregate_messages(
         F.col("id").alias("dst"),
         *[F.col(c).alias(f"dst_{c}") for c in vcols if c != "id"],
     )
-    joined = edges.join(src_state, "src", "left").join(
-        dst_state, "dst", "left"
+    joined = edges.join(src_state, "src", how).join(
+        dst_state, "dst", how
     )
     parts = []
     if to_dst is not None:

@@ -200,3 +200,111 @@ def test_aggregate_messages_degrees_and_rank_step(spark):
     assert abs(contribs["c"] - (0.5 + 1.0)) < 1e-12  # from a(2 out) + b(1 out)
     assert abs(contribs["b"] - 0.5) < 1e-12
     assert abs(contribs["a"] - 1.0) < 1e-12  # from c
+
+
+def test_pregel_driver_custom_max_label(spark):
+    """A custom algorithm written directly against pregel(): hash-MAX
+    label propagation (the mirror of CC's hash-min) converges to the
+    max id per component."""
+    from pyspark.sql import functions as F
+
+    from pagerank_hadoop_spark.operators.graph import pregel
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("x", "y")], "src string, dst string"
+    )
+    sym = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    init = (
+        sym.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+    )
+
+    def step(e, state, _changed):
+        msgs = (
+            e.join(state, e.src == state.id)
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.max("label").alias("__m"))
+        )
+        return state.join(msgs, "id", "left").select(
+            "id",
+            F.greatest("label", "__m").alias("label"),
+            (F.greatest("label", "__m") > F.col("label")).alias("__changed"),
+        )
+
+    out = {r.id: r.label for r in pregel(sym, init, step, max_iter=10).collect()}
+    assert out == {"a": "c", "b": "c", "c": "c", "x": "y", "y": "y"}
+
+
+def test_pregel_warns_on_max_iter_exhaustion(spark):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from pagerank_hadoop_spark.operators.graph import (
+        PregelNotConverged,
+        pregel,
+    )
+
+    edges = spark.createDataFrame([("a", "b")], "src string, dst string")
+    init = spark.createDataFrame([("a", 0)], "id string, n int")
+
+    def never_converges(_e, state, _changed):
+        return state.select(
+            "id", (F.col("n") + 1).alias("n"), F.lit(True).alias("__changed")
+        )
+
+    with pytest.warns(RuntimeWarning, match="no fixpoint"):
+        pregel(edges, init, never_converges, max_iter=2)
+    with pytest.raises(PregelNotConverged):
+        pregel(edges, init, never_converges, max_iter=2, on_max_iter="raise")
+
+
+def test_k_core_warns_when_peel_budget_exhausted(spark):
+    import pytest
+
+    from pagerank_hadoop_spark.operators.graph import k_core
+
+    # a 6-node path peels one layer per round from each end: max_iter=1
+    # cannot reach the (empty) 2-core fixpoint
+    chain = [(f"n{i}", f"n{i+1}") for i in range(5)]
+    edges = spark.createDataFrame(chain, "src string, dst string")
+    with pytest.warns(RuntimeWarning, match="k_core"):
+        k_core(edges, k=2, max_iter=1)
+    # enough rounds: converges silently to the empty 2-core
+    assert k_core(edges, k=2, max_iter=10).count() == 0
+
+
+def test_aggregate_messages_drops_missing_endpoints(spark):
+    """GraphX parity: edges whose endpoint lacks vertex state emit no
+    messages under the default; drop_missing=False restores them."""
+    from pyspark.sql import functions as F
+
+    from pagerank_hadoop_spark.operators.graph import aggregate_messages
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("a", "ghost")], "src string, dst string"
+    )
+    vertices = spark.createDataFrame(
+        [("a", 1.0), ("b", 2.0)], "id string, w double"
+    )
+    strict = {
+        r.id: r.msg
+        for r in aggregate_messages(
+            vertices, edges, to_dst=F.lit(1), to_src=None, agg=F.sum
+        ).collect()
+    }
+    assert strict == {"b": 1}  # a->ghost dropped entirely
+    loose = {
+        r.id: r.msg
+        for r in aggregate_messages(
+            vertices,
+            edges,
+            to_dst=F.lit(1),
+            to_src=None,
+            agg=F.sum,
+            drop_missing=False,
+        ).collect()
+    }
+    assert loose == {"b": 1, "ghost": 1}

@@ -206,6 +206,49 @@ def test_bpe_greedy_left_to_right_overlap(spark):
     assert merges2 == merges
 
 
+def test_bpe_batched_matches_sequential(spark):
+    from pagerank_hadoop_spark.operators.text_analysis import (
+        bpe_train_merges,
+    )
+
+    # planted corpus whose top pairs are symbol-disjoint AND strictly
+    # dominate any pair the merges themselves create (max new-pair
+    # count 2 < count(g,h) = 3), so the batched selection must replay
+    # the sequential argmax exactly
+    rows = [
+        (1, "a b c d e f a b c d"),
+        (2, "a b e f e f c d"),
+        (3, "a b g h a b"),
+        (4, "g h c d e f"),
+        (5, "g h q"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    seq_merges, seq_final = bpe_train_merges(docs, n_merges=4, batch=1)
+    bat_merges, bat_final = bpe_train_merges(docs, n_merges=4, batch=4)
+    assert bat_merges == seq_merges
+    seq = {r["doc_id"]: r["syms"] for r in seq_final.collect()}
+    bat = {r["doc_id"]: r["syms"] for r in bat_final.collect()}
+    assert bat == seq
+
+
+def test_bpe_batched_skips_overlapping_pairs(spark):
+    from pagerank_hadoop_spark.operators.text_analysis import (
+        bpe_train_merges,
+    )
+
+    # (a,b) at 5 and (b,c) at 4 share symbol b: the batch must apply
+    # only (a,b) in round 1 and recount before touching b-pairs —
+    # applying both blindly would merge (b,c) on stale adjacencies
+    rows = [
+        (1, "a b c a b c a b c a b c"),
+        (2, "a b z"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    seq_merges, _ = bpe_train_merges(docs, n_merges=2, batch=1)
+    bat_merges, _ = bpe_train_merges(docs, n_merges=2, batch=2)
+    assert bat_merges == seq_merges
+
+
 def test_bpe_apply_reproduces_training_tokenization(spark):
     from pagerank_hadoop_spark.operators.text_analysis import (
         bpe_apply,
