@@ -98,12 +98,25 @@ def _spread(df: DataFrame) -> DataFrame:
 
     Small corpora arrive as 1-2 parquet splits, serializing the
     shingle/signature work; repartition up to the cluster's default
-    parallelism. At scale the scan already has ≥ parallelism splits
-    and this is a no-op (no shuffle of document text)."""
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
+    parallelism. The small/large decision reads Catalyst's plan-size
+    estimate (no job, no ``.rdd`` conversion — that forced a full
+    analysis pass per call): a plan estimated under one scan-split per
+    core repartitions; a 100 TB scan blows past the threshold and
+    keeps its (already parallel) file splits — no shuffle of document
+    text."""
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    try:
+        size = int(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+        max_split = int(
+            spark.conf.get("spark.sql.files.maxPartitionBytes", str(128 << 20))
+        )
+        small = size < target * max_split
+    except Exception:  # stats unavailable (non-JVM plan edge): assume small
+        small = True
+    return df.repartition(target) if small else df
 
 
 def minhash_signature(shingle_hashes: Column, num_hashes: int = 32) -> Column:

@@ -143,6 +143,7 @@ def cms_group_estimates(
     eps: float = 0.0001,
     confidence: float = 0.999,
     seed: int = 42,
+    max_candidates: int = 100_000,
 ) -> DataFrame:
     """Per-value frequency estimates from one merged Count-Min sketch.
 
@@ -155,10 +156,22 @@ def cms_group_estimates(
     on the test corpora (verified against the DuckDB oracle).
 
     Scale shape: the 100 TB scan compresses to one ~100 KB blob
-    driver-side; only the (tiny) candidate list is collected.
+    driver-side; only the (tiny) candidate list is collected —
+    ``max_candidates`` makes that assumption a hard contract: a
+    mis-chosen high-cardinality key fails loudly instead of OOMing
+    the driver.
     """
     _, sketch = cms_frequencies(df, key, eps, confidence, seed)
-    values = [r[0] for r in df.select(key).distinct().collect()]
+    cand_rows = df.select(key).distinct().limit(max_candidates + 1).collect()
+    if len(cand_rows) > max_candidates:
+        raise ValueError(
+            f"cms_group_estimates: key '{key}' has more than "
+            f"{max_candidates} distinct values — Count-Min per-value "
+            "readout is for bounded candidate sets (heavy hitters); "
+            "pass an explicit candidate list column or raise "
+            "max_candidates deliberately."
+        )
+    values = [r[0] for r in cand_rows]
     rows = [(v, sketch.estimateCount(v)) for v in values]
     key_type = df.schema[key].dataType.simpleString()
     return df.sparkSession.createDataFrame(

@@ -6922,8 +6922,11 @@ def q_stream_cdc_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     changes = _stream_events(spark, sf_dir).select(
         "user_id", "ts", "event_id", "event_type", "value"
     )
+    from pagerank_hadoop_spark.streaming.windows import _STAGING_DIRS
+
     state_dir = tempfile.mkdtemp(prefix="spark_graft_cdc_state_")
     ckpt = tempfile.mkdtemp(prefix="spark_graft_cdc_ckpt_")
+    _STAGING_DIRS.extend((state_dir, ckpt))  # reaped at exit
     with _stream_parts(spark, sf_dir):
         cdc_apply_to_parquet(
             changes, state_dir, ckpt,

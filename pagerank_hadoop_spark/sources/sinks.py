@@ -77,14 +77,20 @@ def compact_parquet(
     swap instead of an in-place overwrite; table formats
     (Delta/Iceberg OPTIMIZE) add the transactional commit on top of
     exactly this plan.
+
+    Sizing goes through the Hadoop FileSystem API, so ``path`` may be
+    any scheme Spark itself can read — ``file:/``, ``hdfs:/``,
+    ``s3a:/`` — not just the local filesystem.
     """
     import math
-    import os as _os
 
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
     total = sum(
-        e.stat().st_size
-        for e in _os.scandir(path)
-        if e.is_file() and e.name.endswith(".parquet")
+        st.getLen()
+        for st in fs.listStatus(jpath)
+        if st.isFile() and st.getPath().getName().endswith(".parquet")
     )
     n_files = max(1, math.ceil(total / target_file_bytes))
     df = spark.read.parquet(path)

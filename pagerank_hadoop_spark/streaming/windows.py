@@ -14,6 +14,8 @@ escape hatch (see ``stateful_dedup_stream``).
 
 from __future__ import annotations
 
+import atexit
+
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.types import (
     LongType,
@@ -22,6 +24,21 @@ from pyspark.sql.types import (
     StructType,
     TimestampType,
 )
+
+# staging dirs created by punctuated_events_dir, reaped at exit so
+# repeated registry runs don't accumulate /tmp litter (the dirs must
+# outlive the function call — the stream reads them lazily)
+_STAGING_DIRS: list[str] = []
+
+
+def _reap_staging_dirs() -> None:
+    import shutil
+
+    while _STAGING_DIRS:
+        shutil.rmtree(_STAGING_DIRS.pop(), ignore_errors=True)
+
+
+atexit.register(_reap_staging_dirs)
 
 EVENT_SCHEMA = StructType(
     [
@@ -268,6 +285,7 @@ def punctuated_events_dir(sf_dir: str, ts_dtype: str) -> str:
     import pyarrow.parquet as pq
 
     base = tempfile.mkdtemp(prefix="spark_graft_punct_")
+    _STAGING_DIRS.append(base)  # reaped at interpreter exit
     # abspath: the symlink target string is stored verbatim, so a
     # relative sf_dir would dangle when resolved from inside /tmp
     os.symlink(
@@ -355,8 +373,11 @@ def cdc_apply_to_parquet(
     marker = os.path.join(state_dir, "_LATEST")
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        import shutil
+
         spark = batch_df.sparkSession
         new = latest(batch_df)
+        prev = -1
         if os.path.exists(marker):
             with open(marker) as fh:
                 prev = int(fh.read().strip())
@@ -370,8 +391,24 @@ def cdc_apply_to_parquet(
         new.write.mode("overwrite").parquet(
             os.path.join(state_dir, f"v{batch_id}")
         )
-        with open(marker, "w") as fh:
+        # atomic marker flip: a crash mid-write must never leave an
+        # empty/partial _LATEST (read_cdc_state would fail on int()
+        # with no recovery); write-then-rename is atomic on POSIX
+        tmp = marker + ".tmp"
+        with open(tmp, "w") as fh:
             fh.write(str(batch_id))
+            fh.flush()
+            os.fsync(fh.fileno())
+        os.replace(tmp, marker)
+        # prune versions older than the predecessor still needed for
+        # replay of THIS batch — without this, state dirs accumulate
+        # one full copy per batch forever
+        for name in os.listdir(state_dir):
+            if name.startswith("v") and name[1:].isdigit():
+                if int(name[1:]) < max(prev, 0):
+                    shutil.rmtree(
+                        os.path.join(state_dir, name), ignore_errors=True
+                    )
 
     q = (
         changes.writeStream.foreachBatch(apply_batch)

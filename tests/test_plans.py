@@ -482,6 +482,15 @@ def test_compaction_reduces_file_count_losslessly(spark, sf_dir, tmp_path):
     assert n_big == 1  # whole table under one target-size file
     assert out.count() == ev.count()
 
+    # scheme-qualified URI: sizing goes through the Hadoop FileSystem
+    # API (object-store contract), not os.scandir
+    big2 = str(tmp_path / "big2")
+    out2 = compact_parquet(
+        spark, f"file://{small}", f"file://{big2}", target_file_bytes=1 << 30
+    )
+    assert out2.count() == ev.count()
+    assert sum(1 for f in os.listdir(big2) if f.endswith(".parquet")) == 1
+
 
 def test_bm25_single_token_explode(spark, sf_dir):
     # one Generate (explode) feeds lengths, tfs, and corpus stats —
