@@ -90,6 +90,26 @@ def raw_shingles(text: Column, n: int = 5) -> Column:
     )
 
 
+def md5_shingle_hashes(text: Column, n: int = 5, distinct: bool = True) -> Column:
+    """Engine-portable shingle hashes (array<bigint>): the first 15
+    hex chars of md5 per n-gram, parsed base-16 — a 60-bit positive
+    int both Spark (``conv``) and DuckDB (``('0x'||…)::BIGINT``)
+    produce bitwise identically, which makes every downstream sketch
+    (MinHash signatures, SimHash tallies) oracle-checkable end to end.
+    Production uses :func:`shingles` (xxhash64 — one codegen'd
+    instruction vs an md5 round per gram); the hash-family math being
+    gated is IDENTICAL between the two."""
+    cleaned = F.lower(text)
+    count = F.greatest(F.length(cleaned) - F.lit(n - 1), F.lit(1))
+    grams = F.transform(
+        F.sequence(F.lit(1), count),
+        lambda i: F.conv(
+            F.substring(F.md5(F.substring(cleaned, i, n)), 1, 15), 16, 10
+        ).cast("long"),
+    )
+    return F.array_distinct(grams) if distinct else grams
+
+
 _MINHASH_P = 4294967311  # smallest prime > 2^32
 
 

@@ -347,6 +347,7 @@ def pq_topk(
     vec_col: str = "v",
     q_id_col: str = "q_id",
     q_vec_col: str = "qv",
+    books: list[list[list[float]]] | None = None,
 ) -> DataFrame:
     """Product-quantization ANN with ADC scoring and exact re-rank.
 
@@ -371,26 +372,39 @@ def pq_topk(
     * **Re-rank**: the top ``refine·k`` ADC candidates per query join
       back to their full vectors for exact cosine; final top-k. Only
       refine·k·|queries| full vectors are ever materialized.
+
+    ``books`` (optional, m × n_codes × sub literal floats) skips the
+    sample/train step and uses explicit codebooks — the
+    oracle-checkable form (``recall_pq_topk``); untrained random
+    codebooks quantize worse than Lloyd's, which only lowers recall,
+    never correctness of the ADC/re-rank machinery being gated. ADC
+    scores are rounded to 6 dp before the shortlist ranking so the
+    selected candidate SET is engine-portable (ties broken by id).
     """
     import numpy as np
 
-    sample = np.array(
-        [
-            r[0]
-            for r in corpus.select(F.col(vec_col).cast("array<double>"))
-            .limit(n_codes * 200)
-            .collect()
-        ],
-        dtype=np.float64,
-    )
-    dim = sample.shape[1]
-    if dim % m != 0:
-        raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
-    sub = dim // m
-    books = [
-        [[float(x) for x in c] for c in _lloyd(sample[:, s * sub : (s + 1) * sub], n_codes, seed + s)]
-        for s in range(m)
-    ]
+    if books is None:
+        sample = np.array(
+            [
+                r[0]
+                for r in corpus.select(F.col(vec_col).cast("array<double>"))
+                .limit(n_codes * 200)
+                .collect()
+            ],
+            dtype=np.float64,
+        )
+        dim = sample.shape[1]
+        if dim % m != 0:
+            raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
+        sub = dim // m
+        books = [
+            [[float(x) for x in c] for c in _lloyd(sample[:, s * sub : (s + 1) * sub], n_codes, seed + s)]
+            for s in range(m)
+        ]
+    else:
+        m = len(books)
+        n_codes = len(books[0])
+        sub = len(books[0][0])
 
     def sub_slice(vec, s: int):
         return F.slice(vec, s * sub + 1, sub)
@@ -448,13 +462,16 @@ def pq_topk(
     ).localCheckpoint(eager=True)
     q_luts = queries.select(q_id_col, luts(F.col(q_vec_col)).alias("luts"))
 
-    adc = F.aggregate(
-        F.zip_with(
-            F.col("codes"), F.col("luts"),
-            lambda code, lut: F.element_at(lut, code + 1),
+    adc = F.round(
+        F.aggregate(
+            F.zip_with(
+                F.col("codes"), F.col("luts"),
+                lambda code, lut: F.element_at(lut, code + 1),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
         ),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
+        6,
     )
     w = Window.partitionBy(q_id_col).orderBy(F.desc("adc"), F.asc(id_col))
     shortlist = (

@@ -930,6 +930,103 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_candidates(corpus, "doc_id", "text").orderBy("id_a", "id_b")
 
 
+@register(
+    "minhash_est_md5",
+    """
+    WITH sh AS (
+      SELECT doc_id, list_transform(
+        list_distinct(list_transform(
+          generate_series(1, greatest(length(lower(text)) - 4, 1)),
+          i -> substr(lower(text), i, 5))),
+        g -> ('0x' || substr(md5(g), 1, 15))::BIGINT) AS hh
+      FROM documents),
+    sig AS (
+      SELECT doc_id, list_transform(range(0, 32), i ->
+        list_min(list_transform(hh,
+          h -> ((h % 4294967311) * (2*i + 1) + (i + 1) * 104729) % 4294967311))) AS sig
+      FROM sh)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           ROUND(len(list_filter(range(0, 32), i -> a.sig[i+1] = b.sig[i+1])) / 32.0, 6) AS est
+    FROM sig a JOIN sig b ON b.doc_id = a.doc_id + 1
+    WHERE a.doc_id % 5 = 0
+    """,
+)
+def q_minhash_est_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2 hard gate: the MinHash machinery itself (universal hash
+    family, signature fold, Jaccard estimator) hash-checked against
+    DuckDB — md5-derived shingle hashes make every stage
+    engine-portable (the production path differs ONLY in using
+    xxhash64 for the shingle hash; same family constants, same fold).
+    Pairs are the same planted (i, i+1) probes as ngram_jaccard, so
+    the estimate can be eyeballed against exact Jaccard."""
+    from pagerank_hadoop_spark.operators.dedup import (
+        md5_shingle_hashes,
+        minhash_signature,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    sig = minhash_signature(md5_shingle_hashes(F.col("text"), 5), 32)
+    s = docs.select("doc_id", sig.alias("sig"))
+    a = s.where(F.col("doc_id") % 5 == 0).select(
+        F.col("doc_id").alias("id_a"), F.col("sig").alias("sa")
+    )
+    b = s.select(F.col("doc_id").alias("id_b"), F.col("sig").alias("sb"))
+    matches = F.size(
+        F.filter(
+            F.zip_with("sa", "sb", lambda x, y: x == y), lambda v: v
+        )
+    )
+    return a.join(b, F.col("id_b") == F.col("id_a") + 1).select(
+        "id_a", "id_b", F.round(matches / F.lit(32.0), 6).alias("est")
+    )
+
+
+@register(
+    "simhash_fp_md5",
+    """
+    WITH sh AS (
+      SELECT doc_id, list_transform(
+        list_distinct(list_transform(
+          generate_series(1, greatest(length(lower(text)) - 4, 1)),
+          i -> substr(lower(text), i, 5))),
+        g -> ('0x' || substr(md5(g), 1, 15))::BIGINT) AS hh
+      FROM documents)
+    SELECT doc_id,
+           list_sum(list_transform(range(0, 16), b ->
+             CASE WHEN list_sum(list_transform(hh, h -> ((h >> b) & 1) * 2 - 1)) >= 0
+                  THEN (1 << b) ELSE 0 END))::BIGINT AS fp16
+    FROM sh
+    """,
+)
+def q_simhash_fp_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2b hard gate: SimHash fingerprint math (per-bit ±1 tally,
+    sign packing) hash-checked against DuckDB over md5 shingle
+    hashes. 16 bits keeps the oracle's per-bit expansion cheap; the
+    production 64-bit xxhash64 path (operators.dedup.simhash) is the
+    same formula and stays covered by unit tests + simhash_pairs."""
+    from pagerank_hadoop_spark.operators.dedup import md5_shingle_hashes
+
+    docs = _t(spark, sf_dir, "documents")
+    # materialize the hash array once per row: the 16 bit-tallies fold
+    # over the column, not 16 re-evaluations of the md5 transform
+    d = docs.select(
+        "doc_id", md5_shingle_hashes(F.col("text"), 5).alias("hh")
+    )
+
+    def tally(b: int):
+        return F.aggregate(
+            F.col("hh"),
+            F.lit(0).cast("long"),
+            lambda acc, h: acc
+            + (F.shiftright(h, b).bitwiseAND(F.lit(1)) * 2 - 1),
+        )
+
+    fp = F.lit(0).cast("long")
+    for b in range(16):
+        fp = fp + F.when(tally(b) >= 0, F.lit(1 << b)).otherwise(F.lit(0))
+    return d.select("doc_id", fp.alias("fp16"))
+
+
 @register("embedding_near_dups")
 def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E2c: embedding-cosine near-dup pairs via random-hyperplane LSH
@@ -1003,6 +1100,8 @@ def _seeded_gaussians(n: int, dim: int, seed: int) -> list[list[float]]:
 _ANN_DIM = 64  # embeddings.parquet vector length (driver testdata)
 _ANN_PLANES = _seeded_gaussians(12, _ANN_DIM, 42)
 _ANN_CENTROIDS = _seeded_gaussians(16, _ANN_DIM, 43)
+# PQ codebooks: m=8 subspaces × n_codes=16 × sub=8 dims
+_PQ_BOOKS = [_seeded_gaussians(16, 8, 44 + s) for s in range(8)]
 
 
 def _sql_dlist(xs: list[float]) -> str:
@@ -1100,6 +1199,72 @@ def _ivf_recall_oracle_sql() -> str:
     {_ANN_EXACT_CTE.strip()}
     {_ANN_RECALL_TAIL}
     """
+
+
+def _pq_recall_oracle_sql() -> str:
+    """DuckDB replica of pq_topk(books=_PQ_BOOKS) → recall@5: per-
+    subspace L2 argmin encode (first-min tie-break, matching
+    np.argmin), ADC scoring against the assigned centroids (rounded
+    6 dp so the shortlist SET is engine-portable), refine·k=20
+    shortlist, exact-cosine re-rank, recall vs the exact top-5."""
+    book_rows = ", ".join(
+        f"({s + 1}, ["
+        + ", ".join("[" + ", ".join(repr(x) for x in c) + "]" for c in cb)
+        + "]::DOUBLE[][])"
+        for s, cb in enumerate(_PQ_BOOKS)
+    )
+    return f"""
+    WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT vec_id AS q_id, v AS qv FROM emb WHERE vec_id % 100 = 0),
+    books(s, cb) AS (VALUES {book_rows}),
+    enc AS (
+      SELECT vec_id, s, array_position(dists, list_min(dists)) AS code
+      FROM (
+        SELECT e.vec_id, b.s,
+               list_transform(b.cb, c ->
+                 list_dot_product(c, c)
+                 - 2 * list_dot_product(e.v[(b.s-1)*8+1 : (b.s-1)*8+8], c)) AS dists
+        FROM emb e CROSS JOIN books b)),
+    adc AS (
+      SELECT q.q_id, en.vec_id,
+             ROUND(SUM(list_dot_product(q.qv[(en.s-1)*8+1 : (en.s-1)*8+8],
+                                        bb.cb[en.code])), 6) AS adc
+      FROM enc en JOIN books bb ON bb.s = en.s CROSS JOIN q
+      WHERE en.vec_id <> q.q_id
+      GROUP BY q.q_id, en.vec_id),
+    short AS (SELECT q_id, vec_id FROM (
+      SELECT q_id, vec_id,
+             ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY adc DESC, vec_id) AS rn
+      FROM adc) WHERE rn <= 20),
+    asims AS (SELECT c.q_id, c.vec_id, {_ANN_COSINE_SQL} AS sim
+              FROM short c JOIN emb e ON c.vec_id = e.vec_id
+              JOIN emb qe ON c.q_id = qe.vec_id),
+    approx AS (SELECT q_id, vec_id FROM (
+      SELECT q_id, vec_id,
+             ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rn
+      FROM asims) WHERE rn <= 5),
+    {_ANN_EXACT_CTE.strip()}
+    {_ANN_RECALL_TAIL}
+    """
+
+
+@register("recall_pq_topk", _pq_recall_oracle_sql())
+def q_recall_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3 hard gate: recall@5 of product-quantization ANN (literal
+    seeded codebooks, ADC scan + exact re-rank) vs exact cosine
+    top-5 — the full encode/ADC/refine machinery hash-checked; the
+    Lloyd-trained production path (pq_topk defaults) stays rows-only
+    because its codebooks derive from a data sample."""
+    from pagerank_hadoop_spark.operators.similarity import (
+        cosine_topk,
+        pq_topk,
+        recall_vs_exact,
+    )
+
+    emb, queries_df = _ann_inputs(spark, sf_dir)
+    approx = pq_topk(emb, queries_df, k=5, books=_PQ_BOOKS)
+    exact = cosine_topk(emb, queries_df, k=5, round_dp=6)
+    return recall_vs_exact(approx, exact, 5)
 
 
 @register("recall_lsh_topk", _lsh_recall_oracle_sql())
@@ -2013,6 +2178,61 @@ def q_stream_stateful_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(F.count(F.lit(1)).alias("n_unique"))
     )
+
+
+def _register_tws_query() -> None:
+    """Conditionally register the transformWithStateInPandas gate.
+
+    The Spark-4 arbitrary-state API needs the ``protobuf`` package at
+    runtime (pyspark's Python↔JVM state protocol); this container
+    ships without it, so the query self-registers only where the
+    dependency exists — the operator itself is build-complete
+    (streaming/stateful.py::running_user_stats_stream) and its
+    applyInPandasWithState sibling carries the custom-state gate
+    meanwhile."""
+    from pagerank_hadoop_spark.streaming.stateful import _has_protobuf
+
+    if not _has_protobuf():
+        return
+
+    @register(
+        "stream_tws_user_stats",
+        """
+        SELECT user_id, COUNT(*) AS n_events,
+               MAX(value) AS max_value
+        FROM events GROUP BY user_id
+        """,
+    )
+    def q_stream_tws_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """E6: transformWithStateInPandas running per-user (count, max)
+        drained with availableNow; both aggregates are order-insensitive
+        so the drained final state equals the batch GROUP BY."""
+        from pagerank_hadoop_spark.streaming.stateful import (
+            running_user_stats_stream,
+        )
+        from pagerank_hadoop_spark.streaming.windows import run_to_memory
+
+        stream = _stream_events(spark, sf_dir)
+        _STREAM_SEQ["n"] += 1
+        name = f"stream_tws_{_STREAM_SEQ['n']}"
+        with _stream_parts(spark, sf_dir):
+            run_to_memory(
+                running_user_stats_stream(stream), name, output_mode="update"
+            )
+        # update-mode sink: keep the LAST emitted row per user (the
+        # final running value)
+        from pyspark.sql.window import Window as _W
+
+        w = _W.partitionBy("user_id").orderBy(F.desc("n_events"))
+        return (
+            spark.table(name)
+            .withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .select("user_id", "n_events", "max_value")
+        )
+
+
+_register_tws_query()
 
 
 @register(
