@@ -719,29 +719,36 @@ def embedding_near_dups(
     vec_col: str = "embedding",
     threshold: float = 0.95,
     n_planes: int = 16,
+    planes: list[list[float]] | None = None,
 ) -> DataFrame:
     """Near-duplicate vectors: random-hyperplane LSH bucket (sign
     sketch over fixed pseudo-random planes) → intra-bucket exact
     cosine >= threshold. Deterministic planes derived from xxhash64 of
-    (plane, dim) — no stored model needed."""
+    (plane, dim) — no stored model needed. ``planes`` (optional,
+    ``n_planes`` × dim literal floats) swaps in explicit hyperplanes:
+    the oracle-checkable form (``embedding_near_dups_lit``)."""
     from pagerank_hadoop_spark.functions.vectors import cosine_similarity
+    from pagerank_hadoop_spark.operators.similarity import _lit_dot
 
     v = F.col(vec_col).cast("array<double>")
     # sign bit per pseudo-random plane: sum_d vec[d] * u(plane, d),
     # u in [-1, 1) from a hash of (plane, dim)
     def plane_bit(p: int) -> Column:
-        proj = F.aggregate(
-            F.zip_with(
-                v,
-                F.sequence(F.lit(0), F.size(v) - 1),
-                lambda x, d: x
-                * (
-                    (F.xxhash64(F.lit(p), d).cast("double") / F.lit(float(2**63)))
+        if planes is not None:
+            proj = _lit_dot(v, planes[p])
+        else:
+            proj = F.aggregate(
+                F.zip_with(
+                    v,
+                    F.sequence(F.lit(0), F.size(v) - 1),
+                    lambda x, d: x
+                    * (
+                        (F.xxhash64(F.lit(p), d).cast("double") / F.lit(float(2**63)))
+                    ),
                 ),
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
         return F.when(proj >= 0, F.lit(1)).otherwise(F.lit(0)).cast("long")
 
     sketch = F.lit(0).cast("long")

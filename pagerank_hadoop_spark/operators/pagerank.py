@@ -223,14 +223,24 @@ def _pagerank_loop(
     # iteration. The mass is a 1-row aggregate broadcast back via
     # crossJoin — kept lazy (a per-iteration collect() would re-execute
     # the whole lineage from scratch every iteration).
+    #
+    # Unlike the parity loop, each iteration consumes `ranks` TWICE
+    # (contribution fan-out + dangling-mass sum), so without a barrier
+    # the lineage doubles per iteration (2^k plan blowup between
+    # checkpoints — measured as a 100-exchange final plan at k=4).
+    # A lazy localCheckpoint per iteration bounds the plan to one
+    # iteration's shape; the final action materializes the chain in
+    # order, which is exactly the per-iteration work anyway.
+    # The dangling-vertex set is a static property of the adjacency —
+    # compute the id list once, not from the per-iteration join.
+    dangling = adjacency.where(outdeg == 0).select("id")
     ranks = adjacency.select("id", F.lit(1.0 / n).alias("rank"))
     for i in range(n_iter):
-        joined = adjacency.join(ranks, "id")
-        contribs = joined.select(
+        contribs = adjacency.join(ranks, "id").select(
             F.explode("outlinks").alias("id"),
             (F.col("rank") / outdeg).alias("contrib"),
         )
-        extra_df = joined.where(outdeg == 0).agg(
+        extra_df = ranks.join(dangling, "id", "left_semi").agg(
             (F.lit(damping) * F.coalesce(F.sum("rank"), F.lit(0.0)) / n).alias("extra")
         )
         summed = contribs.groupBy("id").agg(F.sum("contrib").alias("insum"))
@@ -247,8 +257,8 @@ def _pagerank_loop(
                 ).alias("rank"),
             )
         )
-        if (i + 1) % checkpoint_interval == 0 and i + 1 < n_iter:
-            ranks = ranks.localCheckpoint(eager=True)
+        if i + 1 < n_iter:
+            ranks = ranks.localCheckpoint(eager=False)
 
     return ranks
 

@@ -102,16 +102,26 @@ def quality_micro(text: Column) -> Column:
     return F.floor(score * 1e6 + F.lit(0.5)).cast("bigint")
 
 
-def doc_fingerprint(text: Column, window: int = 8) -> Column:
+def doc_fingerprint(text: Column, window: int = 8, portable: bool = False) -> Column:
     """Rolling-hash document fingerprint (winnowing-style): min
     xxhash64 over character windows — a compact content id robust to
-    reordering-free edits at the margins."""
+    reordering-free edits at the margins. ``portable=True`` swaps the
+    window hash for a 60-bit md5 prefix that DuckDB reproduces
+    bitwise (the oracle-gated form; same min-over-windows math)."""
     cleaned = F.lower(F.regexp_replace(text, r"\s+", " "))
     count = F.greatest(F.length(cleaned) - F.lit(window - 1), F.lit(1))
-    grams = F.transform(
-        F.sequence(F.lit(1), count),
-        lambda i: F.xxhash64(F.substring(cleaned, i, window)),
-    )
+    if portable:
+        def h(i):
+            return F.conv(
+                F.substring(F.md5(F.substring(cleaned, i, window)), 1, 15),
+                16,
+                10,
+            ).cast("long")
+    else:
+        def h(i):
+            return F.xxhash64(F.substring(cleaned, i, window))
+
+    grams = F.transform(F.sequence(F.lit(1), count), h)
     return F.array_min(grams)
 
 

@@ -776,6 +776,29 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # [EXT] E3: embedding similarity top-k
 # ---------------------------------------------------------------------------
 
+def _seeded_gaussians(n: int, dim: int, seed: int) -> list[list[float]]:
+    """Seeded gaussian rows (hyperplanes / centroids) — generated ONCE
+    at import so the Spark query and the DuckDB oracle embed bitwise
+    identical literals (repr round-trips doubles exactly)."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    return [[float(x) for x in row] for row in rng.normal(size=(n, dim))]
+
+
+_ANN_DIM = 64  # embeddings.parquet vector length (driver testdata)
+_ANN_PLANES = _seeded_gaussians(12, _ANN_DIM, 42)
+_ANN_CENTROIDS = _seeded_gaussians(16, _ANN_DIM, 43)
+# PQ codebooks: m=8 subspaces × n_codes=16 × sub=8 dims
+_PQ_BOOKS = [_seeded_gaussians(16, 8, 44 + s) for s in range(8)]
+# embedding near-dup gate: 16 hyperplanes over the 64-dim vectors
+_EMB_DUP_PLANES = _seeded_gaussians(16, _ANN_DIM, 45)
+
+
+def _sql_dlist(xs: list[float]) -> str:
+    return "[" + ", ".join(repr(x) for x in xs) + "]::DOUBLE[]"
+
+
 @register(
     "cosine_topk",
     """
@@ -1027,6 +1050,64 @@ def q_simhash_fp_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", fp.alias("fp16"))
 
 
+def _emb_near_dup_lit_oracle_sql() -> str:
+    """DuckDB replica of embedding_near_dups(planes=…): 16-bit sign
+    bucket from the same literal hyperplanes over the planted corpus
+    (every vec_id % 5 == 0 duplicated at +1000000 with dim 0 nudged),
+    bucket-equality candidates, exact cosine ≥ 0.95."""
+    terms = " + ".join(
+        f"(CASE WHEN list_dot_product(v, {_sql_dlist(p)}) >= 0 "
+        f"THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(_EMB_DUP_PLANES)
+    )
+    return f"""
+    WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    corpus AS (
+      SELECT vec_id, v FROM emb
+      UNION ALL
+      SELECT vec_id + 1000000,
+             list_transform(v, (x, i) -> CASE WHEN i = 1 THEN x + 0.05 ELSE x END)
+      FROM emb WHERE vec_id % 5 = 0),
+    sk AS (SELECT vec_id, v, ({terms})::BIGINT AS bucket FROM corpus),
+    pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             list_dot_product(a.v, b.v) /
+               (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS cos
+      FROM sk a JOIN sk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+    SELECT id_a, id_b, ROUND(cos, 6) AS cosine
+    FROM pairs WHERE cos >= 0.95
+    """
+
+
+@register("embedding_near_dups_lit", _emb_near_dup_lit_oracle_sql())
+def q_embedding_near_dups_lit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2c hard gate: the embedding near-dup pipeline (sign-sketch
+    bucketing → intra-bucket exact cosine ≥ 0.95) hash-checked with
+    literal seeded hyperplanes; the xxhash64-plane production form
+    stays covered by embedding_near_dups (rows-only) + unit tests."""
+    from pagerank_hadoop_spark.operators.dedup import embedding_near_dups
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    dups = emb.where(F.col("vec_id") % 5 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: x + F.when(i == 0, F.lit(0.05)).otherwise(F.lit(0.0)),
+        ).alias("embedding"),
+    )
+    corpus = emb.unionByName(dups)
+    return (
+        embedding_near_dups(
+            corpus, "vec_id", "embedding", threshold=0.95,
+            planes=_EMB_DUP_PLANES,
+        )
+        .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+        .orderBy("id_a", "id_b")
+    )
+
+
 @register("embedding_near_dups")
 def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E2c: embedding-cosine near-dup pairs via random-hyperplane LSH
@@ -1085,27 +1166,6 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb, queries_df = _ann_inputs(spark, sf_dir)
     return ivf_topk(emb, queries_df, k=5).orderBy("q_id", F.desc("sim"), "vec_id")
-
-
-def _seeded_gaussians(n: int, dim: int, seed: int) -> list[list[float]]:
-    """Seeded gaussian rows (hyperplanes / centroids) — generated ONCE
-    at import so the Spark query and the DuckDB oracle embed bitwise
-    identical literals (repr round-trips doubles exactly)."""
-    import numpy as np
-
-    rng = np.random.default_rng(seed)
-    return [[float(x) for x in row] for row in rng.normal(size=(n, dim))]
-
-
-_ANN_DIM = 64  # embeddings.parquet vector length (driver testdata)
-_ANN_PLANES = _seeded_gaussians(12, _ANN_DIM, 42)
-_ANN_CENTROIDS = _seeded_gaussians(16, _ANN_DIM, 43)
-# PQ codebooks: m=8 subspaces × n_codes=16 × sub=8 dims
-_PQ_BOOKS = [_seeded_gaussians(16, 8, 44 + s) for s in range(8)]
-
-
-def _sql_dlist(xs: list[float]) -> str:
-    return "[" + ", ".join(repr(x) for x in xs) + "]::DOUBLE[]"
 
 
 _ANN_COSINE_SQL = (
@@ -1409,6 +1469,32 @@ def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     return docs.select("doc_id", doc_fingerprint(F.col("text")).alias("fingerprint"))
+
+
+@register(
+    "doc_fingerprints_md5",
+    r"""
+    SELECT doc_id,
+           list_min(list_transform(
+             generate_series(1, greatest(length(c) - 7, 1)),
+             i -> ('0x' || substr(md5(substr(c, i, 8)), 1, 15))::BIGINT)) AS fingerprint
+    FROM (SELECT doc_id, lower(regexp_replace(text, '\s+', ' ', 'g')) AS c
+          FROM documents)
+    """,
+)
+def q_doc_fingerprints_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4 hard gate: the winnowing fingerprint math (whitespace
+    normalize → 8-char window hashes → min) hash-checked via the
+    engine-portable md5 window hash; the xxhash64 production form is
+    the same expression and stays covered by doc_fingerprints +
+    unit tests."""
+    from pagerank_hadoop_spark.operators.text_analysis import doc_fingerprint
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        doc_fingerprint(F.col("text"), portable=True).alias("fingerprint"),
+    )
 
 
 # ---------------------------------------------------------------------------
