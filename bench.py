@@ -117,13 +117,15 @@ def main() -> None:
         "bpe_tokens",
         "packed_bins",
     ]
-    full_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"
-    )
-    with open(full_path, "w") as fh:
-        json.dump(
-            {"sf": sf, "n_queries": len(timings), "queries": timings}, fh
+    if not sys.argv[1:]:  # full-registry runs only: a named subset
+        # run must not clobber the full per-query record
+        full_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"
         )
+        with open(full_path, "w") as fh:
+            json.dump(
+                {"sf": sf, "n_queries": len(timings), "queries": timings}, fh
+            )
     print(
         json.dumps(
             {

@@ -565,22 +565,22 @@ def aggregate_messages(
     joined = edges.join(src_state, "src", how).join(
         dst_state, "dst", how
     )
-    parts = []
+    # both directions ride ONE explode over the joined triplets — a
+    # union of two projections would consume `joined` twice, doubling
+    # the whole upstream lineage in the physical plan (vertex state
+    # built 4x instead of 2x when it is itself derived)
+    pairs = []
     if to_dst is not None:
-        parts.append(
-            joined.select(
-                F.col("dst").alias("id"), to_dst.alias("__msg")
-            )
+        pairs.append(
+            F.struct(F.col("dst").alias("id"), to_dst.alias("__msg"))
         )
     if to_src is not None:
-        parts.append(
-            joined.select(
-                F.col("src").alias("id"), to_src.alias("__msg")
-            )
+        pairs.append(
+            F.struct(F.col("src").alias("id"), to_src.alias("__msg"))
         )
-    if not parts:
+    if not pairs:
         raise ValueError("at least one of to_dst/to_src is required")
-    msgs = parts[0]
-    for p in parts[1:]:
-        msgs = msgs.unionByName(p)
+    msgs = joined.select(F.explode(F.array(*pairs)).alias("__p")).select(
+        F.col("__p.id").alias("id"), F.col("__p.__msg").alias("__msg")
+    )
     return msgs.groupBy("id").agg(agg("__msg").alias("msg"))

@@ -409,25 +409,44 @@ def weighted_pagerank(
         adjacency = old.repartition(parts, "id").localCheckpoint(eager=True)
         old.unpersist()
 
+    # Sparse-rank loop, as the parity-mode uniform loop: a vertex with
+    # no incoming weighted mass holds exactly the teleport baseline,
+    # so `ranks_sparse` carries only message receivers and each
+    # iteration is ONE join (state onto adjacency) instead of a join
+    # plus a dense left-join-back. Identical values (oracle-pinned).
     teleport = (1.0 - damping) / n
-    ranks = adjacency.select("id", F.lit(1.0 / n).alias("rank"))
+    ranks_sparse: DataFrame | None = None
     for i in range(n_iter):
-        contribs = (
-            adjacency.join(ranks, "id")
-            .select(F.explode("outs").alias("o"), "rank")
+        if ranks_sparse is None:
+            src_ranks = adjacency.select(
+                "id", "outs", F.lit(1.0 / n).alias("rank")
+            )
+        else:
+            src_ranks = adjacency.join(ranks_sparse, "id", "left").select(
+                "id",
+                "outs",
+                F.coalesce("rank", F.lit(teleport)).alias("rank"),
+            )
+        contribs = src_ranks.select(
+            F.explode("outs").alias("o"), "rank"
+        ).select(
+            F.col("o.dst").alias("id"),
+            (F.col("rank") * F.col("o.wfrac")).alias("contrib"),
+        )
+        ranks_sparse = (
+            contribs.groupBy("id")
+            .agg(F.sum("contrib").alias("insum"))
             .select(
-                F.col("o.dst").alias("id"),
-                (F.col("rank") * F.col("o.wfrac")).alias("contrib"),
+                "id",
+                (F.lit(teleport) + F.lit(damping) * F.col("insum")).alias(
+                    "rank"
+                ),
             )
         )
-        summed = contribs.groupBy("id").agg(F.sum("contrib").alias("insum"))
-        ranks = adjacency.select("id").join(summed, "id", "left").select(
-            "id",
-            (
-                F.lit(teleport)
-                + F.lit(damping) * F.coalesce("insum", F.lit(0.0))
-            ).alias("rank"),
-        )
         if (i + 1) % checkpoint_interval == 0 and i + 1 < n_iter:
-            ranks = ranks.localCheckpoint(eager=True)
-    return ranks
+            ranks_sparse = ranks_sparse.localCheckpoint(eager=True)
+    if ranks_sparse is None:
+        return adjacency.select("id", F.lit(1.0 / n).alias("rank"))
+    return adjacency.select("id").join(ranks_sparse, "id", "left").select(
+        "id", F.coalesce("rank", F.lit(teleport)).alias("rank")
+    )
