@@ -907,3 +907,68 @@ def incremental_dedup(
         .distinct()
     )
     return survivors.join(near_hit_ids, id_col, "left_anti")
+
+
+# ---------------------------------------------------------------------------
+# E2d: cross-corpus line-level dedup (the C4/RefinedWeb curation pass)
+# ---------------------------------------------------------------------------
+
+def line_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    words_per_line: int = 10,
+) -> DataFrame:
+    """Corpus-wide exact line dedup: every repeated line keeps ONE
+    occurrence (lowest ``(doc_id, line_idx)``) and every other copy is
+    deleted from its document; documents are reassembled from their
+    surviving lines. The standard web-corpus boilerplate pass (C4
+    removed any 3-sentence span occurring more than once; RefinedWeb
+    dedups exact lines) — repeated nav/footer text otherwise dominates
+    a trained model's sample space.
+
+    Documents here have no newlines, so a "line" is a deterministic
+    ``words_per_line``-word chunk; with real text pass pre-split lines
+    through the same pipeline.
+
+    Scale shape: the DECISION never ships text — winners are
+    ``min(doc_id, line_idx)`` per md5(line) over (hash, id, idx) rows,
+    and survivors are a left-semi join back on (id, idx). Text moves
+    through exactly two content shuffles: the line explode's groupBy
+    for reassembly (partitioned by doc — the scan's own key) and
+    nothing else. Returns ``(doc_id, text)`` (documents whose every
+    line lost are dropped).
+    """
+    toks = F.split(F.lower(F.col(text_col)), " +")
+    n_chunks = F.floor((F.size(toks) + words_per_line - 1) / words_per_line).cast("int")
+    lines = docs.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), n_chunks - 1),
+                lambda i: F.struct(
+                    i.alias("line_idx"),
+                    F.array_join(
+                        F.slice(toks, i * words_per_line + 1, words_per_line), " "
+                    ).alias("line"),
+                ),
+            )
+        ).alias("l"),
+    ).select(id_col, F.col("l.line_idx").alias("line_idx"), F.col("l.line").alias("line"))
+    winners = (
+        lines.select(F.md5("line").alias("h"), id_col, "line_idx")
+        .groupBy("h")
+        .agg(F.min(F.struct(id_col, "line_idx")).alias("w"))
+        .select(F.col(f"w.{id_col}").alias(id_col), F.col("w.line_idx").alias("line_idx"))
+    )
+    kept = lines.join(winners, [id_col, "line_idx"], "left_semi")
+    return (
+        kept.groupBy(id_col)
+        .agg(F.array_sort(F.collect_list(F.struct("line_idx", "line"))).alias("ls"))
+        .select(
+            id_col,
+            F.array_join(
+                F.transform("ls", lambda s: s["line"]), " "
+            ).alias(text_col),
+        )
+    )

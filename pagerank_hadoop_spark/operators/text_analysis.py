@@ -419,3 +419,59 @@ def bpe_apply(
         "doc_id",
         encode(F.split(F.lower(F.col(text)), " +")).alias("syms"),
     )
+
+
+def bigram_lm_scores(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-self-trained bigram language-model score per document —
+    the classic perplexity-proxy quality signal (CCNet/Gopher filter
+    docs whose LM score is an outlier; a corpus-estimated bigram model
+    is the model-free version of that filter).
+
+    ``score(d) = mean over bigrams (a,b) of ln( C(a,b) / C(a,·) )``
+    with counts taken over the whole corpus. Word-soup and boilerplate
+    score near 0 (every bigram is common); incoherent token sequences
+    score very negative. Per-bigram log-probs are rounded to 6 dp and
+    summed as DECIMAL so the mean is independent of partition order
+    AND of last-ulp libm differences between engines.
+
+    Scale shape: the bigram explode feeds TWO partial-aggregated
+    counts (C(a,b) keyed on the pair, C(a,·) on the prefix) that are
+    vocabulary²-sized ≪ corpus; they join back onto the bigram stream
+    on their own keys (AQE broadcasts them when small). No text wider
+    than two tokens ever shuffles. Returns
+    ``(doc_id, n_bigrams, lm_score)``; single-token documents have no
+    bigrams and are absent.
+    """
+    toks = F.split(F.lower(F.col(text_col)), " +")
+    n = F.size(toks)
+    bg = docs.select(
+        F.col(id_col),
+        F.explode(
+            F.arrays_zip(
+                F.slice(toks, 1, n - 1), F.slice(toks, 2, n - 1)
+            )
+        ).alias("p"),
+    ).select(id_col, F.col("p.0").alias("a"), F.col("p.1").alias("b"))
+    cab = bg.groupBy("a", "b").agg(F.count(F.lit(1)).alias("cab"))
+    ca = bg.groupBy("a").agg(F.count(F.lit(1)).alias("ca"))
+    scored = (
+        bg.join(cab, ["a", "b"])
+        .join(ca, "a")
+        .select(
+            id_col,
+            F.round(
+                F.log(F.col("cab").cast("double") / F.col("ca")), 6
+            ).alias("lp"),
+        )
+    )
+    cnt = F.count(F.lit(1))
+    return scored.groupBy(id_col).agg(
+        cnt.alias("n_bigrams"),
+        F.round(
+            F.sum(F.col("lp").cast("decimal(38,6)")).cast("double") / cnt, 6
+        ).alias("lm_score"),
+    )

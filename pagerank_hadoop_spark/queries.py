@@ -1497,6 +1497,67 @@ def q_doc_fingerprints_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "line_dedup_docs",
+    """
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(lower(text), ' +') AS t FROM documents),
+    lines AS (
+      SELECT doc_id, u.i AS line_idx,
+             array_to_string(t[(u.i*10+1):(u.i*10+10)], ' ') AS line
+      FROM toks, UNNEST(range(0, (len(t)+9)//10)) AS u(i)),
+    ranked AS (
+      SELECT doc_id, line_idx, line,
+             ROW_NUMBER() OVER (PARTITION BY md5(line) ORDER BY doc_id, line_idx) AS rn
+      FROM lines)
+    SELECT doc_id, string_agg(line, ' ' ORDER BY line_idx) AS text
+    FROM ranked WHERE rn = 1 GROUP BY doc_id
+    """,
+)
+def q_line_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2d: corpus-wide exact line dedup (C4/RefinedWeb boilerplate
+    pass) — repeated 10-word lines keep their lowest (doc, idx)
+    occurrence; documents reassemble from surviving lines. The dedup
+    decision ships (md5, id, idx) only — never text
+    (operators.dedup.line_dedup)."""
+    from pagerank_hadoop_spark.operators.dedup import line_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    return line_dedup(docs).orderBy("doc_id")
+
+
+@register(
+    "bigram_lm_scores",
+    """
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(lower(text), ' +') AS t FROM documents),
+    bg AS (
+      SELECT doc_id, t[u.i] AS a, t[u.i + 1] AS b
+      FROM toks, UNNEST(range(1, len(t))) AS u(i)),
+    cab AS (SELECT a, b, COUNT(*) AS cab FROM bg GROUP BY a, b),
+    ca AS (SELECT a, COUNT(*) AS ca FROM bg GROUP BY a),
+    scored AS (
+      SELECT bg.doc_id, ROUND(ln(cab.cab::DOUBLE / ca.ca), 6) AS lp
+      FROM bg JOIN cab ON bg.a = cab.a AND bg.b = cab.b
+      JOIN ca ON bg.a = ca.a)
+    SELECT doc_id, COUNT(*) AS n_bigrams,
+           ROUND(CAST(SUM(CAST(lp AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*), 6) AS lm_score
+    FROM scored GROUP BY doc_id
+    """,
+)
+def q_bigram_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4: corpus-self-trained bigram LM score per document — the
+    perplexity-proxy quality filter (CCNet/Gopher shape), fully
+    relational: two vocabulary-sized count tables joined back onto
+    the bigram stream (operators.text_analysis.bigram_lm_scores)."""
+    from pagerank_hadoop_spark.operators.text_analysis import (
+        bigram_lm_scores,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return bigram_lm_scores(docs)
+
+
 # ---------------------------------------------------------------------------
 # Set operations + date/time kernel (relational completeness)
 # ---------------------------------------------------------------------------

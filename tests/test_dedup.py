@@ -232,3 +232,32 @@ def test_oph_end_to_end_dedup_finds_planted(spark):
     )
     pairs = {(r["id_a"], r["id_b"]) for r in _band_pairs(sigs, 64, 8).collect()}
     assert (5, 100) in pairs
+
+
+def test_line_dedup_removes_cross_doc_repeats(spark):
+    from pagerank_hadoop_spark.operators.dedup import line_dedup
+
+    # doc 1 and doc 2 share an identical 10-word "line"; doc 1 wins
+    # (lower doc_id). doc 3 is entirely a repeat of doc 1's line and
+    # vanishes. words_per_line=3 keeps the fixture readable.
+    rows = [
+        (1, "a b c d e f"),
+        (2, "a b c x y z"),
+        (3, "a b c"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r["text"]
+        for r in line_dedup(docs, words_per_line=3).collect()
+    }
+    assert out == {1: "a b c d e f", 2: "x y z"}
+
+
+def test_line_dedup_within_doc_repeat_keeps_first(spark):
+    from pagerank_hadoop_spark.operators.dedup import line_dedup
+
+    docs = spark.createDataFrame(
+        [(7, "p q r p q r s t u")], "doc_id long, text string"
+    )
+    out = line_dedup(docs, words_per_line=3).collect()
+    assert out[0]["text"] == "p q r s t u"

@@ -265,3 +265,32 @@ def test_bpe_apply_reproduces_training_tokenization(spark):
         r["doc_id"]: r["syms"] for r in bpe_apply(docs, merges).collect()
     }
     assert applied == trained
+
+
+def test_bigram_lm_scores_common_vs_rare(spark):
+    import math
+
+    from pagerank_hadoop_spark.operators.text_analysis import (
+        bigram_lm_scores,
+    )
+
+    # "x y" dominates x-prefixed bigrams; "x z" is the rare branch —
+    # doc 2's score must be lower, and the values must match the
+    # closed-form ln(C(a,b)/C(a,.)) means
+    rows = [
+        (1, "x y x y x y"),
+        (2, "x z"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in bigram_lm_scores(docs).collect()}
+    # corpus bigrams: doc1: (x,y) (y,x) (x,y) (y,x) (x,y); doc2: (x,z)
+    # C(x,.) = 4, C(x,y) = 3, C(x,z) = 1, C(y,.) = 2, C(y,x) = 2
+    lp_xy = round(math.log(3 / 4), 6)
+    lp_yx = round(math.log(2 / 2), 6)
+    lp_xz = round(math.log(1 / 4), 6)
+    exp1 = round((3 * lp_xy + 2 * lp_yx) / 5, 6)
+    assert out[1]["n_bigrams"] == 5
+    assert abs(out[1]["lm_score"] - exp1) < 1e-9
+    assert out[2]["n_bigrams"] == 1
+    assert abs(out[2]["lm_score"] - lp_xz) < 1e-9
+    assert out[2]["lm_score"] < out[1]["lm_score"]
