@@ -159,6 +159,13 @@ def triangle_count(edges: DataFrame) -> DataFrame:
         )
         .where(F.col("a") != F.col("b"))
         .distinct()
+        # materialize ONCE: the three join legs below are differently-
+        # aliased projections of this frame, which defeats Catalyst's
+        # ReusedExchange matching — without the checkpoint the scan +
+        # dedup shuffle runs three times (3 corpus passes at 100 TB;
+        # the canonical edge list is exactly the artifact a production
+        # triangle count persists)
+        .localCheckpoint(eager=True)
     )
     e1 = canon.select(F.col("a"), F.col("b"))
     e2 = canon.select(F.col("a").alias("b"), F.col("b").alias("c"))

@@ -3383,34 +3383,50 @@ def q_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_funnel_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E7b: ordered-sequence funnel (view → later click → later
-    purchase per user) by first-occurrence chaining — three
-    partial-aggregated groupBys and two broadcast-sized joins; the
-    event table is scanned per stage with the event-type filter
-    pushed to parquet."""
+    purchase per user) in ONE events scan + ONE per-user shuffle:
+    each user's (ts, type) events sort into an array and the
+    first-view / first-later-click / first-later-purchase chain is
+    array logic — versus the naive 3-stage join form, which scans the
+    event table 6× and shuffles 3× (a 100 TB funnel cannot afford
+    per-stage re-scans). Per-user state is that user's event list —
+    the standard sessionization bound."""
     ev = _events(spark, sf_dir)
-    v = (
-        ev.where(F.col("event_type") == "view")
+    per_user = (
+        ev.where(F.col("event_type").isin("view", "click", "purchase"))
         .groupBy("user_id")
-        .agg(F.min("ts").alias("t0"))
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("ts", "event_type"))
+            ).alias("evs")
+        )
     )
-    c = (
-        ev.where(F.col("event_type") == "click")
-        .join(v, "user_id")
-        .where(F.col("ts") > F.col("t0"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t1"))
+
+    def first_ts(pred):
+        return F.get(F.filter(F.col("evs"), pred), 0)["ts"]
+
+    chained = (
+        per_user.withColumn(
+            "t0", first_ts(lambda e: e["event_type"] == "view")
+        )
+        .withColumn(
+            "t1",
+            first_ts(
+                lambda e: (e["event_type"] == "click")
+                & (e["ts"] > F.col("t0"))
+            ),
+        )
+        .withColumn(
+            "t2",
+            first_ts(
+                lambda e: (e["event_type"] == "purchase")
+                & (e["ts"] > F.col("t1"))
+            ),
+        )
     )
-    p = (
-        ev.where(F.col("event_type") == "purchase")
-        .join(c, "user_id")
-        .where(F.col("ts") > F.col("t1"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t2"))
-    )
-    return (
-        v.agg(F.count(F.lit(1)).alias("n_view"))
-        .crossJoin(c.agg(F.count(F.lit(1)).alias("n_view_click")))
-        .crossJoin(p.agg(F.count(F.lit(1)).alias("n_full_funnel")))
+    return chained.agg(
+        F.count("t0").alias("n_view"),
+        F.count("t1").alias("n_view_click"),
+        F.count("t2").alias("n_full_funnel"),
     )
 
 
