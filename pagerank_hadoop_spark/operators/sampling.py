@@ -130,7 +130,14 @@ def mixture_rebalance(
     double expression so the DuckDB oracle computes bit-identical
     thresholds.
     """
-    mass = df.groupBy(stratum_col).agg(F.sum(weight_col).alias("__mass"))
+    # one row per source — pin it: it feeds both the total rollup and
+    # the fraction table, and unpinned each consumer re-runs the
+    # corpus-sized aggregate (two extra 100 TB scans)
+    mass = (
+        df.groupBy(stratum_col)
+        .agg(F.sum(weight_col).alias("__mass"))
+        .localCheckpoint(eager=True)
+    )
     tot = mass.agg(
         F.sum("__mass").alias("__total"), F.count(F.lit(1)).alias("__k")
     )

@@ -456,8 +456,19 @@ def bigram_lm_scores(
             )
         ).alias("p"),
     ).select(id_col, F.col("p.0").alias("a"), F.col("p.1").alias("b"))
-    cab = bg.groupBy("a", "b").agg(F.count(F.lit(1)).alias("cab"))
-    ca = bg.groupBy("a").agg(F.count(F.lit(1)).alias("ca"))
+    # the pair-count table is vocabulary²-bounded (≪ corpus) — the
+    # trained "model". Materialize it once: it feeds the prefix
+    # rollup AND the score join, and without the pin each consumer
+    # re-runs the corpus-sized explode+count (3 corpus scans instead
+    # of 1; Catalyst does not CSE differently-consumed subplans).
+    cab = (
+        bg.groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("cab"))
+        .localCheckpoint(eager=True)
+    )
+    # prefix counts roll up from the PAIR counts, not from a second
+    # pass over the bigram stream — identical totals
+    ca = cab.groupBy("a").agg(F.sum("cab").alias("ca"))
     scored = (
         bg.join(cab, ["a", "b"])
         .join(ca, "a")

@@ -7613,6 +7613,9 @@ def q_message_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     edges = _pagerank_edges(spark, sf_dir).dropDuplicates(["src", "dst"])
     g = PropertyGraph.from_edges(edges)
+    # the derived vertex set feeds BOTH endpoint joins; pin it once so
+    # the union+distinct over the edge scan doesn't run twice
+    vertices = g.vertices.localCheckpoint(eager=True)
     return aggregate_messages(
-        g.vertices, edges, to_dst=F.lit(1), to_src=F.lit(1), agg=F.sum
+        vertices, edges, to_dst=F.lit(1), to_src=F.lit(1), agg=F.sum
     ).withColumn("msg", F.col("msg").cast("long"))
