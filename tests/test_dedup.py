@@ -261,3 +261,17 @@ def test_line_dedup_within_doc_repeat_keeps_first(spark):
     )
     out = line_dedup(docs, words_per_line=3).collect()
     assert out[0]["text"] == "p q r s t u"
+
+
+def test_line_dedup_idempotent_on_testdata(spark, sf_dir):
+    from pagerank_hadoop_spark.operators.dedup import line_dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    once = line_dedup(docs).localCheckpoint(eager=True)
+    twice = line_dedup(once)
+    # a fixpoint: after removal every surviving line is unique
+    # corpus-wide, so a second pass must change nothing
+    assert once.count() == twice.count()
+    assert once.exceptAll(twice).count() == 0

@@ -426,3 +426,53 @@ def test_checkpoint_recovery_exactly_once(spark, tmp_path):
     rows = spark.read.parquet(out)
     assert rows.count() == 6
     assert rows.select("event_id").distinct().count() == 6
+
+
+def test_cdc_state_versions_pruned_and_marker_atomic(spark, tmp_path):
+    import os
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pagerank_hadoop_spark.streaming.windows import (
+        cdc_apply_to_parquet,
+        read_cdc_state,
+    )
+
+    schema = pa.schema(
+        [("event_id", pa.int64()), ("ts", pa.int64()),
+         ("user_id", pa.int64()), ("v", pa.string())]
+    )
+    src = tmp_path / "src"
+    src.mkdir()
+    now = time.time()
+    for i in range(4):
+        p = src / f"b{i}.parquet"
+        pq.write_table(
+            pa.table(
+                {"event_id": [i], "ts": [i], "user_id": [1], "v": [f"v{i}"]},
+                schema=schema,
+            ),
+            p,
+        )
+        os.utime(p, (now + 10 * i, now + 10 * i))
+    stream = (
+        spark.readStream.schema("event_id long, ts long, user_id long, v string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    state = str(tmp_path / "state")
+    cdc_apply_to_parquet(
+        stream, state, str(tmp_path / "ck"),
+        key_cols=["user_id"], order_cols=["ts", "event_id"],
+    )
+    assert read_cdc_state(spark, state).collect()[0]["v"] == "v3"
+    # superseded versions pruned: only the replay predecessor and the
+    # current version may remain (not one dir per batch)
+    vdirs = sorted(d for d in os.listdir(state) if d.startswith("v"))
+    assert len(vdirs) <= 2, vdirs
+    # marker holds a clean integer and no orphaned temp file remains
+    with open(os.path.join(state, "_LATEST")) as fh:
+        int(fh.read())
+    assert not os.path.exists(os.path.join(state, "_LATEST.tmp"))
