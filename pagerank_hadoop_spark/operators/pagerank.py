@@ -211,8 +211,11 @@ def _pagerank_loop(
                 )
             )
             if (i + 1) % checkpoint_interval == 0 and i + 1 < n_iter:
-                # truncate lineage so the plan doesn't grow unboundedly
-                ranks_sparse = ranks_sparse.localCheckpoint(eager=True)
+                # truncate lineage so the plan doesn't grow unboundedly;
+                # LAZY: the final action materializes the chain in order
+                # anyway, and an eager barrier here costs one extra
+                # synchronous job round-trip per interval
+                ranks_sparse = ranks_sparse.localCheckpoint(eager=False)
         if ranks_sparse is None:
             return adjacency.select("id", F.lit(1.0 / n).alias("rank"))
         return adjacency.select("id").join(ranks_sparse, "id", "left").select(
