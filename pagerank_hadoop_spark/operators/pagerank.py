@@ -350,7 +350,7 @@ def personalized_pagerank(
             .agg(F.sum("rank").alias("rank"))
         )
         if (i + 1) % checkpoint_interval == 0 and i + 1 < n_iter:
-            ranks = ranks.localCheckpoint(eager=True)
+            ranks = ranks.localCheckpoint(eager=False)
     return ranks
 
 
@@ -447,7 +447,7 @@ def weighted_pagerank(
             )
         )
         if (i + 1) % checkpoint_interval == 0 and i + 1 < n_iter:
-            ranks_sparse = ranks_sparse.localCheckpoint(eager=True)
+            ranks_sparse = ranks_sparse.localCheckpoint(eager=False)
     if ranks_sparse is None:
         return adjacency.select("id", F.lit(1.0 / n).alias("rank"))
     return adjacency.select("id").join(ranks_sparse, "id", "left").select(
