@@ -3239,6 +3239,79 @@ def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "near_dup_clusters_blocked",
+    """
+    WITH RECURSIVE docs AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, text || ' near dup tail'
+      FROM documents WHERE doc_id % 3 = 0),
+    keyed AS (
+      SELECT doc_id, substr(lower(text), 1, 40) AS k,
+             list_distinct(list_transform(
+               generate_series(1, greatest(length(lower(text)) - 4, 1)),
+               i -> substr(lower(text), i, 5))) AS grams
+      FROM docs),
+    pairs AS (
+      SELECT a.doc_id AS ida, b.doc_id AS idb
+      FROM keyed a JOIN keyed b ON a.k = b.k AND a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+            / len(list_distinct(list_concat(a.grams, b.grams))) >= 0.8),
+    sym(src, dst) AS (SELECT ida, idb FROM pairs UNION SELECT idb, ida FROM pairs),
+    reach(id, r) AS (
+      SELECT src, src FROM sym
+      UNION
+      SELECT s.dst, reach.r FROM reach JOIN sym s ON s.src = reach.id),
+    comp AS (SELECT id, MIN(r) AS component FROM reach GROUP BY id)
+    SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS cluster
+    FROM docs d LEFT JOIN comp c ON d.doc_id = c.id
+    """,
+)
+def q_near_dup_clusters_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2 hard gate: transitive near-dup clustering end to end —
+    candidate pairs from a SQL-expressible blocking key (shared
+    40-char prefix; the planted dups append a tail, so every planted
+    pair blocks together), exact 5-gram Jaccard ≥ 0.8 confirm, then
+    connected components with min-id canonical labels, hash-checked
+    against a recursive-CTE closure. Gates the same clustering
+    operator the xxhash64-LSH path feeds (near_dup_clusters)."""
+    from pagerank_hadoop_spark.operators.dedup import (
+        near_dup_clusters,
+        raw_shingles,
+    )
+
+    corpus = _near_dup_corpus(spark, sf_dir)
+    keyed = corpus.select(
+        "doc_id",
+        F.substring(F.lower("text"), 1, 40).alias("k"),
+        raw_shingles(F.col("text"), 5).alias("grams"),
+    )
+    a = keyed.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("k").alias("ka"),
+        F.col("grams").alias("ga"),
+    )
+    b = keyed.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("k").alias("kb"),
+        F.col("grams").alias("gb"),
+    )
+    jac = (
+        F.size(F.array_intersect("ga", "gb")).cast("double")
+        / F.size(F.array_union("ga", "gb"))
+    )
+    pairs = (
+        a.join(b, (F.col("ka") == F.col("kb")) & (F.col("id_a") < F.col("id_b")))
+        .where(jac >= 0.8)
+        .select("id_a", "id_b")
+    )
+    clusters = near_dup_clusters(corpus, pairs=pairs)
+    return clusters.select(
+        F.col("id").alias("doc_id"), "cluster"
+    ).orderBy("doc_id")
+
+
 @register("pq_topk")
 def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E3b: product-quantization ANN (operators.similarity.pq_topk:
@@ -5662,6 +5735,92 @@ def q_incremental_dedup_admits(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = incremental_dedup(corpus, batch, "doc_id", "text")
     return out.select("doc_id").orderBy("doc_id")
+
+
+@register(
+    "incremental_dedup_blocked",
+    """
+    WITH docs AS (SELECT doc_id, text FROM documents),
+    corpus AS (SELECT doc_id, text FROM docs WHERE doc_id % 10 != 0),
+    batch AS (
+      SELECT doc_id, text FROM docs WHERE doc_id % 10 = 0
+      UNION ALL
+      SELECT doc_id + 2000000, text FROM corpus WHERE doc_id % 30 = 1
+      UNION ALL
+      SELECT doc_id + 3000000, text || ' near dup tail'
+      FROM corpus WHERE doc_id % 30 = 2),
+    surv AS (
+      SELECT b.doc_id, b.text FROM batch b
+      WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.text = b.text)),
+    kb AS (SELECT doc_id, substr(lower(text), 1, 40) AS k,
+             list_distinct(list_transform(
+               generate_series(1, greatest(length(lower(text)) - 4, 1)),
+               i -> substr(lower(text), i, 5))) AS grams
+           FROM surv),
+    kc AS (SELECT substr(lower(text), 1, 40) AS k,
+             list_distinct(list_transform(
+               generate_series(1, greatest(length(lower(text)) - 4, 1)),
+               i -> substr(lower(text), i, 5))) AS grams
+           FROM corpus),
+    hits AS (
+      SELECT DISTINCT kb.doc_id FROM kb JOIN kc ON kb.k = kc.k
+      WHERE CAST(len(list_intersect(kb.grams, kc.grams)) AS DOUBLE)
+            / len(list_distinct(list_concat(kb.grams, kc.grams))) >= 0.8)
+    SELECT s.doc_id FROM surv s
+    WHERE s.doc_id NOT IN (SELECT doc_id FROM hits)
+    """,
+)
+def q_incremental_dedup_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1/E2 hard gate: the incremental admit pipeline's semantics
+    (exact-text screen → batch×corpus near-dup screen → admit) with a
+    SQL-expressible blocking stage in place of the xxhash64 LSH index,
+    hash-checked end to end. Same planted fixture as
+    incremental_dedup_admits: exact copies and near copies of corpus
+    docs must be rejected, genuinely-new rows admitted. The asymmetric
+    shape holds — the corpus joins only through its (prefix, grams)
+    index, never corpus×corpus."""
+    from pagerank_hadoop_spark.operators.dedup import raw_shingles
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.where(F.col("doc_id") % 10 != 0)
+    batch = (
+        docs.where(F.col("doc_id") % 10 == 0)
+        .unionByName(
+            corpus.where(F.col("doc_id") % 30 == 1).select(
+                (F.col("doc_id") + 2000000).alias("doc_id"), "text"
+            )
+        )
+        .unionByName(
+            corpus.where(F.col("doc_id") % 30 == 2).select(
+                (F.col("doc_id") + 3000000).alias("doc_id"),
+                F.concat("text", F.lit(" near dup tail")).alias("text"),
+            )
+        )
+    )
+    surv = batch.join(
+        corpus.select("text").distinct(), "text", "left_anti"
+    )
+    kb = surv.select(
+        "doc_id",
+        F.substring(F.lower("text"), 1, 40).alias("k"),
+        raw_shingles(F.col("text"), 5).alias("gb"),
+    )
+    kc = corpus.select(
+        F.substring(F.lower("text"), 1, 40).alias("k"),
+        raw_shingles(F.col("text"), 5).alias("gc"),
+    )
+    jac = (
+        F.size(F.array_intersect("gb", "gc")).cast("double")
+        / F.size(F.array_union("gb", "gc"))
+    )
+    hits = (
+        kb.join(kc, "k").where(jac >= 0.8).select("doc_id").distinct()
+    )
+    return (
+        surv.join(hits, "doc_id", "left_anti")
+        .select("doc_id")
+        .orderBy("doc_id")
+    )
 
 
 @register(
