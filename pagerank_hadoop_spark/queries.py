@@ -3256,7 +3256,9 @@ def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs AS (
       SELECT a.doc_id AS ida, b.doc_id AS idb
       FROM keyed a JOIN keyed b ON a.k = b.k AND a.doc_id < b.doc_id
-      WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+      WHERE CAST(least(len(a.grams), len(b.grams)) AS DOUBLE)
+            / greatest(len(a.grams), len(b.grams)) >= 0.8
+        AND CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
             / len(list_distinct(list_concat(a.grams, b.grams))) >= 0.8),
     sym(src, dst) AS (SELECT ida, idb FROM pairs UNION SELECT idb, ida FROM pairs),
     reach(id, r) AS (
@@ -3278,15 +3280,29 @@ def q_near_dup_clusters_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     operator the xxhash64-LSH path feeds (near_dup_clusters)."""
     from pagerank_hadoop_spark.operators.dedup import (
         near_dup_clusters,
-        raw_shingles,
+        shingles,
     )
 
     corpus = _near_dup_corpus(spark, sf_dir)
+    # hashed shingles, not raw strings: jaccard only needs SET SIZES,
+    # which are identical for grams and their (collision-free at these
+    # sizes) xxhash64 images — int-array intersects are ~3x cheaper
+    # and nothing wider than 8 bytes/gram rides the broadcast. The
+    # oracle keeps raw grams; the sizes agree. (Texts are pre-trimmed,
+    # so shingles()' trim matches the oracle's un-trimmed lower().)
+    # pin: both join sides read this frame, and the shingle transform
+    # is an interpreted higher-order function (no codegen) — the
+    # dominant cost of the whole gate if evaluated once per side.
+    # _spread first: the documents table arrives as 1-2 parquet
+    # splits, which would serialize the per-doc shingling on 2 cores
+    from pagerank_hadoop_spark.operators.dedup import _spread
+
+    corpus = _spread(corpus)
     keyed = corpus.select(
         "doc_id",
         F.substring(F.lower("text"), 1, 40).alias("k"),
-        raw_shingles(F.col("text"), 5).alias("grams"),
-    )
+        shingles(F.col("text"), 5).alias("grams"),
+    ).localCheckpoint(eager=True)
     a = keyed.select(
         F.col("doc_id").alias("id_a"),
         F.col("k").alias("ka"),
@@ -3297,14 +3313,24 @@ def q_near_dup_clusters_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("k").alias("kb"),
         F.col("grams").alias("gb"),
     )
+    # size-ratio prefilter: J(A,B) ≤ min(|A|,|B|)/max(|A|,|B|) for
+    # sets, so the cheap integer-ratio test prunes most in-block
+    # pairs before the O(|A|+|B|) intersect — the standard
+    # similarity-join length filter, exact in both engines
+    sa, sb = F.size("ga"), F.size("gb")
+    size_ok = F.least(sa, sb).cast("double") / F.greatest(sa, sb) >= 0.8
     jac = (
         F.size(F.array_intersect("ga", "gb")).cast("double")
         / F.size(F.array_union("ga", "gb"))
     )
+    # pin the confirmed-pair artifact: connected_components consumes
+    # its edge input several times (count, symmetrize+checkpoint) and
+    # would otherwise re-run the whole block-join lineage per consumer
     pairs = (
         a.join(b, (F.col("ka") == F.col("kb")) & (F.col("id_a") < F.col("id_b")))
-        .where(jac >= 0.8)
+        .where(size_ok & (jac >= 0.8))
         .select("id_a", "id_b")
+        .localCheckpoint(eager=True)
     )
     clusters = near_dup_clusters(corpus, pairs=pairs)
     return clusters.select(
@@ -5764,7 +5790,9 @@ def q_incremental_dedup_admits(spark: SparkSession, sf_dir: str) -> DataFrame:
            FROM corpus),
     hits AS (
       SELECT DISTINCT kb.doc_id FROM kb JOIN kc ON kb.k = kc.k
-      WHERE CAST(len(list_intersect(kb.grams, kc.grams)) AS DOUBLE)
+      WHERE CAST(least(len(kb.grams), len(kc.grams)) AS DOUBLE)
+            / greatest(len(kb.grams), len(kc.grams)) >= 0.8
+        AND CAST(len(list_intersect(kb.grams, kc.grams)) AS DOUBLE)
             / len(list_distinct(list_concat(kb.grams, kc.grams))) >= 0.8)
     SELECT s.doc_id FROM surv s
     WHERE s.doc_id NOT IN (SELECT doc_id FROM hits)
@@ -5779,7 +5807,7 @@ def q_incremental_dedup_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs must be rejected, genuinely-new rows admitted. The asymmetric
     shape holds — the corpus joins only through its (prefix, grams)
     index, never corpus×corpus."""
-    from pagerank_hadoop_spark.operators.dedup import raw_shingles
+    from pagerank_hadoop_spark.operators.dedup import shingles
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     corpus = docs.where(F.col("doc_id") % 10 != 0)
@@ -5800,21 +5828,30 @@ def q_incremental_dedup_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     surv = batch.join(
         corpus.select("text").distinct(), "text", "left_anti"
     )
-    kb = surv.select(
+    from pagerank_hadoop_spark.operators.dedup import _spread
+
+    # hashed shingles (see near_dup_clusters_blocked): jaccard uses
+    # set sizes only, xxhash64 images preserve them
+    kb = _spread(surv).select(
         "doc_id",
         F.substring(F.lower("text"), 1, 40).alias("k"),
-        raw_shingles(F.col("text"), 5).alias("gb"),
+        shingles(F.col("text"), 5).alias("gb"),
     )
-    kc = corpus.select(
+    kc = _spread(corpus).select(
         F.substring(F.lower("text"), 1, 40).alias("k"),
-        raw_shingles(F.col("text"), 5).alias("gc"),
+        shingles(F.col("text"), 5).alias("gc"),
     )
+    sb_, sc_ = F.size("gb"), F.size("gc")
+    size_ok = F.least(sb_, sc_).cast("double") / F.greatest(sb_, sc_) >= 0.8
     jac = (
         F.size(F.array_intersect("gb", "gc")).cast("double")
         / F.size(F.array_union("gb", "gc"))
     )
     hits = (
-        kb.join(kc, "k").where(jac >= 0.8).select("doc_id").distinct()
+        kb.join(kc, "k")
+        .where(size_ok & (jac >= 0.8))
+        .select("doc_id")
+        .distinct()
     )
     return (
         surv.join(hits, "doc_id", "left_anti")
