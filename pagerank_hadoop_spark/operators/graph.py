@@ -591,3 +591,90 @@ def aggregate_messages(
         F.col("__p.id").alias("id"), F.col("__p.__msg").alias("__msg")
     )
     return msgs.groupBy("id").agg(agg("__msg").alias("msg"))
+
+
+def label_propagation(edges: DataFrame, max_iter: int = 3) -> DataFrame:
+    """Synchronous label propagation (community detection) — the
+    GraphFrames ``labelPropagation`` surface: every vertex starts in
+    its own community and each round adopts the most frequent label
+    among its neighbors. Returns ``(id, label)`` after ``max_iter``
+    rounds (LPA oscillates rather than converges — GraphX/GraphFrames
+    run a fixed ``maxSteps`` too, so a fixed round count IS the
+    reference semantics, and it makes the unrolled-CTE oracle exact).
+
+    Determinism: ties break by (count desc, label asc) — a pure
+    function of the graph, unlike GraphX's hash-partition-dependent
+    tie-break. Per round: one partial-aggregated (dst, label) count
+    shuffle + a per-vertex top-1 window; only (id, label) pairs ever
+    shuffle. Every vertex of the symmetrized edge list has ≥1
+    neighbor, so the per-round argmax covers the whole vertex set.
+    """
+    from pagerank_hadoop_spark.operators.pagerank import _iter_partitions
+    from pyspark.sql.window import Window
+
+    shuffle_parts = int(
+        edges.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    parts = _iter_partitions(2 * edges.count(), shuffle_parts)
+    sym = edges.select("src", "dst").unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    sym = sym.repartition(parts, "src").localCheckpoint(eager=True)
+
+    labels = (
+        sym.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    w = Window.partitionBy("id").orderBy(F.desc("cnt"), F.asc("label"))
+    for i in range(max_iter):
+        freq = (
+            sym.join(labels, sym.src == labels.id)
+            .groupBy(F.col("dst").alias("id"), "label")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        labels = (
+            freq.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .select("id", "label")
+            .localCheckpoint(eager=False)
+        )
+    return labels
+
+
+def bipartite_project(
+    edges: DataFrame,
+    max_degree: int | None = 1000,
+) -> DataFrame:
+    """Project a bipartite graph ``(src, dst)`` onto its src side:
+    ``(src_a, src_b, weight)`` with ``src_a < src_b`` and weight = the
+    number of shared dst neighbors — the co-occurrence graph builder
+    (parts co-supplied by a supplier, docs sharing a term, users
+    co-clicking an item).
+
+    Scale shape: one self-join keyed on ``dst`` after a distinct —
+    output is Σ_d C(deg(d), 2) pairs, so hub dsts explode
+    quadratically. ``max_degree`` drops dsts above the cap BEFORE the
+    join (the standard projection guard: a dst shared by everyone
+    carries no co-occurrence signal and C(10^6, 2) pairs of cost);
+    pass ``None`` to keep all. AQE's skew split handles the surviving
+    moderate hubs.
+    """
+    e = edges.select("src", "dst").distinct()
+    if max_degree is not None:
+        ok = (
+            e.groupBy("dst")
+            .agg(F.count(F.lit(1)).alias("__deg"))
+            .where(F.col("__deg") <= max_degree)
+            .select("dst")
+        )
+        e = e.join(ok, "dst", "left_semi")
+    a = e.select(F.col("src").alias("src_a"), "dst")
+    b = e.select(F.col("src").alias("src_b"), "dst")
+    return (
+        a.join(b, "dst")
+        .where(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).alias("weight"))
+    )

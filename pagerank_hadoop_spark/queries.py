@@ -3338,6 +3338,85 @@ def q_near_dup_clusters_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def _lpa_oracle_sql(rounds: int = 3) -> str:
+    """Unrolled-round oracle for synchronous label propagation over
+    the part–supplier graph: per round, each vertex takes the most
+    frequent neighbor label, ties broken (count desc, label asc)."""
+    ctes = [
+        f"e AS ({_PAGERANK_EDGES_SQL})",
+        "sym AS (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e)",
+        "l0 AS (SELECT DISTINCT src AS id FROM sym)",
+        "r0 AS (SELECT id, id AS label FROM l0)",
+    ]
+    for i in range(1, rounds + 1):
+        ctes.append(
+            f"r{i} AS (SELECT id, label FROM ("
+            f"SELECT s.dst AS id, l.label, "
+            f"ROW_NUMBER() OVER (PARTITION BY s.dst "
+            f"ORDER BY COUNT(*) DESC, l.label) AS rn "
+            f"FROM sym s JOIN r{i-1} l ON s.src = l.id "
+            f"GROUP BY s.dst, l.label) WHERE rn = 1)"
+        )
+    return "WITH " + ",\n".join(ctes) + f"\nSELECT id, label FROM r{rounds}"
+
+
+@register("label_propagation_communities", _lpa_oracle_sql(3))
+def q_label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph [EXT]: synchronous label propagation (community
+    detection; the GraphFrames labelPropagation surface) — 3 fixed
+    rounds over the part–supplier graph with deterministic
+    (count desc, label asc) tie-breaking, hash-checked against the
+    unrolled per-round argmax (operators.graph.label_propagation)."""
+    from pagerank_hadoop_spark.operators.graph import label_propagation
+
+    # dedup to match the oracle's DISTINCT edge list: the operator
+    # keeps multigraph semantics (duplicate edges weight the vote)
+    edges = _pagerank_edges(spark, sf_dir).dropDuplicates(["src", "dst"])
+    return label_propagation(edges, max_iter=3).orderBy("id")
+
+
+@register(
+    "co_supplier_projection",
+    f"""
+    WITH e AS ({_PAGERANK_EDGES_SQL}),
+    deg AS (SELECT src FROM e GROUP BY src HAVING COUNT(*) <= 1000),
+    e2 AS (SELECT e.dst AS s, e.src AS p FROM e JOIN deg ON e.src = deg.src)
+    SELECT s_a, s_b, weight FROM (
+      SELECT a.s AS s_a, b.s AS s_b, COUNT(*) AS weight,
+             ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, a.s, b.s) AS rn
+      FROM e2 a JOIN e2 b ON a.p = b.p AND a.s < b.s
+      GROUP BY a.s, b.s) WHERE rn <= 100
+    """,
+)
+def q_co_supplier_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph [EXT]: bipartite projection — the co-occurrence graph
+    builder (operators.graph.bipartite_project): suppliers linked by
+    the number of parts they both supply, keyed on the LOW-degree side
+    (parts: a handful of suppliers each), with the hub guard capping
+    join-key degree. Top-100 strongest pairs, deterministic
+    tie-break."""
+    from pagerank_hadoop_spark.operators.graph import bipartite_project
+    from pyspark.sql.window import Window
+
+    # bipartite (supplier → part): project supplier side over shared
+    # parts — src/dst flipped from the pagerank orientation so the
+    # join keys on the low-degree part side
+    edges = _pagerank_edges(spark, sf_dir).select(
+        F.col("dst").alias("src"), F.col("src").alias("dst")
+    )
+    proj = bipartite_project(edges, max_degree=1000)
+    w = Window.orderBy(F.desc("weight"), "src_a", "src_b")
+    return (
+        proj.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= 100)
+        .select(
+            F.col("src_a").alias("s_a"),
+            F.col("src_b").alias("s_b"),
+            "weight",
+        )
+    )
+
+
 @register("pq_topk")
 def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E3b: product-quantization ANN (operators.similarity.pq_topk:

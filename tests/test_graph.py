@@ -308,3 +308,48 @@ def test_aggregate_messages_drops_missing_endpoints(spark):
         ).collect()
     }
     assert loose == {"b": 1, "ghost": 1}
+
+
+def test_label_propagation_two_cliques(spark):
+    from pyspark.sql import functions as F
+
+    from pagerank_hadoop_spark.operators.graph import label_propagation
+
+    # two triangles joined by nothing: each collapses to one community
+    tri = lambda a, b, c: [(a, b), (b, c), (a, c)]
+    edges = spark.createDataFrame(
+        tri("a", "b", "c") + tri("x", "y", "z"), "src string, dst string"
+    )
+    out = {r.id: r.label for r in label_propagation(edges, max_iter=4).collect()}
+    assert len({out["a"], out["b"], out["c"]}) == 1
+    assert len({out["x"], out["y"], out["z"]}) == 1
+    assert out["a"] != out["x"]
+
+
+def test_bipartite_project_weights_and_hub_guard(spark):
+    from pagerank_hadoop_spark.operators.graph import bipartite_project
+
+    # u1,u2 share items i1,i2 (weight 2); u3 shares only i2 with them;
+    # hub item h touches everyone and must be dropped by max_degree=2
+    edges = spark.createDataFrame(
+        [
+            ("u1", "i1"), ("u2", "i1"),
+            ("u1", "i2"), ("u2", "i2"), ("u3", "i2"),
+            ("u1", "h"), ("u2", "h"), ("u3", "h"), ("u4", "h"),
+        ],
+        "src string, dst string",
+    )
+    got = {
+        (r.src_a, r.src_b): r.weight
+        for r in bipartite_project(edges, max_degree=3).collect()
+    }
+    # i2 has degree 3 (kept), h degree 4 (dropped)
+    assert got == {
+        ("u1", "u2"): 2, ("u1", "u3"): 1, ("u2", "u3"): 1,
+    }
+    # without the guard, h contributes pairs for every user combo
+    full = {
+        (r.src_a, r.src_b): r.weight
+        for r in bipartite_project(edges, max_degree=None).collect()
+    }
+    assert full[("u1", "u4")] == 1 and full[("u1", "u2")] == 3
