@@ -48,7 +48,7 @@ def register(name: str, oracle: str | None = None):
     return deco
 
 
-def _driver_checked_names() -> set[str]:
+def _driver_checked_names(root: str | None = None) -> set[str]:
     """Names already hash-verified by the driver in a prior round.
 
     The driver's correctness gate records only the FIRST 50 registry
@@ -61,7 +61,7 @@ def _driver_checked_names() -> set[str]:
     import glob
     import json
 
-    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    repo = root or os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     done: set[str] = set()
     for path in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):
         try:

@@ -47,3 +47,33 @@ def test_cli_writes_ordered_snapshots(spark, tmp_path):
         assert rows[0][0] == "Hub"  # the only page above 5/N, or at least top
     pq = spark.read.parquet(str(out / "pagerank_iter8.parquet"))
     assert pq.columns == ["id", "rank"]
+
+
+def test_registry_rotation_prefers_unchecked_oracle_backed(tmp_path):
+    """The driver records only the first 50 registry entries, so
+    queries() must order: never-hash-checked oracle-backed first,
+    already-checked after, rows-only last — and rotate as new
+    CORRECTNESS_r*.json rounds land."""
+    import json
+
+    from pagerank_hadoop_spark import queries as Q
+
+    names = list(Q.queries())
+    oracles = Q.oracle_sql()
+    done = Q._driver_checked_names()
+    ranks = [
+        2 if n not in oracles else (1 if n in done else 0) for n in names
+    ]
+    assert ranks == sorted(ranks), "registry must be grouped 0<1<2"
+
+    # simulate a new round's record: its hash-matched names must parse
+    some = [n for n in names if n in oracles][:3]
+    rec = {n: {"hash_match": True, "rows_match": True} for n in some}
+    rec["failed_one"] = {"hash_match": False}
+    (tmp_path / "CORRECTNESS_r99.json").write_text(json.dumps(rec))
+    got = Q._driver_checked_names(root=str(tmp_path))
+    assert got == set(some)  # failures never count as checked
+
+    # corrupt file is skipped, not fatal
+    (tmp_path / "CORRECTNESS_r98.json").write_text("{not json")
+    assert Q._driver_checked_names(root=str(tmp_path)) == set(some)
