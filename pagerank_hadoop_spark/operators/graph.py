@@ -39,6 +39,30 @@ def _nonconvergence(label: str, max_iter: int, on_max_iter: str) -> None:
         warnings.warn(msg, RuntimeWarning, stacklevel=3)
 
 
+def _edge_partitions(edges: DataFrame, doubled: bool = True) -> int:
+    """Right-size the per-round task count for an iterative loop from
+    Catalyst's plan-size estimate — no job, unlike the ``count()``
+    this replaces (a full edge scan just to pick a partition count;
+    measured ~20% of bfs_hops' wall at sf0.1). Id-pair rows are a few
+    tens of bytes, so ~1 MB per task tracks pagerank's
+    ROWS_PER_ITER_TASK economy (Catalyst's post-projection/distinct
+    size estimates run low, so the divisor is deliberately tight);
+    the estimate only needs the right order of magnitude (small
+    graph → few tasks, big graph → all)."""
+    spark = edges.sparkSession
+    shuffle_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    try:
+        size = int(
+            edges._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+    except Exception:  # stats unavailable: keep the session default
+        return shuffle_parts
+    if doubled:
+        size *= 2  # symmetrized edge list
+    need = max(1, size // (1 << 20))
+    return max(1, min(shuffle_parts, need)) if need < shuffle_parts else shuffle_parts
+
+
 def pregel(
     edges: DataFrame,
     init: DataFrame,
@@ -210,17 +234,15 @@ def connected_components(
     # pagerank._iter_partitions): a small graph over 32 partitions
     # makes every round 32 near-empty tasks. The count is a
     # column-pruned scan of the (not yet doubled) edge frame.
-    from pagerank_hadoop_spark.operators.pagerank import _iter_partitions
-
-    n_edges = edges.count()
-    parts = _iter_partitions(2 * n_edges, shuffle_parts)
+    parts = _edge_partitions(edges)
     # pointer jumping pays one extra (id, label) join per round to cut
     # rounds from O(diameter) to O(log diameter). On a small graph the
     # extra per-round stage overhead outweighs the saved rounds (the
     # whole label table fits in one task); auto-enable it only when
-    # the graph is big enough for round count to dominate.
+    # the graph is big enough for round count to dominate (≥ half the
+    # session's shuffle width of right-sized tasks).
     if jump is None:
-        jump = n_edges >= 50_000
+        jump = parts * 2 >= shuffle_parts
     sym = edges.select("src", "dst").unionByName(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
@@ -296,12 +318,7 @@ def shortest_paths(
     materializing count. Rounds needed = graph eccentricity of the
     source, each round one join + partial-aggregated groupBy.
     """
-    shuffle_parts = int(
-        edges.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
-    )
-    from pagerank_hadoop_spark.operators.pagerank import _iter_partitions
-
-    parts = _iter_partitions(2 * edges.count(), shuffle_parts)
+    parts = _edge_partitions(edges)
     sym = edges.select("src", "dst").unionByName(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
@@ -360,13 +377,7 @@ def k_core(
     list shrinks monotonically, so late rounds are cheap. Returns
     ``(id, core_deg)`` — empty when the whole graph peels away.
     """
-    from pagerank_hadoop_spark.operators.pagerank import _iter_partitions
-
-    shuffle_parts = int(
-        edges.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
-    )
-    n_edges = edges.count()
-    parts = _iter_partitions(2 * n_edges, shuffle_parts)
+    parts = _edge_partitions(edges)
     # k-core degree is a SIMPLE-graph notion: drop self-loops (they
     # would count +1 degree and wrongly keep a pendant vertex) and
     # dedupe the symmetrized edge list (unlike pagerank/CC, where
@@ -438,12 +449,7 @@ def maximal_independent_set(
     excluded from eligibility entirely (dropping just the loop edge
     would have the OPPOSITE effect of making them free to win).
     """
-    from pagerank_hadoop_spark.operators.pagerank import _iter_partitions
-
-    shuffle_parts = int(
-        edges.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
-    )
-    parts = _iter_partitions(2 * edges.count(), shuffle_parts)
+    parts = _edge_partitions(edges)
     looped = (
         edges.where(F.col("src") == F.col("dst"))
         .select(F.col("src").alias("id"))
@@ -609,13 +615,9 @@ def label_propagation(edges: DataFrame, max_iter: int = 3) -> DataFrame:
     shuffle. Every vertex of the symmetrized edge list has ≥1
     neighbor, so the per-round argmax covers the whole vertex set.
     """
-    from pagerank_hadoop_spark.operators.pagerank import _iter_partitions
     from pyspark.sql.window import Window
 
-    shuffle_parts = int(
-        edges.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
-    )
-    parts = _iter_partitions(2 * edges.count(), shuffle_parts)
+    parts = _edge_partitions(edges)
     sym = edges.select("src", "dst").unionByName(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
