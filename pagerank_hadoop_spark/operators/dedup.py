@@ -972,3 +972,100 @@ def line_dedup(
             ).alias(text_col),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# E2e: semantic dedup (SemDeDup-style, Abbas et al. 2023 — public)
+# ---------------------------------------------------------------------------
+
+def semantic_dedup(
+    emb: DataFrame,
+    centroids: list[list[float]],
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+) -> DataFrame:
+    """Cluster-scoped embedding dedup, the SemDeDup recipe: assign
+    every vector to its nearest centroid, find within-cluster pairs
+    with cosine ≥ ``threshold``, and per pair drop the member CLOSER
+    to the centroid (the cluster-typical copy — the farther member
+    carries more information; SemDeDup's keep-outlier rule). Returns
+    surviving rows ``(id, cluster)``.
+
+    Determinism: centroid similarities round to 6 dp before the
+    keep/drop compare, ties break toward dropping the higher id — a
+    pure function of (vectors, centroids), which the DuckDB oracle
+    replays exactly with the same literal centroids.
+
+    Scale shape: the pair search is CLUSTER-bucketED (never all-pairs
+    — the whole point of clustering first); assignment is a
+    shuffle-free map over literal centroids, and only (id, cluster,
+    centroid-sim) plus within-cluster candidate pairs ever shuffle.
+    Real deployments train the centroids (k-means on a bounded
+    sample, as ivf_kmeans_topk does) and raise n_clusters so cluster
+    populations stay bounded as the corpus grows.
+    """
+    from pagerank_hadoop_spark.functions.vectors import cosine_similarity
+    from pagerank_hadoop_spark.operators.similarity import _lit_dot
+
+    v = F.col(vec_col)
+
+    def cell_sims(vec):
+        return F.array(*[
+            F.struct(
+                F.round(
+                    _lit_dot(vec, c)
+                    / (F.sqrt(_lit_dot_self(vec)) * _NORMS[i]),
+                    6,
+                ).alias("sim"),
+                F.lit(i).alias("cell"),
+            )
+            for i, c in enumerate(centroids)
+        ])
+
+    # centroid norms are plan-time constants; vector norm computed once
+    import math
+
+    _NORMS = [
+        F.lit(math.sqrt(sum(x * x for x in c))) for c in centroids
+    ]
+
+    def _lit_dot_self(vec):
+        return F.aggregate(
+            F.zip_with(vec, vec, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    best = F.array_max(cell_sims(v))
+    assigned = emb.select(
+        F.col(id_col).alias("id"),
+        v.alias("__v"),
+        best["cell"].alias("cluster"),
+        best["sim"].alias("csim"),
+    ).localCheckpoint(eager=True)  # assignment feeds pairs AND the final anti-join
+
+    a = assigned.select(
+        F.col("id").alias("id_a"), F.col("__v").alias("va"),
+        "cluster", F.col("csim").alias("ca"),
+    )
+    b = assigned.select(
+        F.col("id").alias("id_b"), F.col("__v").alias("vb"),
+        "cluster", F.col("csim").alias("cb"),
+    )
+    pair_cos = F.round(cosine_similarity(F.col("va"), F.col("vb")), 6)
+    # loser = the member closer to the centroid; tie → higher id
+    loser = F.when(F.col("ca") > F.col("cb"), F.col("id_a")).when(
+        F.col("cb") > F.col("ca"), F.col("id_b")
+    ).otherwise(F.greatest("id_a", "id_b"))
+    losers = (
+        a.join(b, "cluster")
+        .where(F.col("id_a") < F.col("id_b"))
+        .where(pair_cos >= threshold)
+        .select(loser.alias("id"))
+        .distinct()
+    )
+    return (
+        assigned.join(losers, "id", "left_anti")
+        .select("id", "cluster")
+    )

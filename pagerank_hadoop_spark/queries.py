@@ -1108,6 +1108,73 @@ def q_embedding_near_dups_lit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _semantic_dedup_oracle_sql() -> str:
+    """DuckDB replica of semantic_dedup(_ANN_CENTROIDS): nearest-
+    centroid assignment by rounded cosine (tie → larger cell),
+    within-cluster pairs with cosine ≥ 0.95, drop the centroid-closer
+    member (tie → higher id), over the planted near-dup corpus."""
+    import math
+
+    cent_rows = ", ".join(
+        f"({i}, {_sql_dlist(c)}, {repr(math.sqrt(sum(x * x for x in c)))})"
+        for i, c in enumerate(_ANN_CENTROIDS)
+    )
+    return f"""
+    WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    corpus AS (
+      SELECT vec_id, v FROM emb
+      UNION ALL
+      SELECT vec_id + 1000000,
+             list_transform(v, (x, i) -> CASE WHEN i = 1 THEN x + 0.05 ELSE x END)
+      FROM emb WHERE vec_id % 5 = 0),
+    cents(cell, cv, cn) AS (VALUES {cent_rows}),
+    cs AS (SELECT vec_id, v, c.cell,
+             ROUND(list_dot_product(v, c.cv)
+                   / (sqrt(list_dot_product(v, v)) * c.cn), 6) AS sim
+           FROM corpus CROSS JOIN cents c),
+    assign AS (SELECT vec_id, v, cell, sim FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                   ORDER BY sim DESC, cell DESC) AS rn
+      FROM cs) WHERE rn = 1),
+    losers AS (
+      SELECT DISTINCT CASE WHEN a.sim > b.sim THEN a.vec_id
+                           WHEN b.sim > a.sim THEN b.vec_id
+                           ELSE greatest(a.vec_id, b.vec_id) END AS id
+      FROM assign a JOIN assign b
+        ON a.cell = b.cell AND a.vec_id < b.vec_id
+      WHERE ROUND(list_dot_product(a.v, b.v) /
+              (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
+              6) >= 0.95)
+    SELECT vec_id AS id, cell AS cluster FROM assign
+    WHERE vec_id NOT IN (SELECT id FROM losers)
+    """
+
+
+@register("semantic_dedup_survivors", _semantic_dedup_oracle_sql())
+def q_semantic_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2e hard gate: SemDeDup-style semantic dedup — cluster-scoped
+    embedding dedup keeping the centroid-FARTHER member of each
+    cosine ≥ 0.95 pair (operators.dedup.semantic_dedup, literal
+    seeded centroids), over the planted near-dup corpus; the full
+    assign/pair/keep pipeline hash-checked."""
+    from pagerank_hadoop_spark.operators.dedup import semantic_dedup
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    dups = emb.where(F.col("vec_id") % 5 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform(
+            "v",
+            lambda x, i: x + F.when(i == 0, F.lit(0.05)).otherwise(F.lit(0.0)),
+        ).alias("v"),
+    )
+    corpus = emb.unionByName(dups)
+    return semantic_dedup(
+        corpus, _ANN_CENTROIDS, threshold=0.95
+    ).orderBy("id")
+
+
 @register("embedding_near_dups")
 def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E2c: embedding-cosine near-dup pairs via random-hyperplane LSH

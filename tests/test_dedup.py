@@ -275,3 +275,24 @@ def test_line_dedup_idempotent_on_testdata(spark, sf_dir):
     # corpus-wide, so a second pass must change nothing
     assert once.count() == twice.count()
     assert once.exceptAll(twice).count() == 0
+
+
+def test_semantic_dedup_keeps_centroid_farther_member(spark):
+    from pagerank_hadoop_spark.operators.dedup import semantic_dedup
+
+    # 2-D, two unit centroids on the axes. v1 = exactly centroid 0,
+    # v2 = slightly rotated copy (cosine(v1,v2) > 0.95): v1 is CLOSER
+    # to the centroid -> v1 drops, the outlier v2 survives. v3 sits in
+    # the other cluster, untouched.
+    import math
+
+    a = math.radians(5)
+    rows = [
+        (1, [1.0, 0.0]),
+        (2, [math.cos(a), math.sin(a)]),
+        (3, [0.0, 1.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, v array<double>")
+    cents = [[1.0, 0.0], [0.0, 1.0]]
+    out = {r.id: r.cluster for r in semantic_dedup(emb, cents, 0.95).collect()}
+    assert out == {2: 0, 3: 1}
