@@ -32,10 +32,65 @@ SNAPSHOT_ITERS = (1, 8)  # PageRank.java:480,492
 THRESHOLD_NUM = 5.0      # PageRank.java:336
 
 
+def _run_query(argv: list[str]) -> int:
+    """``run <query> [sf_dir] [-o out.parquet]`` — execute any
+    registered query (the full engine surface, not just the reference
+    DAG) and print it, or write parquet with ``-o``. ``list`` prints
+    the registry with oracle-backing marks."""
+    from pagerank_hadoop_spark import queries as registry
+
+    qs = registry.queries()
+    if not argv or argv[0] in ("-h", "--help"):
+        print(
+            "usage: python -m pagerank_hadoop_spark run <query> [sf_dir]"
+            " [-o out.parquet]",
+            file=sys.stderr,
+        )
+        return 2
+    name = argv[0]
+    if name not in qs:
+        print(f"unknown query '{name}'; try: python -m"
+              " pagerank_hadoop_spark list", file=sys.stderr)
+        return 2
+    rest = argv[1:]
+    out = None
+    if "-o" in rest:
+        i = rest.index("-o")
+        out = rest[i + 1]
+        rest = rest[:i] + rest[i + 2:]
+    sf_dir = rest[0] if rest else os.environ.get(
+        "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
+    )
+    spark = get_spark(f"run-{name}")
+    df = qs[name](spark, sf_dir)
+    if out:
+        df.write.mode("overwrite").parquet(out)
+        print(f"wrote {out}")
+    else:
+        df.show(50, truncate=False)
+    return 0
+
+
+def _list_queries() -> int:
+    from pagerank_hadoop_spark import queries as registry
+
+    oracles = registry.oracle_sql()
+    for name in sorted(registry.queries()):
+        mark = "oracle" if name in oracles else "rows-only"
+        print(f"{name:36s} {mark}")
+    return 0
+
+
 def main(argv: list[str]) -> int:
+    if argv and argv[0] == "run":
+        return _run_query(argv[1:])
+    if argv and argv[0] == "list":
+        return _list_queries()
     if len(argv) != 2:
         print(
-            "usage: python -m pagerank_hadoop_spark <input-dir> <output-dir>",
+            "usage: python -m pagerank_hadoop_spark <input-dir> <output-dir>\n"
+            "       python -m pagerank_hadoop_spark run <query> [sf_dir] [-o out.parquet]\n"
+            "       python -m pagerank_hadoop_spark list",
             file=sys.stderr,
         )
         return 2

@@ -77,3 +77,16 @@ def test_registry_rotation_prefers_unchecked_oracle_backed(tmp_path):
     # corrupt file is skipped, not fatal
     (tmp_path / "CORRECTNESS_r98.json").write_text("{not json")
     assert Q._driver_checked_names(root=str(tmp_path)) == set(some)
+
+
+def test_cli_run_and_list(capsys):
+    from pagerank_hadoop_spark.__main__ import main
+
+    assert main(["list"]) == 0
+    out = capsys.readouterr().out
+    assert "pagerank_topk" in out and "oracle" in out
+
+    assert main(["run", "nonexistent_query"]) == 2
+    assert main(["run"]) == 2
+    assert main(["run", "topk_orders", "/root/testdata/sf0.001"]) == 0
+    assert "o_orderkey" in capsys.readouterr().out
