@@ -3881,8 +3881,10 @@ def q_corr_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events
     )
     SELECT event_type,
-           SUM(CASE WHEN json_valid(props) THEN 1 ELSE 0 END) AS n_valid,
-           SUM(CASE WHEN json_valid(props) THEN 0 ELSE 1 END) AS n_corrupt
+           CAST(SUM(CASE WHEN json_valid(props) THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_valid,
+           CAST(SUM(CASE WHEN json_valid(props) THEN 0 ELSE 1 END) AS BIGINT)
+             AS n_corrupt
     FROM planted GROUP BY event_type ORDER BY event_type
     """,
 )
@@ -4110,7 +4112,8 @@ def q_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "big_orders",
     """
-    SELECT c_name, o_orderkey, SUM(CAST(l_quantity AS BIGINT)) AS total_qty
+    SELECT c_name, o_orderkey,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
     FROM orders
     JOIN lineitem ON l_orderkey = o_orderkey
     JOIN customer ON c_custkey = o_custkey
@@ -4579,10 +4582,10 @@ def q_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "late_shipment_priority",
     """
     SELECT CAST(EXTRACT(year FROM l_shipdate) AS INTEGER) AS ship_year,
-           SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS high_count,
-           SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS low_count
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS low_count
     FROM orders JOIN lineitem ON l_orderkey = o_orderkey
     WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
     GROUP BY 1
@@ -5577,7 +5580,8 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT lang,
            COUNT(*) AS n_docs,
            CAST(SUM(CASE WHEN doc_id % 2 = 1 THEN n_chars END) AS BIGINT) AS new_chars,
-           SUM(CASE WHEN doc_id % 2 = 1 THEN 0 ELSE 1 END) AS n_legacy
+           CAST(SUM(CASE WHEN doc_id % 2 = 1 THEN 0 ELSE 1 END) AS BIGINT)
+             AS n_legacy
     FROM documents GROUP BY lang
     """,
 )
@@ -6013,7 +6017,8 @@ def q_incremental_dedup_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
                       quantile_cont(value, 0.99) AS hi
                FROM events)
     SELECT event_type, COUNT(*) AS n,
-           SUM(CASE WHEN value < lo OR value > hi THEN 1 ELSE 0 END) AS n_clipped,
+           CAST(SUM(CASE WHEN value < lo OR value > hi THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_clipped,
            CAST(SUM(CAST(round(least(greatest(value, lo), hi), 6)
                          AS DECIMAL(38,6))) AS DOUBLE) AS clipped_sum
     FROM events CROSS JOIN b
@@ -6492,7 +6497,7 @@ def q_null_ordering_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
              SUM(delta) OVER (PARTITION BY user_id ORDER BY t, delta DESC
                               ROWS UNBOUNDED PRECEDING) AS conc
       FROM pts)
-    SELECT user_id, MAX(conc) AS max_concurrent
+    SELECT user_id, CAST(MAX(conc) AS BIGINT) AS max_concurrent
     FROM run GROUP BY user_id
     """,
 )
@@ -7015,7 +7020,8 @@ def q_constraint_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
              ) % 64 AS shard
       FROM documents
     )
-    SELECT shard, COUNT(*) AS n_docs, SUM(n_chars) AS sum_chars,
+    SELECT shard, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
            COUNT(DISTINCT lang) AS n_langs,
            MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
     FROM h GROUP BY shard
@@ -7937,7 +7943,7 @@ def q_contrastive_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
       UNION ALL
       SELECT src AS id, 1 AS v FROM e
     )
-    SELECT id, SUM(v) AS msg FROM m GROUP BY id
+    SELECT id, CAST(SUM(v) AS BIGINT) AS msg FROM m GROUP BY id
     """,
 )
 def q_message_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
