@@ -56,6 +56,9 @@ def _run_query(argv: list[str]) -> int:
     out = None
     if "-o" in rest:
         i = rest.index("-o")
+        if i + 1 >= len(rest):
+            print("error: -o requires an output path", file=sys.stderr)
+            return 2
         out = rest[i + 1]
         rest = rest[:i] + rest[i + 2:]
     sf_dir = rest[0] if rest else os.environ.get(

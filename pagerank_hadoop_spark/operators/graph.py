@@ -50,7 +50,12 @@ def _edge_partitions(edges: DataFrame, doubled: bool = True) -> int:
     the estimate only needs the right order of magnitude (small
     graph → few tasks, big graph → all)."""
     spark = edges.sparkSession
-    shuffle_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    try:
+        shuffle_parts = int(
+            spark.conf.get("spark.sql.shuffle.partitions", "32")
+        )
+    except (ValueError, TypeError):  # e.g. "auto" on auto-tuning platforms
+        shuffle_parts = 32
     try:
         size = int(
             edges._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
@@ -610,13 +615,16 @@ def label_propagation(edges: DataFrame, max_iter: int = 3) -> DataFrame:
 
     Determinism: ties break by (count desc, label asc) — a pure
     function of the graph, unlike GraphX's hash-partition-dependent
-    tie-break. Per round: one partial-aggregated (dst, label) count
-    shuffle + a per-vertex top-1 window; only (id, label) pairs ever
-    shuffle. Every vertex of the symmetrized edge list has ≥1
-    neighbor, so the per-round argmax covers the whole vertex set.
+    tie-break. Per round: ONE partial-aggregated shuffle —
+    ``mode(label, deterministic=true)`` per recipient (its typed
+    buffer is the per-partition label→count map, merged at the
+    reducer; the deterministic flag returns the lowest label among
+    the most frequent, i.e. exactly the (count desc, label asc)
+    argmax the two-step count-then-window plan computed with a
+    second exchange). Only (id, label) pairs ever shuffle. Every
+    vertex of the symmetrized edge list has ≥1 neighbor, so the
+    per-round argmax covers the whole vertex set.
     """
-    from pyspark.sql.window import Window
-
     parts = _edge_partitions(edges)
     sym = edges.select("src", "dst").unionByName(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
@@ -629,17 +637,11 @@ def label_propagation(edges: DataFrame, max_iter: int = 3) -> DataFrame:
         .withColumn("label", F.col("id"))
         .localCheckpoint(eager=True)
     )
-    w = Window.partitionBy("id").orderBy(F.desc("cnt"), F.asc("label"))
     for i in range(max_iter):
-        freq = (
-            sym.join(labels, sym.src == labels.id)
-            .groupBy(F.col("dst").alias("id"), "label")
-            .agg(F.count(F.lit(1)).alias("cnt"))
-        )
         labels = (
-            freq.withColumn("__rn", F.row_number().over(w))
-            .where(F.col("__rn") == 1)
-            .select("id", "label")
+            sym.join(labels, sym.src == labels.id)
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.mode("label", True).alias("label"))
             .localCheckpoint(eager=False)
         )
     return labels

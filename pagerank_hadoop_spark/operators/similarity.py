@@ -405,6 +405,21 @@ def pq_topk(
         m = len(books)
         n_codes = len(books[0])
         sub = len(books[0][0])
+        # explicit codebooks override m/n_codes; a ragged book or a
+        # dim mismatch would make F.slice silently return short
+        # subvectors (wrong ADC codes, no error) — fail fast instead
+        if any(len(b) != n_codes for b in books) or any(
+            len(c) != sub for b in books for c in b
+        ):
+            raise ValueError(
+                "books must be uniform m x n_codes x sub nested lists"
+            )
+        first = corpus.select(F.size(F.col(vec_col)).alias("d")).first()
+        if first is not None and first["d"] != m * sub:
+            raise ValueError(
+                f"books cover dim {m * sub} but corpus vectors have"
+                f" dim {first['d']}"
+            )
 
     def sub_slice(vec, s: int):
         return F.slice(vec, s * sub + 1, sub)

@@ -308,6 +308,7 @@ def bpe_train_merges(
         F.split(F.lower(F.col(text)), " +").alias("syms"),
     ).localCheckpoint(eager=False)
     merges: list[tuple[str, str, int]] = []
+    prev_created: set[str] = set()
     while len(merges) < n_merges:
         b_now = min(batch, n_merges - len(merges))
         pairs = (
@@ -332,6 +333,28 @@ def bpe_train_merges(
             .limit(b_now * 4)
             .collect()
         )
+        # audit signal for batched trains: if a symbol created by the
+        # PREVIOUS batch shows up in this round's top pairs, the
+        # batched schedule may have deviated from sequential BPE
+        # (sequential would have recounted before the prior batch's
+        # later picks; bounded to one round, see docstring)
+        if batch > 1 and prev_created:
+            hot = [
+                (r["a"], r["b"])
+                for r in top
+                if r["a"] in prev_created or r["b"] in prev_created
+            ]
+            if hot:
+                import warnings
+
+                warnings.warn(
+                    "bpe_train_merges(batch>1): merge outputs from the"
+                    f" previous batch re-rank immediately ({hot[:3]}…);"
+                    " batched order may deviate from sequential BPE"
+                    " this round",
+                    RuntimeWarning,
+                    stacklevel=2,
+                )
         picked: list[tuple[str, str, int]] = []
         used: set[str] = set()
         for row in top:
@@ -345,6 +368,7 @@ def bpe_train_merges(
         if not picked:
             break
         merges.extend(picked)
+        prev_created = {a + "▁" + b for a, b, _ in picked}
 
         def make_merge_udf(batch_pairs=tuple(picked)):
             # default-arg binding: the UDF body must capture THIS
