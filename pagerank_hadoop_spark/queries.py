@@ -1175,6 +1175,34 @@ def q_semantic_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id")
 
 
+@register("semantic_dedup_trained")
+def q_semantic_dedup_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2e scale path: SemDeDup with TRAINED centroids — k sized from
+    the corpus (``ceil(n / target_cluster_rows)``) and centers fit by
+    bounded-sample Lloyd's, so cluster populations (and the
+    within-cluster pair join) stay bounded as the corpus grows. The
+    fit is driver-side NumPy so this entry is rows-only; everything
+    downstream of the centers is the oracle-gated
+    ``semantic_dedup_survivors`` plan (trained ≡ literal is
+    unit-pinned in tests/test_dedup.py)."""
+    from pagerank_hadoop_spark.operators.dedup import semantic_dedup_trained
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    dups = emb.where(F.col("vec_id") % 5 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform(
+            "v",
+            lambda x, i: x + F.when(i == 0, F.lit(0.05)).otherwise(F.lit(0.0)),
+        ).alias("v"),
+    )
+    corpus = emb.unionByName(dups)
+    return semantic_dedup_trained(
+        corpus, threshold=0.95, seed=7, target_cluster_rows=200
+    ).orderBy("id")
+
+
 @register("embedding_near_dups")
 def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E2c: embedding-cosine near-dup pairs via random-hyperplane LSH

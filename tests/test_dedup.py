@@ -296,3 +296,55 @@ def test_semantic_dedup_keeps_centroid_farther_member(spark):
     cents = [[1.0, 0.0], [0.0, 1.0]]
     out = {r.id: r.cluster for r in semantic_dedup(emb, cents, 0.95).collect()}
     assert out == {2: 0, 3: 1}
+
+
+def test_semantic_dedup_trained_equals_literal_path(spark):
+    """trained ≡ literal: feeding semantic_dedup the exact centers the
+    trained path fits must reproduce semantic_dedup_trained bitwise —
+    pins the wiring (sizing, deterministic sampling, Lloyd fit,
+    delegation), the non-oracle part of the trained variant."""
+    import numpy as np
+
+    from pagerank_hadoop_spark.operators.dedup import (
+        semantic_dedup,
+        semantic_dedup_trained,
+    )
+    from pagerank_hadoop_spark.operators.similarity import _lloyd
+
+    rng = np.random.default_rng(11)
+    base = rng.normal(size=(40, 4))
+    rows = [(i, [float(x) for x in base[i]]) for i in range(40)]
+    # plant near-dups: tiny nudge on dim 0 of every 5th vector
+    rows += [
+        (1000 + i, [float(base[i][0] + 0.01)] + [float(x) for x in base[i][1:]])
+        for i in range(0, 40, 5)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, v array<double>")
+
+    trained = semantic_dedup_trained(
+        emb, threshold=0.9, seed=3, target_cluster_rows=12
+    )
+
+    # replay the trained path's fit by hand
+    n = emb.count()
+    k = max(4, -(-n // 12))
+    sample = np.array(
+        [r.v for r in emb.orderBy("vec_id").limit(k * 200).collect()],
+        dtype=np.float64,
+    )
+    centers = [[float(x) for x in c] for c in _lloyd(sample, k, 3)]
+    literal = semantic_dedup(emb, centers, threshold=0.9)
+
+    t = sorted((r.id, r.cluster) for r in trained.collect())
+    l = sorted((r.id, r.cluster) for r in literal.collect())
+    assert t == l
+    # and the planted duplicates actually got deduplicated: for each
+    # planted pair exactly one member survives
+    # and dedup actually happened: every planted near-dup pair lost at
+    # least one member (in 4-d at threshold 0.9 unplanted pairs also
+    # collide, so a pair may lose BOTH members to other pairings)
+    surv = {r.id for r in trained.collect()}
+    assert all(
+        not (i in surv and 1000 + i in surv) for i in range(0, 40, 5)
+    )
+    assert len(surv) < 48
