@@ -3,14 +3,21 @@
 Media payloads are opaque ``binary`` columns plus a typed metadata
 struct — the columnar pattern for multimodal training data. The Spark
 side (schema, partition sizing, Arrow batch shape, UDF signatures) is
-real and tested; the actual codec calls are STUBBED because the
-image/audio libraries are not in this container:
+real and tested. Codec status:
 
-* ``decode_image`` raises ``NotImplementedError`` when
-  ``strict=True`` (the production path would call the codec);
-* with ``strict=False`` it produces a deterministic fake decode
-  (dimensions derived from a hash of the payload) so the pipeline
-  shape is exercisable end-to-end in tests.
+* **Uncompressed formats decode for real**: pure-Python header
+  parsers for BMP (:func:`parse_bmp_header`) and RIFF/WAVE
+  (:func:`parse_wav_header`) run inside the Arrow batch kernels —
+  no external libraries needed, and the results are oracle-checked
+  against fixture files constructed in-query (``media_bmp_meta`` /
+  ``media_wav_meta``).
+* Compressed codecs (JPEG/PNG/MP4/...) remain STUBBED because the
+  image/audio libraries are not in this container: ``decode_media``
+  with ``strict=True`` raises ``NotImplementedError`` for payloads
+  that are not BMP/WAV (the production path would call the codec);
+  with ``strict=False`` unrecognized payloads get a deterministic
+  fake decode (dimensions derived from a hash of the payload) so the
+  pipeline shape stays exercisable end-to-end.
 """
 
 from __future__ import annotations
@@ -50,6 +57,60 @@ DECODED_SCHEMA = StructType(
 )
 
 
+def parse_bmp_header(payload: bytes) -> tuple[int, int, int] | None:
+    """Parse a Windows BMP (BITMAPINFOHEADER) header; returns
+    ``(width, height, bits_per_pixel)`` or None if the payload is not
+    a plausible BMP. Pure byte arithmetic — the real decode for the
+    one image format that needs no codec library. Top-down BMPs store
+    a negative height; we return its magnitude (the orientation does
+    not change the raster dimensions)."""
+    if len(payload) < 54 or payload[:2] != b"BM":
+        return None
+    bi_size = int.from_bytes(payload[14:18], "little")
+    if bi_size < 40:  # BITMAPCOREHEADER etc. not supported
+        return None
+    width = int.from_bytes(payload[18:22], "little", signed=True)
+    height = int.from_bytes(payload[22:26], "little", signed=True)
+    planes = int.from_bytes(payload[26:28], "little")
+    bpp = int.from_bytes(payload[28:30], "little")
+    if width <= 0 or height == 0 or planes != 1 or bpp == 0:
+        return None
+    return width, abs(height), bpp
+
+
+def parse_wav_header(payload: bytes) -> tuple[int, int, int, int] | None:
+    """Parse a RIFF/WAVE (PCM) file; returns ``(channels,
+    sample_rate, bits_per_sample, n_samples)`` or None if not a
+    plausible WAV. Walks the chunk list (fmt may not be the first
+    chunk) and derives n_samples from the data chunk size — again
+    pure byte arithmetic, no codec."""
+    if len(payload) < 44 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        return None
+    pos = 12
+    fmt = None
+    data_size = None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        csize = int.from_bytes(payload[pos + 4 : pos + 8], "little")
+        body = payload[pos + 8 : pos + 8 + csize]
+        if cid == b"fmt " and len(body) >= 16:
+            fmt = (
+                int.from_bytes(body[2:4], "little"),  # channels
+                int.from_bytes(body[4:8], "little"),  # sample rate
+                int.from_bytes(body[14:16], "little"),  # bits/sample
+            )
+        elif cid == b"data":
+            data_size = csize
+        pos += 8 + csize + (csize & 1)  # chunks are word-aligned
+    if fmt is None or data_size is None:
+        return None
+    channels, rate, bits = fmt
+    if channels == 0 or rate == 0 or bits == 0:
+        return None
+    n_samples = data_size // (channels * bits // 8)
+    return channels, rate, bits, n_samples
+
+
 def attach_media(df: DataFrame, payload_col, media_type: str = "image/fake") -> DataFrame:
     """Wrap a binary column into the standard media schema: payload +
     typed metadata (size, digest) computed JVM-side."""
@@ -63,34 +124,46 @@ def attach_media(df: DataFrame, payload_col, media_type: str = "image/fake") -> 
 
 
 def decode_media(media: DataFrame, strict: bool = False) -> DataFrame:
-    """Decode/feature-extract media payloads via mapInPandas.
+    """Decode media payloads via mapInPandas.
+
+    BMP payloads decode for real (:func:`parse_bmp_header` — header
+    arithmetic, no codec library); WAV payloads map to (width=sample
+    rate, height=channels, n_frames=sample count). Other formats:
+    ``strict=True`` raises ``NotImplementedError`` (the production
+    path would call the codec), ``strict=False`` yields a
+    deterministic hash-derived fake so the pipeline shape stays
+    exercisable.
 
     Arrow-batched: each batch arrives as a pandas DataFrame; the
-    per-batch loop is vectorized except the (stubbed) codec call.
-    Partition sizing guidance for 100 TB: keep
-    ``spark.sql.files.maxPartitionBytes`` at 128–256 MB so one task's
-    payload batch fits executor memory alongside the decode buffers.
+    per-batch loop is a per-row header parse (tens of ns) — cheap
+    next to Arrow transfer. Partition sizing guidance for 100 TB:
+    keep ``spark.sql.files.maxPartitionBytes`` at 128–256 MB so one
+    task's payload batch fits executor memory alongside the decode
+    buffers.
     """
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in it:
+        import hashlib
+
+        def dims(payload: bytes) -> tuple[int, int, int]:
+            bmp = parse_bmp_header(payload)
+            if bmp is not None:
+                return bmp[0], bmp[1], 1
+            wav = parse_wav_header(payload)
+            if wav is not None:
+                channels, rate, _bits, n_samples = wav
+                return rate, channels, n_samples
             if strict:
                 raise NotImplementedError(
-                    "real image/audio decode requires codec libraries not "
-                    "present in this environment; run with strict=False "
-                    "for the deterministic fake decode"
+                    "payload is neither BMP nor WAV; compressed-codec "
+                    "decode requires libraries not present in this "
+                    "environment — run with strict=False for the "
+                    "deterministic fake decode"
                 )
-            # deterministic fake decode: dims derived from payload bytes
-            import hashlib
+            h = hashlib.sha256(payload).digest()
+            return 64 + h[0] % 192, 64 + h[1] % 192, 1 + h[2] % 16
 
-            def dims(payload: bytes) -> tuple[int, int, int]:
-                h = hashlib.sha256(payload).digest()
-                return (
-                    64 + h[0] % 192,
-                    64 + h[1] % 192,
-                    1 + h[2] % 16,
-                )
-
+        for pdf in it:
             d = pdf["payload"].map(dims)
             yield pd.DataFrame(
                 {
@@ -104,6 +177,48 @@ def decode_media(media: DataFrame, strict: bool = False) -> DataFrame:
             )
 
     return media.mapInPandas(batches, DECODED_SCHEMA)
+
+
+WAV_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("channels", IntegerType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("bits", IntegerType()),
+        StructField("n_samples", IntegerType()),
+        StructField("duration_ms", LongType()),
+    ]
+)
+
+
+def decode_wav(media: DataFrame) -> DataFrame:
+    """Real WAV decode: chunk-walking RIFF parse per payload
+    (:func:`parse_wav_header`) → audio metadata incl. integral
+    duration_ms. Raises on non-WAV payloads (this is the typed audio
+    path; route mixed media through :func:`decode_media`)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def one(payload: bytes):
+            wav = parse_wav_header(payload)
+            if wav is None:
+                raise ValueError("payload is not a RIFF/WAVE file")
+            channels, rate, bits, n_samples = wav
+            return channels, rate, bits, n_samples, n_samples * 1000 // rate
+
+        for pdf in it:
+            d = pdf["payload"].map(one)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "channels": d.map(lambda t: t[0]).astype("int32"),
+                    "sample_rate": d.map(lambda t: t[1]).astype("int32"),
+                    "bits": d.map(lambda t: t[2]).astype("int32"),
+                    "n_samples": d.map(lambda t: t[3]).astype("int32"),
+                    "duration_ms": d.map(lambda t: t[4]).astype("int64"),
+                }
+            )
+
+    return media.mapInPandas(batches, WAV_SCHEMA)
 
 
 def frame_sample(decoded: DataFrame, every_n: int = 4) -> DataFrame:

@@ -2036,6 +2036,143 @@ def q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frame_sample(decoded, every_n=4).orderBy("media_id", "frame_idx")
 
 
+def _le_hex(c, n_bytes: int):
+    """Hex string of integer Column ``c`` in little-endian byte order
+    (``n_bytes`` wide) — the building block for constructing real
+    binary file fixtures (BMP/WAV headers) inside a query, so the
+    decode kernels parse bytes BOTH engines can derive from the same
+    arithmetic."""
+    parts = [
+        F.lpad(
+            F.hex((F.floor(c / F.lit(256**i)) % 256).cast("long")), 2, "0"
+        )
+        for i in range(n_bytes)
+    ]
+    return F.concat(*parts)
+
+
+@register(
+    "media_bmp_meta",
+    """
+    SELECT CAST(p_partkey AS BIGINT) AS media_id,
+           CAST(54 + CAST(FLOOR(((1 + p_partkey % 8) * 3 + 3) / 4) AS BIGINT)
+                     * 4 * (1 + p_size % 5) AS INTEGER) AS n_bytes,
+           CAST(1 + p_partkey % 8 AS INTEGER) AS width,
+           CAST(1 + p_size % 5 AS INTEGER) AS height
+    FROM part WHERE p_partkey <= 500 ORDER BY media_id
+    """,
+)
+def q_media_bmp_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5 REAL decode gate: a complete 24-bit BMP file (file header,
+    BITMAPINFOHEADER, 4-byte-aligned zero raster) is constructed
+    in-query from part-table arithmetic, then decoded by the
+    pure-Python header parser inside the Arrow kernel
+    (``strict=True`` — no fake path can answer). The oracle derives
+    width/height/file size from the same arithmetic, so a parser
+    that misreads any header offset hash-fails."""
+    from pagerank_hadoop_spark.operators.multimodal import (
+        attach_media,
+        decode_media,
+    )
+
+    part = (
+        _t(spark, sf_dir, "part")
+        .where(F.col("p_partkey") <= 500)
+        .select(
+            "p_partkey",
+            (1 + F.col("p_partkey") % 8).alias("w"),
+            (1 + F.col("p_size") % 5).alias("h"),
+        )
+        .withColumn("row_bytes", F.floor((F.col("w") * 3 + 3) / 4) * 4)
+        .withColumn("img", F.col("row_bytes") * F.col("h"))
+    )
+    hexstr = F.concat(
+        F.lit("424D"),  # 'BM'
+        _le_hex(F.lit(54) + F.col("img"), 4),  # file size
+        F.lit("00000000"),  # reserved
+        F.lit("36000000"),  # raster offset = 54
+        F.lit("28000000"),  # biSize = 40
+        _le_hex(F.col("w"), 4),
+        _le_hex(F.col("h"), 4),
+        F.lit("0100"),  # planes = 1
+        F.lit("1800"),  # 24 bpp
+        F.lit("00000000"),  # BI_RGB
+        _le_hex(F.col("img"), 4),  # biSizeImage
+        F.lit("00" * 16),  # ppm/palette fields
+        F.expr("repeat('00', CAST(img AS INT))"),  # zero raster
+    )
+    media = attach_media(
+        part.select("p_partkey", F.unhex(hexstr).alias("payload")),
+        F.col("payload"),
+        media_type="image/bmp",
+    )
+    return decode_media(media, strict=True).select(
+        "media_id", "n_bytes", "width", "height"
+    ).orderBy("media_id")
+
+
+@register(
+    "media_wav_meta",
+    """
+    WITH f AS (
+      SELECT CAST(c_custkey AS BIGINT) AS media_id,
+             CAST(1 + c_custkey % 2 AS INTEGER) AS channels,
+             CAST(8000 * (1 + c_custkey % 3) AS INTEGER) AS sample_rate,
+             CAST(50 + c_custkey % 100 AS INTEGER) AS n_samples
+      FROM customer WHERE c_custkey <= 500)
+    SELECT media_id, channels, sample_rate,
+           CAST(16 AS INTEGER) AS bits, n_samples,
+           CAST(FLOOR(CAST(n_samples AS BIGINT) * 1000 / sample_rate)
+                AS BIGINT) AS duration_ms
+    FROM f ORDER BY media_id
+    """,
+)
+def q_media_wav_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5 REAL audio decode gate: a complete PCM RIFF/WAVE file (fmt
+    + data chunks, zero samples) built in-query from customer-table
+    arithmetic, parsed back by the chunk-walking WAV parser in the
+    Arrow kernel; the oracle re-derives channels/rate/bits/samples/
+    duration from the same arithmetic."""
+    from pagerank_hadoop_spark.operators.multimodal import (
+        attach_media,
+        decode_wav,
+    )
+
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .where(F.col("c_custkey") <= 500)
+        .select(
+            "c_custkey",
+            (1 + F.col("c_custkey") % 2).alias("ch"),
+            (8000 * (1 + F.col("c_custkey") % 3)).alias("rate"),
+            (50 + F.col("c_custkey") % 100).alias("ns"),
+        )
+        .withColumn("datasize", F.col("ns") * F.col("ch") * 2)
+    )
+    hexstr = F.concat(
+        F.lit("52494646"),  # 'RIFF'
+        _le_hex(F.lit(36) + F.col("datasize"), 4),
+        F.lit("57415645"),  # 'WAVE'
+        F.lit("666D7420"),  # 'fmt '
+        F.lit("10000000"),  # fmt chunk size 16
+        F.lit("0100"),  # PCM
+        _le_hex(F.col("ch"), 2),
+        _le_hex(F.col("rate"), 4),
+        _le_hex(F.col("rate") * F.col("ch") * 2, 4),  # byte rate
+        _le_hex(F.col("ch") * 2, 2),  # block align
+        F.lit("1000"),  # 16 bits/sample
+        F.lit("64617461"),  # 'data'
+        _le_hex(F.col("datasize"), 4),
+        F.expr("repeat('00', CAST(datasize AS INT))"),
+    )
+    media = attach_media(
+        cust.select("c_custkey", F.unhex(hexstr).alias("payload")),
+        F.col("payload"),
+        media_type="audio/wav",
+    )
+    return decode_wav(media).orderBy("media_id")
+
+
 # ---------------------------------------------------------------------------
 # [EXT] E6b: true Structured Streaming (availableNow) with batch oracle
 # ---------------------------------------------------------------------------

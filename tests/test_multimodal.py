@@ -90,3 +90,102 @@ def test_extract_features_deterministic_shape(spark):
     assert a == b  # digest-derived: deterministic across runs
     assert all(len(v) == 16 for v in a.values())
     assert a[1] != a[2]
+
+
+def _bmp(width, height, bpp=24, top_down=False):
+    import struct
+
+    row = (width * (bpp // 8) + 3) // 4 * 4
+    img = row * abs(height)
+    h = -abs(height) if top_down else height
+    return (
+        b"BM"
+        + struct.pack("<IHHI", 54 + img, 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, width, h, 1, bpp, 0, img, 0, 0, 0, 0)
+        + b"\x00" * img
+    )
+
+
+def _wav(channels, rate, bits, n_samples, extra_chunk_first=False):
+    import struct
+
+    data = b"\x00" * (n_samples * channels * bits // 8)
+    fmt = b"fmt " + struct.pack(
+        "<IHHIIHH", 16, 1, channels, rate, rate * channels * bits // 8,
+        channels * bits // 8, bits,
+    )
+    # an odd-sized LIST chunk before fmt exercises chunk walking +
+    # word alignment
+    lst = b"LIST" + struct.pack("<I", 5) + b"INFOx" + b"\x00"
+    chunks = (lst + fmt) if extra_chunk_first else fmt
+    chunks += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def test_parse_bmp_header():
+    from pagerank_hadoop_spark.operators.multimodal import parse_bmp_header
+
+    assert parse_bmp_header(_bmp(7, 3)) == (7, 3, 24)
+    # top-down BMP stores negative height; magnitude comes back
+    assert parse_bmp_header(_bmp(5, 2, top_down=True)) == (5, 2, 24)
+    assert parse_bmp_header(b"BM" + b"\x00" * 10) is None  # truncated
+    assert parse_bmp_header(b"PNG" + b"\x00" * 60) is None  # wrong magic
+    assert parse_bmp_header(_wav(1, 8000, 16, 10)) is None
+
+
+def test_parse_wav_header():
+    from pagerank_hadoop_spark.operators.multimodal import parse_wav_header
+
+    assert parse_wav_header(_wav(2, 16000, 16, 100)) == (2, 16000, 16, 100)
+    # fmt not the first chunk + odd-size chunk word alignment
+    assert parse_wav_header(
+        _wav(1, 8000, 16, 25, extra_chunk_first=True)
+    ) == (1, 8000, 16, 25)
+    assert parse_wav_header(b"RIFF\x00\x00\x00\x00AVI ") is None
+    assert parse_wav_header(_bmp(4, 4)) is None
+
+
+def test_decode_media_real_bmp_and_strict(spark):
+    from pagerank_hadoop_spark.operators.multimodal import (
+        attach_media,
+        decode_media,
+    )
+    from pyspark.sql import functions as F
+
+    rows = [(1, _bmp(9, 4)), (2, _wav(2, 16000, 16, 32))]
+    media = attach_media(
+        spark.createDataFrame(rows, ["id", "payload"]), F.col("payload")
+    )
+    out = {r.media_id: r for r in decode_media(media, strict=True).collect()}
+    assert (out[1].width, out[1].height, out[1].n_frames) == (9, 4, 1)
+    # WAV maps to (rate, channels, samples)
+    assert (out[2].width, out[2].height, out[2].n_frames) == (16000, 2, 32)
+
+    import pytest
+    from py4j.protocol import Py4JJavaError
+
+    bad = attach_media(
+        spark.createDataFrame([(3, b"not-a-media-file")], ["id", "payload"]),
+        F.col("payload"),
+    )
+    with pytest.raises(Exception) as ei:
+        decode_media(bad, strict=True).collect()
+    assert "NotImplementedError" in str(ei.value) or isinstance(
+        ei.value, Py4JJavaError
+    )
+
+
+def test_decode_wav_duration(spark):
+    from pagerank_hadoop_spark.operators.multimodal import (
+        attach_media,
+        decode_wav,
+    )
+    from pyspark.sql import functions as F
+
+    media = attach_media(
+        spark.createDataFrame([(1, _wav(1, 8000, 16, 12000))], ["id", "payload"]),
+        F.col("payload"),
+    )
+    r = decode_wav(media).collect()[0]
+    assert (r.channels, r.sample_rate, r.bits, r.n_samples) == (1, 8000, 16, 12000)
+    assert r.duration_ms == 1500
