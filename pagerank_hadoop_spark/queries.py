@@ -2559,6 +2559,56 @@ def q_stream_stateful_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "stream_ttl_dedup",
+    """
+    WITH occ AS (
+      SELECT user_id, event_id % 20 AS event_id,
+             epoch_us(ts) // 1000 AS ms
+      FROM events),
+    l AS (
+      SELECT user_id, event_id, ms,
+             lag(ms) OVER (PARTITION BY user_id, event_id ORDER BY ms)
+               AS prev
+      FROM occ)
+    SELECT user_id, event_id, CAST(ms AS BIGINT) AS ts_ms
+    FROM l WHERE prev IS NULL OR ms - prev > 345600000
+    """,
+)
+def q_stream_ttl_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E6 arbitrary-state VALUE gate (VERDICT r2 #6): cross-batch
+    dedup with event-time TTL re-admission + state eviction through
+    a real readStream — the events table staged as three ts-ordered
+    files (``ts_split_events_dir``) replayed one per micro-batch, so
+    ids recur across batches and the 96 h TTL both suppresses
+    (within-TTL repeat) and re-admits (gap > TTL). The oracle is the
+    equivalent full-history ``lag`` rule — the drained stream result
+    hash-matches it exactly, which a processing-time-timer design
+    never could (wall clock in the output). event_id is folded mod
+    20 to plant dense recurrences."""
+    from pagerank_hadoop_spark.streaming.stateful import (
+        stateful_dedup_ttl_stream,
+    )
+    from pagerank_hadoop_spark.streaming.windows import (
+        run_to_memory,
+        ts_split_events_dir,
+    )
+
+    staged = ts_split_events_dir(sf_dir, n_files=3)
+    stream = _stream_events(
+        spark, sf_dir, src_dir=staged, max_files_per_trigger=1
+    ).withColumn("event_id", F.col("event_id") % 20)
+    _STREAM_SEQ["n"] += 1
+    name = f"stream_ttl_{_STREAM_SEQ['n']}"
+    with _stream_parts(spark, sf_dir):
+        run_to_memory(
+            stateful_dedup_ttl_stream(stream, ttl_ms=96 * 3600 * 1000),
+            name,
+            output_mode="append",
+        )
+    return spark.table(name).orderBy("user_id", "event_id", "ts_ms")
+
+
 def _register_tws_query() -> None:
     """Conditionally register the transformWithStateInPandas gate.
 

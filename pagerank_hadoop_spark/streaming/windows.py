@@ -325,6 +325,40 @@ def punctuated_events_dir(sf_dir: str, ts_dtype: str) -> str:
     return base
 
 
+def ts_split_events_dir(sf_dir: str, n_files: int = 3) -> str:
+    """Stage the events table as ``n_files`` parquet files covering
+    contiguous, globally sorted ``ts`` ranges, mtime-ordered so the
+    file stream source (with ``maxFilesPerTrigger=1``) replays them
+    as deterministic, time-ordered micro-batches — the harness for
+    value-checking CROSS-batch state semantics (TTL re-admission,
+    eviction): batch k+1's events are all >= batch k's, so
+    event-time state pruning is exact, and the drained result is a
+    pure function of the data, not of file-listing order.
+
+    Same pyarrow write path as :func:`punctuated_events_dir` (no
+    ``_SUCCESS`` markers burning trigger file budget); the staging
+    dir is reaped at interpreter exit."""
+    import os
+    import tempfile
+    import time
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    base = tempfile.mkdtemp(prefix="spark_graft_tsplit_")
+    _STAGING_DIRS.append(base)
+    tbl = pq.read_table(os.path.join(sf_dir, "events.parquet"))
+    tbl = tbl.take(pc.sort_indices(tbl, sort_keys=[("ts", "ascending")]))
+    n = tbl.num_rows
+    now = time.time()
+    for i in range(n_files):
+        lo, hi = i * n // n_files, (i + 1) * n // n_files
+        path = os.path.join(base, f"part_{i:02d}.parquet")
+        pq.write_table(tbl.slice(lo, hi - lo), path)
+        os.utime(path, (now + 10 * (i + 1),) * 2)
+    return base
+
+
 def cdc_apply_to_parquet(
     changes: DataFrame,
     state_dir: str,

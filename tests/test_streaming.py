@@ -476,3 +476,58 @@ def test_cdc_state_versions_pruned_and_marker_atomic(spark, tmp_path):
     with open(os.path.join(state, "_LATEST")) as fh:
         int(fh.read())
     assert not os.path.exists(os.path.join(state, "_LATEST.tmp"))
+
+
+def test_ttl_dedup_core_readmission_and_eviction():
+    from pagerank_hadoop_spark.streaming.stateful import _ttl_dedup_core
+
+    # batch 1: id 7 at t=0 emits; repeat at t=50 within ttl=100 drops
+    emitted, seen = _ttl_dedup_core({}, [(7, 0), (7, 50)], ttl_ms=100)
+    assert emitted == [(7, 0)]
+    assert seen == {7: 50}  # drop still refreshed last-seen
+
+    # batch 2: gap 101 > ttl from last-seen 50 -> re-admits; id 9 new
+    emitted, seen = _ttl_dedup_core(seen, [(7, 151), (9, 160)], ttl_ms=100)
+    assert emitted == [(7, 151), (9, 160)]
+
+    # eviction: after a batch at t=500, entries last seen before
+    # 500 - ttl are pruned from state (id 7 @151 and 9 @160 both go)
+    emitted, seen = _ttl_dedup_core(seen, [(9, 500)], ttl_ms=100)
+    assert emitted == [(9, 500)]  # gap 340 > ttl -> re-admitted
+    assert seen == {9: 500}
+
+
+def test_ttl_dedup_core_matches_lag_rule():
+    """Property: core output over arbitrary batch splits (in ts order)
+    equals the full-history lag rule, and state stays bounded."""
+    import random
+
+    from pagerank_hadoop_spark.streaming.stateful import _ttl_dedup_core
+
+    rng = random.Random(5)
+    occs = sorted(
+        (rng.randrange(6), rng.randrange(0, 1000)) for _ in range(300)
+    )
+    occs = [(e, t) for t, e in sorted((t, e) for e, t in occs)]
+    ttl = 80
+
+    # oracle: lag over full history per id
+    last: dict[int, int] = {}
+    want = []
+    for e, t in occs:
+        if e not in last or t - last[e] > ttl:
+            want.append((e, t))
+        last[e] = t
+
+    for n_batches in (1, 3, 7):
+        seen: dict[int, int] = {}
+        got = []
+        n = len(occs)
+        for i in range(n_batches):
+            batch = occs[i * n // n_batches : (i + 1) * n // n_batches]
+            emitted, seen = _ttl_dedup_core(seen, batch, ttl)
+            got.extend(emitted)
+            if batch:
+                horizon = max(t for _, t in batch) - ttl
+                assert all(v >= horizon for v in seen.values())  # evicted
+        assert sorted(got) == sorted(want), n_batches
