@@ -682,3 +682,63 @@ def bipartite_project(
         .groupBy("src_a", "src_b")
         .agg(F.count(F.lit(1)).alias("weight"))
     )
+
+
+def hits(edges: DataFrame, n_iter: int = 3) -> DataFrame:
+    """HITS (Kleinberg hubs & authorities) over a directed edge list:
+    ``auth(v) = Σ_{u→v} hub(u)``, ``hub(u) = Σ_{u→v} auth(v)``, each
+    L2-normalized per half-step; returns ``(id, hub, auth)`` for the
+    full vertex set after ``n_iter`` rounds from all-ones seeds.
+
+    Scale shape mirrors :func:`pagerank`: per round one partial-
+    aggregated shuffle keyed on ``dst`` (auth update) and one on
+    ``src`` (hub update); only (id, score) doubles ever shuffle. The
+    L2 norms are 1-row aggregates joined back by broadcast crossJoin —
+    no driver collect, no lineage re-execution — and a lazy
+    ``localCheckpoint`` per round keeps the plan linear in rounds
+    (the repo-documented double-consumption lineage pitfall: each
+    score frame feeds BOTH the next half-step and its own norm).
+
+    Reference mapping: the reference repo has no HITS; this extends
+    its PageRank surface (C1 loop driver family,
+    ``PageRank.java:305-340``) with the other classic link-analysis
+    fixpoint, expressed on the same id-only shuffle economy.
+    """
+    e = edges.select("src", "dst").distinct().localCheckpoint(eager=True)
+    vertices = (
+        e.select(F.col("src").alias("id"))
+        .union(e.select(F.col("dst").alias("id")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    hub = vertices.select("id", F.lit(1.0).alias("hub"))
+    auth = vertices.select("id", F.lit(1.0).alias("auth"))
+
+    def _normalized(scores: DataFrame, col: str) -> DataFrame:
+        nrm = scores.agg(
+            F.sqrt(F.sum(F.col(col) * F.col(col))).alias("__nrm")
+        )
+        return scores.crossJoin(F.broadcast(nrm)).select(
+            "id", (F.col(col) / F.col("__nrm")).alias(col)
+        )
+
+    for _ in range(n_iter):
+        auth = (
+            e.join(hub, e.src == hub.id)
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.sum("hub").alias("auth"))
+        )
+        auth = vertices.join(auth, "id", "left").select(
+            "id", F.coalesce("auth", F.lit(0.0)).alias("auth")
+        )
+        auth = _normalized(auth, "auth").localCheckpoint(eager=False)
+        hub = (
+            e.join(auth, e.dst == auth.id)
+            .groupBy(F.col("src").alias("id"))
+            .agg(F.sum("auth").alias("hub"))
+        )
+        hub = vertices.join(hub, "id", "left").select(
+            "id", F.coalesce("hub", F.lit(0.0)).alias("hub")
+        )
+        hub = _normalized(hub, "hub").localCheckpoint(eager=False)
+    return hub.join(auth, "id")

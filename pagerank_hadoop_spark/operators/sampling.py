@@ -156,3 +156,40 @@ def mixture_rebalance(
         )
         .drop("__frac")
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    id_col: str,
+    salt: str = "aes",
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement via Efraimidis–Spirakis
+    A-ES keys: each row gets ``key = u^(1/w)`` with ``u`` uniform in
+    (0,1] derived from md5(salt || id) (:func:`sample_key` — no RNG
+    state, reproducible across engines/retries/partitionings), and
+    the k largest keys win. Inclusion probability is proportional to
+    weight, one pass, no replacement — the standard way to draw a
+    quality-weighted training subset from a 100 TB corpus.
+
+    Plan shape: a map computes the key, then global top-k =
+    ``TakeOrderedAndProject`` (k rows to the driver-side heap per
+    partition, never a full sort). Rows with weight <= 0 are
+    excluded (A-ES is undefined there).
+
+    Determinism across engines: the key is floored to integer
+    nanos (1e9) before ranking with an id tie-break — ``pow`` may
+    differ in final ulps between libms, and ranking on the rounded
+    key makes the selected SET identical (repo float discipline).
+    """
+    u = (sample_key(F.col(id_col), salt) + 1) / F.lit(float(16**6 + 1))
+    key = F.floor(
+        F.pow(u, 1.0 / F.col(weight_col).cast("double")) * 1e9
+    ).cast("long")
+    return (
+        df.where(F.col(weight_col) > 0)
+        .withColumn("aes_key", key)
+        .orderBy(F.desc("aes_key"), F.col(id_col))
+        .limit(k)
+    )

@@ -180,3 +180,50 @@ def weighted_pagerank_oracle_sql(
     if limit is not None:
         tail += f" LIMIT {limit}"
     return "WITH " + ",\n".join(ctes) + "\n" + tail
+
+
+def hits_oracle_sql(
+    edges_sql: str,
+    n_iter: int = 3,
+    round_dp: int = 9,
+) -> str:
+    """Unrolled-CTE HITS oracle over an edge-producing subquery
+    (columns ``src, dst``), matching ``operators.graph.hits``:
+    all-ones seeds, auth half-step then hub half-step per round, L2
+    normalization after each half-step, absent-side scores 0. CTEs
+    are MATERIALIZED — each score level feeds both the next half-step
+    and its own norm, and DuckDB would otherwise re-evaluate the
+    whole prefix exponentially (repo-documented pitfall)."""
+    ctes = [
+        f"edges AS MATERIALIZED (SELECT DISTINCT src, dst FROM ({edges_sql}))",
+        "vertices AS MATERIALIZED (SELECT src AS id FROM edges"
+        " UNION SELECT dst AS id FROM edges)",
+        "h0 AS (SELECT id, 1.0 AS hub FROM vertices)",
+    ]
+    for i in range(n_iter):
+        ctes += [
+            f"a{i + 1}r AS MATERIALIZED (SELECT v.id,"
+            f" COALESCE(s.x, 0.0) AS auth FROM vertices v LEFT JOIN"
+            f" (SELECT e.dst AS id, SUM(h.hub) AS x FROM edges e"
+            f" JOIN h{i} h ON e.src = h.id GROUP BY e.dst) s"
+            f" ON v.id = s.id)",
+            f"a{i + 1}n AS (SELECT sqrt(SUM(auth * auth)) AS nrm"
+            f" FROM a{i + 1}r)",
+            f"a{i + 1} AS MATERIALIZED (SELECT id, auth / nrm AS auth"
+            f" FROM a{i + 1}r CROSS JOIN a{i + 1}n)",
+            f"h{i + 1}r AS MATERIALIZED (SELECT v.id,"
+            f" COALESCE(s.x, 0.0) AS hub FROM vertices v LEFT JOIN"
+            f" (SELECT e.src AS id, SUM(a.auth) AS x FROM edges e"
+            f" JOIN a{i + 1} a ON e.dst = a.id GROUP BY e.src) s"
+            f" ON v.id = s.id)",
+            f"h{i + 1}n AS (SELECT sqrt(SUM(hub * hub)) AS nrm"
+            f" FROM h{i + 1}r)",
+            f"h{i + 1} AS MATERIALIZED (SELECT id, hub / nrm AS hub"
+            f" FROM h{i + 1}r CROSS JOIN h{i + 1}n)",
+        ]
+    tail = (
+        f"SELECT h.id, ROUND(h.hub, {round_dp}) AS hub,"
+        f" ROUND(a.auth, {round_dp}) AS auth"
+        f" FROM h{n_iter} h JOIN a{n_iter} a ON h.id = a.id ORDER BY h.id"
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + tail

@@ -8182,3 +8182,54 @@ def q_message_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
     return aggregate_messages(
         vertices, edges, to_dst=F.lit(1), to_src=F.lit(1), agg=F.sum
     ).withColumn("msg", F.col("msg").cast("long"))
+
+
+from pagerank_hadoop_spark.plans.oracle import hits_oracle_sql  # noqa: E402
+
+
+@register(
+    "hits_scores",
+    hits_oracle_sql(_PAGERANK_EDGES_SQL, n_iter=3),
+)
+def q_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph [EXT]: HITS hubs & authorities (operators.graph.hits) on
+    the part→supplier link graph — 3 rounds of mutual reinforcement
+    with per-half-step L2 normalization, the other classic
+    link-analysis fixpoint beside PageRank, on the same id-only
+    shuffle economy (C1 family). The oracle unrolls the identical
+    recurrence as MATERIALIZED CTEs; scores round to 9 dp on both
+    sides (summation-order noise ~1e-16, as the PageRank gates)."""
+    from pagerank_hadoop_spark.operators.graph import hits
+
+    edges = _pagerank_edges(spark, sf_dir)
+    out = hits(edges, n_iter=3)
+    return out.select(
+        "id", F.round("hub", 9).alias("hub"), F.round("auth", 9).alias("auth")
+    ).orderBy("id")
+
+
+@register(
+    "weighted_sample_docs",
+    """
+    SELECT doc_id, lang, n_chars, aes_key FROM (
+      SELECT doc_id, lang, n_chars,
+             CAST(FLOOR(POW(
+               (('0x' || substr(md5('aes' || CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT + 1)
+                 / 16777217.0,
+               1.0 / n_chars) * 1e9) AS BIGINT) AS aes_key
+      FROM documents WHERE n_chars > 0)
+    ORDER BY aes_key DESC, doc_id LIMIT 100
+    """,
+)
+def q_weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E9 [EXT]: weighted sampling WITHOUT replacement
+    (operators.sampling.weighted_sample, Efraimidis–Spirakis A-ES
+    keys): 100 documents drawn with probability ∝ n_chars, md5-seeded
+    so both engines draw the identical set. Global top-k plans as
+    TakeOrderedAndProject — no full sort at 100 TB."""
+    from pagerank_hadoop_spark.operators.sampling import weighted_sample
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    return weighted_sample(docs, "n_chars", 100, "doc_id").orderBy(
+        F.desc("aes_key"), "doc_id"
+    )

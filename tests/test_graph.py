@@ -353,3 +353,20 @@ def test_bipartite_project_weights_and_hub_guard(spark):
         for r in bipartite_project(edges, max_degree=None).collect()
     }
     assert full[("u1", "u4")] == 1 and full[("u1", "u2")] == 3
+
+
+def test_hits_star_graph(spark):
+    """a->c, b->c: c is the sole authority (auth=1), a and b are
+    equal hubs (1/sqrt(2) each) — closed form, any n_iter."""
+    import math
+
+    from pagerank_hadoop_spark.operators.graph import hits
+
+    edges = spark.createDataFrame(
+        [("a", "c"), ("b", "c")], ["src", "dst"]
+    )
+    out = {r.id: (r.hub, r.auth) for r in hits(edges, n_iter=2).collect()}
+    s = 1 / math.sqrt(2)
+    assert abs(out["c"][1] - 1.0) < 1e-12 and abs(out["c"][0]) < 1e-12
+    for v in ("a", "b"):
+        assert abs(out[v][0] - s) < 1e-12 and abs(out[v][1]) < 1e-12

@@ -115,3 +115,24 @@ def test_mixture_rebalance_equal_shares(spark):
     # fractions >= before only for "big"; light sources unchanged
     again = mixture_rebalance(out, "doc_id", "source", "n_chars", 1.0)
     assert again.count() == out.count()
+
+
+def test_weighted_sample_prefers_heavy_weights(spark):
+    from pagerank_hadoop_spark.operators.sampling import weighted_sample
+
+    rows = [(i, 1000.0 if i < 20 else 1.0) for i in range(200)]
+    df = spark.createDataFrame(rows, "id long, w double")
+    got = [r.id for r in weighted_sample(df, "w", 20, "id").collect()]
+    assert len(got) == len(set(got)) == 20  # without replacement
+    # 20 heavy rows at 1000x weight should crowd out the 180 light ones
+    assert sum(1 for i in got if i < 20) >= 15
+
+    # deterministic: same draw twice
+    again = [r.id for r in weighted_sample(df, "w", 20, "id").collect()]
+    assert got == again
+
+    # zero/negative weights never selected
+    df2 = spark.createDataFrame(
+        [(1, 0.0), (2, -3.0), (3, 5.0)], "id long, w double"
+    )
+    assert [r.id for r in weighted_sample(df2, "w", 5, "id").collect()] == [3]
