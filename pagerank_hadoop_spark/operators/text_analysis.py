@@ -510,3 +510,62 @@ def bigram_lm_scores(
             F.sum(F.col("lp").cast("decimal(38,6)")).cast("double") / cnt, 6
         ).alias("lm_score"),
     )
+
+
+def crossdoc_ngram_stats(
+    docs: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cross-document repeated n-gram statistics — the memorization-
+    risk / boilerplate metric over a training corpus: for each
+    document, how many of its distinct word ``n``-grams occur in at
+    least one OTHER document. Returns ``(doc_id, n_grams, n_shared,
+    shared_micro)`` (fraction in micro-units); documents with fewer
+    than ``n`` tokens have no grams and are excluded.
+
+    Scale shape: grams are hashed to 60-bit ints BEFORE leaving the
+    row (md5-derived — the repo's engine-portable scheme, so the
+    DuckDB twin reproduces them bitwise; swap in ``xxhash64`` for
+    production speed), so the explode → document-frequency groupBy →
+    join-back pipeline shuffles (hash, id) pairs only, never text.
+    The gram build is interpreted-HOF work → ``_spread`` first
+    (repo-documented: HOFs don't codegen and AQE coalesces
+    compute-heavy small-byte stages to too few tasks).
+    """
+    from pagerank_hadoop_spark.operators.dedup import _spread
+
+    tokens = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    m = F.size(tokens) - F.lit(n - 1)
+    gram_h = F.transform(
+        F.sequence(F.lit(1), m),
+        lambda i: F.conv(
+            F.substring(
+                F.md5(F.array_join(F.slice(tokens, i, n), " ")), 1, 15
+            ),
+            16,
+            10,
+        ).cast("long"),
+    )
+    grams = F.when(m >= 1, F.array_distinct(gram_h)).otherwise(
+        F.array().cast("array<long>")
+    )
+    per_doc = _spread(docs).select(
+        F.col(id_col).alias("doc_id"), F.explode(grams).alias("g")
+    ).localCheckpoint(eager=True)  # feeds the df-count AND the join-back
+    df_counts = per_doc.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        per_doc.join(df_counts, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum((F.col("df") >= 2).cast("long")).alias("n_shared"),
+        )
+        .withColumn(
+            "shared_micro",
+            F.floor(F.lit(1e6) * F.col("n_shared") / F.col("n_grams")).cast(
+                "long"
+            ),
+        )
+    )

@@ -8233,3 +8233,102 @@ def q_weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return weighted_sample(docs, "n_chars", 100, "doc_id").orderBy(
         F.desc("aes_key"), "doc_id"
     )
+
+
+@register(
+    "incremental_agg_refresh",
+    """
+    SELECT o_orderpriority,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE)
+             AS total,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           MAX(o_totalprice) AS max_price
+    FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def q_incremental_agg_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] materialized-aggregate maintenance
+    (operators.maintenance): per-priority revenue state built from
+    pre-1997 orders (materialized — the "stored MV"), then the 1997+
+    delta folded in via partial-aggregate MERGE (sum/count→sum,
+    max→max) WITHOUT rescanning the base. The oracle is the full
+    GROUP BY over all orders — the refresh invariant
+    refresh(agg(T0), D) == agg(T0 ∪ D), value-checked. Decimal sums
+    make the merge order-independent (exact association)."""
+    from pagerank_hadoop_spark.operators.maintenance import (
+        incremental_refresh,
+        partial_agg,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    keys = ["o_orderpriority"]
+    measures = {
+        "total": ("sum", "o_totalprice"),
+        "n": ("count", "o_totalprice"),
+        "max_price": ("max", "o_totalprice"),
+    }
+    cut = F.lit("1997-01-01").cast("timestamp")
+    # the stored MV: aggregate the base once and PIN it — the refresh
+    # below must merge this artifact, not re-fuse the base scan
+    state = partial_agg(
+        orders.where(F.col("o_orderdate") < cut), keys, measures
+    ).localCheckpoint(eager=True)
+    delta = orders.where(F.col("o_orderdate") >= cut)
+    out = incremental_refresh(state, delta, keys, measures)
+    return out.select(
+        "o_orderpriority",
+        F.col("total").cast("double").alias("total"),
+        F.col("n").cast("long").alias("n"),
+        "max_price",
+    ).orderBy("o_orderpriority")
+
+
+@register(
+    "crossdoc_ngram_shared",
+    r"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, text FROM documents
+      WHERE doc_id % 7 = 0),
+    tok AS (
+      SELECT doc_id,
+             regexp_split_to_array(lower(trim(text)), '\s+') AS t
+      FROM corpus),
+    g2 AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(
+               range(1, greatest(len(t) - 7, 0) + 1),
+               i -> ('0x' || substr(md5(array_to_string(t[i:i+7], ' ')), 1, 15))::BIGINT
+             )) AS g
+      FROM tok),
+    dfc AS (SELECT g, COUNT(*) AS df FROM g2 GROUP BY g)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_shared,
+           CAST(FLOOR(1e6 * SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END)
+                      / COUNT(*)) AS BIGINT) AS shared_micro
+    FROM g2 JOIN dfc USING (g)
+    GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def q_crossdoc_ngram_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4 [EXT]: cross-document repeated 8-gram fraction
+    (operators.text_analysis.crossdoc_ngram_stats) — the
+    memorization-risk / boilerplate metric: per document, what share
+    of its distinct word 8-grams occurs in at least one other
+    document. Fixture plants full-overlap copies (every 7th doc
+    re-appears under a new id), which both engines rebuild; grams
+    shuffle as md5-derived 60-bit ints, never text."""
+    from pagerank_hadoop_spark.operators.text_analysis import (
+        crossdoc_ngram_stats,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.unionByName(
+        docs.where(F.col("doc_id") % 7 == 0).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+        )
+    )
+    return crossdoc_ngram_stats(corpus, n=8).orderBy("doc_id")

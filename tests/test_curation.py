@@ -157,3 +157,45 @@ def test_observe_metrics_ride_the_action(spark, sf_dir):
     got = obs.get
     assert got["rows_scanned"] == docs.count()
     assert got["rows_too_short"] == docs.where(F.col("n_chars") < 200).count()
+
+
+def test_incremental_refresh_equals_full_agg(spark):
+    """Invariant: refresh(agg(T0), D) == agg(T0 ∪ D) for several
+    base/delta splits, including new-group deltas and an empty base."""
+    from pagerank_hadoop_spark.operators.maintenance import (
+        incremental_refresh,
+        partial_agg,
+    )
+    from pyspark.sql import functions as F
+
+    rows = [(i, ["a", "b", "c"][i % 3], float(i * 7 % 13)) for i in range(60)]
+    df = spark.createDataFrame(rows, "id long, k string, v double")
+    keys, measures = ["k"], {
+        "s": ("sum", "v"), "n": ("count", "v"),
+        "mn": ("min", "v"), "mx": ("max", "v"),
+    }
+    want = {
+        tuple(r)
+        for r in partial_agg(df, keys, measures)
+        .select("k", F.col("s").cast("double"), "n", "mn", "mx")
+        .collect()
+    }
+    for cut in (0, 17, 40, 60):
+        base, delta = df.where(F.col("id") < cut), df.where(F.col("id") >= cut)
+        state = partial_agg(base, keys, measures)
+        got = {
+            tuple(r)
+            for r in incremental_refresh(state, delta, keys, measures)
+            .select("k", F.col("s").cast("double"), "n", "mn", "mx")
+            .collect()
+        }
+        assert got == want, cut
+
+
+def test_partial_agg_rejects_unmergeable():
+    import pytest
+
+    from pagerank_hadoop_spark.operators.maintenance import partial_agg
+
+    with pytest.raises(ValueError):
+        partial_agg(None, ["k"], {"a": ("avg", "v")})

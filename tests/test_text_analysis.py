@@ -294,3 +294,24 @@ def test_bigram_lm_scores_common_vs_rare(spark):
     assert out[2]["n_bigrams"] == 1
     assert abs(out[2]["lm_score"] - lp_xz) < 1e-9
     assert out[2]["lm_score"] < out[1]["lm_score"]
+
+
+def test_crossdoc_ngram_stats(spark):
+    from pagerank_hadoop_spark.operators.text_analysis import (
+        crossdoc_ngram_stats,
+    )
+
+    base = "one two three four five six seven eight nine ten"
+    rows = [
+        (1, base),               # duplicated by doc 2 -> fully shared
+        (2, base),
+        (3, "totally different words appear here in this unique document"),
+        (4, "too short"),        # < 8 tokens: no grams, excluded
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in crossdoc_ngram_stats(docs, n=8).collect()}
+    assert set(out) == {1, 2, 3}
+    assert out[1].n_grams == 3 and out[1].n_shared == 3  # 10 tokens -> 3 grams
+    assert out[1].shared_micro == 1_000_000
+    assert out[2].n_shared == 3
+    assert out[3].n_shared == 0 and out[3].shared_micro == 0
