@@ -154,3 +154,47 @@ def contaminated_ids(
         .select(id_col)
         .distinct()
     )
+
+
+def rendezvous_assign(
+    df: DataFrame, id_col: str, shards: list[str]
+) -> DataFrame:
+    """Rendezvous (highest-random-weight) shard assignment: each key
+    goes to ``argmax_s md5(s || '|' || id)`` — adds a ``shard``
+    column. Unlike modulo sharding (``split_bucket``), removing or
+    adding one shard remaps ONLY the keys that scored that shard
+    highest (~1/n of them), never reshuffling the rest — the property
+    that makes incremental cluster resizes cheap on a 100 TB corpus.
+
+    Map-only Column arithmetic: per row an array of (weight, shard)
+    structs and one array_max; weights are md5-derived 60-bit ints,
+    so the DuckDB twin replays the exact assignment. Ties are broken
+    by the struct's shard field (lexicographic), deterministically —
+    though a 60-bit tie needs colliding md5 prefixes first.
+    """
+    cands = F.array(
+        *[
+            F.struct(
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.lit(s),
+                                F.lit("|"),
+                                F.col(id_col).cast("string"),
+                            )
+                        ),
+                        1,
+                        15,
+                    ),
+                    16,
+                    10,
+                )
+                .cast("long")
+                .alias("w"),
+                F.lit(s).alias("s"),
+            )
+            for s in shards
+        ]
+    )
+    return df.withColumn("shard", F.array_max(cands)["s"])

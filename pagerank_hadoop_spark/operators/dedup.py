@@ -1127,3 +1127,101 @@ def semantic_dedup_trained(
     return semantic_dedup(
         emb, centers, threshold=threshold, id_col=id_col, vec_col=vec_col
     )
+
+
+def set_similarity_join(
+    docs: DataFrame,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """EXACT all-pairs Jaccard set-similarity self-join with PPJoin
+    prefix filtering — the deterministic counterpart to the MinHash
+    LSH screen (no false negatives, no sketches): every pair of
+    documents whose word-set Jaccard ≥ ``threshold``, as
+    ``(id_a, id_b, jac_micro)`` with ``id_a < id_b``.
+
+    Prefix-filter principle: order each document's token set by
+    ascending global document frequency (rarest first, ties by
+    token); two sets with Jaccard ≥ t MUST share a token within each
+    other's first ``|s| - ceil(t·|s|) + 1`` tokens — so candidate
+    generation explodes only prefixes and joins on the (rare!) prefix
+    token. Rare tokens bucket few documents, which is what bounds the
+    candidate count; a hot stopword can never be a prefix token for a
+    large set because it sorts last.
+
+    Plan: one token-df aggregate (vocabulary-sized, broadcast back),
+    per-doc sort (inside an array, no shuffle), prefix explode →
+    self-join on token → distinct candidate pairs → ONE exact verify
+    per pair via array_intersect on the full sorted sets.
+    ``jac_micro = floor(1e6·|∩| / |∪|)`` is integer arithmetic —
+    engine-portable with no float discipline needed.
+    """
+    import math
+
+    tok = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.array_distinct(
+                F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+            )
+        ).alias("tok"),
+    )
+    dfreq = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    sets = (
+        tok.join(F.broadcast(dfreq), "tok")
+        .groupBy("id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("df", "tok"))
+            ).alias("ord"),
+        )
+        .select(
+            "id",
+            F.transform("ord", lambda s: s["tok"]).alias("toks"),
+            F.size("ord").alias("sz"),
+        )
+        .localCheckpoint(eager=True)  # feeds prefix explode AND both verify joins
+    )
+    t = float(threshold)
+    prefix_len = F.col("sz") - F.ceil(F.col("sz") * F.lit(t)).cast("int") + 1
+    prefixes = sets.select(
+        "id", F.explode(F.slice("toks", 1, prefix_len)).alias("tok")
+    )
+    cand = (
+        prefixes.alias("a")
+        .join(prefixes.alias("b"), "tok")
+        .where(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b")
+        )
+        .distinct()
+    )
+    a = sets.select(
+        F.col("id").alias("id_a"), F.col("toks").alias("ta"), F.col("sz").alias("sa")
+    )
+    b = sets.select(
+        F.col("id").alias("id_b"), F.col("toks").alias("tb"), F.col("sz").alias("sb")
+    )
+    inter = F.size(F.array_intersect("ta", "tb"))
+    uni = F.col("sa") + F.col("sb") - inter
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("__i", inter)
+        # integer threshold compare: J >= t <=> 1e6*|∩| >= T*|∪| with
+        # T = round(t*1e6) — exact at the boundary (a float t*union
+        # would flap pairs at J == t by one ulp)
+        .where(
+            F.col("__i") * F.lit(1_000_000)
+            >= F.lit(int(round(t * 1e6)))
+            * (F.col("sa") + F.col("sb") - F.col("__i"))
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.floor(
+                F.lit(1e6) * F.col("__i") / (F.col("sa") + F.col("sb") - F.col("__i"))
+            ).cast("long").alias("jac_micro"),
+        )
+    )

@@ -8332,3 +8332,96 @@ def q_crossdoc_ngram_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return crossdoc_ngram_stats(corpus, n=8).orderBy("doc_id")
+
+
+@register(
+    "set_similarity_pairs",
+    r"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents WHERE doc_id < 300
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, text || ' zzextra' AS text
+      FROM documents WHERE doc_id < 300 AND doc_id % 9 = 0),
+    s AS (
+      SELECT doc_id,
+             list_distinct(regexp_split_to_array(lower(trim(text)), '\s+'))
+               AS t
+      FROM corpus),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             len(list_filter(a.t, x -> list_contains(b.t, x))) AS i,
+             len(a.t) AS sa, len(b.t) AS sb
+      FROM s a JOIN s b ON a.doc_id < b.doc_id)
+    SELECT id_a, id_b,
+           CAST(FLOOR(1e6 * i / (sa + sb - i)) AS BIGINT) AS jac_micro
+    FROM pairs WHERE 1000000 * i >= 800000 * (sa + sb - i)
+    ORDER BY id_a, id_b
+    """,
+)
+def q_set_similarity_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2 [EXT] EXACT set-similarity self-join with PPJoin prefix
+    filtering (operators.dedup.set_similarity_join): all document
+    pairs with word-set Jaccard ≥ 0.8, no sketches, no false
+    negatives — the deterministic screen the MinHash family
+    approximates. The oracle brute-forces ALL pairs (sound at sf;
+    the prefix filter is exactness-preserving, so outputs must be
+    identical — that equality IS the gate on the filter's
+    correctness). Fixture plants one near-dup copy per ninth doc."""
+    from pagerank_hadoop_spark.operators.dedup import set_similarity_join
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 300).select(
+        "doc_id", "text"
+    )
+    corpus = docs.unionByName(
+        docs.where(F.col("doc_id") % 9 == 0).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"),
+            F.concat("text", F.lit(" zzextra")).alias("text"),
+        )
+    )
+    return set_similarity_join(corpus, threshold=0.8).orderBy(
+        "id_a", "id_b"
+    )
+
+
+@register(
+    "rendezvous_shards",
+    """
+    WITH w AS (
+      SELECT doc_id, lang, s,
+             ('0x' || substr(md5(s || '|' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS wt
+      FROM documents
+      CROSS JOIN (SELECT unnest(['nodeA', 'nodeB', 'nodeC', 'nodeD', 'nodeE']) AS s)),
+    best AS (
+      SELECT doc_id, lang, s, wt,
+             ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY wt DESC, s)
+               AS rn
+      FROM w)
+    SELECT s AS shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MIN(doc_id) AS BIGINT) AS min_id,
+           CAST(MAX(doc_id) AS BIGINT) AS max_id,
+           CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
+    FROM best WHERE rn = 1
+    GROUP BY s ORDER BY s
+    """,
+)
+def q_rendezvous_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] data placement: rendezvous/HRW sharding
+    (operators.curation.rendezvous_assign) of the document corpus
+    over 5 named nodes — argmax of md5-derived weights, the
+    consistent-hashing variant whose resize cost is 1/n of the keys.
+    Map-only; the oracle replays the argmax via a window."""
+    from pagerank_hadoop_spark.operators.curation import rendezvous_assign
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    shards = ["nodeA", "nodeB", "nodeC", "nodeD", "nodeE"]
+    return (
+        rendezvous_assign(docs, "doc_id", shards)
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("min_id"),
+            F.max("doc_id").alias("max_id"),
+            F.countDistinct("lang").alias("n_langs"),
+        )
+        .orderBy("shard")
+    )

@@ -199,3 +199,21 @@ def test_partial_agg_rejects_unmergeable():
 
     with pytest.raises(ValueError):
         partial_agg(None, ["k"], {"a": ("avg", "v")})
+
+
+def test_rendezvous_assign_minimal_remap(spark):
+    """The HRW property: dropping one shard remaps ONLY that shard's
+    keys; every other key keeps its assignment."""
+    from pagerank_hadoop_spark.operators.curation import rendezvous_assign
+
+    df = spark.createDataFrame([(i,) for i in range(300)], "id long")
+    five = {r.id: r.shard for r in rendezvous_assign(df, "id", ["a", "b", "c", "d", "e"]).collect()}
+    four = {r.id: r.shard for r in rendezvous_assign(df, "id", ["a", "b", "c", "d"]).collect()}
+    moved = [i for i in five if five[i] != four[i]]
+    assert all(five[i] == "e" for i in moved)  # only e's keys moved
+    assert set(five.values()) == {"a", "b", "c", "d", "e"}  # all used
+    # roughly balanced: each shard within [30, 100] of 300/5 = 60
+    from collections import Counter
+
+    counts = Counter(five.values())
+    assert all(30 <= c <= 100 for c in counts.values()), counts

@@ -348,3 +348,20 @@ def test_semantic_dedup_trained_equals_literal_path(spark):
         not (i in surv and 1000 + i in surv) for i in range(0, 40, 5)
     )
     assert len(surv) < 48
+
+
+def test_set_similarity_join_exact_boundary(spark):
+    from pagerank_hadoop_spark.operators.dedup import set_similarity_join
+
+    rows = [
+        (1, "alpha beta gamma delta"),          # J(1,2) = 4/5 = 0.8 exactly
+        (2, "alpha beta gamma delta epsilon"),
+        (3, "alpha beta zeta eta"),             # J(1,3) = 2/6 — out
+        (4, "alpha beta gamma delta"),          # J(1,4) = 1.0
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        (r.id_a, r.id_b): r.jac_micro
+        for r in set_similarity_join(docs, threshold=0.8).collect()
+    }
+    assert out == {(1, 2): 800000, (1, 4): 1000000, (2, 4): 800000}
