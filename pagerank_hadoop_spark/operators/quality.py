@@ -95,3 +95,65 @@ def shard_key(text: Column, n_shards: int = 64) -> Column:
     return (
         F.conv(F.substring(F.md5(text), 1, 4), 16, 10).cast("long") % n_shards
     ).cast("long")
+
+
+def distribution_drift(
+    ref: DataFrame,
+    cur: DataFrame,
+    cat_col: str,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Categorical distribution drift between a reference corpus and
+    a current batch: per-category probabilities (Laplace-smoothed by
+    ``alpha`` over the UNION of categories, so unseen categories
+    never divide by zero) and the two standard monitor scores as one
+    row: ``kl_micro`` (D_KL(cur ‖ ref)) and ``tvd_micro`` (total
+    variation distance), both in micro-units.
+
+    The drift gate every continuously-ingesting training pipeline
+    needs: yesterday's lang/source/topic mix vs today's — two
+    vocabulary-sized aggregates, a full-outer join on category, and a
+    1-row reduce; the corpus never shuffles.
+
+    Float discipline (repo convention, as bigram_lm_scores): each
+    category's KL term is rounded to 9 dp, the sum runs on
+    DECIMAL(38,9) (exact, order-independent), then floors to micro —
+    libm ``ln`` last-ulp differences can't move the result.
+    """
+    def probs(df: DataFrame, name: str) -> DataFrame:
+        return df.groupBy(F.col(cat_col).alias("cat")).agg(
+            F.count(F.lit(1)).alias(name)
+        )
+
+    joined = (
+        probs(ref, "n_ref")
+        .join(probs(cur, "n_cur"), "cat", "full_outer")
+        .select(
+            "cat",
+            F.coalesce("n_ref", F.lit(0)).alias("n_ref"),
+            F.coalesce("n_cur", F.lit(0)).alias("n_cur"),
+        )
+        .localCheckpoint(eager=True)  # feeds the totals AND the term scan
+    )
+    totals = joined.agg(
+        F.sum("n_ref").alias("t_ref"),
+        F.sum("n_cur").alias("t_cur"),
+        F.count(F.lit(1)).alias("k"),
+    )
+    t = joined.crossJoin(F.broadcast(totals))
+    p = (F.col("n_cur") + F.lit(alpha)) / (
+        F.col("t_cur") + F.lit(alpha) * F.col("k")
+    )
+    q = (F.col("n_ref") + F.lit(alpha)) / (
+        F.col("t_ref") + F.lit(alpha) * F.col("k")
+    )
+    kl_term = F.round(p * F.log(p / q), 9).cast("decimal(38,9)")
+    tvd_term = F.round(F.abs(p - q), 9).cast("decimal(38,9)")
+    return t.agg(
+        F.floor(F.sum(kl_term).cast("double") * 1e6).cast("long").alias(
+            "kl_micro"
+        ),
+        F.floor((F.sum(tvd_term).cast("double") / 2) * 1e6)
+        .cast("long")
+        .alias("tvd_micro"),
+    )

@@ -177,3 +177,80 @@ def cms_group_estimates(
     return df.sparkSession.createDataFrame(
         rows, f"{key} {key_type}, est_count long"
     )
+
+
+def histogram_sketch(
+    df: DataFrame,
+    value_col: str,
+    lo: float,
+    hi: float,
+    n_bins: int = 64,
+    shard_col: Column | None = None,
+) -> DataFrame:
+    """Equi-width histogram sketch: ``(shard?, bin, cnt)`` with
+    ``bin = clamp(floor((x - lo) / (hi - lo) * n_bins))`` — the
+    fourth mergeable tier: per-shard histograms merge by summing bin
+    counts (:func:`merge_histograms`), so yesterday's stored
+    histogram folds with today's shard without rescanning anything,
+    and any quantile is then answered from ``n_bins`` integers.
+    Integer bin ids and counts → bit-portable across engines, no
+    float discipline needed (the bin-edge arithmetic is the same
+    IEEE expression on both sides). Values outside [lo, hi) clamp to
+    the edge bins, the standard sketch convention."""
+    x = F.col(value_col).cast("double")
+    bin_ = F.least(
+        F.lit(n_bins - 1),
+        F.greatest(
+            F.lit(0),
+            F.floor((x - F.lit(lo)) / F.lit(hi - lo) * n_bins).cast("int"),
+        ),
+    ).alias("bin")
+    keys = ([shard_col.alias("shard")] if shard_col is not None else []) + [bin_]
+    return df.groupBy(*keys).agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def merge_histograms(hists: DataFrame) -> DataFrame:
+    """Merge per-shard histograms: drop the shard key, sum counts per
+    bin — one vocabulary-sized (n_bins) shuffle."""
+    return hists.groupBy("bin").agg(F.sum("cnt").alias("cnt"))
+
+
+def histogram_quantile_micro(
+    hist: DataFrame, q: float, lo: float, hi: float, n_bins: int
+) -> DataFrame:
+    """Quantile estimate from a merged histogram, in micro-units:
+    find the bin where the running count crosses ``q·total``, linear-
+    interpolate inside it. One n_bins-row window — the answer comes
+    from the sketch, never the data. Returns 1 row ``(q_micro)``."""
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    width = (hi - lo) / n_bins
+    run = hist.select(
+        "bin",
+        "cnt",
+        F.sum("cnt").over(w).alias("cum"),
+        F.sum("cnt").over(Window.partitionBy()).alias("total"),
+    )
+    target = F.col("total") * F.lit(q)
+    first_cross = (
+        run.where(F.col("cum") >= target)
+        .orderBy("bin")
+        .limit(1)
+        .select(
+            F.floor(
+                (
+                    F.lit(lo)
+                    + (
+                        F.col("bin")
+                        + (target - (F.col("cum") - F.col("cnt"))) / F.col("cnt")
+                    )
+                    * F.lit(width)
+                )
+                * 1e6
+            )
+            .cast("long")
+            .alias("q_micro")
+        )
+    )
+    return first_cross

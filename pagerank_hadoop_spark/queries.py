@@ -8425,3 +8425,131 @@ def q_rendezvous_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard")
     )
+
+
+@register(
+    "hist_sketch_merged",
+    """
+    SELECT LEAST(63, GREATEST(0,
+             CAST(FLOOR((value - 0.0) / 500.0 * 64) AS INTEGER))) AS bin,
+           CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM events GROUP BY 1 ORDER BY 1
+    """,
+)
+def q_hist_sketch_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch tier 4 (operators.sketches.histogram_sketch): equi-width
+    64-bin histogram of event values built PER SHARD (user_id % 8 —
+    eight independent sketches, the incremental-ingest shape) and
+    merged by bin-count sum. The oracle histograms the raw data
+    directly: merge(shard sketches) == sketch(all data), the
+    mergeability law, value-checked with integer bins/counts."""
+    from pagerank_hadoop_spark.operators.sketches import (
+        histogram_sketch,
+        merge_histograms,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    shards = histogram_sketch(
+        ev, "value", 0.0, 500.0, 64, shard_col=F.col("user_id") % 8
+    )
+    return merge_histograms(shards).orderBy("bin")
+
+
+@register(
+    "hist_quantiles",
+    """
+    WITH h AS (
+      SELECT LEAST(63, GREATEST(0,
+               CAST(FLOOR((value - 0.0) / 500.0 * 64) AS INTEGER))) AS bin,
+             COUNT(*) AS cnt
+      FROM events GROUP BY 1),
+    r AS (
+      SELECT bin, cnt,
+             SUM(cnt) OVER (ORDER BY bin) AS cum,
+             SUM(cnt) OVER () AS total
+      FROM h)
+    SELECT MAX(CASE WHEN q = 0.5 THEN q_micro END) AS p50_micro,
+           MAX(CASE WHEN q = 0.95 THEN q_micro END) AS p95_micro
+    FROM (
+      SELECT q,
+             CAST(FLOOR((0.0 + (bin + (total * q - (cum - cnt)) / cnt)
+                         * (500.0 / 64)) * 1e6) AS BIGINT) AS q_micro,
+             ROW_NUMBER() OVER (PARTITION BY q ORDER BY bin) AS rn
+      FROM r CROSS JOIN (SELECT unnest([0.5, 0.95]) AS q)
+      WHERE cum >= total * q)
+    WHERE rn = 1
+    """,
+)
+def q_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantiles answered FROM the merged sketch
+    (operators.sketches.histogram_quantile_micro): p50/p95 by linear
+    interpolation inside the crossing bin — 64 integers stand in for
+    the full corpus. Oracle replays the identical interpolation."""
+    from pagerank_hadoop_spark.operators.sketches import (
+        histogram_quantile_micro,
+        histogram_sketch,
+        merge_histograms,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    hist = merge_histograms(
+        histogram_sketch(
+            ev, "value", 0.0, 500.0, 64, shard_col=F.col("user_id") % 8
+        )
+    ).localCheckpoint(eager=True)  # 64 rows; feeds both quantile scans
+    p50 = histogram_quantile_micro(hist, 0.5, 0.0, 500.0, 64).select(
+        F.col("q_micro").alias("p50_micro")
+    )
+    p95 = histogram_quantile_micro(hist, 0.95, 0.0, 500.0, 64).select(
+        F.col("q_micro").alias("p95_micro")
+    )
+    return p50.crossJoin(p95)
+
+
+@register(
+    "drift_event_mix",
+    """
+    WITH r AS (
+      SELECT event_type AS cat, COUNT(*) AS n_ref FROM events
+      WHERE ts < TIMESTAMP '2024-01-16' GROUP BY 1),
+    c AS (
+      SELECT event_type AS cat, COUNT(*) AS n_cur FROM events
+      WHERE ts >= TIMESTAMP '2024-01-16' GROUP BY 1),
+    j AS (
+      SELECT COALESCE(r.cat, c.cat) AS cat,
+             COALESCE(n_ref, 0) AS n_ref, COALESCE(n_cur, 0) AS n_cur
+      FROM r FULL OUTER JOIN c ON r.cat = c.cat),
+    t AS (
+      SELECT CAST(SUM(n_ref) AS BIGINT) AS t_ref,
+             CAST(SUM(n_cur) AS BIGINT) AS t_cur,
+             COUNT(*) AS k FROM j),
+    terms AS (
+      SELECT (n_cur + 0.5) / (t_cur + 0.5 * k) AS p,
+             (n_ref + 0.5) / (t_ref + 0.5 * k) AS q
+      FROM j CROSS JOIN t)
+    SELECT CAST(FLOOR(CAST(SUM(CAST(ROUND(p * ln(p / q), 9)
+                   AS DECIMAL(38,9))) AS DOUBLE) * 1e6) AS BIGINT)
+             AS kl_micro,
+           CAST(FLOOR(CAST(SUM(CAST(ROUND(ABS(p - q), 9)
+                   AS DECIMAL(38,9))) AS DOUBLE) / 2 * 1e6) AS BIGINT)
+             AS tvd_micro
+    FROM terms
+    """,
+)
+def q_drift_event_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] corpus monitoring: distribution drift
+    (operators.quality.distribution_drift) of the event-type mix,
+    first half of January (reference) vs the rest (current) —
+    Laplace-smoothed KL divergence + total variation distance, the
+    two standard ingest-drift alarms. Two vocabulary-sized aggregates
+    and a 1-row reduce; per-term 9 dp rounding + decimal sums make
+    the scores engine-exact (bigram_lm discipline)."""
+    from pagerank_hadoop_spark.operators.quality import distribution_drift
+
+    ev = _events(spark, sf_dir)
+    cut = F.lit("2024-01-16").cast("timestamp")
+    return distribution_drift(
+        ev.where(F.col("ts") < cut).select("event_type"),
+        ev.where(F.col("ts") >= cut).select("event_type"),
+        "event_type",
+    )

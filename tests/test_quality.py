@@ -69,3 +69,26 @@ def test_shard_key_range_and_determinism(spark):
     # deterministic: same input -> same assignment on re-evaluation
     b = docs.select(shard_key(F.col("text"), 64).alias("s"))
     assert a.exceptAll(b).count() == 0
+
+
+def test_distribution_drift_zero_for_identical(spark):
+    from pagerank_hadoop_spark.operators.quality import distribution_drift
+
+    df = spark.createDataFrame(
+        [(x,) for x in "aabbbcc"], "cat string"
+    )
+    r = distribution_drift(df, df, "cat").collect()[0]
+    assert r.kl_micro == 0 and r.tvd_micro == 0
+
+
+def test_distribution_drift_detects_shift_and_new_category(spark):
+    from pagerank_hadoop_spark.operators.quality import distribution_drift
+
+    ref = spark.createDataFrame([(x,) for x in "a" * 50 + "b" * 50], "cat string")
+    cur = spark.createDataFrame([(x,) for x in "a" * 90 + "b" * 5 + "z" * 5], "cat string")
+    r = distribution_drift(ref, cur, "cat").collect()[0]
+    assert r.kl_micro > 100_000      # strong drift
+    assert 0 < r.tvd_micro <= 1_000_000
+    # symmetric identical-support sanity: KL(cur||ref) != KL(ref||cur)
+    r2 = distribution_drift(cur, ref, "cat").collect()[0]
+    assert r2.kl_micro > 0 and r2.kl_micro != r.kl_micro

@@ -148,3 +148,38 @@ def test_cms_group_estimates_integer_key(spark, sf_dir):
     assert est.keys() == exact.keys()
     for k, e in exact.items():
         assert est[k] >= e
+
+
+def test_histogram_sketch_merge_law_and_quantiles(spark):
+    from pagerank_hadoop_spark.operators.sketches import (
+        histogram_quantile_micro,
+        histogram_sketch,
+        merge_histograms,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(i, float(i % 100)) for i in range(1000)], "id long, v double"
+    )
+    direct = {
+        (r.bin, r.cnt)
+        for r in histogram_sketch(df, "v", 0.0, 100.0, 20).collect()
+    }
+    merged = {
+        (r.bin, r.cnt)
+        for r in merge_histograms(
+            histogram_sketch(df, "v", 0.0, 100.0, 20, shard_col=F.col("id") % 4)
+        ).collect()
+    }
+    assert direct == merged  # mergeability law
+    assert sum(c for _, c in direct) == 1000
+    # uniform 0..99: p50 ≈ 50 within one 5-wide bin
+    hist = merge_histograms(
+        histogram_sketch(df, "v", 0.0, 100.0, 20, shard_col=F.col("id") % 4)
+    )
+    p50 = histogram_quantile_micro(hist, 0.5, 0.0, 100.0, 20).collect()[0].q_micro
+    assert 45_000_000 <= p50 <= 55_000_000
+    # clamping: out-of-range values land in edge bins
+    df2 = spark.createDataFrame([(1, -5.0), (2, 500.0)], "id long, v double")
+    bins = {r.bin for r in histogram_sketch(df2, "v", 0.0, 100.0, 20).collect()}
+    assert bins == {0, 19}
