@@ -157,3 +157,49 @@ def distribution_drift(
         .cast("long")
         .alias("tvd_micro"),
     )
+
+
+def key_skew_profile(df: DataFrame, key_col: str, top_n: int = 10) -> DataFrame:
+    """Join-key skew diagnostics — the pre-flight check before any
+    big shuffle join at 100 TB: per-key counts reduced to one row of
+    ``n_keys``, ``n_rows``, ``max_cnt``, ``skew_ratio_micro``
+    (max/mean, micro-units) and the ``top_n`` hottest keys with
+    counts (array of structs, heaviest first, key tiebreak). A
+    skew_ratio around 1e6 (1.0x) means uniform; orders of magnitude
+    above says salt this key or lean on AQE skew-split.
+
+    One partial-aggregated count shuffle + a tiny top-n reduce; the
+    hot-key list is bounded by construction.
+    """
+    counts = df.groupBy(F.col(key_col).cast("string").alias("k")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    ).localCheckpoint(eager=True)  # feeds the stats reduce AND the top-n
+    stats = counts.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("cnt").cast("long").alias("n_rows"),
+        F.max("cnt").cast("long").alias("max_cnt"),
+        F.floor(
+            F.lit(1e6) * F.max("cnt") * F.count(F.lit(1)) / F.sum("cnt")
+        )
+        .cast("long")
+        .alias("skew_ratio_micro"),
+    )
+    # top-n via TakeOrdered (never a collect_list over ALL keys — at
+    # 100 TB that single reducer row would hold billions of structs);
+    # collect_list here runs over <= top_n rows by construction, and
+    # the array is re-sorted because limit->agg has no row order
+    hot = (
+        counts.orderBy(F.desc("cnt"), "k")
+        .limit(top_n)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct((-F.col("cnt")).alias("neg"), "k"))
+            ).alias("h")
+        )
+        .select(
+            F.transform(
+                "h", lambda s: F.struct(s["k"].alias("k"), (-s["neg"]).alias("cnt"))
+            ).alias("hot")
+        )
+    )
+    return stats.crossJoin(hot)

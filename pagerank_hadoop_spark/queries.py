@@ -8553,3 +8553,81 @@ def q_drift_event_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.where(F.col("ts") >= cut).select("event_type"),
         "event_type",
     )
+
+
+@register(
+    "join_key_skew",
+    """
+    WITH c AS (
+      SELECT CAST(user_id AS VARCHAR) AS k, COUNT(*) AS cnt
+      FROM events GROUP BY 1),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+             CAST(SUM(cnt) AS BIGINT) AS n_rows,
+             CAST(MAX(cnt) AS BIGINT) AS max_cnt,
+             CAST(FLOOR(1e6 * MAX(cnt) * COUNT(*) / SUM(cnt)) AS BIGINT)
+               AS skew_ratio_micro
+      FROM c),
+    h AS (
+      SELECT list(k ORDER BY cnt DESC, k)[1:5] AS hot_keys,
+             list(cnt ORDER BY cnt DESC, k)[1:5] AS hot_cnts
+      FROM c)
+    SELECT n_keys, n_rows, max_cnt, skew_ratio_micro, hot_keys, hot_cnts
+    FROM s CROSS JOIN h
+    """,
+)
+def q_join_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] shuffle pre-flight: join-key skew profile
+    (operators.quality.key_skew_profile) of events.user_id — key
+    cardinality, max key population, max/mean skew ratio, and the 5
+    hottest keys, computed as one partial-aggregated count shuffle +
+    a TakeOrdered top-n (never a collect over all keys)."""
+    from pagerank_hadoop_spark.operators.quality import key_skew_profile
+
+    ev = _t(spark, sf_dir, "events")
+    out = key_skew_profile(ev, "user_id", top_n=5)
+    return out.select(
+        "n_keys",
+        "n_rows",
+        "max_cnt",
+        "skew_ratio_micro",
+        F.transform("hot", lambda s: s["k"]).alias("hot_keys"),
+        F.transform("hot", lambda s: s["cnt"].cast("long")).alias("hot_cnts"),
+    )
+
+
+@register(
+    "stream_window_distinct",
+    """
+    SELECT CAST(FLOOR(epoch(time_bucket(INTERVAL '30 minutes', ts)))
+                AS BIGINT) AS wstart,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events GROUP BY 1
+    """,
+)
+def q_stream_window_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E6: distinct users per 30-minute window through a REAL
+    readStream — streaming forbids COUNT(DISTINCT), so the plan is
+    the production watermark → dropDuplicates((window, user)) →
+    count pattern (both stateful ops watermark-evictable); drained
+    with availableNow it must equal batch COUNT(DISTINCT), the
+    oracle."""
+    from pagerank_hadoop_spark.streaming.windows import (
+        run_to_memory,
+        windowed_distinct_users,
+    )
+
+    stream = _stream_events(spark, sf_dir)
+    _STREAM_SEQ["n"] += 1
+    name = f"stream_wdistinct_{_STREAM_SEQ['n']}"
+    with _stream_parts(spark, sf_dir):
+        # complete mode: append would withhold every window younger
+        # than the final watermark on a bounded drain (the punctuation
+        # problem); the aggregation state here is window-count rows,
+        # small enough to re-emit in full
+        run_to_memory(
+            windowed_distinct_users(stream), name, output_mode="complete"
+        )
+    return spark.table(name).select(
+        F.unix_timestamp("wstart").alias("wstart"), "n_users"
+    )

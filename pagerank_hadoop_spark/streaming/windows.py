@@ -79,6 +79,29 @@ def tumbling_agg(events: DataFrame, width: str = "10 minutes", watermark: str = 
     )
 
 
+def windowed_distinct_users(
+    events: DataFrame, width: str = "30 minutes", watermark: str = "1 hour"
+) -> DataFrame:
+    """Distinct users per tumbling window on a STREAM. Streaming
+    aggregation forbids COUNT(DISTINCT) (unbounded per-group state
+    with no eviction contract), so this is the production pattern:
+    watermark → ``dropDuplicates`` on (window, user) — keyed state
+    the watermark CAN evict — then a plain count per window. Two
+    stateful operators, both watermark-bounded; on drained bounded
+    input the result equals batch ``COUNT(DISTINCT)``, which is the
+    oracle."""
+    bucketed = (
+        events.withWatermark("ts", watermark)
+        .select(F.window("ts", width).alias("w"), "user_id", "ts")
+        .dropDuplicates(["w", "user_id"])
+    )
+    return (
+        bucketed.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .select(F.col("w.start").alias("wstart"), "n_users")
+    )
+
+
 def sliding_agg(
     events: DataFrame,
     width: str = "10 minutes",

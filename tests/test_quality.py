@@ -92,3 +92,19 @@ def test_distribution_drift_detects_shift_and_new_category(spark):
     # symmetric identical-support sanity: KL(cur||ref) != KL(ref||cur)
     r2 = distribution_drift(cur, ref, "cat").collect()[0]
     assert r2.kl_micro > 0 and r2.kl_micro != r.kl_micro
+
+
+def test_key_skew_profile(spark):
+    from pagerank_hadoop_spark.operators.quality import key_skew_profile
+
+    rows = [(i, "hot") for i in range(80)] + [
+        (100 + i, f"cold{i}") for i in range(20)
+    ]
+    df = spark.createDataFrame(rows, "id long, k string")
+    r = key_skew_profile(df, "k", top_n=3).collect()[0]
+    assert r.n_keys == 21 and r.n_rows == 100 and r.max_cnt == 80
+    # max/mean = 80 / (100/21) = 16.8
+    assert r.skew_ratio_micro == 16_800_000
+    hot = [(s["k"], s["cnt"]) for s in r.hot]
+    assert hot[0] == ("hot", 80) and len(hot) == 3
+    assert all(c == 1 for _, c in hot[1:])
