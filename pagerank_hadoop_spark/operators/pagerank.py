@@ -123,6 +123,7 @@ def pagerank_with_n(
     damping: float = DAMPING,
     parity: bool = True,
     checkpoint_interval: int = 4,
+    init_ranks: DataFrame | None = None,
 ) -> tuple[DataFrame, int]:
     """Run ``n_iter`` PageRank iterations; returns ``((id, rank), N)``.
 
@@ -134,6 +135,16 @@ def pagerank_with_n(
     N (the vertex count) is computed once as part of the run — callers
     needing it for thresholds (rank > k/N) should use this instead of
     re-counting.
+
+    ``init_ranks`` (optional ``(id, rank)``) RESUMES the recurrence
+    from a saved state instead of the uniform 1/N seed — the
+    checkpoint/restart path an hours-long 100 TB run needs: persist
+    ranks every K iterations with ``df.write.parquet``, and on
+    preemption resume with the remaining iteration budget. Resuming
+    is exact: iterations are a pure function of (adjacency, ranks),
+    so k iterations from a saved state after j iterations equal
+    j + k straight iterations (unit-pinned and oracle-gated as
+    ``pagerank_resume``).
     """
     spark = edges.sparkSession
     if vertices is None:
@@ -163,7 +174,9 @@ def pagerank_with_n(
         old = adjacency
         adjacency = old.repartition(parts, "id").localCheckpoint(eager=True)
         old.unpersist()
-    return _pagerank_loop(adjacency, n, n_iter, damping, parity, checkpoint_interval), n
+    return _pagerank_loop(
+        adjacency, n, n_iter, damping, parity, checkpoint_interval, init_ranks
+    ), n
 
 
 def _pagerank_loop(
@@ -173,6 +186,7 @@ def _pagerank_loop(
     damping: float,
     parity: bool,
     checkpoint_interval: int,
+    init_ranks: DataFrame | None = None,
 ) -> DataFrame:
 
     teleport = (1.0 - damping) / n
@@ -186,7 +200,12 @@ def _pagerank_loop(
         # join. One join per iteration instead of two (no dense
         # left-join-back), and the shuffle carries only message
         # receivers.
-        ranks_sparse: DataFrame | None = None  # iteration-0: uniform 1/N
+        # iteration-0: uniform 1/N, or a saved state when resuming (a
+        # dense restart frame rides the same left-join/coalesce path a
+        # sparse message frame does — absent ids read as teleport)
+        ranks_sparse: DataFrame | None = (
+            init_ranks.select("id", "rank") if init_ranks is not None else None
+        )
         for i in range(n_iter):
             if ranks_sparse is None:
                 src_ranks = adjacency.select(
@@ -237,7 +256,10 @@ def _pagerank_loop(
     # The dangling-vertex set is a static property of the adjacency —
     # compute the id list once, not from the per-iteration join.
     dangling = adjacency.where(outdeg == 0).select("id")
-    ranks = adjacency.select("id", F.lit(1.0 / n).alias("rank"))
+    if init_ranks is not None:
+        ranks = init_ranks.select("id", "rank")
+    else:
+        ranks = adjacency.select("id", F.lit(1.0 / n).alias("rank"))
     for i in range(n_iter):
         contribs = adjacency.join(ranks, "id").select(
             F.explode("outlinks").alias("id"),

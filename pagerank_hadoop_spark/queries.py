@@ -8631,3 +8631,32 @@ def q_stream_window_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name).select(
         F.unix_timestamp("wstart").alias("wstart"), "n_users"
     )
+
+
+@register(
+    "pagerank_resume",
+    pagerank_oracle_sql(_PAGERANK_EDGES_SQL, n_iter=8, limit=20, threshold_num=1.0),
+)
+def q_pagerank_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C1 checkpoint/restart gate: 4 PageRank iterations, ranks
+    persisted to parquet (a REAL write+read round-trip — the restart
+    artifact an hours-long 100 TB run would leave), then 4 MORE
+    iterations resumed from the saved state (``init_ranks``). Checked
+    against the straight 8-iteration oracle: resume is exact, j + k
+    iterations ≡ j then k."""
+    import tempfile
+
+    edges = _pagerank_edges(spark, sf_dir)
+    half, _n = pagerank_with_n(edges, n_iter=4, parity=True)
+    ckpt = tempfile.mkdtemp(prefix="spark_graft_prresume_") + "/ranks"
+    half.write.mode("overwrite").parquet(ckpt)
+    saved = spark.read.parquet(ckpt)
+    ranks, n = pagerank_with_n(
+        edges, n_iter=4, parity=True, init_ranks=saved
+    )
+    out = top_ranks(ranks, n, threshold=1.0 / n)
+    return (
+        out.select("id", F.round("rank", 9).alias("rank"))
+        .orderBy(F.desc("rank"), F.asc("id"))
+        .limit(20)
+    )

@@ -179,3 +179,22 @@ def test_weighted_pagerank_follows_the_heavy_edge(spark):
     prop_heavy = got["heavy"] - teleport
     prop_light = got["light"] - teleport
     assert abs(prop_heavy / prop_light - 9.0) < 1e-9
+
+
+def test_pagerank_resume_equals_straight_run(spark):
+    """j+k resumed iterations == j+k straight, both modes, bitwise."""
+    from pagerank_hadoop_spark.operators.pagerank import pagerank_with_n
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a"), ("a", "c"), ("d", "a")],
+        ["src", "dst"],
+    )
+    for parity in (True, False):
+        straight, _ = pagerank_with_n(edges, n_iter=6, parity=parity)
+        want = {r.id: r.rank for r in straight.collect()}
+        half, _ = pagerank_with_n(edges, n_iter=2, parity=parity)
+        resumed, _ = pagerank_with_n(
+            edges, n_iter=4, parity=parity, init_ranks=half
+        )
+        got = {r.id: r.rank for r in resumed.collect()}
+        assert got == want, parity
