@@ -42,6 +42,19 @@ def get_spark(app_name: str = "pagerank-hadoop-spark") -> SparkSession:
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # runtime row-group pruning for shuffled joins: inject a bloom
+        # filter built from the smaller join side into the bigger
+        # side's scan (and the matching semi-join DPP variant). At
+        # 100 TB this is the difference between scanning a fact table
+        # and scanning the ~1% of it that can possibly join; free
+        # locally, big on clusters. (Spark default-on in 3.5+ for
+        # creationSideThreshold-sized builds; pinned here so the plan
+        # audit can rely on it.)
+        .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        # NOTE: runtimeFilter.semiJoinReduction.enabled is deliberately
+        # NOT set — on this Spark build turning it on deadlocks the
+        # very first job of the session (reproduced on range().count();
+        # bisected 2026-08 across the two runtime-filter confs)
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # Arrow-batch Python UDTF exchange too (defaults to pickled
         # row-at-a-time); with it every Python hop in the engine is

@@ -531,3 +531,43 @@ def test_jl_projection_is_map_only_jvm_side(spark, sf_dir):
     plan = formatted_plan(df)
     assert "PythonUDF" not in plan and "BatchEvalPython" not in plan
     assert count_exchanges(df) <= 2  # 1 physical: the orderBy range exchange
+
+
+def test_runtime_bloom_filter_injected_for_shuffle_join(spark, sf_dir):
+    """The session enables runtime bloom-filter injection: when a
+    selective small side meets a big side in a SHUFFLE join (the
+    100 TB fact-join shape — locally most small sides broadcast
+    instead, which needs no bloom), the big side's scan gets a
+    might_contain pre-filter built from the small side. Pinned by
+    dropping the thresholds that hide it at test scale."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    prev_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    prev_th = spark.conf.get(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        "0",
+    )
+    try:
+        big = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+            "l_orderkey", "l_quantity"
+        )
+        small = (
+            spark.read.parquet(f"{sf_dir}/orders.parquet")
+            .where(F.col("o_totalprice") > 400000)
+            .select("o_orderkey")
+        )
+        j = big.join(small, big.l_orderkey == small.o_orderkey)
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert re.search(r"(?i)bloomfilter|might_contain", plan), plan[:2000]
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bc)
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            prev_th,
+        )
