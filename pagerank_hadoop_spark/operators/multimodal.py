@@ -292,3 +292,110 @@ def extract_features(media: DataFrame, dim: int = FEATURE_DIM) -> DataFrame:
             )
 
     return media.mapInPandas(batches, schema)
+
+
+PIXEL_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("n_px", LongType()),
+        StructField("b_sum", LongType()),
+        StructField("g_sum", LongType()),
+        StructField("r_sum", LongType()),
+    ]
+)
+
+
+def bmp_pixel_stats(media: DataFrame) -> DataFrame:
+    """REAL raster decode: per-channel pixel sums of 24-bit BMP
+    payloads (BGR order, bottom-up or top-down — channel sums are
+    orientation-invariant). NumPy over the raster bytes inside the
+    Arrow batch kernel; integer sums, so the result is exact and
+    engine-portable with no float discipline. Raises on non-BMP or
+    non-24bpp payloads."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        def stats(payload: bytes):
+            hdr = parse_bmp_header(payload)
+            if hdr is None or hdr[2] != 24:
+                raise ValueError("payload is not a 24-bit BMP")
+            w, h, _bpp = hdr
+            off = int.from_bytes(payload[10:14], "little")
+            stride = (w * 3 + 3) // 4 * 4
+            arr = np.frombuffer(
+                payload, dtype=np.uint8, count=stride * h, offset=off
+            ).reshape(h, stride)[:, : w * 3]
+            px = arr.reshape(-1, 3).astype(np.int64)
+            sums = px.sum(axis=0)
+            return w * h, int(sums[0]), int(sums[1]), int(sums[2])
+
+        for pdf in it:
+            d = pdf["payload"].map(stats)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "n_px": d.map(lambda t: t[0]).astype("int64"),
+                    "b_sum": d.map(lambda t: t[1]).astype("int64"),
+                    "g_sum": d.map(lambda t: t[2]).astype("int64"),
+                    "r_sum": d.map(lambda t: t[3]).astype("int64"),
+                }
+            )
+
+    return media.mapInPandas(batches, PIXEL_SCHEMA)
+
+
+SAMPLE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("n_samples", LongType()),
+        StructField("energy", LongType()),
+        StructField("peak", LongType()),
+    ]
+)
+
+
+def wav_sample_stats(media: DataFrame) -> DataFrame:
+    """REAL sample decode: energy (Σ x², the RMS numerator) and peak
+    (max |x|) over the int16 PCM samples of WAV payloads — NumPy
+    ``frombuffer`` on the data chunk inside the Arrow kernel.
+    Integer arithmetic end-to-end (|x| < 2^15 → x² < 2^30; corpus
+    sums stay in int64 up to ~2^33 samples/file). Raises on non-WAV
+    or non-16-bit payloads."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        def stats(payload: bytes):
+            wav = parse_wav_header(payload)
+            if wav is None or wav[2] != 16:
+                raise ValueError("payload is not a 16-bit PCM WAV")
+            pos = 12
+            while pos + 8 <= len(payload):
+                cid = payload[pos : pos + 4]
+                csize = int.from_bytes(payload[pos + 4 : pos + 8], "little")
+                if cid == b"data":
+                    raw = payload[pos + 8 : pos + 8 + csize]
+                    x = np.frombuffer(
+                        raw, dtype="<i2", count=len(raw) // 2
+                    ).astype(np.int64)
+                    return (
+                        len(x),
+                        int((x * x).sum()),
+                        int(np.abs(x).max()) if len(x) else 0,
+                    )
+                pos += 8 + csize + (csize & 1)
+            raise ValueError("no data chunk")
+
+        for pdf in it:
+            d = pdf["payload"].map(stats)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "n_samples": d.map(lambda t: t[0]).astype("int64"),
+                    "energy": d.map(lambda t: t[1]).astype("int64"),
+                    "peak": d.map(lambda t: t[2]).astype("int64"),
+                }
+            )
+
+    return media.mapInPandas(batches, SAMPLE_SCHEMA)

@@ -8660,3 +8660,164 @@ def q_pagerank_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("rank"), F.asc("id"))
         .limit(20)
     )
+
+
+@register(
+    "media_bmp_pixels",
+    """
+    WITH f AS (
+      SELECT CAST(p_partkey AS BIGINT) AS media_id,
+             4 * (1 + p_partkey % 2) AS w,
+             1 + p_size % 5 AS h,
+             p_partkey AS key
+      FROM part WHERE p_partkey <= 300),
+    g AS (SELECT media_id, w, h, key, w * 3 * h AS img FROM f)
+    SELECT media_id,
+           CAST(w * h AS BIGINT) AS n_px,
+           CAST(list_sum(list_transform(range(0, img),
+             j -> CASE WHEN j % 3 = 0 THEN (j * 7 + key) % 256 ELSE 0 END))
+             AS BIGINT) AS b_sum,
+           CAST(list_sum(list_transform(range(0, img),
+             j -> CASE WHEN j % 3 = 1 THEN (j * 7 + key) % 256 ELSE 0 END))
+             AS BIGINT) AS g_sum,
+           CAST(list_sum(list_transform(range(0, img),
+             j -> CASE WHEN j % 3 = 2 THEN (j * 7 + key) % 256 ELSE 0 END))
+             AS BIGINT) AS r_sum
+    FROM g ORDER BY media_id
+    """,
+)
+def q_media_bmp_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5 REAL raster decode gate: 24-bit BMPs with a GENERATED
+    gradient raster (byte j = (7j + key) mod 256; widths chosen so
+    rows need no padding) built in-query, then per-channel pixel sums
+    computed by the NumPy kernel over the actual bytes
+    (operators.multimodal.bmp_pixel_stats). The oracle computes the
+    same channel sums from the generating arithmetic — this checks
+    the raster offset, stride, reshape, and BGR channel split against
+    ground truth, not just headers. Integer sums: exact, no float
+    discipline."""
+    from pagerank_hadoop_spark.operators.multimodal import (
+        attach_media,
+        bmp_pixel_stats,
+    )
+
+    part = (
+        _t(spark, sf_dir, "part")
+        .where(F.col("p_partkey") <= 300)
+        .select(
+            "p_partkey",
+            (4 * (1 + F.col("p_partkey") % 2)).alias("w"),
+            (1 + F.col("p_size") % 5).alias("h"),
+        )
+        .withColumn("img", F.col("w") * 3 * F.col("h"))
+    )
+    raster_hex = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), F.col("img") - 1),
+            lambda j: F.lpad(
+                F.hex(((j * 7 + F.col("p_partkey")) % 256).cast("long")),
+                2,
+                "0",
+            ),
+        ),
+        "",
+    )
+    hexstr = F.concat(
+        F.lit("424D"),
+        _le_hex(F.lit(54) + F.col("img"), 4),
+        F.lit("00000000"),
+        F.lit("36000000"),
+        F.lit("28000000"),
+        _le_hex(F.col("w"), 4),
+        _le_hex(F.col("h"), 4),
+        F.lit("0100"),
+        F.lit("1800"),
+        F.lit("00000000"),
+        _le_hex(F.col("img"), 4),
+        F.lit("00" * 16),
+        raster_hex,
+    )
+    media = attach_media(
+        part.select("p_partkey", F.unhex(hexstr).alias("payload")),
+        F.col("payload"),
+        media_type="image/bmp",
+    )
+    return bmp_pixel_stats(media).orderBy("media_id")
+
+
+@register(
+    "media_wav_energy",
+    """
+    WITH f AS (
+      SELECT CAST(c_custkey AS BIGINT) AS media_id,
+             40 + c_custkey % 50 AS n,
+             c_custkey AS key
+      FROM customer WHERE c_custkey <= 300)
+    SELECT media_id,
+           CAST(n AS BIGINT) AS n_samples,
+           CAST(list_sum(list_transform(range(0, n),
+             i -> ((i * 37 + key * 13) % 65536 - 32768)
+                  * ((i * 37 + key * 13) % 65536 - 32768)))
+             AS BIGINT) AS energy,
+           CAST(list_max(list_transform(range(0, n),
+             i -> abs((i * 37 + key * 13) % 65536 - 32768)))
+             AS BIGINT) AS peak
+    FROM f ORDER BY media_id
+    """,
+)
+def q_media_wav_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5 REAL sample decode gate: mono 16-bit PCM WAVs with
+    GENERATED samples (x_i = (37i + 13·key) mod 2^16 − 2^15) built
+    in-query, then energy (Σx²) and peak (max |x|) computed by the
+    NumPy int16 kernel over the actual bytes
+    (operators.multimodal.wav_sample_stats). The oracle recomputes
+    both from the generating arithmetic — little-endian sample
+    framing and signedness are what's under test. Integer end-to-end."""
+    from pagerank_hadoop_spark.operators.multimodal import (
+        attach_media,
+        wav_sample_stats,
+    )
+
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .where(F.col("c_custkey") <= 300)
+        .select("c_custkey", (40 + F.col("c_custkey") % 50).alias("n"))
+        .withColumn("datasize", F.col("n") * 2)
+    )
+    # sample value x_i = v_i - 32768 with v_i = (37i + 13 key) mod 2^16;
+    # its int16 two's-complement wire form is u_i = (x_i + 2^16) mod 2^16
+    # = (v_i + 32768) mod 2^16 — encoding v_i directly would flip signs
+    v = lambda i: (i * 37 + F.col("c_custkey") * 13) % 65536  # noqa: E731
+    u = lambda i: (v(i) + 32768) % 65536  # noqa: E731
+    sample_hex = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), F.col("n") - 1),
+            lambda i: F.concat(
+                F.lpad(F.hex((u(i) % 256).cast("long")), 2, "0"),
+                F.lpad(F.hex(F.floor(u(i) / 256).cast("long")), 2, "0"),
+            ),
+        ),
+        "",
+    )
+    hexstr = F.concat(
+        F.lit("52494646"),
+        _le_hex(F.lit(36) + F.col("datasize"), 4),
+        F.lit("57415645"),
+        F.lit("666D7420"),
+        F.lit("10000000"),
+        F.lit("0100"),
+        F.lit("0100"),  # mono
+        _le_hex(F.lit(8000), 4),
+        _le_hex(F.lit(16000), 4),  # byte rate = 8000*1*2
+        F.lit("0200"),  # block align
+        F.lit("1000"),  # 16 bits
+        F.lit("64617461"),
+        _le_hex(F.col("datasize"), 4),
+        sample_hex,
+    )
+    media = attach_media(
+        cust.select("c_custkey", F.unhex(hexstr).alias("payload")),
+        F.col("payload"),
+        media_type="audio/wav",
+    )
+    return wav_sample_stats(media).orderBy("media_id")

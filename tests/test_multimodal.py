@@ -189,3 +189,59 @@ def test_decode_wav_duration(spark):
     r = decode_wav(media).collect()[0]
     assert (r.channels, r.sample_rate, r.bits, r.n_samples) == (1, 8000, 16, 12000)
     assert r.duration_ms == 1500
+
+
+def test_bmp_pixel_stats_known_raster(spark):
+    import struct
+
+    from pagerank_hadoop_spark.operators.multimodal import (
+        attach_media,
+        bmp_pixel_stats,
+    )
+    from pyspark.sql import functions as F
+
+    # 2x2, 24bpp: stride = 8 (2 px * 3 B + 2 pad). Pixels (BGR):
+    # row0: (1,2,3) (4,5,6); row1: (7,8,9) (10,11,12); pad bytes 0xFF
+    # must be EXCLUDED from the sums
+    raster = bytes([1, 2, 3, 4, 5, 6, 255, 255, 7, 8, 9, 10, 11, 12, 255, 255])
+    payload = (
+        b"BM"
+        + struct.pack("<IHHI", 54 + len(raster), 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, 2, 2, 1, 24, 0, len(raster), 0, 0, 0, 0)
+        + raster
+    )
+    media = attach_media(
+        spark.createDataFrame([(1, payload)], ["id", "payload"]), F.col("payload")
+    )
+    r = bmp_pixel_stats(media).collect()[0]
+    assert (r.n_px, r.b_sum, r.g_sum, r.r_sum) == (4, 1 + 4 + 7 + 10, 2 + 5 + 8 + 11, 3 + 6 + 9 + 12)
+
+
+def test_wav_sample_stats_known_samples(spark):
+    import struct
+
+    from pagerank_hadoop_spark.operators.multimodal import (
+        attach_media,
+        wav_sample_stats,
+    )
+    from pyspark.sql import functions as F
+
+    xs = [0, 1000, -1000, 32767, -32768]
+    data = struct.pack("<5h", *xs)
+    fmt = b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 16000, 2, 16)
+    payload = (
+        b"RIFF"
+        + struct.pack("<I", 4 + len(fmt) + 8 + len(data))
+        + b"WAVE"
+        + fmt
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+    )
+    media = attach_media(
+        spark.createDataFrame([(1, payload)], ["id", "payload"]), F.col("payload")
+    )
+    r = wav_sample_stats(media).collect()[0]
+    assert r.n_samples == 5
+    assert r.energy == sum(x * x for x in xs)
+    assert r.peak == 32768
