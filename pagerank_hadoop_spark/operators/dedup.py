@@ -1186,12 +1186,21 @@ def set_similarity_join(
     t = float(threshold)
     prefix_len = F.col("sz") - F.ceil(F.col("sz") * F.lit(t)).cast("int") + 1
     prefixes = sets.select(
-        "id", F.explode(F.slice("toks", 1, prefix_len)).alias("tok")
+        "id", "sz", F.explode(F.slice("toks", 1, prefix_len)).alias("tok")
     )
+    # length filter (the other PPJoin bound): J >= t forces
+    # t·|a| <= |b| <= |a|/t, so wildly different set sizes can never
+    # pair — prune candidates BEFORE the distinct + verify join.
+    # Integer compare via T = round(t·1e6), as the verify step.
+    t_micro = int(round(t * 1e6))
     cand = (
         prefixes.alias("a")
         .join(prefixes.alias("b"), "tok")
         .where(F.col("a.id") < F.col("b.id"))
+        .where(
+            (F.col("b.sz") * F.lit(1_000_000) >= F.lit(t_micro) * F.col("a.sz"))
+            & (F.col("a.sz") * F.lit(1_000_000) >= F.lit(t_micro) * F.col("b.sz"))
+        )
         .select(
             F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b")
         )
