@@ -149,6 +149,9 @@ def decode_media(media: DataFrame, strict: bool = False) -> DataFrame:
             bmp = parse_bmp_header(payload)
             if bmp is not None:
                 return bmp[0], bmp[1], 1
+            gif = parse_gif_meta(payload)
+            if gif is not None:
+                return gif
             wav = parse_wav_header(payload)
             if wav is not None:
                 channels, rate, _bits, n_samples = wav
@@ -399,3 +402,56 @@ def wav_sample_stats(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(batches, SAMPLE_SCHEMA)
+
+
+def parse_gif_meta(payload: bytes) -> tuple[int, int, int] | None:
+    """Parse GIF87a/89a structure: ``(width, height, n_frames)`` or
+    None if not a plausible GIF. Frames are counted by WALKING the
+    block graph — image descriptors, extension blocks, sub-block
+    chains, color tables are all skipped by their declared lengths;
+    the LZW pixel data itself is never decompressed. This is the real
+    metadata pass for animated media: frame COUNT and dimensions
+    without a codec."""
+    if len(payload) < 13 or payload[:3] != b"GIF" or payload[3:6] not in (
+        b"87a",
+        b"89a",
+    ):
+        return None
+    width = int.from_bytes(payload[6:8], "little")
+    height = int.from_bytes(payload[8:10], "little")
+    packed = payload[10]
+    pos = 13
+    if packed & 0x80:  # global color table: 3 * 2^(N+1) bytes
+        pos += 3 * (2 << (packed & 0x07))
+    frames = 0
+
+    def skip_subblocks(p: int) -> int:
+        while p < len(payload):
+            n = payload[p]
+            p += 1
+            if n == 0:
+                return p
+            p += n
+        return p
+
+    while pos < len(payload):
+        b = payload[pos]
+        if b == 0x3B:  # trailer
+            break
+        if b == 0x21:  # extension: label byte + sub-blocks
+            pos = skip_subblocks(pos + 2)
+        elif b == 0x2C:  # image descriptor
+            if pos + 10 > len(payload):
+                return None
+            ipacked = payload[pos + 9]
+            pos += 10
+            if ipacked & 0x80:  # local color table
+                pos += 3 * (2 << (ipacked & 0x07))
+            pos += 1  # LZW minimum code size
+            pos = skip_subblocks(pos)
+            frames += 1
+        else:
+            return None  # unknown block type: not a well-formed GIF
+    if frames == 0:
+        return None
+    return width, height, frames

@@ -8821,3 +8821,80 @@ def q_media_wav_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
         media_type="audio/wav",
     )
     return wav_sample_stats(media).orderBy("media_id")
+
+
+@register(
+    "media_gif_frames",
+    """
+    WITH f AS (
+      SELECT CAST(p_partkey AS BIGINT) AS media_id,
+             3 + p_partkey % 12 AS w,
+             2 + p_size % 9 AS h,
+             1 + p_partkey % 8 AS n_frames
+      FROM part WHERE p_partkey <= 300)
+    SELECT media_id,
+           CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+           CAST(n_frames AS INTEGER) AS n_frames,
+           CAST((n_frames - 1) // 3 + 1 AS INTEGER) AS n_sampled
+    FROM f ORDER BY media_id
+    """,
+)
+def q_media_gif_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5 REAL animated-media gate: multi-frame GIF89a files built
+    in-query (logical screen descriptor + per-frame image descriptors
+    + sub-block chains + trailer), frame count recovered by the
+    block-walking parser (operators.multimodal.parse_gif_meta — no
+    LZW decode needed for metadata), then every-3rd frame sampling
+    (frame_sample) checked as arithmetic: n_sampled =
+    floor((n_frames-1)/3)+1. Exercises the video-shaped pipeline
+    (decode → frame sample) on real bytes."""
+    from pagerank_hadoop_spark.operators.multimodal import (
+        attach_media,
+        decode_media,
+        frame_sample,
+    )
+
+    part = (
+        _t(spark, sf_dir, "part")
+        .where(F.col("p_partkey") <= 300)
+        .select(
+            "p_partkey",
+            (3 + F.col("p_partkey") % 12).alias("w"),
+            (2 + F.col("p_size") % 9).alias("h"),
+            (1 + F.col("p_partkey") % 8).alias("nf"),
+        )
+    )
+    # one frame: image descriptor (0x2C, left=0, top=0, w, h,
+    # packed=0), LZW min code 0x02, one 1-byte sub-block, terminator
+    frame_hex = F.concat(
+        F.lit("2C"), F.lit("0000"), F.lit("0000"),
+        _le_hex(F.col("w"), 2), _le_hex(F.col("h"), 2),
+        F.lit("00"), F.lit("02"), F.lit("0100"), F.lit("00"),
+    )
+    hexstr = F.concat(
+        F.lit("474946383961"),  # 'GIF89a'
+        _le_hex(F.col("w"), 2),
+        _le_hex(F.col("h"), 2),
+        F.lit("000000"),  # no global color table, bg, aspect
+        F.array_join(
+            F.transform(F.sequence(F.lit(1), F.col("nf")), lambda _: frame_hex),
+            "",
+        ),
+        F.lit("3B"),  # trailer
+    )
+    media = attach_media(
+        part.select("p_partkey", F.unhex(hexstr).alias("payload")),
+        F.col("payload"),
+        media_type="image/gif",
+    )
+    decoded = decode_media(media, strict=True).localCheckpoint(eager=True)
+    sampled = (
+        frame_sample(decoded, every_n=3)
+        .groupBy("media_id")
+        .agg(F.count(F.lit(1)).cast("int").alias("n_sampled"))
+    )
+    return (
+        decoded.join(sampled, "media_id")
+        .select("media_id", "width", "height", "n_frames", "n_sampled")
+        .orderBy("media_id")
+    )

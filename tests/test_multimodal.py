@@ -245,3 +245,33 @@ def test_wav_sample_stats_known_samples(spark):
     assert r.n_samples == 5
     assert r.energy == sum(x * x for x in xs)
     assert r.peak == 32768
+
+
+def _gif(w, h, n_frames, with_gct=False, with_ext=False):
+    import struct
+
+    out = b"GIF89a" + struct.pack("<HH", w, h)
+    if with_gct:
+        out += bytes([0x80 | 0x01, 0, 0]) + b"\x00" * (3 * 4)  # 4-entry GCT
+    else:
+        out += b"\x00\x00\x00"
+    for _ in range(n_frames):
+        if with_ext:  # graphics-control extension before each frame
+            out += b"\x21\xf9\x04\x00\x00\x00\x00\x00"
+        out += (
+            b"\x2c" + struct.pack("<HHHH", 0, 0, w, h) + b"\x00"
+            + b"\x02" + b"\x02\xaa\xbb" + b"\x00"  # 2-byte sub-block
+        )
+    return out + b"\x3b"
+
+
+def test_parse_gif_meta():
+    from pagerank_hadoop_spark.operators.multimodal import parse_gif_meta
+
+    assert parse_gif_meta(_gif(12, 7, 1)) == (12, 7, 1)
+    assert parse_gif_meta(_gif(5, 5, 6)) == (5, 5, 6)
+    # global color table and extension blocks are walked, not counted
+    assert parse_gif_meta(_gif(9, 4, 3, with_gct=True, with_ext=True)) == (9, 4, 3)
+    assert parse_gif_meta(b"GIF89a\x00") is None  # truncated
+    assert parse_gif_meta(b"NOTAGIF" + b"\x00" * 20) is None
+    assert parse_gif_meta(_gif(3, 3, 0)) is None  # no frames
