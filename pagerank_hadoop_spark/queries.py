@@ -2009,29 +2009,71 @@ def q_wiki_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 # [EXT] E5b: multimodal decode / frame-sample plumbing (mapInPandas)
 # ---------------------------------------------------------------------------
 
-@register("media_decoded")
+@register(
+    "media_decoded",
+    """
+    WITH m AS (
+      SELECT CAST(doc_id AS BIGINT) AS media_id,
+             'image/fake' AS media_type,
+             CAST(octet_length(encode('doc:' || text)) AS INTEGER)
+               AS n_bytes,
+             sha256('doc:' || text) AS h
+      FROM documents)
+    SELECT media_id, media_type, n_bytes,
+           CAST(64 + ('0x' || substr(h, 1, 2))::INT % 192 AS INTEGER)
+             AS width,
+           CAST(64 + ('0x' || substr(h, 3, 2))::INT % 192 AS INTEGER)
+             AS height,
+           CAST(1 + ('0x' || substr(h, 5, 2))::INT % 16 AS INTEGER)
+             AS n_frames
+    FROM m ORDER BY media_id
+    """,
+)
 def q_media_decoded(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E5: binary media payloads → Arrow-batched mapInPandas decode
-    (deterministic stub codec; see operators.multimodal). Rows-only:
-    exercises the real UDF plumbing through the driver gate."""
+    (deterministic fake codec for non-BMP/GIF/WAV payloads; see
+    operators.multimodal). Oracle-gated since r3: the fake's
+    sha256-derived dimensions are replayed in SQL, value-checking the
+    Arrow plumbing end-to-end (payloads are 'doc:'-prefixed so no
+    document text can collide with a real-format magic and take the
+    real-decode path)."""
     from pagerank_hadoop_spark.operators.multimodal import attach_media, decode_media
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", F.encode("text", "utf-8").alias("payload"))
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.encode(F.concat(F.lit("doc:"), "text"), "utf-8").alias("payload"),
+    )
     media = attach_media(docs, F.col("payload"))
     return decode_media(media, strict=False).orderBy("media_id")
 
 
-@register("media_frames")
+@register(
+    "media_frames",
+    """
+    WITH m AS (
+      SELECT CAST(doc_id AS BIGINT) AS media_id,
+             1 + ('0x' || substr(sha256('doc:' || text), 5, 2))::INT
+               % 16 AS n_frames
+      FROM documents)
+    SELECT media_id, CAST(unnest(range(0, n_frames, 4)) AS INTEGER)
+             AS frame_idx
+    FROM m ORDER BY media_id, frame_idx
+    """,
+)
 def q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E5: frame sampling (every 4th frame per decoded clip) — pure
-    relational sequence+explode on decoded metadata."""
+    relational sequence+explode on decoded metadata; oracle-gated
+    since r3 (sha256-derived frame counts → range arithmetic)."""
     from pagerank_hadoop_spark.operators.multimodal import (
         attach_media,
         decode_media,
         frame_sample,
     )
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", F.encode("text", "utf-8").alias("payload"))
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.encode(F.concat(F.lit("doc:"), "text"), "utf-8").alias("payload"),
+    )
     decoded = decode_media(attach_media(docs, F.col("payload")), strict=False)
     return frame_sample(decoded, every_n=4).orderBy("media_id", "frame_idx")
 

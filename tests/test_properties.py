@@ -231,3 +231,90 @@ def test_jl_projection_is_linear(spark, vec, scale):
     ]
     for a, b in zip(p1, p2):
         assert abs(b - a * scale) <= 1e-9 * max(1.0, abs(b))
+
+
+# ---------------------------------------------------------------------------
+# round-3 pure-function properties (no Spark jobs — cheap, many examples)
+# ---------------------------------------------------------------------------
+
+
+@given(
+    w=st.integers(1, 4000),
+    h=st.integers(1, 4000),
+    bpp=st.sampled_from([8, 24, 32]),
+    top_down=st.booleans(),
+)
+@settings(max_examples=200, deadline=None)
+def test_bmp_header_roundtrip(w, h, bpp, top_down):
+    import struct
+
+    from pagerank_hadoop_spark.operators.multimodal import parse_bmp_header
+
+    hdr = (
+        b"BM"
+        + struct.pack("<IHHI", 54, 0, 0, 54)
+        + struct.pack(
+            "<IiiHHIIiiII", 40, w, -h if top_down else h, 1, bpp, 0, 0, 0, 0, 0, 0
+        )
+    )
+    assert parse_bmp_header(hdr) == (w, h, bpp)
+
+
+@given(
+    channels=st.integers(1, 8),
+    rate=st.sampled_from([8000, 16000, 44100, 48000]),
+    bits=st.sampled_from([8, 16, 32]),
+    n=st.integers(0, 500),
+    junk_chunks=st.integers(0, 3),
+)
+@settings(max_examples=200, deadline=None)
+def test_wav_header_roundtrip(channels, rate, bits, n, junk_chunks):
+    import struct
+
+    from pagerank_hadoop_spark.operators.multimodal import parse_wav_header
+
+    data = b"\x00" * (n * channels * bits // 8)
+    chunks = b""
+    for j in range(junk_chunks):  # odd-size chunks exercise alignment
+        body = bytes([j]) * (3 + j)
+        chunks += b"JUNK" + struct.pack("<I", len(body)) + body
+        if len(body) % 2:
+            chunks += b"\x00"
+    chunks += b"fmt " + struct.pack(
+        "<IHHIIHH", 16, 1, channels, rate,
+        rate * channels * bits // 8, channels * bits // 8, bits,
+    )
+    chunks += b"data" + struct.pack("<I", len(data)) + data
+    payload = b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+    assert parse_wav_header(payload) == (channels, rate, bits, n)
+
+
+@given(
+    occs=st.lists(
+        st.tuples(st.integers(0, 5), st.integers(0, 400)), max_size=120
+    ),
+    ttl=st.integers(1, 100),
+    n_batches=st.integers(1, 6),
+)
+@settings(max_examples=150, deadline=None)
+def test_ttl_dedup_core_batch_split_invariant(occs, ttl, n_batches):
+    """Emitted set is independent of how the ts-ordered occurrence
+    stream is split into batches, and always equals the lag rule."""
+    from pagerank_hadoop_spark.streaming.stateful import _ttl_dedup_core
+
+    occs = sorted(occs, key=lambda r: (r[1], r[0]))
+    last: dict[int, int] = {}
+    want = []
+    for e, t in occs:
+        if e not in last or t - last[e] > ttl:
+            want.append((e, t))
+        last[e] = t
+
+    seen: dict[int, int] = {}
+    got = []
+    n = len(occs)
+    for i in range(n_batches):
+        batch = occs[i * n // n_batches : (i + 1) * n // n_batches]
+        emitted, seen = _ttl_dedup_core(seen, batch, ttl)
+        got.extend(emitted)
+    assert sorted(got) == sorted(want)
