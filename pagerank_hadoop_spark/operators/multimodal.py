@@ -277,11 +277,13 @@ def extract_features(media: DataFrame, dim: int = FEATURE_DIM) -> DataFrame:
         import hashlib
 
         def vec(payload: bytes) -> list[float]:
+            # chain suffix is ASCII str(i), not bytes([i]): keeps the
+            # fake SQL-expressible (a NUL byte can't ride a VARCHAR),
+            # which is what lets the oracle value-check this path
             out: list[float] = []
-            h = b""
             i = 0
             while len(out) < dim:
-                h = hashlib.sha256(payload + bytes([i])).digest()
+                h = hashlib.sha256(payload + str(i).encode()).digest()
                 out.extend(b / 255.0 - 0.5 for b in h)
                 i += 1
             return out[:dim]

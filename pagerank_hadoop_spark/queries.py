@@ -2886,18 +2886,50 @@ def q_media_resized(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("media_features")
+@register(
+    "media_features",
+    """
+    WITH m AS (
+      SELECT CAST(doc_id AS BIGINT) AS media_id,
+             sha256('doc:' || text || '0') AS h
+      FROM documents),
+    v AS (
+      SELECT media_id,
+             list_transform(range(0, 16),
+               j -> CAST(CAST(('0x' || substr(h, 2*j + 1, 2))::INT / 255.0
+                              - 0.5 AS REAL) AS DOUBLE)) AS e
+      FROM m),
+    q AS (SELECT media_id AS q_id, e AS qe FROM v WHERE media_id < 4),
+    sims AS (
+      SELECT q_id, media_id,
+             ROUND(
+               list_sum(list_transform(range(1, 17), k -> qe[k] * e[k]))
+               / (sqrt(list_sum(list_transform(qe, x -> x * x)))
+                  * sqrt(list_sum(list_transform(e, x -> x * x)))),
+               9) AS sim
+      FROM v CROSS JOIN q WHERE media_id <> q_id)
+    SELECT q_id, media_id, sim FROM (
+      SELECT q_id, media_id, sim,
+             ROW_NUMBER() OVER (PARTITION BY q_id
+                                ORDER BY sim DESC, media_id) AS rn
+      FROM sims)
+    WHERE rn = 1
+    """,
+)
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E5→E3 bridge: payloads → deterministic stub embeddings via
     Arrow-batched mapInPandas, then brute-force cosine top-1 against
     the first 4 media vectors — the full multimodal similarity path
-    through real UDF plumbing (rows-only: float arrays + xxhash-free
-    but UDF-derived values)."""
+    through real UDF plumbing. Oracle-gated since r3: the embedding
+    generator is sha256-hex arithmetic with float32 storage rounding
+    (replayed via CAST AS REAL), and both engines fold the dot
+    products in array order, so cosine matches at 9 dp."""
     from pagerank_hadoop_spark.functions.vectors import cosine_similarity
     from pagerank_hadoop_spark.operators.multimodal import attach_media, extract_features
 
     docs = _t(spark, sf_dir, "documents").select(
-        "doc_id", F.encode("text", "utf-8").alias("payload")
+        "doc_id",
+        F.encode(F.concat(F.lit("doc:"), "text"), "utf-8").alias("payload"),
     )
     feats = extract_features(attach_media(docs, F.col("payload")))
     queries_side = feats.where(F.col("media_id") < 4).select(
