@@ -8972,3 +8972,37 @@ def q_media_gif_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("media_id", "width", "height", "n_frames", "n_sampled")
         .orderBy("media_id")
     )
+
+
+@register(
+    "ewma_user_values",
+    """
+    WITH t AS (
+      SELECT user_id, event_id,
+             COALESCE(LAG(value, 0) OVER (PARTITION BY user_id ORDER BY ts, event_id), 0.0) * 0.3 + COALESCE(LAG(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id), 0.0) * 0.21 + COALESCE(LAG(value, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id), 0.0) * 0.14699999999999996 + COALESCE(LAG(value, 3) OVER (PARTITION BY user_id ORDER BY ts, event_id), 0.0) * 0.10289999999999998 + COALESCE(LAG(value, 4) OVER (PARTITION BY user_id ORDER BY ts, event_id), 0.0) * 0.07202999999999998 + COALESCE(LAG(value, 5) OVER (PARTITION BY user_id ORDER BY ts, event_id), 0.0) * 0.05042099999999998 + COALESCE(LAG(value, 6) OVER (PARTITION BY user_id ORDER BY ts, event_id), 0.0) * 0.035294699999999984 + COALESCE(LAG(value, 7) OVER (PARTITION BY user_id ORDER BY ts, event_id), 0.0) * 0.02470628999999999 + COALESCE(LAG(value, 8) OVER (PARTITION BY user_id ORDER BY ts, event_id), 0.0) * 0.01729440299999999 AS e
+      FROM events)
+    SELECT user_id, event_id,
+           CAST(FLOOR(e * 1e6 + 0.5) AS BIGINT) AS ewma_micro
+    FROM t ORDER BY user_id, event_id
+    """,
+)
+def q_ewma_user_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E7 [EXT] time-series feature: truncated EWMA (alpha=0.3, 8-lag
+    horizon) of event values per user — the bounded-window form of
+    exponential smoothing (coefficients a(1-a)^j baked as literals;
+    the infinite recurrence needs unbounded lookback and overflows
+    (1-a)^-i reformulations, so production smoothing at 100 TB uses
+    exactly this K-term truncation: one partition-ordered window,
+    no recursion). Both engines evaluate the identical left-folded
+    literal polynomial — bitwise equal before the micro rounding."""
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    e = F.coalesce(F.lag("value", 0).over(w), F.lit(0.0)) * F.lit(0.3) + F.coalesce(F.lag("value", 1).over(w), F.lit(0.0)) * F.lit(0.21) + F.coalesce(F.lag("value", 2).over(w), F.lit(0.0)) * F.lit(0.14699999999999996) + F.coalesce(F.lag("value", 3).over(w), F.lit(0.0)) * F.lit(0.10289999999999998) + F.coalesce(F.lag("value", 4).over(w), F.lit(0.0)) * F.lit(0.07202999999999998) + F.coalesce(F.lag("value", 5).over(w), F.lit(0.0)) * F.lit(0.05042099999999998) + F.coalesce(F.lag("value", 6).over(w), F.lit(0.0)) * F.lit(0.035294699999999984) + F.coalesce(F.lag("value", 7).over(w), F.lit(0.0)) * F.lit(0.02470628999999999) + F.coalesce(F.lag("value", 8).over(w), F.lit(0.0)) * F.lit(0.01729440299999999)
+    return (
+        ev.select(
+            "user_id",
+            "event_id",
+            F.floor(e * F.lit(1e6) + F.lit(0.5)).cast("long").alias("ewma_micro"),
+        )
+        .orderBy("user_id", "event_id")
+    )
