@@ -9006,3 +9006,239 @@ def q_ewma_user_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "event_id")
     )
+
+
+@register(
+    "frequent_part_pairs",
+    """
+    WITH b AS (
+      SELECT DISTINCT l_orderkey AS bk, l_partkey AS it FROM lineitem),
+    cnt AS (SELECT it, COUNT(*) AS n FROM b GROUP BY it),
+    fb AS (SELECT bk, it FROM b WHERE it IN (SELECT it FROM cnt WHERE n >= 3))
+    SELECT a.it AS item_a, c.it AS item_b, CAST(COUNT(*) AS BIGINT) AS support
+    FROM fb a JOIN fb c ON a.bk = c.bk AND a.it < c.it
+    GROUP BY 1, 2 HAVING COUNT(*) >= 3
+    ORDER BY support DESC, item_a, item_b
+    """,
+)
+def q_frequent_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] market-basket mining: frequent part PAIRS across orders
+    (2-itemsets, support >= 3) via operators.linkage.
+    frequent_itemset_pairs. Scale shape: Apriori anti-monotone prune
+    first (broadcast left-semi on frequent items), then ONE
+    co-partitioned self-join on the basket key — quadratic work only
+    within a basket, never across the corpus. Extends the reference's
+    sum-by-key aggregation (PageRank.java:255-265) to co-occurrence
+    counting."""
+    from pagerank_hadoop_spark.operators.linkage import frequent_itemset_pairs
+
+    li = _t(spark, sf_dir, "lineitem")
+    pairs = frequent_itemset_pairs(li, "l_orderkey", "l_partkey", 3)
+    return pairs.select(
+        "item_a", "item_b", F.col("support").cast("long").alias("support")
+    ).orderBy(F.desc("support"), "item_a", "item_b")
+
+
+@register(
+    "snapshot_diff_orders",
+    """
+    WITH before AS (SELECT * FROM orders),
+    after AS (
+      SELECT o_orderkey,
+             o_custkey,
+             o_orderstatus,
+             CASE WHEN o_orderkey % 89 = 3 THEN o_totalprice + 1.5
+                  ELSE o_totalprice END AS o_totalprice,
+             o_orderdate, o_orderpriority
+      FROM orders WHERE o_orderkey % 97 <> 0
+      UNION ALL
+      SELECT o_orderkey + 1000000000, o_custkey, o_orderstatus,
+             o_totalprice, o_orderdate, o_orderpriority
+      FROM orders WHERE o_orderkey % 101 = 5),
+    diff AS (
+      SELECT COALESCE(b.o_orderkey, a.o_orderkey) AS k,
+             CASE WHEN b.o_orderkey IS NULL THEN 'added'
+                  WHEN a.o_orderkey IS NULL THEN 'removed'
+                  WHEN b.o_totalprice <> a.o_totalprice THEN 'changed'
+                  ELSE 'unchanged' END AS change_type
+      FROM before b FULL OUTER JOIN after a ON a.o_orderkey = b.o_orderkey)
+    SELECT change_type, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(k) AS BIGINT) AS key_checksum
+    FROM diff GROUP BY change_type ORDER BY change_type
+    """,
+)
+def q_snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] snapshot reconciliation (migration / CDC audit): diff the
+    orders table against a planted mutation of itself (keys % 97
+    deleted, % 89 = 3 repriced, % 101 = 5 re-inserted under new keys)
+    via operators.linkage.snapshot_diff. Each side reduces to (key,
+    md5 fingerprint) BEFORE the full-outer join, so the shuffle ships
+    two thin columns no matter how wide the table — the property that
+    keeps a 100 TB reconciliation to one bounded shuffle. Fingerprints
+    compare only within the engine, so their string form needs no
+    cross-engine portability; the oracle classifies by the only
+    mutated column."""
+    from pagerank_hadoop_spark.operators.linkage import snapshot_diff
+
+    before = _t(spark, sf_dir, "orders")
+    after = before.where(F.col("o_orderkey") % 97 != 0).withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 89 == 3, F.col("o_totalprice") + 1.5
+        ).otherwise(F.col("o_totalprice")),
+    ).unionByName(
+        before.where(F.col("o_orderkey") % 101 == 5).withColumn(
+            "o_orderkey", F.col("o_orderkey") + F.lit(1000000000)
+        )
+    )
+    diff = snapshot_diff(before, after, "o_orderkey")
+    return (
+        diff.groupBy("change_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("o_orderkey").cast("long").alias("key_checksum"),
+        )
+        .orderBy("change_type")
+    )
+
+
+@register(
+    "fuzzy_customer_links",
+    """
+    WITH clean AS (
+      SELECT c_custkey, c_name, c_nationkey,
+             CAST(FLOOR(c_acctbal / 100.0) AS BIGINT) AS bband
+      FROM customer),
+    dirty AS (
+      SELECT c_custkey AS dirty_id,
+             substr(c_name, 1, CAST(9 + c_custkey % 8 AS INTEGER)) || 'X' ||
+             substr(c_name, CAST(11 + c_custkey % 8 AS INTEGER)) AS dname,
+             c_nationkey, bband
+      FROM clean WHERE c_custkey % 10 = 0),
+    cand AS (
+      SELECT d.dirty_id, c.c_custkey AS matched_id,
+             levenshtein(d.dname, c.c_name) AS dist
+      FROM dirty d JOIN clean c
+        ON c.c_nationkey = d.c_nationkey AND c.bband = d.bband
+      WHERE levenshtein(d.dname, c.c_name) <= 2),
+    best AS (
+      SELECT dirty_id, matched_id, dist,
+             ROW_NUMBER() OVER (PARTITION BY dirty_id
+                                ORDER BY dist, matched_id) AS rn
+      FROM cand)
+    SELECT dirty_id, matched_id, CAST(dist AS INTEGER) AS dist
+    FROM best WHERE rn = 1 ORDER BY dirty_id
+    """,
+)
+def q_fuzzy_customer_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] entity resolution: re-link deliberately corrupted
+    customer names (one character at a key-derived position replaced
+    with 'X') back to the clean roster via
+    operators.linkage.blocked_fuzzy_match. Blocking key =
+    (nationkey, floor(acctbal/100)) — an equi-join, NEVER an all-pairs
+    scan; levenshtein runs codegen'd JVM-side within blocks only.
+    At 100 TB block sizes bound the fan-out and AQE splits skewed
+    blocks. The planted corruption guarantees the true match is the
+    unique distance-1 candidate (every other same-block name needs
+    >= 2 edits: one for 'X', one per differing digit)."""
+    from pagerank_hadoop_spark.operators.linkage import blocked_fuzzy_match
+
+    cust = _t(spark, sf_dir, "customer").withColumn(
+        "bband", F.floor(F.col("c_acctbal") / F.lit(100.0)).cast("long")
+    )
+    pos = (F.lit(10) + F.col("c_custkey") % 8).cast("int")
+    dirty = cust.where(F.col("c_custkey") % 10 == 0).select(
+        F.col("c_custkey").alias("__dirty_id"),
+        F.concat(
+            F.substring(F.col("c_name"), 1, 9).cast("string"),
+            F.expr("substr(c_name, 10, c_custkey % 8)"),
+            F.lit("X"),
+            F.expr("substr(c_name, 11 + c_custkey % 8)"),
+        ).alias("c_name"),
+        "c_nationkey",
+        "bband",
+    )
+    matched = blocked_fuzzy_match(
+        dirty,
+        cust,
+        block_on=["c_nationkey", "bband"],
+        text_col="c_name",
+        id_col="c_custkey",
+        max_dist=2,
+    )
+    return matched.select(
+        F.col("__dirty_id").alias("dirty_id"),
+        "matched_id",
+        F.col("dist").cast("int").alias("dist"),
+    ).orderBy("dirty_id")
+
+
+_CLS_DIM = 64
+_CLS_W = [round(x, 6) for x in _seeded_gaussians(1, _CLS_DIM, 46)[0]]
+
+
+@register(
+    "quality_classifier_scores",
+    f"""
+    WITH w AS (SELECT {_sql_dlist(_CLS_W)} AS wv),
+    tok AS (
+      SELECT doc_id, t
+      FROM documents, UNNEST(string_split_regex(lower(text), '\\s+')) AS u(t)
+      WHERE t <> ''),
+    scored AS (
+      SELECT doc_id,
+             SUM(CAST(wv[CAST(('0x' || substr(md5(t), 1, 15))::BIGINT % {_CLS_DIM}
+                       AS INTEGER) + 1] AS DECIMAL(38,6))) AS sw,
+             COUNT(*) AS n_tok
+      FROM tok, w GROUP BY doc_id)
+    SELECT doc_id,
+           CAST(FLOOR(CAST(sw AS DOUBLE) / n_tok * 1e6 + 0.5) AS BIGINT)
+             AS score_micro,
+           CAST(sw AS DOUBLE) / n_tok > 0.0 AS keep
+    FROM scored ORDER BY doc_id
+    """,
+)
+def q_quality_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4 [EXT] fastText-shaped quality classifier: hashed
+    bag-of-words linear model — token -> 64-bucket portable md5 hash
+    -> seeded literal weight -> mean score -> keep/drop gate. This is
+    the standard cheap quality filter in LLM data pipelines (score =
+    w · bag(x) / |x|). Whole pipeline is codegen'd Column work
+    (split/explode/groupBy, no Python, no HOFs in the hot path);
+    weights are a broadcast literal array indexed by element_at. Sums
+    run on DECIMAL(38,6) over 6-dp-rounded weights so partition order
+    can't perturb the score; division happens once per doc on
+    identical operands in both engines."""
+    docs = _t(spark, sf_dir, "documents")
+    tok = (
+        docs.select(
+            "doc_id",
+            F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("t"),
+        )
+        .where(F.col("t") != "")
+    )
+    bucket = F.pmod(
+        F.conv(F.substring(F.md5(F.col("t")), 1, 15), 16, 10).cast("long"),
+        F.lit(_CLS_DIM),
+    ).cast("int")
+    wlit = F.array(*[F.lit(w) for w in _CLS_W])
+    scored = (
+        tok.select(
+            "doc_id",
+            F.element_at(wlit, bucket + F.lit(1))
+            .cast("decimal(38,6)")
+            .alias("w"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.sum("w").alias("sw"), F.count(F.lit(1)).alias("n_tok")
+        )
+    )
+    score = F.col("sw").cast("double") / F.col("n_tok")
+    return scored.select(
+        "doc_id",
+        F.floor(score * F.lit(1e6) + F.lit(0.5)).cast("long").alias(
+            "score_micro"
+        ),
+        (score > F.lit(0.0)).alias("keep"),
+    ).orderBy("doc_id")
