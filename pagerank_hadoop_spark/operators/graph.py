@@ -742,3 +742,215 @@ def hits(edges: DataFrame, n_iter: int = 3) -> DataFrame:
         )
         hub = _normalized(hub, "hub").localCheckpoint(eager=False)
     return hub.join(auth, "id")
+
+
+def weighted_shortest_paths(
+    edges: DataFrame,
+    source: str,
+    directed: bool = False,
+    max_iter: int = 50,
+    on_max_iter: str = "warn",
+) -> DataFrame:
+    """Single-source shortest paths with per-edge weights (Bellman-
+    Ford as Pregel): ``(id, dist)`` for every vertex reachable from
+    ``source``. ``edges`` carries ``(src, dst, weight)``; weights must
+    be non-negative (integer weights keep distances exact across
+    engines).
+
+    The delta-frontier trick still applies under weights: a vertex
+    re-messages its neighbors ONLY in the round after its own
+    distance improved (classic SPFA refinement of Bellman-Ford), so
+    per-round join input is the improved set, not every settled
+    vertex. One job per round; shuffles carry (id, dist) pairs only.
+    Rounds needed ≤ longest shortest-path hop count (≤ |V|-1); on
+    real graphs the frontier empties in O(diameter) rounds.
+    """
+    e = edges.select("src", "dst", "weight")
+    if not directed:
+        e = e.unionByName(
+            edges.select(
+                F.col("dst").alias("src"),
+                F.col("src").alias("dst"),
+                "weight",
+            )
+        )
+    e = e.repartition(_edge_partitions(edges, doubled=not directed), "src")
+    e = e.localCheckpoint(eager=True)
+
+    init = (
+        e.select(F.col("src").alias("id"))
+        .distinct()
+        .where(F.col("id") == source)
+        .withColumn("dist", F.lit(0).cast("long"))
+    ).localCheckpoint(eager=True)
+
+    def step(sym_e: DataFrame, dist: DataFrame, frontier: DataFrame) -> DataFrame:
+        msgs = (
+            sym_e.join(frontier, sym_e.src == frontier.id)
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.min(F.col("dist") + F.col("weight")).alias("__m"))
+        )
+        return dist.join(msgs, "id", "full").select(
+            "id",
+            F.least("dist", "__m").alias("dist"),
+            (F.col("dist").isNull() | (F.col("__m") < F.col("dist"))).alias(
+                "__changed"
+            ),
+        )
+
+    dist = pregel(
+        e,
+        init,
+        step,
+        max_iter=max_iter,
+        on_max_iter=on_max_iter,
+        label="weighted_shortest_paths",
+    )
+    e.unpersist()
+    return dist
+
+
+def strongly_connected_components(
+    edges: DataFrame,
+    max_outer: int = 30,
+    max_iter: int = 50,
+    on_max_iter: str = "warn",
+) -> DataFrame:
+    """Exact SCCs of a directed graph: ``(id, scc)`` with ``scc`` =
+    the smallest vertex id in the component (the FW-BW "coloring"
+    algorithm of Orzan / Slota et al., expressed relationally).
+
+    Each outer round over the not-yet-settled subgraph:
+
+    1. **Color** — forward-min fixpoint: ``color(v)`` converges to the
+       minimum id among v's ancestors (incl. itself). Every SCC is
+       monochromatic (mutual reachability), and the color value
+       itself belongs to the component it names only if it can be
+       reached *back*; that is what step 2 tests.
+    2. **Backward sweep** — from each root (``color(v) == v``),
+       propagate backwards along edges *within the same color class*.
+       The vertices that reach their root forward AND backward — i.e.
+       are backward-reachable from the root inside its color class —
+       are exactly SCC(root); they settle with label = root.
+    3. Settled vertices leave the vertex set; edges restrict to
+       survivors (two left-semi joins on the same build side — one
+       exchange, reused). Remaining vertices repeat with a smaller
+       graph.
+
+    Both inner fixpoints are :func:`pregel` loops (one job per round,
+    lazy-checkpoint lineage control); shuffles only ever carry (id,
+    label) pairs. Worst case (a long path) peels one SCC per outer
+    round — the classic FW-BW bound; real graphs with a few large
+    SCCs settle in a handful of outer rounds.
+    """
+    e = edges.select("src", "dst").distinct().localCheckpoint(eager=True)
+    verts = (
+        e.select(F.col("src").alias("id"))
+        .unionByName(e.select(F.col("dst").alias("id")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    done_parts: list[DataFrame] = []
+
+    for _ in range(max_outer):
+        if verts.limit(1).count() == 0:
+            break
+
+        # 1. forward-min coloring to fixpoint
+        init = verts.select("id", F.col("id").alias("color"))
+
+        def color_step(ed, state, changed):
+            msgs = (
+                ed.join(changed, ed.src == changed.id)
+                .groupBy(F.col("dst").alias("id"))
+                .agg(F.min("color").alias("__m"))
+            )
+            return state.join(msgs, "id", "left").select(
+                "id",
+                F.least("color", "__m").alias("color"),
+                (F.col("__m") < F.col("color")).alias("__changed"),
+            )
+
+        colors = pregel(
+            e,
+            init,
+            color_step,
+            max_iter=max_iter,
+            on_max_iter=on_max_iter,
+            label="scc:color",
+        ).localCheckpoint(eager=True)
+
+        # 2. backward reachability from roots, within color classes.
+        # State: (id, color, in_scc); frontier = newly settled rows.
+        binit = colors.select(
+            "id", "color", (F.col("color") == F.col("id")).alias("in_scc")
+        )
+        ce = (
+            e.join(colors.select(F.col("id").alias("src"), "color"), "src")
+            .join(
+                colors.select(
+                    F.col("id").alias("dst"),
+                    F.col("color").alias("__dc"),
+                ),
+                "dst",
+            )
+            .where(F.col("color") == F.col("__dc"))
+            .select("src", "dst")
+        )
+
+        def back_step(ed, state, changed):
+            # message flows dst -> src (backward edges)
+            seed = changed.where(F.col("in_scc")).select(
+                F.col("id").alias("dst")
+            )
+            msgs = (
+                ed.join(seed, "dst")
+                .select(F.col("src").alias("id"))
+                .distinct()
+                .withColumn("__hit", F.lit(True))
+            )
+            return state.join(msgs, "id", "left").select(
+                "id",
+                "color",
+                (F.col("in_scc") | F.coalesce("__hit", F.lit(False))).alias(
+                    "in_scc"
+                ),
+                (~F.col("in_scc") & F.coalesce("__hit", F.lit(False))).alias(
+                    "__changed"
+                ),
+            )
+
+        swept = pregel(
+            ce,
+            binit,
+            back_step,
+            max_iter=max_iter,
+            on_max_iter=on_max_iter,
+            label="scc:backward",
+        ).localCheckpoint(eager=True)
+
+        settled = swept.where(F.col("in_scc")).select(
+            "id", F.col("color").alias("scc")
+        )
+        done_parts.append(settled.localCheckpoint(eager=True))
+
+        verts = (
+            swept.where(~F.col("in_scc"))
+            .select("id")
+            .localCheckpoint(eager=True)
+        )
+        surv = verts.select(F.col("id").alias("src"))
+        e = (
+            e.join(surv, "src", "left_semi")
+            .join(verts.select(F.col("id").alias("dst")), "dst", "left_semi")
+            .select("src", "dst")
+            .localCheckpoint(eager=True)
+        )
+    else:
+        if verts.limit(1).count() > 0:
+            _nonconvergence("scc", max_outer, on_max_iter)
+
+    out = done_parts[0]
+    for p in done_parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -9242,3 +9242,110 @@ def q_quality_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         (score > F.lit(0.0)).alias("keep"),
     ).orderBy("doc_id")
+
+
+@register(
+    "sssp_weighted",
+    """
+    WITH RECURSIVE e AS (
+      SELECT DISTINCT 'p:' || l_partkey AS a, 's:' || l_suppkey AS b,
+             (l_partkey + l_suppkey) % 9 + 1 AS w
+      FROM lineitem
+    ), sym AS (
+      SELECT a AS src, b AS dst, w FROM e
+      UNION ALL
+      SELECT b, a, w FROM e
+    ), walk(id, dist) AS (
+      SELECT 's:1', CAST(0 AS BIGINT)
+      UNION
+      SELECT s.dst, w.dist + s.w
+      FROM walk w JOIN sym s ON s.src = w.id
+      WHERE w.dist + s.w <= 6
+    )
+    SELECT id, CAST(MIN(dist) AS BIGINT) AS dist
+    FROM walk GROUP BY id ORDER BY id
+    """,
+)
+def q_sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph: WEIGHTED single-source shortest paths (Bellman-Ford with
+    the SPFA delta-frontier — operators.graph.weighted_shortest_paths)
+    over the part↔supplier bipartite graph, integer edge weights
+    derived from the keys so distances are exact in both engines.
+    Result restricted to dist <= 6 to bound the oracle's recursive
+    walk; Spark runs the unbounded fixpoint and filters, which agrees
+    because any vertex with SOME path of cost <= 6 has its true
+    shortest distance <= 6. Generalizes bfs_hops (unit weights) the
+    way the reference's rank-message join generalizes to weighted
+    messages (PageRank.java:229-265)."""
+    from pagerank_hadoop_spark.operators.graph import weighted_shortest_paths
+
+    li = _t(spark, sf_dir, "lineitem")
+    edges = li.select(
+        F.concat(F.lit("p:"), F.col("l_partkey")).alias("src"),
+        F.concat(F.lit("s:"), F.col("l_suppkey")).alias("dst"),
+        ((F.col("l_partkey") + F.col("l_suppkey")) % 9 + 1).alias("weight"),
+    ).distinct()
+    return (
+        weighted_shortest_paths(edges, "s:1")
+        .where(F.col("dist") <= 6)
+        .orderBy("id")
+    )
+
+
+@register(
+    "scc_components",
+    """
+    WITH RECURSIVE e AS (
+      SELECT s_suppkey AS src, (s_suppkey * 7 + 3) % 100 + 1 AS dst
+      FROM supplier
+      UNION
+      SELECT s_suppkey, (s_suppkey * 3 + 11) % 100 + 1 FROM supplier
+    ), verts AS (
+      SELECT DISTINCT src AS id FROM e UNION SELECT DISTINCT dst FROM e
+    ), reach(a, b) AS (
+      SELECT src, dst FROM e
+      UNION
+      SELECT r.a, e.dst FROM reach r JOIN e ON e.src = r.b
+    ), mutual AS (
+      SELECT r1.a AS v, r1.b AS u
+      FROM reach r1 JOIN reach r2 ON r2.a = r1.b AND r2.b = r1.a
+    )
+    SELECT v.id, CAST(LEAST(v.id, COALESCE(MIN(m.u), v.id)) AS BIGINT) AS scc
+    FROM verts v LEFT JOIN mutual m ON m.v = v.id
+    GROUP BY v.id ORDER BY v.id
+    """,
+)
+def q_scc_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph: exact strongly connected components via the distributed
+    FW-BW coloring algorithm (operators.graph.
+    strongly_connected_components — forward-min color fixpoint, then
+    a backward sweep within color classes, peel and repeat), on a
+    planted 100-vertex two-successor functional graph over supplier
+    keys. The oracle computes ground-truth SCCs from the transitive
+    closure (mutual-reachability min), which is feasible ONLY at
+    oracle scale — the Spark path never materializes reachability
+    pairs, only (id, label) states. Labels = min vertex id per
+    component on both sides, so any correct algorithm agrees."""
+    from pagerank_hadoop_spark.operators.graph import (
+        strongly_connected_components,
+    )
+
+    sup = _t(spark, sf_dir, "supplier")
+    edges = (
+        sup.select(
+            F.col("s_suppkey").alias("src"),
+            ((F.col("s_suppkey") * 7 + 3) % 100 + 1).alias("dst"),
+        )
+        .unionByName(
+            sup.select(
+                F.col("s_suppkey").alias("src"),
+                ((F.col("s_suppkey") * 3 + 11) % 100 + 1).alias("dst"),
+            )
+        )
+        .distinct()
+    )
+    return (
+        strongly_connected_components(edges)
+        .select("id", F.col("scc").cast("long").alias("scc"))
+        .orderBy("id")
+    )

@@ -370,3 +370,54 @@ def test_hits_star_graph(spark):
     assert abs(out["c"][1] - 1.0) < 1e-12 and abs(out["c"][0]) < 1e-12
     for v in ("a", "b"):
         assert abs(out[v][0] - s) < 1e-12 and abs(out[v][1]) < 1e-12
+
+
+def test_weighted_shortest_paths_prefers_cheap_detour(spark):
+    from pagerank_hadoop_spark.operators.graph import weighted_shortest_paths
+
+    # direct a-c costs 10; detour a-b-c costs 3
+    edges = spark.createDataFrame(
+        [("a", "c", 10), ("a", "b", 1), ("b", "c", 2)],
+        "src string, dst string, weight long",
+    )
+    got = {r.id: r.dist for r in weighted_shortest_paths(edges, "a").collect()}
+    assert got == {"a": 0, "b": 1, "c": 3}
+
+
+def test_weighted_shortest_paths_directed_unreachable(spark):
+    from pagerank_hadoop_spark.operators.graph import weighted_shortest_paths
+
+    edges = spark.createDataFrame(
+        [("a", "b", 5), ("c", "a", 1)], "src string, dst string, weight long"
+    )
+    got = {
+        r.id: r.dist
+        for r in weighted_shortest_paths(edges, "a", directed=True).collect()
+    }
+    assert got == {"a": 0, "b": 5}  # c only reaches a, not vice versa
+
+
+def test_scc_two_cycles_and_bridge(spark):
+    from pagerank_hadoop_spark.operators.graph import (
+        strongly_connected_components,
+    )
+
+    # cycle {1,2,3} -> bridge 4 -> cycle {5,6}; 4 is a singleton
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (3, 4), (4, 5), (5, 6), (6, 5)],
+        "src long, dst long",
+    )
+    got = {r.id: r.scc for r in strongly_connected_components(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 4, 5: 5, 6: 5}
+
+
+def test_scc_path_graph_all_singletons(spark):
+    from pagerank_hadoop_spark.operators.graph import (
+        strongly_connected_components,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4)], "src long, dst long"
+    )
+    got = {r.id: r.scc for r in strongly_connected_components(edges).collect()}
+    assert got == {1: 1, 2: 2, 3: 3, 4: 4}
