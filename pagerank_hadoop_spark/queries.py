@@ -9349,3 +9349,157 @@ def q_scc_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id", F.col("scc").cast("long").alias("scc"))
         .orderBy("id")
     )
+
+
+@register(
+    "resample_linear_6h",
+    """
+    WITH raw AS (
+      SELECT user_id AS key, epoch_us(ts) AS t,
+             arg_min(value, event_id) AS v
+      FROM events GROUP BY 1, 2),
+    span AS (
+      SELECT key, (MIN(t) + 21600000000 - 1) // 21600000000 AS g0,
+             MAX(t) // 21600000000 AS g1
+      FROM raw GROUP BY key),
+    grid AS (
+      SELECT key, g * 21600000000 AS t
+      FROM span, UNNEST(generate_series(g0, g1)) AS u(g)
+      WHERE g0 <= g1),
+    uni AS (
+      SELECT key, t, v, 0 AS isg FROM raw
+      UNION ALL SELECT key, t, NULL, 1 FROM grid),
+    ends AS (
+      SELECT key, t, isg,
+        LAST_VALUE(v IGNORE NULLS) OVER (PARTITION BY key ORDER BY t, isg
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+        LAST_VALUE(CASE WHEN isg = 0 THEN t END IGNORE NULLS)
+          OVER (PARTITION BY key ORDER BY t, isg
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pt,
+        LAST_VALUE(v IGNORE NULLS) OVER (PARTITION BY key ORDER BY t DESC, isg
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS nv,
+        LAST_VALUE(CASE WHEN isg = 0 THEN t END IGNORE NULLS)
+          OVER (PARTITION BY key ORDER BY t DESC, isg
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS nt
+      FROM uni)
+    SELECT key AS user_id, t AS grid_us,
+      CAST(FLOOR((CASE WHEN nt = pt THEN pv
+        ELSE pv + (nv - pv) * (CAST(t - pt AS DOUBLE) / CAST(nt - pt AS DOUBLE))
+        END) * 1e6 + 0.5) AS BIGINT) AS value_micro
+    FROM ends WHERE isg = 1 ORDER BY user_id, grid_us
+    """,
+)
+def q_resample_linear_6h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E7 [EXT] time-series regularization: per-user resample of the
+    irregular event stream onto a 6-hour grid with linear
+    interpolation (operators.timeseries.resample_linear). ONE shuffle
+    (partition by user): each user's grid is generated from its own
+    span (sequence+explode — no calendar-table join), grid rows union
+    with the raw events, and forward/reverse ordered windows carry
+    the surrounding observations onto each grid point. Interpolation
+    only (never extrapolation), duplicate timestamps collapse to the
+    min-event_id value, and both engines evaluate the identical
+    pv + (nv-pv)*ratio expression on integer-microsecond operands."""
+    from pagerank_hadoop_spark.operators.timeseries import resample_linear
+
+    ev = _events(spark, sf_dir)
+    out = resample_linear(
+        ev, "user_id", "ts", "value", "event_id", bucket_us=21_600_000_000
+    )
+    return out.select(
+        F.col("key").alias("user_id"),
+        "grid_us",
+        F.floor(F.col("value") * F.lit(1e6) + F.lit(0.5))
+        .cast("long")
+        .alias("value_micro"),
+    ).orderBy("user_id", "grid_us")
+
+
+@register(
+    "url_canonical_dedup",
+    """
+    WITH u AS (
+      SELECT doc_id,
+        (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS' ELSE 'https' END) || '://' ||
+        (CASE WHEN doc_id % 2 = 0 THEN 'WWW.' ELSE '' END) ||
+        source || '.Example.COM' ||
+        (CASE WHEN doc_id % 3 = 0 THEN ':443' ELSE '' END) ||
+        '/docs/' || CAST(doc_id // 2 AS VARCHAR) ||
+        (CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END) ||
+        (CASE WHEN doc_id % 2 = 0 THEN '?b=2&utm_source=feed&a=1'
+              ELSE '?a=1&gclid=xyz&b=2' END) ||
+        (CASE WHEN doc_id % 7 = 0 THEN '#frag' ELSE '' END) AS url
+      FROM documents),
+    parts AS (
+      SELECT doc_id,
+        lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*):', 1)) AS sch,
+        regexp_replace(
+          lower(regexp_extract(
+            regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1),
+            '^([^:]*)', 1)),
+          '^www\\.', '') AS hst,
+        regexp_extract(
+          regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1),
+          ':([0-9]+)$', 1) AS prt,
+        regexp_replace(
+          regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1),
+          '/+$', '') AS pth,
+        array_to_string(list_sort(list_filter(
+          string_split(regexp_extract(url, '\\?([^#]*)', 1), '&'),
+          p -> p <> '' AND NOT regexp_matches(
+                 p, '^(utm_|gclid|fbclid|msclkid)'))), '&') AS q
+      FROM u),
+    canon AS (
+      SELECT doc_id,
+        sch || '://' || hst ||
+        (CASE WHEN prt = '' OR (sch = 'http' AND prt = '80')
+                   OR (sch = 'https' AND prt = '443')
+              THEN '' ELSE ':' || prt END) ||
+        (CASE WHEN pth = '' THEN '/' ELSE pth END) ||
+        (CASE WHEN q = '' THEN '' ELSE '?' || q END) AS canon_url
+      FROM parts)
+    SELECT doc_id, canon_url,
+           CAST(COUNT(*) OVER (PARTITION BY canon_url) AS BIGINT)
+             AS n_variants
+    FROM canon ORDER BY doc_id
+    """,
+)
+def q_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] URL canonicalization (functions.urls.canonical) — the
+    exact-dedup key normalizer for web corpora: case folds, www. and
+    default-port stripping, tracking-param removal, param sort,
+    trailing-slash and fragment cuts. Planted variant URLs (case /
+    www / :443 / param order / utm+gclid junk / slash / fragment all
+    varying by doc_id) collapse so consecutive doc pairs share one
+    canonical form; n_variants counts the collapse per URL. Pure
+    regexp/array Column work — no UDF; the param HOF runs over a
+    handful of params per row, not a corpus dimension."""
+    from pagerank_hadoop_spark.functions.urls import canonical
+
+    docs = _t(spark, sf_dir, "documents")
+    url = F.concat(
+        F.when(F.col("doc_id") % 2 == 0, F.lit("HTTPS")).otherwise(
+            F.lit("https")
+        ),
+        F.lit("://"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit("WWW.")).otherwise(F.lit("")),
+        F.col("source"),
+        F.lit(".Example.COM"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit(":443")).otherwise(F.lit("")),
+        F.lit("/docs/"),
+        (F.col("doc_id") / 2).cast("long").cast("string"),
+        F.when(F.col("doc_id") % 5 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 2 == 0, F.lit("?b=2&utm_source=feed&a=1")
+        ).otherwise(F.lit("?a=1&gclid=xyz&b=2")),
+        F.when(F.col("doc_id") % 7 == 0, F.lit("#frag")).otherwise(F.lit("")),
+    )
+    canon = docs.select("doc_id", canonical(url).alias("canon_url"))
+    return canon.select(
+        "doc_id",
+        "canon_url",
+        F.count(F.lit(1))
+        .over(Window.partitionBy("canon_url"))
+        .cast("long")
+        .alias("n_variants"),
+    ).orderBy("doc_id")
