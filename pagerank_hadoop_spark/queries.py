@@ -9503,3 +9503,158 @@ def q_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_variants"),
     ).orderBy("doc_id")
+
+
+def _poisson_case_sql(u_expr: str) -> str:
+    from pagerank_hadoop_spark.operators.statistics import POISSON1_CDF
+
+    branches = " ".join(
+        f"WHEN {u_expr} < {t!r} THEN {k}" for k, t in enumerate(POISSON1_CDF)
+    )
+    return f"(CASE {branches} ELSE {len(POISSON1_CDF)} END)"
+
+
+@register(
+    "bootstrap_ci_totalprice",
+    f"""
+    WITH r AS (
+      SELECT o_orderkey AS k, CAST(o_totalprice AS DECIMAL(28,2)) AS x
+      FROM orders),
+    h AS (
+      SELECT ('0x' || substr(md5(CAST(k AS VARCHAR)), 1, 15))::BIGINT AS hh,
+             x
+      FROM r),
+    e AS (
+      SELECT hh, x, b FROM h, UNNEST(generate_series(0, 199)) AS u(b)),
+    wt AS (
+      SELECT b, x, {_poisson_case_sql(
+          "(((hh % 4294967311) * (b * 2 + 1) + (b + 1) * 104729)"
+          " % 4294967311 / 4294967311.0)"
+      )} AS w
+      FROM e),
+    m AS (
+      SELECT b, CAST(SUM(x * w) AS DOUBLE) / SUM(w) AS mean
+      FROM wt WHERE w > 0 GROUP BY b),
+    o AS (SELECT b, mean, ROW_NUMBER() OVER (ORDER BY mean, b) AS rn FROM m),
+    pt AS (
+      SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE)
+               / COUNT(*) AS mu
+      FROM orders)
+    SELECT CAST(200 AS BIGINT) AS n_replicas,
+           CAST(FLOOR(mu * 1e6 + 0.5) AS BIGINT) AS point_micro,
+           (SELECT CAST(FLOOR(mean * 1e6 + 0.5) AS BIGINT) FROM o WHERE rn = 5)
+             AS lo_micro,
+           (SELECT CAST(FLOOR(mean * 1e6 + 0.5) AS BIGINT) FROM o
+             WHERE rn = 196) AS hi_micro
+    FROM pt
+    """,
+)
+def q_bootstrap_ci_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Poisson bootstrap (operators.statistics.
+    poisson_bootstrap_mean): the 95% CI of mean order value from 200
+    replicas. The classical with-replacement bootstrap cannot run
+    distributed (it needs global row indexing); the Poisson(1)-weight
+    approximation is THE scalable form — each row's replica weights
+    come from a portable md5 hash through the Poisson CDF, so one
+    explode + one partial-aggregated groupBy(replica) computes every
+    replica in a single pass, deterministically across engines,
+    retries, and partitionings. CI endpoints are exact order
+    statistics (ranks 5/196 of 200) — no percentile interpolation
+    ambiguity between engines."""
+    from pagerank_hadoop_spark.operators.statistics import (
+        poisson_bootstrap_mean,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    reps = poisson_bootstrap_mean(
+        orders, "o_orderkey", "o_totalprice", n_replicas=200
+    )
+    ranked = reps.select(
+        "b",
+        "mean",
+        F.row_number()
+        .over(Window.orderBy(F.col("mean").asc(), F.col("b").asc()))
+        .alias("rn"),
+    )
+    point = orders.agg(
+        (
+            F.sum(F.col("o_totalprice").cast("decimal(28,2)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("mu")
+    )
+    micro = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)).cast("long")
+    lo = ranked.where(F.col("rn") == 5).select(
+        micro(F.col("mean")).alias("lo_micro")
+    )
+    hi = ranked.where(F.col("rn") == 196).select(
+        micro(F.col("mean")).alias("hi_micro")
+    )
+    return (
+        point.select(
+            F.lit(200).cast("long").alias("n_replicas"),
+            micro(F.col("mu")).alias("point_micro"),
+        )
+        .crossJoin(lo)
+        .crossJoin(hi)
+    )
+
+
+@register(
+    "user_value_trends",
+    """
+    WITH b AS (
+      SELECT user_id AS key,
+             CAST(epoch_us(ts) - MIN(epoch_us(ts))
+                    OVER (PARTITION BY user_id) AS DOUBLE)
+               / 3600000000.0 AS x,
+             value AS y
+      FROM events),
+    s AS (
+      SELECT key, COUNT(*) AS n,
+             SUM(CAST(ROUND(x, 6) AS DECIMAL(38,6))) AS sx,
+             SUM(CAST(ROUND(y, 6) AS DECIMAL(38,6))) AS sy,
+             SUM(CAST(ROUND(x * y, 6) AS DECIMAL(38,6))) AS sxy,
+             SUM(CAST(ROUND(x * x, 6) AS DECIMAL(38,6))) AS sxx
+      FROM b GROUP BY key)
+    SELECT key AS user_id, CAST(n AS BIGINT) AS n,
+      CAST(FLOOR(((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                  / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+                 * 1e6 + 0.5) AS BIGINT) AS slope_micro,
+      CAST(FLOOR(((CAST(sy AS DOUBLE)
+                   - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                      / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+                     * CAST(sx AS DOUBLE))
+                  / CAST(n AS DOUBLE)) * 1e6 + 0.5) AS BIGINT)
+        AS intercept_micro
+    FROM s
+    WHERE CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+    ORDER BY user_id
+    """,
+)
+def q_user_value_trends(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E7 [EXT] per-group model fitting WITHOUT Python: per-user OLS
+    trend of event value over time (operators.statistics.
+    group_ols_trend) via the closed-form normal equations — five
+    sufficient sums per key in one exchange (the window min(ts) and
+    the groupBy share the user partitioning). This is the
+    aggregate-only answer to "fit a model per group", the shape that
+    naive pipelines hand to applyInPandas and then can't scale; 6-dp
+    term rounding + DECIMAL sums make the sufficient statistics
+    bitwise reproducible, and the final slope/intercept arithmetic is
+    a handful of double ops on identical operands in both engines."""
+    from pagerank_hadoop_spark.operators.statistics import group_ols_trend
+
+    ev = _events(spark, sf_dir)
+    fit = group_ols_trend(ev, "user_id", "ts", "value")
+    micro = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)).cast("long")
+    return fit.select(
+        F.col("key").alias("user_id"),
+        F.col("n").cast("long").alias("n"),
+        micro(F.col("slope")).alias("slope_micro"),
+        micro(F.col("intercept")).alias("intercept_micro"),
+    ).orderBy("user_id")
