@@ -954,3 +954,84 @@ def strongly_connected_components(
     for p in done_parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def random_walks(
+    edges: DataFrame,
+    walk_len: int,
+    walks_per_node: int = 1,
+    directed: bool = False,
+) -> DataFrame:
+    """Deterministic uniform random walks from every vertex —
+    the corpus generator for DeepWalk/node2vec-style graph
+    embeddings. Returns ``(walk_id, step, pos)`` with
+    ``walks_per_node`` walks per start vertex and steps
+    ``0..walk_len`` (walks stop early at a sink).
+
+    Randomness is a portable hash of (walk_id, step, candidate), so
+    the walks are a pure function of the graph — reproducible across
+    engines, retries, and partitionings, with no RNG state to
+    coordinate (the same design as every sampler in this repo). Each
+    step is ONE equi-join (frontier ⋈ edges on the current position)
+    plus a partial-aggregated per-walk argmin over the neighbor
+    candidates; only (walk_id, pos) pairs shuffle. walk_len is a
+    fixed small K, so the loop unrolls into K joins — no fixpoint
+    machinery needed, and per-step lazy checkpoints keep lineage
+    linear.
+    """
+    e = edges.select("src", "dst")
+    if not directed:
+        e = e.unionByName(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+    e = e.distinct()
+    e = e.repartition(_edge_partitions(e, doubled=False), "src")
+    e = e.localCheckpoint(eager=True)
+
+    verts = e.select(F.col("src").alias("pos")).distinct()
+    frontier = (
+        verts.select(
+            "pos",
+            F.explode(
+                F.sequence(F.lit(0), F.lit(walks_per_node - 1))
+            ).alias("r"),
+        )
+        .select(
+            F.concat(
+                F.col("pos").cast("string"), F.lit("#"), F.col("r")
+            ).alias("walk_id"),
+            "pos",
+        )
+        .localCheckpoint(eager=False)
+    )
+
+    out = frontier.withColumn("step", F.lit(0))
+    for step in range(1, walk_len + 1):
+        cand = e.join(frontier, e.src == frontier.pos).select(
+            "walk_id",
+            F.col("dst").alias("npos"),
+        )
+        h = F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("w:"),
+                        F.col("walk_id"),
+                        F.lit(f":{step}:"),
+                        F.col("npos").cast("string"),
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        frontier = (
+            cand.withColumn("__h", h)
+            .groupBy("walk_id")
+            .agg(F.min_by("npos", "__h").alias("pos"))
+            .localCheckpoint(eager=False)
+        )
+        out = out.unionByName(frontier.withColumn("step", F.lit(step)))
+    return out

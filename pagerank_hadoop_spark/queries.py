@@ -9658,3 +9658,162 @@ def q_user_value_trends(spark: SparkSession, sf_dir: str) -> DataFrame:
         micro(F.col("slope")).alias("slope_micro"),
         micro(F.col("intercept")).alias("intercept_micro"),
     ).orderBy("user_id")
+
+
+@register(
+    "target_encoded_segments",
+    """
+    WITH seg AS (
+      SELECT c_mktsegment,
+             SUM(CAST(c_acctbal AS DECIMAL(28,2))) AS s,
+             COUNT(*) AS n
+      FROM customer GROUP BY c_mktsegment)
+    SELECT c.c_custkey,
+           CAST(FLOOR((CAST(s.s - CAST(c.c_acctbal AS DECIMAL(28,2))
+                             AS DOUBLE) / (s.n - 1)) * 1e6 + 0.5) AS BIGINT)
+             AS loo_enc_micro
+    FROM customer c JOIN seg s ON s.c_mktsegment = c.c_mktsegment
+    WHERE s.n > 1
+    ORDER BY c.c_custkey
+    """,
+)
+def q_target_encoded_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] leave-one-out target encoding — the categorical-feature
+    workhorse for tabular ML: encode each customer's segment as the
+    mean account balance of the OTHER members ((sum - x)/(n - 1)),
+    which kills the self-leakage plain mean encoding suffers. Scale
+    shape: one partial-aggregated groupBy builds the
+    category-cardinality stats table, broadcast back over the fact —
+    the fact table is scanned once and never shuffles. DECIMAL sums;
+    the subtraction happens in exact decimal before the one double
+    division."""
+    cust = _t(spark, sf_dir, "customer")
+    seg = cust.groupBy("c_mktsegment").agg(
+        F.sum(F.col("c_acctbal").cast("decimal(28,2)")).alias("s"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    enc = (
+        (F.col("s") - F.col("c_acctbal").cast("decimal(28,2)")).cast("double")
+        / (F.col("n") - 1)
+    )
+    return (
+        cust.join(F.broadcast(seg), "c_mktsegment")
+        .where(F.col("n") > 1)
+        .select(
+            "c_custkey",
+            F.floor(enc * F.lit(1e6) + F.lit(0.5))
+            .cast("long")
+            .alias("loo_enc_micro"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+@register(
+    "last_touch_attribution",
+    """
+    WITH e AS (
+      SELECT user_id, event_id, ts, event_type,
+             LAST_VALUE(CASE WHEN event_type = 'view' THEN event_id END
+                        IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS attributed_view
+      FROM events)
+    SELECT event_id AS purchase_id, user_id, attributed_view
+    FROM e WHERE event_type = 'purchase'
+    ORDER BY purchase_id
+    """,
+)
+def q_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E7 [EXT] last-touch attribution: each purchase credits the
+    user's most recent STRICTLY PRIOR view (frame ends at 1
+    PRECEDING, so a view and purchase sharing a timestamp don't
+    self-attribute). One user-partitioned ordered window over a
+    single events scan — the join-free form of the 'for each
+    conversion find the latest preceding touchpoint' as-of lookup;
+    purchases with no prior view surface with NULL attribution
+    rather than dropping."""
+    ev = _events(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    attributed = ev.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.last(
+            F.when(F.col("event_type") == "view", F.col("event_id")),
+            ignorenulls=True,
+        )
+        .over(w)
+        .alias("attributed_view"),
+    )
+    return (
+        attributed.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            "attributed_view",
+        )
+        .orderBy("purchase_id")
+    )
+
+
+def _random_walk_oracle(walk_len: int, walks_per_node: int) -> str:
+    hash_expr = (
+        "('0x' || substr(md5('w:' || walk_id || ':{step}:' || dst), 1, 15))"
+        "::BIGINT"
+    )
+    ctes = [
+        """e0 AS MATERIALIZED (
+      SELECT DISTINCT 'p:' || l_partkey AS a, 's:' || l_suppkey AS b
+      FROM lineitem),
+    sym AS MATERIALIZED (
+      SELECT a AS src, b AS dst FROM e0 UNION SELECT b, a FROM e0),
+    v AS (SELECT DISTINCT src AS pos FROM sym),
+    w0 AS MATERIALIZED (
+      SELECT pos || '#' || CAST(r AS VARCHAR) AS walk_id, pos
+      FROM v, UNNEST(generate_series(0, %d)) AS t(r))"""
+        % (walks_per_node - 1)
+    ]
+    for s in range(1, walk_len + 1):
+        ctes.append(
+            f"""w{s} AS MATERIALIZED (
+      SELECT walk_id, arg_min(dst, {hash_expr.format(step=s)}) AS pos
+      FROM w{s - 1} JOIN sym ON sym.src = w{s - 1}.pos GROUP BY walk_id)"""
+        )
+    selects = " UNION ALL ".join(
+        f"SELECT walk_id, {s} AS step, pos FROM w{s}"
+        for s in range(walk_len + 1)
+    )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"\n    {selects}\n    ORDER BY walk_id, step"
+    )
+
+
+@register("random_walk_corpus", _random_walk_oracle(4, 2))
+def q_random_walk_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph [EXT]: deterministic uniform random walks (2 per vertex,
+    4 steps) over the part↔supplier graph — the DeepWalk/node2vec
+    corpus generator (operators.graph.random_walks). Next-hop choice
+    is an argmin of a portable hash over neighbor candidates, so the
+    walk corpus is a pure function of the graph: reproducible across
+    engines/retries/partitionings with no RNG state. Per step ONE
+    frontier⋈edges equi-join + per-walk partial-aggregated argmin;
+    only (walk_id, pos) pairs shuffle. Oracle: the same K steps
+    unrolled as MATERIALIZED CTEs."""
+    from pagerank_hadoop_spark.operators.graph import random_walks
+
+    li = _t(spark, sf_dir, "lineitem")
+    edges = li.select(
+        F.concat(F.lit("p:"), F.col("l_partkey")).alias("src"),
+        F.concat(F.lit("s:"), F.col("l_suppkey")).alias("dst"),
+    ).distinct()
+    return random_walks(edges, walk_len=4, walks_per_node=2).orderBy(
+        "walk_id", "step"
+    )

@@ -421,3 +421,45 @@ def test_scc_path_graph_all_singletons(spark):
     )
     got = {r.id: r.scc for r in strongly_connected_components(edges).collect()}
     assert got == {1: 1, 2: 2, 3: 3, 4: 4}
+
+
+def test_random_walks_follow_edges_and_are_deterministic(spark):
+    from pagerank_hadoop_spark.operators.graph import random_walks
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a"), ("b", "d")],
+        "src string, dst string",
+    )
+    out = random_walks(edges, walk_len=3, walks_per_node=2)
+    rows = out.collect()
+    # 4 vertices x 2 walks x 4 positions (no sinks in the symmetrized graph)
+    assert len(rows) == 4 * 2 * 4
+    edge_set = {(r.src, r.dst) for r in edges.collect()}
+    edge_set |= {(d, s) for (s, d) in edge_set}
+    by_walk = {}
+    for r in rows:
+        by_walk.setdefault(r.walk_id, {})[r.step] = r.pos
+    for wid, steps in by_walk.items():
+        assert steps[0] == wid.split("#")[0]
+        for s in range(1, 4):
+            assert (steps[s - 1], steps[s]) in edge_set
+    again = {
+        (r.walk_id, r.step, r.pos)
+        for r in random_walks(edges, walk_len=3, walks_per_node=2).collect()
+    }
+    assert again == {(r.walk_id, r.step, r.pos) for r in rows}
+
+
+def test_random_walks_stop_at_sinks_when_directed(spark):
+    from pagerank_hadoop_spark.operators.graph import random_walks
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c")], "src string, dst string"
+    )
+    out = random_walks(edges, walk_len=5, walks_per_node=1, directed=True)
+    by_walk = {}
+    for r in out.collect():
+        by_walk.setdefault(r.walk_id.split("#")[0], []).append(r.step)
+    # from a: a,b,c then stop (c is a sink); from b: b,c
+    assert max(by_walk["a"]) == 2
+    assert max(by_walk["b"]) == 1
