@@ -136,6 +136,15 @@ def frequent_itemset_pairs(
     within a basket's frequent items; the ``<`` predicate halves the
     pair space and canonicalizes (a, b) ordering.
 
+    The pair expansion is a per-basket array unfold rather than a
+    basket self-join: Catalyst does not common-subexpression the two
+    branches of a self-join, so the join form scans and semi-joins
+    the basket table TWICE (audited at 11 exchanges); collecting each
+    basket's frequent items into a sorted array and exploding the
+    i<j combinations does it once (the array is bounded by basket
+    size — the same quadratic-within-basket bound, minus a shuffle
+    and a duplicated subplan).
+
     Returns ``(item_a, item_b, support)``.
     """
     b = baskets.select(
@@ -144,9 +153,18 @@ def frequent_itemset_pairs(
     item_cnt = b.groupBy("__it").agg(F.count(F.lit(1)).alias("__n"))
     frequent = item_cnt.where(F.col("__n") >= F.lit(min_support)).select("__it")
     fb = b.join(F.broadcast(frequent), "__it", "left_semi")
-    left = fb.select(F.col("__bk"), F.col("__it").alias("item_a"))
-    right = fb.select(F.col("__bk"), F.col("__it").alias("item_b"))
-    pairs = left.join(right, on="__bk").where(F.col("item_a") < F.col("item_b"))
+    per_basket = fb.groupBy("__bk").agg(
+        F.sort_array(F.collect_set("__it")).alias("__items")
+    )
+    pairs = per_basket.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(__items, (x, i) -> "
+                "transform(slice(__items, i + 2, size(__items)), "
+                "y -> struct(x AS item_a, y AS item_b))))"
+            )
+        ).alias("__p")
+    ).select("__p.item_a", "__p.item_b")
     return (
         pairs.groupBy("item_a", "item_b")
         .agg(F.count(F.lit(1)).alias("support"))

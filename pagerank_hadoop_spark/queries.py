@@ -9817,3 +9817,213 @@ def q_random_walk_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return random_walks(edges, walk_len=4, walks_per_node=2).orderBy(
         "walk_id", "step"
     )
+
+
+@register(
+    "walk_skipgram_assoc",
+    _random_walk_oracle(4, 2).replace(
+        "ORDER BY walk_id, step", ""
+    ).replace(
+        "WITH ", "WITH walks AS MATERIALIZED (SELECT * FROM (WITH ", 1
+    )
+    + """) q),
+    pairs AS (
+      SELECT a.pos AS center, b.pos AS context, COUNT(*) AS n_pair
+      FROM walks a JOIN walks b
+        ON b.walk_id = a.walk_id AND b.step <> a.step
+       AND b.step BETWEEN a.step - 2 AND a.step + 2
+      GROUP BY 1, 2),
+    marg AS (
+      SELECT center AS tok, SUM(n_pair) AS m FROM pairs GROUP BY center),
+    tot AS (SELECT SUM(n_pair) AS t FROM pairs)
+    SELECT p.center, p.context, CAST(p.n_pair AS BIGINT) AS n_pair,
+           CAST((p.n_pair * t.t * 1000000) // (mc.m * mx.m) AS BIGINT)
+             AS assoc_ratio_micro
+    FROM pairs p
+    JOIN marg mc ON mc.tok = p.center
+    JOIN marg mx ON mx.tok = p.context
+    CROSS JOIN tot t
+    WHERE p.n_pair >= 4
+    ORDER BY center, context
+    """,
+)
+def q_walk_skipgram_assoc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph-embedding prep [EXT]: skip-gram co-occurrence statistics
+    over the deterministic walk corpus (window ±2), with the PMI
+    association expressed as an EXACT integer ratio
+    floor(n_pair·T·1e6 / (m_center·m_context)) — the monotone inside
+    of pmi = log(ratio), kept in integer arithmetic so no libm log
+    can last-ulp-flip a rounded output between engines. Pipeline:
+    walks (one join + argmin per step) → per-walk window self-join →
+    three thin count tables; text/ids only, counts shuffle, the
+    corpus is never re-scanned. This is the statistics pass of
+    DeepWalk/word2vec-style embedding training."""
+    from pagerank_hadoop_spark.operators.graph import random_walks
+
+    li = _t(spark, sf_dir, "lineitem")
+    edges = li.select(
+        F.concat(F.lit("p:"), F.col("l_partkey")).alias("src"),
+        F.concat(F.lit("s:"), F.col("l_suppkey")).alias("dst"),
+    ).distinct()
+    walks = random_walks(edges, walk_len=4, walks_per_node=2)
+    a = walks.select("walk_id", F.col("step").alias("sa"), F.col("pos").alias("center"))
+    b = walks.select("walk_id", F.col("step").alias("sb"), F.col("pos").alias("context"))
+    pairs = (
+        a.join(b, "walk_id")
+        .where(
+            (F.col("sb") != F.col("sa"))
+            & F.col("sb").between(F.col("sa") - 2, F.col("sa") + 2)
+        )
+        .groupBy("center", "context")
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+        .localCheckpoint(eager=True)
+    )
+    marg = pairs.groupBy(F.col("center").alias("tok")).agg(
+        F.sum("n_pair").alias("m")
+    )
+    tot = pairs.agg(F.sum("n_pair").alias("t"))
+    out = (
+        pairs.join(
+            F.broadcast(marg.select(F.col("tok").alias("center"), F.col("m").alias("mc"))),
+            "center",
+        )
+        .join(
+            F.broadcast(marg.select(F.col("tok").alias("context"), F.col("m").alias("mx"))),
+            "context",
+        )
+        .crossJoin(F.broadcast(tot))
+        .where(F.col("n_pair") >= 4)
+        .select(
+            "center",
+            "context",
+            F.col("n_pair").cast("long").alias("n_pair"),
+            F.expr("CAST((n_pair * t * 1000000) DIV (mc * mx) AS LONG)").alias(
+                "assoc_ratio_micro"
+            ),
+        )
+        .orderBy("center", "context")
+    )
+    return out
+
+
+@register(
+    "cuped_adjusted_lift",
+    """
+    WITH per_user AS (
+      SELECT user_id, user_id % 2 AS arm,
+        CAST(SUM(CASE WHEN ts < TIMESTAMP '2024-01-16'
+                 THEN CAST(value AS DECIMAL(28,6)) ELSE 0 END) AS DOUBLE) AS x,
+        CAST(SUM(CASE WHEN ts >= TIMESTAMP '2024-01-16'
+                 THEN CAST(value AS DECIMAL(28,6)) ELSE 0 END) AS DOUBLE) AS y
+      FROM events GROUP BY user_id),
+    g AS (
+      SELECT COUNT(*) AS n,
+             CAST(SUM(CAST(ROUND(x, 6) AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(ROUND(y, 6) AS DECIMAL(38,6))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(ROUND(x * y, 6) AS DECIMAL(38,6))) AS DOUBLE) AS sxy,
+             CAST(SUM(CAST(ROUND(x * x, 6) AS DECIMAL(38,6))) AS DOUBLE) AS sxx
+      FROM per_user),
+    theta AS (
+      SELECT n, sx / n AS xbar,
+             (sxy - sx * sy / n) / (sxx - sx * sx / n) AS th
+      FROM g),
+    arms AS (
+      SELECT arm, COUNT(*) AS na,
+             CAST(SUM(CAST(ROUND(x, 6) AS DECIMAL(38,6))) AS DOUBLE) AS sxa,
+             CAST(SUM(CAST(ROUND(y, 6) AS DECIMAL(38,6))) AS DOUBLE) AS sya
+      FROM per_user GROUP BY arm),
+    adj AS (
+      SELECT a.arm,
+             a.sya / a.na AS ybar,
+             a.sya / a.na - t.th * (a.sxa / a.na - t.xbar) AS yadj
+      FROM arms a CROSS JOIN theta t)
+    SELECT
+      CAST(FLOOR(t.th * 1e6 + 0.5) AS BIGINT) AS theta_micro,
+      CAST(FLOOR(((SELECT ybar FROM adj WHERE arm = 1)
+                  - (SELECT ybar FROM adj WHERE arm = 0)) * 1e6 + 0.5)
+           AS BIGINT) AS naive_lift_micro,
+      CAST(FLOOR(((SELECT yadj FROM adj WHERE arm = 1)
+                  - (SELECT yadj FROM adj WHERE arm = 0)) * 1e6 + 0.5)
+           AS BIGINT) AS cuped_lift_micro
+    FROM theta t
+    """,
+)
+def q_cuped_adjusted_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] experimentation at scale: CUPED variance reduction —
+    the industry-standard pre-period covariate adjustment
+    (adjusted_y = y - θ(x - x̄), θ = cov(x,y)/var(x)) for an A/B test
+    with arms planted by user_id parity, pre/post split at Jan 16.
+    Everything reduces to per-user sums (ONE user-keyed shuffle on a
+    single events scan) followed by arm-level and global sufficient
+    statistics (tiny second aggregate): no per-user second pass,
+    because the arm-mean of the adjustment is itself a linear
+    function of arm aggregates. DECIMAL per-user sums and 6-dp
+    rounded sufficient statistics; the θ/lift arithmetic is a
+    handful of double ops on identical operands in both engines."""
+    ev = _events(spark, sf_dir)
+    cutoff = F.lit("2024-01-16").cast("timestamp")
+    dec = "decimal(28,6)"
+    per_user = ev.groupBy("user_id").agg(
+        F.sum(
+            F.when(F.col("ts") < cutoff, F.col("value").cast(dec)).otherwise(
+                F.lit(0).cast(dec)
+            )
+        )
+        .cast("double")
+        .alias("x"),
+        F.sum(
+            F.when(F.col("ts") >= cutoff, F.col("value").cast(dec)).otherwise(
+                F.lit(0).cast(dec)
+            )
+        )
+        .cast("double")
+        .alias("y"),
+    ).select(
+        "user_id", (F.col("user_id") % 2).alias("arm"), "x", "y"
+    )
+    d6 = "decimal(38,6)"
+    g = per_user.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.round("x", 6).cast(d6)).cast("double").alias("sx"),
+        F.sum(F.round("y", 6).cast(d6)).cast("double").alias("sy"),
+        F.sum(F.round(F.col("x") * F.col("y"), 6).cast(d6))
+        .cast("double")
+        .alias("sxy"),
+        F.sum(F.round(F.col("x") * F.col("x"), 6).cast(d6))
+        .cast("double")
+        .alias("sxx"),
+    )
+    theta = g.select(
+        "n",
+        (F.col("sx") / F.col("n")).alias("xbar"),
+        (
+            (F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n"))
+            / (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n"))
+        ).alias("th"),
+    )
+    arms = per_user.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("na"),
+        F.sum(F.round("x", 6).cast(d6)).cast("double").alias("sxa"),
+        F.sum(F.round("y", 6).cast(d6)).cast("double").alias("sya"),
+    )
+    adj = arms.crossJoin(F.broadcast(theta)).select(
+        "arm",
+        (F.col("sya") / F.col("na")).alias("ybar"),
+        (
+            F.col("sya") / F.col("na")
+            - F.col("th") * (F.col("sxa") / F.col("na") - F.col("xbar"))
+        ).alias("yadj"),
+        "th",
+    )
+    micro = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)).cast("long")
+    a1 = adj.where(F.col("arm") == 1).select(
+        F.col("ybar").alias("y1"), F.col("yadj").alias("a1"), "th"
+    )
+    a0 = adj.where(F.col("arm") == 0).select(
+        F.col("ybar").alias("y0"), F.col("yadj").alias("a0")
+    )
+    return a1.crossJoin(a0).select(
+        micro(F.col("th")).alias("theta_micro"),
+        micro(F.col("y1") - F.col("y0")).alias("naive_lift_micro"),
+        micro(F.col("a1") - F.col("a0")).alias("cuped_lift_micro"),
+    )
