@@ -457,3 +457,69 @@ def parse_gif_meta(payload: bytes) -> tuple[int, int, int] | None:
     if frames == 0:
         return None
     return width, height, frames
+
+
+AHASH_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("ahash", LongType()),
+    ]
+)
+
+
+def bmp_ahash(media: DataFrame) -> DataFrame:
+    """Perceptual average-hash (aHash) of 24-bit BMP payloads — the
+    image near-duplicate fingerprint: grayscale the raster, 8×8
+    block-average, threshold each block against the global mean, pack
+    the 64 bits. Two visually-near-identical images differ in a few
+    bits (compare with ``bit_count(a ^ b)``), which turns image dedup
+    into the same hamming-band machinery SimHash uses for text.
+
+    Integer arithmetic end-to-end (sums, floor divisions, strict >),
+    so fingerprints are exact and engine-replayable. Requires width
+    and height to be multiples of 8 (exact block tiling — real
+    pipelines resize first; the resize stage exists separately).
+    Blocks tile the raster in FILE row order; base and candidate
+    images share orientation, so the comparison is flip-consistent.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        def one(payload: bytes) -> int:
+            hdr = parse_bmp_header(payload)
+            if hdr is None or hdr[2] != 24:
+                raise ValueError("payload is not a 24-bit BMP")
+            w, h, _bpp = hdr
+            if w % 8 or h % 8:
+                raise ValueError("aHash needs w, h multiples of 8")
+            off = int.from_bytes(payload[10:14], "little")
+            stride = (w * 3 + 3) // 4 * 4
+            arr = (
+                np.frombuffer(
+                    payload, dtype=np.uint8, count=stride * h, offset=off
+                )
+                .reshape(h, stride)[:, : w * 3]
+                .reshape(h, w, 3)
+                .astype(np.int64)
+            )
+            gray = arr.sum(axis=2) // 3
+            bh, bw = h // 8, w // 8
+            means = gray.reshape(8, bh, 8, bw).sum(axis=(1, 3)) // (bh * bw)
+            m64 = int(means.sum()) // 64
+            bits = (means > m64).flatten()
+            v = 0
+            for b in range(64):
+                if bits[b]:
+                    v |= 1 << b
+            return v - (1 << 64) if v >= (1 << 63) else v
+
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "ahash": pdf["payload"].map(one).astype("int64"),
+                }
+            )
+
+    return media.mapInPandas(batches, AHASH_SCHEMA)

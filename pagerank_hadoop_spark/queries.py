@@ -10027,3 +10027,150 @@ def q_cuped_adjusted_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         micro(F.col("y1") - F.col("y0")).alias("naive_lift_micro"),
         micro(F.col("a1") - F.col("a0")).alias("cuped_lift_micro"),
     )
+
+
+def _bmp_gen_byte(jexpr: str) -> str:
+    """Oracle twin of the planted BMP raster generator: byte at file
+    offset ``jexpr`` of variant ``d`` (variant 1 perturbs the first
+    24 raster bytes = the first 8 pixels)."""
+    return (
+        f"((7 * ({jexpr}) + key + (CASE WHEN d = 1 AND ({jexpr}) < 24 "
+        f"THEN 128 ELSE 0 END)) % 256)"
+    )
+
+
+def _ahash_means_sql() -> str:
+    gray = (
+        f"(({_bmp_gen_byte('3*p')} + {_bmp_gen_byte('3*p+1')} "
+        f"+ {_bmp_gen_byte('3*p+2')}) // 3)"
+    )
+    pixel = (
+        "list_transform(range(0, bw*bh), i -> "
+        "((b // 8) * bh + i // bw) * w + (b % 8) * bw + i % bw)"
+    )
+    return (
+        f"list_transform(range(0, 64), b -> "
+        f"list_sum(list_transform({pixel}, p -> {gray})) // (bw*bh))"
+    )
+
+
+@register(
+    "media_ahash_neardups",
+    f"""
+    WITH f AS (
+      SELECT p_partkey AS key, 8 * (1 + p_partkey % 2) AS w,
+             8 * (1 + p_size % 3) AS h
+      FROM part WHERE p_partkey <= 300),
+    imgs AS (
+      SELECT key, w, h, w // 8 AS bw, h // 8 AS bh, d
+      FROM f, UNNEST([0, 1]) AS t(d)),
+    v AS (SELECT key, d, {_ahash_means_sql()} AS means FROM imgs),
+    bits AS (
+      SELECT key, d,
+             list_transform(means, m -> m > list_sum(means) // 64) AS bv
+      FROM v)
+    SELECT a.key AS media_id,
+           CAST(len(list_filter(a.bv, x -> x)) AS INTEGER) AS bits_base,
+           CAST(len(list_filter(c.bv, x -> x)) AS INTEGER) AS bits_var,
+           CAST(len(list_filter(range(0, 64),
+                z -> a.bv[z + 1] <> c.bv[z + 1])) AS INTEGER) AS hamming
+    FROM bits a JOIN bits c ON c.key = a.key AND a.d = 0 AND c.d = 1
+    ORDER BY media_id
+    """,
+)
+def q_media_ahash_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5 REAL perceptual image dedup: average-hash (aHash) computed
+    from the DECODED rasters of planted 24-bit BMPs
+    (operators.multimodal.bmp_ahash — grayscale, 8×8 block means,
+    global-mean threshold, 64-bit pack), then hamming comparison of
+    each image against a perturbed variant (first 8 pixels shifted
+    +128) via bit_count(a XOR b) — exactly the SimHash banding
+    machinery applied to images, which is how image near-dup runs at
+    corpus scale. Integer arithmetic end-to-end; the oracle replays
+    gray/block/threshold/popcount from the generating arithmetic, so
+    the raster offsets, block tiling, and bit packing are all
+    ground-truth-checked."""
+    from pagerank_hadoop_spark.operators.multimodal import (
+        attach_media,
+        bmp_ahash,
+    )
+
+    part = (
+        _t(spark, sf_dir, "part")
+        .where(F.col("p_partkey") <= 300)
+        .select(
+            F.col("p_partkey").alias("key"),
+            (8 * (1 + F.col("p_partkey") % 2)).alias("w"),
+            (8 * (1 + F.col("p_size") % 3)).alias("h"),
+        )
+        .select("key", "w", "h", F.explode(F.array(F.lit(0), F.lit(1))).alias("d"))
+        .withColumn("img", F.col("w") * 3 * F.col("h"))
+    )
+    raster_hex = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), F.col("img") - 1),
+            lambda jj: F.lpad(
+                F.hex(
+                    (
+                        (
+                            7 * jj
+                            + F.col("key")
+                            + F.when(
+                                (F.col("d") == 1) & (jj < 24), F.lit(128)
+                            ).otherwise(F.lit(0))
+                        )
+                        % 256
+                    ).cast("long")
+                ),
+                2,
+                "0",
+            ),
+        ),
+        "",
+    )
+    hexstr = F.concat(
+        F.lit("424D"),
+        _le_hex(F.lit(54) + F.col("img"), 4),
+        F.lit("00000000"),
+        F.lit("36000000"),
+        F.lit("28000000"),
+        _le_hex(F.col("w"), 4),
+        _le_hex(F.col("h"), 4),
+        F.lit("0100"),
+        F.lit("1800"),
+        F.lit("00000000"),
+        _le_hex(F.col("img"), 4),
+        F.lit("00" * 16),
+        raster_hex,
+    )
+    media = attach_media(
+        part.select(
+            (F.col("key") * 2 + F.col("d")).alias("p_partkey"),
+            F.unhex(hexstr).alias("payload"),
+        ),
+        F.col("payload"),
+        media_type="image/bmp",
+    )
+    hashed = bmp_ahash(media).select(
+        (F.col("media_id") / 2).cast("long").alias("key"),
+        (F.col("media_id") % 2).alias("d"),
+        "ahash",
+    )
+    base = hashed.where(F.col("d") == 0).select(
+        "key", F.col("ahash").alias("ha")
+    )
+    var = hashed.where(F.col("d") == 1).select(
+        "key", F.col("ahash").alias("hv")
+    )
+    return (
+        base.join(var, "key")
+        .select(
+            F.col("key").alias("media_id"),
+            F.bit_count("ha").cast("int").alias("bits_base"),
+            F.bit_count("hv").cast("int").alias("bits_var"),
+            F.bit_count(F.col("ha").bitwiseXOR(F.col("hv")))
+            .cast("int")
+            .alias("hamming"),
+        )
+        .orderBy("media_id")
+    )

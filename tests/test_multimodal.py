@@ -275,3 +275,63 @@ def test_parse_gif_meta():
     assert parse_gif_meta(b"GIF89a\x00") is None  # truncated
     assert parse_gif_meta(b"NOTAGIF" + b"\x00" * 20) is None
     assert parse_gif_meta(_gif(3, 3, 0)) is None  # no frames
+
+
+def _bmp_with_raster(width, height, raster: bytes):
+    import struct
+
+    row = (width * 3 + 3) // 4 * 4
+    assert row == width * 3, "test rasters avoid padding"
+    img = row * height
+    assert len(raster) == img
+    return (
+        b"BM"
+        + struct.pack("<IHHI", 54 + img, 0, 0, 54)
+        + struct.pack(
+            "<IiiHHIIiiII", 40, width, height, 1, 24, 0, img, 0, 0, 0, 0
+        )
+        + raster
+    )
+
+
+def test_bmp_ahash_identical_and_contrast(spark):
+    from pyspark.sql import functions as F
+
+    from pagerank_hadoop_spark.operators.multimodal import (
+        attach_media,
+        bmp_ahash,
+    )
+
+    # left half dark, right half bright: expect exactly 32 set bits
+    raster = bytearray()
+    for _y in range(8):
+        for x in range(8):
+            raster += bytes([0, 0, 0] if x < 4 else [200, 200, 200])
+    payload = _bmp_with_raster(8, 8, bytes(raster))
+    df = spark.createDataFrame(
+        [(1, payload), (2, payload)], "p_partkey long, payload binary"
+    )
+    out = bmp_ahash(
+        attach_media(df, F.col("payload"), media_type="image/bmp")
+    ).collect()
+    hashes = {r.media_id: r.ahash for r in out}
+    assert hashes[1] == hashes[2]
+    assert bin(hashes[1] % (1 << 64)).count("1") == 32
+
+
+def test_bmp_ahash_rejects_non_multiple_of_8(spark):
+    import pytest as _pytest
+
+    from pagerank_hadoop_spark.operators.multimodal import (
+        attach_media,
+        bmp_ahash,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, _bmp(9, 8))], "p_partkey long, payload binary"
+    )
+    with _pytest.raises(Exception, match="multiples of 8"):
+        bmp_ahash(
+            attach_media(df, F.col("payload"), media_type="image/bmp")
+        ).collect()
