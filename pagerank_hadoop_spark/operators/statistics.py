@@ -80,8 +80,13 @@ def poisson_bootstrap_mean(
     operands in any engine. Zero-weight rows drop before the shuffle,
     so ~36.8% of the exploded stream never ships.
     """
+    from pagerank_hadoop_spark.operators.dedup import _spread
+
     b = F.explode(F.sequence(F.lit(0), F.lit(n_replicas - 1))).alias("b")
-    rows = df.select(
+    # the n_replicas× explode inherits the input's partitioning — a
+    # 1-2-split parquet scan would serialize ~n_replicas·N rows onto
+    # 2 cores (measured 47 s at sf0.1); spread small inputs first
+    rows = _spread(df.select(key_col, value_col)).select(
         row_hash(F.col(key_col)).alias("__h"),
         F.col(value_col)
         .cast(f"decimal(28,{decimal_scale})")

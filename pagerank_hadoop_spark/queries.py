@@ -9763,9 +9763,9 @@ def q_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _random_walk_oracle(walk_len: int, walks_per_node: int) -> str:
-    hash_expr = (
-        "('0x' || substr(md5('w:' || walk_id || ':{step}:' || dst), 1, 15))"
-        "::BIGINT"
+    pick = (
+        "nbrs[1 + (('0x' || substr(md5('w:' || walk_id || ':{step}'), 1, 15))"
+        "::BIGINT % len(nbrs))]"
     )
     ctes = [
         """e0 AS MATERIALIZED (
@@ -9773,17 +9773,20 @@ def _random_walk_oracle(walk_len: int, walks_per_node: int) -> str:
       FROM lineitem),
     sym AS MATERIALIZED (
       SELECT a AS src, b AS dst FROM e0 UNION SELECT b, a FROM e0),
-    v AS (SELECT DISTINCT src AS pos FROM sym),
+    adj AS MATERIALIZED (
+      SELECT src, list_sort(list_distinct(array_agg(dst))) AS nbrs
+      FROM sym GROUP BY src),
     w0 AS MATERIALIZED (
       SELECT pos || '#' || CAST(r AS VARCHAR) AS walk_id, pos
-      FROM v, UNNEST(generate_series(0, %d)) AS t(r))"""
+      FROM (SELECT src AS pos FROM adj) v,
+           UNNEST(generate_series(0, %d)) AS t(r))"""
         % (walks_per_node - 1)
     ]
     for s in range(1, walk_len + 1):
         ctes.append(
             f"""w{s} AS MATERIALIZED (
-      SELECT walk_id, arg_min(dst, {hash_expr.format(step=s)}) AS pos
-      FROM w{s - 1} JOIN sym ON sym.src = w{s - 1}.pos GROUP BY walk_id)"""
+      SELECT walk_id, {pick.format(step=s)} AS pos
+      FROM w{s - 1} JOIN adj ON adj.src = w{s - 1}.pos)"""
         )
     selects = " UNION ALL ".join(
         f"SELECT walk_id, {s} AS step, pos FROM w{s}"
