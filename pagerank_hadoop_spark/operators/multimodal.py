@@ -11,7 +11,11 @@ real and tested. Codec status:
   no external libraries needed, and the results are oracle-checked
   against fixture files constructed in-query (``media_bmp_meta`` /
   ``media_wav_meta``).
-* Compressed codecs (JPEG/PNG/MP4/...) remain STUBBED because the
+* PNG metadata parses for real too (:func:`parse_png_meta` —
+  signature + IHDR arithmetic; the zlib IDAT stream stays
+  undecoded), as do GIF frame counts (:func:`parse_gif_meta`,
+  block-walking).
+* Compressed pixel codecs (JPEG/MP4/PNG-IDAT/...) remain STUBBED because the
   image/audio libraries are not in this container: ``decode_media``
   with ``strict=True`` raises ``NotImplementedError`` for payloads
   that are not BMP/WAV (the production path would call the codec);
@@ -523,3 +527,64 @@ def bmp_ahash(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(batches, AHASH_SCHEMA)
+
+
+def parse_png_meta(payload: bytes) -> tuple[int, int, int, int] | None:
+    """Parse a PNG signature + IHDR chunk: ``(width, height,
+    bit_depth, color_type)`` or None if not a plausible PNG. Pure
+    header arithmetic — the zlib-compressed IDAT stream is never
+    touched, which is exactly the metadata pass a 100 TB image-corpus
+    profile runs (dims/depth histograms, size filters) before any
+    expensive decode."""
+    sig = b"\x89PNG\r\n\x1a\n"
+    if len(payload) < 33 or payload[:8] != sig:
+        return None
+    if payload[12:16] != b"IHDR":
+        return None
+    length = int.from_bytes(payload[8:12], "big")
+    if length != 13:
+        return None
+    width = int.from_bytes(payload[16:20], "big")
+    height = int.from_bytes(payload[20:24], "big")
+    bit_depth = payload[24]
+    color_type = payload[25]
+    if width <= 0 or height <= 0:
+        return None
+    return width, height, bit_depth, color_type
+
+
+PNG_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("bit_depth", IntegerType()),
+        StructField("color_type", IntegerType()),
+    ]
+)
+
+
+def decode_png_meta(media: DataFrame) -> DataFrame:
+    """PNG metadata decode over the Arrow batch kernel; raises on
+    non-PNG payloads (typed image path, like :func:`decode_wav`)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def one(payload: bytes):
+            meta = parse_png_meta(payload)
+            if meta is None:
+                raise ValueError("payload is not a PNG")
+            return meta
+
+        for pdf in it:
+            d = pdf["payload"].map(one)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "width": d.map(lambda t: t[0]).astype("int32"),
+                    "height": d.map(lambda t: t[1]).astype("int32"),
+                    "bit_depth": d.map(lambda t: t[2]).astype("int32"),
+                    "color_type": d.map(lambda t: t[3]).astype("int32"),
+                }
+            )
+
+    return media.mapInPandas(batches, PNG_SCHEMA)

@@ -10177,3 +10177,73 @@ def q_media_ahash_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("media_id")
     )
+
+
+def _be_hex(col, nbytes: int):
+    """Big-endian fixed-width hex of a non-negative integer column
+    (network byte order — PNG chunk fields)."""
+    return F.lpad(F.hex(col.cast("long")), nbytes * 2, "0")
+
+
+@register(
+    "media_png_meta",
+    """
+    WITH f AS (
+      SELECT CAST(p_partkey AS BIGINT) AS media_id,
+             16 + p_partkey % 100 AS w,
+             16 + p_size * 3 AS h,
+             CASE p_partkey % 3 WHEN 0 THEN 0 WHEN 1 THEN 2 ELSE 6 END AS ct
+      FROM part WHERE p_partkey <= 400)
+    SELECT media_id, CAST(w AS INTEGER) AS width,
+           CAST(h AS INTEGER) AS height,
+           CAST(8 AS INTEGER) AS bit_depth,
+           CAST(ct AS INTEGER) AS color_type
+    FROM f ORDER BY media_id
+    """,
+)
+def q_media_png_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5 REAL PNG metadata gate: signature + IHDR files built
+    in-query (big-endian chunk fields via _be_hex — PNG is
+    network-byte-order, unlike BMP/WAV/GIF), parsed back by
+    operators.multimodal.parse_png_meta inside the Arrow kernel. The
+    zlib IDAT stream is never decoded — this is the dims/depth
+    profile pass an image corpus runs before any expensive decode,
+    now covering the most common web image container."""
+    from pagerank_hadoop_spark.operators.multimodal import (
+        attach_media,
+        decode_png_meta,
+    )
+
+    part = (
+        _t(spark, sf_dir, "part")
+        .where(F.col("p_partkey") <= 400)
+        .select(
+            "p_partkey",
+            (16 + F.col("p_partkey") % 100).alias("w"),
+            (16 + F.col("p_size") * 3).alias("h"),
+            F.when(F.col("p_partkey") % 3 == 0, F.lit(0))
+            .when(F.col("p_partkey") % 3 == 1, F.lit(2))
+            .otherwise(F.lit(6))
+            .alias("ct"),
+        )
+    )
+    hexstr = F.concat(
+        F.lit("89504E470D0A1A0A"),  # signature
+        F.lit("0000000D"),  # IHDR length = 13
+        F.lit("49484452"),  # 'IHDR'
+        _be_hex(F.col("w"), 4),
+        _be_hex(F.col("h"), 4),
+        F.lit("08"),  # bit depth
+        _be_hex(F.col("ct"), 1),
+        F.lit("000000"),  # compression, filter, interlace
+        F.lit("00000000"),  # CRC (not validated by the metadata pass)
+        F.lit("00000000"),  # IEND length
+        F.lit("49454E44"),  # 'IEND'
+        F.lit("00000000"),  # CRC
+    )
+    media = attach_media(
+        part.select("p_partkey", F.unhex(hexstr).alias("payload")),
+        F.col("payload"),
+        media_type="image/png",
+    )
+    return decode_png_meta(media).orderBy("media_id")

@@ -335,3 +335,23 @@ def test_bmp_ahash_rejects_non_multiple_of_8(spark):
         bmp_ahash(
             attach_media(df, F.col("payload"), media_type="image/bmp")
         ).collect()
+
+
+def test_parse_png_meta():
+    import struct
+
+    from pagerank_hadoop_spark.operators.multimodal import parse_png_meta
+
+    sig = b"\x89PNG\r\n\x1a\n"
+    ihdr = (
+        struct.pack(">I", 13)
+        + b"IHDR"
+        + struct.pack(">II", 640, 480)
+        + bytes([8, 6, 0, 0, 0])
+        + b"\x00" * 4
+    )
+    iend = struct.pack(">I", 0) + b"IEND" + b"\x00" * 4
+    assert parse_png_meta(sig + ihdr + iend) == (640, 480, 8, 6)
+    assert parse_png_meta(b"JFIF" + b"\x00" * 60) is None
+    assert parse_png_meta(sig + b"\x00" * 10) is None  # truncated IHDR
+    assert parse_png_meta(_bmp(4, 4)) is None
