@@ -158,3 +158,63 @@ def range_join(
     lcols = [lb[c] for c in left.columns]
     rcols = [rb[c] for c in right.columns if c not in by]
     return lb.join(rb, cond, "inner").select(*lcols, *rcols)
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_start: str,
+    left_end: str,
+    right_start: str,
+    right_end: str,
+    cell_width: int,
+) -> DataFrame:
+    """Interval-overlap join: pairs where ``[left_start, left_end]``
+    and ``[right_start, right_end]`` intersect (closed intervals,
+    integral units — epoch days/micros).
+
+    The naive encoding (join on the overlap predicate alone) has no
+    equality key, so Spark plans a nested-loop over |L| x |R| — dead
+    at any scale. This grids the timeline into cells of
+    ``cell_width``: each interval is exploded to every cell it
+    touches, the join key is cell equality, and the exact overlap
+    predicate filters inside the cell. A pair that overlaps shares
+    the cell containing ``greatest(start_l, start_r)`` (that instant
+    lies in both intervals), and a canonical-cell predicate keeps the
+    pair ONLY there — each result row is produced exactly once, so no
+    dedup shuffle is needed. Shuffle volume is rows x (interval
+    length / cell_width); pick ``cell_width`` near the typical
+    interval length so most intervals land in 1-2 cells.
+
+    Column names must be disjoint between the sides (all columns from
+    both sides are returned, so any overlap would be ambiguous).
+    """
+    if cell_width <= 0:
+        raise ValueError("cell_width must be a positive integer")
+    shared = set(left.columns) & set(right.columns)
+    if shared:
+        raise ValueError(f"rename overlapping columns: {sorted(shared)}")
+    w = F.lit(cell_width)
+
+    def cells(df: DataFrame, s: str, e: str) -> DataFrame:
+        return df.withColumn(
+            "__cell",
+            F.explode(
+                F.sequence(F.floor(F.col(s) / w), F.floor(F.col(e) / w))
+            ),
+        )
+
+    lb = cells(left, left_start, left_end)
+    rb = cells(right, right_start, right_end)
+    cond = [
+        lb["__cell"] == rb["__cell"],
+        lb[left_start] <= rb[right_end],
+        rb[right_start] <= lb[left_end],
+        # canonical cell: count each overlapping pair exactly once
+        lb["__cell"]
+        == F.floor(F.greatest(lb[left_start], rb[right_start]) / w),
+    ]
+    return (
+        lb.join(rb, cond, "inner")
+        .select(*[lb[c] for c in left.columns], *[rb[c] for c in right.columns])
+    )

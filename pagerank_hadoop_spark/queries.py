@@ -10247,3 +10247,67 @@ def q_media_png_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         media_type="image/png",
     )
     return decode_png_meta(media).orderBy("media_id")
+
+
+@register(
+    "interval_overlap_orders",
+    """
+    WITH l AS (
+      SELECT o_orderkey AS l_key,
+             date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS s
+      FROM orders WHERE o_orderpriority = '1-URGENT'),
+    l2 AS (SELECT l_key, s AS l_start, s + 3 + l_key % 5 AS l_end FROM l),
+    r AS (
+      SELECT o_orderkey AS r_key,
+             date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS s
+      FROM orders WHERE o_orderpriority = '2-HIGH'),
+    r2 AS (SELECT r_key, s AS r_start, s + 2 + r_key % 7 AS r_end FROM r)
+    SELECT l_key,
+           CAST(COUNT(*) AS BIGINT) AS n_overlaps,
+           CAST(SUM(LEAST(l_end, r_end) - GREATEST(l_start, r_start) + 1)
+                AS BIGINT) AS overlap_days
+    FROM l2 JOIN r2 ON l_start <= r_end AND r_start <= l_end
+    GROUP BY l_key ORDER BY l_key
+    """,
+)
+def q_interval_overlap_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join (grid-cell plan, `operators/joins.py::
+    interval_join`): urgent-order activity windows vs high-priority
+    windows, per-left overlap count + total overlapping days. The
+    oracle joins on the raw overlap predicate (DuckDB's IEJoin
+    handles the tiny sf); Spark gets the cell-bucketed equality-key
+    plan that survives 100 TB — a predicate-only join would plan as
+    a nested loop over |L| x |R|. Canonical-cell assignment makes
+    each pair appear exactly once with no dedup shuffle."""
+    from pagerank_hadoop_spark.operators.joins import interval_join
+
+    orders = _t(spark, sf_dir, "orders")
+    base = F.to_date(F.lit("1992-01-01"))
+
+    def side(prio: str, key: str, start: str, end: str, a: int, m: int):
+        return (
+            orders.where(F.col("o_orderpriority") == prio)
+            .select(
+                F.col("o_orderkey").alias(key),
+                F.datediff(F.to_date("o_orderdate"), base).alias(start),
+            )
+            .withColumn(end, F.col(start) + a + F.col(key) % m)
+        )
+
+    urgent = side("1-URGENT", "l_key", "l_start", "l_end", 3, 5)
+    high = side("2-HIGH", "r_key", "r_start", "r_end", 2, 7)
+    pairs = interval_join(
+        urgent, high, "l_start", "l_end", "r_start", "r_end", cell_width=8
+    )
+    return (
+        pairs.groupBy("l_key")
+        .agg(
+            F.count("*").alias("n_overlaps"),
+            F.sum(
+                F.least("l_end", "r_end")
+                - F.greatest("l_start", "r_start")
+                + 1
+            ).alias("overlap_days"),
+        )
+        .orderBy("l_key")
+    )

@@ -217,3 +217,48 @@ def test_rendezvous_assign_minimal_remap(spark):
 
     counts = Counter(five.values())
     assert all(30 <= c <= 100 for c in counts.values()), counts
+
+
+def test_interval_join_exactly_once_across_cells(spark):
+    # brute-force parity: every overlapping pair appears exactly once,
+    # including intervals that span many grid cells
+    from pagerank_hadoop_spark.operators.joins import interval_join
+
+    left = spark.createDataFrame(
+        [("a", 0, 25), ("b", 7, 8), ("c", 30, 30), ("d", -12, -3)],
+        ["lid", "l_s", "l_e"],
+    )
+    right = spark.createDataFrame(
+        [("x", 5, 6), ("y", 24, 40), ("z", -40, -12), ("w", 26, 29)],
+        ["rid", "r_s", "r_e"],
+    )
+    out = interval_join(left, right, "l_s", "l_e", "r_s", "r_e", cell_width=4)
+    got = sorted((r.lid, r.rid) for r in out.collect())
+    brute = sorted(
+        (l.lid, r.rid)
+        for l in left.collect()
+        for r in right.collect()
+        if l.l_s <= r.r_e and r.r_s <= l.l_e
+    )
+    assert got == brute          # same pairs, each exactly once
+    assert out.count() == len(brute)
+
+
+def test_interval_join_rejects_bad_args(spark):
+    from pagerank_hadoop_spark.operators.joins import interval_join
+
+    df = spark.createDataFrame([(1, 2)], ["s", "e"])
+    other = spark.createDataFrame([(1, 2)], ["rs", "re"])
+    try:
+        interval_join(df, other, "s", "e", "rs", "re", cell_width=0)
+    except ValueError as e:
+        assert "cell_width" in str(e)
+    else:
+        raise AssertionError("expected ValueError")
+    dup = spark.createDataFrame([(1, 2, "v")], ["rs", "re", "s"])
+    try:
+        interval_join(df, dup, "s", "e", "rs", "re", cell_width=4)
+    except ValueError as e:
+        assert "rename" in str(e)
+    else:
+        raise AssertionError("expected ValueError")
