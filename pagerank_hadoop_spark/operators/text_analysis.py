@@ -569,3 +569,58 @@ def crossdoc_ngram_stats(
             ),
         )
     )
+
+
+GOPHER_STOPWORDS = ("the", "a", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_flags(text: Column, stopwords=GOPHER_STOPWORDS) -> Column:
+    """Gopher-style document quality rules (Rae et al. 2021, §A1.1)
+    as a struct of pass/fail flags — the doc-level web-corpus filter
+    that runs after the cheap score screens (``quality_micro``) and
+    before dedup. Rules: word count in [50, 100000]; mean word length
+    in [3, 10]; symbol-to-word ratio (# / ellipsis) <= 0.1; <= 90% of
+    lines bullet-started; <= 30% of lines ellipsis-ended; >= 80% of
+    words alphabetic; >= 2 distinct stopwords present.
+
+    Every threshold is evaluated in INTEGER arithmetic (e.g. mean
+    word length in [3,10] as ``3*n_words <= chars <= 10*n_words``) so
+    the flags are bitwise engine-portable — no float ratio ever
+    materializes. Pure Column expressions, map-only, codegen-friendly
+    except the two line/word lambda filters (HOFs are interpreted —
+    callers on wide corpora should ``_spread`` first, repo-documented).
+    """
+    words = F.split(F.lower(F.trim(text)), r"\s+")
+    n_words = F.size(words)
+    wchars = F.length(F.regexp_replace(text, r"\s", ""))
+    n_hash = F.length(text) - F.length(F.replace(text, F.lit("#")))
+    n_ellipsis = (
+        F.length(text) - F.length(F.replace(text, F.lit("...")))
+    ) / F.lit(3)
+    lines = F.split(text, "\n")
+    n_lines = F.size(lines)
+    n_bullet = F.size(F.filter(lines, lambda l: l.startswith("- ")))
+    n_ell_lines = F.size(F.filter(lines, lambda l: l.endswith("...")))
+    n_alpha = F.size(F.filter(words, lambda w: w.rlike("[a-z]")))
+    n_stop = F.size(
+        F.array_intersect(words, F.array(*[F.lit(s) for s in stopwords]))
+    )
+    flags = {
+        "f_words": (n_words >= 50) & (n_words <= 100000),
+        "f_wlen": (F.lit(3) * n_words <= wchars)
+        & (wchars <= F.lit(10) * n_words),
+        "f_symbol": F.lit(10) * (n_hash + n_ellipsis) <= n_words,
+        "f_bullet": F.lit(10) * n_bullet <= F.lit(9) * n_lines,
+        "f_ellipsis": F.lit(10) * n_ell_lines <= F.lit(3) * n_lines,
+        "f_alpha": F.lit(10) * n_alpha >= F.lit(8) * n_words,
+        "f_stop": n_stop >= 2,
+    }
+    cols = [v.cast("int").alias(k) for k, v in flags.items()]
+    pass_all = None
+    for v in flags.values():
+        pass_all = v if pass_all is None else (pass_all & v)
+    return F.struct(
+        n_words.cast("long").alias("n_words"),
+        *cols,
+        pass_all.cast("int").alias("pass_all"),
+    )

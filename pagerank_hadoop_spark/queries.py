@@ -10311,3 +10311,110 @@ def q_interval_overlap_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_key")
     )
+
+
+@register(
+    "gopher_quality_flags",
+    r"""
+    WITH planted AS (
+      SELECT doc_id, doc_id % 6 AS variant,
+             CASE doc_id % 6
+               WHEN 1 THEN array_to_string(
+                 (string_split_regex(trim(text), '\s+'))[1:20], ' ')
+               WHEN 2 THEN text || repeat(' #', 20)
+               WHEN 3 THEN repeat('- item' || chr(10), 10) || text
+               WHEN 4 THEN text || repeat(chr(10) || 'to be continued...', 2)
+               WHEN 5 THEN trim(repeat('pneumonoultramicroscopicsilico ', 60))
+               ELSE text END AS text
+      FROM documents),
+    m AS (
+      SELECT doc_id, variant,
+             string_split_regex(lower(trim(text)), '\s+') AS words,
+             length(regexp_replace(text, '\s', '', 'g')) AS wchars,
+             length(text) - length(replace(text, '#', '')) AS n_hash,
+             (length(text) - length(replace(text, '...', ''))) / 3
+               AS n_ellipsis,
+             string_split(text, chr(10)) AS lines
+      FROM planted),
+    f AS (
+      SELECT doc_id, variant,
+             len(words) AS n_words, wchars, n_hash, n_ellipsis,
+             len(lines) AS n_lines,
+             len(list_filter(lines, l -> starts_with(l, '- '))) AS n_bullet,
+             len(list_filter(lines, l -> suffix(l, '...'))) AS n_ell_lines,
+             len(list_filter(words, w -> regexp_matches(w, '[a-z]')))
+               AS n_alpha,
+             len(list_intersect(words,
+               ['the','a','to','of','and','that','have','with'])) AS n_stop
+      FROM m)
+    SELECT doc_id, variant,
+           CAST(n_words AS BIGINT) AS n_words,
+           CAST(n_words BETWEEN 50 AND 100000 AS INT) AS f_words,
+           CAST(3*n_words <= wchars AND wchars <= 10*n_words AS INT)
+             AS f_wlen,
+           CAST(10*(n_hash + n_ellipsis) <= n_words AS INT) AS f_symbol,
+           CAST(10*n_bullet <= 9*n_lines AS INT) AS f_bullet,
+           CAST(10*n_ell_lines <= 3*n_lines AS INT) AS f_ellipsis,
+           CAST(10*n_alpha >= 8*n_words AS INT) AS f_alpha,
+           CAST(n_stop >= 2 AS INT) AS f_stop,
+           CAST(n_words BETWEEN 50 AND 100000
+                AND 3*n_words <= wchars AND wchars <= 10*n_words
+                AND 10*(n_hash + n_ellipsis) <= n_words
+                AND 10*n_bullet <= 9*n_lines
+                AND 10*n_ell_lines <= 3*n_lines
+                AND 10*n_alpha >= 8*n_words
+                AND n_stop >= 2 AS INT) AS pass_all
+    FROM f ORDER BY doc_id
+    """,
+)
+def q_gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4: Gopher document-quality rules (operators.text_analysis.
+    gopher_flags) — the doc-level rule filter (word-count band, mean
+    word length, symbol ratio, bullet/ellipsis line fractions,
+    alphabetic-word fraction, stopword presence) with every threshold
+    in integer arithmetic for bitwise engine parity. Planted variants
+    (doc_id % 6: truncated / symbol-stuffed / bullet-heavy /
+    ellipsis-heavy / long-word gibberish) exercise each rule; both
+    engines recompute the rules over the same construction."""
+    from pagerank_hadoop_spark.operators.text_analysis import gopher_flags
+
+    docs = _t(spark, sf_dir, "documents")
+    variant = F.col("doc_id") % 6
+    words20 = F.array_join(
+        F.slice(F.split(F.trim(F.col("text")), r"\s+"), 1, 20), " "
+    )
+    planted = docs.select(
+        "doc_id",
+        variant.alias("variant"),
+        F.when(variant == 1, words20)
+        .when(variant == 2, F.concat("text", F.repeat(F.lit(" #"), 20)))
+        .when(
+            variant == 3,
+            F.concat(F.repeat(F.lit("- item\n"), 10), "text"),
+        )
+        .when(
+            variant == 4,
+            F.concat(
+                "text", F.repeat(F.lit("\nto be continued..."), 2)
+            ),
+        )
+        .when(
+            variant == 5,
+            F.trim(F.repeat(F.lit("pneumonoultramicroscopicsilico "), 60)),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    g = gopher_flags(F.col("text"))
+    return planted.select(
+        "doc_id",
+        "variant",
+        g["n_words"].alias("n_words"),
+        *[
+            g[f].alias(f)
+            for f in (
+                "f_words f_wlen f_symbol f_bullet f_ellipsis f_alpha "
+                "f_stop pass_all"
+            ).split()
+        ],
+    ).orderBy("doc_id")
