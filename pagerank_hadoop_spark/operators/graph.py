@@ -950,6 +950,10 @@ def strongly_connected_components(
         if verts.limit(1).count() > 0:
             _nonconvergence("scc", max_outer, on_max_iter)
 
+    if not done_parts:
+        # empty edge input: no vertices, so the empty (id, scc) frame
+        # (same schema) rather than an IndexError on done_parts[0]
+        return verts.select("id", F.col("id").alias("scc"))
     out = done_parts[0]
     for p in done_parts[1:]:
         out = out.unionByName(p)

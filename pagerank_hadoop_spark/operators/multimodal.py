@@ -97,21 +97,27 @@ def parse_wav_header(payload: bytes) -> tuple[int, int, int, int] | None:
         cid = payload[pos : pos + 4]
         csize = int.from_bytes(payload[pos + 4 : pos + 8], "little")
         body = payload[pos + 8 : pos + 8 + csize]
-        if cid == b"fmt " and len(body) >= 16:
+        if cid == b"fmt " and len(body) >= 16 and fmt is None:
             fmt = (
                 int.from_bytes(body[2:4], "little"),  # channels
                 int.from_bytes(body[4:8], "little"),  # sample rate
                 int.from_bytes(body[14:16], "little"),  # bits/sample
             )
-        elif cid == b"data":
-            data_size = csize
+        elif cid == b"data" and data_size is None:
+            # FIRST data chunk (matches wav_sample_stats' decode);
+            # clamp to the bytes actually present so a truncated
+            # chunk yields an n_samples consistent with the decode.
+            data_size = min(csize, max(0, len(payload) - pos - 8))
         pos += 8 + csize + (csize & 1)  # chunks are word-aligned
     if fmt is None or data_size is None:
         return None
     channels, rate, bits = fmt
-    if channels == 0 or rate == 0 or bits == 0:
+    # bits must be a positive multiple of 8: a sub-byte or zero frame
+    # size is not PCM we can address (and would divide by zero below).
+    if channels == 0 or rate == 0 or bits < 8 or bits % 8:
         return None
-    n_samples = data_size // (channels * bits // 8)
+    frame = channels * (bits // 8)
+    n_samples = data_size // frame
     return channels, rate, bits, n_samples
 
 
@@ -384,6 +390,9 @@ def wav_sample_stats(media: DataFrame) -> DataFrame:
                 cid = payload[pos : pos + 4]
                 csize = int.from_bytes(payload[pos + 4 : pos + 8], "little")
                 if cid == b"data":
+                    # slice to bytes present (truncated chunk) — the
+                    # same clamp parse_wav_header applies, so header
+                    # n_samples == decoded sample count always.
                     raw = payload[pos + 8 : pos + 8 + csize]
                     x = np.frombuffer(
                         raw, dtype="<i2", count=len(raw) // 2

@@ -9900,9 +9900,13 @@ def q_walk_skipgram_assoc(spark: SparkSession, sf_dir: str) -> DataFrame:
             "center",
             "context",
             F.col("n_pair").cast("long").alias("n_pair"),
-            F.expr("CAST((n_pair * t * 1000000) DIV (mc * mx) AS LONG)").alias(
-                "assoc_ratio_micro"
-            ),
+            # DECIMAL(38,0) intermediates: the DuckDB oracle widens the
+            # triple product to HUGEINT; int64 would wrap silently near
+            # t ~ 1e7 pairs (ANSI off) and diverge from the oracle.
+            F.expr(
+                "CAST((CAST(n_pair AS DECIMAL(38,0)) * t * 1000000)"
+                " DIV (CAST(mc AS DECIMAL(38,0)) * mx) AS LONG)"
+            ).alias("assoc_ratio_micro"),
         )
         .orderBy("center", "context")
     )

@@ -88,5 +88,8 @@ def test_cli_run_and_list(capsys):
 
     assert main(["run", "nonexistent_query"]) == 2
     assert main(["run"]) == 2
+    # `-o` with no operand is a usage error (exit 2), not an IndexError
+    assert main(["run", "topk_orders", "-o"]) == 2
+    assert "requires an output path" in capsys.readouterr().err
     assert main(["run", "topk_orders", "/root/testdata/sf0.001"]) == 0
     assert "o_orderkey" in capsys.readouterr().out

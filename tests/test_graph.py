@@ -423,6 +423,19 @@ def test_scc_path_graph_all_singletons(spark):
     assert got == {1: 1, 2: 2, 3: 3, 4: 4}
 
 
+def test_scc_empty_edges_returns_empty(spark):
+    """ADVICE r3: empty edge input broke out of the outer loop with no
+    settled parts and crashed on done_parts[0]."""
+    from pagerank_hadoop_spark.operators.graph import (
+        strongly_connected_components,
+    )
+
+    edges = spark.createDataFrame([], "src long, dst long")
+    out = strongly_connected_components(edges)
+    assert out.columns == ["id", "scc"]
+    assert out.count() == 0
+
+
 def test_random_walks_follow_edges_and_are_deterministic(spark):
     from pagerank_hadoop_spark.operators.graph import random_walks
 

@@ -145,6 +145,31 @@ def test_parse_wav_header():
     assert parse_wav_header(_bmp(4, 4)) is None
 
 
+def test_parse_wav_header_rejects_subbyte_frames_and_clamps_truncation():
+    """ADVICE r3: bits=4 made channels*bits//8 == 0 → ZeroDivisionError;
+    a truncated data chunk declared more samples than the payload held.
+    Both must degrade to None / clamped counts, never crash."""
+    from pagerank_hadoop_spark.operators.multimodal import parse_wav_header
+
+    # bits=4, channels=1 → frame size would be 0: not plausible PCM
+    assert parse_wav_header(_wav(1, 8000, 4, 10)) is None
+    # bits not a byte multiple (12) is equally unaddressable
+    assert parse_wav_header(_wav(1, 8000, 12, 10)) is None
+
+    # truncated data chunk: header declares 100 samples, payload holds 40
+    full = _wav(1, 8000, 16, 100)
+    cut = full[: len(full) - 120]  # drop 60 samples' worth of bytes
+    got = parse_wav_header(cut)
+    assert got is not None and got[3] == 40
+
+    # multi-data-chunk: the FIRST data chunk wins (consistent with
+    # wav_sample_stats' decode), not the last
+    import struct
+
+    extra = b"data" + struct.pack("<I", 4) + b"\x00" * 4
+    assert parse_wav_header(_wav(1, 8000, 16, 25) + extra)[3] == 25
+
+
 def test_decode_media_real_bmp_and_strict(spark):
     from pagerank_hadoop_spark.operators.multimodal import (
         attach_media,

@@ -126,6 +126,23 @@ def test_pq_recall_against_exact(emb, queries_df, exact):
     assert sum(recalls) / len(recalls) >= 0.5, recalls
 
 
+def test_pq_explicit_books_validation(emb, queries_df):
+    """Explicit codebooks are validated up front: a ragged book or a
+    corpus-dim mismatch must raise, not silently F.slice short
+    subvectors into wrong ADC codes (ADVICE r3)."""
+    from pagerank_hadoop_spark.operators.similarity import pq_topk
+
+    # ragged: second book has a different n_codes
+    ragged = [[[0.0] * 8] * 4, [[0.0] * 8] * 3]
+    with pytest.raises(ValueError, match="uniform"):
+        pq_topk(emb, queries_df, books=ragged)
+
+    # uniform but wrong total dim (2 books x 8 dims = 16 != 64)
+    short = [[[0.0] * 8] * 4, [[1.0] * 8] * 4]
+    with pytest.raises(ValueError, match="dim"):
+        pq_topk(emb, queries_df, books=short)
+
+
 def test_morton_key_known_values_and_locality(spark):
     from pagerank_hadoop_spark.functions.vectors import morton_key
     from pyspark.sql import functions as F
