@@ -1203,6 +1203,35 @@ def q_semantic_dedup_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id")
 
 
+@register("semantic_dedup_trained_dist")
+def q_semantic_dedup_trained_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB regime of ``semantic_dedup_trained``: ``sample_cap``
+    forced below k·200 so centroids train by DISTRIBUTED Lloyd
+    (driver holds only the k × dim model; per-round collects are
+    k·dim aggregate rows) and the final assignment ships centers via
+    ``SparkContext.broadcast`` instead of plan literals. Rows-only:
+    the assignment/tail parity with the oracle-gated literal plan is
+    unit-pinned (tests/test_dedup.py::
+    test_semantic_dedup_trained_distributed_path_matches_literal)."""
+    from pagerank_hadoop_spark.operators.dedup import semantic_dedup_trained
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    dups = emb.where(F.col("vec_id") % 5 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform(
+            "v",
+            lambda x, i: x + F.when(i == 0, F.lit(0.05)).otherwise(F.lit(0.0)),
+        ).alias("v"),
+    )
+    corpus = emb.unionByName(dups)
+    return semantic_dedup_trained(
+        corpus, threshold=0.95, seed=7, target_cluster_rows=200,
+        sample_cap=0, lloyd_rounds=2,
+    ).orderBy("id")
+
+
 @register("embedding_near_dups")
 def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E2c: embedding-cosine near-dup pairs via random-hyperplane LSH

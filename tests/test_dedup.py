@@ -350,6 +350,78 @@ def test_semantic_dedup_trained_equals_literal_path(spark):
     assert len(surv) < 48
 
 
+def test_semantic_dedup_trained_distributed_path_matches_literal(spark):
+    """Large-k regime (k·200 > sample_cap): centers are trained by
+    distributed Lloyd and shipped via SparkContext.broadcast, never
+    plan literals. Given those centers, the broadcast assignment +
+    shared tail must equal semantic_dedup's literal plan exactly —
+    integer-valued vectors make every dot/norm dyadic-exact, so the
+    two paths can't diverge by a ulp."""
+    import numpy as np
+
+    from pagerank_hadoop_spark.operators.dedup import (
+        _distributed_lloyd,
+        semantic_dedup,
+        semantic_dedup_trained,
+    )
+
+    rng = np.random.default_rng(5)
+    base = rng.integers(-3, 4, size=(60, 4)).astype(float)
+    base[(base == 0).all(axis=1)] += 1.0  # no zero vectors
+    rows = [(i, [float(x) for x in base[i]]) for i in range(60)]
+    rows += [(2000 + i, [float(x) for x in base[i]]) for i in range(0, 60, 6)]
+    emb = spark.createDataFrame(rows, "vec_id long, v array<double>")
+
+    # sample_cap=0 forces the distributed regime even at k=4
+    trained = semantic_dedup_trained(
+        emb, n_clusters=4, threshold=0.9, seed=3, sample_cap=0,
+        lloyd_rounds=2,
+    )
+
+    emb_v = emb.select(F.col("vec_id").alias("id"), "v")
+    centers = _distributed_lloyd(emb_v, 4, 3, n_corpus=70, rounds=2)
+    literal = semantic_dedup(emb, centers, threshold=0.9)
+
+    t = sorted((r.id, r.cluster) for r in trained.collect())
+    l = sorted((r.id, r.cluster) for r in literal.collect())
+    assert t == l
+    # exact duplicates planted at 2000+i: never both survive
+    surv = {r.id for r in trained.collect()}
+    assert all(
+        not (i in surv and 2000 + i in surv) for i in range(0, 60, 6)
+    )
+
+
+def test_distributed_lloyd_collects_only_model_sized_state(spark):
+    """The scale contract: nothing the trained path collects grows
+    with the corpus — per round exactly k·dim aggregate rows plus the
+    k-row init. Pin the aggregate shape (k·dim) at two corpus sizes."""
+    import numpy as np
+
+    from pagerank_hadoop_spark.operators.dedup import (
+        _assign_broadcast_centers,
+    )
+    from pyspark.sql import functions as F
+
+    rng = np.random.default_rng(9)
+    for n in (50, 200):
+        rows = [
+            (i, [float(x) for x in rng.integers(-3, 4, size=3)])
+            for i in range(n)
+        ]
+        emb_v = spark.createDataFrame(rows, "id long, v array<double>")
+        assigned = _assign_broadcast_centers(
+            emb_v, [[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]], id_col="id",
+            vec_col="v",
+        )
+        agg = (
+            assigned.select("cluster", F.posexplode("__v").alias("pos", "x"))
+            .groupBy("cluster", "pos")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        assert agg.count() <= 2 * 3  # k*dim, independent of n
+
+
 def test_set_similarity_join_exact_boundary(spark):
     from pagerank_hadoop_spark.operators.dedup import set_similarity_join
 
