@@ -11,11 +11,16 @@ real and tested. Codec status:
   no external libraries needed, and the results are oracle-checked
   against fixture files constructed in-query (``media_bmp_meta`` /
   ``media_wav_meta``).
-* PNG metadata parses for real too (:func:`parse_png_meta` —
-  signature + IHDR arithmetic; the zlib IDAT stream stays
-  undecoded), as do GIF frame counts (:func:`parse_gif_meta`,
-  block-walking).
-* Compressed pixel codecs (JPEG/MP4/PNG-IDAT/...) remain STUBBED because the
+* PNG decodes for real END TO END for greyscale-8 images
+  (:func:`png_pixel_stats`): IDAT chunks are concatenated, inflated
+  with stdlib :mod:`zlib`, and all five scanline filters (None/Sub/
+  Up/Average/Paeth) are reversed per the PNG spec — no external
+  library, oracle-checked against in-query fixtures whose filtered
+  bytes both engines derive from the same arithmetic
+  (``media_png_pixels``). PNG metadata alone is
+  :func:`parse_png_meta`; GIF frame counts are
+  :func:`parse_gif_meta` (block-walking).
+* Compressed pixel codecs needing codec LIBRARIES (JPEG/MP4/...) remain STUBBED because the
   image/audio libraries are not in this container: ``decode_media``
   with ``strict=True`` raises ``NotImplementedError`` for payloads
   that are not BMP/WAV (the production path would call the codec);
@@ -597,3 +602,137 @@ def decode_png_meta(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(batches, PNG_SCHEMA)
+
+
+PNG_PIXEL_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("n_px", LongType()),
+        StructField("px_sum", LongType()),
+        StructField("px_min", IntegerType()),
+        StructField("px_max", IntegerType()),
+    ]
+)
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    """PNG Paeth predictor (spec §9, Filter type 4)."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def _png_unfilter_gray8(raw: bytes, width: int, height: int):
+    """Reverse the five PNG scanline filters for an 8-bit greyscale
+    image (bpp = 1): ``raw`` is the inflated IDAT stream, one filter
+    byte + ``width`` sample bytes per scanline. Returns an
+    (height × width) uint8 ndarray of reconstructed samples.
+
+    None/Up are whole-row NumPy ops; Sub/Average/Paeth carry a
+    left-neighbor dependency so they run as per-pixel loops on that
+    scanline only — the cost profile every real PNG decoder has."""
+    import numpy as np
+
+    stride = width + 1
+    if len(raw) != stride * height:
+        raise ValueError(
+            f"inflated IDAT is {len(raw)} bytes; gray8 {width}x{height}"
+            f" needs {stride * height}"
+        )
+    out = np.zeros((height, width), dtype=np.int64)
+    for y in range(height):
+        ftype = raw[y * stride]
+        line = np.frombuffer(
+            raw, dtype=np.uint8, count=width, offset=y * stride + 1
+        ).astype(np.int64)
+        prev = out[y - 1] if y > 0 else np.zeros(width, dtype=np.int64)
+        if ftype == 0:  # None
+            rec = line
+        elif ftype == 2:  # Up
+            rec = (line + prev) % 256
+        elif ftype in (1, 3, 4):  # Sub / Average / Paeth: left-recursive
+            rec = np.empty(width, dtype=np.int64)
+            left = 0
+            for x in range(width):
+                b = int(prev[x])
+                c = int(prev[x - 1]) if x > 0 else 0
+                if ftype == 1:
+                    pred = left
+                elif ftype == 3:
+                    pred = (left + b) // 2
+                else:
+                    pred = _paeth(left, b, c)
+                left = (int(line[x]) + pred) % 256
+                rec[x] = left
+        else:
+            raise ValueError(f"unknown PNG filter type {ftype}")
+        out[y] = rec
+    return out.astype(np.uint8)
+
+
+def png_pixel_stats(media: DataFrame) -> DataFrame:
+    """REAL compressed-pixel decode: inflate the PNG IDAT stream with
+    stdlib :mod:`zlib` (all IDAT chunks concatenated, per spec §5.6),
+    reverse the scanline filters (:func:`_png_unfilter_gray8`), and
+    aggregate pixel stats — count, sum, min, max — over the
+    reconstructed samples. Greyscale 8-bit, non-interlaced only (the
+    typed path raises on anything else — color/sub-byte depths need
+    the same unfilter with bpp > 1, not a different algorithm).
+
+    Chunk CRCs are not validated (profile-pass posture, like
+    :func:`parse_png_meta`); zlib's Adler-32 over the decompressed
+    stream IS validated by ``zlib.decompress`` itself, so a corrupt
+    IDAT fails loudly rather than yielding garbage sums."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import zlib
+
+        def stats(payload: bytes):
+            meta = parse_png_meta(payload)
+            if meta is None:
+                raise ValueError("payload is not a PNG")
+            width, height, bit_depth, color_type = meta
+            if bit_depth != 8 or color_type != 0:
+                raise ValueError(
+                    "png_pixel_stats decodes greyscale-8 PNGs only"
+                    f" (got depth={bit_depth} color_type={color_type})"
+                )
+            if payload[28] != 0:  # interlace byte of IHDR
+                raise ValueError("interlaced PNG not supported")
+            idat = b""
+            pos = 8
+            while pos + 8 <= len(payload):
+                clen = int.from_bytes(payload[pos : pos + 4], "big")
+                ctype = payload[pos + 4 : pos + 8]
+                if ctype == b"IDAT":
+                    idat += payload[pos + 8 : pos + 8 + clen]
+                elif ctype == b"IEND":
+                    break
+                pos += 12 + clen  # len + type + data + CRC
+            if not idat:
+                raise ValueError("no IDAT chunk")
+            px = _png_unfilter_gray8(
+                zlib.decompress(idat), width, height
+            )
+            return (
+                px.size,
+                int(px.astype("int64").sum()),
+                int(px.min()),
+                int(px.max()),
+            )
+
+        for pdf in it:
+            d = pdf["payload"].map(stats)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "n_px": d.map(lambda t: t[0]).astype("int64"),
+                    "px_sum": d.map(lambda t: t[1]).astype("int64"),
+                    "px_min": d.map(lambda t: t[2]).astype("int32"),
+                    "px_max": d.map(lambda t: t[3]).astype("int32"),
+                }
+            )
+
+    return media.mapInPandas(batches, PNG_PIXEL_SCHEMA)

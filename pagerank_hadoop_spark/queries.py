@@ -10283,6 +10283,155 @@ def q_media_png_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "media_png_pixels",
+    """
+    WITH f AS (
+      SELECT CAST(p_partkey AS BIGINT) AS media_id,
+             4 + p_partkey % 5 AS w,
+             3 + p_size % 4 AS h,
+             p_partkey AS key
+      FROM part WHERE p_partkey <= 250)
+    SELECT media_id,
+           CAST(w * h AS BIGINT) AS n_px,
+           CAST(list_sum(list_transform(range(0, w * h),
+             j -> ((j % w) * 7 + (j // w) * 13 + key) % 256))
+             AS BIGINT) AS px_sum,
+           CAST(list_min(list_transform(range(0, w * h),
+             j -> ((j % w) * 7 + (j // w) * 13 + key) % 256))
+             AS INTEGER) AS px_min,
+           CAST(list_max(list_transform(range(0, w * h),
+             j -> ((j % w) * 7 + (j // w) * 13 + key) % 256))
+             AS INTEGER) AS px_max
+    FROM f ORDER BY media_id
+    """,
+)
+def q_media_png_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5 REAL COMPRESSED decode gate (VERDICT r3 item 3): complete
+    greyscale-8 PNGs — signature, IHDR, a genuine zlib IDAT stream,
+    IEND — are built in-query, then decoded by stdlib ``zlib`` +
+    full five-filter unfiltering in the Arrow kernel
+    (operators.multimodal.png_pixel_stats).
+
+    What makes the fixture oracle-replayable with a REAL compressed
+    stream: pixel values come from closed-form arithmetic
+    ``P(x,y) = (7x + 13y + key) mod 256`` (the oracle sums those
+    directly); each scanline is FILTERED in-query with type ``y mod
+    5`` — since every neighbor is formula-known, the Sub/Up/Average/
+    Paeth residuals are closed-form too; and the zlib stream uses a
+    STORED deflate block, whose framing (0x7801 header, BFINAL/LEN/
+    NLEN) plus Adler-32 checksum are pure integer arithmetic:
+    ``A = 1 + ΣS mod 65521``, ``B = n + Σ(n-i)·S_i mod 65521``.
+    ``zlib.decompress`` verifies that Adler-32, so the kernel proves
+    the whole container: chunk walk, inflate, checksum, unfilter.
+    Rows with ``key % 4 == 0`` split the stream across TWO IDAT
+    chunks (spec §5.6 concatenation is part of what's gated).
+    """
+    from pagerank_hadoop_spark.operators.multimodal import (
+        attach_media,
+        png_pixel_stats,
+    )
+
+    part = (
+        _t(spark, sf_dir, "part")
+        .where(F.col("p_partkey") <= 250)
+        .select(
+            "p_partkey",
+            (4 + F.col("p_partkey") % 5).alias("w"),
+            (3 + F.col("p_size") % 4).alias("h"),
+        )
+    )
+    key = F.col("p_partkey")
+    w, h = F.col("w"), F.col("h")
+    stride = w + 1
+    n = h * stride  # filtered scanline stream length
+
+    def pix(x, y):  # reconstructed sample at (x, y) — the ground truth
+        return (x * 7 + y * 13 + key) % 256
+
+    def raw_byte(x, y):  # residual after the y%5 scanline filter
+        cur = pix(x, y)
+        a = F.when(x > 0, pix(x - 1, y)).otherwise(F.lit(0))
+        b = F.when(y > 0, pix(x, y - 1)).otherwise(F.lit(0))
+        c = F.when((x > 0) & (y > 0), pix(x - 1, y - 1)).otherwise(F.lit(0))
+        p = a + b - c
+        pa, pb, pc = F.abs(p - a), F.abs(p - b), F.abs(p - c)
+        paeth = (
+            F.when((pa <= pb) & (pa <= pc), a)
+            .when(pb <= pc, b)
+            .otherwise(c)
+        )
+        f = y % 5
+        pred = (
+            F.when(f == 0, F.lit(0))
+            .when(f == 1, a)
+            .when(f == 2, b)
+            .when(f == 3, F.floor((a + b) / 2))
+            .otherwise(paeth)
+        )
+        return F.pmod(cur - pred, F.lit(256))
+
+    def stream_byte(i):  # i-th byte of the scanline stream
+        y = F.floor(i / stride)
+        k = i % stride
+        return F.when(k == 0, y % 5).otherwise(raw_byte(k - 1, y))
+
+    idx = F.sequence(F.lit(0), n - 1)
+    s_hex = F.array_join(
+        F.transform(
+            idx, lambda i: F.lpad(F.hex(stream_byte(i).cast("long")), 2, "0")
+        ),
+        "",
+    )
+    sum_s = F.aggregate(idx, F.lit(0).cast("long"), lambda acc, i: acc + stream_byte(i))
+    wsum_s = F.aggregate(
+        idx, F.lit(0).cast("long"), lambda acc, i: acc + (n - i) * stream_byte(i)
+    )
+    adler_a = (1 + sum_s) % 65521
+    adler_b = (n + wsum_s) % 65521
+
+    def le16(c):
+        return _le_hex(c, 2)
+
+    # zlib stream: 0x7801 | stored block (BFINAL=1): LEN, ~LEN | S | Adler-32
+    zlib_hex = F.concat(
+        F.lit("780101"),
+        le16(n),
+        le16(65535 - n),
+        s_hex,
+        _be_hex(adler_b, 2),
+        _be_hex(adler_a, 2),
+    )
+    d_len = n + 11  # 2 hdr + 5 stored-block framing + n + 4 adler
+    one_idat = F.concat(
+        _be_hex(d_len, 4), F.lit("49444154"), zlib_hex, F.lit("00000000")
+    )
+    # key % 4 == 0: split after the 2 zlib header bytes into two IDATs
+    two_idat = F.concat(
+        _be_hex(F.lit(2), 4), F.lit("49444154"), F.lit("7801"), F.lit("00000000"),
+        _be_hex(d_len - 2, 4), F.lit("49444154"),
+        F.lit("01"), le16(n), le16(65535 - n), s_hex,
+        _be_hex(adler_b, 2), _be_hex(adler_a, 2),
+        F.lit("00000000"),
+    )
+    hexstr = F.concat(
+        F.lit("89504E470D0A1A0A"),          # signature
+        F.lit("0000000D49484452"),          # IHDR length + type
+        _be_hex(w, 4),
+        _be_hex(h, 4),
+        F.lit("0800000000"),                # depth 8, grey, no interlace
+        F.lit("00000000"),                  # IHDR CRC (not validated)
+        F.when(key % 4 == 0, two_idat).otherwise(one_idat),
+        F.lit("0000000049454E4400000000"),  # IEND
+    )
+    media = attach_media(
+        part.select("p_partkey", F.unhex(hexstr).alias("payload")),
+        F.col("payload"),
+        media_type="image/png",
+    )
+    return png_pixel_stats(media).orderBy("media_id")
+
+
+@register(
     "interval_overlap_orders",
     """
     WITH l AS (

@@ -380,3 +380,99 @@ def test_parse_png_meta():
     assert parse_png_meta(b"JFIF" + b"\x00" * 60) is None
     assert parse_png_meta(sig + b"\x00" * 10) is None  # truncated IHDR
     assert parse_png_meta(_bmp(4, 4)) is None
+
+
+def _png_gray8(px, split_idat=False, compress=True):
+    """Build a real greyscale-8 PNG from an (h, w) int array: scanline
+    filter type y % 5, genuinely zlib-compressed IDAT (or stored-block
+    when compress=False), optionally split across two IDAT chunks."""
+    import struct
+    import zlib
+
+    from pagerank_hadoop_spark.operators.multimodal import _paeth
+
+    h, w = len(px), len(px[0])
+    lines = b""
+    for y in range(h):
+        f = y % 5
+        row = bytearray([f])
+        for x in range(w):
+            a = int(px[y][x - 1]) if x > 0 else 0
+            b = int(px[y - 1][x]) if y > 0 else 0
+            c = int(px[y - 1][x - 1]) if x > 0 and y > 0 else 0
+            pred = {0: 0, 1: a, 2: b, 3: (a + b) // 2, 4: _paeth(a, b, c)}[f]
+            row.append((int(px[y][x]) - pred) % 256)
+        lines += bytes(row)
+    if compress:
+        stream = zlib.compress(lines, 6)
+    else:
+        stream = (
+            b"\x78\x01\x01"
+            + struct.pack("<HH", len(lines), 0xFFFF - len(lines))
+            + lines
+            + struct.pack(">I", zlib.adler32(lines))
+        )
+
+    def chunk(ctype, data):
+        return struct.pack(">I", len(data)) + ctype + data + b"\x00" * 4
+
+    ihdr = struct.pack(">II", w, h) + bytes([8, 0, 0, 0, 0])
+    body = chunk(b"IHDR", ihdr)
+    if split_idat:
+        body += chunk(b"IDAT", stream[:2]) + chunk(b"IDAT", stream[2:])
+    else:
+        body += chunk(b"IDAT", stream)
+    return b"\x89PNG\r\n\x1a\n" + body + chunk(b"IEND", b"")
+
+
+def test_png_pixel_stats_real_zlib_roundtrip(spark):
+    """png_pixel_stats must invert a GENUINELY compressed IDAT (dynamic
+    Huffman, not just the fixture's stored blocks), reverse all five
+    filters, and concatenate split IDAT chunks."""
+    import numpy as np
+
+    from pagerank_hadoop_spark.operators.multimodal import (
+        attach_media,
+        png_pixel_stats,
+    )
+
+    rng = np.random.default_rng(17)
+    imgs = {
+        1: rng.integers(0, 256, size=(9, 7)),   # ≥5 rows: all filters hit
+        2: rng.integers(0, 256, size=(6, 11)),
+        3: rng.integers(0, 256, size=(5, 4)),
+    }
+    rows = [
+        (i, bytearray(_png_gray8(px, split_idat=(i == 2), compress=(i != 3))))
+        for i, px in imgs.items()
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    media = attach_media(df, F.col("payload"), media_type="image/png")
+    got = {r.media_id: r for r in png_pixel_stats(media).collect()}
+    for i, px in imgs.items():
+        assert got[i].n_px == px.size
+        assert got[i].px_sum == int(px.sum())
+        assert got[i].px_min == int(px.min())
+        assert got[i].px_max == int(px.max())
+
+
+def test_png_pixel_stats_rejects_unsupported(spark):
+    import struct
+
+    from pagerank_hadoop_spark.operators.multimodal import (
+        attach_media,
+        png_pixel_stats,
+    )
+
+    # RGBA color type: typed path refuses rather than mis-decoding
+    sig = b"\x89PNG\r\n\x1a\n"
+    ihdr = (
+        struct.pack(">I", 13) + b"IHDR" + struct.pack(">II", 4, 4)
+        + bytes([8, 6, 0, 0, 0]) + b"\x00" * 4
+    )
+    df = spark.createDataFrame(
+        [(1, bytearray(sig + ihdr))], "media_id long, payload binary"
+    )
+    media = attach_media(df, F.col("payload"), media_type="image/png")
+    with pytest.raises(Exception, match="greyscale-8"):
+        png_pixel_stats(media).collect()
