@@ -974,6 +974,188 @@ def line_dedup(
     )
 
 
+def _md5_prefix_hash(c: Column) -> Column:
+    """Engine-portable 60-bit content hash: first 15 hex chars of md5
+    parsed base-16 — bitwise-equal to DuckDB's
+    ``('0x' || substr(md5(x), 1, 15))::BIGINT`` (the twin-hash trick
+    every oracle-checked sketch here uses)."""
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
+def cross_doc_substring_scrub(
+    docs: DataFrame,
+    gram_len: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    portable_hash: bool = False,
+) -> DataFrame:
+    """EXACT cross-document substring dedup statistics — the
+    fixed-length-gram form of suffix-array training-data dedup
+    (Lee et al. 2022, "Deduplicating Training Data Makes Language
+    Models Better"): any ``gram_len``-char substring that also occurs
+    in an EARLIER document (lower id) is a duplicated span; the doc
+    that owns a gram first keeps it everywhere, every later doc
+    scrubs it. Returns per doc: ``n_dup_grams`` (duplicated start
+    positions), ``scrubbed_chars`` (size of the UNION of their
+    [p, p+L) intervals — overlapping grams are not double-counted),
+    ``kept_chars``.
+
+    Suffix arrays find variable-length maximal repeats; the fixed-L
+    gram lattice finds exactly the repeats of length ≥ L (any such
+    repeat contains an L-gram, and maximal runs are recovered by the
+    interval union) — the distributable formulation: no global sort,
+    no suffix structure, just one gram-hash aggregate.
+
+    Scale shape: positions leave the row as (hash, id, pos) — an
+    8-byte hash per position, never gram text (``portable_hash=True``
+    swaps xxhash64 for the md5-prefix twin so DuckDB can replay the
+    exact grouping). The ownership table is gram-cardinality-sized;
+    the join back is hash-keyed. Interval-union arithmetic happens
+    inside the row (sorted array fold, no shuffle).
+    """
+    L = gram_len
+    txt = F.col(text_col)
+    hasher = _md5_prefix_hash if portable_hash else F.xxhash64
+    grams = (
+        docs.where(F.length(txt) >= L)  # sequence(1,0) would descend
+        .select(
+            F.col(id_col).alias("id"),
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.length(txt) - (L - 1)),
+                    lambda i: F.struct(
+                        i.alias("p"),
+                        hasher(F.substring(txt, i, L)).alias("h"),
+                    ),
+                )
+            ).alias("g"),
+        )
+        .select("id", F.col("g.p").alias("p"), F.col("g.h").alias("h"))
+    )
+    owner = grams.groupBy("h").agg(
+        F.min("id").alias("own"),
+        F.count_distinct("id").alias("nd"),
+    )
+    dup_pos = (
+        grams.join(owner, "h")
+        .where((F.col("nd") >= 2) & (F.col("id") != F.col("own")))
+        .select("id", "p")
+    )
+    per_doc = (
+        dup_pos.groupBy("id")
+        .agg(F.array_sort(F.collect_list("p")).alias("ps"))
+        .select(
+            "id",
+            F.size("ps").cast("long").alias("n_dup_grams"),
+            (
+                F.when(
+                    F.size("ps") > 1,
+                    F.aggregate(
+                        F.sequence(F.lit(0), F.size("ps") - 2),
+                        F.lit(0).cast("long"),
+                        lambda acc, i: acc
+                        + F.least(
+                            F.lit(L).cast("long"),
+                            (
+                                F.element_at(F.col("ps"), i + 2)
+                                - F.element_at(F.col("ps"), i + 1)
+                            ).cast("long"),
+                        ),
+                    ),
+                ).otherwise(F.lit(0).cast("long"))
+                + L
+            ).alias("scrubbed_chars"),
+        )
+    )
+    return (
+        docs.select(F.col(id_col).alias("id"), F.length(txt).alias("__len"))
+        .join(per_doc, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("n_dup_grams", F.lit(0)).alias("n_dup_grams"),
+            F.coalesce("scrubbed_chars", F.lit(0)).alias("scrubbed_chars"),
+            (F.col("__len") - F.coalesce("scrubbed_chars", F.lit(0)))
+            .cast("long")
+            .alias("kept_chars"),
+        )
+    )
+
+
+def boilerplate_lines(
+    docs: DataFrame,
+    min_docs: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    words_per_line: int = 10,
+) -> DataFrame:
+    """Boilerplate REMOVAL (vs :func:`line_dedup`'s keep-first): a
+    line occurring in ≥ ``min_docs`` DISTINCT documents is template
+    text (nav bars, footers, disclaimers) and is deleted from EVERY
+    document, first occurrence included — RefinedWeb/C4 drop
+    boilerplate outright because even one kept copy per page template
+    still over-represents it. Returns ``(doc_id, n_boiler_lines,
+    kept_text)`` for every input document (possibly empty text).
+
+    Same line-chunking convention and scale shape as
+    :func:`line_dedup`: decisions travel as (md5, id, idx); the only
+    text shuffle is the per-doc reassembly groupBy."""
+    toks = F.split(F.lower(F.col(text_col)), " +")
+    n_chunks = F.floor(
+        (F.size(toks) + words_per_line - 1) / words_per_line
+    ).cast("int")
+    lines = docs.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), n_chunks - 1),
+                lambda i: F.struct(
+                    i.alias("line_idx"),
+                    F.array_join(
+                        F.slice(toks, i * words_per_line + 1, words_per_line),
+                        " ",
+                    ).alias("line"),
+                ),
+            )
+        ).alias("l"),
+    ).select(
+        id_col,
+        F.col("l.line_idx").alias("line_idx"),
+        F.col("l.line").alias("line"),
+    )
+    boiler = (
+        lines.select(F.md5("line").alias("h"), id_col)
+        .groupBy("h")
+        .agg(F.count_distinct(id_col).alias("nd"))
+        .where(F.col("nd") >= min_docs)
+        .select("h")
+    )
+    flagged = lines.join(
+        boiler.hint("broadcast"), F.md5(F.col("line")) == F.col("h"), "left"
+    ).select(
+        id_col, "line_idx", "line", F.col("h").isNotNull().alias("__boiler")
+    )
+    return (
+        flagged.groupBy(id_col)
+        .agg(
+            F.sum(F.col("__boiler").cast("long")).alias("n_boiler_lines"),
+            F.array_sort(
+                F.collect_list(
+                    F.when(
+                        ~F.col("__boiler"), F.struct("line_idx", "line")
+                    )
+                )
+            ).alias("ls"),
+        )
+        .select(
+            id_col,
+            "n_boiler_lines",
+            F.array_join(
+                F.transform("ls", lambda s: s["line"]), " "
+            ).alias("kept_text"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # E2e: semantic dedup (SemDeDup-style, Abbas et al. 2023 — public)
 # ---------------------------------------------------------------------------
@@ -1424,5 +1606,86 @@ def set_similarity_join(
             F.floor(
                 F.lit(1e6) * F.col("__i") / (F.col("sa") + F.col("sb") - F.col("__i"))
             ).cast("long").alias("jac_micro"),
+        )
+    )
+
+
+def containment_join(
+    docs: DataFrame,
+    threshold: float = 0.9,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """EXACT asymmetric set-CONTAINMENT join: directed pairs
+    ``(id_a, id_b, cont_micro)`` with ``|A ∩ B| / |A| ≥ t``, a ≠ b —
+    the quote/boilerplate/subset-document detector (a short doc fully
+    quoted inside a long one has containment 1.0 but Jaccard near
+    |A|/|B|, which a symmetric join misses at any usable threshold).
+
+    Asymmetric prefix filter: C(A→B) ≥ t means B holds at least
+    ``ceil(t·|A|)`` of A's tokens, so A must share a token within its
+    first ``|A| - ceil(t·|A|) + 1`` RAREST tokens with B — but B,
+    being the containee side, must index ALL its tokens (the
+    classic asymmetric cost: probe prefixes vs full postings). The
+    size filter keeps only ``|B| ≥ t·|A|``. One exact
+    ``array_intersect`` verify per surviving candidate;
+    ``cont_micro = floor(1e6·|∩| / |A|)`` is pure integer arithmetic.
+    """
+    tok = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.array_distinct(
+                F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+            )
+        ).alias("tok"),
+    )
+    dfreq = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    sets = (
+        tok.join(F.broadcast(dfreq), "tok")
+        .groupBy("id")
+        .agg(F.array_sort(F.collect_list(F.struct("df", "tok"))).alias("ord"))
+        .select(
+            "id",
+            F.transform("ord", lambda s: s["tok"]).alias("toks"),
+            F.size("ord").alias("sz"),
+        )
+        .localCheckpoint(eager=True)  # probe prefixes + postings + verify
+    )
+    t = float(threshold)
+    t_micro = int(round(t * 1e6))
+    prefix_len = F.col("sz") - F.ceil(F.col("sz") * F.lit(t)).cast("int") + 1
+    probes = sets.select(
+        F.col("id").alias("id_a"),
+        F.col("sz").alias("sa"),
+        F.explode(F.slice("toks", 1, prefix_len)).alias("tok"),
+    )
+    postings = sets.select(
+        F.col("id").alias("id_b"), F.col("sz").alias("sb"),
+        F.explode("toks").alias("tok"),
+    )
+    cand = (
+        probes.join(postings, "tok")
+        .where(F.col("id_a") != F.col("id_b"))
+        .where(F.col("sb") * F.lit(1_000_000) >= F.lit(t_micro) * F.col("sa"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    a = sets.select(
+        F.col("id").alias("id_a"), F.col("toks").alias("ta"), F.col("sz").alias("sa")
+    )
+    b = sets.select(F.col("id").alias("id_b"), F.col("toks").alias("tb"))
+    inter = F.size(F.array_intersect("ta", "tb"))
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("__i", inter)
+        # integer boundary-exact compare, as in set_similarity_join
+        .where(F.col("__i") * F.lit(1_000_000) >= F.lit(t_micro) * F.col("sa"))
+        .select(
+            "id_a",
+            "id_b",
+            F.floor(F.lit(1e6) * F.col("__i") / F.col("sa"))
+            .cast("long")
+            .alias("cont_micro"),
         )
     )

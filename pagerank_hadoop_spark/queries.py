@@ -10342,11 +10342,39 @@ def q_media_png_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     key = F.col("p_partkey")
     w, h = F.col("w"), F.col("h")
-    stride = w + 1
-    n = h * stride  # filtered scanline stream length
 
     def pix(x, y):  # reconstructed sample at (x, y) — the ground truth
         return (x * 7 + y * 13 + key) % 256
+
+    idat_hex = _png_idat_hex(pix, w, h, split=key % 4 == 0)
+    hexstr = F.concat(
+        F.lit("89504E470D0A1A0A"),          # signature
+        F.lit("0000000D49484452"),          # IHDR length + type
+        _be_hex(w, 4),
+        _be_hex(h, 4),
+        F.lit("0800000000"),                # depth 8, grey, no interlace
+        F.lit("00000000"),                  # IHDR CRC (not validated)
+        idat_hex,
+        F.lit("0000000049454E4400000000"),  # IEND
+    )
+    media = attach_media(
+        part.select("p_partkey", F.unhex(hexstr).alias("payload")),
+        F.col("payload"),
+        media_type="image/png",
+    )
+    return png_pixel_stats(media).orderBy("media_id")
+
+
+def _png_idat_hex(pix, w, h, split=None):
+    """Hex of the IDAT chunk(s) for an 8-bit single-channel image
+    whose reconstructed byte at (x, y) is the Column expression
+    ``pix(x, y)`` — scanlines filtered with type ``y % 5`` (residuals
+    are closed-form because neighbors are formula-known), wrapped in
+    a STORED deflate block with the Adler-32 computed as integer
+    column arithmetic. ``split`` (bool Column) routes rows to a
+    two-IDAT framing (spec §5.6 concatenation)."""
+    stride = w + 1
+    n = h * stride  # filtered scanline stream length
 
     def raw_byte(x, y):  # residual after the y%5 scanline filter
         cur = pix(x, y)
@@ -10405,7 +10433,9 @@ def q_media_png_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
     one_idat = F.concat(
         _be_hex(d_len, 4), F.lit("49444154"), zlib_hex, F.lit("00000000")
     )
-    # key % 4 == 0: split after the 2 zlib header bytes into two IDATs
+    if split is None:
+        return one_idat
+    # split rows: break after the 2 zlib header bytes into two IDATs
     two_idat = F.concat(
         _be_hex(F.lit(2), 4), F.lit("49444154"), F.lit("7801"), F.lit("00000000"),
         _be_hex(d_len - 2, 4), F.lit("49444154"),
@@ -10413,22 +10443,96 @@ def q_media_png_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
         _be_hex(adler_b, 2), _be_hex(adler_a, 2),
         F.lit("00000000"),
     )
+    return F.when(split, two_idat).otherwise(one_idat)
+
+
+@register(
+    "media_png_palette",
+    """
+    WITH f AS (
+      SELECT CAST(p_partkey AS BIGINT) AS media_id,
+             4 + p_partkey % 5 AS w,
+             3 + p_size % 4 AS h,
+             p_partkey AS key
+      FROM part WHERE p_partkey <= 200)
+    SELECT media_id,
+           CAST(w * h AS BIGINT) AS n_px,
+           CAST(list_sum(list_transform(range(0, w * h),
+             j -> (((j % w + 3 * (j // w) + key) % 16) * 17 + key) % 256))
+             AS BIGINT) AS r_sum,
+           CAST(list_sum(list_transform(range(0, w * h),
+             j -> (((j % w + 3 * (j // w) + key) % 16) * 29 + key * 3) % 256))
+             AS BIGINT) AS g_sum,
+           CAST(list_sum(list_transform(range(0, w * h),
+             j -> (((j % w + 3 * (j // w) + key) % 16) * 43 + 7) % 256))
+             AS BIGINT) AS b_sum
+    FROM f ORDER BY media_id
+    """,
+)
+def q_media_png_palette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5: palettized PNG (color type 3) decode gate — PLTE entries
+    AND palette indices both come from closed-form arithmetic
+    (entry j = ((17j+key)%256, (29j+3key)%256, (43j+7)%256); index at
+    (x,y) = (x+3y+key) mod 16), the index scanlines are filtered
+    y%5 and wrapped in the same stored-block zlib framing as
+    media_png_pixels, and the kernel
+    (operators.multimodal.png_palette_stats) must inflate, unfilter,
+    and map through the palette to reproduce the oracle's channel
+    sums. What's new vs the greyscale gate: PLTE chunk walking and
+    the index->RGB indirection."""
+    from pagerank_hadoop_spark.operators.multimodal import (
+        attach_media,
+        png_palette_stats,
+    )
+
+    part = (
+        _t(spark, sf_dir, "part")
+        .where(F.col("p_partkey") <= 200)
+        .select(
+            "p_partkey",
+            (4 + F.col("p_partkey") % 5).alias("w"),
+            (3 + F.col("p_size") % 4).alias("h"),
+        )
+    )
+    key = F.col("p_partkey")
+    w, h = F.col("w"), F.col("h")
+
+    def pix(x, y):  # palette INDEX at (x, y)
+        return (x + 3 * y + key) % 16
+
+    pj = F.sequence(F.lit(0), F.lit(15))
+    plte_hex = F.concat(
+        F.lit("00000030504C5445"),  # length 48 + 'PLTE'
+        F.array_join(
+            F.transform(
+                pj,
+                lambda j: F.concat(
+                    F.lpad(F.hex(((j * 17 + key) % 256).cast("long")), 2, "0"),
+                    F.lpad(F.hex(((j * 29 + key * 3) % 256).cast("long")), 2, "0"),
+                    F.lpad(F.hex(((j * 43 + 7) % 256).cast("long")), 2, "0"),
+                ),
+            ),
+            "",
+        ),
+        F.lit("00000000"),  # PLTE CRC (not validated)
+    )
     hexstr = F.concat(
-        F.lit("89504E470D0A1A0A"),          # signature
-        F.lit("0000000D49484452"),          # IHDR length + type
+        F.lit("89504E470D0A1A0A"),
+        F.lit("0000000D49484452"),
         _be_hex(w, 4),
         _be_hex(h, 4),
-        F.lit("0800000000"),                # depth 8, grey, no interlace
-        F.lit("00000000"),                  # IHDR CRC (not validated)
-        F.when(key % 4 == 0, two_idat).otherwise(one_idat),
-        F.lit("0000000049454E4400000000"),  # IEND
+        F.lit("0803000000"),                # depth 8, palette, no interlace
+        F.lit("00000000"),
+        plte_hex,
+        _png_idat_hex(pix, w, h),
+        F.lit("0000000049454E4400000000"),
     )
     media = attach_media(
         part.select("p_partkey", F.unhex(hexstr).alias("payload")),
         F.col("payload"),
         media_type="image/png",
     )
-    return png_pixel_stats(media).orderBy("media_id")
+    return png_palette_stats(media).orderBy("media_id")
 
 
 @register(
@@ -10600,3 +10704,199 @@ def q_gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).split()
         ],
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Round 4: exact substring scrub, boilerplate strip, containment join
+# ---------------------------------------------------------------------------
+
+@register(
+    "exact_substring_scrub",
+    r"""
+    WITH d AS (
+      SELECT doc_id, text || CASE WHEN doc_id % 7 = 0
+             THEN ' COMMON DISCLAIMER TEXT APPENDED FOR SCRUB TESTS'
+             ELSE '' END AS text
+      FROM documents),
+    g0 AS (
+      SELECT doc_id, text,
+             unnest(range(1, greatest(length(text) - 18, 1))) AS p
+      FROM d WHERE length(text) >= 20),
+    g AS (
+      SELECT doc_id, p,
+             ('0x' || substr(md5(substr(text, p, 20)), 1, 15))::BIGINT AS h
+      FROM g0),
+    own AS (
+      SELECT h, MIN(doc_id) AS own, COUNT(DISTINCT doc_id) AS nd
+      FROM g GROUP BY h),
+    dp AS (
+      SELECT g.doc_id, g.p FROM g JOIN own USING (h)
+      WHERE nd >= 2 AND g.doc_id <> own),
+    agg AS (
+      SELECT doc_id, COUNT(*) AS n_dup, list_sort(list(p)) AS ps
+      FROM dp GROUP BY doc_id),
+    cov AS (
+      SELECT doc_id, n_dup,
+             COALESCE(list_sum(list_transform(range(1, len(ps)),
+               i -> least(20, ps[i+1] - ps[i]))), 0) + 20 AS covered
+      FROM agg)
+    SELECT d.doc_id,
+           CAST(COALESCE(a.n_dup, 0) AS BIGINT) AS n_dup_grams,
+           CAST(COALESCE(a.covered, 0) AS BIGINT) AS scrubbed_chars,
+           CAST(length(d.text) - COALESCE(a.covered, 0) AS BIGINT) AS kept_chars
+    FROM d LEFT JOIN cov a USING (doc_id) ORDER BY doc_id
+    """,
+)
+def q_exact_substring_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2/E4 [EXT]: exact cross-document substring dedup (fixed-L gram
+    form of Lee et al. 2022 suffix-array training-data dedup) —
+    operators.dedup.cross_doc_substring_scrub with the portable
+    md5-prefix hash so DuckDB replays the exact gram grouping. The
+    fixture appends one shared 48-char disclaimer to every seventh
+    document: its overlapping 20-grams are duplicated spans in every
+    appendee except the earliest, and the interval-union arithmetic
+    (no double-counting of overlapping grams) is what the oracle
+    hash-checks. Production path swaps portable_hash for xxhash64
+    (8-byte shuffle key, no gram text movement)."""
+    from pagerank_hadoop_spark.operators.dedup import cross_doc_substring_scrub
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            "text",
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.lit(" COMMON DISCLAIMER TEXT APPENDED FOR SCRUB TESTS"),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return cross_doc_substring_scrub(
+        docs, gram_len=20, portable_hash=True
+    ).orderBy("doc_id")
+
+
+@register(
+    "boilerplate_strip",
+    r"""
+    WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id < 1500),
+    d AS (
+      SELECT doc_id, text FROM base
+      UNION ALL
+      SELECT doc_id + 1000000,
+             'visit our website for terms of service details'
+               || ' now doc' || CAST(doc_id AS VARCHAR) || ' end'
+      FROM base WHERE doc_id % 4 = 0),
+    toks AS (
+      SELECT doc_id,
+             string_split_regex(lower(text), ' +') AS tk
+      FROM d),
+    lines AS (
+      SELECT doc_id, unnest(range(0, CAST(ceil(len(tk) / 10.0) AS BIGINT))) AS line_idx,
+             tk FROM toks),
+    l2 AS (
+      SELECT doc_id, line_idx,
+             array_to_string(list_slice(tk, line_idx * 10 + 1,
+                                        least((line_idx + 1) * 10, len(tk))), ' ') AS line
+      FROM lines),
+    boiler AS (
+      SELECT md5(line) AS h FROM l2
+      GROUP BY md5(line) HAVING COUNT(DISTINCT doc_id) >= 3),
+    flagged AS (
+      SELECT doc_id, line_idx, line,
+             md5(line) IN (SELECT h FROM boiler) AS b
+      FROM l2),
+    agg AS (
+      SELECT doc_id,
+             CAST(SUM(CASE WHEN b THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler_lines,
+             array_to_string(list_transform(
+               list_sort(list(CASE WHEN NOT b THEN {'i': line_idx, 'l': line} END)),
+               s -> s.l), ' ') AS kept_text
+      FROM flagged GROUP BY doc_id)
+    SELECT doc_id, n_boiler_lines,
+           CAST(length(kept_text) AS BIGINT) AS kept_chars,
+           md5(kept_text) AS kept_md5
+    FROM agg ORDER BY doc_id
+    """,
+)
+def q_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2/E4 [EXT]: boilerplate REMOVAL (operators.dedup.
+    boilerplate_lines) — any 10-word line occurring in ≥3 distinct
+    docs is template text and is deleted from EVERY document,
+    first copy included (C4/RefinedWeb posture: one kept copy per
+    page template still over-represents it; contrast line_dedup_docs'
+    keep-first). Fixture: every fourth doc spawns a companion whose
+    first 10-word line is a shared footer and whose tail line is
+    unique — the footer dies corpus-wide, the tail survives. Output
+    compares byte-exact kept text via md5."""
+    from pagerank_hadoop_spark.operators.dedup import boilerplate_lines
+
+    base = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 1500).select(
+        "doc_id", "text"
+    )
+    planted = base.where(F.col("doc_id") % 4 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(
+            F.lit("visit our website for terms of service details now doc"),
+            F.col("doc_id").cast("string"),
+            F.lit(" end"),
+        ).alias("text"),
+    )
+    out = boilerplate_lines(base.unionByName(planted), min_docs=3)
+    return out.select(
+        "doc_id",
+        "n_boiler_lines",
+        F.length("kept_text").cast("long").alias("kept_chars"),
+        F.md5("kept_text").alias("kept_md5"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "containment_pairs",
+    r"""
+    WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id < 250),
+    corpus AS (
+      SELECT doc_id, text FROM base
+      UNION ALL
+      SELECT doc_id + 1000000,
+             array_to_string(list_slice(
+               string_split_regex(lower(trim(text)), '\s+'), 1, 6), ' ')
+      FROM base WHERE doc_id % 11 = 0),
+    s AS (
+      SELECT doc_id,
+             list_distinct(string_split_regex(lower(trim(text)), '\s+')) AS t
+      FROM corpus),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             len(list_filter(a.t, x -> list_contains(b.t, x))) AS i,
+             len(a.t) AS sa
+      FROM s a JOIN s b ON a.doc_id <> b.doc_id)
+    SELECT id_a, id_b, CAST(FLOOR(1e6 * i / sa) AS BIGINT) AS cont_micro
+    FROM pairs WHERE 1000000 * i >= 900000 * sa
+    ORDER BY id_a, id_b
+    """,
+)
+def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2 [EXT]: exact asymmetric set-containment join
+    (operators.dedup.containment_join): directed pairs with
+    |A ∩ B|/|A| ≥ 0.9 — the subset/quote detector Jaccard misses
+    (a 6-word excerpt inside a 200-word doc has J ≈ 0.03 but
+    containment 1.0). Oracle brute-forces ALL directed pairs on the
+    capped corpus, so the asymmetric prefix filter (probe prefixes ×
+    full postings + |B| ≥ t·|A| size bound) is certified
+    exactness-preserving, the same gate pattern as
+    set_similarity_pairs. Fixture plants a 6-word head-excerpt of
+    every eleventh doc."""
+    from pagerank_hadoop_spark.operators.dedup import containment_join
+
+    base = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 250).select(
+        "doc_id", "text"
+    )
+    excerpts = base.where(F.col("doc_id") % 11 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.array_join(
+            F.slice(F.split(F.lower(F.trim("text")), r"\s+"), 1, 6), " "
+        ).alias("text"),
+    )
+    return containment_join(
+        base.unionByName(excerpts), threshold=0.9
+    ).orderBy("id_a", "id_b")

@@ -437,3 +437,84 @@ def test_set_similarity_join_exact_boundary(spark):
         for r in set_similarity_join(docs, threshold=0.8).collect()
     }
     assert out == {(1, 2): 800000, (1, 4): 1000000, (2, 4): 800000}
+
+
+def test_cross_doc_substring_scrub_interval_union(spark):
+    """Known geometry: two docs share a 25-char run -> 6 overlapping
+    20-grams in the later doc, but the union of their intervals is 25
+    chars, not 6*20. The earliest doc keeps everything (owner rule),
+    a doc with no 20-char overlap scrubs nothing."""
+    from pagerank_hadoop_spark.operators.dedup import (
+        cross_doc_substring_scrub,
+    )
+
+    shared = "ABCDEFGHIJKLMNOPQRSTUVWXY"  # 25 chars
+    rows = [
+        (1, "xx" + shared + "zzzz"),       # owner (lowest id)
+        (2, "qqqq" + shared + "rr"),       # later: scrubs the run
+        (3, "totally different content."),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_dup_grams, r.scrubbed_chars, r.kept_chars)
+        for r in cross_doc_substring_scrub(docs, gram_len=20).collect()
+    }
+    assert got[1] == (0, 0, 31)            # owner keeps all 31 chars
+    assert got[2] == (6, 25, 31 - 25)      # 6 grams, 25-char union
+    assert got[3] == (0, 0, 26)
+
+    # portable twin groups identically on this fixture
+    porta = {
+        r.doc_id: (r.n_dup_grams, r.scrubbed_chars, r.kept_chars)
+        for r in cross_doc_substring_scrub(
+            docs, gram_len=20, portable_hash=True
+        ).collect()
+    }
+    assert porta == got
+
+
+def test_boilerplate_lines_removes_all_copies(spark):
+    """A line in >= min_docs distinct docs dies EVERYWHERE (unlike
+    line_dedup's keep-first); sub-threshold repeats survive."""
+    from pagerank_hadoop_spark.operators.dedup import boilerplate_lines
+
+    footer = "one two three four five six seven eight nine ten"
+    rows = [
+        (1, footer + " unique alpha words here"),
+        (2, footer + " other beta tail"),
+        (3, footer),
+        (4, "independent text entirely its own"),
+        (5, "repeated pair line body content words common here yes indeed"),
+        (6, "repeated pair line body content words common here yes indeed"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_boiler_lines, r.kept_text)
+        for r in boilerplate_lines(docs, min_docs=3).collect()
+    }
+    assert got[1] == (1, "unique alpha words here")
+    assert got[2] == (1, "other beta tail")
+    assert got[3] == (1, "")               # first copy dies too
+    assert got[4] == (0, "independent text entirely its own")
+    # only 2 distinct docs share this line: below min_docs, kept
+    assert got[5][0] == 0 and got[6][0] == 0
+
+
+def test_containment_join_directed_asymmetric(spark):
+    """A 4-token excerpt of a 10-token doc: containment(excerpt ->
+    doc) = 1.0, reverse direction 0.4 — only the forward pair
+    survives t=0.9, and cont_micro is exact integer arithmetic."""
+    from pagerank_hadoop_spark.operators.dedup import containment_join
+
+    rows = [
+        (1, "a b c d e f g h i j"),
+        (2, "a b c d"),                     # subset of 1
+        (3, "a b c d x"),                   # 4/5 = 0.8 contained — out at 0.9
+        (4, "z y w v u t s r q p"),         # disjoint
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.id_a, r.id_b): r.cont_micro
+        for r in containment_join(docs, threshold=0.9).collect()
+    }
+    assert got == {(2, 1): 1000000, (2, 3): 1000000}

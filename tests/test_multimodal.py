@@ -476,3 +476,51 @@ def test_png_pixel_stats_rejects_unsupported(spark):
     media = attach_media(df, F.col("payload"), media_type="image/png")
     with pytest.raises(Exception, match="greyscale-8"):
         png_pixel_stats(media).collect()
+
+
+def test_png_palette_stats_real_zlib_and_validation(spark):
+    """Palette path: genuinely compressed indices map through PLTE to
+    exact channel sums; an out-of-range index or missing PLTE raises."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from pagerank_hadoop_spark.operators.multimodal import (
+        attach_media,
+        png_palette_stats,
+    )
+
+    rng = np.random.default_rng(23)
+    h, w, k = 7, 6, 5
+    pal = rng.integers(0, 256, size=(k, 3)).astype(np.uint8)
+    idx = rng.integers(0, k, size=(h, w))
+
+    png = _png_gray8(idx)  # greyscale builder: filtered y%5, zlib'd
+    # rewrite IHDR color type 0 -> 3 and splice a PLTE chunk after IHDR
+    body = bytearray(png)
+    body[25] = 3  # color_type byte in IHDR
+    plte = struct.pack(">I", 3 * k) + b"PLTE" + pal.tobytes() + b"\x00" * 4
+    ihdr_end = 8 + 8 + 13 + 4
+    good = bytes(body[:ihdr_end]) + plte + bytes(body[ihdr_end:])
+
+    df = spark.createDataFrame(
+        [(1, bytearray(good))], "media_id long, payload binary"
+    )
+    media = attach_media(df, F.col("payload"), media_type="image/png")
+    r = png_palette_stats(media).collect()[0]
+    rgb = pal[idx.ravel()].astype(np.int64)
+    assert (r.n_px, r.r_sum, r.g_sum, r.b_sum) == (
+        idx.size, int(rgb[:, 0].sum()), int(rgb[:, 1].sum()),
+        int(rgb[:, 2].sum()),
+    )
+
+    # palette too short for the indices present -> loud failure
+    short_plte = struct.pack(">I", 3 * 2) + b"PLTE" + pal[:2].tobytes() + b"\x00" * 4
+    bad = bytes(body[:ihdr_end]) + short_plte + bytes(body[ihdr_end:])
+    df2 = spark.createDataFrame(
+        [(1, bytearray(bad))], "media_id long, payload binary"
+    )
+    media2 = attach_media(df2, F.col("payload"), media_type="image/png")
+    with pytest.raises(Exception, match="out of range"):
+        png_palette_stats(media2).collect()
