@@ -198,3 +198,27 @@ def rendezvous_assign(
         ]
     )
     return df.withColumn("shard", F.array_max(cands)["s"])
+
+
+def k_anonymity_violations(
+    df: DataFrame, quasi_cols: list, k: int = 5
+) -> DataFrame:
+    """Privacy audit before a data release: quasi-identifier
+    combinations held by FEWER than ``k`` rows (Sweeney's
+    k-anonymity — small groups re-identify individuals by join with
+    an external dataset). Returns the violating combinations with
+    their population ``n``; a release pipeline either suppresses
+    those rows or coarsens the offending attribute until the table
+    is k-anonymous.
+
+    One partial-aggregated groupBy over the quasi columns — the
+    group table is combination-cardinality-sized, never row-sized;
+    at 100 TB the HAVING filter ships only violators to the driver/
+    sink. Generalization (bucketing a continuous column) happens in
+    the caller's column expressions, where Catalyst can still push
+    scans."""
+    return (
+        df.groupBy(*quasi_cols)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") < k)
+    )

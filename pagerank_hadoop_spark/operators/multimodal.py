@@ -818,3 +818,60 @@ def png_palette_stats(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(batches, PNG_PALETTE_SCHEMA)
+
+
+FREQ_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("n_samples", LongType()),
+        StructField("dom_bin", IntegerType()),
+    ]
+)
+
+
+def wav_dominant_freq(media: DataFrame) -> DataFrame:
+    """REAL spectral analysis: dominant frequency bin of each WAV's
+    PCM samples via NumPy's real FFT inside the Arrow kernel — the
+    tone/voicing profile pass an audio corpus runs for silence/
+    tone-artifact filtering. ``dom_bin = argmax_{1 ≤ b ≤ n/2} |X_b|``
+    (DC excluded: quantization offsets would otherwise win on quiet
+    clips). Raises on non-16-bit-PCM payloads (typed path).
+
+    The oracle never recomputes an FFT: fixtures are pure generated
+    tones, so the dominant bin IS the generating frequency — the
+    kernel must recover the parameter from the wire bytes."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        def dom(payload: bytes):
+            wav = parse_wav_header(payload)
+            if wav is None or wav[2] != 16:
+                raise ValueError("payload is not a 16-bit PCM WAV")
+            pos = 12
+            while pos + 8 <= len(payload):
+                cid = payload[pos : pos + 4]
+                csize = int.from_bytes(payload[pos + 4 : pos + 8], "little")
+                if cid == b"data":
+                    raw = payload[pos + 8 : pos + 8 + csize]
+                    x = np.frombuffer(
+                        raw, dtype="<i2", count=len(raw) // 2
+                    ).astype(np.float64)
+                    if len(x) < 4:
+                        raise ValueError("too few samples for a spectrum")
+                    mag = np.abs(np.fft.rfft(x))
+                    return len(x), int(mag[1:].argmax()) + 1
+                pos += 8 + csize + (csize & 1)
+            raise ValueError("no data chunk")
+
+        for pdf in it:
+            d = pdf["payload"].map(dom)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "n_samples": d.map(lambda t: t[0]).astype("int64"),
+                    "dom_bin": d.map(lambda t: t[1]).astype("int32"),
+                }
+            )
+
+    return media.mapInPandas(batches, FREQ_SCHEMA)

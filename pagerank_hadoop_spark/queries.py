@@ -10900,3 +10900,109 @@ def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return containment_join(
         base.unionByName(excerpts), threshold=0.9
     ).orderBy("id_a", "id_b")
+
+
+@register(
+    "k_anonymity_audit",
+    """
+    SELECT c_nationkey,
+           c_mktsegment,
+           CAST(FLOOR(c_acctbal / 2000) AS BIGINT) AS bal_band,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM customer
+    GROUP BY c_nationkey, c_mktsegment, FLOOR(c_acctbal / 2000)
+    HAVING COUNT(*) < 5
+    ORDER BY c_nationkey, c_mktsegment, bal_band
+    """,
+)
+def q_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Privacy [EXT]: k-anonymity audit
+    (operators.curation.k_anonymity_violations) over the quasi-
+    identifier tuple (nation, market segment, account-balance band) —
+    the pre-release check a dataset publisher runs; groups under k=5
+    are re-identification risks to suppress or generalize. Pure
+    partial-aggregated groupBy + HAVING."""
+    from pagerank_hadoop_spark.operators.curation import (
+        k_anonymity_violations,
+    )
+
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 2000).cast("long").alias("bal_band"),
+    )
+    return k_anonymity_violations(
+        cust, ["c_nationkey", "c_mktsegment", "bal_band"], k=5
+    ).orderBy("c_nationkey", "c_mktsegment", "bal_band")
+
+
+@register(
+    "media_wav_dominant_freq",
+    """
+    SELECT CAST(c_custkey AS BIGINT) AS media_id,
+           CAST(128 AS BIGINT) AS n_samples,
+           CAST(3 + c_custkey % 13 AS INTEGER) AS dom_bin
+    FROM customer WHERE c_custkey <= 300 ORDER BY media_id
+    """,
+)
+def q_media_wav_dominant_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5 REAL spectral decode gate: mono 16-bit WAV fixtures carry a
+    pure generated tone x_i = round(12000·sin(2π·k·i/128)) with
+    k = 3 + key mod 13, built in-query; the kernel
+    (operators.multimodal.wav_dominant_freq) must run a real FFT
+    over the wire bytes and recover k as the dominant bin. The
+    oracle never FFTs — the generating parameter IS the expected
+    answer, the same plant-the-ground-truth pattern as the PNG
+    gates. (Note the fixture's sin/round never have to match any
+    oracle arithmetic: a pure tone dominates its bin by orders of
+    magnitude, so the argmax is insensitive to rounding.)"""
+    import math
+
+    from pagerank_hadoop_spark.operators.multimodal import (
+        attach_media,
+        wav_dominant_freq,
+    )
+
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .where(F.col("c_custkey") <= 300)
+        .select("c_custkey", (3 + F.col("c_custkey") % 13).alias("k"))
+    )
+    n = 128
+    x = lambda i: F.round(  # noqa: E731
+        12000 * F.sin(2.0 * math.pi * F.col("k") * i / n), 0
+    ).cast("long")
+    u = lambda i: F.pmod(x(i) + 65536, F.lit(65536))  # noqa: E731
+    sample_hex = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(n - 1)),
+            lambda i: F.concat(
+                F.lpad(F.hex((u(i) % 256).cast("long")), 2, "0"),
+                F.lpad(F.hex(F.floor(u(i) / 256).cast("long")), 2, "0"),
+            ),
+        ),
+        "",
+    )
+    datasize = 2 * n
+    hexstr = F.concat(
+        F.lit("52494646"),
+        _le_hex(F.lit(36 + datasize), 4),
+        F.lit("57415645"),
+        F.lit("666D7420"),
+        F.lit("10000000"),
+        F.lit("0100"),
+        F.lit("0100"),  # mono
+        _le_hex(F.lit(8000), 4),
+        _le_hex(F.lit(16000), 4),  # byte rate
+        F.lit("0200"),  # block align
+        F.lit("1000"),  # 16 bits
+        F.lit("64617461"),  # 'data'
+        _le_hex(F.lit(datasize), 4),
+        sample_hex,
+    )
+    media = attach_media(
+        cust.select("c_custkey", F.unhex(hexstr).alias("payload")),
+        F.col("payload"),
+        media_type="audio/wav",
+    )
+    return wav_dominant_freq(media).orderBy("media_id")

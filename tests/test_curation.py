@@ -262,3 +262,18 @@ def test_interval_join_rejects_bad_args(spark):
         assert "rename" in str(e)
     else:
         raise AssertionError("expected ValueError")
+
+
+def test_k_anonymity_violations_flags_small_groups(spark):
+    from pagerank_hadoop_spark.operators.curation import (
+        k_anonymity_violations,
+    )
+    from pyspark.sql import functions as F
+
+    rows = [("a", 1)] * 5 + [("a", 2)] * 2 + [("b", 1)] * 1
+    df = spark.createDataFrame(rows, "seg string, band int")
+    got = {
+        (r.seg, r.band): r.n
+        for r in k_anonymity_violations(df, ["seg", "band"], k=5).collect()
+    }
+    assert got == {("a", 2): 2, ("b", 1): 1}  # the 5-group is anonymous

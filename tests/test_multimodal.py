@@ -524,3 +524,43 @@ def test_png_palette_stats_real_zlib_and_validation(spark):
     media2 = attach_media(df2, F.col("payload"), media_type="image/png")
     with pytest.raises(Exception, match="out of range"):
         png_palette_stats(media2).collect()
+
+
+def test_wav_dominant_freq_recovers_tone(spark):
+    """FFT kernel recovers the generating frequency from wire bytes,
+    including with additive low-level noise; non-16-bit input raises."""
+    import struct
+
+    import numpy as np
+
+    from pagerank_hadoop_spark.operators.multimodal import (
+        attach_media,
+        wav_dominant_freq,
+    )
+
+    def tone_wav(k, n=256, noise=0.0, seed=1):
+        rng = np.random.default_rng(seed)
+        i = np.arange(n)
+        x = 12000 * np.sin(2 * np.pi * k * i / n) + noise * rng.normal(size=n)
+        data = x.astype("<i2").tobytes()
+        fmt = b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 16000, 2, 16)
+        chunks = fmt + b"data" + struct.pack("<I", len(data)) + data
+        return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+    rows = [(7, bytearray(tone_wav(7))), (31, bytearray(tone_wav(31, noise=500.0)))]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {
+        r.media_id: (r.n_samples, r.dom_bin)
+        for r in wav_dominant_freq(
+            attach_media(df, F.col("payload"), "audio/wav")
+        ).collect()
+    }
+    assert got == {7: (256, 7), 31: (256, 31)}
+
+    bad = spark.createDataFrame(
+        [(1, bytearray(_wav(1, 8000, 8, 64)))], "media_id long, payload binary"
+    )
+    with pytest.raises(Exception, match="16-bit"):
+        wav_dominant_freq(
+            attach_media(bad, F.col("payload"), "audio/wav")
+        ).collect()
