@@ -11006,3 +11006,60 @@ def q_media_wav_dominant_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
         media_type="audio/wav",
     )
     return wav_dominant_freq(media).orderBy("media_id")
+
+
+@register(
+    "dpp_year_revenue",
+    """
+    WITH dim AS (
+      SELECT 1993 + r_regionkey AS y FROM region
+      WHERE r_name IN ('ASIA', 'EUROPE'))
+    SELECT CAST(y AS INTEGER) AS o_year,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE)
+             AS revenue
+    FROM orders JOIN dim ON EXTRACT(year FROM o_orderdate) = y
+    GROUP BY y ORDER BY o_year
+    """,
+)
+def q_dpp_year_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale surface: DYNAMIC partition pruning — the fact table is
+    written partitioned by order year (the write-once layout pass),
+    then joined to a tiny dimension whose qualifying years are only
+    known at RUN time (broadcast side of the join), so Catalyst
+    injects a dynamicpruning subquery filter into the fact scan and
+    only the matching partition directories are read. Static pruning
+    (partitioned_scan_prune) covers literal predicates; this is the
+    star-join form that matters at 100 TB, where scanning 2 of 7 year
+    partitions is the difference between seconds and hours. The plan
+    shape (PartitionFilters: [dynamicpruning#..]) is pinned in
+    tests/test_plans.py; the oracle checks the join semantics."""
+    import tempfile
+
+    ords = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_totalprice",
+        F.year("o_orderdate").alias("o_year"),
+    )
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    app = spark.sparkContext.applicationId
+    base = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_dpp_{tag}_{app}"
+    )
+    if not os.path.exists(os.path.join(base, "_SUCCESS")):
+        ords.write.mode("overwrite").partitionBy("o_year").parquet(base)
+    fact = spark.read.parquet(base)
+    dim = (
+        _t(spark, sf_dir, "region")
+        .where(F.col("r_name").isin("ASIA", "EUROPE"))
+        .select((1993 + F.col("r_regionkey")).cast("int").alias("o_year"))
+    )
+    return (
+        fact.join(dim, "o_year")
+        .groupBy("o_year")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice", "revenue"),
+        )
+        .orderBy("o_year")
+    )

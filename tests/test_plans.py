@@ -571,3 +571,16 @@ def test_runtime_bloom_filter_injected_for_shuffle_join(spark, sf_dir):
             "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
             prev_th,
         )
+
+
+def test_dpp_query_injects_dynamic_pruning_filter(spark):
+    """dpp_year_revenue's fact scan must carry a dynamicpruning
+    subquery in its PartitionFilters — runtime pruning from the
+    broadcast dim side, not a full scan of every year partition."""
+    import re
+
+    from pagerank_hadoop_spark import queries as Q
+
+    df = Q._QUERIES["dpp_year_revenue"](spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert re.search(r"(?i)dynamicpruning", plan), plan[:3000]
