@@ -11,16 +11,22 @@ real and tested. Codec status:
   no external libraries needed, and the results are oracle-checked
   against fixture files constructed in-query (``media_bmp_meta`` /
   ``media_wav_meta``).
-* PNG decodes for real END TO END for greyscale-8 images
-  (:func:`png_pixel_stats`): IDAT chunks are concatenated, inflated
-  with stdlib :mod:`zlib`, and all five scanline filters (None/Sub/
-  Up/Average/Paeth) are reversed per the PNG spec — no external
-  library, oracle-checked against in-query fixtures whose filtered
-  bytes both engines derive from the same arithmetic
-  (``media_png_pixels``). PNG metadata alone is
-  :func:`parse_png_meta`; GIF frame counts are
-  :func:`parse_gif_meta` (block-walking).
-* Compressed pixel codecs needing codec LIBRARIES (JPEG/MP4/...) remain STUBBED because the
+* PNG decodes for real END TO END (:func:`png_pixel_stats`
+  greyscale-8, :func:`png_palette_stats` color type 3): IDAT chunks
+  are concatenated, inflated with stdlib :mod:`zlib`, and all five
+  scanline filters (None/Sub/Up/Average/Paeth) are reversed per the
+  PNG spec — no external library, oracle-checked against in-query
+  fixtures whose filtered bytes both engines derive from the same
+  arithmetic (``media_png_pixels`` / ``media_png_palette``). PNG
+  metadata alone is :func:`parse_png_meta`.
+* GIF decodes for real too: :func:`lzw_decode_gif` is a complete
+  GIF-variant LZW decompressor (variable code width, CLEAR/EOI,
+  KwKwK), :func:`gif_pixel_stats` walks the container and maps
+  indices through the global color table (``media_gif_pixels``);
+  frame counts without decode are :func:`parse_gif_meta`
+  (block-walking). WAV gains real spectral analysis
+  (:func:`wav_dominant_freq`, NumPy rFFT).
+* Codecs that genuinely need external LIBRARIES (JPEG/MP4) remain STUBBED because the
   image/audio libraries are not in this container: ``decode_media``
   with ``strict=True`` raises ``NotImplementedError`` for payloads
   that are not BMP/WAV (the production path would call the codec);
@@ -818,6 +824,155 @@ def png_palette_stats(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(batches, PNG_PALETTE_SCHEMA)
+
+
+def lzw_decode_gif(min_code_size: int, data: bytes) -> bytes:
+    """Full GIF-variant LZW decompressor — pure Python, no codec
+    library: LSB-first bit packing, variable code width growing at
+    dict size 2^width (capped at 12 bits per spec), CLEAR resets,
+    EOI terminates, and the KwKwK self-referential case
+    (``code == next_code``) handled. This is the general decoder; the
+    oracle fixtures use the byte-aligned "uncompressed GIF" encoding
+    (CLEAR + literal codes at min_code_size=7), which is just one
+    easy region of the same code space."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    width = min_code_size + 1
+    base = {i: bytes([i]) for i in range(clear)}
+    table = dict(base)
+    next_code = eoi + 1
+    out = bytearray()
+    prev: bytes | None = None
+    bitpos = 0
+    total_bits = len(data) * 8
+
+    def read_code() -> int:
+        nonlocal bitpos
+        if bitpos + width > total_bits:
+            raise ValueError("LZW stream truncated before EOI")
+        v = 0
+        for k in range(width):
+            p = bitpos + k
+            v |= ((data[p >> 3] >> (p & 7)) & 1) << k
+        bitpos += width
+        return v
+
+    while True:
+        code = read_code()
+        if code == clear:
+            table = dict(base)
+            next_code = eoi + 1
+            width = min_code_size + 1
+            prev = None
+            continue
+        if code == eoi:
+            return bytes(out)
+        if prev is None:
+            entry = table[code]  # first code after CLEAR: no dict add
+        else:
+            if code in table:
+                entry = table[code]
+            elif code == next_code:  # KwKwK
+                entry = prev + prev[:1]
+            else:
+                raise ValueError(f"corrupt LZW stream: code {code}")
+            table[next_code] = prev + entry[:1]
+            next_code += 1
+            if next_code == (1 << width) and width < 12:
+                width += 1
+        out += entry
+        prev = entry
+
+
+GIF_PIXEL_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("n_px", LongType()),
+        StructField("r_sum", LongType()),
+        StructField("g_sum", LongType()),
+        StructField("b_sum", LongType()),
+    ]
+)
+
+
+def gif_pixel_stats(media: DataFrame) -> DataFrame:
+    """REAL GIF pixel decode: walk the container (logical screen
+    descriptor, global color table, image descriptor, sub-block
+    chain), LZW-decompress the pixel indices
+    (:func:`lzw_decode_gif`), and map through the global color table
+    to per-channel sums. Single-image, non-interlaced, global-table
+    GIFs (the sprite/icon corpus shape); anything else raises on the
+    typed path. With PNG's zlib path this leaves JPEG/MP4 — formats
+    whose codecs genuinely need external libraries — as the only
+    stubbed decodes."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        def stats(payload: bytes):
+            if len(payload) < 13 or payload[:3] != b"GIF" or payload[
+                3:6
+            ] not in (b"87a", b"89a"):
+                raise ValueError("payload is not a GIF")
+            width = int.from_bytes(payload[6:8], "little")
+            height = int.from_bytes(payload[8:10], "little")
+            packed = payload[10]
+            if not packed & 0x80:
+                raise ValueError("GIF without a global color table")
+            gct_n = 2 << (packed & 0x07)
+            pos = 13
+            gct = np.frombuffer(
+                payload[pos : pos + 3 * gct_n], dtype=np.uint8
+            ).reshape(-1, 3)
+            pos += 3 * gct_n
+            # skip extension blocks to the first image descriptor
+            while pos < len(payload) and payload[pos] == 0x21:
+                pos += 2
+                while payload[pos] != 0:
+                    pos += 1 + payload[pos]
+                pos += 1
+            if pos >= len(payload) or payload[pos] != 0x2C:
+                raise ValueError("no image descriptor")
+            if payload[pos + 9] & 0xC0:
+                raise ValueError("interlaced or local-table GIF")
+            pos += 10
+            min_code_size = payload[pos]
+            pos += 1
+            data = b""
+            while payload[pos] != 0:
+                n = payload[pos]
+                data += payload[pos + 1 : pos + 1 + n]
+                pos += 1 + n
+            idx = np.frombuffer(
+                lzw_decode_gif(min_code_size, data), dtype=np.uint8
+            )
+            if idx.size != width * height:
+                raise ValueError(
+                    f"decoded {idx.size} pixels, expected {width * height}"
+                )
+            if int(idx.max(initial=0)) >= gct_n:
+                raise ValueError("palette index out of range")
+            rgb = gct[idx].astype(np.int64)
+            return (
+                idx.size,
+                int(rgb[:, 0].sum()),
+                int(rgb[:, 1].sum()),
+                int(rgb[:, 2].sum()),
+            )
+
+        for pdf in it:
+            d = pdf["payload"].map(stats)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "n_px": d.map(lambda t: t[0]).astype("int64"),
+                    "r_sum": d.map(lambda t: t[1]).astype("int64"),
+                    "g_sum": d.map(lambda t: t[2]).astype("int64"),
+                    "b_sum": d.map(lambda t: t[3]).astype("int64"),
+                }
+            )
+
+    return media.mapInPandas(batches, GIF_PIXEL_SCHEMA)
 
 
 FREQ_SCHEMA = StructType(

@@ -11063,3 +11063,109 @@ def q_dpp_year_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_year")
     )
+
+
+@register(
+    "media_gif_pixels",
+    """
+    WITH f AS (
+      SELECT CAST(p_partkey AS BIGINT) AS media_id,
+             4 + p_partkey % 5 AS w,
+             3 + p_size % 4 AS h,
+             p_partkey AS key
+      FROM part WHERE p_partkey <= 200)
+    SELECT media_id,
+           CAST(w * h AS BIGINT) AS n_px,
+           CAST(list_sum(list_transform(range(0, w * h),
+             j -> (((j % w) * 5 + 11 * (j // w) + key) % 128 * 13 + key) % 256))
+             AS BIGINT) AS r_sum,
+           CAST(list_sum(list_transform(range(0, w * h),
+             j -> (((j % w) * 5 + 11 * (j // w) + key) % 128 * 7 + 3) % 256))
+             AS BIGINT) AS g_sum,
+           CAST(list_sum(list_transform(range(0, w * h),
+             j -> (((j % w) * 5 + 11 * (j // w) + key) % 128 * 31 + 5 * key) % 256))
+             AS BIGINT) AS b_sum
+    FROM f ORDER BY media_id
+    """,
+)
+def q_media_gif_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5 REAL LZW decode gate: complete single-image GIF89a files —
+    logical screen descriptor, 128-entry global color table from
+    closed-form arithmetic, image descriptor, LZW pixel data — built
+    in-query and decoded by the pure-Python LZW decompressor
+    (operators.multimodal.lzw_decode_gif / gif_pixel_stats).
+
+    The fixture uses the BYTE-ALIGNED region of the LZW code space
+    (the classic "uncompressed GIF" encoding: min_code_size=7 makes
+    every code 8 bits wide while the dictionary stays under 256, so
+    CLEAR + literal indices + EOI are plain bytes) — which is what
+    lets both engines derive the exact wire bytes from arithmetic.
+    The decoder itself is the GENERAL variable-width implementation;
+    genuinely compressed streams (dict growth, width bumps, KwKwK)
+    are gated in unit tests against an independent encoder. Palette
+    indirection is checked by the channel sums, as in
+    media_png_palette."""
+    from pagerank_hadoop_spark.operators.multimodal import (
+        attach_media,
+        gif_pixel_stats,
+    )
+
+    part = (
+        _t(spark, sf_dir, "part")
+        .where(F.col("p_partkey") <= 200)
+        .select(
+            "p_partkey",
+            (4 + F.col("p_partkey") % 5).alias("w"),
+            (3 + F.col("p_size") % 4).alias("h"),
+        )
+    )
+    key = F.col("p_partkey")
+    w, h = F.col("w"), F.col("h")
+    n_px = w * h
+
+    def b2(c):  # one byte as 2 hex chars
+        return F.lpad(F.hex(c.cast("long")), 2, "0")
+
+    def idx(j):  # palette index of the j-th pixel (row-major)
+        return ((j % w) * 5 + 11 * F.floor(j / w) + key) % 128
+
+    gct_hex = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(127)),
+            lambda j: F.concat(
+                b2((j * 13 + key) % 256),
+                b2((j * 7 + 3) % 256),
+                b2((j * 31 + 5 * key) % 256),
+            ),
+        ),
+        "",
+    )
+    pix_hex = F.array_join(
+        F.transform(F.sequence(F.lit(0), n_px - 1), lambda j: b2(idx(j))),
+        "",
+    )
+    hexstr = F.concat(
+        F.lit("474946383961"),        # GIF89a
+        _le_hex(w, 2),
+        _le_hex(h, 2),
+        F.lit("F60000"),              # GCT present, 128 entries; bg; aspect
+        gct_hex,
+        F.lit("2C"),                  # image descriptor
+        F.lit("00000000"),            # left, top
+        _le_hex(w, 2),
+        _le_hex(h, 2),
+        F.lit("00"),                  # no local table, not interlaced
+        F.lit("07"),                  # LZW min code size
+        b2(n_px + 2),                 # one sub-block: CLEAR + pixels + EOI
+        F.lit("80"),                  # CLEAR (byte-aligned at width 8)
+        pix_hex,                      # literal codes = palette indices
+        F.lit("81"),                  # EOI
+        F.lit("00"),                  # sub-block terminator
+        F.lit("3B"),                  # trailer
+    )
+    media = attach_media(
+        part.select("p_partkey", F.unhex(hexstr).alias("payload")),
+        F.col("payload"),
+        media_type="image/gif",
+    )
+    return gif_pixel_stats(media).orderBy("media_id")

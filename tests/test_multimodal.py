@@ -564,3 +564,107 @@ def test_wav_dominant_freq_recovers_tone(spark):
         wav_dominant_freq(
             attach_media(bad, F.col("payload"), "audio/wav")
         ).collect()
+
+
+def _lzw_encode(min_code_size, data: bytes) -> bytes:
+    """Independent GIF-LZW encoder (variable width, dict growth) for
+    gating the decoder's general path."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    bits = []
+
+    def emit(code, width):
+        for k in range(width):
+            bits.append((code >> k) & 1)
+
+    table = {bytes([i]): i for i in range(clear)}
+    next_code = eoi + 1
+    width = min_code_size + 1
+    emit(clear, width)
+    w = b""
+    for ch in data:
+        wc = w + bytes([ch])
+        if wc in table:
+            w = wc
+            continue
+        emit(table[w], width)
+        table[wc] = next_code
+        next_code += 1
+        if next_code == (1 << width) + 1 and width < 12:
+            width += 1
+        w = bytes([ch])
+    emit(table[w], width)
+    emit(eoi, width)
+    by = bytearray()
+    for i, b in enumerate(bits):
+        if i % 8 == 0:
+            by.append(0)
+        by[-1] |= b << (i % 8)
+    return bytes(by)
+
+
+def _gif(idx, pal, compressed=True, mcs=7):
+    import struct
+
+    h, w = idx.shape
+    k = len(pal)
+    size_field = max(1, (k - 1).bit_length() - 1)  # 2^(n+1) >= k
+    gct = bytearray()
+    for r, g, b in pal:
+        gct += bytes([r, g, b])
+    gct += b"\x00" * (3 * ((2 << size_field) - k))
+    data = bytes(idx.ravel().tolist())
+    if compressed:
+        stream = _lzw_encode(mcs, data)
+    else:
+        stream = b"\x80" + data + b"\x81"
+    blocks = b""
+    for i in range(0, len(stream), 200):
+        chunk = stream[i : i + 200]
+        blocks += bytes([len(chunk)]) + chunk
+    return (
+        b"GIF89a"
+        + struct.pack("<HH", w, h)
+        + bytes([0x80 | 0x70 | size_field, 0, 0])
+        + bytes(gct)
+        + b"\x2C" + struct.pack("<HHHH", 0, 0, w, h) + b"\x00"
+        + bytes([mcs]) + blocks + b"\x00\x3B"
+    )
+
+
+def test_gif_pixel_stats_real_lzw(spark):
+    """The general LZW path: genuinely compressed streams (dict
+    growth across width bumps, multi-sub-block) decode to the exact
+    palette-mapped channel sums; the byte-aligned form agrees."""
+    import numpy as np
+
+    from pagerank_hadoop_spark.operators.multimodal import (
+        attach_media,
+        gif_pixel_stats,
+    )
+
+    rng = np.random.default_rng(29)
+    pal = [tuple(int(x) for x in rng.integers(0, 256, 3)) for _ in range(128)]
+    imgs = {
+        1: rng.integers(0, 128, size=(20, 30)),   # 600 px: width bumps
+        2: np.tile(rng.integers(0, 128, size=(1, 8)), (6, 1)),  # runs: KwKwK
+        3: rng.integers(0, 128, size=(5, 7)),
+    }
+    rows = [
+        (i, bytearray(_gif(px.astype(np.uint8), pal, compressed=(i != 3))))
+        for i, px in imgs.items()
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {
+        r.media_id: r
+        for r in gif_pixel_stats(
+            attach_media(df, F.col("payload"), "image/gif")
+        ).collect()
+    }
+    parr = np.array(pal, dtype=np.int64)
+    for i, px in imgs.items():
+        rgb = parr[px.ravel()]
+        assert got[i].n_px == px.size
+        assert (got[i].r_sum, got[i].g_sum, got[i].b_sum) == (
+            int(rgb[:, 0].sum()), int(rgb[:, 1].sum()), int(rgb[:, 2].sum()),
+        )
