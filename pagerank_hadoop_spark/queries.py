@@ -11169,3 +11169,75 @@ def q_media_gif_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
         media_type="image/gif",
     )
     return gif_pixel_stats(media).orderBy("media_id")
+
+
+@register(
+    "stream_pysource_tumbling",
+    """
+    WITH e AS (
+      SELECT i,
+             1704067200 + 37 * i AS ts,
+             (i % 50) % 5 AS ub,
+             (i * 13) % 997 AS v
+      FROM (SELECT unnest(range(0, 20000)) AS i))
+    SELECT CAST(ts - ts % 3600 AS BIGINT) AS wstart,
+           CAST(ub AS BIGINT) AS ub,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(v) AS BIGINT) AS sv
+    FROM e GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def q_stream_pysource_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1-streaming [EXT]: a PLUGGABLE STREAMING Python DataSource
+    (sources/pystream.py, Spark 4 DataSourceStreamReader) — the
+    streaming half of the extension surface whose batch half is
+    wiki_pysource_scan. The `detevents` source replays a
+    deterministic bounded event ledger through REAL micro-batches
+    (offset protocol: one rows_per_batch advance per latestOffset
+    call; each batch split into planned partitions read
+    executor-side), and the tumbling-window aggregate over the drained
+    stream must equal the DuckDB oracle's closed-form replay of the
+    same ledger. Drain is processAllAvailable (Python stream sources
+    do not support Trigger.AvailableNow — Spark logs the fallback;
+    the bounded ledger gives the same determinism)."""
+    from pagerank_hadoop_spark.sources.pystream import register_detevents
+
+    register_detevents(spark)
+    src = (
+        spark.readStream.format("detevents")
+        .option("n_total", 20000)
+        .option("rows_per_batch", 4096)
+        .load()
+    )
+    agg = (
+        src.select(
+            F.timestamp_seconds("ts_sec").alias("ts"),
+            (F.col("user_id") % 5).alias("ub"),
+            "value",
+        )
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "ub")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sv"))
+    )
+    _STREAM_SEQ["n"] += 1
+    name = f"stream_pysource_{_STREAM_SEQ['n']}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return (
+        spark.table(name)
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("wstart"),
+            F.col("ub").cast("long").alias("ub"),
+            "n",
+            F.col("sv").cast("long").alias("sv"),
+        )
+        .orderBy("wstart", "ub")
+    )

@@ -531,3 +531,35 @@ def test_ttl_dedup_core_matches_lag_rule():
                 horizon = max(t for _, t in batch) - ttl
                 assert all(v >= horizon for v in seen.values())  # evicted
         assert sorted(got) == sorted(want), n_batches
+
+
+def test_detevents_stream_reader_offset_protocol():
+    """The streaming Python DataSource's driver-side contract: offsets
+    advance by one micro-batch per latestOffset() call and clamp at
+    n_total; each batch splits into planned index-range partitions
+    that tile [start, end) exactly; rows are the shared formula."""
+    from pagerank_hadoop_spark.sources.pystream import (
+        DetEventsStreamReader,
+        event_row,
+    )
+
+    r = DetEventsStreamReader(
+        {"n_total": "10000", "rows_per_batch": "4096", "n_parts": "4"}
+    )
+    assert r.initialOffset() == {"i": 0}
+    offs = [r.latestOffset()["i"] for _ in range(4)]
+    assert offs == [4096, 8192, 10000, 10000]  # clamped, then stable
+
+    parts = r.partitions({"i": 4096}, {"i": 8192})
+    spans = sorted((p.start, p.end) for p in parts)
+    assert spans[0][0] == 4096 and spans[-1][1] == 8192
+    assert all(a < b for a, b in spans)
+    assert all(spans[k][1] == spans[k + 1][0] for k in range(len(spans) - 1))
+
+    rows = list(r.read(parts[0]))
+    assert rows[0] == event_row(parts[0].start)
+    assert len(rows) == parts[0].end - parts[0].start
+
+    # empty range (no new data) still yields a well-formed partition
+    empty = r.partitions({"i": 7}, {"i": 7})
+    assert len(empty) == 1 and list(r.read(empty[0])) == []
