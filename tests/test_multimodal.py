@@ -603,7 +603,7 @@ def _lzw_encode(min_code_size, data: bytes) -> bytes:
     return bytes(by)
 
 
-def _gif(idx, pal, compressed=True, mcs=7):
+def _gif_lzw(idx, pal, compressed=True, mcs=7):
     import struct
 
     h, w = idx.shape
@@ -651,7 +651,7 @@ def test_gif_pixel_stats_real_lzw(spark):
         3: rng.integers(0, 128, size=(5, 7)),
     }
     rows = [
-        (i, bytearray(_gif(px.astype(np.uint8), pal, compressed=(i != 3))))
+        (i, bytearray(_gif_lzw(px.astype(np.uint8), pal, compressed=(i != 3))))
         for i, px in imgs.items()
     ]
     df = spark.createDataFrame(rows, "media_id long, payload binary")
