@@ -11179,7 +11179,7 @@ def q_media_gif_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
              1704067200 + 37 * i AS ts,
              (i % 50) % 5 AS ub,
              (i * 13) % 997 AS v
-      FROM (SELECT unnest(range(0, 20000)) AS i))
+      FROM (SELECT unnest(range(0, 8192)) AS i))
     SELECT CAST(ts - ts % 3600 AS BIGINT) AS wstart,
            CAST(ub AS BIGINT) AS ub,
            CAST(COUNT(*) AS BIGINT) AS n,
@@ -11205,7 +11205,7 @@ def q_stream_pysource_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_detevents(spark)
     src = (
         spark.readStream.format("detevents")
-        .option("n_total", 20000)
+        .option("n_total", 8192)
         .option("rows_per_batch", 4096)
         .load()
     )
@@ -11221,16 +11221,24 @@ def q_stream_pysource_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     _STREAM_SEQ["n"] += 1
     name = f"stream_pysource_{_STREAM_SEQ['n']}"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .start()
-    )
+    # state-store instances scale with shuffle partitions; 8 is plenty
+    # for a 5-key complete-mode aggregate (fresh checkpoint per run,
+    # so the narrowed value never leaks into another query's state)
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
-        q.processAllAvailable()
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     finally:
-        q.stop()
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return (
         spark.table(name)
         .select(
