@@ -975,6 +975,70 @@ def gif_pixel_stats(media: DataFrame) -> DataFrame:
     return media.mapInPandas(batches, GIF_PIXEL_SCHEMA)
 
 
+DECIMATE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("n_out", LongType()),
+        StructField("out_sum", LongType()),
+        StructField("out_peak", LongType()),
+    ]
+)
+
+
+def wav_decimate_stats(media: DataFrame, factor: int = 2) -> DataFrame:
+    """REAL audio downsampling: boxcar-decimate each WAV's int16 PCM
+    stream by ``factor`` (mean of each consecutive frame, floored —
+    the anti-aliased cheap resample an ASR ingest pipeline runs to
+    normalize sample rates) and report stats of the DOWNSAMPLED
+    signal: count, sum, peak |x|. Integer-exact by construction
+    (``floor`` toward −inf on an exact small-int mean), so a fixture
+    corpus with formula samples is fully oracle-replayable. A
+    trailing partial frame is dropped (``n_out = n // factor``).
+    Raises on non-16-bit PCM."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        def stats(payload: bytes):
+            wav = parse_wav_header(payload)
+            if wav is None or wav[2] != 16:
+                raise ValueError("payload is not a 16-bit PCM WAV")
+            pos = 12
+            while pos + 8 <= len(payload):
+                cid = payload[pos : pos + 4]
+                csize = int.from_bytes(payload[pos + 4 : pos + 8], "little")
+                if cid == b"data":
+                    raw = payload[pos + 8 : pos + 8 + csize]
+                    x = np.frombuffer(
+                        raw, dtype="<i2", count=len(raw) // 2
+                    ).astype(np.int64)
+                    n_out = len(x) // factor
+                    frames = x[: n_out * factor].reshape(n_out, factor)
+                    out = np.floor(frames.sum(axis=1) / float(factor)).astype(
+                        np.int64
+                    )
+                    return (
+                        n_out,
+                        int(out.sum()),
+                        int(np.abs(out).max()) if n_out else 0,
+                    )
+                pos += 8 + csize + (csize & 1)
+            raise ValueError("no data chunk")
+
+        for pdf in it:
+            d = pdf["payload"].map(stats)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "n_out": d.map(lambda t: t[0]).astype("int64"),
+                    "out_sum": d.map(lambda t: t[1]).astype("int64"),
+                    "out_peak": d.map(lambda t: t[2]).astype("int64"),
+                }
+            )
+
+    return media.mapInPandas(batches, DECIMATE_SCHEMA)
+
+
 FREQ_SCHEMA = StructType(
     [
         StructField("media_id", LongType()),

@@ -53,6 +53,78 @@ def cosine_topk(
     )
 
 
+def multivector_maxsim_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_sub: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+    q_id_col: str = "q_id",
+    q_vec_col: str = "qv",
+) -> DataFrame:
+    """Multi-vector late-interaction retrieval (ColBERT's MaxSim,
+    Khattab & Zaharia 2020): each side's embedding is a BAG of
+    ``n_sub`` token vectors (here: contiguous slices of the stored
+    vector — the layout a fixed-width multi-vector column has), and
+
+        score(q, d) = Σ_i max_j ⟨q_i, d_j⟩
+
+    — every query token matches its best document token, which is
+    what lets one query term hit a relevant passage term without the
+    whole-vector average washing it out. Returns ``(q_id, vec_id,
+    score)`` top-k per query.
+
+    Determinism discipline: each sub-dot rounds to 6 dp BEFORE the
+    max (max of rounded == rounded max; DuckDB's list_sum may
+    pairwise-sum where Spark's HOF left-folds, and per-term rounding
+    absorbs the last-ulp difference), the i-sum runs in fixed i
+    order, the final score re-rounds, ties break by id.
+
+    Scale shape: brute-force over the corpus with the query side
+    broadcast — the MaxSim analogue of :func:`cosine_topk`, the
+    recall referee for any pruned variant; production pruning
+    (PLAID-style centroid screening) composes the same IVF machinery
+    as :func:`ivf_kmeans_topk` on the token level.
+    """
+    def token(vec, i):
+        return F.slice(vec, (i * F.size(vec) / n_sub + 1).cast("int"),
+                       (F.size(vec) / n_sub).cast("int"))
+
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    idx = F.sequence(F.lit(0), F.lit(n_sub - 1))
+    qv, dv = F.col(q_vec_col), F.col(vec_col)
+    score = F.round(
+        F.aggregate(
+            idx,
+            F.lit(0.0),
+            lambda acc, i: acc
+            + F.array_max(
+                F.transform(
+                    idx, lambda j: F.round(dot(token(qv, i), token(dv, j)), 6)
+                )
+            ),
+        ),
+        6,
+    )
+    pairs = corpus.crossJoin(F.broadcast(queries)).where(
+        F.col(id_col) != F.col(q_id_col)
+    )
+    w = Window.partitionBy(q_id_col).orderBy(F.desc("score"), F.asc(id_col))
+    return (
+        pairs.select(q_id_col, id_col, score.alias("score"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .drop("rn")
+    )
+
+
 def _lit_dot(vec, consts: list[float]):
     """Dot product of an array column with a literal float vector —
     JVM array expressions, the vector never leaves the row."""

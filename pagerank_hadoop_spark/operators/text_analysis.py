@@ -624,3 +624,46 @@ def gopher_flags(text: Column, stopwords=GOPHER_STOPWORDS) -> Column:
         *cols,
         pass_all.cast("int").alias("pass_all"),
     )
+
+
+def keyword_tags(
+    docs: DataFrame,
+    keywords: list,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Dictionary keyword/phrase tagging (the FlashText / trie-tagger
+    use case: topic labels, PII term flags, domain lexicons): match a
+    fixed dictionary of unigrams AND two-word phrases against each
+    document's token stream, returning ``(id, n_tags, tags)`` with
+    ``tags`` the sorted ``|``-joined set of dictionary entries hit.
+
+    Matching is whole-token (a dictionary entry never matches inside
+    a word — the classic regex-alternation bug this pattern exists to
+    avoid); phrases match on adjacent token bigrams.
+
+    Scale shape: the dictionary is a PLAN LITERAL array, so tagging
+    is a map-only column expression — zero shuffles, fully
+    scan-bound, and Catalyst folds the constant. That is the right
+    call up to dictionaries of a few thousand entries (plan size);
+    beyond that, switch the intersect to a broadcast join against an
+    exploded token table — same semantics, one broadcast.
+    """
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    bigrams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat(
+                F.element_at(toks, i), F.lit(" "), F.element_at(toks, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = F.array_distinct(F.concat(toks, bigrams))
+    lex = F.array(*[F.lit(str(w)) for w in keywords])
+    hits = F.array_sort(F.array_intersect(grams, lex))
+    return docs.select(
+        F.col(id_col),
+        F.size(hits).cast("long").alias("n_tags"),
+        F.array_join(hits, "|").alias("tags"),
+    )

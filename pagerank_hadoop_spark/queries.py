@@ -11249,3 +11249,167 @@ def q_stream_pysource_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("wstart", "ub")
     )
+
+
+@register(
+    "colbert_maxsim_topk",
+    """
+    WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT vec_id AS q_id, v AS qv FROM emb WHERE vec_id % 200 = 0),
+    sims AS (
+      SELECT q.q_id, e.vec_id,
+             ROUND(list_sum(list_transform(range(0, 8), i ->
+               list_max(list_transform(range(0, 8), j ->
+                 ROUND(list_sum(list_transform(range(1, 9), t ->
+                   q.qv[i * 8 + t] * e.v[j * 8 + t])), 6))))), 6) AS score
+      FROM q CROSS JOIN emb e WHERE e.vec_id <> q.q_id)
+    SELECT q_id, vec_id, score FROM (
+      SELECT q_id, vec_id, score,
+             ROW_NUMBER() OVER (PARTITION BY q_id
+                                ORDER BY score DESC, vec_id) AS rn
+      FROM sims) WHERE rn <= 5
+    """,
+)
+def q_colbert_maxsim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3 [EXT]: multi-vector LATE-INTERACTION retrieval (ColBERT
+    MaxSim, Khattab & Zaharia 2020 — public): the stored 64-dim
+    embedding is treated as 8 token vectors of 8 dims (the
+    fixed-width multi-vector column layout) and
+    score = Σ_i max_j ⟨q_i, d_j⟩ — one query token matching its best
+    document token, the semantics single-vector cosine averages away.
+    Brute force with broadcast query side
+    (operators.similarity.multivector_maxsim_topk); the oracle
+    replays slice/dot/max/sum with identical 6-dp per-term rounding."""
+    from pagerank_hadoop_spark.operators.similarity import (
+        multivector_maxsim_topk,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    queries_df = emb.where(F.col("vec_id") % 200 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
+    )
+    return multivector_maxsim_topk(emb, queries_df, k=5, n_sub=8)
+
+
+@register(
+    "keyword_tagged_docs",
+    r"""
+    WITH d AS (SELECT doc_id, text FROM documents),
+    t AS (
+      SELECT doc_id,
+             string_split_regex(lower(trim(text)), '\s+') AS tk
+      FROM d),
+    g AS (
+      SELECT doc_id,
+             list_distinct(list_concat(tk,
+               CASE WHEN len(tk) >= 2 THEN
+                 list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1])
+               ELSE [] END)) AS grams
+      FROM t),
+    m AS (
+      SELECT doc_id,
+             list_sort(list_filter(grams, x -> list_contains(
+               ['vector', 'stream', 'merge join', 'hash join',
+                'window agg', 'zorder', 'broadcast'], x))) AS hits
+      FROM g)
+    SELECT doc_id, CAST(len(hits) AS BIGINT) AS n_tags,
+           COALESCE(array_to_string(hits, '|'), '') AS tags
+    FROM m ORDER BY doc_id
+    """,
+)
+def q_keyword_tagged_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4 [EXT]: dictionary keyword/phrase tagging
+    (operators.text_analysis.keyword_tags) — whole-token unigram +
+    adjacent-bigram lexicon matching as a map-only plan-literal
+    intersect (zero shuffles). The lexicon mixes live unigrams
+    ('vector', 'stream'), live bigrams ('merge join', 'hash join',
+    'window agg'), and entries that never occur ('zorder',
+    'broadcast') so both hit and miss paths are value-checked."""
+    from pagerank_hadoop_spark.operators.text_analysis import keyword_tags
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return keyword_tags(
+        docs,
+        ["vector", "stream", "merge join", "hash join", "window agg",
+         "zorder", "broadcast"],
+    ).orderBy("doc_id")
+
+
+@register(
+    "media_wav_decimated",
+    """
+    WITH f AS (
+      SELECT CAST(c_custkey AS BIGINT) AS media_id,
+             40 + c_custkey % 50 AS n,
+             c_custkey AS key
+      FROM customer WHERE c_custkey <= 300),
+    o AS (
+      SELECT media_id, n // 2 AS n_out,
+             list_transform(range(0, n // 2), j ->
+               CAST(FLOOR((((2*j * 37 + key * 13) % 65536 - 32768)
+                         + (((2*j+1) * 37 + key * 13) % 65536 - 32768))
+                         / 2.0) AS BIGINT)) AS ds
+      FROM f)
+    SELECT media_id,
+           CAST(n_out AS BIGINT) AS n_out,
+           CAST(list_sum(ds) AS BIGINT) AS out_sum,
+           CAST(list_max(list_transform(ds, x -> abs(x))) AS BIGINT)
+             AS out_peak
+    FROM o ORDER BY media_id
+    """,
+)
+def q_media_wav_decimated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5 REAL resample gate: the same generated-PCM fixtures as
+    media_wav_energy, boxcar-decimated 2:1 by the NumPy kernel
+    (operators.multimodal.wav_decimate_stats — the cheap anti-aliased
+    rate normalization an ASR ingest runs); the oracle recomputes the
+    downsampled stream's count/sum/peak from the generating
+    arithmetic with the identical floor-toward(-inf) mean. Integer
+    end-to-end; the odd trailing sample is dropped (n_out = n//2)."""
+    from pagerank_hadoop_spark.operators.multimodal import (
+        attach_media,
+        wav_decimate_stats,
+    )
+
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .where(F.col("c_custkey") <= 300)
+        .select("c_custkey", (40 + F.col("c_custkey") % 50).alias("n"))
+        .withColumn("datasize", F.col("n") * 2)
+    )
+    v = lambda i: (i * 37 + F.col("c_custkey") * 13) % 65536  # noqa: E731
+    u = lambda i: (v(i) + 32768) % 65536  # noqa: E731
+    sample_hex = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), F.col("n") - 1),
+            lambda i: F.concat(
+                F.lpad(F.hex((u(i) % 256).cast("long")), 2, "0"),
+                F.lpad(F.hex(F.floor(u(i) / 256).cast("long")), 2, "0"),
+            ),
+        ),
+        "",
+    )
+    hexstr = F.concat(
+        F.lit("52494646"),
+        _le_hex(F.lit(36) + F.col("datasize"), 4),
+        F.lit("57415645"),
+        F.lit("666D7420"),
+        F.lit("10000000"),
+        F.lit("0100"),
+        F.lit("0100"),  # mono
+        _le_hex(F.lit(8000), 4),
+        _le_hex(F.lit(16000), 4),
+        F.lit("0200"),
+        F.lit("1000"),
+        F.lit("64617461"),  # 'data'
+        _le_hex(F.col("datasize"), 4),
+        sample_hex,
+    )
+    media = attach_media(
+        cust.select("c_custkey", F.unhex(hexstr).alias("payload")),
+        F.col("payload"),
+        media_type="audio/wav",
+    )
+    return wav_decimate_stats(media, factor=2).orderBy("media_id")

@@ -668,3 +668,28 @@ def test_gif_pixel_stats_real_lzw(spark):
         assert (got[i].r_sum, got[i].g_sum, got[i].b_sum) == (
             int(rgb[:, 0].sum()), int(rgb[:, 1].sum()), int(rgb[:, 2].sum()),
         )
+
+
+def test_wav_decimate_known_samples(spark):
+    """2:1 boxcar decimation: floor-toward(-inf) means (negative odd
+    sums included), odd trailing sample dropped."""
+    import struct
+
+    import numpy as np
+
+    from pagerank_hadoop_spark.operators.multimodal import (
+        attach_media,
+        wav_decimate_stats,
+    )
+
+    x = np.array([10, 11, -3, -4, 5, -6, 99], dtype="<i2")  # 7 samples
+    data = x.tobytes()
+    fmt = b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 16000, 2, 16)
+    chunks = fmt + b"data" + struct.pack("<I", len(data)) + data
+    wav = b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+    df = spark.createDataFrame([(1, bytearray(wav))], "media_id long, payload binary")
+    r = wav_decimate_stats(
+        attach_media(df, F.col("payload"), "audio/wav"), factor=2
+    ).collect()[0]
+    # frames: (10,11)->10, (-3,-4)->-4 (floor!), (5,-6)->-1; 99 dropped
+    assert (r.n_out, r.out_sum, r.out_peak) == (3, 5, 10)

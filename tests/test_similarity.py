@@ -209,3 +209,32 @@ def test_hard_negatives_exclude_same_label(spark, sf_dir):
     assert len(rows) == 12  # 3 queries x k
     for r in rows:
         assert labels[r["vec_id"]] != qlabels[r["q_id"]]
+
+
+def test_multivector_maxsim_late_interaction(spark):
+    """MaxSim finds the best-matching token PER query token: doc A
+    matches both query tokens exactly (score 2), doc B matches one
+    strongly (3) but misses the other — single-vector cosine would
+    prefer B's bigger norm; MaxSim scores them 2.0 vs 3.0 honestly
+    and exact values are pinned."""
+    from pagerank_hadoop_spark.operators.similarity import (
+        multivector_maxsim_topk,
+    )
+
+    corpus = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0, 1.0]),    # tokens [1,0] and [0,1]
+            (2, [3.0, 0.0, 0.0, 0.0]),    # tokens [3,0] and [0,0]
+            (3, [0.0, 0.0, 0.0, 0.0]),
+        ],
+        "vec_id long, v array<double>",
+    )
+    q = spark.createDataFrame(
+        [(100, [1.0, 0.0, 0.0, 1.0])], "q_id long, qv array<double>"
+    )
+    rows = multivector_maxsim_topk(corpus, q, k=3, n_sub=2).collect()
+    got = {r.vec_id: r.score for r in rows}
+    # doc1: max(1,0)+max(0,1)=2; doc2: max(3,0)+max(0,0)=3; doc3: 0
+    assert got == {1: 2.0, 2: 3.0, 3: 0.0}
+    order = [r.vec_id for r in sorted(rows, key=lambda r: (-r.score, r.vec_id))]
+    assert order == [2, 1, 3]

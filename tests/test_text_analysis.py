@@ -315,3 +315,27 @@ def test_crossdoc_ngram_stats(spark):
     assert out[1].shared_micro == 1_000_000
     assert out[2].n_shared == 3
     assert out[3].n_shared == 0 and out[3].shared_micro == 0
+
+
+def test_keyword_tags_whole_token_and_phrases(spark):
+    from pagerank_hadoop_spark.operators.text_analysis import keyword_tags
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a hash join beats a nested loop"),
+            (2, "hashing joins are not a hash  join"),  # double space
+            (3, "restream is not stream"),               # substring trap
+            (4, "one"),                                  # < 2 tokens
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.n_tags, r.tags)
+        for r in keyword_tags(
+            docs, ["stream", "hash join", "loop"]
+        ).collect()
+    }
+    assert got[1] == (2, "hash join|loop")
+    assert got[2] == (1, "hash join")   # regex split absorbs the run
+    assert got[3] == (1, "stream")      # 'restream' never matches
+    assert got[4] == (0, "")
