@@ -374,6 +374,85 @@ def shortest_paths(
     return dist
 
 
+def k_truss(
+    edges: DataFrame, k: int = 3, max_iter: int = 30, on_max_iter: str = "warn"
+) -> DataFrame:
+    """Edges of the undirected k-truss with their within-truss
+    support: iteratively delete edges contained in fewer than
+    ``k − 2`` triangles until a fixpoint (Cohen 2008). The
+    EDGE-grained sibling of :func:`k_core` — trusses are strictly
+    denser than cores (every k-truss edge sits in a (k−1)-core) and
+    are the standard community-kernel / spam-link-trim primitive.
+    ``k ≥ 3`` required (below that "support ≥ k−2" keeps
+    triangle-free edges, which a truss by definition is not about).
+
+    Round shape: triangles are enumerated once per round on the
+    CANONICAL (src < dst) edge list via the same wedge-closure
+    double join as :func:`triangle_count` (each triangle x<y<z found
+    exactly once), exploded to their 3 member edges, and
+    partial-agg counted → per-edge support; the surviving list is
+    lazily checkpointed and its count is the fixpoint test — one
+    triangle pass + one filter per round, ids-only shuffles.
+    Rounds = deletion-cascade depth. Returns ``(src, dst, support)``
+    on the stable subgraph (canonical orientation).
+    """
+    if k < 3:
+        raise ValueError("k_truss requires k >= 3")
+    parts = _edge_partitions(edges)
+    canon = (
+        edges.where(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("src"),
+            F.greatest("src", "dst").alias("dst"),
+        )
+        .repartition(parts, "src", "dst")
+        .dropDuplicates(["src", "dst"])
+        .localCheckpoint(eager=True)
+    )
+
+    def _support(es: DataFrame) -> DataFrame:
+        e1 = es.select(F.col("src").alias("x"), F.col("dst").alias("y"))
+        e2 = es.select(F.col("src").alias("y"), F.col("dst").alias("z"))
+        e3 = es.select(F.col("src").alias("x"), F.col("dst").alias("z"))
+        tri = e1.join(e2, "y").join(e3, ["x", "z"])
+        return (
+            tri.select(
+                F.explode(
+                    F.array(
+                        F.struct(F.col("x").alias("src"), F.col("y").alias("dst")),
+                        F.struct(F.col("x").alias("src"), F.col("z").alias("dst")),
+                        F.struct(F.col("y").alias("src"), F.col("z").alias("dst")),
+                    )
+                ).alias("e")
+            )
+            .groupBy(F.col("e.src").alias("src"), F.col("e.dst").alias("dst"))
+            .agg(F.count(F.lit(1)).alias("support"))
+        )
+
+    prev = canon.count()
+    converged = False
+    for _ in range(max_iter):
+        supp = _support(canon)
+        nxt = (
+            canon.join(supp, ["src", "dst"], "left")
+            .where(F.coalesce("support", F.lit(0)) >= k - 2)
+            .select("src", "dst")
+            .localCheckpoint(eager=False)
+        )
+        n = nxt.count()  # materializes + fixpoint test
+        canon = nxt
+        if n == prev:
+            converged = True
+            break
+        prev = n
+    if not converged:
+        _nonconvergence("k_truss", max_iter, on_max_iter)
+    final = canon.localCheckpoint(eager=True)  # feeds support AND join
+    return final.join(_support(final), ["src", "dst"], "left").select(
+        "src", "dst", F.coalesce("support", F.lit(0)).cast("long").alias("support")
+    )
+
+
 def k_core(
     edges: DataFrame, k: int, max_iter: int = 30, on_max_iter: str = "warn"
 ) -> DataFrame:

@@ -11413,3 +11413,84 @@ def q_media_wav_decimated(spark: SparkSession, sf_dir: str) -> DataFrame:
         media_type="audio/wav",
     )
     return wav_decimate_stats(media, factor=2).orderBy("media_id")
+
+
+def _k_truss_oracle_sql(k: int, rounds: int) -> str:
+    """Chained-MATERIALIZED-CTE unroll of the truss peel (the k_core
+    oracle trick at edge grain): per round, wedge-closure triangles on
+    the canonical edge set, union-explode to member edges, count →
+    support, keep support ≥ k−2. ``rounds`` ≥ cascade depth; the
+    fixpoint is stable so extra rounds are no-ops."""
+    parts = [
+        "WITH ce AS MATERIALIZED ("
+        " SELECT DISTINCT least(a.s_suppkey, b.s_suppkey) AS src,"
+        "        greatest(a.s_suppkey, b.s_suppkey) AS dst"
+        " FROM supplier a JOIN supplier b"
+        "   ON a.s_nationkey = b.s_nationkey AND a.s_suppkey <> b.s_suppkey), "
+        "fan AS (SELECT 2000 AS src, 2001 AS dst"
+        " UNION ALL SELECT 2000, 2100 + n_nationkey FROM nation WHERE n_nationkey < 4"
+        " UNION ALL SELECT 2001, 2100 + n_nationkey FROM nation WHERE n_nationkey < 4), "
+        "s0 AS MATERIALIZED (SELECT src, dst FROM ce UNION SELECT src, dst FROM fan)"
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f"t{i} AS MATERIALIZED (SELECT e1.src AS x, e1.dst AS y, e2.dst AS z"
+            f" FROM s{i-1} e1 JOIN s{i-1} e2 ON e2.src = e1.dst"
+            f" JOIN s{i-1} e3 ON e3.src = e1.src AND e3.dst = e2.dst)"
+        )
+        parts.append(
+            f"u{i} AS MATERIALIZED (SELECT x AS src, y AS dst FROM t{i}"
+            f" UNION ALL SELECT x, z FROM t{i}"
+            f" UNION ALL SELECT y, z FROM t{i})"
+        )
+        parts.append(
+            f"s{i} AS MATERIALIZED (SELECT c.src, c.dst FROM s{i-1} c"
+            f" JOIN (SELECT src, dst, COUNT(*) AS c FROM u{i} GROUP BY src, dst) g"
+            f" ON c.src = g.src AND c.dst = g.dst WHERE g.c >= {k - 2})"
+        )
+    n = rounds
+    return (
+        ", ".join(parts)
+        + f" SELECT c.src, c.dst, CAST(COALESCE(g.c, 0) AS BIGINT) AS support"
+        + f" FROM s{n} c LEFT JOIN (SELECT src, dst, COUNT(*) AS c FROM u{n}"
+        + "   GROUP BY src, dst) g ON c.src = g.src AND c.dst = g.dst"
+        + " ORDER BY c.src, c.dst"
+    )
+
+
+@register("k_truss_edges", None)
+def q_k_truss_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph [EXT]: 4-truss of the same-nation supplier graph plus a
+    PLANTED cascade fan (hub edge (2000,2001) shared by 4 triangles
+    whose spokes each sit in only 1): at k=4 the spokes die in round
+    1 (support 1 < 2), which drops the hub edge's support 4 → 0 and
+    kills it in round 2 — a genuine 2-deep deletion cascade, which
+    uniform nation cliques alone cannot produce. DuckDB twin unrolls
+    the peel as materialized CTEs (operators.graph.k_truss).
+
+    Support note: the final support is computed on the STABLE
+    subgraph (u_rounds is the support table of s_{rounds-1}; one
+    extra no-op round makes it s_rounds's own table — rounds is
+    sized with that slack)."""
+    from pagerank_hadoop_spark.operators.graph import k_truss
+
+    sup = _t(spark, sf_dir, "supplier")
+    s1 = sup.select(F.col("s_suppkey").alias("src"), F.col("s_nationkey").alias("nk"))
+    s2 = sup.select(F.col("s_suppkey").alias("dst"), F.col("s_nationkey").alias("nk"))
+    cliques = (
+        s1.join(s2, "nk").where(F.col("src") != F.col("dst")).select("src", "dst")
+    )
+    nat = _t(spark, sf_dir, "nation").where(F.col("n_nationkey") < 4)
+    fan = (
+        spark.createDataFrame([(2000, 2001)], "src long, dst long")
+        .unionByName(
+            nat.select(F.lit(2000).alias("src"), (2100 + F.col("n_nationkey")).cast("long").alias("dst"))
+        )
+        .unionByName(
+            nat.select(F.lit(2001).alias("src"), (2100 + F.col("n_nationkey")).cast("long").alias("dst"))
+        )
+    )
+    return k_truss(cliques.unionByName(fan), k=4).orderBy("src", "dst")
+
+
+_ORACLES["k_truss_edges"] = _k_truss_oracle_sql(4, 4)

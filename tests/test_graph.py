@@ -476,3 +476,32 @@ def test_random_walks_stop_at_sinks_when_directed(spark):
     # from a: a,b,c then stop (c is a sink); from b: b,c
     assert max(by_walk["a"]) == 2
     assert max(by_walk["b"]) == 1
+
+
+def test_k_truss_cascade_and_support(spark):
+    """Fan fixture: hub edge (a,b) in 4 triangles, each spoke in 1.
+    k=4 (support >= 2): spokes die round 1, hub's support collapses
+    4 -> 0, dies round 2 — the deletion cascade. The 4-clique
+    survives with uniform support 2; k<3 is rejected."""
+    import pytest as _pytest
+
+    from pagerank_hadoop_spark.operators.graph import k_truss
+
+    clique = [(i, j) for i in range(10, 14) for j in range(10, 14) if i < j]
+    fan = [(0, 1)] + [(0, c) for c in range(2, 6)] + [(1, c) for c in range(2, 6)]
+    edges = spark.createDataFrame(clique + fan, "src long, dst long")
+
+    out = {(r.src, r.dst): r.support for r in k_truss(edges, k=4).collect()}
+    assert out == {(i, j): 2 for i, j in clique}
+
+    # at k=3 (support >= 1) the fan triangles all survive
+    out3 = {(r.src, r.dst): r.support for r in k_truss(edges, k=3).collect()}
+    assert out3[(0, 1)] == 4
+    assert all(out3[(0, c)] == 1 and out3[(1, c)] == 1 for c in range(2, 6))
+
+    with _pytest.raises(ValueError, match="k >= 3"):
+        k_truss(edges, k=2)
+
+    # empty input: empty result, no crash
+    empty = spark.createDataFrame([], "src long, dst long")
+    assert k_truss(empty, k=3).count() == 0
