@@ -113,7 +113,12 @@ def multivector_maxsim_topk(
         ),
         6,
     )
-    pairs = corpus.crossJoin(F.broadcast(queries)).where(
+    # spread the corpus before the n_sub^2 interpreted sub-dots: the
+    # parquet scan is byte-small (a few partitions) but this stage is
+    # compute-bound, and AQE coalesces by bytes — the repo-documented
+    # HOF-stage trap (SCALE.md "AQE coalesces by BYTES")
+    par = corpus.sparkSession.sparkContext.defaultParallelism
+    pairs = corpus.repartition(par).crossJoin(F.broadcast(queries)).where(
         F.col(id_col) != F.col(q_id_col)
     )
     w = Window.partitionBy(q_id_col).orderBy(F.desc("score"), F.asc(id_col))
