@@ -10365,22 +10365,24 @@ def q_media_png_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
     return png_pixel_stats(media).orderBy("media_id")
 
 
-def _png_idat_hex(pix, w, h, split=None):
-    """Hex of the IDAT chunk(s) for an 8-bit single-channel image
-    whose reconstructed byte at (x, y) is the Column expression
-    ``pix(x, y)`` — scanlines filtered with type ``y % 5`` (residuals
-    are closed-form because neighbors are formula-known), wrapped in
-    a STORED deflate block with the Adler-32 computed as integer
-    column arithmetic. ``split`` (bool Column) routes rows to a
-    two-IDAT framing (spec §5.6 concatenation)."""
+def _png_idat_hex(pix, w, h, split=None, bpp=1):
+    """Hex of the IDAT chunk(s) for an 8-bit image whose reconstructed
+    byte at (x, y) — x indexes BYTES within the scanline, ``w`` bytes
+    per row — is the Column expression ``pix(x, y)``: scanlines
+    filtered with type ``y % 5`` (residuals are closed-form because
+    neighbors are formula-known; the filter's left distance is
+    ``bpp`` bytes per the spec), wrapped in a STORED deflate block
+    with the Adler-32 computed as integer column arithmetic.
+    ``split`` (bool Column) routes rows to a two-IDAT framing (spec
+    §5.6 concatenation)."""
     stride = w + 1
     n = h * stride  # filtered scanline stream length
 
     def raw_byte(x, y):  # residual after the y%5 scanline filter
         cur = pix(x, y)
-        a = F.when(x > 0, pix(x - 1, y)).otherwise(F.lit(0))
+        a = F.when(x >= bpp, pix(x - bpp, y)).otherwise(F.lit(0))
         b = F.when(y > 0, pix(x, y - 1)).otherwise(F.lit(0))
-        c = F.when((x > 0) & (y > 0), pix(x - 1, y - 1)).otherwise(F.lit(0))
+        c = F.when((x >= bpp) & (y > 0), pix(x - bpp, y - 1)).otherwise(F.lit(0))
         p = a + b - c
         pa, pb, pc = F.abs(p - a), F.abs(p - b), F.abs(p - c)
         paeth = (
@@ -11494,3 +11496,77 @@ def q_k_truss_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _ORACLES["k_truss_edges"] = _k_truss_oracle_sql(4, 4)
+
+
+@register(
+    "media_png_rgb",
+    """
+    WITH f AS (
+      SELECT CAST(p_partkey AS BIGINT) AS media_id,
+             4 + p_partkey % 5 AS w,
+             3 + p_size % 4 AS h,
+             p_partkey AS key
+      FROM part WHERE p_partkey <= 200)
+    SELECT media_id,
+           CAST(w * h AS BIGINT) AS n_px,
+           CAST(list_sum(list_transform(range(0, w * h),
+             j -> ((j % w) * 7 + (j // w) * 13 + key) % 256))
+             AS BIGINT) AS r_sum,
+           CAST(list_sum(list_transform(range(0, w * h),
+             j -> ((j % w) * 7 + (j // w) * 13 + 5 + key) % 256))
+             AS BIGINT) AS g_sum,
+           CAST(list_sum(list_transform(range(0, w * h),
+             j -> ((j % w) * 7 + (j // w) * 13 + 10 + key) % 256))
+             AS BIGINT) AS b_sum
+    FROM f ORDER BY media_id
+    """,
+)
+def q_media_png_rgb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5: TRUECOLOR PNG (color type 2 — the most common web PNG
+    class) decode gate: channel byte at (x, y, c) is
+    ``(7x + 13y + 5c + key) mod 256``; scanlines are 3w bytes wide,
+    filtered y%5 with the spec's bpp=3 left distance (the same
+    channel of the PREVIOUS PIXEL — exactly what a bpp-naive
+    unfilter gets wrong, which is what this gate would catch),
+    wrapped in the shared stored-block zlib framing. The kernel
+    (operators.multimodal.png_rgb_stats) must inflate, unfilter at
+    bpp=3, and deinterleave channels to reproduce the oracle's
+    per-channel sums."""
+    from pagerank_hadoop_spark.operators.multimodal import (
+        attach_media,
+        png_rgb_stats,
+    )
+
+    part = (
+        _t(spark, sf_dir, "part")
+        .where(F.col("p_partkey") <= 200)
+        .select(
+            "p_partkey",
+            (4 + F.col("p_partkey") % 5).alias("w"),
+            (3 + F.col("p_size") % 4).alias("h"),
+        )
+    )
+    key = F.col("p_partkey")
+    w, h = F.col("w"), F.col("h")
+
+    def pix(xb, y):  # xb indexes bytes: pixel xb//3, channel xb%3
+        return (
+            F.floor(xb / 3) * 7 + y * 13 + (xb % 3) * 5 + key
+        ) % 256
+
+    hexstr = F.concat(
+        F.lit("89504E470D0A1A0A"),
+        F.lit("0000000D49484452"),
+        _be_hex(w, 4),
+        _be_hex(h, 4),
+        F.lit("0802000000"),                # depth 8, truecolor, no interlace
+        F.lit("00000000"),
+        _png_idat_hex(pix, w * 3, h, bpp=3),
+        F.lit("0000000049454E4400000000"),
+    )
+    media = attach_media(
+        part.select("p_partkey", F.unhex(hexstr).alias("payload")),
+        F.col("payload"),
+        media_type="image/png",
+    )
+    return png_rgb_stats(media).orderBy("media_id")

@@ -693,3 +693,58 @@ def test_wav_decimate_known_samples(spark):
     ).collect()[0]
     # frames: (10,11)->10, (-3,-4)->-4 (floor!), (5,-6)->-1; 99 dropped
     assert (r.n_out, r.out_sum, r.out_peak) == (3, 5, 10)
+
+
+def test_png_rgb_stats_real_zlib_and_bpp3_filters(spark):
+    """Truecolor path: genuinely compressed RGB scanlines filtered
+    with the spec's bpp=3 left distance must unfilter to the exact
+    channel sums — a bpp-naive (left = previous byte) decoder fails
+    every Sub/Average/Paeth row here."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from pagerank_hadoop_spark.operators.multimodal import (
+        _paeth,
+        attach_media,
+        png_rgb_stats,
+    )
+
+    rng = np.random.default_rng(31)
+    h, w = 9, 6
+    px = rng.integers(0, 256, size=(h, w, 3)).astype(np.int64)
+    row_bytes = w * 3
+    flat = px.reshape(h, row_bytes)
+    lines = b""
+    for y in range(h):
+        f = y % 5
+        row = bytearray([f])
+        for x in range(row_bytes):
+            a = int(flat[y][x - 3]) if x >= 3 else 0
+            b = int(flat[y - 1][x]) if y > 0 else 0
+            c = int(flat[y - 1][x - 3]) if (x >= 3 and y > 0) else 0
+            pred = {0: 0, 1: a, 2: b, 3: (a + b) // 2, 4: _paeth(a, b, c)}[f]
+            row.append((int(flat[y][x]) - pred) % 256)
+        lines += bytes(row)
+
+    def chunk(ctype, data):
+        return struct.pack(">I", len(data)) + ctype + data + b"\x00" * 4
+
+    ihdr = struct.pack(">II", w, h) + bytes([8, 2, 0, 0, 0])
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(lines, 6))
+        + chunk(b"IEND", b"")
+    )
+    df = spark.createDataFrame([(1, bytearray(png))], "media_id long, payload binary")
+    r = png_rgb_stats(
+        attach_media(df, F.col("payload"), "image/png")
+    ).collect()[0]
+    assert (r.n_px, r.r_sum, r.g_sum, r.b_sum) == (
+        w * h,
+        int(px[:, :, 0].sum()),
+        int(px[:, :, 1].sum()),
+        int(px[:, :, 2].sum()),
+    )
