@@ -1005,10 +1005,14 @@ def gif_pixel_stats(media: DataFrame) -> DataFrame:
             ).reshape(-1, 3)
             pos += 3 * gct_n
             # skip extension blocks to the first image descriptor
+            # (bounds-checked: a truncated extension chain fails as a
+            # typed ValueError, not an IndexError out of the kernel)
             while pos < len(payload) and payload[pos] == 0x21:
                 pos += 2
-                while payload[pos] != 0:
+                while pos < len(payload) and payload[pos] != 0:
                     pos += 1 + payload[pos]
+                if pos >= len(payload):
+                    raise ValueError("truncated GIF extension chain")
                 pos += 1
             if pos >= len(payload) or payload[pos] != 0x2C:
                 raise ValueError("no image descriptor")

@@ -52,9 +52,11 @@ try:  # Spark 4 streaming Python DataSource API
 
     class DetEventsStreamReader(DataSourceStreamReader):
         def __init__(self, options):
-            self.n_total = int(options.get("n_total", 20000))
-            self.rows_per_batch = int(options.get("rows_per_batch", 4096))
-            self.n_parts = int(options.get("n_parts", 4))
+            self.n_total = max(0, int(options.get("n_total", 20000)))
+            self.rows_per_batch = max(
+                1, int(options.get("rows_per_batch", 4096))
+            )
+            self.n_parts = max(1, int(options.get("n_parts", 4)))
             self._pos = 0
 
         def initialOffset(self):
