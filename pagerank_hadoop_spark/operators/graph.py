@@ -431,6 +431,7 @@ def k_truss(
 
     prev = canon.count()
     converged = False
+    supp = None
     for _ in range(max_iter):
         supp = _support(canon)
         nxt = (
@@ -448,7 +449,11 @@ def k_truss(
     if not converged:
         _nonconvergence("k_truss", max_iter, on_max_iter)
     final = canon.localCheckpoint(eager=True)  # feeds support AND join
-    return final.join(_support(final), ["src", "dst"], "left").select(
+    # at a fixpoint the last round dropped nothing, so its support
+    # table (computed on the same edge content) IS the final support —
+    # skip the extra triangle pass; only a max_iter bailout recomputes
+    fsupp = supp if (converged and supp is not None) else _support(final)
+    return final.join(fsupp, ["src", "dst"], "left").select(
         "src", "dst", F.coalesce("support", F.lit(0)).cast("long").alias("support")
     )
 
