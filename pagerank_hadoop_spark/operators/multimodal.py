@@ -12,13 +12,18 @@ real and tested. Codec status:
   against fixture files constructed in-query (``media_bmp_meta`` /
   ``media_wav_meta``).
 * PNG decodes for real END TO END (:func:`png_pixel_stats`
-  greyscale-8, :func:`png_palette_stats` color type 3): IDAT chunks
-  are concatenated, inflated with stdlib :mod:`zlib`, and all five
-  scanline filters (None/Sub/Up/Average/Paeth) are reversed per the
-  PNG spec — no external library, oracle-checked against in-query
-  fixtures whose filtered bytes both engines derive from the same
-  arithmetic (``media_png_pixels`` / ``media_png_palette``). PNG
-  metadata alone is :func:`parse_png_meta`.
+  greyscale-8, :func:`png_palette_stats` color type 3,
+  :func:`png_rgb_stats` truecolor with the spec's bpp filter
+  distance, and Adam7 INTERLACED variants of all three via
+  :func:`_png_unfilter_adam7`): IDAT chunks are concatenated,
+  inflated with stdlib :mod:`zlib`, and all five scanline filters
+  (None/Sub/Up/Average/Paeth) are reversed per the PNG spec — no
+  external library, oracle-checked against in-query fixtures whose
+  filtered bytes both engines derive from the same arithmetic
+  (``media_png_pixels`` / ``media_png_palette`` /
+  ``media_png_rgb``); interlaced decode is unit-gated on genuinely
+  compressed Adam7 files. PNG metadata alone is
+  :func:`parse_png_meta`.
 * GIF decodes for real too: :func:`lzw_decode_gif` is a complete
   GIF-variant LZW decompressor (variable code width, CLEAR/EOI,
   KwKwK), :func:`gif_pixel_stats` walks the container and maps
@@ -684,6 +689,47 @@ def _png_unfilter_gray8(raw: bytes, width: int, height: int):
     return _png_unfilter(raw, width, height, 1)
 
 
+# Adam7 pass grids: (x0, dx, y0, dy) per spec §8.2
+_ADAM7 = (
+    (0, 8, 0, 8), (4, 8, 0, 8), (0, 4, 4, 8), (2, 4, 0, 4),
+    (0, 2, 2, 4), (1, 2, 0, 2), (0, 1, 1, 2),
+)
+
+
+def _png_unfilter_adam7(raw: bytes, width: int, height: int, bpp: int):
+    """Adam7 deinterlace: the inflated stream is SEVEN concatenated
+    sub-images (spec §8.2 grids), each filtered independently
+    (:func:`_png_unfilter` within the pass — neighbors are pass
+    neighbors, not image neighbors), scattered back onto the full
+    raster. Passes whose grid is empty at this size contribute zero
+    bytes. Returns (height × width·bpp) uint8, same layout as the
+    non-interlaced path."""
+    import numpy as np
+
+    out = np.zeros((height, width * bpp), dtype=np.uint8)
+    pos = 0
+    for x0, dx, y0, dy in _ADAM7:
+        pw = (width - x0 + dx - 1) // dx if width > x0 else 0
+        ph = (height - y0 + dy - 1) // dy if height > y0 else 0
+        if pw <= 0 or ph <= 0:
+            continue
+        nbytes = ph * (pw * bpp + 1)
+        sub = _png_unfilter(raw[pos : pos + nbytes], pw * bpp, ph, bpp)
+        pos += nbytes
+        for r in range(ph):
+            y = y0 + r * dy
+            row = sub[r].reshape(pw, bpp)
+            for s in range(pw):
+                x = x0 + s * dx
+                out[y, x * bpp : (x + 1) * bpp] = row[s]
+    if pos != len(raw):
+        raise ValueError(
+            f"interlaced IDAT is {len(raw)} bytes; Adam7 passes for"
+            f" {width}x{height} at bpp={bpp} need {pos}"
+        )
+    return out
+
+
 def png_pixel_stats(media: DataFrame) -> DataFrame:
     """REAL compressed-pixel decode: inflate the PNG IDAT stream with
     stdlib :mod:`zlib` (all IDAT chunks concatenated, per spec §5.6),
@@ -711,8 +757,7 @@ def png_pixel_stats(media: DataFrame) -> DataFrame:
                     "png_pixel_stats decodes greyscale-8 PNGs only"
                     f" (got depth={bit_depth} color_type={color_type})"
                 )
-            if payload[28] != 0:  # interlace byte of IHDR
-                raise ValueError("interlaced PNG not supported")
+            interlaced = payload[28] == 1  # IHDR interlace byte
             idat = b""
             pos = 8
             while pos + 8 <= len(payload):
@@ -725,8 +770,11 @@ def png_pixel_stats(media: DataFrame) -> DataFrame:
                 pos += 12 + clen  # len + type + data + CRC
             if not idat:
                 raise ValueError("no IDAT chunk")
-            px = _png_unfilter_gray8(
-                zlib.decompress(idat), width, height
+            raw = zlib.decompress(idat)
+            px = (
+                _png_unfilter_adam7(raw, width, height, 1)
+                if interlaced
+                else _png_unfilter_gray8(raw, width, height)
             )
             return (
                 px.size,
@@ -784,8 +832,7 @@ def png_rgb_stats(media: DataFrame) -> DataFrame:
                     "png_rgb_stats decodes 8-bit truecolor PNGs only"
                     f" (got depth={bit_depth} color_type={color_type})"
                 )
-            if payload[28] != 0:
-                raise ValueError("interlaced PNG not supported")
+            interlaced = payload[28] == 1
             idat = b""
             pos = 8
             while pos + 8 <= len(payload):
@@ -798,8 +845,11 @@ def png_rgb_stats(media: DataFrame) -> DataFrame:
                 pos += 12 + clen
             if not idat:
                 raise ValueError("no IDAT chunk")
-            px = _png_unfilter(
-                zlib.decompress(idat), width * 3, height, 3
+            raw = zlib.decompress(idat)
+            px = (
+                _png_unfilter_adam7(raw, width, height, 3)
+                if interlaced
+                else _png_unfilter(raw, width * 3, height, 3)
             ).reshape(height, width, 3).astype(np.int64)
             return (
                 width * height,
@@ -859,8 +909,7 @@ def png_palette_stats(media: DataFrame) -> DataFrame:
                     "png_palette_stats decodes 8-bit palette PNGs only"
                     f" (got depth={bit_depth} color_type={color_type})"
                 )
-            if payload[28] != 0:
-                raise ValueError("interlaced PNG not supported")
+            interlaced = payload[28] == 1
             idat = b""
             plte = None
             pos = 8
@@ -879,7 +928,12 @@ def png_palette_stats(media: DataFrame) -> DataFrame:
             if not idat:
                 raise ValueError("no IDAT chunk")
             pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
-            idx = _png_unfilter_gray8(zlib.decompress(idat), width, height)
+            raw = zlib.decompress(idat)
+            idx = (
+                _png_unfilter_adam7(raw, width, height, 1)
+                if interlaced
+                else _png_unfilter_gray8(raw, width, height)
+            )
             if int(idx.max(initial=0)) >= len(pal):
                 raise ValueError("palette index out of range")
             rgb = pal[idx.ravel()].astype(np.int64)

@@ -748,3 +748,84 @@ def test_png_rgb_stats_real_zlib_and_bpp3_filters(spark):
         int(px[:, :, 1].sum()),
         int(px[:, :, 2].sum()),
     )
+
+
+def test_png_adam7_interlaced_decode(spark):
+    """Adam7: seven independently-filtered sub-images scattered on
+    the spec grids. Build a genuinely interlaced + compressed grey
+    PNG (filter type r % 5 per pass scanline) and an RGB one; the
+    kernels must deinterlace to the exact stats of the source
+    raster."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from pagerank_hadoop_spark.operators.multimodal import (
+        _ADAM7,
+        _paeth,
+        attach_media,
+        png_pixel_stats,
+        png_rgb_stats,
+    )
+
+    def filt(flat, bpp):
+        # flat: (rows, cols*bpp) int array -> filtered scanline bytes
+        h = len(flat)
+        out = b""
+        for y in range(h):
+            f = y % 5
+            row = bytearray([f])
+            for x in range(len(flat[y])):
+                a = int(flat[y][x - bpp]) if x >= bpp else 0
+                b = int(flat[y - 1][x]) if y > 0 else 0
+                c = int(flat[y - 1][x - bpp]) if (x >= bpp and y > 0) else 0
+                pred = {0: 0, 1: a, 2: b, 3: (a + b) // 2,
+                        4: _paeth(a, b, c)}[f]
+                row.append((int(flat[y][x]) - pred) % 256)
+            out += bytes(row)
+        return out
+
+    def interlaced_png(px, color_type, bpp):
+        h, w = px.shape[0], px.shape[1]
+        stream = b""
+        for x0, dx, y0, dy in _ADAM7:
+            sub = px[y0::dy, x0::dx]
+            if sub.size == 0:
+                continue
+            stream += filt(sub.reshape(sub.shape[0], -1), bpp)
+
+        def chunk(ctype, data):
+            return struct.pack(">I", len(data)) + ctype + data + b"\x00" * 4
+
+        ihdr = struct.pack(">II", w, h) + bytes([8, color_type, 0, 0, 1])
+        return (
+            b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(stream, 6)) + chunk(b"IEND", b"")
+        )
+
+    rng = np.random.default_rng(37)
+    grey = rng.integers(0, 256, size=(11, 13)).astype(np.int64)
+    gdf = spark.createDataFrame(
+        [(1, bytearray(interlaced_png(grey, 0, 1)))],
+        "media_id long, payload binary",
+    )
+    r = png_pixel_stats(
+        attach_media(gdf, F.col("payload"), "image/png")
+    ).collect()[0]
+    assert (r.n_px, r.px_sum, r.px_min, r.px_max) == (
+        grey.size, int(grey.sum()), int(grey.min()), int(grey.max()),
+    )
+
+    rgb = rng.integers(0, 256, size=(10, 7, 3)).astype(np.int64)
+    cdf = spark.createDataFrame(
+        [(1, bytearray(interlaced_png(rgb, 2, 3)))],
+        "media_id long, payload binary",
+    )
+    r2 = png_rgb_stats(
+        attach_media(cdf, F.col("payload"), "image/png")
+    ).collect()[0]
+    assert (r2.n_px, r2.r_sum, r2.g_sum, r2.b_sum) == (
+        70, int(rgb[:, :, 0].sum()), int(rgb[:, :, 1].sum()),
+        int(rgb[:, :, 2].sum()),
+    )
