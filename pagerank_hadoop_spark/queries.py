@@ -7440,7 +7440,11 @@ def q_cms_event_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _jl_oracle_sql(signs: list[list[int]]) -> str:
     """DuckDB twin of functions.vectors.jl_project: the SAME md5-derived
     ±1 matrix as plan literals and the SAME left-fold add order, so the
-    doubles are bit-identical — no rounding required on either side."""
+    doubles are bit-identical — no rounding required on either side.
+    Emitted exploded as (vec_id, pos, val) scalar rows: the driver's
+    canonicalizer sorts result frames with pandas, which cannot hash
+    top-level list cells (r4 red-row root cause), so oracle-backed
+    outputs must be flat."""
     inv = 1.0 / float(len(signs)) ** 0.5
     outs = []
     for row in signs:
@@ -7451,8 +7455,11 @@ def _jl_oracle_sql(signs: list[list[int]]) -> str:
             )
         outs.append(f"(({expr}) * {inv!r})")
     return (
-        "SELECT vec_id, [" + ", ".join(outs) + "] AS proj "
-        "FROM embeddings ORDER BY vec_id"
+        "WITH t AS (SELECT vec_id, [" + ", ".join(outs) + "] AS proj "
+        "FROM embeddings), "
+        "u AS (SELECT vec_id, unnest(list_transform(proj, "
+        "(x, i) -> {'pos': CAST(i - 1 AS INTEGER), 'val': x})) AS s FROM t) "
+        "SELECT vec_id, s.pos AS pos, s.val AS val FROM u"
     )
 
 
@@ -7474,14 +7481,18 @@ def q_jl_projection_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     generation reads 4x fewer bytes (same sketch-then-verify shape as
     MinHash/PQ). The matrix is md5-derived (engine-independent), ships
     as plan literals, and the fold order is fixed, so the DuckDB twin
-    reproduces bit-identical doubles. Distortion bounds in
-    tests/test_sketches.py. Uses functions.vectors.jl_project."""
+    reproduces bit-identical doubles. Output is posexploded to
+    (vec_id, pos, val) scalar rows — oracle-backed results must not
+    carry top-level array columns (the driver canonicalizer can't hash
+    list cells; see check_oracle.py's flat-schema lint). Distortion
+    bounds in tests/test_sketches.py. Uses functions.vectors.jl_project."""
     from pagerank_hadoop_spark.functions.vectors import jl_project
 
     emb = _t(spark, sf_dir, "embeddings")
     return emb.select(
-        "vec_id", jl_project("embedding", _jl_signs()).alias("proj")
-    ).orderBy("vec_id")
+        "vec_id",
+        F.posexplode(jl_project("embedding", _jl_signs())).alias("pos", "val"),
+    )
 
 
 _ORACLES["jl_projection_vectors"] = _jl_oracle_sql(_jl_signs())
@@ -7689,13 +7700,19 @@ def q_stream_left_outer_band_join(spark: SparkSession, sf_dir: str) -> DataFrame
     """
     WITH t AS (
       SELECT vec_id, (embedding::DOUBLE[])[1:16] AS s FROM embeddings
+    ), m AS (
+      SELECT vec_id,
+             list_transform(
+               s, x -> CASE WHEN sqrt(list_dot_product(s, s)) > 0
+                            THEN ROUND(x / sqrt(list_dot_product(s, s)), 6)
+                            ELSE 0.0 END) AS mrl
+      FROM t
+    ), u AS (
+      SELECT vec_id, unnest(list_transform(mrl,
+        (x, i) -> {'pos': CAST(i - 1 AS INTEGER), 'val': x})) AS e
+      FROM m
     )
-    SELECT vec_id,
-           list_transform(
-             s, x -> CASE WHEN sqrt(list_dot_product(s, s)) > 0
-                          THEN ROUND(x / sqrt(list_dot_product(s, s)), 6)
-                          ELSE 0.0 END) AS mrl
-    FROM t ORDER BY vec_id
+    SELECT vec_id, e.pos AS pos, e.val AS val FROM u
     """,
 )
 def q_mrl_truncated_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -7703,7 +7720,10 @@ def q_mrl_truncated_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     their first 16 dims and renormalized to unit length, the serving-
     time compression knob of MRL-trained models. Map-only Column
     arithmetic (slice + fold + transform), no shuffle, no model;
-    rounded to 6 dp so the DuckDB list-expression twin matches. Uses
+    rounded to 6 dp so the DuckDB list-expression twin matches.
+    Posexploded to (vec_id, pos, val) scalar rows — the driver
+    canonicalizer can't hash top-level list cells (r4 red-row root
+    cause; check_oracle.py lints for this). Uses
     functions.vectors.mrl_truncate."""
     from pagerank_hadoop_spark.functions.vectors import mrl_truncate
 
@@ -7711,8 +7731,10 @@ def q_mrl_truncated_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     trunc = mrl_truncate("embedding", 16)
     return emb.select(
         "vec_id",
-        F.transform(trunc, lambda x: F.round(x, 6)).alias("mrl"),
-    ).orderBy("vec_id")
+        F.posexplode(
+            F.transform(trunc, lambda x: F.round(x, 6))
+        ).alias("pos", "val"),
+    )
 
 
 @register(

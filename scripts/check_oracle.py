@@ -76,6 +76,24 @@ def main():
         t0 = time.time()
         sdf = qs[name](spark, SF_DIR)
         scols = sdf.columns
+        if name in oracles:
+            # Flat-schema lint: the DRIVER's canonicalizer sorts result
+            # frames with pandas, which raises on unhashable list cells
+            # — any top-level array/map/struct column in an oracle-backed
+            # output is red in CORRECTNESS even when values are correct
+            # (r4: jl_projection_vectors / mrl_truncated_vectors).
+            complex_cols = [
+                f"{c}:{t}"
+                for c, t in sdf.dtypes
+                if t.startswith(("array", "map", "struct"))
+            ]
+            if complex_cols:
+                failures += 1
+                print(
+                    f"{name:32s} FAIL non-flat oracle-backed output "
+                    f"(driver canon can't hash): {complex_cols}"
+                )
+                continue
         srows = [tuple(r) for r in sdf.collect()]
         spark_s = time.time() - t0
         if name not in oracles:
