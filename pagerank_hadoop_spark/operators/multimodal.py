@@ -1009,10 +1009,11 @@ def lzw_decode_gif(min_code_size: int, data: bytes) -> bytes:
                 entry = prev + prev[:1]
             else:
                 raise ValueError(f"corrupt LZW stream: code {code}")
-            table[next_code] = prev + entry[:1]
-            next_code += 1
-            if next_code == (1 << width) and width < 12:
-                width += 1
+            if next_code < 4096:  # table full at 12 bits: stop inserting
+                table[next_code] = prev + entry[:1]
+                next_code += 1
+                if next_code == (1 << width) and width < 12:
+                    width += 1
         out += entry
         prev = entry
 
@@ -1070,16 +1071,20 @@ def gif_pixel_stats(media: DataFrame) -> DataFrame:
                 pos += 1
             if pos >= len(payload) or payload[pos] != 0x2C:
                 raise ValueError("no image descriptor")
+            if pos + 10 >= len(payload):
+                raise ValueError("truncated GIF image descriptor")
             if payload[pos + 9] & 0xC0:
                 raise ValueError("interlaced or local-table GIF")
             pos += 10
             min_code_size = payload[pos]
             pos += 1
             data = b""
-            while payload[pos] != 0:
+            while pos < len(payload) and payload[pos] != 0:
                 n = payload[pos]
                 data += payload[pos + 1 : pos + 1 + n]
                 pos += 1 + n
+            if pos >= len(payload):
+                raise ValueError("truncated GIF image data")
             idx = np.frombuffer(
                 lzw_decode_gif(min_code_size, data), dtype=np.uint8
             )

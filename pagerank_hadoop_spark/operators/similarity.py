@@ -113,6 +113,18 @@ def multivector_maxsim_topk(
         ),
         6,
     )
+    # the int-cast slice width silently truncates when the vector
+    # length is not divisible by n_sub (overlapping/short token
+    # slices, wrong scores) — raise typed like the other kernels
+    len_ok = (F.size(dv) % n_sub == 0) & (F.size(qv) % n_sub == 0)
+    score = F.when(len_ok, score).otherwise(
+        F.raise_error(
+            F.lit(
+                "multivector_maxsim_topk: size(vec) is not divisible "
+                f"by n_sub={n_sub}"
+            )
+        ).cast("double")
+    )
     # spread the corpus before the n_sub^2 interpreted sub-dots: the
     # parquet scan is byte-small (a few partitions) but this stage is
     # compute-bound, and AQE coalesces by bytes — the repo-documented

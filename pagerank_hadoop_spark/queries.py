@@ -10807,8 +10807,8 @@ def q_exact_substring_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, text FROM base
       UNION ALL
       SELECT doc_id + 1000000,
-             'visit our website for terms of service details'
-               || ' now doc' || CAST(doc_id AS VARCHAR) || ' end'
+             'visit our website for full terms of service details now'
+               || ' doc' || CAST(doc_id AS VARCHAR) || ' end'
       FROM base WHERE doc_id % 4 = 0),
     toks AS (
       SELECT doc_id,
@@ -10849,9 +10849,11 @@ def q_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     first copy included (C4/RefinedWeb posture: one kept copy per
     page template still over-represents it; contrast line_dedup_docs'
     keep-first). Fixture: every fourth doc spawns a companion whose
-    first 10-word line is a shared footer and whose tail line is
-    unique — the footer dies corpus-wide, the tail survives. Output
-    compares byte-exact kept text via md5."""
+    first 10-word line is a shared footer ("visit ... now" — exactly
+    10 identical tokens across all planted docs) and whose second
+    line ("doc{id} end") is unique — the multi-word footer dies
+    corpus-wide, the unique tail survives. Output compares byte-exact
+    kept text via md5."""
     from pagerank_hadoop_spark.operators.dedup import boilerplate_lines
 
     base = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 1500).select(
@@ -10860,7 +10862,9 @@ def q_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     planted = base.where(F.col("doc_id") % 4 == 0).select(
         (F.col("doc_id") + 1000000).alias("doc_id"),
         F.concat(
-            F.lit("visit our website for terms of service details now doc"),
+            F.lit(
+                "visit our website for full terms of service details now doc"
+            ),
             F.col("doc_id").cast("string"),
             F.lit(" end"),
         ).alias("text"),

@@ -238,3 +238,21 @@ def test_multivector_maxsim_late_interaction(spark):
     assert got == {1: 2.0, 2: 3.0, 3: 0.0}
     order = [r.vec_id for r in sorted(rows, key=lambda r: (-r.score, r.vec_id))]
     assert order == [2, 1, 3]
+
+def test_multivector_maxsim_rejects_indivisible_length(spark):
+    """A vector length not divisible by n_sub would silently mis-slice
+    (int-cast truncation -> overlapping/short token slices); the kernel
+    must raise a typed error instead."""
+    from pagerank_hadoop_spark.operators.similarity import (
+        multivector_maxsim_topk,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0, 1.0, 5.0])],  # length 5, n_sub 2
+        "vec_id long, v array<double>",
+    )
+    q = spark.createDataFrame(
+        [(100, [1.0, 0.0, 0.0, 1.0])], "q_id long, qv array<double>"
+    )
+    with pytest.raises(Exception, match="not divisible"):
+        multivector_maxsim_topk(corpus, q, k=1, n_sub=2).collect()
