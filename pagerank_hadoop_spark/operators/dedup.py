@@ -982,12 +982,86 @@ def _md5_prefix_hash(c: Column) -> Column:
     return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
 
 
+def _scrub_grams(
+    docs: DataFrame,
+    gram_len: int,
+    id_col: str,
+    text_col: str,
+    portable_hash: bool,
+) -> DataFrame:
+    """(id, p, h) stream of all gram start positions — the only thing
+    that ever leaves a row is an 8-byte hash per position."""
+    L = gram_len
+    txt = F.col(text_col)
+    hasher = _md5_prefix_hash if portable_hash else F.xxhash64
+    return (
+        docs.where(F.length(txt) >= L)  # sequence(1,0) would descend
+        .select(
+            F.col(id_col).alias("id"),
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.length(txt) - (L - 1)),
+                    lambda i: F.struct(
+                        i.alias("p"),
+                        hasher(F.substring(txt, i, L)).alias("h"),
+                    ),
+                )
+            ).alias("g"),
+        )
+        .select("id", F.col("g.p").alias("p"), F.col("g.h").alias("h"))
+    )
+
+
+def scrub_ownership(
+    docs: DataFrame,
+    gram_len: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    portable_hash: bool = False,
+) -> DataFrame:
+    """Per-shard gram-ownership table ``(h, own, nd)``: for each gram
+    hash, the smallest owning doc id and the count of DISTINCT docs
+    containing it — the mergeable aggregate of the 100 TB sharded
+    flow. When the corpus is partitioned by document (each doc in
+    exactly one shard — the shard/day layout), ``min`` and
+    ``count_distinct`` both merge losslessly across shards:
+    ``min`` is associative, and distinct-doc sets of disjoint shards
+    are disjoint, so counts ADD (:func:`scrub_merge`). Unit-pinned:
+    sharded-union ≡ single-pass in tests/test_dedup.py and the
+    driver-checked ``substring_scrub_sharded`` query."""
+    return _scrub_grams(docs, gram_len, id_col, text_col, portable_hash).groupBy(
+        "h"
+    ).agg(
+        F.min("id").alias("own"),
+        F.count_distinct("id").alias("nd"),
+    )
+
+
+def scrub_merge(*ownerships: DataFrame) -> DataFrame:
+    """Merge per-shard :func:`scrub_ownership` tables into the global
+    one: ``min`` of owners, ``sum`` of distinct-doc counts (exact
+    because doc-partitioned shards have disjoint id sets). The merge
+    law ``scrub_merge(own(A), own(B)) ≡ own(A ∪ B)`` is what lets a
+    100 TB corpus build ownership incrementally — yesterday's table is
+    an aggregate, not a rescan."""
+    if not ownerships:
+        raise ValueError("scrub_merge needs at least one ownership table")
+    merged = ownerships[0]
+    for o in ownerships[1:]:
+        merged = merged.unionByName(o)
+    return merged.groupBy("h").agg(
+        F.min("own").alias("own"),
+        F.sum("nd").cast("long").alias("nd"),
+    )
+
+
 def cross_doc_substring_scrub(
     docs: DataFrame,
     gram_len: int = 20,
     id_col: str = "doc_id",
     text_col: str = "text",
     portable_hash: bool = False,
+    ownership: DataFrame | None = None,
 ) -> DataFrame:
     """EXACT cross-document substring dedup statistics — the
     fixed-length-gram form of suffix-array training-data dedup
@@ -1012,29 +1086,21 @@ def cross_doc_substring_scrub(
     exact grouping). The ownership table is gram-cardinality-sized;
     the join back is hash-keyed. Interval-union arithmetic happens
     inside the row (sorted array fold, no shuffle).
+
+    ``ownership`` (optional) supplies a precomputed/merged ownership
+    table (:func:`scrub_ownership` per shard + :func:`scrub_merge`) —
+    the sharded 100 TB flow, where ``docs`` here is ONE shard being
+    scrubbed against the global table; per-doc stats depend only on
+    the doc's own grams plus global ownership, so per-shard apply ≡
+    single-pass (unit-pinned merge law).
     """
     L = gram_len
     txt = F.col(text_col)
-    hasher = _md5_prefix_hash if portable_hash else F.xxhash64
-    grams = (
-        docs.where(F.length(txt) >= L)  # sequence(1,0) would descend
-        .select(
-            F.col(id_col).alias("id"),
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(1), F.length(txt) - (L - 1)),
-                    lambda i: F.struct(
-                        i.alias("p"),
-                        hasher(F.substring(txt, i, L)).alias("h"),
-                    ),
-                )
-            ).alias("g"),
-        )
-        .select("id", F.col("g.p").alias("p"), F.col("g.h").alias("h"))
-    )
-    owner = grams.groupBy("h").agg(
-        F.min("id").alias("own"),
-        F.count_distinct("id").alias("nd"),
+    grams = _scrub_grams(docs, gram_len, id_col, text_col, portable_hash)
+    owner = (
+        ownership
+        if ownership is not None
+        else scrub_ownership(docs, gram_len, id_col, text_col, portable_hash)
     )
     dup_pos = (
         grams.join(owner, "h")

@@ -153,6 +153,202 @@ def _lit_dot(vec, consts: list[float]):
     )
 
 
+def maxsim_screened_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_sub: int = 8,
+    nprobe: int = 2,
+    refine: int = 4,
+    n_cells: int = 32,
+    seed: int = 52,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+    q_id_col: str = "q_id",
+    q_vec_col: str = "qv",
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """PRODUCTION multi-vector MaxSim: PLAID-style centroid screening
+    (Santhanam et al. 2022) in front of exact late interaction, so the
+    exact :func:`multivector_maxsim_topk` scoring — 78×/decade brute
+    growth at sf10 — runs on ``refine·k`` candidates per query instead
+    of the whole corpus. Three stages, each with a bounded footprint:
+
+    1. **Token IVF screen** — every token vector (corpus and query) is
+       assigned to its nearest of ``n_cells`` centroids (argmax of
+       6dp-rounded literal dots, tie → larger cell, the repo's
+       max-struct convention). A document is a candidate for a query
+       iff one of its token cells is among the query tokens' top
+       ``nprobe`` probed cells — the same inverted-file shape as
+       :func:`ivf_topk`, at token granularity. Only ``(id, codes)``
+       rows (m small ints, not float vectors) flow through this join.
+    2. **Centroid-LUT approximate score** — per query a
+       ``n_sub × n_cells`` lookup table ``qlut[i][c] = round(⟨q_i,
+       centroid_c⟩, 6)`` is computed once on the broadcast query side;
+       a candidate's approximate MaxSim is ``Σ_i max_j
+       qlut[i][codes[j]]`` — pure ``element_at`` lookups per pair, no
+       float-vector math (the ADC trick of :func:`pq_topk` applied to
+       late interaction). Top ``refine·k`` per query survive, ranked
+       by (rounded score desc, id asc).
+    3. **Exact re-rank** — only the shortlist joins back to its full
+       vectors for the exact slice/dot/max/sum MaxSim of
+       :func:`multivector_maxsim_topk`; final top-k.
+
+    At 100 TB: stage 1's shuffle carries ids+codes only, stage 2 is a
+    scan over ~m-byte code rows with the LUT broadcast, stage 3
+    materializes ``refine·k·|queries|`` full vectors — the brute
+    referee's corpus×queries float scoring never happens.
+
+    ``centroids`` (``n_cells`` × token-dim literal floats) is the
+    oracle-checkable form (``recall_maxsim_topk``); ``None`` trains
+    them with seeded Lloyd k-means on a bounded sample of corpus token
+    vectors (``n_cells·200`` tokens regardless of corpus size — the
+    :func:`ivf_kmeans_topk` posture), the production path, recall-
+    floor-gated in tests.
+    """
+    import numpy as np
+
+    def token(vec, i):
+        return F.slice(
+            vec,
+            (i * F.size(vec) / n_sub + 1).cast("int"),
+            (F.size(vec) / n_sub).cast("int"),
+        )
+
+    if centroids is None:
+        rows = (
+            corpus.select(F.col(vec_col).cast("array<double>").alias("v"))
+            .limit(n_cells * 200 // n_sub + 1)
+            .collect()
+        )
+        toks = np.array(
+            [r.v[s : s + len(r.v) // n_sub]
+             for r in rows
+             for s in range(0, len(r.v), len(r.v) // n_sub)],
+            dtype=np.float64,
+        )
+        centroids = [
+            [float(x) for x in c] for c in _lloyd(toks, n_cells, seed)
+        ]
+
+    def cell_sims(tok):
+        return F.array(*[
+            F.struct(
+                F.round(_lit_dot(tok, c), 6).alias("sim"),
+                F.lit(cell).alias("cell"),
+            )
+            for cell, c in enumerate(centroids)
+        ])
+
+    def code(tok):
+        return F.array_max(cell_sims(tok))["cell"]
+
+    dv, qv = F.col(vec_col), F.col(q_vec_col)
+    len_ok = F.size(dv) % n_sub == 0
+    codes = F.when(
+        len_ok, F.array(*[code(token(dv, j)) for j in range(n_sub)])
+    ).otherwise(
+        F.raise_error(
+            F.lit(f"maxsim_screened_topk: size(vec) not divisible by {n_sub}")
+        ).cast("array<int>")
+    )
+    # spread before the n_sub·n_cells interpreted centroid dots: the
+    # scan is byte-small but this stage is compute-bound and AQE
+    # coalesces by bytes (the repo-documented HOF-stage trap)
+    par = corpus.sparkSession.sparkContext.defaultParallelism
+    c_coded = (
+        corpus.repartition(par)
+        .select(id_col, codes.alias("codes"))
+        .withColumn("cell", F.explode(F.array_distinct("codes")))
+    )
+
+    def probe(tok):
+        cells = F.slice(F.reverse(F.array_sort(cell_sims(tok))), 1, nprobe)
+        return F.transform(cells, lambda s: s["cell"])
+
+    qlut = F.array(*[
+        F.array(*[
+            F.round(_lit_dot(token(qv, i), c), 6) for c in centroids
+        ])
+        for i in range(n_sub)
+    ])
+    q_side = queries.select(
+        q_id_col,
+        qlut.alias("qlut"),
+        F.array_distinct(
+            F.flatten(F.array(*[probe(token(qv, i)) for i in range(n_sub)]))
+        ).alias("pcells"),
+    ).withColumn("cell", F.explode("pcells")).drop("pcells")
+
+    cand = (
+        c_coded.join(F.broadcast(q_side), "cell")
+        .where(F.col(id_col) != F.col(q_id_col))
+        .dropDuplicates([q_id_col, id_col])
+    )
+    def _lut_term(i: int):
+        # bind i via closure: a default arg would make the lambda
+        # binary, which transform() reads as (element, INDEX) — the
+        # index would silently shadow i (the zip_with arity trap)
+        return F.array_max(
+            F.transform(
+                F.col("codes"),
+                lambda cd: F.element_at(
+                    F.element_at(F.col("qlut"), i + 1), cd + 1
+                ),
+            )
+        )
+
+    approx = F.round(
+        sum((_lut_term(i) for i in range(n_sub)), start=F.lit(0.0)),
+        6,
+    )
+    w_short = Window.partitionBy(q_id_col).orderBy(
+        F.desc("ascore"), F.asc(id_col)
+    )
+    shortlist = (
+        cand.select(q_id_col, id_col, approx.alias("ascore"))
+        .withColumn("rn", F.row_number().over(w_short))
+        .where(F.col("rn") <= refine * k)
+        .select(q_id_col, id_col)
+    )
+    # exact MaxSim only on the shortlist: refine·k·|queries| full
+    # vectors materialize — both join sides are shortlist-sized, so
+    # they broadcast against the corpus/query scans
+    pairs = (
+        corpus.join(F.broadcast(shortlist), id_col)
+        .join(F.broadcast(queries), q_id_col)
+    )
+
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    idx = F.sequence(F.lit(0), F.lit(n_sub - 1))
+    score = F.round(
+        F.aggregate(
+            idx,
+            F.lit(0.0),
+            lambda acc, i: acc
+            + F.array_max(
+                F.transform(
+                    idx, lambda j: F.round(dot(token(qv, i), token(dv, j)), 6)
+                )
+            ),
+        ),
+        6,
+    )
+    w = Window.partitionBy(q_id_col).orderBy(F.desc("score"), F.asc(id_col))
+    return (
+        pairs.select(q_id_col, id_col, score.alias("score"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .drop("rn")
+    )
+
+
 def _hyperplane_bucket(
     vec, n_planes: int = 12, planes: list[list[float]] | None = None
 ):

@@ -473,6 +473,59 @@ def test_cross_doc_substring_scrub_interval_union(spark):
     assert porta == got
 
 
+def test_scrub_merge_law_sharded_equals_single_pass(spark):
+    """Merge law for the 100 TB sharded flow: per-shard ownership
+    tables merged with min/sum (scrub_merge) + per-shard apply must
+    equal the single-pass scrub over the union — including the case
+    where a gram's true owner and its duplicators live in DIFFERENT
+    shards (docs 1 and 2 split across parities below)."""
+    from pagerank_hadoop_spark.operators.dedup import (
+        cross_doc_substring_scrub,
+        scrub_merge,
+        scrub_ownership,
+    )
+
+    shared = "ABCDEFGHIJKLMNOPQRSTUVWXY"  # 25 chars
+    other = "0123456789abcdefghij"        # 20 chars, cross-shard pair
+    rows = [
+        (1, "xx" + shared + "zzzz"),           # shard odd: owner of `shared`
+        (2, "qqqq" + shared + "rr"),           # shard even: duplicator
+        (3, "totally different content."),     # shard odd
+        (4, other + " padding words"),          # shard even: owner of `other`
+        (5, "lead-in " + other),               # shard odd: duplicator
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    single = {
+        r.doc_id: (r.n_dup_grams, r.scrubbed_chars, r.kept_chars)
+        for r in cross_doc_substring_scrub(docs, gram_len=20).collect()
+    }
+    a = docs.where("doc_id % 2 = 0")
+    b = docs.where("doc_id % 2 = 1")
+    merged = scrub_merge(scrub_ownership(a), scrub_ownership(b))
+    sharded = {}
+    for shard in (a, b):
+        for r in cross_doc_substring_scrub(
+            shard, gram_len=20, ownership=merged
+        ).collect():
+            sharded[r.doc_id] = (r.n_dup_grams, r.scrubbed_chars, r.kept_chars)
+    assert sharded == single
+    # and the law holds for >2 shards / merge-of-merge associativity
+    c1 = docs.where("doc_id <= 2")
+    c2 = docs.where("doc_id in (3, 4)")
+    c3 = docs.where("doc_id = 5")
+    m3 = scrub_merge(
+        scrub_merge(scrub_ownership(c1), scrub_ownership(c2)),
+        scrub_ownership(c3),
+    )
+    three = {}
+    for shard in (c1, c2, c3):
+        for r in cross_doc_substring_scrub(
+            shard, gram_len=20, ownership=m3
+        ).collect():
+            three[r.doc_id] = (r.n_dup_grams, r.scrubbed_chars, r.kept_chars)
+    assert three == single
+
+
 def test_boilerplate_lines_removes_all_copies(spark):
     """A line in >= min_docs distinct docs dies EVERYWHERE (unlike
     line_dedup's keep-first); sub-threshold repeats survive."""

@@ -505,3 +505,26 @@ def test_k_truss_cascade_and_support(spark):
     # empty input: empty result, no crash
     empty = spark.createDataFrame([], "src long, dst long")
     assert k_truss(empty, k=3).count() == 0
+
+def test_k_truss_precore_equivalence(spark):
+    """precore=True ((k-1)-core peel before the triangle loop) is a
+    truss-preserving reduction: identical (src, dst, support) output
+    on the cascade fixture plus a pendant path that only the core
+    peel removes — and on the empty graph."""
+    from pagerank_hadoop_spark.operators.graph import k_truss
+
+    clique = [(i, j) for i in range(10, 14) for j in range(10, 14) if i < j]
+    fan = [(0, 1)] + [(0, c) for c in range(2, 6)] + [(1, c) for c in range(2, 6)]
+    # low-degree fringe the 3-core strips before any triangle work
+    path = [(20, 21), (21, 22), (22, 10)]
+    edges = spark.createDataFrame(clique + fan + path, "src long, dst long")
+
+    plain = {(r.src, r.dst): r.support for r in k_truss(edges, k=4).collect()}
+    pre = {
+        (r.src, r.dst): r.support
+        for r in k_truss(edges, k=4, precore=True).collect()
+    }
+    assert pre == plain == {(i, j): 2 for i, j in clique}
+
+    empty = spark.createDataFrame([], "src long, dst long")
+    assert k_truss(empty, k=4, precore=True).count() == 0

