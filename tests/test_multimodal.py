@@ -829,3 +829,151 @@ def test_png_adam7_interlaced_decode(spark):
         70, int(rgb[:, :, 0].sum()), int(rgb[:, :, 1].sum()),
         int(rgb[:, :, 2].sum()),
     )
+
+
+# ---------------------------------------------------------------------------
+# baseline JPEG codec (round 5)
+# ---------------------------------------------------------------------------
+
+def test_jpeg_block_constant_roundtrip_exact():
+    """DC-only blocks (constant 8x8) survive the lossy pipeline
+    bit-exactly with all-ones quant tables — the property the in-query
+    oracle fixtures rely on."""
+    import numpy as np
+
+    from pagerank_hadoop_spark.operators.multimodal import (
+        jpeg_decode,
+        jpeg_encode,
+    )
+
+    px = np.zeros((16, 24), dtype=np.uint8)
+    for by in range(2):
+        for bx in range(3):
+            px[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                bx * 7 + by * 13 + 5
+            ) % 256
+    w, h, planes = jpeg_decode(jpeg_encode([px]))
+    assert (w, h) == (24, 16)
+    assert (planes[0] == px).all()
+
+
+def test_jpeg_420_color_roundtrip_exact():
+    """4:2:0: interleaved MCU order, per-component DC predictors, and
+    chroma replication all reproduce component planes exactly when Y
+    is block-constant and chroma MCU-constant."""
+    import numpy as np
+
+    from pagerank_hadoop_spark.operators.multimodal import (
+        jpeg_decode,
+        jpeg_encode,
+    )
+
+    w, h = 32, 16
+    y = np.zeros((h, w), dtype=np.uint8)
+    for by in range(2):
+        for bx in range(4):
+            y[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (bx * 7 + by * 13 + 9) % 256
+    cb = np.zeros((8, 16), dtype=np.uint8)
+    cr = np.zeros((8, 16), dtype=np.uint8)
+    for mx in range(2):
+        cb[:, mx * 8 : mx * 8 + 8] = (mx * 11 + 9) % 256
+        cr[:, mx * 8 : mx * 8 + 8] = (mx * 5 + 18) % 256
+    data = jpeg_encode([y, cb, cr], sampling=[(2, 2), (1, 1), (1, 1)])
+    W, H, planes = jpeg_decode(data)
+    assert (W, H) == (w, h)
+    assert (planes[0] == y).all()
+    assert (planes[1] == np.repeat(np.repeat(cb, 2, 0), 2, 1)).all()
+    assert (planes[2] == np.repeat(np.repeat(cr, 2, 0), 2, 1)).all()
+
+
+def test_jpeg_ac_runlength_path_vs_coefficient_replay():
+    """Arbitrary pixels exercise the full AC path (runs, ZRL, EOB,
+    magnitude extend). The decoder must reproduce EXACTLY the IDCT of
+    the quantized coefficients the independent encoder emitted — an
+    in-test IDCT (explicit double-loop formula, not the decoder's
+    matrix) replays the expectation."""
+    import math
+
+    import numpy as np
+
+    from pagerank_hadoop_spark.operators.multimodal import (
+        jpeg_decode,
+        jpeg_encode,
+    )
+
+    rng = np.random.default_rng(7)
+    px = rng.integers(0, 256, size=(16, 16), dtype=np.int64).astype(np.uint8)
+    data = jpeg_encode([px])
+    coeffs = jpeg_encode.last_coefficients
+
+    def idct_ref(blk):
+        out = np.zeros((8, 8))
+        for yy in range(8):
+            for xx in range(8):
+                s = 0.0
+                for v in range(8):
+                    for u in range(8):
+                        cu = 1 / math.sqrt(2) if u == 0 else 1.0
+                        cv = 1 / math.sqrt(2) if v == 0 else 1.0
+                        s += (
+                            cu * cv / 4.0 * blk[v][u]
+                            * math.cos((2 * xx + 1) * u * math.pi / 16)
+                            * math.cos((2 * yy + 1) * v * math.pi / 16)
+                        )
+                out[yy, xx] = s
+        return out
+
+    expected = np.zeros((16, 16))
+    i = 0
+    for my in range(2):
+        for mx in range(2):
+            blk = idct_ref(coeffs[i].astype(np.float64)) + 128.0
+            expected[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8] = np.clip(
+                np.floor(blk + 0.5), 0, 255
+            )
+            i += 1
+    _, _, planes = jpeg_decode(data)
+    assert (planes[0] == expected.astype(np.uint8)).all()
+    # lossy sanity: quant-1 error is tiny on real pixels
+    assert np.abs(planes[0].astype(int) - px.astype(int)).max() <= 2
+
+
+def test_jpeg_typed_errors():
+    """Out-of-profile inputs raise typed ValueErrors, never garbage
+    pixels or IndexErrors: not-a-JPEG, truncated entropy stream,
+    progressive SOF2, restart intervals, 16-bit quant tables."""
+    import numpy as np
+    import pytest as _pytest
+
+    from pagerank_hadoop_spark.operators.multimodal import (
+        jpeg_decode,
+        jpeg_encode,
+    )
+
+    with _pytest.raises(ValueError, match="not a JPEG"):
+        jpeg_decode(b"\x00\x01\x02\x03")
+
+    px = np.full((8, 8), 77, dtype=np.uint8)
+    good = jpeg_encode([px])
+    with _pytest.raises(ValueError, match="truncated|entropy"):
+        jpeg_decode(good[:-4])  # chop entropy + EOI
+
+    def patch_marker(data, old, new):
+        i = data.index(bytes([0xFF, old]))
+        return data[:i] + bytes([0xFF, new]) + data[i + 2 :]
+
+    with _pytest.raises(ValueError, match="non-baseline"):
+        jpeg_decode(patch_marker(good, 0xC0, 0xC2))  # progressive
+
+    # inject a DRI segment after DQT
+    i = good.index(bytes([0xFF, 0xC0]))
+    dri = bytes([0xFF, 0xDD, 0x00, 0x04, 0x00, 0x08])
+    with _pytest.raises(ValueError, match="restart"):
+        jpeg_decode(good[:i] + dri + good[i:])
+
+    # flip DQT precision nibble to 16-bit
+    j = good.index(bytes([0xFF, 0xDB]))
+    bad = bytearray(good)
+    bad[j + 4] = 0x10
+    with _pytest.raises(ValueError, match="16-bit"):
+        jpeg_decode(bytes(bad))
