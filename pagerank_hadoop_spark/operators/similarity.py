@@ -199,7 +199,8 @@ def maxsim_screened_topk(
     materializes ``refine·k·|queries|`` full vectors — the brute
     referee's corpus×queries float scoring never happens.
 
-    ``centroids`` (``n_cells`` × token-dim literal floats) is the
+    ``centroids`` (``n_cells`` × token-dim explicit floats — shipped
+    in the Arrow kernel closure, not as plan literals) is the
     oracle-checkable form (``recall_maxsim_topk``); ``None`` trains
     them with seeded Lloyd k-means on a bounded sample of corpus token
     vectors (``n_cells·200`` tokens regardless of corpus size — the
@@ -231,53 +232,93 @@ def maxsim_screened_topk(
             [float(x) for x in c] for c in _lloyd(toks, n_cells, seed)
         ]
 
-    def cell_sims(tok):
-        return F.array(*[
-            F.struct(
-                F.round(_lit_dot(tok, c), 6).alias("sim"),
-                F.lit(cell).alias("cell"),
-            )
-            for cell, c in enumerate(centroids)
-        ])
+    # Token-centroid similarity stages run as Arrow-batched NumPy
+    # kernels, NOT literal expression forests: n_sub·n_cells fold-dot
+    # Columns cost ~30k py4j calls to BUILD and run on the interpreted
+    # HOF evaluator (measured 26 s plan construction + 10 s execution
+    # at 2k rows) — the repo-documented "Arrow/NumPy pandas_udf for
+    # the real hot paths" rule. The centroid matrix travels in the UDF
+    # closure (n_cells·sub doubles). Rounding uses floor(x·1e6+0.5)/1e6,
+    # which equals Spark/DuckDB ROUND half-away-from-zero except at
+    # exact .5·1e-6 boundaries (measure-zero for gaussian dots; the
+    # oracle hash gate would catch one).
+    from pyspark.sql.functions import pandas_udf
 
-    def code(tok):
-        return F.array_max(cell_sims(tok))["cell"]
+    cmat = np.array(centroids, dtype=np.float64)
+    n_cells_eff = cmat.shape[0]
+
+    def _round6(a):
+        return np.floor(a * 1e6 + 0.5) / 1e6
+
+    def _tok_matrix(series: "pd.Series"):
+        vecs = np.array(series.tolist(), dtype=np.float64)
+        if vecs.ndim != 2 or vecs.shape[1] % n_sub:
+            raise ValueError(
+                f"maxsim_screened_topk: size(vec) is not divisible "
+                f"by n_sub={n_sub}"
+            )
+        n, d = vecs.shape
+        return vecs.reshape(n, n_sub, d // n_sub)
+
+    @pandas_udf("array<int>")
+    def _codes_udf(v):
+        import pandas as pd
+
+        if len(v) == 0:
+            return pd.Series([], dtype=object)
+        sims = _round6(_tok_matrix(v) @ cmat.T)  # (n, n_sub, n_cells)
+        # argmax with tie -> LARGER cell (the max-struct convention):
+        # argmax over the reversed cell axis picks the last maximum
+        idx = n_cells_eff - 1 - np.argmax(sims[:, :, ::-1], axis=2)
+        return pd.Series([row.astype("int32").tolist() for row in idx])
+
+    @pandas_udf("array<array<double>>")
+    def _qlut_udf(v):
+        import pandas as pd
+
+        if len(v) == 0:
+            return pd.Series([], dtype=object)
+        sims = _round6(_tok_matrix(v) @ cmat.T)
+        return pd.Series(
+            [[[float(x) for x in tok] for tok in row] for row in sims]
+        )
+
+    @pandas_udf("array<int>")
+    def _probe_udf(v):
+        import pandas as pd
+
+        if len(v) == 0:
+            return pd.Series([], dtype=object)
+        sims = _round6(_tok_matrix(v) @ cmat.T)
+        cells = np.arange(n_cells_eff)
+        out = []
+        for row in sims:
+            got: set[int] = set()
+            for tok in row:
+                # lexsort: primary sim desc, tie cell desc
+                order = np.lexsort((-cells, -tok))[:nprobe]
+                got.update(int(c) for c in order)
+            out.append(sorted(got))
+        return pd.Series(out)
 
     dv, qv = F.col(vec_col), F.col(q_vec_col)
-    len_ok = F.size(dv) % n_sub == 0
-    codes = F.when(
-        len_ok, F.array(*[code(token(dv, j)) for j in range(n_sub)])
-    ).otherwise(
-        F.raise_error(
-            F.lit(f"maxsim_screened_topk: size(vec) not divisible by {n_sub}")
-        ).cast("array<int>")
-    )
-    # spread before the n_sub·n_cells interpreted centroid dots: the
-    # scan is byte-small but this stage is compute-bound and AQE
-    # coalesces by bytes (the repo-documented HOF-stage trap)
+    # spread before the Arrow coding stage: the scan is byte-small but
+    # this stage is compute-bound and AQE coalesces by bytes (the
+    # repo-documented HOF-stage trap)
     par = corpus.sparkSession.sparkContext.defaultParallelism
     c_coded = (
         corpus.repartition(par)
-        .select(id_col, codes.alias("codes"))
+        .select(
+            id_col,
+            _codes_udf(dv.cast("array<double>")).alias("codes"),
+        )
         .withColumn("cell", F.explode(F.array_distinct("codes")))
     )
 
-    def probe(tok):
-        cells = F.slice(F.reverse(F.array_sort(cell_sims(tok))), 1, nprobe)
-        return F.transform(cells, lambda s: s["cell"])
-
-    qlut = F.array(*[
-        F.array(*[
-            F.round(_lit_dot(token(qv, i), c), 6) for c in centroids
-        ])
-        for i in range(n_sub)
-    ])
     q_side = queries.select(
         q_id_col,
-        qlut.alias("qlut"),
-        F.array_distinct(
-            F.flatten(F.array(*[probe(token(qv, i)) for i in range(n_sub)]))
-        ).alias("pcells"),
+        _qlut_udf(qv.cast("array<double>")).alias("qlut"),
+        _probe_udf(qv.cast("array<double>")).alias("pcells"),
     ).withColumn("cell", F.explode("pcells")).drop("pcells")
 
     cand = (
