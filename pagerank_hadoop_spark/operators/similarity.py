@@ -901,3 +901,178 @@ def hard_negative_topk(
         .where(F.col("rn") <= k)
         .drop("rn")
     )
+
+
+def ivf_pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    m: int = 8,
+    n_codes: int = 16,
+    refine: int = 4,
+    seed: int = 21,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+    q_id_col: str = "q_id",
+    q_vec_col: str = "qv",
+) -> DataFrame:
+    """The CLASSIC IVF-PQ index (Jégou et al. 2011) as one composed
+    operator — previously only prose in SCALE.md ("compose with IVF
+    when both pruning and compression are needed"), now a code path:
+
+    * **Coarse quantizer** (:func:`_lloyd`, seeded) assigns each
+      vector to its best of ``n_cells`` cells by dot product — the
+      IVF pruning axis: queries probe ``nprobe`` cells, the rest of
+      the corpus is never scanned.
+    * **Residual PQ**: per-subspace codebooks are trained on
+      RESIDUALS ``x − centroid(cell)`` (the quantity PQ can actually
+      compress well once the coarse structure is removed); the corpus
+      persists as ``(id, cell, m codes)`` — the compression axis: a
+      100 TB float corpus scans as ~m bytes/vector inside probed
+      cells only.
+    * **ADC with centroid correction**: ``q·x ≈ q·c_cell +
+      Σ_s q_sub·book_s[code_s]`` — the per-(query, cell) lookup
+      tables and the ``q·c`` term are computed once on the broadcast
+      query side (Arrow kernel), so the scan does m ``element_at``
+      adds per candidate row, no float-vector math.
+    * **Exact re-rank** of the top ``refine·k`` per query (rounded
+      ADC desc, id asc) against full vectors; final exact-cosine
+      top-k.
+
+    Both training collects are bounded samples (n_cells·200 rows) —
+    driver state O(n_cells·dim + m·n_codes·sub) regardless of corpus
+    size. Trained end to end, so registered rows-only; recall is
+    floor-gated against the exact referee in tests (the ADC/IVF
+    machinery itself is oracle-pinned by recall_{ivf,pq,maxsim}_topk,
+    which share every building block).
+    """
+    import numpy as np
+    import pandas as pd
+
+    sample = np.array(
+        [
+            r[0]
+            for r in corpus.select(F.col(vec_col).cast("array<double>"))
+            .limit(n_cells * 200)
+            .collect()
+        ],
+        dtype=np.float64,
+    )
+    dim = sample.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
+    sub = dim // m
+    centers = _lloyd(sample, n_cells, seed)  # (n_cells, dim)
+    assign = np.argmax(sample @ centers.T, axis=1)
+    resid = sample - centers[assign]
+    books = np.stack(
+        [
+            _lloyd(resid[:, s * sub : (s + 1) * sub], n_codes, seed + 1 + s)
+            for s in range(m)
+        ]
+    )  # (m, n_codes, sub)
+    c_norms = (books * books).sum(axis=2)  # (m, n_codes)
+
+    enc_schema = f"{id_col} long, cell int, codes array<int>"
+
+    def encode_batches(it):
+        for pdf in it:
+            if pdf.empty:
+                continue
+            X = np.array(pdf["__v"].tolist(), dtype=np.float64)
+            cell = np.argmax(X @ centers.T, axis=1)
+            R = X - centers[cell]
+            codes = np.empty((len(X), m), dtype=np.int32)
+            for s in range(m):
+                Rs = R[:, s * sub : (s + 1) * sub]
+                codes[:, s] = np.argmin(
+                    c_norms[s][None, :] - 2.0 * (Rs @ books[s].T), axis=1
+                )
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "cell": cell.astype("int32"),
+                    "codes": [c.tolist() for c in codes],
+                }
+            )
+
+    par = corpus.sparkSession.sparkContext.defaultParallelism
+    # the PQ index itself: (id, cell, codes) — persisted by any real
+    # deployment; materialized so the probe join doesn't re-encode
+    encoded = (
+        corpus.repartition(par)
+        .select(id_col, F.col(vec_col).cast("array<double>").alias("__v"))
+        .mapInPandas(encode_batches, enc_schema)
+        .localCheckpoint(eager=True)
+    )
+
+    probe_schema = (
+        f"{q_id_col} long, cell int, qc double, lut array<array<double>>"
+    )
+
+    def probe_batches(it):
+        for pdf in it:
+            if pdf.empty:
+                continue
+            Q = np.array(pdf["__qv"].tolist(), dtype=np.float64)
+            S = Q @ centers.T  # (nq, n_cells)
+            order = np.argsort(-S, axis=1)[:, :nprobe]
+            out_q, out_c, out_qc, out_lut = [], [], [], []
+            for qi in range(len(Q)):
+                lut = [
+                    (Q[qi, s * sub : (s + 1) * sub] @ books[s].T).tolist()
+                    for s in range(m)
+                ]
+                for c in order[qi]:
+                    out_q.append(pdf[q_id_col].iloc[qi])
+                    out_c.append(int(c))
+                    out_qc.append(float(S[qi, c]))
+                    out_lut.append(lut)
+            yield pd.DataFrame(
+                {
+                    q_id_col: out_q,
+                    "cell": out_c,
+                    "qc": out_qc,
+                    "lut": out_lut,
+                }
+            )
+
+    q_probes = queries.select(
+        q_id_col, F.col(q_vec_col).cast("array<double>").alias("__qv")
+    ).mapInPandas(probe_batches, probe_schema)
+
+    adc = F.round(
+        F.col("qc")
+        + F.aggregate(
+            F.zip_with(
+                F.col("codes"),
+                F.col("lut"),
+                lambda code, lut_s: F.element_at(lut_s, code + 1),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        6,
+    )
+    w = Window.partitionBy(q_id_col).orderBy(F.desc("adc"), F.asc(id_col))
+    shortlist = (
+        encoded.join(F.broadcast(q_probes), "cell")
+        .where(F.col(id_col) != F.col(q_id_col))
+        .select(q_id_col, id_col, adc.alias("adc"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= refine * k)
+        .select(q_id_col, id_col)
+    )
+    cands = shortlist.join(corpus.select(id_col, vec_col), id_col).join(
+        F.broadcast(queries.select(q_id_col, q_vec_col)), q_id_col
+    )
+    sim = F.round(cosine_similarity(F.col(q_vec_col), F.col(vec_col)), 6)
+    w2 = Window.partitionBy(q_id_col).orderBy(F.desc("sim"), F.asc(id_col))
+    return (
+        cands.select(q_id_col, id_col, sim.alias("sim"))
+        .withColumn("rn", F.row_number().over(w2))
+        .where(F.col("rn") <= k)
+        .drop("rn")
+    )

@@ -11938,3 +11938,22 @@ def q_media_jpeg_rgb(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = spark.createDataFrame(rows, "media_id long, payload binary")
     media = attach_media(df, F.col("payload"), media_type="image/jpeg")
     return jpeg_rgb_stats(media).orderBy("media_id")
+
+
+@register("ivf_pq_topk")
+def q_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3 [r5]: the classic IVF-PQ index as one composed operator
+    (operators.similarity.ivf_pq_topk) — coarse quantizer pruning
+    (nprobe of n_cells cells scanned) on top of residual product
+    quantization (the corpus scans as m code bytes per vector inside
+    probed cells), ADC with centroid correction, exact re-rank of the
+    refine·k shortlist. Previously only prose in SCALE.md's PQ note;
+    now code. Fully trained (seeded Lloyd on bounded samples) →
+    rows-only; recall floor vs exact cosine pinned in
+    tests/test_similarity.py."""
+    from pagerank_hadoop_spark.operators.similarity import ivf_pq_topk
+
+    emb, queries_df = _ann_inputs(spark, sf_dir)
+    return ivf_pq_topk(emb, queries_df, k=5).orderBy(
+        "q_id", F.desc("sim"), "vec_id"
+    )
