@@ -8694,10 +8694,13 @@ def q_drift_event_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS skew_ratio_micro
       FROM c),
     h AS (
-      SELECT list(k ORDER BY cnt DESC, k)[1:5] AS hot_keys,
-             list(cnt ORDER BY cnt DESC, k)[1:5] AS hot_cnts
+      SELECT unnest(list_transform(
+               list({'k': k, 'cnt': cnt} ORDER BY cnt DESC, k)[1:5],
+               (x, i) -> {'rank': CAST(i AS INTEGER),
+                          'k': x.k, 'cnt': x.cnt})) AS e
       FROM c)
-    SELECT n_keys, n_rows, max_cnt, skew_ratio_micro, hot_keys, hot_cnts
+    SELECT n_keys, n_rows, max_cnt, skew_ratio_micro,
+           e.rank AS rank, e.k AS hot_key, e.cnt AS hot_cnt
     FROM s CROSS JOIN h
     """,
 )
@@ -8706,7 +8709,10 @@ def q_join_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators.quality.key_skew_profile) of events.user_id — key
     cardinality, max key population, max/mean skew ratio, and the 5
     hottest keys, computed as one partial-aggregated count shuffle +
-    a TakeOrdered top-n (never a collect over all keys)."""
+    a TakeOrdered top-n (never a collect over all keys). Hot keys are
+    posexploded to (rank, hot_key, hot_cnt) rows — oracle-backed
+    outputs must be flat (the driver canon can't hash array cells;
+    check_oracle.py lint)."""
     from pagerank_hadoop_spark.operators.quality import key_skew_profile
 
     ev = _t(spark, sf_dir, "events")
@@ -8716,8 +8722,15 @@ def q_join_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_rows",
         "max_cnt",
         "skew_ratio_micro",
-        F.transform("hot", lambda s: s["k"]).alias("hot_keys"),
-        F.transform("hot", lambda s: s["cnt"].cast("long")).alias("hot_cnts"),
+        F.posexplode("hot").alias("rank0", "h"),
+    ).select(
+        "n_keys",
+        "n_rows",
+        "max_cnt",
+        "skew_ratio_micro",
+        (F.col("rank0") + 1).alias("rank"),
+        F.col("h.k").alias("hot_key"),
+        F.col("h.cnt").cast("long").alias("hot_cnt"),
     )
 
 
