@@ -1753,3 +1753,67 @@ def jpeg_rgb_stats(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(batches, JPEG_RGB_SCHEMA)
+
+
+def parse_jpeg_meta(payload: bytes) -> tuple[int, int, int] | None:
+    """Header-only JPEG metadata (width, height, n_components) from the
+    SOF0 segment — the profile-pass sibling of :func:`parse_png_meta` /
+    :func:`parse_gif_meta`: a segment walk with no entropy decode, so
+    it is safe to run over arbitrary corpora for stats/routing.
+    Returns None for non-JPEG payloads; raises the same typed errors
+    as :func:`jpeg_decode` for truncated segment chains."""
+    if len(payload) < 4 or payload[:2] != b"\xff\xd8":
+        return None
+    pos = 2
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError(f"expected marker at {pos}")
+        marker = payload[pos + 1]
+        if marker == 0xD9:
+            break
+        seglen = int.from_bytes(payload[pos + 2 : pos + 4], "big")
+        if pos + 2 + seglen > len(payload):
+            raise ValueError("truncated JPEG segment")
+        if marker == 0xC0:
+            body = payload[pos + 4 : pos + 2 + seglen]
+            h = int.from_bytes(body[1:3], "big")
+            w = int.from_bytes(body[3:5], "big")
+            return w, h, body[5]
+        if marker == 0xDA:
+            break  # entropy data: no SOF0 seen before the scan
+        pos += 2 + seglen
+    return None
+
+
+JPEG_META_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("n_components", IntegerType()),
+    ]
+)
+
+
+def jpeg_meta(media: DataFrame) -> DataFrame:
+    """Arrow-batched header-only JPEG metadata (:func:`parse_jpeg_meta`)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def one(payload: bytes):
+            meta = parse_jpeg_meta(payload)
+            if meta is None:
+                raise ValueError("payload is not a JPEG")
+            return meta
+
+        for pdf in it:
+            d = pdf["payload"].map(one)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "width": d.map(lambda t: t[0]).astype("int32"),
+                    "height": d.map(lambda t: t[1]).astype("int32"),
+                    "n_components": d.map(lambda t: t[2]).astype("int32"),
+                }
+            )
+
+    return media.mapInPandas(batches, JPEG_META_SCHEMA)

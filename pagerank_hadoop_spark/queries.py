@@ -11970,3 +11970,31 @@ def q_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_pq_topk(emb, queries_df, k=5).orderBy(
         "q_id", F.desc("sim"), "vec_id"
     )
+
+
+@register(
+    "media_jpeg_meta",
+    """
+    SELECT range AS media_id,
+           CAST(8 * (1 + range % 3) AS INTEGER) AS width,
+           CAST(8 * (1 + range % 2) AS INTEGER) AS height,
+           CAST(1 AS INTEGER) AS n_components
+    FROM range(0, 150) ORDER BY media_id
+    """,
+)
+def q_media_jpeg_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5 [r5]: header-only JPEG metadata (SOF0 segment walk, no
+    entropy decode — operators.multimodal.parse_jpeg_meta) over the
+    encoder-built grayscale fixtures; the oracle is the fixture's own
+    dimension formula, so a mis-parsed SOF (endianness, offset) breaks
+    the hash. The corpus-stats/routing pass that runs BEFORE anything
+    spends decode cycles."""
+    from pagerank_hadoop_spark.operators.multimodal import (
+        attach_media,
+        jpeg_meta,
+    )
+
+    media = attach_media(
+        _jpeg_gray_fixture(spark), F.col("payload"), media_type="image/jpeg"
+    )
+    return jpeg_meta(media).orderBy("media_id")

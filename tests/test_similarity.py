@@ -368,3 +368,24 @@ def test_ivf_pq_recall_floor(spark, sf_dir):
         5,
     ).agg(F.min("recall").alias("m")).collect()[0].m
     assert full == 1.0, f"full recall {full}"
+
+def test_trained_ann_paths_deterministic(spark, sf_dir):
+    """Seeded training (Lloyd samples + argmins) must make the trained
+    production paths pure functions of the data: identical result SETS
+    across two independent fits — the ivf_kmeans determinism pin,
+    extended to the round-5 trained paths."""
+    from pagerank_hadoop_spark.operators.similarity import (
+        ivf_pq_topk,
+        maxsim_screened_topk,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    q = emb.where("vec_id % 200 = 0").select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
+    )
+    for fn in (ivf_pq_topk, maxsim_screened_topk):
+        a = {(r[0], r[1]) for r in fn(emb, q, k=5).collect()}
+        b = {(r[0], r[1]) for r in fn(emb, q, k=5).collect()}
+        assert a == b and len(a) > 0, fn.__name__
