@@ -903,53 +903,24 @@ def hard_negative_topk(
     )
 
 
-def ivf_pq_topk(
+def ivf_pq_train(
     corpus: DataFrame,
-    queries: DataFrame,
-    k: int = 5,
     n_cells: int = 16,
-    nprobe: int = 4,
     m: int = 8,
     n_codes: int = 16,
-    refine: int = 4,
     seed: int = 21,
-    id_col: str = "vec_id",
     vec_col: str = "v",
-    q_id_col: str = "q_id",
-    q_vec_col: str = "qv",
-) -> DataFrame:
-    """The CLASSIC IVF-PQ index (Jégou et al. 2011) as one composed
-    operator — previously only prose in SCALE.md ("compose with IVF
-    when both pruning and compression are needed"), now a code path:
-
-    * **Coarse quantizer** (:func:`_lloyd`, seeded) assigns each
-      vector to its best of ``n_cells`` cells by dot product — the
-      IVF pruning axis: queries probe ``nprobe`` cells, the rest of
-      the corpus is never scanned.
-    * **Residual PQ**: per-subspace codebooks are trained on
-      RESIDUALS ``x − centroid(cell)`` (the quantity PQ can actually
-      compress well once the coarse structure is removed); the corpus
-      persists as ``(id, cell, m codes)`` — the compression axis: a
-      100 TB float corpus scans as ~m bytes/vector inside probed
-      cells only.
-    * **ADC with centroid correction**: ``q·x ≈ q·c_cell +
-      Σ_s q_sub·book_s[code_s]`` — the per-(query, cell) lookup
-      tables and the ``q·c`` term are computed once on the broadcast
-      query side (Arrow kernel), so the scan does m ``element_at``
-      adds per candidate row, no float-vector math.
-    * **Exact re-rank** of the top ``refine·k`` per query (rounded
-      ADC desc, id asc) against full vectors; final exact-cosine
-      top-k.
-
-    Both training collects are bounded samples (n_cells·200 rows) —
-    driver state O(n_cells·dim + m·n_codes·sub) regardless of corpus
-    size. Trained end to end, so registered rows-only; recall is
-    floor-gated against the exact referee in tests (the ADC/IVF
-    machinery itself is oracle-pinned by recall_{ivf,pq,maxsim}_topk,
-    which share every building block).
-    """
+) -> dict:
+    """Train the IVF-PQ model (Jégou et al. 2011) on a bounded corpus
+    sample: a coarse quantizer (``n_cells`` seeded-Lloyd centers over
+    full vectors) plus per-subspace codebooks fit on RESIDUALS
+    ``x − centroid(cell)``. Returns a plain-lists dict
+    ``{"centers": [[..]], "books": [[[..]]]}`` — JSON-serializable, so
+    a deployment persists it next to the encoded index and reuses it
+    for incremental ingests (encode is a pure per-row map given a
+    frozen model). Driver state O(n_cells·dim + m·n_codes·sub)
+    regardless of corpus size (n_cells·200-row sample)."""
     import numpy as np
-    import pandas as pd
 
     sample = np.array(
         [
@@ -967,14 +938,35 @@ def ivf_pq_topk(
     centers = _lloyd(sample, n_cells, seed)  # (n_cells, dim)
     assign = np.argmax(sample @ centers.T, axis=1)
     resid = sample - centers[assign]
-    books = np.stack(
-        [
-            _lloyd(resid[:, s * sub : (s + 1) * sub], n_codes, seed + 1 + s)
-            for s in range(m)
-        ]
-    )  # (m, n_codes, sub)
-    c_norms = (books * books).sum(axis=2)  # (m, n_codes)
+    books = [
+        _lloyd(resid[:, s * sub : (s + 1) * sub], n_codes, seed + 1 + s)
+        for s in range(m)
+    ]
+    return {
+        "centers": [[float(x) for x in c] for c in centers],
+        "books": [[[float(x) for x in c] for c in b] for b in books],
+    }
 
+
+def ivf_pq_encode(
+    corpus: DataFrame,
+    model: dict,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+) -> DataFrame:
+    """Encode vectors against a FROZEN model to ``(id, cell, codes)``
+    — the IVF-PQ index rows. A pure shuffle-free Arrow map, so
+    incremental ingest is ``encode(new_batch) ∪ old_index`` with no
+    rescan of history (unit-pinned). Persist with
+    :func:`ivf_pq_write_index` for cell-partition-pruned serving."""
+    import numpy as np
+    import pandas as pd
+
+    centers = np.asarray(model["centers"], dtype=np.float64)
+    books = np.asarray(model["books"], dtype=np.float64)
+    m = books.shape[0]
+    sub = books.shape[2]
+    c_norms = (books * books).sum(axis=2)
     enc_schema = f"{id_col} long, cell int, codes array<int>"
 
     def encode_batches(it):
@@ -999,15 +991,53 @@ def ivf_pq_topk(
             )
 
     par = corpus.sparkSession.sparkContext.defaultParallelism
-    # the PQ index itself: (id, cell, codes) — persisted by any real
-    # deployment; materialized so the probe join doesn't re-encode
-    encoded = (
+    return (
         corpus.repartition(par)
         .select(id_col, F.col(vec_col).cast("array<double>").alias("__v"))
         .mapInPandas(encode_batches, enc_schema)
-        .localCheckpoint(eager=True)
     )
 
+
+def ivf_pq_write_index(encoded: DataFrame, path: str) -> None:
+    """Persist the index cell-partitioned: ``partitionBy("cell")``
+    parquet, so a query's ``cell IN (probed…)`` predicate becomes
+    PARTITION PRUNING — only nprobe/n_cells of the index FILES are
+    read at serve time (plan-pinned in tests/test_plans.py). At 100 TB
+    this is the difference between scanning the whole code table and
+    scanning the probed slice of it."""
+    encoded.write.mode("overwrite").partitionBy("cell").parquet(path)
+
+
+def ivf_pq_read_index(spark, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+def ivf_pq_query(
+    encoded: DataFrame,
+    corpus: DataFrame,
+    queries: DataFrame,
+    model: dict,
+    k: int = 5,
+    nprobe: int = 4,
+    refine: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+    q_id_col: str = "q_id",
+    q_vec_col: str = "qv",
+) -> DataFrame:
+    """Serve top-k from a pre-built IVF-PQ index: probe ``nprobe``
+    cells per query (the ``cell`` equi-join prunes partitions when
+    ``encoded`` came from :func:`ivf_pq_read_index`), ADC-score with
+    per-(query, cell) LUTs + the ``q·centroid`` correction, exact
+    cosine re-rank of the ``refine·k`` shortlist against full
+    vectors."""
+    import numpy as np
+    import pandas as pd
+
+    centers = np.asarray(model["centers"], dtype=np.float64)
+    books = np.asarray(model["books"], dtype=np.float64)
+    m = books.shape[0]
+    sub = books.shape[2]
     probe_schema = (
         f"{q_id_col} long, cell int, qc double, lut array<array<double>>"
     )
@@ -1075,4 +1105,50 @@ def ivf_pq_topk(
         .withColumn("rn", F.row_number().over(w2))
         .where(F.col("rn") <= k)
         .drop("rn")
+    )
+
+
+def ivf_pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    m: int = 8,
+    n_codes: int = 16,
+    refine: int = 4,
+    seed: int = 21,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+    q_id_col: str = "q_id",
+    q_vec_col: str = "qv",
+) -> DataFrame:
+    """The CLASSIC IVF-PQ index as one composed call:
+    :func:`ivf_pq_train` (bounded-sample coarse quantizer + residual
+    codebooks) → :func:`ivf_pq_encode` (shuffle-free Arrow map to
+    ``(id, cell, m codes)``) → :func:`ivf_pq_query` (nprobe cell
+    pruning, ADC with centroid correction, exact re-rank of the
+    refine·k shortlist). Previously only prose in SCALE.md ("compose
+    with IVF when both pruning and compression are needed"); the
+    staged API also serves persisted indexes
+    (:func:`ivf_pq_write_index`: cell-partitioned parquet → the probe
+    join becomes partition pruning) and incremental ingest (encode is
+    a pure map under a frozen model). Trained end to end → registered
+    rows-only; recall floors + full-probe losslessness + determinism
+    pinned in tests."""
+    model = ivf_pq_train(
+        corpus, n_cells=n_cells, m=m, n_codes=n_codes, seed=seed,
+        vec_col=vec_col,
+    )
+    # materialized: under the probe join the encoder would otherwise
+    # re-run per matching (query, cell) pair — and any real deployment
+    # persists the index anyway (ivf_pq_write_index)
+    encoded = ivf_pq_encode(
+        corpus, model, id_col=id_col, vec_col=vec_col
+    ).localCheckpoint(eager=True)
+    return ivf_pq_query(
+        encoded, corpus, queries, model,
+        k=k, nprobe=nprobe, refine=refine,
+        id_col=id_col, vec_col=vec_col,
+        q_id_col=q_id_col, q_vec_col=q_vec_col,
     )

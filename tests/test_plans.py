@@ -584,3 +584,91 @@ def test_dpp_query_injects_dynamic_pruning_filter(spark):
     df = Q._QUERIES["dpp_year_revenue"](spark, "/root/testdata/sf0.001")
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert re.search(r"(?i)dynamicpruning", plan), plan[:3000]
+
+
+def test_ivf_pq_index_partition_pruning(spark, sf_dir, tmp_path):
+    """The persisted IVF-PQ index (cell-partitioned parquet) must serve
+    probes via PARTITION PRUNING: a cell-filtered read scans only the
+    probed partitions (PartitionFilters in the scan), and serving from
+    the index returns exactly what the in-memory pipeline returns."""
+    from pyspark.sql import functions as F
+
+    from pagerank_hadoop_spark.operators.similarity import (
+        ivf_pq_encode,
+        ivf_pq_query,
+        ivf_pq_read_index,
+        ivf_pq_train,
+        ivf_pq_write_index,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    q = emb.where("vec_id % 200 = 0").select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
+    )
+    model = ivf_pq_train(emb)
+    encoded = ivf_pq_encode(emb, model).localCheckpoint(eager=True)
+    path = str(tmp_path / "ivfpq_index")
+    ivf_pq_write_index(encoded, path)
+    index = ivf_pq_read_index(spark, path)
+
+    # partition pruning visible in the physical scan
+    pruned = index.where(F.col("cell").isin([0, 3, 7]))
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cell" in plan
+
+    served = {
+        (r.q_id, r.vec_id, r.sim)
+        for r in ivf_pq_query(index, emb, q, model, k=5).collect()
+    }
+    direct = {
+        (r.q_id, r.vec_id, r.sim)
+        for r in ivf_pq_query(encoded, emb, q, model, k=5).collect()
+    }
+    assert served == direct and len(served) > 0
+
+
+def test_ivf_pq_incremental_encode_law(spark, sf_dir):
+    """Under a FROZEN model, encode(A ∪ B) ≡ encode(A) ∪ encode(B) —
+    the incremental-ingest law: yesterday's index rows never need
+    re-encoding when a new batch arrives, and querying the unioned
+    index equals querying a from-scratch encode of the union."""
+    from pyspark.sql import functions as F
+
+    from pagerank_hadoop_spark.operators.similarity import (
+        ivf_pq_encode,
+        ivf_pq_query,
+        ivf_pq_train,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    model = ivf_pq_train(emb)
+    old = emb.where("vec_id % 2 = 0")
+    new = emb.where("vec_id % 2 = 1")
+    unioned = ivf_pq_encode(old, model).unionByName(
+        ivf_pq_encode(new, model)
+    )
+    full = ivf_pq_encode(emb, model)
+    a = {(r.vec_id, r.cell, tuple(r.codes)) for r in unioned.collect()}
+    b = {(r.vec_id, r.cell, tuple(r.codes)) for r in full.collect()}
+    assert a == b
+
+    q = emb.where("vec_id % 200 = 0").select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
+    )
+    ra = {
+        (r.q_id, r.vec_id)
+        for r in ivf_pq_query(
+            unioned.localCheckpoint(eager=True), emb, q, model, k=5
+        ).collect()
+    }
+    rb = {
+        (r.q_id, r.vec_id)
+        for r in ivf_pq_query(
+            full.localCheckpoint(eager=True), emb, q, model, k=5
+        ).collect()
+    }
+    assert ra == rb

@@ -318,3 +318,64 @@ def test_ttl_dedup_core_batch_split_invariant(occs, ttl, n_batches):
         emitted, seen = _ttl_dedup_core(seen, batch, ttl)
         got.extend(emitted)
     assert sorted(got) == sorted(want)
+
+
+# ---------------------------------------------------------------------------
+# round-5 JPEG codec properties (pure Python — no Spark jobs, so these
+# can afford more examples than the graph properties above)
+# ---------------------------------------------------------------------------
+
+jpeg_dims = st.tuples(st.integers(1, 4), st.integers(1, 3), st.integers(0, 2**31 - 1))
+
+
+@given(dims=jpeg_dims)
+@settings(max_examples=25, deadline=None)
+def test_jpeg_block_constant_roundtrip_property(dims):
+    """For ANY block-constant grayscale image (random block grid and
+    key), encode→decode is the identity — the invariant every oracle
+    fixture relies on, checked beyond the fixture's specific formula."""
+    import numpy as np
+
+    from pagerank_hadoop_spark.operators.multimodal import (
+        jpeg_decode,
+        jpeg_encode,
+    )
+
+    bw, bh, key = dims
+    px = np.zeros((bh * 8, bw * 8), dtype=np.uint8)
+    for by in range(bh):
+        for bx in range(bw):
+            px[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                bx * 31 + by * 17 + key
+            ) % 256
+    w, h, planes = jpeg_decode(jpeg_encode([px]))
+    assert (w, h) == (bw * 8, bh * 8)
+    assert (planes[0] == px).all()
+
+
+@given(seed=st.integers(0, 2**31 - 1))
+@settings(max_examples=10, deadline=None)
+def test_jpeg_arbitrary_pixels_decode_matches_coefficients(seed):
+    """For ANY pixel content, the decoder reproduces exactly the IDCT
+    of the quantized coefficients the independent encoder emitted —
+    the lossy step is the quantization, never the entropy coding or
+    the IDCT (Huffman/zigzag/extend are bijective)."""
+    import numpy as np
+
+    from pagerank_hadoop_spark.operators.multimodal import (
+        _jpeg_idct_matrix,
+        jpeg_decode,
+        jpeg_encode,
+    )
+
+    rng = np.random.default_rng(seed)
+    px = rng.integers(0, 256, size=(8, 16), dtype=np.int64).astype(np.uint8)
+    data = jpeg_encode([px])
+    coeffs = jpeg_encode.last_coefficients
+    a = _jpeg_idct_matrix()
+    expected = np.zeros((8, 16))
+    for i, mx in enumerate(range(2)):
+        blk = a @ coeffs[i].astype(np.float64) @ a.T + 128.0
+        expected[:, mx * 8 : mx * 8 + 8] = np.clip(np.floor(blk + 0.5), 0, 255)
+    _, _, planes = jpeg_decode(data)
+    assert (planes[0] == expected.astype(np.uint8)).all()
