@@ -11998,3 +11998,57 @@ def q_media_jpeg_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         _jpeg_gray_fixture(spark), F.col("payload"), media_type="image/jpeg"
     )
     return jpeg_meta(media).orderBy("media_id")
+
+
+@register("stream_ivf_pq_ingest")
+def q_stream_ivf_pq_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E6×E3 [r5]: streaming ANN-index maintenance — embeddings arrive
+    as micro-batches (staged into 4 files, maxFilesPerTrigger=1 → 4
+    real batches), each encoded against a FROZEN IVF-PQ model
+    (streaming.ingest.stream_index_ingest: shuffle-free Arrow map) and
+    appended to the cell-partitioned parquet index that ivf_pq_query
+    serves with partition pruning. Output self-checks the merge law:
+    per-cell row counts and code checksums of the STREAM-built index
+    side by side with the batch-built one (s_* == b_* on every row;
+    exact row-set equality is unit-pinned in tests/test_streaming.py).
+    Rows-only: the model is trained on a data sample."""
+    import tempfile
+
+    from pagerank_hadoop_spark.operators.similarity import (
+        ivf_pq_encode,
+        ivf_pq_train,
+    )
+    from pagerank_hadoop_spark.streaming.ingest import stream_index_ingest
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    model = ivf_pq_train(emb)
+    tmp = tempfile.mkdtemp(prefix="ivfpq_stream_")
+    stage = os.path.join(tmp, "stage")
+    # stage the corpus as 4 files so the drain is 4 genuine
+    # micro-batches (cross-batch append, not one big batch)
+    _t(spark, sf_dir, "embeddings").repartition(4).write.parquet(stage)
+    idx = stream_index_ingest(
+        spark,
+        stage,
+        model,
+        out_dir=os.path.join(tmp, "index"),
+        checkpoint_dir=os.path.join(tmp, "ckpt"),
+    )
+    batch = ivf_pq_encode(emb, model)
+
+    def summarize(df: DataFrame, pre: str) -> DataFrame:
+        code_sum = F.aggregate(
+            "codes", F.lit(0).cast("long"), lambda a, x: a + x
+        )
+        return df.groupBy("cell").agg(
+            F.count(F.lit(1)).cast("long").alias(f"{pre}_n"),
+            F.sum(code_sum).cast("long").alias(f"{pre}_code_sum"),
+        )
+
+    return (
+        summarize(idx, "s")
+        .join(summarize(batch, "b"), "cell", "full")
+        .orderBy("cell")
+    )

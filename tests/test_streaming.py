@@ -563,3 +563,52 @@ def test_detevents_stream_reader_offset_protocol():
     # empty range (no new data) still yields a well-formed partition
     empty = r.partitions({"i": 7}, {"i": 7})
     assert len(empty) == 1 and list(r.read(empty[0])) == []
+
+
+def test_stream_index_ingest_equals_batch_encode(spark, sf_dir, tmp_path):
+    """Streaming ANN-index maintenance merge law: encoding micro-batches
+    against a FROZEN IVF-PQ model and appending to the partitioned
+    index yields EXACTLY the batch-built index (row set equality, not
+    just counts) — and the streamed index serves ivf_pq_query with
+    identical results."""
+    from pyspark.sql import functions as F
+
+    from pagerank_hadoop_spark.operators.similarity import (
+        ivf_pq_encode,
+        ivf_pq_query,
+        ivf_pq_train,
+    )
+    from pagerank_hadoop_spark.streaming.ingest import stream_index_ingest
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    model = ivf_pq_train(emb)
+    stage = str(tmp_path / "stage")
+    spark.read.parquet(f"{sf_dir}/embeddings.parquet").repartition(3).write.parquet(stage)
+    idx = stream_index_ingest(
+        spark,
+        stage,
+        model,
+        out_dir=str(tmp_path / "index"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    batch = ivf_pq_encode(emb, model)
+    a = {(r.vec_id, r.cell, tuple(r.codes)) for r in idx.collect()}
+    b = {(r.vec_id, r.cell, tuple(r.codes)) for r in batch.collect()}
+    assert a == b and len(a) > 0
+
+    q = emb.where("vec_id % 200 = 0").select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
+    )
+    served = {
+        (r.q_id, r.vec_id, r.sim)
+        for r in ivf_pq_query(idx, emb, q, model, k=5).collect()
+    }
+    direct = {
+        (r.q_id, r.vec_id, r.sim)
+        for r in ivf_pq_query(
+            batch.localCheckpoint(eager=True), emb, q, model, k=5
+        ).collect()
+    }
+    assert served == direct
