@@ -42,13 +42,16 @@ real and tested. Codec status:
   the general AC path is unit-gated against a coefficient-replay
   IDCT. Non-baseline profiles (progressive, arithmetic, 12-bit,
   restart intervals) raise typed errors.
-* MP4/video remains the ONE stubbed codec — a real container+codec
-  stack genuinely needs libraries this container lacks:
-  ``decode_media`` with ``strict=True`` raises ``NotImplementedError``
-  for payloads that are not BMP/WAV (the production path would call
-  the codec); with ``strict=False`` unrecognized payloads get a
-  deterministic fake decode (dimensions derived from a hash of the
-  payload) so the pipeline shape stays exercisable end-to-end.
+* MP4/video: the CONTAINER layer is real as of round 5
+  (:func:`parse_mp4_meta` — ISO-BMFF box walk, mvhd duration, trak
+  count, tkhd dims, ``media_mp4_meta`` oracle-checked); the video
+  SAMPLE DECODE is the one remaining stub — a codec stack genuinely
+  needs libraries this container lacks: ``decode_media`` with
+  ``strict=True`` raises ``NotImplementedError`` for payloads that
+  are not BMP/WAV (the production path would call the codec); with
+  ``strict=False`` unrecognized payloads get a deterministic fake
+  decode (dimensions derived from a hash of the payload) so the
+  pipeline shape stays exercisable end-to-end.
 """
 
 from __future__ import annotations
@@ -1817,3 +1820,115 @@ def jpeg_meta(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(batches, JPEG_META_SCHEMA)
+
+
+def parse_mp4_meta(payload: bytes) -> tuple[int, int, int, int, int] | None:
+    """REAL ISO-BMFF (MP4) CONTAINER parse — the box/atom tree is pure
+    big-endian byte arithmetic, no codec library: walk top-level boxes
+    to ``moov``, read ``mvhd`` (timescale + duration, version 0 or 1),
+    count ``trak`` children, and take the first non-zero ``tkhd``
+    width/height (16.16 fixed point). Returns
+    ``(duration_ms, timescale, n_tracks, width, height)`` or None for
+    non-MP4 payloads (no ``ftyp`` leader). Typed ValueErrors on
+    truncated/oversized boxes. Sample DECODE (the codec layer) remains
+    the one honestly-stubbed step — it genuinely needs libraries this
+    container lacks — but duration/track/dimension metadata, the part
+    a 100 TB curation pass filters on, is now real."""
+
+    def walk(buf: bytes, lo: int, hi: int):
+        pos = lo
+        while pos + 8 <= hi:
+            size = int.from_bytes(buf[pos : pos + 4], "big")
+            btype = buf[pos + 4 : pos + 8]
+            body = pos + 8
+            if size == 1:  # 64-bit largesize
+                if pos + 16 > hi:
+                    raise ValueError("truncated MP4 largesize box")
+                size = int.from_bytes(buf[pos + 8 : pos + 16], "big")
+                body = pos + 16
+            elif size == 0:  # box extends to end of enclosing scope
+                size = hi - pos
+            if size < 8 or pos + size > hi:
+                raise ValueError(
+                    f"MP4 box {btype!r} size {size} overruns its parent"
+                )
+            yield btype, body, pos + size
+            pos += size
+
+    if len(payload) < 12 or payload[4:8] != b"ftyp":
+        return None
+    duration_ms = timescale = n_tracks = width = height = 0
+    for btype, body, end in walk(payload, 0, len(payload)):
+        if btype != b"moov":
+            continue
+        for ctype, cbody, cend in walk(payload, body, end):
+            if ctype == b"mvhd":
+                ver = payload[cbody]
+                if ver == 1:
+                    timescale = int.from_bytes(
+                        payload[cbody + 20 : cbody + 24], "big"
+                    )
+                    duration = int.from_bytes(
+                        payload[cbody + 24 : cbody + 32], "big"
+                    )
+                else:
+                    timescale = int.from_bytes(
+                        payload[cbody + 12 : cbody + 16], "big"
+                    )
+                    duration = int.from_bytes(
+                        payload[cbody + 16 : cbody + 20], "big"
+                    )
+                if timescale == 0:
+                    raise ValueError("mvhd timescale is zero")
+                duration_ms = duration * 1000 // timescale
+            elif ctype == b"trak":
+                n_tracks += 1
+                for ttype, tbody, _tend in walk(payload, cbody, cend):
+                    if ttype == b"tkhd" and width == 0 and height == 0:
+                        # width offset in the tkhd body: version+flags 4
+                        # + times/id/reserved/duration (20 v0, 32 v1)
+                        # + reserved 8 + layer/alt/volume/reserved 8
+                        # + matrix 36
+                        tver = payload[tbody]
+                        off = tbody + (88 if tver == 1 else 76)
+                        w = int.from_bytes(payload[off : off + 4], "big")
+                        h = int.from_bytes(payload[off + 4 : off + 8], "big")
+                        width, height = w >> 16, h >> 16
+    return duration_ms, timescale, n_tracks, width, height
+
+
+MP4_META_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("duration_ms", LongType()),
+        StructField("n_tracks", IntegerType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+    ]
+)
+
+
+def mp4_meta(media: DataFrame) -> DataFrame:
+    """Arrow-batched container metadata for MP4 payloads
+    (:func:`parse_mp4_meta`)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def one(payload: bytes):
+            meta = parse_mp4_meta(payload)
+            if meta is None:
+                raise ValueError("payload is not an ISO-BMFF/MP4 file")
+            return meta
+
+        for pdf in it:
+            d = pdf["payload"].map(one)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "duration_ms": d.map(lambda t: t[0]),
+                    "n_tracks": d.map(lambda t: t[2]).astype("int32"),
+                    "width": d.map(lambda t: t[3]).astype("int32"),
+                    "height": d.map(lambda t: t[4]).astype("int32"),
+                }
+            )
+
+    return media.mapInPandas(batches, MP4_META_SCHEMA)

@@ -12052,3 +12052,70 @@ def q_stream_ivf_pq_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(summarize(batch, "b"), "cell", "full")
         .orderBy("cell")
     )
+
+
+@register(
+    "media_mp4_meta",
+    """
+    SELECT CAST(p_partkey AS BIGINT) AS media_id,
+           CAST(500 * (1 + p_partkey % 60) AS BIGINT) AS duration_ms,
+           CAST(1 + p_partkey % 3 AS INTEGER) AS n_tracks,
+           CAST(16 * (10 + p_partkey % 20) AS INTEGER) AS width,
+           CAST(16 * (9 + p_size % 12) AS INTEGER) AS height
+    FROM part WHERE p_partkey <= 300 ORDER BY media_id
+    """,
+)
+def q_media_mp4_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5 [r5]: REAL ISO-BMFF/MP4 CONTAINER parse
+    (operators.multimodal.parse_mp4_meta) — the box/atom tree is pure
+    big-endian byte arithmetic (no codec library): ftyp leader check,
+    moov walk, mvhd timescale+duration (ms), trak count, first tkhd
+    16.16-fixed width/height. Fixture MP4s are built IN-QUERY as hex
+    Columns (version-0 boxes; n_tracks repeats the trak box via
+    F.repeat), so both engines derive the expected metadata from the
+    same arithmetic. Sample DECODE stays the one honest env stub —
+    container metadata, what a curation pass filters on
+    (duration/track/dims), is now real."""
+    from pagerank_hadoop_spark.operators.multimodal import (
+        attach_media,
+        mp4_meta,
+    )
+
+    part = (
+        _t(spark, sf_dir, "part")
+        .where(F.col("p_partkey") <= 300)
+        .select(
+            "p_partkey",
+            (500 * (1 + F.col("p_partkey") % 60)).alias("dur"),
+            (1 + F.col("p_partkey") % 3).cast("int").alias("ntrk"),
+            (16 * (10 + F.col("p_partkey") % 20)).alias("w"),
+            (16 * (9 + F.col("p_size") % 12)).alias("h"),
+        )
+    )
+    ftyp = F.lit("0000001466747970" + "69736f6d" + "00000000" + "69736f6d")
+    mvhd = F.concat(
+        F.lit("0000006c6d766864"),
+        F.lit("00" * 12),            # version/flags, ctime, mtime
+        F.lit("000003e8"),           # timescale 1000
+        _be_hex(F.col("dur"), 4),
+        F.lit("00" * 80),            # rate..next_track_id
+    )
+    tkhd = F.concat(
+        F.lit("0000005c746b6864"),
+        F.lit("00" * 76),            # vf, times, id, duration, layer, matrix
+        _be_hex(F.col("w"), 2), F.lit("0000"),   # 16.16 fixed width
+        _be_hex(F.col("h"), 2), F.lit("0000"),
+    )
+    trak = F.concat(F.lit("000000647472616b"), tkhd)
+    moov = F.concat(
+        _be_hex(F.lit(116) + F.col("ntrk") * 100, 4),
+        F.lit("6d6f6f76"),
+        mvhd,
+        F.repeat(trak, F.col("ntrk")),
+    )
+    media = attach_media(
+        part.select("p_partkey", F.unhex(F.concat(ftyp, moov)).alias("payload")),
+        F.col("payload"),
+        media_type="video/mp4",
+    )
+    return mp4_meta(media).orderBy("media_id")

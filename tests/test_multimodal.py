@@ -977,3 +977,67 @@ def test_jpeg_typed_errors():
     bad[j + 4] = 0x10
     with _pytest.raises(ValueError, match="16-bit"):
         jpeg_decode(bytes(bad))
+
+
+def test_mp4_container_parse_edges():
+    """ISO-BMFF walker: version-0/1 mvhd+tkhd offsets, first-nonzero
+    track dims, largesize (size=1) and to-end (size=0) boxes, typed
+    raises on overruns and zero timescale, None for non-MP4."""
+    import pytest as _pytest
+
+    from pagerank_hadoop_spark.operators.multimodal import parse_mp4_meta
+
+    def box(t, body):
+        return (len(body) + 8).to_bytes(4, "big") + t + body
+
+    ftyp = box(b"ftyp", b"isom" + bytes(4) + b"isom")
+    mvhd = box(
+        b"mvhd", bytes(12) + (1000).to_bytes(4, "big")
+        + (45000).to_bytes(4, "big") + bytes(80)
+    )
+
+    def tkhd_v0(w, h):
+        return box(
+            b"tkhd",
+            bytes(4) + bytes(20) + bytes(8) + bytes(8) + bytes(36)
+            + (w << 16).to_bytes(4, "big") + (h << 16).to_bytes(4, "big"),
+        )
+
+    def tkhd_v1(w, h):
+        return box(
+            b"tkhd",
+            bytes([1, 0, 0, 0]) + bytes(32) + bytes(8) + bytes(8) + bytes(36)
+            + (w << 16).to_bytes(4, "big") + (h << 16).to_bytes(4, "big"),
+        )
+
+    moov = box(
+        b"moov",
+        mvhd + box(b"trak", tkhd_v0(0, 0)) + box(b"trak", tkhd_v1(1920, 1080)),
+    )
+    # zero-dim audio track first: dims come from the SECOND (v1) trak
+    assert parse_mp4_meta(ftyp + moov) == (45000, 1000, 2, 1920, 1080)
+
+    # mvhd version 1 (64-bit times/duration)
+    mvhd1 = box(
+        b"mvhd", bytes([1, 0, 0, 0]) + bytes(16) + (600).to_bytes(4, "big")
+        + (90000).to_bytes(8, "big") + bytes(80)
+    )
+    got = parse_mp4_meta(ftyp + box(b"moov", mvhd1 + box(b"trak", tkhd_v0(320, 240))))
+    assert got == (150000, 600, 1, 320, 240)
+
+    # largesize box (size=1 + 64-bit length) around moov
+    body = mvhd + box(b"trak", tkhd_v0(64, 48))
+    large = (1).to_bytes(4, "big") + b"moov" + (len(body) + 16).to_bytes(8, "big") + body
+    assert parse_mp4_meta(ftyp + large) == (45000, 1000, 1, 64, 48)
+
+    # size=0: moov extends to end of file
+    toend = (0).to_bytes(4, "big") + b"moov" + body
+    assert parse_mp4_meta(ftyp + toend) == (45000, 1000, 1, 64, 48)
+
+    assert parse_mp4_meta(b"0123456789abcdef") is None
+
+    with _pytest.raises(ValueError, match="overruns"):
+        parse_mp4_meta(ftyp + box(b"moov", mvhd)[:-4])
+    bad_ts = box(b"mvhd", bytes(12) + bytes(4) + (5).to_bytes(4, "big") + bytes(80))
+    with _pytest.raises(ValueError, match="timescale"):
+        parse_mp4_meta(ftyp + box(b"moov", bad_ts))
