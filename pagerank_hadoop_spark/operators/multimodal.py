@@ -1404,14 +1404,20 @@ def jpeg_decode(payload: bytes):
                 pq, tq = body[p] >> 4, body[p] & 15
                 if pq != 0:
                     raise ValueError("16-bit quant tables unsupported")
+                if p + 65 > len(body):
+                    raise ValueError("truncated DQT segment")
                 qtabs[tq] = list(body[p + 1 : p + 65])
                 p += 65
         elif marker == 0xC4:  # DHT
             p = 0
             while p < len(body):
+                if p + 17 > len(body):
+                    raise ValueError("truncated DHT segment")
                 tc, th = body[p] >> 4, body[p] & 15
                 bits = list(body[p + 1 : p + 17])
                 n = sum(bits)
+                if p + 17 + n > len(body):
+                    raise ValueError("truncated DHT segment")
                 vals = list(body[p + 17 : p + 17 + n])
                 htabs[(tc, th)] = _jpeg_canonical_codes(bits, vals)
                 p += 17 + n
@@ -1438,6 +1444,15 @@ def jpeg_decode(payload: bytes):
             if frame is None:
                 raise ValueError("SOS before SOF0")
             ns = body[0]
+            if ns != len(frame[2]):
+                # a scan covering a subset of the frame's components is
+                # the spec-legal NON-interleaved layout; the MCU loop
+                # below assumes one interleaved scan — raise typed
+                # rather than KeyError mid-decode
+                raise ValueError(
+                    "non-interleaved (multi-scan) baseline JPEG "
+                    "unsupported"
+                )
             scan = []
             for i in range(ns):
                 cs, tt = body[1 + 2 * i], body[2 + 2 * i]
@@ -1864,6 +1879,9 @@ def parse_mp4_meta(payload: bytes) -> tuple[int, int, int, int, int] | None:
         for ctype, cbody, cend in walk(payload, body, end):
             if ctype == b"mvhd":
                 ver = payload[cbody]
+                need = 32 if ver == 1 else 20
+                if cbody + need > cend:
+                    raise ValueError("truncated mvhd box")
                 if ver == 1:
                     timescale = int.from_bytes(
                         payload[cbody + 20 : cbody + 24], "big"
@@ -1891,6 +1909,8 @@ def parse_mp4_meta(payload: bytes) -> tuple[int, int, int, int, int] | None:
                         # + matrix 36
                         tver = payload[tbody]
                         off = tbody + (88 if tver == 1 else 76)
+                        if off + 8 > _tend:
+                            raise ValueError("truncated tkhd box")
                         w = int.from_bytes(payload[off : off + 4], "big")
                         h = int.from_bytes(payload[off + 4 : off + 8], "big")
                         width, height = w >> 16, h >> 16

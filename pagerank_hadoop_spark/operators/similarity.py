@@ -53,6 +53,56 @@ def cosine_topk(
     )
 
 
+def _maxsim_score_expr(qv, dv, n_sub: int, who: str):
+    """The ONE MaxSim scoring expression — shared by the brute referee
+    (:func:`multivector_maxsim_topk`) and the screened production
+    path's exact re-rank so their determinism discipline (6dp round
+    BEFORE the max, fixed i-order fold, final re-round) can never
+    silently diverge. NULL vectors score NULL (sort last) — only a
+    present vector with length not divisible by ``n_sub`` raises,
+    since the int-cast slice width would silently mis-slice."""
+
+    def token(vec, i):
+        return F.slice(
+            vec,
+            (i * F.size(vec) / n_sub + 1).cast("int"),
+            (F.size(vec) / n_sub).cast("int"),
+        )
+
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    idx = F.sequence(F.lit(0), F.lit(n_sub - 1))
+    score = F.round(
+        F.aggregate(
+            idx,
+            F.lit(0.0),
+            lambda acc, i: acc
+            + F.array_max(
+                F.transform(
+                    idx, lambda j: F.round(dot(token(qv, i), token(dv, j)), 6)
+                )
+            ),
+        ),
+        6,
+    )
+    either_null = qv.isNull() | dv.isNull()
+    len_ok = (F.size(dv) % n_sub == 0) & (F.size(qv) % n_sub == 0)
+    return F.when(either_null, F.lit(None).cast("double")).otherwise(
+        F.when(len_ok, score).otherwise(
+            F.raise_error(
+                F.lit(
+                    f"{who}: size(vec) is not divisible by n_sub={n_sub}"
+                )
+            ).cast("double")
+        )
+    )
+
+
 def multivector_maxsim_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -87,44 +137,8 @@ def multivector_maxsim_topk(
     (PLAID-style centroid screening) composes the same IVF machinery
     as :func:`ivf_kmeans_topk` on the token level.
     """
-    def token(vec, i):
-        return F.slice(vec, (i * F.size(vec) / n_sub + 1).cast("int"),
-                       (F.size(vec) / n_sub).cast("int"))
-
-    def dot(a, b):
-        return F.aggregate(
-            F.zip_with(a, b, lambda x, y: x * y),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-
-    idx = F.sequence(F.lit(0), F.lit(n_sub - 1))
     qv, dv = F.col(q_vec_col), F.col(vec_col)
-    score = F.round(
-        F.aggregate(
-            idx,
-            F.lit(0.0),
-            lambda acc, i: acc
-            + F.array_max(
-                F.transform(
-                    idx, lambda j: F.round(dot(token(qv, i), token(dv, j)), 6)
-                )
-            ),
-        ),
-        6,
-    )
-    # the int-cast slice width silently truncates when the vector
-    # length is not divisible by n_sub (overlapping/short token
-    # slices, wrong scores) — raise typed like the other kernels
-    len_ok = (F.size(dv) % n_sub == 0) & (F.size(qv) % n_sub == 0)
-    score = F.when(len_ok, score).otherwise(
-        F.raise_error(
-            F.lit(
-                "multivector_maxsim_topk: size(vec) is not divisible "
-                f"by n_sub={n_sub}"
-            )
-        ).cast("double")
-    )
+    score = _maxsim_score_expr(qv, dv, n_sub, "multivector_maxsim_topk")
     # spread the corpus before the n_sub^2 interpreted sub-dots: the
     # parquet scan is byte-small (a few partitions) but this stage is
     # compute-bound, and AQE coalesces by bytes — the repo-documented
@@ -209,13 +223,6 @@ def maxsim_screened_topk(
     """
     import numpy as np
 
-    def token(vec, i):
-        return F.slice(
-            vec,
-            (i * F.size(vec) / n_sub + 1).cast("int"),
-            (F.size(vec) / n_sub).cast("int"),
-        )
-
     if centroids is None:
         rows = (
             corpus.select(F.col(vec_col).cast("array<double>").alias("v"))
@@ -251,7 +258,12 @@ def maxsim_screened_topk(
         return np.floor(a * 1e6 + 0.5) / 1e6
 
     def _tok_matrix(series: "pd.Series"):
-        vecs = np.array(series.tolist(), dtype=np.float64)
+        vals = series.tolist()
+        if any(v is None for v in vals):
+            raise ValueError(
+                "maxsim_screened_topk: null embedding vector in input"
+            )
+        vecs = np.array(vals, dtype=np.float64)
         if vecs.ndim != 2 or vecs.shape[1] % n_sub:
             raise ValueError(
                 f"maxsim_screened_topk: size(vec) is not divisible "
@@ -283,24 +295,6 @@ def maxsim_screened_topk(
             [[[float(x) for x in tok] for tok in row] for row in sims]
         )
 
-    @pandas_udf("array<int>")
-    def _probe_udf(v):
-        import pandas as pd
-
-        if len(v) == 0:
-            return pd.Series([], dtype=object)
-        sims = _round6(_tok_matrix(v) @ cmat.T)
-        cells = np.arange(n_cells_eff)
-        out = []
-        for row in sims:
-            got: set[int] = set()
-            for tok in row:
-                # lexsort: primary sim desc, tie cell desc
-                order = np.lexsort((-cells, -tok))[:nprobe]
-                got.update(int(c) for c in order)
-            out.append(sorted(got))
-        return pd.Series(out)
-
     dv, qv = F.col(vec_col), F.col(q_vec_col)
     # spread before the Arrow coding stage: the scan is byte-small but
     # this stage is compute-bound and AQE coalesces by bytes (the
@@ -315,11 +309,42 @@ def maxsim_screened_topk(
         .withColumn("cell", F.explode(F.array_distinct("codes")))
     )
 
-    q_side = queries.select(
-        q_id_col,
-        _qlut_udf(qv.cast("array<double>")).alias("qlut"),
-        _probe_udf(qv.cast("array<double>")).alias("pcells"),
-    ).withColumn("cell", F.explode("pcells")).drop("pcells")
+    # probes derive FROM the LUT (one Arrow matmul per query batch,
+    # not two): per token, top-nprobe cells by (sim desc, cell desc) —
+    # array_sort on (sim, cell) structs then reverse reproduces the
+    # max-struct tie convention; query rows are few, so the HOF cost
+    # is negligible
+    def _probe_from_lut(lut_row):
+        ranked = F.slice(
+            F.reverse(
+                F.array_sort(
+                    F.transform(
+                        lut_row,
+                        lambda s, i: F.struct(
+                            s.alias("sim"), i.alias("cell")
+                        ),
+                    )
+                )
+            ),
+            1,
+            nprobe,
+        )
+        return F.transform(ranked, lambda st: st["cell"])
+
+    q_side = (
+        queries.select(
+            q_id_col,
+            _qlut_udf(qv.cast("array<double>")).alias("qlut"),
+        )
+        .withColumn(
+            "pcells",
+            F.array_distinct(
+                F.flatten(F.transform(F.col("qlut"), _probe_from_lut))
+            ),
+        )
+        .withColumn("cell", F.explode("pcells"))
+        .drop("pcells")
+    )
 
     cand = (
         c_coded.join(F.broadcast(q_side), "cell")
@@ -359,28 +384,9 @@ def maxsim_screened_topk(
         corpus.join(F.broadcast(shortlist), id_col)
         .join(F.broadcast(queries), q_id_col)
     )
-
-    def dot(a, b):
-        return F.aggregate(
-            F.zip_with(a, b, lambda x, y: x * y),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-
-    idx = F.sequence(F.lit(0), F.lit(n_sub - 1))
-    score = F.round(
-        F.aggregate(
-            idx,
-            F.lit(0.0),
-            lambda acc, i: acc
-            + F.array_max(
-                F.transform(
-                    idx, lambda j: F.round(dot(token(qv, i), token(dv, j)), 6)
-                )
-            ),
-        ),
-        6,
-    )
+    # the SAME scoring expression as the brute referee — shared helper
+    # so the 6dp-round-before-max discipline cannot silently diverge
+    score = _maxsim_score_expr(qv, dv, n_sub, "maxsim_screened_topk")
     w = Window.partitionBy(q_id_col).orderBy(F.desc("score"), F.asc(id_col))
     return (
         pairs.select(q_id_col, id_col, score.alias("score"))

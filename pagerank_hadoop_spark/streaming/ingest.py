@@ -15,8 +15,6 @@ law that makes incremental ingest safe (unit-pinned, and pinned by the
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 

@@ -1041,3 +1041,78 @@ def test_mp4_container_parse_edges():
     bad_ts = box(b"mvhd", bytes(12) + bytes(4) + (5).to_bytes(4, "big") + bytes(80))
     with _pytest.raises(ValueError, match="timescale"):
         parse_mp4_meta(ftyp + box(b"moov", bad_ts))
+
+
+def test_jpeg_corrupt_headers_raise_typed():
+    """Review findings: short DQT/DHT bodies and non-interleaved
+    multi-scan layouts raise typed ValueErrors, not KeyError/IndexError
+    from inside the decode loop."""
+    import numpy as np
+    import pytest as _pytest
+
+    from pagerank_hadoop_spark.operators.multimodal import (
+        jpeg_decode,
+        jpeg_encode,
+    )
+
+    px = np.full((8, 8), 50, dtype=np.uint8)
+    good = jpeg_encode([px])
+
+    # truncate the DQT body (declared length shrunk below 65+2)
+    i = good.index(bytes([0xFF, 0xDB]))
+    bad = bytearray(good[: i + 2])
+    bad += (10).to_bytes(2, "big") + good[i + 4 : i + 4 + 8]
+    bad += good[i + 4 + 65 :]
+    with _pytest.raises(ValueError, match="truncated DQT"):
+        jpeg_decode(bytes(bad))
+
+    # truncate a DHT body mid-BITS
+    j = good.index(bytes([0xFF, 0xC4]))
+    bad = bytearray(good[: j + 2])
+    bad += (12).to_bytes(2, "big") + good[j + 4 : j + 4 + 10]
+    bad += good[j + 4 + 10 + 50 :]
+    with _pytest.raises(ValueError, match="truncated DHT"):
+        jpeg_decode(bytes(bad))
+
+    # 3-component frame with a 1-component scan (non-interleaved)
+    w, h = 16, 16
+    y = np.full((h, w), 90, dtype=np.uint8)
+    cb = np.full((h // 2, w // 2), 128, dtype=np.uint8)
+    cr = np.full((h // 2, w // 2), 128, dtype=np.uint8)
+    color = jpeg_encode([y, cb, cr], sampling=[(2, 2), (1, 1), (1, 1)])
+    s = color.index(bytes([0xFF, 0xDA]))
+    seglen = int.from_bytes(color[s + 2 : s + 4], "big")
+    # rewrite SOS: ns=1, only component 1, same spectral tail
+    new_sos = (
+        bytes([0xFF, 0xDA]) + (8).to_bytes(2, "big")
+        + bytes([1, 1, 0x00, 0, 63, 0])
+    )
+    patched = color[:s] + new_sos + color[s + 2 + seglen :]
+    with _pytest.raises(ValueError, match="non-interleaved"):
+        jpeg_decode(patched)
+
+
+def test_mp4_short_boxes_raise_typed():
+    """Review finding: mvhd/tkhd fixed-offset reads must be bounded by
+    the declared box, not silently read sibling bytes."""
+    import pytest as _pytest
+
+    from pagerank_hadoop_spark.operators.multimodal import parse_mp4_meta
+
+    def box(t, body):
+        return (len(body) + 8).to_bytes(4, "big") + t + body
+
+    ftyp = box(b"ftyp", b"isom" + bytes(4) + b"isom")
+    # mvhd with only 12 body bytes: timescale/duration lie outside
+    short_mvhd = box(b"mvhd", bytes(12))
+    with _pytest.raises(ValueError, match="truncated mvhd"):
+        parse_mp4_meta(ftyp + box(b"moov", short_mvhd))
+
+    mvhd = box(
+        b"mvhd", bytes(12) + (1000).to_bytes(4, "big")
+        + (5000).to_bytes(4, "big") + bytes(80)
+    )
+    # tkhd declaring a 40-byte body: width offset 76 is out of range
+    short_tkhd = box(b"tkhd", bytes(40))
+    with _pytest.raises(ValueError, match="truncated tkhd"):
+        parse_mp4_meta(ftyp + box(b"moov", mvhd + box(b"trak", short_tkhd)))

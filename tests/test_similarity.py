@@ -389,3 +389,23 @@ def test_trained_ann_paths_deterministic(spark, sf_dir):
         a = {(r[0], r[1]) for r in fn(emb, q, k=5).collect()}
         b = {(r[0], r[1]) for r in fn(emb, q, k=5).collect()}
         assert a == b and len(a) > 0, fn.__name__
+
+def test_maxsim_null_vector_scores_null_not_crash(spark):
+    """Review finding: a NULL vector must score NULL (sorts last), not
+    kill the job with a misleading 'not divisible' raise; a present
+    but mis-sized vector still raises typed."""
+    from pagerank_hadoop_spark.operators.similarity import (
+        multivector_maxsim_topk,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0, 1.0]), (2, None)],
+        "vec_id long, v array<double>",
+    )
+    q = spark.createDataFrame(
+        [(100, [1.0, 0.0, 0.0, 1.0])], "q_id long, qv array<double>"
+    )
+    rows = multivector_maxsim_topk(corpus, q, k=5, n_sub=2).collect()
+    got = {r.vec_id: r.score for r in rows}
+    assert got[1] == 2.0
+    assert got[2] is None  # null vector -> null score, no crash
