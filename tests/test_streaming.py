@@ -612,3 +612,54 @@ def test_stream_index_ingest_equals_batch_encode(spark, sf_dir, tmp_path):
         ).collect()
     }
     assert served == direct
+
+
+def test_stream_index_ingest_resumes_from_checkpoint(spark, sf_dir, tmp_path):
+    """Exactly-once across restarts: drain a 2-file stage, STOP, add 2
+    more files, restart with the SAME checkpoint/out dirs — the second
+    run must process only the new files (no duplicate index rows) and
+    the final index must equal the batch encode of the full corpus."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from pagerank_hadoop_spark.operators.similarity import (
+        ivf_pq_encode,
+        ivf_pq_train,
+    )
+    from pagerank_hadoop_spark.streaming.ingest import stream_index_ingest
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    model = ivf_pq_train(emb)
+
+    full_stage = str(tmp_path / "full")
+    spark.read.parquet(f"{sf_dir}/embeddings.parquet").repartition(4).write.parquet(full_stage)
+    files = sorted(
+        f for f in os.listdir(full_stage) if f.endswith(".parquet")
+    )
+    assert len(files) == 4
+    stage = str(tmp_path / "stage")
+    os.makedirs(stage)
+    for f in files[:2]:
+        shutil.copy(os.path.join(full_stage, f), os.path.join(stage, f))
+
+    out = str(tmp_path / "index")
+    ckpt = str(tmp_path / "ckpt")
+    first = stream_index_ingest(spark, stage, model, out, ckpt)
+    n_first = first.count()
+    assert 0 < n_first < emb.count()
+
+    for f in files[2:]:
+        shutil.copy(os.path.join(full_stage, f), os.path.join(stage, f))
+    second = stream_index_ingest(spark, stage, model, out, ckpt)
+
+    got = {(r.vec_id, r.cell, tuple(r.codes)) for r in second.collect()}
+    want = {
+        (r.vec_id, r.cell, tuple(r.codes))
+        for r in ivf_pq_encode(emb, model).collect()
+    }
+    assert got == want  # no duplicates, nothing missed
+    assert second.count() == emb.count()
