@@ -631,6 +631,7 @@ def keyword_tags(
     keywords: list,
     id_col: str = "doc_id",
     text_col: str = "text",
+    broadcast_lexicon: bool = False,
 ) -> DataFrame:
     """Dictionary keyword/phrase tagging (the FlashText / trie-tagger
     use case: topic labels, PII term flags, domain lexicons): match a
@@ -646,8 +647,11 @@ def keyword_tags(
     is a map-only column expression — zero shuffles, fully
     scan-bound, and Catalyst folds the constant. That is the right
     call up to dictionaries of a few thousand entries (plan size);
-    beyond that, switch the intersect to a broadcast join against an
-    exploded token table — same semantics, one broadcast.
+    ``broadcast_lexicon=True`` is the BIG-dictionary form (hundreds of
+    thousands of entries — gazetteers, PII term lists): the lexicon
+    becomes a broadcast-joined table against the exploded gram stream
+    instead of a plan literal — same semantics (equivalence
+    unit-pinned), one broadcast, no giant plan for Janino to chew.
     """
     toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
     bigrams = F.when(
@@ -660,6 +664,29 @@ def keyword_tags(
         ),
     ).otherwise(F.array().cast("array<string>"))
     grams = F.array_distinct(F.concat(toks, bigrams))
+    if broadcast_lexicon:
+        spark = docs.sparkSession
+        lex_df = spark.createDataFrame(
+            [(str(w),) for w in keywords], "gram string"
+        )
+        exploded = docs.select(F.col(id_col), F.explode(grams).alias("gram"))
+        per_doc = (
+            exploded.join(F.broadcast(lex_df), "gram")
+            .groupBy(id_col)
+            .agg(F.array_sort(F.collect_set("gram")).alias("hits"))
+        )
+        hits = F.coalesce(
+            F.col("hits"), F.array().cast("array<string>")
+        )
+        return (
+            docs.select(id_col)
+            .join(per_doc, id_col, "left")
+            .select(
+                F.col(id_col),
+                F.size(hits).cast("long").alias("n_tags"),
+                F.array_join(hits, "|").alias("tags"),
+            )
+        )
     lex = F.array(*[F.lit(str(w)) for w in keywords])
     hits = F.array_sort(F.array_intersect(grams, lex))
     return docs.select(

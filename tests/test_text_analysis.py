@@ -339,3 +339,27 @@ def test_keyword_tags_whole_token_and_phrases(spark):
     assert got[2] == (1, "hash join")   # regex split absorbs the run
     assert got[3] == (1, "stream")      # 'restream' never matches
     assert got[4] == (0, "")
+
+
+def test_keyword_tags_broadcast_lexicon_equivalence(spark, sf_dir):
+    """The big-dictionary form (broadcast-joined lexicon instead of a
+    plan-literal array) returns EXACTLY the plan-literal result on
+    every doc — including zero-hit docs, which the left join must keep
+    with n_tags=0 and empty tags."""
+    from pagerank_hadoop_spark.operators.text_analysis import keyword_tags
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    lex = ["vector", "stream", "merge join", "hash join",
+           "window agg", "zorder", "broadcast"]
+    lit = {
+        (r.doc_id, r.n_tags, r.tags)
+        for r in keyword_tags(docs, lex).collect()
+    }
+    bc = {
+        (r.doc_id, r.n_tags, r.tags)
+        for r in keyword_tags(docs, lex, broadcast_lexicon=True).collect()
+    }
+    assert bc == lit and len(bc) == docs.count()
+    assert any(t[1] == 0 for t in bc)  # zero-hit docs present
