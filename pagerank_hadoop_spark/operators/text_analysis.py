@@ -694,3 +694,52 @@ def keyword_tags(
         F.size(hits).cast("long").alias("n_tags"),
         F.array_join(hits, "|").alias("tags"),
     )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    window: int = 64,
+    stride: int = 48,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Split documents into OVERLAPPING token-window chunks — the
+    standard pre-embedding / context-window preparation step (RAG
+    passage windows, long-doc training examples): chunk ``i`` covers
+    tokens ``[i·stride, i·stride + window)``; a document shorter than
+    one window yields exactly one chunk; the final chunk may be short.
+    Returns ``(id, chunk_id, n_chunk_tokens, chunk_md5)`` — md5 of the
+    space-rejoined chunk, so a value gate checks every byte of every
+    chunk without shipping chunk text (the normalized_doc_hashes
+    posture).
+
+    Pure Column expressions (split → sequence → explode → slice):
+    map-only, zero shuffles, scales with scan bandwidth; downstream
+    embedding/packing stages consume the exploded rows directly.
+    ``stride < window`` gives overlap; ``stride == window`` is exact
+    tiling."""
+    if not (0 < stride <= window):
+        raise ValueError("chunk_documents requires 0 < stride <= window")
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    n = F.size(toks)
+    n_chunks = F.when(n <= window, F.lit(1).cast("long")).otherwise(
+        F.ceil((n - window) / F.lit(float(stride))).cast("long") + 1
+    )
+    out = docs.select(
+        F.col(id_col),
+        toks.alias("__toks"),
+        F.explode(F.sequence(F.lit(0).cast("long"), n_chunks - 1)).alias(
+            "chunk_id"
+        ),
+    )
+    chunk = F.slice(
+        F.col("__toks"),
+        (F.col("chunk_id") * stride + 1).cast("int"),
+        window,
+    )
+    return out.select(
+        F.col(id_col),
+        F.col("chunk_id"),
+        F.size(chunk).cast("long").alias("n_chunk_tokens"),
+        F.md5(F.array_join(chunk, " ")).alias("chunk_md5"),
+    )

@@ -12119,3 +12119,40 @@ def q_media_mp4_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         media_type="video/mp4",
     )
     return mp4_meta(media).orderBy("media_id")
+
+
+@register(
+    "doc_chunks",
+    r"""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk
+      FROM documents),
+    c AS (
+      SELECT doc_id, tk,
+             unnest(range(0,
+               CASE WHEN len(tk) <= 64 THEN 1
+                    ELSE CAST(ceil((len(tk) - 64) / 48.0) AS BIGINT) + 1
+               END)) AS chunk_id
+      FROM t)
+    SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+           CAST(len(list_slice(tk, chunk_id * 48 + 1, chunk_id * 48 + 64))
+             AS BIGINT) AS n_chunk_tokens,
+           md5(array_to_string(
+             list_slice(tk, chunk_id * 48 + 1, chunk_id * 48 + 64), ' '))
+             AS chunk_md5
+    FROM c
+    """,
+)
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4/E9 [r5]: overlapping token-window chunking (window 64,
+    stride 48 → 16-token overlap) — the pre-embedding / context-prep
+    pass a RAG or long-context training pipeline runs over every
+    document. Map-only split→sequence→explode→slice Column plan; the
+    oracle md5-checks every byte of every chunk. Uses
+    operators.text_analysis.chunk_documents. (Registered after
+    media_mp4_meta: both land in round 6's correctness window — round
+    5's 50 slots are fully booked by the backlog.)"""
+    from pagerank_hadoop_spark.operators.text_analysis import chunk_documents
+
+    docs = _t(spark, sf_dir, "documents")
+    return chunk_documents(docs, window=64, stride=48)

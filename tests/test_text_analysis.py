@@ -363,3 +363,48 @@ def test_keyword_tags_broadcast_lexicon_equivalence(spark, sf_dir):
     }
     assert bc == lit and len(bc) == docs.count()
     assert any(t[1] == 0 for t in bc)  # zero-hit docs present
+
+
+def test_chunk_documents_window_semantics(spark):
+    """Chunk geometry: short docs yield one chunk; stride<window
+    overlaps correctly (chunk i starts at i*stride); the last chunk may
+    be short; stride==window tiles exactly; invalid stride raises."""
+    import hashlib
+
+    import pytest as _pytest
+
+    from pagerank_hadoop_spark.operators.text_analysis import chunk_documents
+
+    words = [f"w{i}" for i in range(10)]
+    rows = [
+        (1, " ".join(words)),       # 10 tokens
+        (2, "single"),              # 1 token
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.doc_id, r.chunk_id): (r.n_chunk_tokens, r.chunk_md5)
+        for r in chunk_documents(docs, window=4, stride=3).collect()
+    }
+
+    def md5(toks):
+        return hashlib.md5(" ".join(toks).encode()).hexdigest()
+
+    # doc 1: starts 0,3,6 cover to 10? ceil((10-4)/3)+1 = 3 chunks;
+    # chunk 2 covers tokens 6..9 (4 tokens) — tail fully covered
+    assert got[(1, 0)] == (4, md5(words[0:4]))
+    assert got[(1, 1)] == (4, md5(words[3:7]))
+    assert got[(1, 2)] == (4, md5(words[6:10]))
+    assert (1, 3) not in got
+    assert got[(2, 0)] == (1, md5(["single"]))
+
+    # exact tiling at stride == window
+    tiled = {
+        r.chunk_id: r.n_chunk_tokens
+        for r in chunk_documents(
+            docs.where("doc_id = 1"), window=4, stride=4
+        ).collect()
+    }
+    assert tiled == {0: 4, 1: 4, 2: 2}
+
+    with _pytest.raises(ValueError, match="stride"):
+        chunk_documents(docs, window=4, stride=5)
