@@ -40,6 +40,11 @@ _ORACLES: dict[str, str] = {}
 
 def register(name: str, oracle: str | None = None):
     def deco(fn: QueryFn) -> QueryFn:
+        if name in _QUERIES:
+            # a silent overwrite would shadow a (possibly driver-green)
+            # query with new semantics while its CORRECTNESS record
+            # still vouches for the old ones — fail at import instead
+            raise ValueError(f"duplicate query registration: {name}")
         _QUERIES[name] = fn
         if oracle is not None:
             _ORACLES[name] = oracle
@@ -12122,7 +12127,7 @@ def q_media_mp4_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "doc_chunks",
+    "token_window_chunks",
     r"""
     WITH t AS (
       SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk
@@ -12143,11 +12148,12 @@ def q_media_mp4_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM c
     """,
 )
-def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """E4/E9 [r5]: overlapping token-window chunking (window 64,
+def q_token_window_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4/E9 [r5]: overlapping TOKEN-window chunking (window 64,
     stride 48 → 16-token overlap) — the pre-embedding / context-prep
     pass a RAG or long-context training pipeline runs over every
-    document. Map-only split→sequence→explode→slice Column plan; the
+    document; complements the character-stride `doc_chunks` (r1) with
+    token-budget semantics and per-chunk md5 value gates. Map-only split→sequence→explode→slice Column plan; the
     oracle md5-checks every byte of every chunk. Uses
     operators.text_analysis.chunk_documents. (Registered after
     media_mp4_meta: both land in round 6's correctness window — round
