@@ -245,17 +245,28 @@ def maxsim_screened_topk(
     # HOF evaluator (measured 26 s plan construction + 10 s execution
     # at 2k rows) — the repo-documented "Arrow/NumPy pandas_udf for
     # the real hot paths" rule. The centroid matrix travels in the UDF
-    # closure (n_cells·sub doubles). Rounding uses floor(x·1e6+0.5)/1e6,
-    # which equals Spark/DuckDB ROUND half-away-from-zero except at
-    # exact .5·1e-6 boundaries (measure-zero for gaussian dots; the
-    # oracle hash gate would catch one).
+    # closure (n_cells·sub doubles). Rounding mirrors half-away-from-
+    # zero (Spark/DuckDB ROUND) on BOTH signs via the sign-split floor
+    # below; the residual divergence risk is summation order only —
+    # np.matmul's pairwise sums vs the SQL twin's sequential fold can
+    # differ in the last ulp at exact .5·1e-6 boundaries (measure-zero
+    # for gaussian dots; the oracle hash gate would catch one).
     from pyspark.sql.functions import pandas_udf
 
     cmat = np.array(centroids, dtype=np.float64)
     n_cells_eff = cmat.shape[0]
 
     def _round6(a):
-        return np.floor(a * 1e6 + 0.5) / 1e6
+        # half-away-from-zero on both signs (Spark/DuckDB ROUND):
+        # plain floor(x*1e6+0.5) would round -x.5e-6 UP (toward zero)
+        return (
+            np.where(
+                a >= 0,
+                np.floor(a * 1e6 + 0.5),
+                -np.floor(-a * 1e6 + 0.5),
+            )
+            / 1e6
+        )
 
     def _tok_matrix(series: "pd.Series"):
         vals = series.tolist()

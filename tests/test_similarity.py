@@ -294,7 +294,11 @@ def test_maxsim_screened_recall_floor(spark, sf_dir):
     trained_rec = recall_vs_exact(
         maxsim_screened_topk(emb, q, k=5, refine=24), exact, 5
     ).agg(F.avg("recall").alias("r")).collect()[0].r
-    assert trained_rec >= 0.0  # value-checked via the oracle twin
+    # genuine (permissive) floor for the trained path: a 24-doc
+    # shortlist over this gaussian fixture lands well above chance;
+    # exact values are value-checked via the oracle twin
+    # (recall_maxsim_topk), this pins against silent total collapse
+    assert trained_rec >= 0.2, f"trained-path recall {trained_rec}"
 
 
 def test_maxsim_screened_exact_on_clustered(spark):
