@@ -5377,7 +5377,12 @@ def q_udtf_doc_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
                 yield (f"{a} {b}",)
 
     docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") % 5 == 0)
-    spark.udtf.register("doc_bigrams", Bigrams)
+    # register once per session: re-registering an identical UDTF emits
+    # a SimpleTableFunctionRegistry "replaced" warning on stdout, and
+    # the driver parses bench stdout — keep the tail deterministic
+    if not getattr(spark, "_pgh_doc_bigrams_registered", False):
+        spark.udtf.register("doc_bigrams", Bigrams)
+        spark._pgh_doc_bigrams_registered = True
     docs.select(F.trim("text").alias("text")).createOrReplaceTempView(
         "_udtf_docs"
     )

@@ -99,7 +99,12 @@ try:  # Spark 4 streaming Python DataSource API
             return DetEventsStreamReader(self.options)
 
     def register_detevents(spark: SparkSession) -> None:
+        # idempotent per session (avoids DataSourceManager "replaced"
+        # warnings in the bench stdout the driver parses)
+        if getattr(spark, "_pgh_detevents_registered", False):
+            return
         spark.dataSource.register(DetEventsDataSource)
+        spark._pgh_detevents_registered = True
 
 except ImportError:  # pragma: no cover - pre-4.0 pyspark
 

@@ -204,7 +204,13 @@ try:  # the Python DataSource API landed in Spark 4
             return XmlPagesReader(self.options)
 
     def register_xmlpages(spark: SparkSession) -> None:
+        # idempotent per session: re-registering emits a
+        # DataSourceManager "replaced" warning on stdout, and the
+        # driver parses one stdout line from bench.py
+        if getattr(spark, "_pgh_xmlpages_registered", False):
+            return
         spark.dataSource.register(XmlPagesDataSource)
+        spark._pgh_xmlpages_registered = True
 
 except ImportError:  # pragma: no cover - pre-4.0 pyspark
 
