@@ -933,11 +933,41 @@ def _confirmed_pairs_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _PAIR_MEMO[key]
 
 
-@register("minhash_dedup_survivors")
+@register(
+    "minhash_dedup_survivors",
+    r"""
+    WITH docs AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, text || ' near dup tail'
+      FROM documents WHERE doc_id % 3 = 0),
+    g AS MATERIALIZED (
+      SELECT doc_id, list_distinct(list_transform(list_transform(
+        generate_series(1, greatest(length(lower(text)) - 4, 1)),
+        i -> substr(lower(text), i, 5)), s -> hash(s))) AS grams
+      FROM docs),
+    losers AS (
+      SELECT DISTINCT b.doc_id
+      FROM g a JOIN g b ON a.doc_id < b.doc_id
+      WHERE len(a.grams) * 1.0 / len(b.grams) BETWEEN 0.8 AND 1.25
+        AND len(list_intersect(a.grams, b.grams)) * 1.0
+            / len(list_distinct(list_concat(a.grams, b.grams))) >= 0.8)
+    SELECT doc_id FROM docs
+    WHERE doc_id NOT IN (SELECT doc_id FROM losers) ORDER BY doc_id
+    """,
+)
 def q_minhash_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E2: full near-dup removal (LSH candidates → exact Jaccard ≥ 0.8
     → drop higher id). Survivor count ≈ original corpus size: every
-    planted near-dup pair loses its high-id member."""
+    planted near-dup pair loses its high-id member.
+
+    Oracle-backed [r6]: the DuckDB twin computes the TRUE all-pairs
+    Jaccard ≥ 0.8 loser set (length-ratio prefilter is sound:
+    J ≥ 0.8 ⇒ |A|/|B| ∈ [0.8, 1.25]; grams hashed to ints only to
+    speed the intersects — set cardinalities are hash-invariant).
+    The hash match therefore certifies BOTH the drop policy and that
+    the banded-LSH candidate stage has recall 1.0 on this corpus —
+    a missed true pair would surface as an extra survivor."""
     corpus = _near_dup_corpus(spark, sf_dir)
     confirmed = _confirmed_pairs_cached(spark, sf_dir)
     losers = confirmed.select(F.col("id_b").alias("doc_id")).distinct()
@@ -3605,16 +3635,51 @@ def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
-@register("near_dup_clusters")
+@register(
+    "near_dup_clusters",
+    r"""
+    WITH RECURSIVE docs AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, text || ' near dup tail'
+      FROM documents WHERE doc_id % 3 = 0),
+    g AS MATERIALIZED (
+      SELECT doc_id, list_distinct(list_transform(list_transform(
+        generate_series(1, greatest(length(lower(text)) - 4, 1)),
+        i -> substr(lower(text), i, 5)), s -> hash(s))) AS grams
+      FROM docs),
+    pairs AS MATERIALIZED (
+      SELECT a.doc_id AS ida, b.doc_id AS idb
+      FROM g a JOIN g b ON a.doc_id < b.doc_id
+      WHERE len(a.grams) * 1.0 / len(b.grams) BETWEEN 0.8 AND 1.25
+        AND len(list_intersect(a.grams, b.grams)) * 1.0
+            / len(list_distinct(list_concat(a.grams, b.grams))) >= 0.8),
+    sym(src, dst) AS (
+      SELECT ida, idb FROM pairs UNION SELECT idb, ida FROM pairs),
+    reach(id, r) AS (
+      SELECT src, src FROM sym
+      UNION
+      SELECT s.dst, reach.r FROM reach JOIN sym s ON s.src = reach.id),
+    comp AS (SELECT id, MIN(r) AS cluster FROM reach GROUP BY id)
+    SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n_members
+    FROM comp GROUP BY cluster HAVING COUNT(*) > 1 ORDER BY cluster
+    """,
+)
 def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E2: transitive near-dup clustering (LSH candidates → exact
     Jaccard ≥ 0.8 → connected components → min-id canonical; the
     operator form lives in operators.dedup.near_dup_clusters). The
     confirmed-pair set is shared with minhash_dedup_survivors via the
     per-session pair cache — two policies over one pair artifact.
-    Rows-only: the LSH stage derives from xxhash64. Summary shape so
-    the check is stable: one row per non-singleton cluster with its
-    size."""
+    Summary shape so the check is stable: one row per non-singleton
+    cluster with its size.
+
+    Oracle-backed [r6]: the DuckDB twin derives the TRUE all-pairs
+    Jaccard ≥ 0.8 graph (no LSH screen; sound length-ratio prefilter;
+    grams hashed to ints only to speed the intersects) and runs
+    connected components as a recursive CTE — a green hash certifies
+    the banded-LSH stage's pair recall AND the distributed min-id
+    component fold against a from-first-principles closure."""
     from pagerank_hadoop_spark.operators.dedup import near_dup_clusters
 
     corpus = _near_dup_corpus(spark, sf_dir)
@@ -6208,7 +6273,40 @@ def q_collated_group_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("incremental_dedup_admits")
+@register(
+    "incremental_dedup_admits",
+    r"""
+    WITH docs AS (SELECT doc_id, text FROM documents),
+    corpus AS (SELECT doc_id, text FROM docs WHERE doc_id % 10 != 0),
+    batch AS (
+      SELECT doc_id, text FROM docs WHERE doc_id % 10 = 0
+      UNION ALL
+      SELECT doc_id + 2000000, text FROM corpus WHERE doc_id % 30 = 1
+      UNION ALL
+      SELECT doc_id + 3000000, text || ' near dup tail'
+      FROM corpus WHERE doc_id % 30 = 2),
+    surv AS (
+      SELECT b.doc_id, b.text FROM batch b
+      WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.text = b.text)),
+    gb AS MATERIALIZED (
+      SELECT doc_id, list_distinct(list_transform(list_transform(
+        generate_series(1, greatest(length(lower(text)) - 4, 1)),
+        i -> substr(lower(text), i, 5)), s -> hash(s))) AS grams
+      FROM surv),
+    gc AS MATERIALIZED (
+      SELECT doc_id, list_distinct(list_transform(list_transform(
+        generate_series(1, greatest(length(lower(text)) - 4, 1)),
+        i -> substr(lower(text), i, 5)), s -> hash(s))) AS grams
+      FROM corpus),
+    neardup AS (
+      SELECT DISTINCT b.doc_id FROM gb b JOIN gc c
+        ON len(b.grams) * 1.0 / len(c.grams) BETWEEN 0.8 AND 1.25
+       AND len(list_intersect(b.grams, c.grams)) * 1.0
+           / len(list_distinct(list_concat(b.grams, c.grams))) >= 0.8)
+    SELECT doc_id FROM surv
+    WHERE doc_id NOT IN (SELECT doc_id FROM neardup) ORDER BY doc_id
+    """,
+)
 def q_incremental_dedup_admits(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E1/E2 incremental: the ingestion-time dedup shape — a new batch
     admitted against an existing corpus (operators.dedup.
@@ -6217,8 +6315,13 @@ def q_incremental_dedup_admits(spark: SparkSession, sf_dir: str) -> DataFrame:
     Batch = every 10th document plus planted exact copies
     (+2000000 ids) and near copies (+3000000 ids) of corpus docs; the
     planted rows must all be rejected, genuinely-new rows admitted.
-    Rows-only (LSH band hashes derive from xxhash64); planted-outcome
-    invariants are unit-tested."""
+
+    Oracle-backed [r6]: the DuckDB twin is the UNSCREENED batch ×
+    corpus truth — exact-text anti-join, then all-pairs Jaccard ≥ 0.8
+    with only the sound length-ratio prefilter. A green hash certifies
+    the admit policy AND that the asymmetric LSH screen (estimate
+    screen + exact verify) rejects exactly the true near-dups —
+    a screen false-negative would surface as an extra admit."""
     from pagerank_hadoop_spark.operators.dedup import incremental_dedup
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
