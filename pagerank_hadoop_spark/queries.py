@@ -1210,69 +1210,167 @@ def q_semantic_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id")
 
 
-@register("semantic_dedup_trained")
+_SEMANTIC_DEDUP_SUMMARY_SQL = r"""
+    SELECT CAST(SUM(CASE WHEN vec_id % 5 != 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_nonplanted_kept,
+           CAST(SUM(CASE WHEN vec_id % 5 = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_pairs,
+           CAST(1 AS INT) AS resolved_floor_met,
+           CAST(1 AS INT) AS no_pair_fully_dropped
+    FROM embeddings
+    """
+
+
+def _semantic_dedup_summary(
+    spark: SparkSession, sf_dir: str, sample_cap: int | None, **kw
+) -> DataFrame:
+    """Shared self-check shape for the trained SemDeDup entries: run
+    the full trained dedup over the planted corpus, then reduce the
+    survivor set to SQL-checkable facts. The corpus has zero
+    accidental cosine ≥ 0.95 pairs (verified by the r6 all-pairs
+    sweep), so drops can only happen INSIDE a planted (x, x+1000000)
+    pair — SemDeDup's keep-outlier rule may keep either member.
+    Checked facts: every non-planted original survives untouched
+    (count recomputed by the oracle from the parquet), no pair loses
+    BOTH members, and at least 95 of the ``n_pairs`` co-cluster and
+    resolve to a single survivor (measured 98 literal / 99
+    distributed; a pair "escapes" only when the trained quantizer
+    splits it across cells)."""
+    from pagerank_hadoop_spark.operators.dedup import semantic_dedup_trained
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    dups = emb.where(F.col("vec_id") % 5 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform(
+            "v",
+            lambda x, i: x + F.when(i == 0, F.lit(0.05)).otherwise(F.lit(0.0)),
+        ).alias("v"),
+    )
+    corpus = emb.unionByName(dups)
+    kwargs = dict(threshold=0.95, seed=7, target_cluster_rows=200, **kw)
+    if sample_cap is not None:
+        kwargs["sample_cap"] = sample_cap
+    surv = semantic_dedup_trained(corpus, **kwargs).localCheckpoint(
+        eager=False
+    )
+    nonplanted = surv.where(
+        (F.col("id") < 1000000) & (F.col("id") % 5 != 0)
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_nonplanted_kept"))
+    # per planted pair (key = original id): how many of {x, x+1e6}
+    # survived — 1 = resolved, 2 = escape (split across cells),
+    # 0 = both dropped (must never happen)
+    pair_counts = (
+        surv.where(
+            ((F.col("id") < 1000000) & (F.col("id") % 5 == 0))
+            | (F.col("id") >= 1000000)
+        )
+        .select(
+            F.when(F.col("id") >= 1000000, F.col("id") - 1000000)
+            .otherwise(F.col("id"))
+            .alias("pair_key")
+        )
+        .groupBy("pair_key")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+    )
+    pair_stats = pair_counts.agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs_with_survivor"),
+        F.sum((F.col("n_kept") == 1).cast("long")).alias("n_resolved"),
+    )
+    n_pairs = emb.agg(
+        F.sum(F.when(F.col("vec_id") % 5 == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_pairs")
+    )
+    return (
+        nonplanted.crossJoin(pair_stats)
+        .crossJoin(n_pairs)
+        .select(
+            "n_nonplanted_kept",
+            "n_pairs",
+            (F.col("n_resolved") >= 95).cast("int").alias(
+                "resolved_floor_met"
+            ),
+            (F.col("n_pairs_with_survivor") == F.col("n_pairs"))
+            .cast("int")
+            .alias("no_pair_fully_dropped"),
+        )
+    )
+
+
+@register("semantic_dedup_trained", _SEMANTIC_DEDUP_SUMMARY_SQL)
 def q_semantic_dedup_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E2e scale path: SemDeDup with TRAINED centroids — k sized from
     the corpus (``ceil(n / target_cluster_rows)``) and centers fit by
     bounded-sample Lloyd's, so cluster populations (and the
     within-cluster pair join) stay bounded as the corpus grows. The
-    fit is driver-side NumPy so this entry is rows-only; everything
-    downstream of the centers is the oracle-gated
+    fit is driver-side NumPy, so the SURVIVOR SET has no SQL twin
+    (which planted dup escapes depends on learned cluster boundaries);
+    everything downstream of the centers is the oracle-gated
     ``semantic_dedup_survivors`` plan (trained ≡ literal is
-    unit-pinned in tests/test_dedup.py)."""
-    from pagerank_hadoop_spark.operators.dedup import semantic_dedup_trained
+    unit-pinned in tests/test_dedup.py).
 
-    emb = _t(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v")
-    )
-    dups = emb.where(F.col("vec_id") % 5 == 0).select(
-        (F.col("vec_id") + 1000000).alias("vec_id"),
-        F.transform(
-            "v",
-            lambda x, i: x + F.when(i == 0, F.lit(0.05)).otherwise(F.lit(0.0)),
-        ).alias("v"),
-    )
-    corpus = emb.unionByName(dups)
-    return semantic_dedup_trained(
-        corpus, threshold=0.95, seed=7, target_cluster_rows=200
-    ).orderBy("id")
+    Oracle-backed [r6] via the pair-resolution self-check summary
+    (see :func:`_semantic_dedup_summary`): non-planted originals all
+    survive, no planted pair loses both members, ≥ 95/100 pairs
+    resolve to one survivor."""
+    return _semantic_dedup_summary(spark, sf_dir, sample_cap=None)
 
 
-@register("semantic_dedup_trained_dist")
+@register("semantic_dedup_trained_dist", _SEMANTIC_DEDUP_SUMMARY_SQL)
 def q_semantic_dedup_trained_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 100 TB regime of ``semantic_dedup_trained``: ``sample_cap``
     forced below k·200 so centroids train by DISTRIBUTED Lloyd
     (driver holds only the k × dim model; per-round collects are
     k·dim aggregate rows) and the final assignment ships centers via
-    ``SparkContext.broadcast`` instead of plan literals. Rows-only:
-    the assignment/tail parity with the oracle-gated literal plan is
+    ``SparkContext.broadcast`` instead of plan literals. The
+    assignment/tail parity with the oracle-gated literal plan is
     unit-pinned (tests/test_dedup.py::
-    test_semantic_dedup_trained_distributed_path_matches_literal)."""
-    from pagerank_hadoop_spark.operators.dedup import semantic_dedup_trained
+    test_semantic_dedup_trained_distributed_path_matches_literal).
 
-    emb = _t(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    Oracle-backed [r6] via the same self-check summary as
+    ``semantic_dedup_trained`` (measured 1 escape on the fixed
+    fixture)."""
+    return _semantic_dedup_summary(
+        spark, sf_dir, sample_cap=0, lloyd_rounds=2
     )
-    dups = emb.where(F.col("vec_id") % 5 == 0).select(
-        (F.col("vec_id") + 1000000).alias("vec_id"),
-        F.transform(
-            "v",
-            lambda x, i: x + F.when(i == 0, F.lit(0.05)).otherwise(F.lit(0.0)),
-        ).alias("v"),
-    )
-    corpus = emb.unionByName(dups)
-    return semantic_dedup_trained(
-        corpus, threshold=0.95, seed=7, target_cluster_rows=200,
-        sample_cap=0, lloyd_rounds=2,
-    ).orderBy("id")
 
 
-@register("embedding_near_dups")
+@register(
+    "embedding_near_dups",
+    r"""
+    WITH d AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v,
+             list_transform(embedding::DOUBLE[],
+               (x, i) -> CASE WHEN i = 1 THEN x + 0.05 ELSE x END) AS w
+      FROM embeddings WHERE vec_id % 5 = 0)
+    SELECT CAST(SUM(CASE WHEN
+             list_dot_product(v, w) / (sqrt(list_dot_product(v, v))
+               * sqrt(list_dot_product(w, w))) >= 0.95
+             THEN 1 ELSE 0 END) AS BIGINT) AS n_planted,
+           CAST(1 AS INT) AS recall_floor_met,
+           CAST(1 AS INT) AS all_found_are_dups,
+           CAST(1 AS INT) AS all_found_are_planted
+    FROM d
+    """,
+)
 def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E2c: embedding-cosine near-dup pairs via random-hyperplane LSH
     buckets + exact cosine ≥ 0.95. Fixture plants near-dups: every
-    vec_id % 5 == 0 reappears as vec_id + 1000000 with dim 0 nudged."""
+    vec_id % 5 == 0 reappears as vec_id + 1000000 with dim 0 nudged.
+
+    Oracle-backed [r6] via self-check summary (the found PAIR SET
+    derives from xxhash64 hyperplanes, so it has no SQL twin; the
+    oracle-gated literal-plane twin is ``embedding_near_dups_lit``):
+    the oracle recomputes ``n_planted`` (true planted pairs at
+    cosine ≥ 0.95) from the parquet, and the flags certify that every
+    found pair is a true dup (cosine ≥ 0.95), every found pair is a
+    planted one (no false positives exist in this corpus — verified
+    by the all-pairs sweep in the r6 probe), and bucket recall meets
+    the ≥ 0.75 floor (measured 0.84 on the fixed fixture)."""
     from pagerank_hadoop_spark.operators.dedup import embedding_near_dups
+    from pagerank_hadoop_spark.operators.similarity import cosine_similarity
 
     emb = _t(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
@@ -1285,10 +1383,50 @@ def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("embedding"),
     )
     corpus = emb.unionByName(dups)
-    return (
-        embedding_near_dups(corpus, "vec_id", "embedding", threshold=0.95)
-        .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
-        .orderBy("id_a", "id_b")
+    pairs = embedding_near_dups(corpus, "vec_id", "embedding", threshold=0.95)
+    # ground truth, computed exactly (no LSH): planted pairs whose
+    # cosine clears the threshold — the same arithmetic as the oracle
+    planted = (
+        emb.where(F.col("vec_id") % 5 == 0)
+        .select(
+            cosine_similarity(
+                F.col("embedding"),
+                F.transform(
+                    "embedding",
+                    lambda x, i: x
+                    + F.when(i == 0, F.lit(0.05)).otherwise(F.lit(0.0)),
+                ),
+            ).alias("c")
+        )
+        .agg(
+            F.sum(F.when(F.col("c") >= 0.95, 1).otherwise(0))
+            .cast("long")
+            .alias("n_planted")
+        )
+    )
+    summary = pairs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_found"),
+        F.coalesce(
+            F.min((F.col("cosine") >= 0.95).cast("int")), F.lit(1)
+        ).alias("all_found_are_dups"),
+        F.coalesce(
+            F.min(
+                (
+                    (F.col("id_b") == F.col("id_a") + 1000000)
+                    & (F.col("id_a") % 5 == 0)
+                    & (F.col("id_a") < 1000000)
+                ).cast("int")
+            ),
+            F.lit(1),
+        ).alias("all_found_are_planted"),
+    )
+    return summary.crossJoin(planted).select(
+        "n_planted",
+        (F.col("n_found") * 4 >= F.col("n_planted") * 3)
+        .cast("int")
+        .alias("recall_floor_met"),
+        "all_found_are_dups",
+        "all_found_are_planted",
     )
 
 
