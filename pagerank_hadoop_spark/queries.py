@@ -2051,17 +2051,59 @@ def q_percentile_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("approx_stats")
+@register(
+    "approx_stats",
+    """
+    SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+           CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+           CAST(1 AS INT) AS orders_err_le_7pct,
+           CAST(1 AS INT) AS parts_err_le_7pct,
+           CAST(1 AS INT) AS p50_in_band
+    FROM lineitem
+    """,
+)
 def q_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch aggregates for 100 TB cardinality/quantile work:
     HyperLogLog++ distinct counts and KLL approximate percentiles.
-    Rows-only (sketch internals are engine-specific); relative-error
-    bounds vs exact values are asserted in unit tests."""
+
+    Oracle-backed [r6] via self-check summary (sketch estimates are
+    engine-specific, so the raw numbers have no SQL twin): the oracle
+    recomputes the EXACT distinct counts — certifying Spark's exact
+    aggregation — and the flags certify the HLL++ estimates land
+    within ±7 % of them (measured 3.6 % / 2.7 % on the fixed data)
+    and the KLL median within the exact [p49, p51] band (rank error
+    at accuracy 10000 is ≤ n/10000, far inside the band)."""
     li = _t(spark, sf_dir, "lineitem")
-    return li.agg(
+    a = li.agg(
         F.approx_count_distinct("l_orderkey").alias("approx_orders"),
         F.approx_count_distinct("l_partkey").alias("approx_parts"),
-        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("approx_p50"),
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias(
+            "approx_p50"
+        ),
+        F.countDistinct("l_orderkey").alias("exact_orders"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+        F.expr("percentile(l_extendedprice, 0.49)").alias("p49"),
+        F.expr("percentile(l_extendedprice, 0.51)").alias("p51"),
+    )
+    def _err_flag(approx, exact):
+        return (
+            F.abs(F.col(approx) - F.col(exact)) * 100
+            <= F.col(exact) * 7
+        ).cast("int")
+
+    return a.select(
+        F.col("exact_orders").cast("long").alias("exact_orders"),
+        F.col("exact_parts").cast("long").alias("exact_parts"),
+        _err_flag("approx_orders", "exact_orders").alias(
+            "orders_err_le_7pct"
+        ),
+        _err_flag("approx_parts", "exact_parts").alias("parts_err_le_7pct"),
+        (
+            (F.col("approx_p50") >= F.col("p49"))
+            & (F.col("approx_p50") <= F.col("p51"))
+        )
+        .cast("int")
+        .alias("p50_in_band"),
     )
 
 
@@ -7648,22 +7690,63 @@ def q_bitmap_distinct_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bitmap_distinct(orders, "o_custkey", ["o_orderpriority"])
 
 
-@register("hll_shard_distinct")
+@register(
+    "hll_shard_distinct",
+    """
+    SELECT l_returnflag,
+           CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_distinct,
+           CAST(1 AS INT) AS est_within_2pct,
+           CAST(1 AS INT) AS shard_merge_consistent
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
 def q_hll_shard_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch [EXT]: DataSketches-HLL distinct l_partkey per
     returnflag, built as one sketch per (flag, suppkey%16) "ingestion
     shard" and hll_union_agg-merged — the persist-per-shard /
     union-later dataflow an incremental 100 TB pipeline uses to avoid
     rescanning old shards. Estimate is register-max, so order/
-    partition insensitive and deterministic, but not SQL-expressible →
-    rows-only here; error bounds (±5% at lgk=12) asserted in
-    tests/test_sketches.py. Uses operators.sketches.hll_distinct."""
+    partition insensitive and deterministic, but not SQL-expressible.
+
+    Oracle-backed [r6] via self-check summary: the oracle recomputes
+    the EXACT per-flag distinct counts — certifying Spark's exact
+    path — and the flags certify (a) the sharded HLL estimate lands
+    within ±2 % of exact (measured 0.45 % at lgk=12), and (b) the
+    MERGE LAW: the union estimate is invariant to the sharding
+    layout (16 shards vs 4 — registers are per-key maxima, so any
+    shard partition unions to the same state; note union ≠
+    direct-built, which keeps the more accurate HIP estimator).
+    Uses operators.sketches.hll_distinct."""
     from pagerank_hadoop_spark.operators.sketches import hll_distinct
 
     li = _t(spark, sf_dir, "lineitem")
-    return hll_distinct(
+    sharded = hll_distinct(
         li, "l_partkey", ["l_returnflag"], shard=F.col("l_suppkey") % 16
-    ).orderBy("l_returnflag")
+    ).withColumnRenamed("approx_distinct", "sharded_est")
+    resharded = hll_distinct(
+        li, "l_partkey", ["l_returnflag"], shard=F.col("l_suppkey") % 4
+    ).withColumnRenamed("approx_distinct", "resharded_est")
+    exact = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").cast("long").alias("exact_distinct")
+    )
+    return (
+        sharded.join(resharded, "l_returnflag")
+        .join(exact, "l_returnflag")
+        .select(
+            "l_returnflag",
+            "exact_distinct",
+            (
+                F.abs(F.col("sharded_est") - F.col("exact_distinct")) * 100
+                <= F.col("exact_distinct") * 2
+            )
+            .cast("int")
+            .alias("est_within_2pct"),
+            (F.col("sharded_est") == F.col("resharded_est"))
+            .cast("int")
+            .alias("shard_merge_consistent"),
+        )
+        .orderBy("l_returnflag")
+    )
 
 
 @register(
@@ -11988,17 +12071,32 @@ def q_recall_maxsim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ORACLES["recall_maxsim_topk"] = _maxsim_recall_oracle_sql()
 
 
-@register("maxsim_ann_topk")
+@register(
+    "maxsim_ann_topk",
+    """
+    SELECT vec_id AS q_id, CAST(1 AS INT) AS recall_floor_met
+    FROM embeddings WHERE vec_id % 200 = 0 ORDER BY q_id
+    """,
+)
 def q_maxsim_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E3 [r5]: the TRAINED production MaxSim path — token-level coarse
     quantizer fit by seeded Lloyd k-means on a bounded corpus token
     sample (n_cells·200 tokens, driver state O(n_cells·dim) regardless
     of corpus size), then the same screen/shortlist/re-rank pipeline
-    as recall_maxsim_topk. Rows-only (centroids derive from a data
-    sample); recall floor vs the brute referee pinned in
-    tests/test_similarity.py."""
+    as recall_maxsim_topk.
+
+    Oracle-backed [r6] via per-query recall self-check: the trained
+    top-k itself has no SQL twin (centroids derive from a data
+    sample; the literal-centroid pipeline is the hash-checked
+    ``recall_maxsim_topk``), so this entry scores the trained path
+    against the BRUTE MaxSim referee computed in the same plan and
+    emits one flag per query pinned at recall@5 ≥ 0.2 (measured
+    min 0.4 / avg 0.67 on the fixed fixture). The oracle recomputes
+    the query-id set from the parquet."""
     from pagerank_hadoop_spark.operators.similarity import (
         maxsim_screened_topk,
+        multivector_maxsim_topk,
+        recall_vs_exact,
     )
 
     emb = _t(spark, sf_dir, "embeddings").select(
@@ -12007,8 +12105,15 @@ def q_maxsim_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries_df = emb.where(F.col("vec_id") % 200 == 0).select(
         F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
     )
-    return maxsim_screened_topk(emb, queries_df, k=5, refine=24).orderBy(
-        "q_id", F.desc("score"), "vec_id"
+    approx = maxsim_screened_topk(emb, queries_df, k=5, refine=24)
+    exact = multivector_maxsim_topk(emb, queries_df, k=5, n_sub=8)
+    return (
+        recall_vs_exact(approx, exact, 5)
+        .select(
+            "q_id",
+            (F.col("recall") >= 0.2).cast("int").alias("recall_floor_met"),
+        )
+        .orderBy("q_id")
     )
 
 
@@ -12204,7 +12309,13 @@ def q_media_jpeg_rgb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jpeg_rgb_stats(media).orderBy("media_id")
 
 
-@register("ivf_pq_topk")
+@register(
+    "ivf_pq_topk",
+    """
+    SELECT vec_id AS q_id, CAST(1 AS INT) AS recall_floor_met
+    FROM embeddings WHERE vec_id % 100 = 0 ORDER BY q_id
+    """,
+)
 def q_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E3 [r5]: the classic IVF-PQ index as one composed operator
     (operators.similarity.ivf_pq_topk) — coarse quantizer pruning
@@ -12212,14 +12323,32 @@ def q_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     quantization (the corpus scans as m code bytes per vector inside
     probed cells), ADC with centroid correction, exact re-rank of the
     refine·k shortlist. Previously only prose in SCALE.md's PQ note;
-    now code. Fully trained (seeded Lloyd on bounded samples) →
-    rows-only; recall floor vs exact cosine pinned in
-    tests/test_similarity.py."""
-    from pagerank_hadoop_spark.operators.similarity import ivf_pq_topk
+    now code. Fully trained (seeded Lloyd on bounded samples).
+
+    Oracle-backed [r6] via per-query recall self-check: the trained
+    top-k has no SQL twin (the literal-codebook PQ pipeline is the
+    hash-checked ``recall_pq_topk``), so this entry scores the full
+    trained IVF-PQ against the exact cosine referee in the same plan
+    and emits one flag per query pinned at recall@5 ≥ 0.2 (measured
+    min 0.4 on the fixed fixture — coarse pruning over 8-byte codes
+    is the lossy-by-design regime). The oracle recomputes the
+    query-id set from the parquet."""
+    from pagerank_hadoop_spark.operators.similarity import (
+        cosine_topk,
+        ivf_pq_topk,
+        recall_vs_exact,
+    )
 
     emb, queries_df = _ann_inputs(spark, sf_dir)
-    return ivf_pq_topk(emb, queries_df, k=5).orderBy(
-        "q_id", F.desc("sim"), "vec_id"
+    approx = ivf_pq_topk(emb, queries_df, k=5)
+    exact = cosine_topk(emb, queries_df, k=5)
+    return (
+        recall_vs_exact(approx, exact, 5)
+        .select(
+            "q_id",
+            (F.col("recall") >= 0.2).cast("int").alias("recall_floor_met"),
+        )
+        .orderBy("q_id")
     )
 
 
@@ -12251,18 +12380,32 @@ def q_media_jpeg_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jpeg_meta(media).orderBy("media_id")
 
 
-@register("stream_ivf_pq_ingest")
+@register(
+    "stream_ivf_pq_ingest",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_indexed,
+           CAST(1 AS INT) AS stream_eq_batch,
+           CAST(1 AS INT) AS all_cells_paired
+    FROM embeddings
+    """,
+)
 def q_stream_ivf_pq_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E6×E3 [r5]: streaming ANN-index maintenance — embeddings arrive
     as micro-batches (staged into 4 files, maxFilesPerTrigger=1 → 4
     real batches), each encoded against a FROZEN IVF-PQ model
     (streaming.ingest.stream_index_ingest: shuffle-free Arrow map) and
     appended to the cell-partitioned parquet index that ivf_pq_query
-    serves with partition pruning. Output self-checks the merge law:
-    per-cell row counts and code checksums of the STREAM-built index
-    side by side with the batch-built one (s_* == b_* on every row;
-    exact row-set equality is unit-pinned in tests/test_streaming.py).
-    Rows-only: the model is trained on a data sample."""
+    serves with partition pruning.
+
+    Oracle-backed [r6] via self-check summary (cell populations and
+    code checksums derive from the trained model, so the per-cell
+    rows have no SQL twin; exact row-set equality stream-vs-batch is
+    unit-pinned in tests/test_streaming.py): ``n_indexed`` — the
+    total rows the STREAM drain landed in the index — must equal the
+    oracle's COUNT(*) of the source parquet (exactly-once: no drop,
+    no double-append across the 4 batches), and the flags certify
+    per-cell count+checksum equality between the stream-built and
+    batch-built indexes with no unpaired cell."""
     import tempfile
 
     from pagerank_hadoop_spark.operators.similarity import (
@@ -12298,10 +12441,26 @@ def q_stream_ivf_pq_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(code_sum).cast("long").alias(f"{pre}_code_sum"),
         )
 
-    return (
-        summarize(idx, "s")
-        .join(summarize(batch, "b"), "cell", "full")
-        .orderBy("cell")
+    per_cell = summarize(idx, "s").join(summarize(batch, "b"), "cell", "full")
+    return per_cell.agg(
+        F.coalesce(F.sum("s_n"), F.lit(0)).cast("long").alias("n_indexed"),
+        F.coalesce(
+            F.min(
+                (
+                    F.col("s_n").eqNullSafe(F.col("b_n"))
+                    & F.col("s_code_sum").eqNullSafe(F.col("b_code_sum"))
+                ).cast("int")
+            ),
+            F.lit(0),
+        ).alias("stream_eq_batch"),
+        F.coalesce(
+            F.min(
+                (
+                    F.col("s_n").isNotNull() & F.col("b_n").isNotNull()
+                ).cast("int")
+            ),
+            F.lit(0),
+        ).alias("all_cells_paired"),
     )
 
 
