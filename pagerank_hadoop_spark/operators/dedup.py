@@ -22,6 +22,8 @@ from pyspark.sql import Column, DataFrame, functions as F
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.window import Window
 
+from pagerank_hadoop_spark import runtime_counters
+
 
 # ---------------------------------------------------------------------------
 # E1: exact dedup
@@ -1464,6 +1466,7 @@ def _distributed_lloyd(
         centers = np.vstack([centers, centers[: k - len(centers)]])
 
     for _ in range(rounds):
+        runtime_counters.note_round()
         assigned = _assign_broadcast_centers(
             train, [[float(x) for x in c] for c in centers],
             id_col="id", vec_col="v",

@@ -19,6 +19,7 @@ import warnings
 
 from pyspark.sql import DataFrame, functions as F
 
+from pagerank_hadoop_spark import runtime_counters
 from pagerank_hadoop_spark.operators.pagerank import pagerank_with_n
 
 
@@ -100,9 +101,9 @@ def pregel(
     changed_rows = init
     converged = False
     for _ in range(max_iter):
-        new_state = step(edges, state, changed_rows).localCheckpoint(
-            eager=False
-        )
+        pre_ckpt = step(edges, state, changed_rows)
+        runtime_counters.note_round(pre_ckpt)
+        new_state = pre_ckpt.localCheckpoint(eager=False)
         # fixpoint test fused into the materializing action with
         # observe(): the count() pins every checkpoint partition and
         # the changed-metric rides along as an accumulator — the
@@ -456,12 +457,13 @@ def k_truss(
     supp = None
     for _ in range(max_iter):
         supp = _support(canon)
-        nxt = (
+        pre_ckpt = (
             canon.join(supp, ["src", "dst"], "left")
             .where(F.coalesce("support", F.lit(0)) >= k - 2)
             .select("src", "dst")
-            .localCheckpoint(eager=False)
         )
+        runtime_counters.note_round(pre_ckpt)
+        nxt = pre_ckpt.localCheckpoint(eager=False)
         n = nxt.count()  # materializes + fixpoint test
         canon = nxt
         if n == prev:
@@ -531,12 +533,13 @@ def k_core(
             .where(F.col("__d") >= k)
             .select("src")
         )
-        nxt = (
+        pre_ckpt = (
             cur.join(keep, "src", "left_semi")
             .join(keep.select(F.col("src").alias("dst")), "dst", "left_semi")
             .select("src", "dst")
-            .localCheckpoint(eager=False)
         )
+        runtime_counters.note_round(pre_ckpt)
+        nxt = pre_ckpt.localCheckpoint(eager=False)
         n = nxt.count()  # materializes the checkpoint + fixpoint test
         cur = nxt
         if n == prev_edges:
@@ -611,15 +614,16 @@ def maximal_independent_set(
             .groupBy(F.col("src").alias("id"))
             .agg(F.min("__p").alias("__minp"))
         )
-        winners = (
+        pre_ckpt = (
             active.join(neigh, "id", "left")
             .where(
                 F.col("__minp").isNull()
                 | (F.struct("pri", "id") < F.col("__minp"))
             )
             .select("id")
-            .localCheckpoint(eager=False)
         )
+        runtime_counters.note_round(pre_ckpt)
+        winners = pre_ckpt.localCheckpoint(eager=False)
         n_win = winners.count()
         if n_win == 0:
             converged = True
@@ -851,7 +855,9 @@ def hits(edges: DataFrame, n_iter: int = 3) -> DataFrame:
         auth = vertices.join(auth, "id", "left").select(
             "id", F.coalesce("auth", F.lit(0.0)).alias("auth")
         )
-        auth = _normalized(auth, "auth").localCheckpoint(eager=False)
+        auth_pre = _normalized(auth, "auth")
+        runtime_counters.note_round(auth_pre)
+        auth = auth_pre.localCheckpoint(eager=False)
         hub = (
             e.join(auth, e.dst == auth.id)
             .groupBy(F.col("src").alias("id"))
@@ -860,7 +866,9 @@ def hits(edges: DataFrame, n_iter: int = 3) -> DataFrame:
         hub = vertices.join(hub, "id", "left").select(
             "id", F.coalesce("hub", F.lit(0.0)).alias("hub")
         )
-        hub = _normalized(hub, "hub").localCheckpoint(eager=False)
+        hub_pre = _normalized(hub, "hub")
+        runtime_counters.note_frame(hub_pre)
+        hub = hub_pre.localCheckpoint(eager=False)
     return hub.join(auth, "id")
 
 

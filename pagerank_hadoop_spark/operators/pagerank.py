@@ -41,6 +41,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from pagerank_hadoop_spark import runtime_counters
+
 DAMPING = 0.85
 TELEPORT = 0.15
 
@@ -229,6 +231,7 @@ def _pagerank_loop(
                     (F.lit(teleport) + F.lit(damping) * F.col("insum")).alias("rank"),
                 )
             )
+            runtime_counters.note_round()
             if (i + 1) % checkpoint_interval == 0 and i + 1 < n_iter:
                 # truncate lineage so the plan doesn't grow unboundedly;
                 # LAZY: the final action materializes the chain in order
@@ -282,6 +285,7 @@ def _pagerank_loop(
                 ).alias("rank"),
             )
         )
+        runtime_counters.note_round(ranks)
         if i + 1 < n_iter:
             ranks = ranks.localCheckpoint(eager=False)
 

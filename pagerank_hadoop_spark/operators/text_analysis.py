@@ -12,6 +12,8 @@ import pandas as pd
 
 from pyspark.sql import Column, DataFrame, functions as F
 
+from pagerank_hadoop_spark import runtime_counters
+
 # tiny per-language stopword profiles for the n-gram/stopword heuristic
 _LANG_STOPWORDS = {
     "en": ["the", "and", "of", "to", "a", "in", "is", "that"],
@@ -310,6 +312,7 @@ def bpe_train_merges(
     merges: list[tuple[str, str, int]] = []
     prev_created: set[str] = set()
     while len(merges) < n_merges:
+        runtime_counters.note_round()
         b_now = min(batch, n_merges - len(merges))
         pairs = (
             cur.select(

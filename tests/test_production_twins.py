@@ -142,13 +142,25 @@ def test_hll_shard_distinct_within_sketch_error(spark):
         .agg(F.countDistinct("l_partkey").alias("d"))
         .collect()
     }
-    got = Q._QUERIES["hll_shard_distinct"](spark, SF).collect()
+    from pagerank_hadoop_spark.operators.sketches import hll_distinct
+
+    got = hll_distinct(
+        li, "l_partkey", ["l_returnflag"], shard=F.col("l_suppkey") % 16
+    ).collect()
     assert len(got) == len(exact)
     for r in got:
         e = exact[r.l_returnflag]
         assert abs(r.approx_distinct - e) <= max(1, 0.05 * e), (
             r.l_returnflag, r.approx_distinct, e,
         )
+    # the registry entry (now an oracle-backed self-check summary)
+    # must agree that the estimate is inside its tighter 2% gate and
+    # that the union estimate is shard-layout-invariant
+    summ = Q._QUERIES["hll_shard_distinct"](spark, SF).collect()
+    assert all(
+        r.est_within_2pct == 1 and r.shard_merge_consistent == 1
+        for r in summ
+    )
 
 
 @pytest.mark.parametrize("qname", ["lsh_topk", "ivf_topk"])
