@@ -762,12 +762,13 @@ def label_propagation(edges: DataFrame, max_iter: int = 3) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     for i in range(max_iter):
-        labels = (
+        pre_ckpt = (
             sym.join(labels, sym.src == labels.id)
             .groupBy(F.col("dst").alias("id"))
             .agg(F.mode("label", True).alias("label"))
-            .localCheckpoint(eager=False)
         )
+        runtime_counters.note_round(pre_ckpt)
+        labels = pre_ckpt.localCheckpoint(eager=False)
     return labels
 
 
@@ -1156,15 +1157,13 @@ def random_walks(
             16,
             10,
         ).cast("long")
-        frontier = (
-            frontier.join(adj, frontier.pos == adj.src)
-            .select(
-                "walk_id",
-                F.element_at(
-                    "nbrs", (F.pmod(h, F.size("nbrs")) + 1).cast("int")
-                ).alias("pos"),
-            )
-            .localCheckpoint(eager=False)
+        pre_ckpt = frontier.join(adj, frontier.pos == adj.src).select(
+            "walk_id",
+            F.element_at(
+                "nbrs", (F.pmod(h, F.size("nbrs")) + 1).cast("int")
+            ).alias("pos"),
         )
+        runtime_counters.note_round(pre_ckpt)
+        frontier = pre_ckpt.localCheckpoint(eager=False)
         out = out.unionByName(frontier.withColumn("step", F.lit(step)))
     return out

@@ -375,6 +375,7 @@ def personalized_pagerank(
             .groupBy("id")
             .agg(F.sum("rank").alias("rank"))
         )
+        runtime_counters.note_round()
         if (i + 1) % checkpoint_interval == 0 and i + 1 < n_iter:
             ranks = ranks.localCheckpoint(eager=False)
     return ranks
@@ -472,6 +473,7 @@ def weighted_pagerank(
                 ),
             )
         )
+        runtime_counters.note_round()
         if (i + 1) % checkpoint_interval == 0 and i + 1 < n_iter:
             ranks_sparse = ranks_sparse.localCheckpoint(eager=False)
     if ranks_sparse is None:
