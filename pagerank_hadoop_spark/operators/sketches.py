@@ -254,3 +254,112 @@ def histogram_quantile_micro(
         )
     )
     return first_cross
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter ingestion screen (mergeable bit-array, broadcast probe)
+# ---------------------------------------------------------------------------
+
+def bloom_build(
+    seen: DataFrame,
+    key: Column | str,
+    bits_per_key: int = 8,
+    k_hashes: int = 3,
+    portable: bool = False,
+) -> tuple[DataFrame, int]:
+    """Build a Bloom filter over ``key`` as a relational bit-array:
+    ``(word_idx, word)`` rows of packed 64-bit words, plus the sized
+    bit count ``m``. The ingestion-screen artifact for a 100 TB store:
+    yesterday's corpus reduces to ``m/64`` longs (mergeable across
+    shards with ``bit_or`` — associative/commutative, so per-shard
+    filters union without rescanning any shard), and a new batch is
+    screened by broadcast-joining its probe positions against the
+    words — no shuffle of either corpus or batch.
+
+    Spark's own ``BloomFilterAggregate`` exists only as a Catalyst-
+    internal runtime-filter expression (not SQL-registered in 4.1), so
+    the bit-array is built from first principles with plain aggregates
+    — which also keeps it engine-portable: with ``portable=True`` the
+    probe positions are md5-derived (``('0x'||substr(md5(i||':'||key)
+    ,1,15))::BIGINT % m`` — identical in DuckDB), so a DuckDB oracle
+    replays the filter EXACTLY, false positives included. Production
+    keeps ``portable=False`` (xxhash64, same layout).
+
+    ``m`` is sized from the corpus count (``bits_per_key`` bits per
+    seen key, rounded up to whole words) — one tiny count() job, the
+    same bounded driver action the trained-k SemDeDup sizing uses.
+    """
+    kcol = F.col(key) if isinstance(key, str) else key
+    n = seen.count()
+    m = 64 * ((bits_per_key * max(n, 1) + 63) // 64)
+    pos = _bloom_positions(kcol, m, k_hashes, portable)
+    words = (
+        seen.select(F.explode(pos).alias("pos"))
+        .distinct()
+        .select(
+            (F.col("pos") / 64).cast("long").alias("word_idx"),
+            F.expr("shiftleft(1L, cast(pos % 64 as int))").alias("bit"),
+        )
+        .groupBy("word_idx")
+        .agg(F.bit_or("bit").alias("word"))
+    )
+    return words, m
+
+
+def _bloom_positions(
+    kcol: Column, m: int, k_hashes: int, portable: bool
+) -> Column:
+    """Array of ``k_hashes`` bit positions for one key. The md5 form
+    parses 15 hex chars (60 bits, non-negative) so ``% m`` agrees
+    between engines; the xxhash64 form uses ``pmod`` for the same
+    reason."""
+    out = []
+    for i in range(1, k_hashes + 1):
+        if portable:
+            h = F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(f"{i}:"), kcol)), 1, 15
+                ),
+                16,
+                10,
+            ).cast("long")
+            out.append(h % m)
+        else:
+            out.append(F.pmod(F.xxhash64(F.lit(i), kcol), F.lit(m)))
+    return F.array(*out)
+
+
+def bloom_probe(
+    batch: DataFrame,
+    key: Column | str,
+    words: DataFrame,
+    m: int,
+    k_hashes: int = 3,
+    portable: bool = False,
+) -> DataFrame:
+    """Screen ``batch`` against a built filter: adds ``bloom_new``
+    (1 = definitely unseen — Bloom filters have NO false negatives;
+    0 = possibly seen, send to the exact verify stage). The probe is
+    ``batch`` columns + k position rows broadcast-joined against the
+    ``m/64``-row word table — map-side only, no batch shuffle."""
+    kcol = F.col(key) if isinstance(key, str) else key
+    pos = _bloom_positions(kcol, m, k_hashes, portable)
+    probes = batch.select(
+        "*", F.posexplode(pos).alias("__k", "__pos")
+    ).select(
+        "*",
+        (F.col("__pos") / 64).cast("long").alias("word_idx"),
+        F.expr("shiftleft(1L, cast(__pos % 64 as int))").alias("__mask"),
+    )
+    hit = (
+        F.coalesce(F.col("word").bitwiseAND(F.col("__mask")), F.lit(0))
+        != 0
+    ).cast("int")
+    per_key = (
+        probes.join(F.broadcast(words), "word_idx", "left")
+        .groupBy(*batch.columns)
+        .agg(F.min(hit).alias("__all_hit"))
+    )
+    return per_key.select(
+        *batch.columns, (1 - F.col("__all_hit")).alias("bloom_new")
+    )

@@ -12567,3 +12567,75 @@ def q_token_window_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     return chunk_documents(docs, window=64, stride=48)
+
+
+@register(
+    "bloom_ingest_screen",
+    r"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 10 != 0),
+    m AS (SELECT 64 * ((8 * COUNT(*) + 63) // 64) AS bits FROM corpus),
+    batch AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0
+      UNION ALL
+      SELECT doc_id + 2000000, text FROM corpus WHERE doc_id % 30 = 1),
+    cpos AS MATERIALIZED (
+      SELECT DISTINCT
+             ('0x' || substr(md5(s.i || ':' || c.text), 1, 15))::BIGINT
+               % (SELECT bits FROM m) AS pos
+      FROM corpus c, (VALUES ('1'), ('2'), ('3')) s(i)),
+    bpos AS (
+      SELECT b.doc_id,
+             ('0x' || substr(md5(s.i || ':' || b.text), 1, 15))::BIGINT
+               % (SELECT bits FROM m) AS pos
+      FROM batch b, (VALUES ('1'), ('2'), ('3')) s(i)),
+    hit AS (
+      SELECT doc_id,
+             MIN(CASE WHEN pos IN (SELECT pos FROM cpos)
+                 THEN 1 ELSE 0 END) AS all_hit
+      FROM bpos GROUP BY doc_id)
+    SELECT doc_id, CAST(1 - all_hit AS INT) AS bloom_new
+    FROM hit ORDER BY doc_id
+    """,
+)
+def q_bloom_ingest_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch [EXT, r6]: Bloom-filter ingestion screen — the cheap
+    membership pre-filter a 100 TB store runs before the exact dedup
+    stage. The seen corpus (doc_id % 10 != 0) reduces to an m-bit
+    relational bit-array (``sketches.bloom_build``: packed 64-bit
+    words, mergeable across shards with bit_or, 8 bits/key, k=3);
+    the incoming batch (every 10th doc + planted exact copies of
+    corpus docs) broadcast-probes it (``bloom_probe``). ``bloom_new``
+    = 1 means DEFINITELY unseen (Bloom has no false negatives — every
+    planted copy must come back 0); 0 means "possibly seen", the only
+    rows the exact verify stage has to touch.
+
+    Oracle-backed from birth: the md5-portable position hash lets the
+    DuckDB twin replay the filter EXACTLY — same m sizing formula,
+    same 60-bit md5 positions, same k probes — so the hash gate
+    checks every row INCLUDING any false positives (a real FP is a
+    genuinely-new doc whose 3 positions all collide with corpus
+    bits; both engines derive the same one). Production swaps the
+    position hash to xxhash64 (``portable=False``), same layout —
+    no-false-negative + merge-law pins in tests/test_sketches.py.
+
+    Spark's own BloomFilterAggregate is Catalyst-internal only (not
+    SQL-registered in 4.1) — probed and documented r6; building the
+    bit-array from plain aggregates is what makes the filter an
+    inspectable, mergeable TABLE rather than an opaque blob anyway.
+    """
+    from pagerank_hadoop_spark.operators.sketches import (
+        bloom_build,
+        bloom_probe,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.where(F.col("doc_id") % 10 != 0)
+    batch = docs.where(F.col("doc_id") % 10 == 0).unionByName(
+        corpus.where(F.col("doc_id") % 30 == 1).select(
+            (F.col("doc_id") + 2000000).alias("doc_id"), "text"
+        )
+    )
+    words, m = bloom_build(corpus, "text", portable=True)
+    screened = bloom_probe(batch, "text", words, m, portable=True)
+    return screened.select("doc_id", "bloom_new").orderBy("doc_id")

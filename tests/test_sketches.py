@@ -183,3 +183,67 @@ def test_histogram_sketch_merge_law_and_quantiles(spark):
     df2 = spark.createDataFrame([(1, -5.0), (2, 500.0)], "id long, v double")
     bins = {r.bin for r in histogram_sketch(df2, "v", 0.0, 100.0, 20).collect()}
     assert bins == {0, 19}
+
+
+def test_bloom_no_false_negatives_and_merge_law(spark):
+    """Bloom screen invariants on the PRODUCTION (xxhash64) path:
+    (1) no false negatives — every key that was inserted must probe
+    bloom_new=0; (2) merge law — per-shard filters bit_or'ed together
+    equal the filter built over the union (bit_or is associative and
+    commutative), so shards never need rescanning; (3) the portable
+    md5 path (the oracle-gated form) obeys the same no-FN law."""
+    from pagerank_hadoop_spark.operators.sketches import (
+        bloom_build,
+        bloom_probe,
+    )
+
+    seen = spark.range(0, 400).select(
+        F.concat(F.lit("key_"), F.col("id")).alias("k")
+    )
+    novel = spark.range(400, 600).select(
+        F.concat(F.lit("key_"), F.col("id")).alias("k")
+    )
+    for portable in (False, True):
+        words, m = bloom_build(seen, "k", portable=portable)
+        got = bloom_probe(seen, "k", words, m, portable=portable)
+        assert (
+            got.where(F.col("bloom_new") != 0).count() == 0
+        ), f"false negative (portable={portable})"
+        # novel keys: mostly new; any 0 is a legitimate false positive
+        fresh = bloom_probe(novel, "k", words, m, portable=portable)
+        n_new = fresh.where(F.col("bloom_new") == 1).count()
+        assert n_new >= 150, f"FP rate implausibly high: {200 - n_new}/200"
+
+    # merge law: build per shard at the UNION's m, OR the words
+    n = seen.count()
+    m = 64 * ((8 * n + 63) // 64)
+    import pagerank_hadoop_spark.operators.sketches as sk
+
+    sh_a = seen.where(F.pmod(F.xxhash64("k"), F.lit(2)) == 0)
+    sh_b = seen.where(F.pmod(F.xxhash64("k"), F.lit(2)) == 1)
+
+    def words_at_m(df):
+        pos = sk._bloom_positions(F.col("k"), m, 3, False)
+        return (
+            df.select(F.explode(pos).alias("pos"))
+            .distinct()
+            .select(
+                (F.col("pos") / 64).cast("long").alias("word_idx"),
+                F.expr("shiftleft(1L, cast(pos % 64 as int))").alias("bit"),
+            )
+            .groupBy("word_idx")
+            .agg(F.bit_or("bit").alias("word"))
+        )
+
+    union_words = {
+        (r.word_idx, r.word) for r in words_at_m(seen).collect()
+    }
+    merged = {
+        (r.word_idx, r.word)
+        for r in words_at_m(sh_a)
+        .unionByName(words_at_m(sh_b))
+        .groupBy("word_idx")
+        .agg(F.bit_or("word").alias("word"))
+        .collect()
+    }
+    assert merged == union_words
