@@ -169,9 +169,16 @@ def test_ann_production_sims_are_exact_cosines(spark, qname):
     buckets': every returned sim must equal the true cosine of the
     returned (query, vector) pair recomputed with NumPy (rounded to
     the 6dp ranking discipline), and each query must return exactly
-    k sorted rows. (Recall vs the exact answer is gated separately
-    in test_similarity.py on the same production functions.)"""
+    k sorted rows. Runs the OPERATORS directly — the registry
+    entries were reshaped in r6 to oracle-backed recall-flag
+    summaries. (Recall vs the exact answer is gated separately in
+    test_similarity.py on the same production functions.)"""
     import numpy as np
+
+    from pagerank_hadoop_spark.operators.similarity import (
+        ivf_topk,
+        lsh_topk,
+    )
 
     emb = {
         r.vec_id: np.array(r.v)
@@ -179,7 +186,13 @@ def test_ann_production_sims_are_exact_cosines(spark, qname):
         .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
         .collect()
     }
-    rows = Q._QUERIES[qname](spark, SF).collect()
+    fn = {"lsh_topk": lsh_topk, "ivf_topk": ivf_topk}[qname]
+    emb_df, qs_df = Q._ann_inputs(spark, SF)
+    rows = (
+        fn(emb_df, qs_df, k=5)
+        .orderBy("q_id", F.desc("sim"), "vec_id")
+        .collect()
+    )
     assert rows
     by_q: dict = {}
     for r in rows:
