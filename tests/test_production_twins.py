@@ -46,7 +46,11 @@ def test_simhash_banding_catches_all_hamming3_pairs(spark):
         for b in ids[i + 1 :]
         if bin((fps[a] ^ fps[b]) & mask).count("1") <= 3
     }
-    prod = _pairs(Q._QUERIES["simhash_pairs"](spark, SF))
+    from pagerank_hadoop_spark.operators.dedup import simhash_candidates
+
+    # the operator directly — the registry entry became an
+    # oracle-backed self-check summary in r6
+    prod = _pairs(simhash_candidates(corpus, "doc_id", "text"))
     assert prod == brute
     assert len(prod) > 0  # the fixture plants real near-dups
 
@@ -73,7 +77,13 @@ def test_minhash_lsh_catches_high_jaccard_planted_pairs(spark):
         if len(a & b) / len(a | b) >= 0.9:
             planted_high.add((d, d + 1000000))
     assert planted_high, "fixture must plant high-Jaccard pairs"
-    prod = _pairs(Q._QUERIES["minhash_lsh_pairs"](spark, SF))
+    from pagerank_hadoop_spark.operators.dedup import (
+        minhash_lsh_candidates,
+    )
+
+    # the operator directly — the registry entry became an
+    # oracle-backed self-check summary in r6
+    prod = _pairs(minhash_lsh_candidates(corpus, "doc_id", "text"))
     assert planted_high <= prod, sorted(planted_high - prod)[:5]
 
 
