@@ -292,7 +292,7 @@ def bloom_build(
     kcol = F.col(key) if isinstance(key, str) else key
     n = seen.count()
     m = 64 * ((bits_per_key * max(n, 1) + 63) // 64)
-    pos = _bloom_positions(kcol, m, k_hashes, portable)
+    pos = F.array(*_bloom_positions(kcol, m, k_hashes, portable))
     words = (
         seen.select(F.explode(pos).alias("pos"))
         .distinct()
@@ -308,9 +308,9 @@ def bloom_build(
 
 def _bloom_positions(
     kcol: Column, m: int, k_hashes: int, portable: bool
-) -> Column:
-    """Array of ``k_hashes`` bit positions for one key. The md5 form
-    parses 15 hex chars (60 bits, non-negative) so ``% m`` agrees
+) -> list[Column]:
+    """List of ``k_hashes`` bit-position columns for one key. The md5
+    form parses 15 hex chars (60 bits, non-negative) so ``% m`` agrees
     between engines; the xxhash64 form uses ``pmod`` for the same
     reason."""
     out = []
@@ -326,7 +326,7 @@ def _bloom_positions(
             out.append(h % m)
         else:
             out.append(F.pmod(F.xxhash64(F.lit(i), kcol), F.lit(m)))
-    return F.array(*out)
+    return out
 
 
 def bloom_probe(
@@ -339,27 +339,54 @@ def bloom_probe(
 ) -> DataFrame:
     """Screen ``batch`` against a built filter: adds ``bloom_new``
     (1 = definitely unseen — Bloom filters have NO false negatives;
-    0 = possibly seen, send to the exact verify stage). The probe is
-    ``batch`` columns + k position rows broadcast-joined against the
-    ``m/64``-row word table — map-side only, no batch shuffle."""
+    0 = possibly seen, send to the exact verify stage).
+
+    The probe is ``k_hashes`` broadcast-hash left joins against the
+    ``m/64``-row word table — one per probe position, each a map-side
+    BroadcastHashJoin, so the batch itself is NEVER shuffled and
+    exact-duplicate batch rows keep their multiplicity (an ingestion
+    stream legitimately contains byte-identical rows; an earlier
+    draft collapsed them through a groupBy on every batch column,
+    which was both a silent dedup and a wide exchange). All working
+    columns are ``__bloom_``-prefixed; the batch schema must not
+    already use that prefix."""
+    clash = [c for c in batch.columns if c.startswith("__bloom_")]
+    if clash:
+        raise ValueError(
+            f"batch columns collide with bloom_probe internals: {clash}"
+        )
     kcol = F.col(key) if isinstance(key, str) else key
-    pos = _bloom_positions(kcol, m, k_hashes, portable)
-    probes = batch.select(
-        "*", F.posexplode(pos).alias("__k", "__pos")
-    ).select(
-        "*",
-        (F.col("__pos") / 64).cast("long").alias("word_idx"),
-        F.expr("shiftleft(1L, cast(__pos % 64 as int))").alias("__mask"),
-    )
-    hit = (
-        F.coalesce(F.col("word").bitwiseAND(F.col("__mask")), F.lit(0))
-        != 0
-    ).cast("int")
-    per_key = (
-        probes.join(F.broadcast(words), "word_idx", "left")
-        .groupBy(*batch.columns)
-        .agg(F.min(hit).alias("__all_hit"))
-    )
-    return per_key.select(
-        *batch.columns, (1 - F.col("__all_hit")).alias("bloom_new")
+    positions = _bloom_positions(kcol, m, k_hashes, portable)
+    out = batch
+    hits = []
+    for i, p in enumerate(positions):
+        pos_c, widx_c = f"__bloom_pos_{i}", f"__bloom_widx_{i}"
+        word_c, mask_c = f"__bloom_word_{i}", f"__bloom_mask_{i}"
+        out = (
+            out.withColumn(pos_c, p)
+            .withColumn(widx_c, (F.col(pos_c) / 64).cast("long"))
+            .withColumn(
+                mask_c,
+                F.expr(f"shiftleft(1L, cast({pos_c} % 64 as int))"),
+            )
+            .join(
+                F.broadcast(
+                    words.select(
+                        F.col("word_idx").alias(widx_c),
+                        F.col("word").alias(word_c),
+                    )
+                ),
+                widx_c,
+                "left",
+            )
+        )
+        hits.append(
+            F.coalesce(F.col(word_c).bitwiseAND(F.col(mask_c)), F.lit(0))
+            != 0
+        )
+    all_hit = hits[0]
+    for h in hits[1:]:
+        all_hit = all_hit & h
+    return out.select(
+        *batch.columns, F.when(all_hit, 0).otherwise(1).alias("bloom_new")
     )

@@ -53,22 +53,29 @@ def register(name: str, oracle: str | None = None):
     return deco
 
 
-def _driver_checked_names(root: str | None = None) -> set[str]:
-    """Names already hash-verified by the driver in a prior round.
+def _driver_checked_names(root: str | None = None) -> dict[str, int]:
+    """Map of name -> LATEST round in which the driver hash-verified it.
 
     The driver's correctness gate records only the FIRST 50 registry
     entries per round (CORRECTNESS_r{N}.json, registry order). To make
     every oracle-backed query eventually land in that window, we read
-    the prior rounds' records from the repo root and treat any name
-    with ``hash_match: true`` as "already verified" — :func:`queries`
-    then rotates never-verified names to the front.
+    the prior rounds' records from the repo root; a name with
+    ``hash_match: true`` in round N is "verified as of round N" —
+    :func:`queries` rotates never-verified names to the front, and
+    once everything has been verified at least once, cycles the
+    stalest verifications back into the window (oldest round first).
     """
     import glob
     import json
+    import re
 
     repo = root or os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    done: set[str] = set()
-    for path in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):
+    done: dict[str, int] = {}
+    for path in glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
         try:
             with open(path) as fh:
                 rec = json.load(fh)
@@ -78,7 +85,7 @@ def _driver_checked_names(root: str | None = None) -> set[str]:
             continue
         for name, row in rec.items():
             if isinstance(row, dict) and row.get("hash_match"):
-                done.add(name)
+                done[name] = max(done.get(name, 0), rnd)
     return done
 
 
@@ -88,20 +95,24 @@ def queries() -> dict[str, QueryFn]:
     The driver checks the first 50 entries only, so the order is:
     (1) oracle-backed queries never hash-verified in a prior round's
     CORRECTNESS file, (2) already-verified oracle-backed queries,
-    (3) no-oracle (rows-only) queries last — they consume a slot but
-    yield only a weak rows-ran signal. Within each group, registration
-    order. The set of verified names grows each round, so the window
-    rotates automatically until every oracle-backed query has a
-    driver-side green row.
+    ordered by the round of their LAST verification ascending — the
+    engine keeps changing, so a green from round 1 is a weaker claim
+    about HEAD than a green from round 6; with ~260 queries and a
+    50-slot window every entry is re-verified at HEAD roughly every
+    five rounds, (3) no-oracle (rows-only) queries last — they consume
+    a slot but yield only a weak rows-ran signal. Within each group,
+    registration order (``sorted`` is stable).
     """
     done = _driver_checked_names()
 
-    def rank(name: str) -> int:
+    def key(name: str) -> tuple[int, int]:
         if name not in _ORACLES:
-            return 2
-        return 1 if name in done else 0
+            return (2, 0)
+        if name not in done:
+            return (0, 0)
+        return (1, done[name])
 
-    ordered = sorted(_QUERIES, key=lambda n: (rank(n),))
+    ordered = sorted(_QUERIES, key=key)
     return {n: _QUERIES[n] for n in ordered}
 
 
@@ -896,61 +907,97 @@ def _near_dup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "minhash_lsh_pairs",
-    """
-    SELECT CAST(SUM(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END)
-                AS BIGINT) AS n_planted,
-           CAST(1 AS INT) AS planted_all_found,
+    r"""
+    WITH p AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               generate_series(1, greatest(length(lower(text)) - 4, 1)),
+               i -> substr(lower(text), i, 5))) AS g_a,
+             list_distinct(list_transform(
+               generate_series(1, greatest(
+                 length(lower(text || ' near dup tail')) - 4, 1)),
+               i -> substr(lower(text || ' near dup tail'), i, 5))) AS g_b
+      FROM documents WHERE doc_id % 3 = 0)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_planted,
+           CAST(SUM(CASE WHEN
+               len(list_intersect(g_a, g_b)) * 1.0
+                 / len(list_distinct(list_concat(g_a, g_b))) >= 0.82
+             THEN 1 ELSE 0 END) AS BIGINT) AS n_gated,
+           CAST(1 AS INT) AS gated_all_found,
            CAST(1 AS INT) AS pairs_canonical
-    FROM documents
+    FROM p
     """,
 )
 def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E2: banded MinHash-LSH candidate pairs over a corpus with
     planted near-dups.
 
-    Oracle-backed [r6] via self-check summary (the candidate SET is
-    banding-shaped — 825 hash-dependent true-similar extras beyond
-    the plants at sf0.01 — so it has no SQL twin; the signature math
-    itself is the hash-checked ``minhash_est_md5``, and downstream
-    Jaccard-confirmed policy is the fully-oracled
+    Oracle-backed [r6, re-gated r7] via self-check summary (the
+    candidate SET is banding-shaped — 825 hash-dependent true-similar
+    extras beyond the plants at sf0.01 — so it has no SQL twin; the
+    signature math itself is the hash-checked ``minhash_est_md5``,
+    and downstream Jaccard-confirmed policy is the fully-oracled
     ``minhash_dedup_survivors``): the oracle recomputes ``n_planted``
-    from the parquet; the flags certify every planted
-    (d, d+1000000) pair surfaced as a candidate (banding recall 1.0
-    on plants whose true Jaccard ≥ 0.82) and all pairs are canonical
-    (id_a < id_b)."""
-    from pagerank_hadoop_spark.operators.dedup import minhash_lsh_candidates
+    AND ``n_gated`` — the plants whose TRUE 5-gram Jaccard clears the
+    0.82 banding guarantee — from the parquet (a 1:1 original↔dup
+    Jaccard, never all-pairs). ``gated_all_found`` certifies every
+    gated plant surfaced as a candidate: that is exactly what banding
+    promises (4 bands × 8 rows ⇒ miss probability ≤ (1-s⁸)⁴ < 1 % at
+    s ≥ 0.82). Plants BELOW the guarantee may legitimately drop at a
+    different fixture/scale, so they are counted (``n_planted`` vs
+    ``n_gated``) but not gated on — the r6 gate pinned recall over
+    ALL plants, which only held because this fixture's tails keep
+    every plant above the knee. ``pairs_canonical`` pins id_a <
+    id_b."""
+    from pagerank_hadoop_spark.operators.dedup import (
+        minhash_lsh_candidates,
+        raw_shingles,
+    )
 
     corpus = _near_dup_corpus(spark, sf_dir)
     cands = minhash_lsh_candidates(corpus, "doc_id", "text")
-    planted = (
+    plants = (
         _t(spark, sf_dir, "documents")
         .where(F.col("doc_id") % 3 == 0)
         .select(
             F.col("doc_id").alias("id_a"),
             (F.col("doc_id") + 1000000).alias("id_b"),
+            raw_shingles(F.col("text"), 5).alias("g_a"),
+            raw_shingles(
+                F.concat("text", F.lit(" near dup tail")), 5
+            ).alias("g_b"),
+        )
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.size(F.array_intersect("g_a", "g_b")).cast("double")
+                / F.size(F.array_union("g_a", "g_b"))
+                >= 0.82
+            ).alias("gated"),
         )
     )
-    n_planted = planted.agg(
-        F.count(F.lit(1)).cast("long").alias("n_planted")
-    )
-    found = planted.join(cands, ["id_a", "id_b"], "left_semi").agg(
-        F.count(F.lit(1)).alias("n_found")
+    found = plants.join(
+        cands.select("id_a", "id_b").withColumn("hit", F.lit(1)),
+        ["id_a", "id_b"],
+        "left",
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_planted"),
+        F.sum(F.col("gated").cast("long")).alias("n_gated"),
+        F.min(
+            F.when(F.col("gated"), F.coalesce("hit", F.lit(0))).otherwise(1)
+        ).alias("gated_all_found"),
     )
     canon = cands.agg(
         F.coalesce(
             F.min((F.col("id_a") < F.col("id_b")).cast("int")), F.lit(1)
         ).alias("pairs_canonical")
     )
-    return (
-        n_planted.crossJoin(found)
-        .crossJoin(canon)
-        .select(
-            "n_planted",
-            (F.col("n_found") == F.col("n_planted"))
-            .cast("int")
-            .alias("planted_all_found"),
-            "pairs_canonical",
-        )
+    return found.crossJoin(canon).select(
+        "n_planted",
+        "n_gated",
+        F.col("gated_all_found").cast("int").alias("gated_all_found"),
+        "pairs_canonical",
     )
 
 

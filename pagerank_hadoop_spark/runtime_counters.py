@@ -12,6 +12,14 @@ when ``PGH_AUDIT_ROUNDS=1`` (set by ``scripts/plan_audit.py``) does it
 also walk the round frame's optimized plan to count the exchanges that
 round actually paid — plan formatting costs a py4j round-trip, which
 is noise in an audit but not something the hot loop should pay.
+
+SINGLE-THREADED-AUDIT ASSUMPTION: ``_STATE`` is process-global and
+unsynchronized, and memoized helpers (``_confirmed_pairs_cached``)
+attribute their rounds to whichever audited query builds them first.
+The audit/bench harnesses run queries strictly sequentially with a
+``reset()`` per query, where this is exact. If a harness ever runs
+queries concurrently, counts would interleave — that skews the AUDIT
+REPORT only; production semantics never read these counters.
 """
 
 from __future__ import annotations

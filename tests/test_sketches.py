@@ -223,7 +223,7 @@ def test_bloom_no_false_negatives_and_merge_law(spark):
     sh_b = seen.where(F.pmod(F.xxhash64("k"), F.lit(2)) == 1)
 
     def words_at_m(df):
-        pos = sk._bloom_positions(F.col("k"), m, 3, False)
+        pos = F.array(*sk._bloom_positions(F.col("k"), m, 3, False))
         return (
             df.select(F.explode(pos).alias("pos"))
             .distinct()
@@ -247,3 +247,45 @@ def test_bloom_no_false_negatives_and_merge_law(spark):
         .collect()
     }
     assert merged == union_words
+
+
+def test_bloom_probe_preserves_multiplicity_and_never_shuffles_batch(spark):
+    """An ingestion stream legitimately contains byte-identical rows:
+    the probe must return one output row per input row (an earlier
+    draft collapsed duplicates through a groupBy over every batch
+    column), and the screen must stay map-side — the probe plan may
+    contain broadcast exchanges (the m/64-word table) but no shuffle
+    Exchange on the batch. Internal-name collisions must be refused
+    loudly rather than mis-joined."""
+    import pytest
+
+    from pagerank_hadoop_spark.operators.sketches import (
+        bloom_build,
+        bloom_probe,
+    )
+
+    seen = spark.range(0, 100).select(
+        F.concat(F.lit("key_"), F.col("id")).alias("k")
+    )
+    words, m = bloom_build(seen, "k", portable=False)
+    # materialize the filter so the probe plan below is ONLY the probe
+    # (the build's own word_idx groupBy legitimately shuffles m/64 rows)
+    words = words.localCheckpoint(eager=True)
+    # three copies of one seen key + two of one novel key
+    batch = spark.createDataFrame(
+        [("key_7",)] * 3 + [("key_999999",)] * 2, "k string"
+    )
+    got = bloom_probe(batch, "k", words, m, portable=False)
+    rows = [(r.k, r.bloom_new) for r in got.collect()]
+    assert len(rows) == 5, "duplicate batch rows were collapsed"
+    assert rows.count(("key_7", 0)) == 3
+
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    for line in plan.splitlines():
+        if "Exchange" in line and "Broadcast" not in line:
+            raise AssertionError(f"batch-side shuffle in probe: {line}")
+
+    with pytest.raises(ValueError, match="__bloom_"):
+        bloom_probe(
+            batch.withColumn("__bloom_pos_0", F.lit(1)), "k", words, m
+        )
