@@ -261,7 +261,7 @@ def bpe_train_merges(
     text: str = "text",
     n_merges: int = 8,
     batch: int = 1,
-) -> tuple[list[tuple[str, str, int]], DataFrame]:
+) -> tuple[list[tuple[str, str, int]], DataFrame, list[tuple[int, str, str]]]:
     """Train byte-pair-encoding-style merges over a corpus: the
     tokenizer-training loop itself, as an iterative Spark job.
 
@@ -270,9 +270,10 @@ def bpe_train_merges(
     carries (pair, count) only), picks the most frequent pair
     (deterministic tie-break: count desc, then lexicographic), and
     rewrites every document by greedy left-to-right merging of that
-    pair. Returns ``(merges, final_docs)`` where ``merges`` is the
-    ranked merge table and ``final_docs`` holds the re-tokenized
-    symbol arrays.
+    pair. Returns ``(merges, final_docs, deviations)``: ``merges`` is
+    the ranked merge table, ``final_docs`` the re-tokenized symbol
+    arrays, and ``deviations`` the batched-schedule audit trail
+    (always ``[]`` at ``batch=1``).
 
     Symbols here are words (merges learn collocations); character
     level is the SAME plan at ~5x the symbol rows — the driver corpus
@@ -302,6 +303,15 @@ def bpe_train_merges(
     32k-vocab train at batch=64 does 500 driver jobs instead of 32k.
     ``batch=1`` is exact sequential BPE (the oracle-fixture path);
     batched ≡ sequential is unit-pinned on the planted corpus.
+
+    Possible deviations from the sequential schedule are RETURNED,
+    not warned: each round whose top pairs involve a symbol created
+    by the previous batch appends ``(round_idx, a, b)`` rows to
+    ``deviations`` (the pair that re-ranked). An empty list certifies
+    the batched schedule provably replayed sequential BPE; a
+    non-empty one bounds where they may differ — callers decide
+    whether that matters (a 32k-vocab production train tolerates it;
+    an oracle fixture asserts ``deviations == []``).
     """
     from pyspark.sql.functions import pandas_udf
 
@@ -310,9 +320,12 @@ def bpe_train_merges(
         F.split(F.lower(F.col(text)), " +").alias("syms"),
     ).localCheckpoint(eager=False)
     merges: list[tuple[str, str, int]] = []
+    deviations: list[tuple[int, str, str]] = []
     prev_created: set[str] = set()
+    round_idx = 0
     while len(merges) < n_merges:
         runtime_counters.note_round()
+        round_idx += 1
         b_now = min(batch, n_merges - len(merges))
         pairs = (
             cur.select(
@@ -342,22 +355,11 @@ def bpe_train_merges(
         # (sequential would have recounted before the prior batch's
         # later picks; bounded to one round, see docstring)
         if batch > 1 and prev_created:
-            hot = [
-                (r["a"], r["b"])
+            deviations.extend(
+                (round_idx, r["a"], r["b"])
                 for r in top
                 if r["a"] in prev_created or r["b"] in prev_created
-            ]
-            if hot:
-                import warnings
-
-                warnings.warn(
-                    "bpe_train_merges(batch>1): merge outputs from the"
-                    f" previous batch re-rank immediately ({hot[:3]}…);"
-                    " batched order may deviate from sequential BPE"
-                    " this round",
-                    RuntimeWarning,
-                    stacklevel=2,
-                )
+            )
         picked: list[tuple[str, str, int]] = []
         used: set[str] = set()
         for row in top:
@@ -405,7 +407,7 @@ def bpe_train_merges(
         cur = cur.select(
             "doc_id", make_merge_udf()("syms").alias("syms")
         ).localCheckpoint(eager=False)
-    return merges, cur
+    return merges, cur, deviations
 
 
 def bpe_apply(

@@ -8677,27 +8677,104 @@ def q_trimmed_mean_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("bpe_merge_table")
+@register(
+    "bpe_merge_table",
+    """
+    SELECT CAST(i AS INT) AS rank,
+           CAST(1 AS INT) AS count_monotone,
+           CAST(1 AS INT) AS vocab_closed,
+           CAST(1 AS INT) AS roundtrip_ok
+    FROM generate_series(1, 6) t(i) ORDER BY rank
+    """,
+)
 def q_bpe_merge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E4 [EXT]: tokenizer TRAINING, not just tokenization — the BPE
     merge loop run as an iterative Spark job over the corpus
     (operators.text_analysis.bpe_train_merges): per round one
     pair-count aggregation (shuffle carries (pair, count) only), a
     1-row driver argmax with deterministic tie-break, and a map-only
-    Arrow-batched greedy rewrite. Returns the ranked merge table.
-    Data-dependent control flow per round makes a static SQL twin
-    inexpressible → rows-only here; planted-corpus merge sequences,
-    greedy-overlap semantics, and determinism are unit-tested."""
+    Arrow-batched greedy rewrite.
+
+    Oracle-backed [r7] via self-check flags (the merge SELECTION is
+    data-dependent control flow with no static SQL twin — planted
+    merge sequences, greedy-overlap semantics, and determinism stay
+    unit-pinned in tests/test_text_analysis.py): the oracle
+    recomputes the merge index set; the per-merge flags certify the
+    three invariants any valid sequential-BPE table must satisfy,
+    each computed declaratively over the trained artifact:
+
+    - ``count_monotone``: selected pair counts never increase with
+      rank — true for exact sequential BPE because a merge can only
+      create pairs whose count is bounded by the merged pair's own
+      count, and untouched pairs only lose adjacencies;
+    - ``vocab_closed``: each side of merge i is a base token (no
+      joiner) or the output of some merge j < i — a table violating
+      this cannot be replayed by any tokenizer;
+    - ``roundtrip_ok``: re-encoding the corpus from scratch with the
+      trained table (``bpe_apply``, the shuffle-free inference path)
+      reproduces the training loop's final tokenization exactly —
+      compared corpus-wide inside the plan via an order-insensitive
+      (count, xxhash64-XOR) checksum over (doc_id, syms), the gate
+      that catches trainer/applier greedy-semantics drift.
+    """
+    from pyspark.sql.window import Window
+
     from pagerank_hadoop_spark.operators.text_analysis import (
+        bpe_apply,
         bpe_train_merges,
     )
 
     docs = _t(spark, sf_dir, "documents")
-    merges, _ = bpe_train_merges(docs, n_merges=6)
-    return spark.createDataFrame(
+    merges, final, _ = bpe_train_merges(docs, n_merges=6)
+
+    def checksum(df: DataFrame) -> DataFrame:
+        h = F.xxhash64("doc_id", F.concat_ws("\x1f", "syms"))
+        return df.select(h.alias("h")).agg(
+            F.count(F.lit(1)).alias("c"),
+            F.expr("bit_xor(h)").alias("x"),
+        )
+
+    rt = (
+        checksum(bpe_apply(docs, merges))
+        .crossJoin(
+            checksum(final).select(
+                F.col("c").alias("c2"), F.col("x").alias("x2")
+            )
+        )
+        .select(
+            ((F.col("c") == F.col("c2")) & (F.col("x") == F.col("x2")))
+            .cast("int")
+            .alias("roundtrip_ok")
+        )
+    )
+
+    mt = spark.createDataFrame(
         [(i + 1, a, b, n) for i, (a, b, n) in enumerate(merges)],
         "rank int, left string, right string, pair_count long",
     )
+    w = Window.orderBy("rank")
+    prior_outputs = F.collect_list(
+        F.concat("left", F.lit("▁"), "right")
+    ).over(w.rowsBetween(Window.unboundedPreceding, -1))
+
+    def side_closed(c: str) -> Column:
+        return ~F.col(c).contains("▁") | F.array_contains(
+            prior_outputs, F.col(c)
+        )
+
+    flags = mt.select(
+        "rank",
+        F.coalesce(
+            (F.col("pair_count") <= F.lag("pair_count").over(w)),
+            F.lit(True),
+        )
+        .cast("int")
+        .alias("count_monotone"),
+        (side_closed("left") & side_closed("right"))
+        .cast("int")
+        .alias("vocab_closed"),
+    )
+    return flags.crossJoin(F.broadcast(rt)).orderBy("rank")
 
 
 @register(

@@ -175,7 +175,8 @@ def test_bpe_merges_planted_sequence(spark):
         (4, "a b q"),
     ]
     docs = spark.createDataFrame(rows, "doc_id long, text string")
-    merges, final = bpe_train_merges(docs, n_merges=3)
+    merges, final, dev = bpe_train_merges(docs, n_merges=3)
+    assert dev == []  # batch=1 is exact sequential BPE by construction
     assert merges[0] == ("a", "b", 4)
     # ("a▁b","c") ties ("c","d") at 3; lexicographic tie-break wins
     assert merges[1] == ("a▁b", "c", 3)
@@ -196,13 +197,13 @@ def test_bpe_greedy_left_to_right_overlap(spark):
     docs = spark.createDataFrame(
         [(1, "x x x x x"), (2, "x x")], "doc_id long, text string"
     )
-    merges, final = bpe_train_merges(docs, n_merges=1)
+    merges, final, _ = bpe_train_merges(docs, n_merges=1)
     assert merges[0] == ("x", "x", 5)  # 4 overlapping in doc1 + 1 in doc2
     out = {r["doc_id"]: r["syms"] for r in final.collect()}
     assert out[1] == ["x▁x", "x▁x", "x"]
     assert out[2] == ["x▁x"]
 
-    merges2, _ = bpe_train_merges(docs.repartition(5), n_merges=1)
+    merges2, _, _ = bpe_train_merges(docs.repartition(5), n_merges=1)
     assert merges2 == merges
 
 
@@ -223,8 +224,9 @@ def test_bpe_batched_matches_sequential(spark):
         (5, "g h q"),
     ]
     docs = spark.createDataFrame(rows, "doc_id long, text string")
-    seq_merges, seq_final = bpe_train_merges(docs, n_merges=4, batch=1)
-    bat_merges, bat_final = bpe_train_merges(docs, n_merges=4, batch=4)
+    seq_merges, seq_final, seq_dev = bpe_train_merges(docs, n_merges=4, batch=1)
+    bat_merges, bat_final, bat_dev = bpe_train_merges(docs, n_merges=4, batch=4)
+    assert seq_dev == [] and bat_dev == []
     assert bat_merges == seq_merges
     seq = {r["doc_id"]: r["syms"] for r in seq_final.collect()}
     bat = {r["doc_id"]: r["syms"] for r in bat_final.collect()}
@@ -244,9 +246,14 @@ def test_bpe_batched_skips_overlapping_pairs(spark):
         (2, "a b z"),
     ]
     docs = spark.createDataFrame(rows, "doc_id long, text string")
-    seq_merges, _ = bpe_train_merges(docs, n_merges=2, batch=1)
-    bat_merges, _ = bpe_train_merges(docs, n_merges=2, batch=2)
+    seq_merges, _, _ = bpe_train_merges(docs, n_merges=2, batch=1)
+    bat_merges, _, bat_dev = bpe_train_merges(docs, n_merges=2, batch=2)
     assert bat_merges == seq_merges
+    # the returned audit trail replaces the old stderr RuntimeWarning:
+    # (a▁b, c) re-ranks right after (a, b) merges, so the batched
+    # schedule must REPORT the potential deviation even though the
+    # overlap-skip rule kept the outcome identical here
+    assert any(a == "a▁b" or b == "a▁b" for _, a, b in bat_dev)
 
 
 def test_bpe_apply_reproduces_training_tokenization(spark):
@@ -259,7 +266,7 @@ def test_bpe_apply_reproduces_training_tokenization(spark):
         [(1, "a b c d x"), (2, "a b c d y"), (3, "a b q"), (4, "x x x")],
         "doc_id long, text string",
     )
-    merges, final = bpe_train_merges(docs, n_merges=3)
+    merges, final, _ = bpe_train_merges(docs, n_merges=3)
     trained = {r["doc_id"]: r["syms"] for r in final.collect()}
     applied = {
         r["doc_id"]: r["syms"] for r in bpe_apply(docs, merges).collect()
