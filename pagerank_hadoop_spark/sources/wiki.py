@@ -130,10 +130,18 @@ try:  # the Python DataSource API landed in Spark 4
 
         This Python path exists as the *extensibility surface* demo —
         the production ingest is :func:`read_pages` (JVM record
-        delimiter, no per-record Python hop); a plan-level row count
-        is the only thing that should cross the language boundary at
-        100 TB, not the dump.
+        delimiter, no per-record Python hop). ``read`` yields
+        ``pyarrow.RecordBatch``es (Spark 4 DataSource API), not
+        per-row tuples: records are accumulated and shipped to the
+        JVM as Arrow columns, so the per-record Python cost is one
+        list append + one Arrow array build per ~1k records instead
+        of a pickled tuple per record (the per-row form measured
+        2.24× per data decade in SCALE.md; Arrow batching puts the
+        scan back on the JVM-path growth curve).
         """
+
+        BATCH_ROWS = 1024
+        BATCH_BYTES = 16 << 20
 
         def __init__(self, options):
             self.path = options.get("path")
@@ -162,12 +170,22 @@ try:  # the Python DataSource API landed in Spark 4
             return out or [_ByteRange(self.path, 0, 0)]
 
         def read(self, partition):
+            import pyarrow as pa
+
             stag, etag = self.start_tag, self.end_tag
             span = partition.end - partition.start
             if span <= 0:
                 # the empty-input fallback partition may carry a
                 # directory path — never open it
                 return
+
+            def batch(records):
+                return pa.RecordBatch.from_arrays(
+                    [pa.array(records, type=pa.string())], names=["page_xml"]
+                )
+
+            records: list[str] = []
+            nbytes = 0
             with open(partition.path, "rb") as f:
                 f.seek(partition.start)
                 # overlap so a start tag straddling the split end is
@@ -177,16 +195,30 @@ try:  # the Python DataSource API landed in Spark 4
                 while True:
                     i = buf.find(stag, pos)
                     if i < 0 or i >= span:
-                        return
+                        break
                     j = buf.find(etag, i)
+                    truncated = False
                     while j < 0:
                         more = f.read(1 << 20)
                         if not more:
-                            return  # truncated trailing record: drop
+                            truncated = True  # trailing record: drop
+                            break
                         buf += more
                         j = buf.find(etag, i)
-                    yield (buf[i : j + len(etag)].decode("utf-8", "replace"),)
+                    if truncated:
+                        break
+                    rec = buf[i : j + len(etag)].decode("utf-8", "replace")
+                    records.append(rec)
+                    nbytes += len(rec)
+                    if (
+                        len(records) >= self.BATCH_ROWS
+                        or nbytes >= self.BATCH_BYTES
+                    ):
+                        yield batch(records)
+                        records, nbytes = [], 0
                     pos = j + len(etag)
+            if records:
+                yield batch(records)
 
     class XmlPagesDataSource(DataSource):
         """``spark.read.format("xmlpages")`` — S1 as a registered
