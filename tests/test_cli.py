@@ -52,8 +52,10 @@ def test_cli_writes_ordered_snapshots(spark, tmp_path):
 def test_registry_rotation_prefers_unchecked_oracle_backed(tmp_path):
     """The driver records only the first 50 registry entries, so
     queries() must order: never-hash-checked oracle-backed first,
-    already-checked after, rows-only last — and rotate as new
-    CORRECTNESS_r*.json rounds land."""
+    already-checked oracle-backed by LAST-green round ascending
+    (stalest verification first — the r7 re-verification cycle),
+    rows-only last — and rotate as new CORRECTNESS_r*.json rounds
+    land."""
     import json
 
     from pagerank_hadoop_spark import queries as Q
@@ -65,18 +67,30 @@ def test_registry_rotation_prefers_unchecked_oracle_backed(tmp_path):
         2 if n not in oracles else (1 if n in done else 0) for n in names
     ]
     assert ranks == sorted(ranks), "registry must be grouped 0<1<2"
+    last_rounds = [done[n] for n in names if n in oracles and n in done]
+    assert last_rounds == sorted(
+        last_rounds
+    ), "checked queries must cycle stalest-green first"
 
-    # simulate a new round's record: its hash-matched names must parse
+    # simulate a new round's record: its hash-matched names must map to
+    # that round; failures never count as checked
     some = [n for n in names if n in oracles][:3]
     rec = {n: {"hash_match": True, "rows_match": True} for n in some}
     rec["failed_one"] = {"hash_match": False}
     (tmp_path / "CORRECTNESS_r99.json").write_text(json.dumps(rec))
     got = Q._driver_checked_names(root=str(tmp_path))
-    assert got == set(some)  # failures never count as checked
+    assert got == {n: 99 for n in some}
+
+    # a LATER green supersedes an earlier one (max round wins)
+    (tmp_path / "CORRECTNESS_r100.json").write_text(
+        json.dumps({some[0]: {"hash_match": True}})
+    )
+    got = Q._driver_checked_names(root=str(tmp_path))
+    assert got[some[0]] == 100 and got[some[1]] == 99
 
     # corrupt file is skipped, not fatal
     (tmp_path / "CORRECTNESS_r98.json").write_text("{not json")
-    assert Q._driver_checked_names(root=str(tmp_path)) == set(some)
+    assert Q._driver_checked_names(root=str(tmp_path))[some[0]] == 100
 
 
 def test_cli_run_and_list(capsys):
