@@ -293,9 +293,12 @@ def bloom_build(
     n = seen.count()
     m = 64 * ((bits_per_key * max(n, 1) + 63) // 64)
     pos = F.array(*_bloom_positions(kcol, m, k_hashes, portable))
+    # no distinct() before the groupBy: bit_or is idempotent, so
+    # duplicate positions are absorbed by the map-side partial
+    # aggregate — a pre-dedup would be a second full shuffle of the
+    # position stream for nothing
     words = (
         seen.select(F.explode(pos).alias("pos"))
-        .distinct()
         .select(
             (F.col("pos") / 64).cast("long").alias("word_idx"),
             F.expr("shiftleft(1L, cast(pos % 64 as int))").alias("bit"),
