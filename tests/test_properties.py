@@ -379,3 +379,109 @@ def test_jpeg_arbitrary_pixels_decode_matches_coefficients(seed):
         expected[:, mx * 8 : mx * 8 + 8] = np.clip(np.floor(blk + 0.5), 0, 255)
     _, _, planes = jpeg_decode(data)
     assert (planes[0] == expected.astype(np.uint8)).all()
+
+
+def _ref_bpe(docs: list[list[str]], n_merges: int):
+    """Independent pure-Python sequential BPE: count adjacent pairs,
+    argmax with (count desc, pair lexicographic asc) tie-break and a
+    count >= 2 floor, greedy left-to-right rewrite. The oracle for
+    bpe_train_merges(batch=1) that shares NO code with the operator."""
+    cur = [list(d) for d in docs]
+    merges = []
+    for _ in range(n_merges):
+        counts: dict[tuple[str, str], int] = {}
+        for d in cur:
+            for a, b in zip(d, d[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + 1
+        cands = [(-c, a, b) for (a, b), c in counts.items() if c >= 2]
+        if not cands:
+            break
+        negc, a, b = min(cands)
+        merges.append((a, b, -negc))
+        joined = a + "▁" + b
+        nxt = []
+        for d in cur:
+            out, i = [], 0
+            while i < len(d):
+                if i + 1 < len(d) and d[i] == a and d[i + 1] == b:
+                    out.append(joined)
+                    i += 2
+                else:
+                    out.append(d[i])
+                    i += 1
+            nxt.append(out)
+        cur = nxt
+    return merges, cur
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(list("abcde")), min_size=1, max_size=12),
+        min_size=1,
+        max_size=6,
+    ),
+    n_merges=st.integers(1, 3),
+)
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_bpe_matches_independent_reference(spark, docs, n_merges):
+    """On ANY corpus, sequential training must equal the shared-nothing
+    Python reference — merge table, selected counts, AND final
+    tokenization — and the selected counts must be monotone
+    non-increasing (the invariant the bpe_merge_table oracle flag
+    pins: a merge only creates pairs bounded by its own count)."""
+    from pagerank_hadoop_spark.operators.text_analysis import (
+        bpe_apply,
+        bpe_train_merges,
+    )
+
+    rows = [(i, " ".join(d)) for i, d in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    merges, final, dev = bpe_train_merges(df, n_merges=n_merges)
+    ref_merges, ref_final = _ref_bpe(docs, n_merges)
+    assert dev == []
+    assert merges == ref_merges
+    counts = [c for _, _, c in merges]
+    assert counts == sorted(counts, reverse=True)
+    got = {r["doc_id"]: r["syms"] for r in final.collect()}
+    assert got == {i: d for i, d in enumerate(ref_final)}
+    # inference path replays training exactly on the same corpus
+    applied = {r["doc_id"]: r["syms"] for r in bpe_apply(df, merges).collect()}
+    assert applied == got
+
+
+@given(
+    seen_ids=st.sets(st.integers(0, 60), min_size=1, max_size=25),
+    novel_ids=st.sets(st.integers(1000, 1040), min_size=1, max_size=10),
+    dup_factor=st.integers(1, 3),
+)
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_bloom_no_false_negatives_multiplicity_property(
+    spark, seen_ids, novel_ids, dup_factor
+):
+    """For ANY inserted key set and ANY batch (duplicates included):
+    every inserted key probes bloom_new=0 (no false negatives), and
+    the probe emits exactly one output row per input row — on both
+    the production (xxhash64) and portable (md5) hash paths."""
+    from pagerank_hadoop_spark.operators.sketches import (
+        bloom_build,
+        bloom_probe,
+    )
+
+    seen_rows = [(f"k{i}",) for i in sorted(seen_ids)]
+    batch_rows = (seen_rows + [(f"k{i}",) for i in sorted(novel_ids)]) * dup_factor
+    seen = spark.createDataFrame(seen_rows, "k string")
+    batch = spark.createDataFrame(batch_rows, "k string")
+    for portable in (False, True):
+        words, m = bloom_build(seen, "k", portable=portable)
+        got = bloom_probe(batch, "k", words, m, portable=portable).collect()
+        assert len(got) == len(batch_rows)
+        inserted = {k for (k,) in seen_rows}
+        assert all(r.bloom_new == 0 for r in got if r.k in inserted)
