@@ -584,11 +584,18 @@ def maximal_independent_set(
         .distinct()
     )
     base = edges.select("src", "dst").where(F.col("src") != F.col("dst"))
+    # partitioned by DST: the recurring per-round join keys on dst
+    # (min active-neighbor lookup), so the persistent copy must be
+    # laid out for THAT join — src is only used by the winner
+    # deactivation semi-join, whose other side (winners) is small
+    # enough to broadcast every round. Partitioning by src would
+    # re-shuffle the full edge list per round at broadcast-infeasible
+    # active-set sizes.
     sym = (
         base.unionByName(
             base.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         )
-        .repartition(parts, "src")
+        .repartition(parts, "dst")
         .localCheckpoint(eager=True)
     )
     pri = F.conv(F.substring(F.md5(F.col("id")), 1, 6), 16, 10).cast("long")
@@ -833,7 +840,14 @@ def hits(edges: DataFrame, n_iter: int = 3) -> DataFrame:
     ``PageRank.java:305-340``) with the other classic link-analysis
     fixpoint, expressed on the same id-only shuffle economy.
     """
+    parts = _edge_partitions(edges, doubled=False)
     e = edges.select("src", "dst").distinct().localCheckpoint(eager=True)
+    # the loop alternates join keys every half-step (src for the auth
+    # update, dst for the hub update), so keep TWO aligned persistent
+    # copies — the GraphX routing-table trade: 2x edge cache buys zero
+    # per-round edge exchanges at score sizes too big to broadcast
+    e_src = e.repartition(parts, "src").localCheckpoint(eager=True)
+    e_dst = e.repartition(parts, "dst").localCheckpoint(eager=True)
     vertices = (
         e.select(F.col("src").alias("id"))
         .union(e.select(F.col("dst").alias("id")))
@@ -853,7 +867,7 @@ def hits(edges: DataFrame, n_iter: int = 3) -> DataFrame:
 
     for _ in range(n_iter):
         auth = (
-            e.join(hub, e.src == hub.id)
+            e_src.join(hub, e_src.src == hub.id)
             .groupBy(F.col("dst").alias("id"))
             .agg(F.sum("hub").alias("auth"))
         )
@@ -866,7 +880,7 @@ def hits(edges: DataFrame, n_iter: int = 3) -> DataFrame:
         runtime_counters.note_round(auth_pre)
         auth = auth_pre.localCheckpoint(eager=False)
         hub = (
-            e.join(auth, e.dst == auth.id)
+            e_dst.join(auth, e_dst.dst == auth.id)
             .groupBy(F.col("src").alias("id"))
             .agg(F.sum("auth").alias("hub"))
         )
