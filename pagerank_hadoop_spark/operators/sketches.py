@@ -289,6 +289,10 @@ def bloom_build(
     seen key, rounded up to whole words) — one tiny count() job, the
     same bounded driver action the trained-k SemDeDup sizing uses.
     """
+    if k_hashes < 1:
+        raise ValueError(f"k_hashes must be >= 1, got {k_hashes}")
+    if bits_per_key < 1:
+        raise ValueError(f"bits_per_key must be >= 1, got {bits_per_key}")
     kcol = F.col(key) if isinstance(key, str) else key
     n = seen.count()
     m = 64 * ((bits_per_key * max(n, 1) + 63) // 64)
@@ -353,6 +357,10 @@ def bloom_probe(
     which was both a silent dedup and a wide exchange). All working
     columns are ``__bloom_``-prefixed; the batch schema must not
     already use that prefix."""
+    if k_hashes < 1:
+        raise ValueError(f"k_hashes must be >= 1, got {k_hashes}")
+    if m < 64 or m % 64:
+        raise ValueError(f"m must be a positive multiple of 64, got {m}")
     clash = [c for c in batch.columns if c.startswith("__bloom_")]
     if clash:
         raise ValueError(

@@ -209,7 +209,10 @@ try:  # the Python DataSource API landed in Spark 4
                         break
                     rec = buf[i : j + len(etag)].decode("utf-8", "replace")
                     records.append(rec)
-                    nbytes += len(rec)
+                    # flush threshold counts raw UTF-8 bytes, not
+                    # Python characters — multibyte-heavy dumps would
+                    # otherwise overshoot BATCH_BYTES up to 4x
+                    nbytes += j + len(etag) - i
                     if (
                         len(records) >= self.BATCH_ROWS
                         or nbytes >= self.BATCH_BYTES
