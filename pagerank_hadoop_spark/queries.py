@@ -1517,7 +1517,7 @@ def q_semantic_dedup_trained_dist(spark: SparkSession, sf_dir: str) -> DataFrame
              list_dot_product(v, w) / (sqrt(list_dot_product(v, v))
                * sqrt(list_dot_product(w, w))) >= 0.95
              THEN 1 ELSE 0 END) AS BIGINT) AS n_planted,
-           CAST(1 AS INT) AS recall_floor_met,
+           CAST(84 AS BIGINT) AS n_found,
            CAST(1 AS INT) AS all_found_are_dups,
            CAST(1 AS INT) AS all_found_are_planted
     FROM d
@@ -1535,8 +1535,11 @@ def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     cosine ≥ 0.95) from the parquet, and the flags certify that every
     found pair is a true dup (cosine ≥ 0.95), every found pair is a
     planted one (no false positives exist in this corpus — verified
-    by the all-pairs sweep in the r6 probe), and bucket recall meets
-    the ≥ 0.75 floor (measured 0.84 on the fixed fixture)."""
+    by the all-pairs sweep in the r6 probe); the found-pair COUNT is
+    pinned to the measured value (84 of 100 planted, recall 0.84,
+    deterministic xxhash planes — re-measured twice r8), so any
+    bucket-recall movement reddens the hash (the r6 gate floored at
+    0.75, which a 0.84→0.76 regression would have passed)."""
     from pagerank_hadoop_spark.operators.dedup import embedding_near_dups
     from pagerank_hadoop_spark.operators.similarity import cosine_similarity
 
@@ -1590,9 +1593,7 @@ def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return summary.crossJoin(planted).select(
         "n_planted",
-        (F.col("n_found") * 4 >= F.col("n_planted") * 3)
-        .cast("int")
-        .alias("recall_floor_met"),
+        "n_found",
         "all_found_are_dups",
         "all_found_are_planted",
     )
@@ -1612,21 +1613,49 @@ def _ann_inputs(spark: SparkSession, sf_dir: str):
     return emb, queries_df
 
 
-_ANN_QID_FLAG_SQL = """
-    SELECT vec_id AS q_id, CAST(1 AS INT) AS recall_floor_met
-    FROM embeddings WHERE vec_id % 100 = 0 ORDER BY q_id
+# Measured per-query recall@5 of each trained/production ANN entry at
+# sf0.01 (deterministic: seeded training samples + xxhash buckets +
+# 6dp-rounded sims with vec_id tie-breaks; verified identical across
+# back-to-back runs, r8). These are PINNED in the oracle, so a drop of
+# even one true top-5 hit (0.2 absolute — the smallest possible at
+# k=5) on ANY query reddens the driver hash. The r6 gates floored at
+# 0.2 ("≥1 hit"), which a 0.4→0.21 recall regression would have
+# passed; this is the r7-verdict tightening to measured floors.
+_ANN_MEASURED_RECALL: dict[str, dict[int, float]] = {
+    "lsh_topk": {0: 0.2, 100: 0.4, 200: 0.6, 300: 0.4, 400: 0.2},
+    "ivf_topk": {0: 0.2, 100: 0.4, 200: 0.8, 300: 0.6, 400: 0.2},
+    "ivf_kmeans_topk": {0: 0.4, 100: 0.6, 200: 0.8, 300: 0.8, 400: 0.6},
+    "pq_topk": {0: 0.2, 100: 0.4, 200: 0.6, 300: 0.6, 400: 0.6},
+    "ivf_pq_topk": {0: 0.4, 100: 0.4, 200: 0.6, 300: 0.4, 400: 0.4},
+    "maxsim_ann_topk": {0: 0.4, 200: 1.0, 400: 0.6},
+}
+
+
+def _ann_recall_value_sql(name: str, modulus: int = 100) -> str:
+    """Oracle for a trained-ANN entry: the query-id set still comes
+    from the parquet (id-set drift → row-count mismatch), but each
+    id's recall is the pinned measured value — a LEFT JOIN so an
+    unexpected q_id surfaces as a NULL recall, never a silent drop."""
+    vals = ", ".join(
+        f"({q}, {r})" for q, r in sorted(_ANN_MEASURED_RECALL[name].items())
+    )
+    return f"""
+    SELECT e.vec_id AS q_id, CAST(v.recall AS DOUBLE) AS recall
+    FROM embeddings e LEFT JOIN (VALUES {vals}) v(q_id, recall)
+      ON e.vec_id = v.q_id
+    WHERE e.vec_id % {modulus} = 0 ORDER BY q_id
     """
 
 
 def _ann_recall_flags(spark, sf_dir, approx_fn, **kw) -> DataFrame:
-    """Shared r6 promotion shape for the production (xxhash-derived)
-    ANN entries: run the approximate top-k AND the exact cosine
-    referee in one plan, emit one ``(q_id, recall_floor_met)`` flag
-    per query at floor 0.2 (= at least 1 true top-5 hit; every
-    variant measures min ≥ 0.2 on the fixed fixture, see each
-    docstring). The oracle recomputes the query-id set from the
-    parquet; the literal-parameter pipelines stay fully SQL-replayed
-    in the `recall_*_topk` gates."""
+    """Shared promotion shape for the production (xxhash-derived) ANN
+    entries: run the approximate top-k AND the exact cosine referee in
+    one plan and emit the per-query recall@5 VALUE (6dp). The oracle
+    pins the measured sf0.01 values (``_ANN_MEASURED_RECALL``) against
+    a parquet-derived id set, so any recall movement — up or down —
+    hash-reddens and forces a deliberate re-measure; the
+    literal-parameter pipelines stay fully SQL-replayed in the
+    `recall_*_topk` gates."""
     from pagerank_hadoop_spark.operators.similarity import (
         cosine_topk,
         recall_vs_exact,
@@ -1637,36 +1666,35 @@ def _ann_recall_flags(spark, sf_dir, approx_fn, **kw) -> DataFrame:
     exact = cosine_topk(emb, queries_df, k=5)
     return (
         recall_vs_exact(approx, exact, 5)
-        .select(
-            "q_id",
-            (F.col("recall") >= 0.2).cast("int").alias("recall_floor_met"),
-        )
+        .select("q_id", F.round("recall", 6).alias("recall"))
         .orderBy("q_id")
     )
 
 
-@register("lsh_topk", _ANN_QID_FLAG_SQL)
+@register("lsh_topk", _ann_recall_value_sql("lsh_topk"))
 def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E3: LSH-bucketed approximate top-k (hyperplane signature bands
     restrict candidates; exact cosine re-rank inside buckets).
 
-    Oracle-backed [r6] via per-query recall flags (the xxhash-derived
-    buckets have no SQL twin; the literal-plane pipeline is the
-    hash-checked ``recall_lsh_topk``): measured min 0.2 / avg 0.36 at
-    sf0.01."""
+    Oracle-backed [r6, values pinned r8] via per-query recall values
+    (the xxhash-derived buckets have no SQL twin; the literal-plane
+    pipeline is the hash-checked ``recall_lsh_topk``): the oracle
+    pins the measured sf0.01 recalls (min 0.2 / avg 0.36), so a
+    one-hit drop on any query reddens the hash."""
     from pagerank_hadoop_spark.operators.similarity import lsh_topk
 
     return _ann_recall_flags(spark, sf_dir, lsh_topk)
 
 
-@register("ivf_topk", _ANN_QID_FLAG_SQL)
+@register("ivf_topk", _ann_recall_value_sql("ivf_topk"))
 def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E3: IVF-style ANN — deterministic coarse quantizer cells,
     nprobe=4 probing, exact cosine re-rank inside probed cells.
 
-    Oracle-backed [r6] via per-query recall flags (xxhash-derived
-    centroids; the literal-centroid pipeline is the hash-checked
-    ``recall_ivf_topk``): measured min 0.2 / avg 0.44 at sf0.01."""
+    Oracle-backed [r6, values pinned r8] via per-query recall values
+    (xxhash-derived centroids; the literal-centroid pipeline is the
+    hash-checked ``recall_ivf_topk``): oracle pins measured sf0.01
+    recalls (min 0.2 / avg 0.44) — any recall movement reddens."""
     from pagerank_hadoop_spark.operators.similarity import ivf_topk
 
     return _ann_recall_flags(spark, sf_dir, ivf_topk)
@@ -3726,16 +3754,16 @@ def q_partitioned_scan_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("ivf_kmeans_topk", _ANN_QID_FLAG_SQL)
+@register("ivf_kmeans_topk", _ann_recall_value_sql("ivf_kmeans_topk"))
 def q_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E3: IVF ANN with a REAL trained coarse quantizer (seeded
     Lloyd's k-means on a bounded driver-local sample) — the
     trained-centroid upgrade of ivf_topk; same shuffle-free
     cell-assignment map, centers inlined as literals.
 
-    Oracle-backed [r6] via per-query recall flags (learned centroids
-    aren't SQL-reproducible): measured min 0.4 / avg 0.64 at
-    sf0.01."""
+    Oracle-backed [r6, values pinned r8] via per-query recall values
+    (learned centroids aren't SQL-reproducible): oracle pins measured
+    sf0.01 recalls (min 0.4 / avg 0.64) — any movement reddens."""
     from pagerank_hadoop_spark.operators.similarity import ivf_kmeans_topk
 
     return _ann_recall_flags(spark, sf_dir, ivf_kmeans_topk)
@@ -4280,16 +4308,16 @@ def q_co_supplier_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("pq_topk", _ANN_QID_FLAG_SQL)
+@register("pq_topk", _ann_recall_value_sql("pq_topk"))
 def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E3b: product-quantization ANN (operators.similarity.pq_topk:
     driver-fit per-subspace codebooks → m-byte codes → ADC lookup
     scan → exact cosine re-rank).
 
-    Oracle-backed [r6] via per-query recall flags (trained codebooks
-    have no SQL twin; the literal-codebook pipeline is the
-    hash-checked ``recall_pq_topk``): measured min 0.2 / avg 0.48 at
-    sf0.01."""
+    Oracle-backed [r6, values pinned r8] via per-query recall values
+    (trained codebooks have no SQL twin; the literal-codebook
+    pipeline is the hash-checked ``recall_pq_topk``): oracle pins
+    measured sf0.01 recalls (min 0.2 / avg 0.48)."""
     from pagerank_hadoop_spark.operators.similarity import pq_topk
 
     return _ann_recall_flags(spark, sf_dir, pq_topk)
@@ -12392,10 +12420,7 @@ _ORACLES["recall_maxsim_topk"] = _maxsim_recall_oracle_sql()
 
 @register(
     "maxsim_ann_topk",
-    """
-    SELECT vec_id AS q_id, CAST(1 AS INT) AS recall_floor_met
-    FROM embeddings WHERE vec_id % 200 = 0 ORDER BY q_id
-    """,
+    _ann_recall_value_sql("maxsim_ann_topk", modulus=200),
 )
 def q_maxsim_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E3 [r5]: the TRAINED production MaxSim path — token-level coarse
@@ -12404,14 +12429,14 @@ def q_maxsim_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     of corpus size), then the same screen/shortlist/re-rank pipeline
     as recall_maxsim_topk.
 
-    Oracle-backed [r6] via per-query recall self-check: the trained
-    top-k itself has no SQL twin (centroids derive from a data
-    sample; the literal-centroid pipeline is the hash-checked
+    Oracle-backed [r6, values pinned r8] via per-query recall values:
+    the trained top-k itself has no SQL twin (centroids derive from a
+    data sample; the literal-centroid pipeline is the hash-checked
     ``recall_maxsim_topk``), so this entry scores the trained path
     against the BRUTE MaxSim referee computed in the same plan and
-    emits one flag per query pinned at recall@5 ≥ 0.2 (measured
-    min 0.4 / avg 0.67 on the fixed fixture). The oracle recomputes
-    the query-id set from the parquet."""
+    emits the per-query recall@5; the oracle pins the measured
+    sf0.01 values (min 0.4 / avg 0.67) against a parquet-derived
+    id set, so a one-hit drop on any query reddens the hash."""
     from pagerank_hadoop_spark.operators.similarity import (
         maxsim_screened_topk,
         multivector_maxsim_topk,
@@ -12428,10 +12453,7 @@ def q_maxsim_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = multivector_maxsim_topk(emb, queries_df, k=5, n_sub=8)
     return (
         recall_vs_exact(approx, exact, 5)
-        .select(
-            "q_id",
-            (F.col("recall") >= 0.2).cast("int").alias("recall_floor_met"),
-        )
+        .select("q_id", F.round("recall", 6).alias("recall"))
         .orderBy("q_id")
     )
 
@@ -12630,10 +12652,7 @@ def q_media_jpeg_rgb(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "ivf_pq_topk",
-    """
-    SELECT vec_id AS q_id, CAST(1 AS INT) AS recall_floor_met
-    FROM embeddings WHERE vec_id % 100 = 0 ORDER BY q_id
-    """,
+    _ann_recall_value_sql("ivf_pq_topk"),
 )
 def q_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E3 [r5]: the classic IVF-PQ index as one composed operator
@@ -12644,14 +12663,14 @@ def q_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     refine·k shortlist. Previously only prose in SCALE.md's PQ note;
     now code. Fully trained (seeded Lloyd on bounded samples).
 
-    Oracle-backed [r6] via per-query recall self-check: the trained
-    top-k has no SQL twin (the literal-codebook PQ pipeline is the
-    hash-checked ``recall_pq_topk``), so this entry scores the full
-    trained IVF-PQ against the exact cosine referee in the same plan
-    and emits one flag per query pinned at recall@5 ≥ 0.2 (measured
-    min 0.4 on the fixed fixture — coarse pruning over 8-byte codes
-    is the lossy-by-design regime). The oracle recomputes the
-    query-id set from the parquet."""
+    Oracle-backed [r6, values pinned r8] via per-query recall values:
+    the trained top-k has no SQL twin (the literal-codebook PQ
+    pipeline is the hash-checked ``recall_pq_topk``), so this entry
+    scores the full trained IVF-PQ against the exact cosine referee
+    in the same plan and emits the per-query recall@5; the oracle
+    pins the measured sf0.01 values (min 0.4 — coarse pruning over
+    8-byte codes is the lossy-by-design regime) against a
+    parquet-derived id set, so a one-hit drop reddens the hash."""
     from pagerank_hadoop_spark.operators.similarity import (
         cosine_topk,
         ivf_pq_topk,
@@ -12663,10 +12682,7 @@ def q_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = cosine_topk(emb, queries_df, k=5)
     return (
         recall_vs_exact(approx, exact, 5)
-        .select(
-            "q_id",
-            (F.col("recall") >= 0.2).cast("int").alias("recall_floor_met"),
-        )
+        .select("q_id", F.round("recall", 6).alias("recall"))
         .orderBy("q_id")
     )
 
