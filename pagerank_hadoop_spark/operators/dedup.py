@@ -1572,6 +1572,93 @@ def semantic_dedup_trained(
     return _semantic_dedup_tail(assigned, threshold)
 
 
+def _rarity_sorted_sets(
+    docs: DataFrame, text_col: str, id_col: str
+) -> DataFrame:
+    """Shared stage of the exact set joins: per-doc distinct word
+    sets ordered by ascending global document frequency (rarest
+    first, ties by token) as ``(id, toks, sz)``. One token-df
+    aggregate (vocabulary-sized, broadcast back), per-doc sort inside
+    an array (no extra shuffle). localCheckpointed: it feeds the
+    prefix explode AND the verify joins."""
+    tok = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.array_distinct(
+                F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+            )
+        ).alias("tok"),
+    )
+    dfreq = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        tok.join(F.broadcast(dfreq), "tok")
+        .groupBy("id")
+        .agg(F.array_sort(F.collect_list(F.struct("df", "tok"))).alias("ord"))
+        .select(
+            "id",
+            F.transform("ord", lambda s: s["tok"]).alias("toks"),
+            F.size("ord").alias("sz"),
+        )
+        .localCheckpoint(eager=True)
+    )
+
+
+def ppjoin_candidates(sets: DataFrame, threshold: float) -> DataFrame:
+    """PPJoin candidate stage over ``_rarity_sorted_sets`` output:
+    prefix explode → self-join on the (rare) prefix token → length
+    filter → distinct ``(id_a, id_b)`` with id_a < id_b. Exposed
+    separately so scale stress (SCALE.md dedup decade rows) can count
+    candidates; the analytic bound is Σ_tok P_tok·(P_tok−1)/2 over
+    per-token PREFIX occurrence counts P_tok."""
+    t = float(threshold)
+    t_micro = int(round(t * 1e6))
+    prefix_len = F.col("sz") - F.ceil(F.col("sz") * F.lit(t)).cast("int") + 1
+    prefixes = sets.select(
+        "id", "sz", F.explode(F.slice("toks", 1, prefix_len)).alias("tok")
+    )
+    # length filter (the other PPJoin bound): J >= t forces
+    # t·|a| <= |b| <= |a|/t, so wildly different set sizes can never
+    # pair — prune candidates BEFORE the distinct + verify join.
+    # Integer compare via T = round(t·1e6), as the verify step.
+    return (
+        prefixes.alias("a")
+        .join(prefixes.alias("b"), "tok")
+        .where(F.col("a.id") < F.col("b.id"))
+        .where(
+            (F.col("b.sz") * F.lit(1_000_000) >= F.lit(t_micro) * F.col("a.sz"))
+            & (F.col("a.sz") * F.lit(1_000_000) >= F.lit(t_micro) * F.col("b.sz"))
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def containment_candidates(sets: DataFrame, threshold: float) -> DataFrame:
+    """Asymmetric containment candidate stage: probe prefixes vs FULL
+    postings, size-filtered, distinct directed ``(id_a, id_b)``. The
+    analytic bound is Σ_tok P_tok·F_tok (prefix count × full posting
+    count per token)."""
+    t = float(threshold)
+    t_micro = int(round(t * 1e6))
+    prefix_len = F.col("sz") - F.ceil(F.col("sz") * F.lit(t)).cast("int") + 1
+    probes = sets.select(
+        F.col("id").alias("id_a"),
+        F.col("sz").alias("sa"),
+        F.explode(F.slice("toks", 1, prefix_len)).alias("tok"),
+    )
+    postings = sets.select(
+        F.col("id").alias("id_b"), F.col("sz").alias("sb"),
+        F.explode("toks").alias("tok"),
+    )
+    return (
+        probes.join(postings, "tok")
+        .where(F.col("id_a") != F.col("id_b"))
+        .where(F.col("sb") * F.lit(1_000_000) >= F.lit(t_micro) * F.col("sa"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
 def set_similarity_join(
     docs: DataFrame,
     threshold: float = 0.8,
@@ -1600,55 +1687,9 @@ def set_similarity_join(
     ``jac_micro = floor(1e6·|∩| / |∪|)`` is integer arithmetic —
     engine-portable with no float discipline needed.
     """
-    import math
-
-    tok = docs.select(
-        F.col(id_col).alias("id"),
-        F.explode(
-            F.array_distinct(
-                F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
-            )
-        ).alias("tok"),
-    )
-    dfreq = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
-    sets = (
-        tok.join(F.broadcast(dfreq), "tok")
-        .groupBy("id")
-        .agg(
-            F.array_sort(
-                F.collect_list(F.struct("df", "tok"))
-            ).alias("ord"),
-        )
-        .select(
-            "id",
-            F.transform("ord", lambda s: s["tok"]).alias("toks"),
-            F.size("ord").alias("sz"),
-        )
-        .localCheckpoint(eager=True)  # feeds prefix explode AND both verify joins
-    )
     t = float(threshold)
-    prefix_len = F.col("sz") - F.ceil(F.col("sz") * F.lit(t)).cast("int") + 1
-    prefixes = sets.select(
-        "id", "sz", F.explode(F.slice("toks", 1, prefix_len)).alias("tok")
-    )
-    # length filter (the other PPJoin bound): J >= t forces
-    # t·|a| <= |b| <= |a|/t, so wildly different set sizes can never
-    # pair — prune candidates BEFORE the distinct + verify join.
-    # Integer compare via T = round(t·1e6), as the verify step.
-    t_micro = int(round(t * 1e6))
-    cand = (
-        prefixes.alias("a")
-        .join(prefixes.alias("b"), "tok")
-        .where(F.col("a.id") < F.col("b.id"))
-        .where(
-            (F.col("b.sz") * F.lit(1_000_000) >= F.lit(t_micro) * F.col("a.sz"))
-            & (F.col("a.sz") * F.lit(1_000_000) >= F.lit(t_micro) * F.col("b.sz"))
-        )
-        .select(
-            F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b")
-        )
-        .distinct()
-    )
+    sets = _rarity_sorted_sets(docs, text_col, id_col)
+    cand = ppjoin_candidates(sets, t)
     a = sets.select(
         F.col("id").alias("id_a"), F.col("toks").alias("ta"), F.col("sz").alias("sa")
     )
@@ -1700,45 +1741,10 @@ def containment_join(
     ``array_intersect`` verify per surviving candidate;
     ``cont_micro = floor(1e6·|∩| / |A|)`` is pure integer arithmetic.
     """
-    tok = docs.select(
-        F.col(id_col).alias("id"),
-        F.explode(
-            F.array_distinct(
-                F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
-            )
-        ).alias("tok"),
-    )
-    dfreq = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
-    sets = (
-        tok.join(F.broadcast(dfreq), "tok")
-        .groupBy("id")
-        .agg(F.array_sort(F.collect_list(F.struct("df", "tok"))).alias("ord"))
-        .select(
-            "id",
-            F.transform("ord", lambda s: s["tok"]).alias("toks"),
-            F.size("ord").alias("sz"),
-        )
-        .localCheckpoint(eager=True)  # probe prefixes + postings + verify
-    )
     t = float(threshold)
     t_micro = int(round(t * 1e6))
-    prefix_len = F.col("sz") - F.ceil(F.col("sz") * F.lit(t)).cast("int") + 1
-    probes = sets.select(
-        F.col("id").alias("id_a"),
-        F.col("sz").alias("sa"),
-        F.explode(F.slice("toks", 1, prefix_len)).alias("tok"),
-    )
-    postings = sets.select(
-        F.col("id").alias("id_b"), F.col("sz").alias("sb"),
-        F.explode("toks").alias("tok"),
-    )
-    cand = (
-        probes.join(postings, "tok")
-        .where(F.col("id_a") != F.col("id_b"))
-        .where(F.col("sb") * F.lit(1_000_000) >= F.lit(t_micro) * F.col("sa"))
-        .select("id_a", "id_b")
-        .distinct()
-    )
+    sets = _rarity_sorted_sets(docs, text_col, id_col)
+    cand = containment_candidates(sets, t)
     a = sets.select(
         F.col("id").alias("id_a"), F.col("toks").alias("ta"), F.col("sz").alias("sa")
     )
