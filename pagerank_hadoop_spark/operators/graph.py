@@ -735,7 +735,9 @@ def aggregate_messages(
     return msgs.groupBy("id").agg(agg("__msg").alias("msg"))
 
 
-def label_propagation(edges: DataFrame, max_iter: int = 3) -> DataFrame:
+def label_propagation(
+    edges: DataFrame, max_iter: int = 3, salt: int | None = None
+) -> DataFrame:
     """Synchronous label propagation (community detection) — the
     GraphFrames ``labelPropagation`` surface: every vertex starts in
     its own community and each round adopts the most frequent label
@@ -755,12 +757,19 @@ def label_propagation(edges: DataFrame, max_iter: int = 3) -> DataFrame:
     second exchange). Only (id, label) pairs ever shuffle. Every
     vertex of the symmetrized edge list has ≥1 neighbor, so the
     per-round argmax covers the whole vertex set.
+
+    ``salt``: same skew escape hatch as :func:`hits` — the persistent
+    symmetrized copy is not a shuffle output, so AQE cannot split a
+    hot vertex's partition; salting spreads it at layout time.
     """
     parts = _edge_partitions(edges)
     sym = edges.select("src", "dst").unionByName(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
-    sym = sym.repartition(parts, "src").localCheckpoint(eager=True)
+    if salt:
+        sym = _salted_edges(sym, "src", parts, salt)
+    else:
+        sym = sym.repartition(parts, "src").localCheckpoint(eager=True)
 
     labels = (
         sym.select(F.col("src").alias("id"))
@@ -769,8 +778,13 @@ def label_propagation(edges: DataFrame, max_iter: int = 3) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     for i in range(max_iter):
+        labels_j = _replicated_scores(labels, salt) if salt else labels
         pre_ckpt = (
-            sym.join(labels, sym.src == labels.id)
+            sym.join(
+                labels_j,
+                (sym.src == labels_j.id)
+                & ((sym["__salt"] == labels_j["__salt"]) if salt else F.lit(True)),
+            )
             .groupBy(F.col("dst").alias("id"))
             .agg(F.mode("label", True).alias("label"))
         )
@@ -816,7 +830,32 @@ def bipartite_project(
     )
 
 
-def hits(edges: DataFrame, n_iter: int = 3) -> DataFrame:
+def _salted_edges(
+    e: DataFrame, key: str, parts: int, salt: int
+) -> DataFrame:
+    """Persistent edge copy for a salted rank-message join: a
+    deterministic per-row salt (content hash — no RNG state to
+    coordinate across task retries, same scheme as
+    ``operators.joins.salted_join``) baked in BEFORE the one-time
+    repartition, so a hot vertex's edges spread over ``salt``
+    partitions and every round's join reuses the layout."""
+    return (
+        e.withColumn("__salt", F.pmod(F.xxhash64("src", "dst"), F.lit(salt)))
+        .repartition(parts, key, "__salt")
+        .localCheckpoint(eager=True)
+    )
+
+
+def _replicated_scores(scores: DataFrame, salt: int) -> DataFrame:
+    """Scores side of a salted join: one copy per salt value (|V|·salt
+    rows — scores are (id, double) pairs, so replication is cheap
+    relative to the hot key's edge volume it spreads)."""
+    return scores.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
+    )
+
+
+def hits(edges: DataFrame, n_iter: int = 3, salt: int | None = None) -> DataFrame:
     """HITS (Kleinberg hubs & authorities) over a directed edge list:
     ``auth(v) = Σ_{u→v} hub(u)``, ``hub(u) = Σ_{u→v} auth(v)``, each
     L2-normalized per half-step; returns ``(id, hub, auth)`` for the
@@ -839,6 +878,19 @@ def hits(edges: DataFrame, n_iter: int = 3) -> DataFrame:
     its PageRank surface (C1 loop driver family,
     ``PageRank.java:305-340``) with the other classic link-analysis
     fixpoint, expressed on the same id-only shuffle economy.
+
+    ``salt`` (off by default): spread each hot vertex's edges over
+    ``salt`` sub-partitions of the persistent copies and replicate the
+    per-round score frames once per salt value. The skew escape hatch
+    for the broadcast-infeasible regime: the persistent key-aligned
+    edge copies are NOT shuffle outputs, so AQE's skew-join split has
+    nothing to split there (measured in scripts/graph_skew_ab.py —
+    the rule engages only when the edge side shuffles per round,
+    which is the layout this function deliberately avoids). Salting
+    regroups the partial sums (per (key, salt) instead of per key),
+    so scores can differ from the unsalted run in the last ulp — the
+    registry entries run unsalted; turn it on for production graphs
+    with broadcast-infeasible scores and known hot vertices.
     """
     parts = _edge_partitions(edges, doubled=False)
     e = edges.select("src", "dst").distinct().localCheckpoint(eager=True)
@@ -846,8 +898,12 @@ def hits(edges: DataFrame, n_iter: int = 3) -> DataFrame:
     # update, dst for the hub update), so keep TWO aligned persistent
     # copies — the GraphX routing-table trade: 2x edge cache buys zero
     # per-round edge exchanges at score sizes too big to broadcast
-    e_src = e.repartition(parts, "src").localCheckpoint(eager=True)
-    e_dst = e.repartition(parts, "dst").localCheckpoint(eager=True)
+    if salt:
+        e_src = _salted_edges(e, "src", parts, salt)
+        e_dst = _salted_edges(e, "dst", parts, salt)
+    else:
+        e_src = e.repartition(parts, "src").localCheckpoint(eager=True)
+        e_dst = e.repartition(parts, "dst").localCheckpoint(eager=True)
     vertices = (
         e.select(F.col("src").alias("id"))
         .union(e.select(F.col("dst").alias("id")))
@@ -866,8 +922,13 @@ def hits(edges: DataFrame, n_iter: int = 3) -> DataFrame:
         )
 
     for _ in range(n_iter):
+        hub_j = _replicated_scores(hub, salt) if salt else hub
         auth = (
-            e_src.join(hub, e_src.src == hub.id)
+            e_src.join(
+                hub_j,
+                (e_src.src == hub_j.id)
+                & ((e_src["__salt"] == hub_j["__salt"]) if salt else F.lit(True)),
+            )
             .groupBy(F.col("dst").alias("id"))
             .agg(F.sum("hub").alias("auth"))
         )
@@ -879,8 +940,13 @@ def hits(edges: DataFrame, n_iter: int = 3) -> DataFrame:
         auth_pre = _normalized(auth_raw, "auth")
         runtime_counters.note_round(auth_pre)
         auth = auth_pre.localCheckpoint(eager=False)
+        auth_j = _replicated_scores(auth, salt) if salt else auth
         hub = (
-            e_dst.join(auth, e_dst.dst == auth.id)
+            e_dst.join(
+                auth_j,
+                (e_dst.dst == auth_j.id)
+                & ((e_dst["__salt"] == auth_j["__salt"]) if salt else F.lit(True)),
+            )
             .groupBy(F.col("src").alias("id"))
             .agg(F.sum("auth").alias("hub"))
         )

@@ -96,6 +96,58 @@ def _with_dangling(adjacency: DataFrame, vertices: DataFrame | None) -> DataFram
     )
 
 
+_FANOUT_SALTS = 8
+
+
+def _chunked_adjacency(
+    adjacency: DataFrame, max_fanout: int, parts: int
+) -> DataFrame:
+    """Split each vertex's outlinks into rows of ≤ ``max_fanout``
+    elements, keeping the TRUE out-degree in ``outdeg`` (the contrib
+    divisor). A hub holding 20 % of all edges otherwise fans out all
+    its messages from ONE task — explode output stays in the
+    producing task's partition, so no downstream setting can spread
+    it; splitting must happen at layout time. Rows carry
+    ``__chunk`` (0..k-1; chunk 0 doubles as the unique-vertex marker
+    for final joins) and a bounded ``__salt`` the persistent
+    partitioning AND the per-round join key include, so hub chunks
+    land on ``_FANOUT_SALTS`` different partitions and stay there
+    across rounds (rank frames replicate once per salt — (id, double)
+    pairs, cheap against the hot key's edge volume)."""
+    chunks = F.when(
+        F.size("outlinks") > 0,
+        F.transform(
+            F.sequence(
+                F.lit(0),
+                F.ceil(F.size("outlinks") / F.lit(max_fanout)).cast("int")
+                - 1,
+            ),
+            lambda i: F.slice("outlinks", i * max_fanout + 1, max_fanout),
+        ),
+        # guard: sequence(0, -1) generates DESCENDING; empty outlink
+        # rows (dangling) keep exactly one empty chunk
+    ).otherwise(F.array(F.array().cast("array<string>")))
+    return (
+        adjacency.select(
+            "id",
+            F.size("outlinks").alias("outdeg"),
+            F.posexplode(chunks).alias("__chunk", "outlinks"),
+        )
+        .withColumn(
+            "__salt",
+            F.pmod(F.xxhash64("id", "__chunk"), F.lit(_FANOUT_SALTS)),
+        )
+        .repartition(parts, "id", "__salt")
+        .localCheckpoint(eager=True)
+    )
+
+
+def _with_salt_replicas(ranks: DataFrame) -> DataFrame:
+    return ranks.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(_FANOUT_SALTS - 1)))
+    )
+
+
 def pagerank(
     edges: DataFrame,
     *,
@@ -104,6 +156,7 @@ def pagerank(
     damping: float = DAMPING,
     parity: bool = True,
     checkpoint_interval: int = 4,
+    max_fanout: int | None = None,
 ) -> DataFrame:
     """Run ``n_iter`` PageRank iterations; returns ``(id, rank)``."""
     ranks, _ = pagerank_with_n(
@@ -113,6 +166,7 @@ def pagerank(
         damping=damping,
         parity=parity,
         checkpoint_interval=checkpoint_interval,
+        max_fanout=max_fanout,
     )
     return ranks
 
@@ -126,6 +180,7 @@ def pagerank_with_n(
     parity: bool = True,
     checkpoint_interval: int = 4,
     init_ranks: DataFrame | None = None,
+    max_fanout: int | None = None,
 ) -> tuple[DataFrame, int]:
     """Run ``n_iter`` PageRank iterations; returns ``((id, rank), N)``.
 
@@ -147,6 +202,16 @@ def pagerank_with_n(
     so k iterations from a saved state after j iterations equal
     j + k straight iterations (unit-pinned and oracle-gated as
     ``pagerank_resume``).
+
+    ``max_fanout`` (off by default): cap outlinks-per-adjacency-row by
+    chunking hot rows at layout time (``_chunked_adjacency``) — the
+    hub-skew escape hatch. A vertex holding 20 % of all edges
+    otherwise fans its messages out of ONE task per iteration
+    (explode output never leaves the producing task), which bounds
+    stage wall at any cluster size. Chunked mode keys the
+    per-iteration join on (id, salt) against salt-replicated rank
+    frames, so results can differ from the unsalted run in the last
+    ulp (partial sums regroup); the registry entries run unchunked.
     """
     spark = edges.sparkSession
     if vertices is None:
@@ -172,12 +237,31 @@ def pagerank_with_n(
     # the cached static side, which sets the task count of every
     # iteration's join.)
     parts = _iter_partitions(n, shuffle_parts)
-    if parts < shuffle_parts:
+    if max_fanout:
+        # hub fan-out skew: split hot adjacency rows at layout time
+        # (see _chunked_adjacency) — the default path is untouched
         old = adjacency
-        adjacency = old.repartition(parts, "id").localCheckpoint(eager=True)
+        adjacency = _chunked_adjacency(old, max_fanout, parts)
         old.unpersist()
+    elif parts < shuffle_parts:
+        old = adjacency
+        adjacency = (
+            old.withColumn("outdeg", F.size("outlinks"))
+            .repartition(parts, "id")
+            .localCheckpoint(eager=True)
+        )
+        old.unpersist()
+    else:
+        adjacency = adjacency.withColumn("outdeg", F.size("outlinks"))
     return _pagerank_loop(
-        adjacency, n, n_iter, damping, parity, checkpoint_interval, init_ranks
+        adjacency,
+        n,
+        n_iter,
+        damping,
+        parity,
+        checkpoint_interval,
+        init_ranks,
+        salted=bool(max_fanout),
     ), n
 
 
@@ -189,10 +273,29 @@ def _pagerank_loop(
     parity: bool,
     checkpoint_interval: int,
     init_ranks: DataFrame | None = None,
+    salted: bool = False,
 ) -> DataFrame:
 
     teleport = (1.0 - damping) / n
-    outdeg = F.size("outlinks")
+    outdeg = F.col("outdeg")
+    # unique-vertex frame for seeding and final joins: chunked
+    # adjacencies repeat hot ids, so chunk 0 is the one-row-per-vertex
+    # marker (no distinct — co-partitioned filter, not a shuffle)
+    ids = (
+        adjacency.where(F.col("__chunk") == 0).select("id")
+        if salted
+        else adjacency.select("id")
+    )
+
+    def _rank_join(ranks: DataFrame, how: str) -> DataFrame:
+        """adjacency ⋈ ranks on id — with the salt in the key when
+        chunked, so the persistent (id, __salt) layout is the join
+        layout and hub chunks never re-co-locate."""
+        if salted:
+            return adjacency.join(
+                _with_salt_replicas(ranks), ["id", "__salt"], how
+            )
+        return adjacency.join(ranks, "id", how)
 
     if parity:
         # Sparse-rank loop: `ranks_sparse` holds only vertices that
@@ -211,12 +314,13 @@ def _pagerank_loop(
         for i in range(n_iter):
             if ranks_sparse is None:
                 src_ranks = adjacency.select(
-                    "id", "outlinks", F.lit(1.0 / n).alias("rank")
+                    "id", "outlinks", "outdeg", F.lit(1.0 / n).alias("rank")
                 )
             else:
-                src_ranks = adjacency.join(ranks_sparse, "id", "left").select(
+                src_ranks = _rank_join(ranks_sparse, "left").select(
                     "id",
                     "outlinks",
+                    "outdeg",
                     F.coalesce("rank", F.lit(teleport)).alias("rank"),
                 )
             contribs = src_ranks.select(
@@ -239,8 +343,8 @@ def _pagerank_loop(
                 # synchronous job round-trip per interval
                 ranks_sparse = ranks_sparse.localCheckpoint(eager=False)
         if ranks_sparse is None:
-            return adjacency.select("id", F.lit(1.0 / n).alias("rank"))
-        return adjacency.select("id").join(ranks_sparse, "id", "left").select(
+            return ids.select("id", F.lit(1.0 / n).alias("rank"))
+        return ids.join(ranks_sparse, "id", "left").select(
             "id", F.coalesce("rank", F.lit(teleport)).alias("rank")
         )
 
@@ -262,9 +366,9 @@ def _pagerank_loop(
     if init_ranks is not None:
         ranks = init_ranks.select("id", "rank")
     else:
-        ranks = adjacency.select("id", F.lit(1.0 / n).alias("rank"))
+        ranks = ids.select("id", F.lit(1.0 / n).alias("rank"))
     for i in range(n_iter):
-        contribs = adjacency.join(ranks, "id").select(
+        contribs = _rank_join(ranks, "inner").select(
             F.explode("outlinks").alias("id"),
             (F.col("rank") / outdeg).alias("contrib"),
         )
@@ -273,7 +377,7 @@ def _pagerank_loop(
         )
         summed = contribs.groupBy("id").agg(F.sum("contrib").alias("insum"))
         ranks = (
-            adjacency.select("id")
+            ids
             .join(summed, "id", "left")
             .crossJoin(F.broadcast(extra_df))
             .select(

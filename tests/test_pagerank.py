@@ -198,3 +198,28 @@ def test_pagerank_resume_equals_straight_run(spark):
         )
         got = {r.id: r.rank for r in resumed.collect()}
         assert got == want, parity
+
+
+def test_pagerank_max_fanout_matches_default(spark):
+    """Chunked+salted adjacency (the hub-skew escape hatch) computes
+    the same ranks as the default layout, both modes, to 12dp —
+    including a hub whose outlinks span several chunks and a dangling
+    vertex (empty chunk row must survive the chunking)."""
+    from pagerank_hadoop_spark.operators.pagerank import pagerank
+
+    pairs = [("h", f"v{i}") for i in range(7)] + [
+        ("v0", "v1"), ("v1", "h"), ("v2", "v3"), ("v3", "h"), ("v5", "v6")
+    ]  # v4 receives only; "h" is the hub
+    edges = spark.createDataFrame(pairs, ["src", "dst"])
+    for parity in (True, False):
+        want = {
+            r.id: round(r.rank, 12)
+            for r in pagerank(edges, n_iter=5, parity=parity).collect()
+        }
+        got = {
+            r.id: round(r.rank, 12)
+            for r in pagerank(
+                edges, n_iter=5, parity=parity, max_fanout=3
+            ).collect()
+        }
+        assert got == want, parity
