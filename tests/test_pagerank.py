@@ -223,3 +223,38 @@ def test_pagerank_max_fanout_matches_default(spark):
             ).collect()
         }
         assert got == want, parity
+
+
+def test_chunked_adjacency_spreads_hub_and_keeps_dangling(spark):
+    """_chunked_adjacency splits a hot row into ceil(outdeg/cap)
+    chunks that land on MULTIPLE partitions (the skew point of the
+    feature — explode output never leaves its task, so spreading must
+    happen at layout time), preserves the true out-degree, and keeps
+    dangling vertices as a single empty-chunk row."""
+    import pyspark.sql.functions as F
+
+    from pagerank_hadoop_spark.operators.pagerank import (
+        _chunked_adjacency,
+        _with_dangling,
+        adjacency_from_edges,
+    )
+
+    hub_edges = [("h", f"v{i}") for i in range(40)]
+    edges = spark.createDataFrame(hub_edges, ["src", "dst"])
+    verts = spark.createDataFrame(
+        [("h",)] + [(f"v{i}",) for i in range(40)] + [("lonely",)], ["id"]
+    )
+    adj = _with_dangling(adjacency_from_edges(edges), verts)
+    chunked = _chunked_adjacency(adj, max_fanout=5, parts=16)
+
+    hub = chunked.where(F.col("id") == "h").select(
+        "outdeg", "__chunk", F.size("outlinks").alias("csz"),
+        F.spark_partition_id().alias("pid"),
+    ).collect()
+    assert len(hub) == 8  # ceil(40/5)
+    assert all(r.outdeg == 40 for r in hub)
+    assert all(r.csz == 5 for r in hub)
+    assert len({r.pid for r in hub}) > 1  # spread, not co-located
+    lonely = chunked.where(F.col("id") == "lonely").collect()
+    assert len(lonely) == 1
+    assert lonely[0].outdeg == 0 and lonely[0].outlinks == []

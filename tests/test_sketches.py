@@ -289,3 +289,25 @@ def test_bloom_probe_preserves_multiplicity_and_never_shuffles_batch(spark):
         bloom_probe(
             batch.withColumn("__bloom_pos_0", F.lit(1)), "k", words, m
         )
+
+
+def test_bloom_param_guards_raise_early(spark):
+    """Invalid k_hashes/bits_per_key/m fail loudly at call time, not
+    as an IndexError deep in the probe plan (ADVICE r7)."""
+    import pytest
+
+    from pagerank_hadoop_spark.operators.sketches import (
+        bloom_build,
+        bloom_probe,
+    )
+
+    df = spark.range(10).selectExpr("cast(id as string) as k")
+    with pytest.raises(ValueError, match="k_hashes"):
+        bloom_build(df, "k", k_hashes=0)
+    with pytest.raises(ValueError, match="bits_per_key"):
+        bloom_build(df, "k", bits_per_key=0)
+    words, m = bloom_build(df, "k")
+    with pytest.raises(ValueError, match="k_hashes"):
+        bloom_probe(df, "k", words, m, k_hashes=0)
+    with pytest.raises(ValueError, match="multiple of 64"):
+        bloom_probe(df, "k", words, m=100)
