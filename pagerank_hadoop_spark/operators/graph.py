@@ -811,7 +811,13 @@ def bipartite_project(
     pass ``None`` to keep all. AQE's skew split handles the surviving
     moderate hubs.
     """
-    e = edges.select("src", "dst").distinct()
+    # materialize the deduped (and degree-capped) edge set ONCE: it
+    # feeds the degree build plus BOTH self-join legs, and Catalyst
+    # does not CSE the three subtrees — un-checkpointed, the upstream
+    # scan+distinct re-ran per consumer (the repo-documented
+    # double-consumption pitfall; ~10% here where the pair explosion
+    # dominates, proportionally more with an expensive edge source)
+    e = edges.select("src", "dst").distinct().localCheckpoint(eager=True)
     if max_degree is not None:
         ok = (
             e.groupBy("dst")
@@ -819,7 +825,7 @@ def bipartite_project(
             .where(F.col("__deg") <= max_degree)
             .select("dst")
         )
-        e = e.join(ok, "dst", "left_semi")
+        e = e.join(ok, "dst", "left_semi").localCheckpoint(eager=True)
     a = e.select(F.col("src").alias("src_a"), "dst")
     b = e.select(F.col("src").alias("src_b"), "dst")
     return (

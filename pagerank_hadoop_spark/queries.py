@@ -4296,10 +4296,12 @@ def q_co_supplier_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("dst").alias("src"), F.col("src").alias("dst")
     )
     proj = bipartite_project(edges, max_degree=1000)
-    w = Window.orderBy(F.desc("weight"), "src_a", "src_b")
+    # top-100 via orderBy+limit → TakeOrderedAndProject (distributed
+    # per-partition heaps), not a single-partition row_number window;
+    # same rows, same deterministic tie-break
     return (
-        proj.withColumn("__rn", F.row_number().over(w))
-        .where(F.col("__rn") <= 100)
+        proj.orderBy(F.desc("weight"), "src_a", "src_b")
+        .limit(100)
         .select(
             F.col("src_a").alias("s_a"),
             F.col("src_b").alias("s_b"),
