@@ -1094,9 +1094,9 @@ def q_minhash_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT CAST(SUM(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END)
                 AS BIGINT) AS n_planted,
+           CAST(27 AS BIGINT) AS n_found,
            CAST(1 AS INT) AS all_within_hamming3,
-           CAST(1 AS INT) AS pairs_canonical,
-           CAST(1 AS INT) AS planted_recall_floor_met
+           CAST(1 AS INT) AS pairs_canonical
     FROM documents
     """,
 )
@@ -1110,10 +1110,13 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Hamming ≤ 3 is pigeonhole-pinned in
     tests/test_production_twins.py): the oracle recomputes
     ``n_planted``; the flags certify every reported pair is within
-    the Hamming-3 contract, pairs are canonical, and ≥ 10 % of the
-    plants surface (SimHash's by-design coarser recall on short
-    tail edits — measured 27/167 at sf0.01; the MinHash family is
-    the high-recall path)."""
+    the Hamming-3 contract and pairs are canonical; the planted-pair
+    FOUND count is pinned to the measured value (27/167 at sf0.01 —
+    SimHash's by-design coarser recall on short tail edits; the
+    MinHash family is the high-recall path; deterministic xxhash
+    fingerprints, re-measured twice r8), so any recall movement
+    reddens the hash (the r6 gate floored at 10 %, which a 27→17
+    regression would have passed)."""
     from pagerank_hadoop_spark.operators.dedup import simhash_candidates
 
     corpus = _near_dup_corpus(spark, sf_dir)
@@ -1132,7 +1135,7 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_planted")
     )
     found = planted.join(cands, ["id_a", "id_b"], "left_semi").agg(
-        F.count(F.lit(1)).alias("n_found")
+        F.count(F.lit(1)).cast("long").alias("n_found")
     )
     flags = cands.agg(
         F.coalesce(
@@ -1147,11 +1150,9 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(found)
         .select(
             "n_planted",
+            "n_found",
             "all_within_hamming3",
             "pairs_canonical",
-            (F.col("n_found") * 10 >= F.col("n_planted"))
-            .cast("int")
-            .alias("planted_recall_floor_met"),
         )
     )
 
@@ -1378,12 +1379,18 @@ def q_semantic_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id")
 
 
-_SEMANTIC_DEDUP_SUMMARY_SQL = r"""
+def _semantic_dedup_summary_sql(n_resolved: int) -> str:
+    """Per-entry oracle for the trained SemDeDup self-checks: counts
+    recomputed from the parquet, plus the PINNED measured resolved-
+    pair count (deterministic seeded Lloyd; re-measured twice r8) —
+    an escape-count movement reddens the hash (the r6 gate floored at
+    95/100, which a 99→96 regression would have passed)."""
+    return rf"""
     SELECT CAST(SUM(CASE WHEN vec_id % 5 != 0 THEN 1 ELSE 0 END)
                 AS BIGINT) AS n_nonplanted_kept,
            CAST(SUM(CASE WHEN vec_id % 5 = 0 THEN 1 ELSE 0 END)
                 AS BIGINT) AS n_pairs,
-           CAST(1 AS INT) AS resolved_floor_met,
+           CAST({n_resolved} AS BIGINT) AS n_resolved,
            CAST(1 AS INT) AS no_pair_fully_dropped
     FROM embeddings
     """
@@ -1400,10 +1407,10 @@ def _semantic_dedup_summary(
     pair — SemDeDup's keep-outlier rule may keep either member.
     Checked facts: every non-planted original survives untouched
     (count recomputed by the oracle from the parquet), no pair loses
-    BOTH members, and ≥ 95 % of the ``n_pairs`` co-cluster and
-    resolve to a single survivor (measured 98/100 literal, 99/100
-    distributed at sf0.01; a pair "escapes" only when the trained
-    quantizer splits it across cells)."""
+    BOTH members, and the resolved-pair count is PINNED to the
+    measured value (98/100 literal, 99/100 distributed at sf0.01; a
+    pair "escapes" only when the trained quantizer splits it across
+    cells) — any escape-count movement reddens the hash."""
     from pagerank_hadoop_spark.operators.dedup import semantic_dedup_trained
 
     emb = _t(spark, sf_dir, "embeddings").select(
@@ -1457,9 +1464,7 @@ def _semantic_dedup_summary(
         .select(
             "n_nonplanted_kept",
             "n_pairs",
-            (F.col("n_resolved") * 100 >= F.col("n_pairs") * 95)
-            .cast("int")
-            .alias("resolved_floor_met"),
+            "n_resolved",
             (F.col("n_pairs_with_survivor") == F.col("n_pairs"))
             .cast("int")
             .alias("no_pair_fully_dropped"),
@@ -1467,7 +1472,7 @@ def _semantic_dedup_summary(
     )
 
 
-@register("semantic_dedup_trained", _SEMANTIC_DEDUP_SUMMARY_SQL)
+@register("semantic_dedup_trained", _semantic_dedup_summary_sql(98))
 def q_semantic_dedup_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E2e scale path: SemDeDup with TRAINED centroids — k sized from
     the corpus (``ceil(n / target_cluster_rows)``) and centers fit by
@@ -1481,12 +1486,12 @@ def q_semantic_dedup_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Oracle-backed [r6] via the pair-resolution self-check summary
     (see :func:`_semantic_dedup_summary`): non-planted originals all
-    survive, no planted pair loses both members, ≥ 95/100 pairs
-    resolve to one survivor."""
+    survive, no planted pair loses both members, exactly the
+    measured 98/100 pairs resolve to one survivor."""
     return _semantic_dedup_summary(spark, sf_dir, sample_cap=None)
 
 
-@register("semantic_dedup_trained_dist", _SEMANTIC_DEDUP_SUMMARY_SQL)
+@register("semantic_dedup_trained_dist", _semantic_dedup_summary_sql(99))
 def q_semantic_dedup_trained_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 100 TB regime of ``semantic_dedup_trained``: ``sample_cap``
     forced below k·200 so centroids train by DISTRIBUTED Lloyd
@@ -1497,9 +1502,9 @@ def q_semantic_dedup_trained_dist(spark: SparkSession, sf_dir: str) -> DataFrame
     unit-pinned (tests/test_dedup.py::
     test_semantic_dedup_trained_distributed_path_matches_literal).
 
-    Oracle-backed [r6] via the same self-check summary as
-    ``semantic_dedup_trained`` (measured 1 escape on the fixed
-    fixture)."""
+    Oracle-backed [r6, values pinned r8] via the same self-check
+    summary as ``semantic_dedup_trained`` (pinned at the measured 1
+    escape on the fixed fixture)."""
     return _semantic_dedup_summary(
         spark, sf_dir, sample_cap=0, lloyd_rounds=2
     )
