@@ -1304,17 +1304,26 @@ def _semantic_dedup_tail(assigned: DataFrame, threshold: float) -> DataFrame:
     (tie → higher id). Both the literal-centroid and the
     broadcast-centroid assignment paths funnel here, so the
     trained-vs-literal pin covers only the assignment layer."""
-    from pagerank_hadoop_spark.functions.vectors import cosine_similarity
+    from pagerank_hadoop_spark.functions.vectors import dot, norm
 
-    a = assigned.select(
+    # hoist each vector's norm out of the pair join: a member of a
+    # p-row cluster appears in ~p pairs, and the interpreted-HOF norm
+    # was recomputed per pair (2/3 of the pair stage's fold work).
+    # norm(v) here is the SAME expression over the same input, so the
+    # hoisted double is bit-identical and the rounded cosine — and
+    # with it every oracle-pinned survivor set — is unchanged.
+    with_norm = assigned.withColumn("__nrm", norm(F.col("__v")))
+    a = with_norm.select(
         F.col("id").alias("id_a"), F.col("__v").alias("va"),
-        "cluster", F.col("csim").alias("ca"),
+        "cluster", F.col("csim").alias("ca"), F.col("__nrm").alias("na"),
     )
-    b = assigned.select(
+    b = with_norm.select(
         F.col("id").alias("id_b"), F.col("__v").alias("vb"),
-        "cluster", F.col("csim").alias("cb"),
+        "cluster", F.col("csim").alias("cb"), F.col("__nrm").alias("nb"),
     )
-    pair_cos = F.round(cosine_similarity(F.col("va"), F.col("vb")), 6)
+    pair_cos = F.round(
+        dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6
+    )
     # loser = the member closer to the centroid; tie → higher id
     loser = F.when(F.col("ca") > F.col("cb"), F.col("id_a")).when(
         F.col("cb") > F.col("ca"), F.col("id_b")
@@ -1553,6 +1562,16 @@ def semantic_dedup_trained(
         centers = [
             [float(x) for x in c] for c in _lloyd(sample, n_clusters, seed)
         ]
+        if n_clusters > 100:
+            # past ~100 centroids the literal assignment is an
+            # interpreted HOF forest (the repo-documented plan-literal
+            # wall: py4j plan build + no codegen); ship the centers by
+            # broadcast and assign in one Arrow GEMM per batch instead.
+            # The keep/drop tail is shared either way.
+            assigned = _assign_broadcast_centers(
+                emb, centers, id_col=id_col, vec_col=vec_col
+            )
+            return _semantic_dedup_tail(assigned, threshold)
         return semantic_dedup(
             emb, centers, threshold=threshold, id_col=id_col, vec_col=vec_col
         )
