@@ -114,6 +114,11 @@ def _chunked_adjacency(
     land on ``_FANOUT_SALTS`` different partitions and stay there
     across rounds (rank frames replicate once per salt — (id, double)
     pairs, cheap against the hot key's edge volume)."""
+    # Empty-chunk literal must match the caller's element type — a
+    # pre-built adjacency may carry non-string vertex ids, and a
+    # hardcoded array<string> makes when/otherwise raise an opaque
+    # AnalysisException.
+    outlinks_type = adjacency.schema["outlinks"].dataType.simpleString()
     chunks = F.when(
         F.size("outlinks") > 0,
         F.transform(
@@ -126,7 +131,7 @@ def _chunked_adjacency(
         ),
         # guard: sequence(0, -1) generates DESCENDING; empty outlink
         # rows (dangling) keep exactly one empty chunk
-    ).otherwise(F.array(F.array().cast("array<string>")))
+    ).otherwise(F.array(F.array().cast(outlinks_type)))
     return (
         adjacency.select(
             "id",

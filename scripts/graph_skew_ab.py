@@ -240,6 +240,18 @@ def main():
         "rows": n, "skew_split_engaged": "skew=true" in plan,
     }), flush=True)
 
+    # Restore the AQE probe's lowered skew knobs to defaults before
+    # the salted-loop / max_fanout cells — leaving a 64 KiB advisory
+    # partition size in force would shatter every downstream shuffle
+    # into thousands of tiny partitions and distort the wall /
+    # straggler numbers those cells feed into SCALE.md. Broadcast
+    # stays disabled (that's the regime under test).
+    spark.conf.unset(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes")
+    spark.conf.unset("spark.sql.adaptive.advisoryPartitionSizeInBytes")
+    spark.conf.unset("spark.sql.adaptive.skewJoin.skewedPartitionFactor")
+    spark.conf.unset("spark.sql.adaptive.forceOptimizeSkewedJoin")
+
     # Salted-loop A/B in the broadcast-infeasible regime (broadcast
     # still off): the persistent edge copies are NOT shuffle outputs,
     # so AQE cannot split them — salt is the layout-time fix.

@@ -350,6 +350,53 @@ def test_semantic_dedup_trained_equals_literal_path(spark):
     assert len(surv) < 48
 
 
+def test_semantic_dedup_trained_sampled_large_k_matches_literal(spark):
+    """k>100 routing in the SAMPLED regime (k·200 ≤ sample_cap):
+    the trained path still fits by driver-side Lloyd but assigns via
+    the broadcast Arrow-GEMM branch instead of the literal HOF
+    forest. Given the same centers, broadcast GEMM ≡ literal plan —
+    integer-valued vectors make every dot/norm dyadic-exact, so
+    numpy's pairwise/SIMD dot can't differ from Spark's sequential
+    fold even in the last ulp (ADVICE r8: the earlier pins only
+    exercised k≤100 fixtures)."""
+    import numpy as np
+
+    from pagerank_hadoop_spark.operators.dedup import (
+        semantic_dedup,
+        semantic_dedup_trained,
+    )
+    from pagerank_hadoop_spark.operators.similarity import _lloyd
+
+    rng = np.random.default_rng(17)
+    base = rng.integers(-5, 6, size=(240, 3)).astype(float)
+    base[(base == 0).all(axis=1)] += 1.0  # no zero vectors
+    rows = [(i, [float(x) for x in base[i]]) for i in range(240)]
+    rows += [(5000 + i, [float(x) for x in base[i]]) for i in range(0, 240, 8)]
+    emb = spark.createDataFrame(rows, "vec_id long, v array<double>")
+
+    # k=120 > 100 and 120*200 = 24000 <= sample_cap → sampled fit,
+    # broadcast-GEMM assignment branch
+    trained = semantic_dedup_trained(
+        emb, n_clusters=120, threshold=0.95, seed=3
+    )
+
+    sample = np.array(
+        [r.v for r in emb.orderBy("vec_id").limit(120 * 200).collect()],
+        dtype=np.float64,
+    )
+    centers = [[float(x) for x in c] for c in _lloyd(sample, 120, 3)]
+    literal = semantic_dedup(emb, centers, threshold=0.95)
+
+    t = sorted((r.id, r.cluster) for r in trained.collect())
+    l = sorted((r.id, r.cluster) for r in literal.collect())
+    assert t == l
+    # planted exact duplicates: never both survive
+    surv = {r.id for r in trained.collect()}
+    assert all(
+        not (i in surv and 5000 + i in surv) for i in range(0, 240, 8)
+    )
+
+
 def test_semantic_dedup_trained_distributed_path_matches_literal(spark):
     """Large-k regime (k·200 > sample_cap): centers are trained by
     distributed Lloyd and shipped via SparkContext.broadcast, never

@@ -258,3 +258,29 @@ def test_chunked_adjacency_spreads_hub_and_keeps_dangling(spark):
     lonely = chunked.where(F.col("id") == "lonely").collect()
     assert len(lonely) == 1
     assert lonely[0].outdeg == 0 and lonely[0].outlinks == []
+
+
+def test_chunked_adjacency_non_string_vertex_ids(spark):
+    """The empty-chunk literal derives its element type from the
+    caller's outlinks column — a pre-built adjacency with LONG vertex
+    ids must chunk without an AnalysisException, and dangling rows
+    keep one empty chunk of the right type (ADVICE r8: the old
+    hardcoded array<array<string>> raised a when/otherwise type
+    mismatch here)."""
+    import pyspark.sql.functions as F
+
+    from pagerank_hadoop_spark.operators.pagerank import (
+        _chunked_adjacency,
+    )
+
+    adj = spark.createDataFrame(
+        [(1, [10, 11, 12, 13, 14, 15, 16]), (2, [])],
+        "id long, outlinks array<long>",
+    )
+    chunked = _chunked_adjacency(adj, max_fanout=3, parts=4)
+    hub = chunked.where(F.col("id") == 1).orderBy("__chunk").collect()
+    assert [r.outlinks for r in hub] == [[10, 11, 12], [13, 14, 15], [16]]
+    assert all(r.outdeg == 7 for r in hub)
+    dangling = chunked.where(F.col("id") == 2).collect()
+    assert len(dangling) == 1
+    assert dangling[0].outdeg == 0 and dangling[0].outlinks == []
