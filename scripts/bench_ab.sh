@@ -6,6 +6,10 @@
 # the four JSON lines. Interleaving controls for slow ambient drift;
 # per-query deltas inside the same binary's run-to-run spread mean
 # "environment", consistent one-sided deltas mean "code".
+# CAVEAT (r9): the fixed A-then-B cell order turns a monotone ambient
+# slope into a spurious one-sided delta — for SINGLE-query attribution
+# run a second pass with the order reversed (SCALE.md round-9 note);
+# multi-query sweeps amortize the slope across the cell and are fine.
 #
 # Usage: scripts/bench_ab.sh <ref_a> [queries...]   (B = worktree HEAD)
 set -euo pipefail

@@ -76,3 +76,40 @@ def test_mrl_exploded_unit_norm(spark, sf_dir):
         # rounded to 6dp per element, so the norm is 1 within rounding
         assert n == pytest.approx(1.0, abs=1e-4) or n == 0.0
     assert all(len(v) == 16 for v in by_vec.values())
+
+
+def test_repin_gates_block_round_trips():
+    """scripts/repin_gates.py owns the _PINNED block in queries.py:
+    read_block must parse the live file to exactly the imported dict,
+    and render_block(parse) must reproduce the committed text
+    byte-for-byte (idempotency) — otherwise a REPIN_OK rewrite would
+    churn the file even when no gate drifted."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "repin_gates",
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "scripts",
+            "repin_gates.py",
+        ),
+    )
+    rg = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(rg)
+
+    src = open(rg.QUERIES_PY).read()
+    block, pinned = rg.read_block(src)
+    assert pinned == Q._PINNED
+    assert rg.render_block(pinned) == block
+    # the derived ANN dict stays in lockstep with the block
+    assert Q._ANN_MEASURED_RECALL == {
+        k.split(".", 1)[1]: v
+        for k, v in pinned.items()
+        if k.startswith("ann_recall.")
+    }
+    # every pinned key resolves to a registered oracle-backed query
+    for key in pinned:
+        qname = (key.split(".", 1)[1] if key.startswith("ann_recall.")
+                 else key.split(".", 1)[0])
+        assert qname in Q._ORACLES, key
