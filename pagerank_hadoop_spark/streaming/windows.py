@@ -310,11 +310,28 @@ def punctuated_events_dir(sf_dir: str, ts_dtype: str) -> str:
     base = tempfile.mkdtemp(prefix="spark_graft_punct_")
     _STAGING_DIRS.append(base)  # reaped at interpreter exit
     # abspath: the symlink target string is stored verbatim, so a
-    # relative sf_dir would dangle when resolved from inside /tmp
-    os.symlink(
-        os.path.abspath(os.path.join(sf_dir, "events.parquet")),
-        os.path.join(base, "events.parquet"),
-    )
+    # relative sf_dir would dangle when resolved from inside /tmp.
+    # A Spark-WRITTEN events table is a DIRECTORY of part files; a
+    # directory symlink is invisible to the streaming file source
+    # (non-key=value subdirectories are skipped by its listing), so
+    # the real rows would silently vanish and only the sentinels
+    # stream — found at 10x scale: /tmp/sf1_synth drained 0 rows.
+    # Per-file symlinks would surface the rows but split the real
+    # data across micro-batches (maxFilesPerTrigger=1), and the part
+    # files of the replicated fixture INTERLEAVE in event time, so
+    # batch k+1's rows would arrive below the watermark batch k
+    # committed and be dropped. The real data must land in ONE
+    # micro-batch: consolidate a directory into a single staged file
+    # (this staging dir is the local bounded-drain harness, not a
+    # production path — in production the sentinels append to the
+    # live stream and no re-staging exists).
+    events_path = os.path.abspath(os.path.join(sf_dir, "events.parquet"))
+    staged = os.path.join(base, "events.parquet")
+    if os.path.isdir(events_path):
+        pq.write_table(pq.read_table(events_path), staged)
+        os.utime(staged, (time.time(), time.time()))
+    else:
+        os.symlink(events_path, staged)
     if ts_dtype in ("bigint", "long"):
         ts_type, ts_val = pa.int64(), lambda us: us * 1000
     elif ts_dtype == "timestamp_ntz":
