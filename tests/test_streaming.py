@@ -304,6 +304,25 @@ def test_left_outer_band_join_needs_punctuation_to_flush(spark, tmp_path):
     punct = punctuated_events_dir(str(sf), "timestamp")
     assert run(punct, "t_louter_punct") == {(1, 2), (3, None)}
 
+    # DIRECTORY-layout events table (Spark-written, part files +
+    # _SUCCESS): the r9 scale find — a verbatim symlink made the real
+    # rows invisible to the streaming source's listing (only sentinels
+    # streamed; /tmp/sf1_synth drained 0 rows). The staging must
+    # consolidate the directory into ONE file (a single micro-batch:
+    # time-interleaved part files would otherwise drop later batches
+    # below the committed watermark) and drain identically.
+    sf_dir = tmp_path / "mini_sf_dir"
+    sf_dir.mkdir()
+    ev_dir = sf_dir / "events.parquet"
+    ev_dir.mkdir()
+    half = {k: v[:2] for k, v in rows.items()}
+    rest = {k: v[2:] for k, v in rows.items()}
+    pq.write_table(pa.table(half, schema=schema), ev_dir / "part-00000.parquet")
+    pq.write_table(pa.table(rest, schema=schema), ev_dir / "part-00001.parquet")
+    (ev_dir / "_SUCCESS").touch()
+    punct_dir = punctuated_events_dir(str(sf_dir), "timestamp")
+    assert run(punct_dir, "t_louter_punct_dir") == {(1, 2), (3, None)}
+
 
 def test_cdc_apply_multi_batch_and_replay_idempotent(spark, tmp_path):
     import pyarrow as pa
