@@ -1845,10 +1845,11 @@ def parse_mp4_meta(payload: bytes) -> tuple[int, int, int, int, int] | None:
     width/height (16.16 fixed point). Returns
     ``(duration_ms, timescale, n_tracks, width, height)`` or None for
     non-MP4 payloads (no ``ftyp`` leader). Typed ValueErrors on
-    truncated/oversized boxes. Sample DECODE (the codec layer) remains
-    the one honestly-stubbed step — it genuinely needs libraries this
-    container lacks — but duration/track/dimension metadata, the part
-    a 100 TB curation pass filters on, is now real."""
+    truncated/oversized boxes. Sample DECODE lives in
+    ``operators/h264.py`` (r9): real for the H.264 I_PCM subset
+    (sample-table demux + exp-Golomb headers + raw macroblocks);
+    transform-coded residuals remain the honestly-refused step
+    (typed per-macroblock NotImplementedError)."""
 
     def walk(buf: bytes, lo: int, hi: int):
         pos = lo

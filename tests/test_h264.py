@@ -1,0 +1,201 @@
+"""H.264 I_PCM decode + ISO-BMFF sample demux ([EXT] E5, round 9).
+
+The decoder (operators/h264.py) is pure stdlib+NumPy; most gates here
+run without Spark. The one Spark test pins the Arrow kernel end-to-end
+against the closed-form fixture formulas (the committed oracle gate,
+media_mp4_frames, replays the same formulas in DuckDB).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from pagerank_hadoop_spark.operators.h264 import (
+    _BitReader,
+    _BitWriter,
+    _ebsp_to_rbsp,
+    _nal,
+    _rbsp_to_ebsp,
+    h264_decode_ipcm_frame,
+    h264_parse_pps,
+    h264_parse_sps,
+    h264_pps_rbsp,
+    h264_sps_rbsp,
+    mp4_decode_ipcm_frames,
+    mp4_demux_avc,
+    mp4_mux_avc,
+)
+
+RNG = np.random.default_rng(2024)
+
+
+def _frames(n: int, h: int, w: int, zero_runs: bool = True):
+    out = []
+    for _ in range(n):
+        y = RNG.integers(0, 256, (h, w), dtype=np.uint8)
+        cb = RNG.integers(0, 256, (h // 2, w // 2), dtype=np.uint8)
+        cr = RNG.integers(0, 256, (h // 2, w // 2), dtype=np.uint8)
+        if zero_runs:  # force 00-runs so emulation prevention is real
+            y[0, :12] = 0
+            cb[:3, :] = 0
+        out.append((y, cb, cr))
+    return out
+
+
+def test_exp_golomb_roundtrip():
+    w = _BitWriter()
+    ue_vals = [0, 1, 2, 3, 7, 25, 255, 66000]
+    se_vals = [0, 1, -1, 2, -2, 17, -31]
+    for v in ue_vals:
+        w.ue(v)
+    for v in se_vals:
+        w.se(v)
+    r = _BitReader(w.rbsp_trailing())
+    assert [r.ue() for _ in ue_vals] == ue_vals
+    assert [r.se() for _ in se_vals] == se_vals
+
+
+def test_emulation_prevention_roundtrip():
+    raw = bytes([0, 0, 0, 0, 1, 0, 0, 2, 0, 0, 3, 9, 0, 0, 0])
+    eb = _rbsp_to_ebsp(raw)
+    assert b"\x00\x00\x03" in eb and len(eb) > len(raw)
+    assert _ebsp_to_rbsp(eb) == raw
+    # exhaustive short-string property: every 5-byte string of
+    # {0,1,3,255} survives the insert/strip round trip
+    from itertools import product
+
+    for t in product((0, 1, 3, 255), repeat=5):
+        b = bytes(t)
+        assert _ebsp_to_rbsp(_rbsp_to_ebsp(b)) == b
+
+
+@pytest.mark.parametrize(
+    "n,h,w,chunks", [(1, 16, 16, 1), (3, 32, 48, 1), (5, 16, 32, 3), (4, 48, 16, 4)]
+)
+def test_mux_demux_decode_roundtrip(n, h, w, chunks):
+    fs = _frames(n, h, w)
+    payload = mp4_mux_avc(fs, n_chunks=chunks)
+    dec = list(mp4_decode_ipcm_frames(payload))
+    assert len(dec) == n
+    for (idx, y, cb, cr), (ey, ecb, ecr) in zip(dec, fs):
+        assert np.array_equal(y, ey)
+        assert np.array_equal(cb, ecb)
+        assert np.array_equal(cr, ecr)
+
+
+def test_container_is_wellformed_for_meta_parser():
+    # the independent r5 container parser agrees on the mux layout
+    from pagerank_hadoop_spark.operators.multimodal import parse_mp4_meta
+
+    payload = mp4_mux_avc(_frames(3, 32, 48))
+    assert parse_mp4_meta(payload) == (120, 1000, 1, 48, 32)
+
+
+def test_multichunk_stsc_map_matches_single_chunk():
+    fs = _frames(6, 16, 16)
+    one = mp4_demux_avc(mp4_mux_avc(fs, n_chunks=1))
+    many = mp4_demux_avc(mp4_mux_avc(fs, n_chunks=4))
+    assert one["samples"] == many["samples"]
+    assert len(one["samples"]) == 6
+
+
+def test_frame_cropping():
+    fs = _frames(2, 32, 32)
+    dec = list(mp4_decode_ipcm_frames(mp4_mux_avc(fs, crop=(0, 1, 0, 2))))
+    for (idx, y, cb, cr), (ey, ecb, ecr) in zip(dec, fs):
+        assert y.shape == (28, 30) and cb.shape == (14, 15)
+        assert np.array_equal(y, ey[:28, :30])
+        assert np.array_equal(cb, ecb[:14, :15])
+
+
+def test_sps_parse_fields():
+    sps = h264_parse_sps(h264_sps_rbsp(3, 2))
+    assert sps["profile_idc"] == 66
+    assert sps["width_mbs"] == 3 and sps["height_mbs"] == 2
+    assert sps["poc_type"] == 2 and sps["log2_max_frame_num"] == 4
+
+
+def test_cabac_pps_rejected():
+    w = _BitWriter()
+    w.ue(0)
+    w.ue(0)
+    w.u(1, 1)  # entropy_coding_mode_flag = 1 (CABAC)
+    with pytest.raises(NotImplementedError, match="CABAC"):
+        h264_parse_pps(w.rbsp_trailing())
+
+
+def _minimal_slice_nal(mb_type_bits, slice_type=7, nal_type=5):
+    w = _BitWriter()
+    w.ue(0)  # first_mb_in_slice
+    w.ue(slice_type)
+    w.ue(0)  # pps id
+    w.u(0, 4)  # frame_num
+    if nal_type == 5:
+        w.ue(0)  # idr_pic_id
+        w.u(0, 1)
+        w.u(0, 1)  # dec_ref_pic_marking
+    w.se(0)  # slice_qp_delta
+    if mb_type_bits is not None:
+        w.ue(mb_type_bits)
+    return _nal(3, nal_type, w.rbsp_trailing())
+
+
+def test_transform_coded_mb_rejected():
+    sps = h264_parse_sps(h264_sps_rbsp(1, 1))
+    pps = h264_parse_pps(h264_pps_rbsp())
+    with pytest.raises(NotImplementedError, match="CAVLC residual"):
+        h264_decode_ipcm_frame(_minimal_slice_nal(0), sps, pps)
+
+
+def test_inter_slice_rejected():
+    sps = h264_parse_sps(h264_sps_rbsp(1, 1))
+    pps = h264_parse_pps(h264_pps_rbsp())
+    with pytest.raises(NotImplementedError, match="inter prediction"):
+        h264_decode_ipcm_frame(
+            _minimal_slice_nal(None, slice_type=5, nal_type=1), sps, pps
+        )
+
+
+def test_truncation_and_garbage_errors():
+    payload = mp4_mux_avc(_frames(2, 16, 16))
+    with pytest.raises(ValueError):
+        list(mp4_decode_ipcm_frames(payload[:100]))
+    with pytest.raises(ValueError, match="ISO-BMFF"):
+        mp4_demux_avc(b"not an mp4 at all")
+    # truncated mdat: sample overruns the file
+    with pytest.raises(ValueError):
+        list(mp4_decode_ipcm_frames(payload[:-40]))
+
+
+def test_spark_kernel_matches_formula(spark):
+    """End-to-end Arrow-kernel gate: the same pin the committed
+    media_mp4_frames oracle enforces, on a 12-video subset."""
+    import hashlib
+
+    from pagerank_hadoop_spark.queries import _mp4_ipcm_fixture
+    from pagerank_hadoop_spark.operators.h264 import mp4_frame_stats
+    from pagerank_hadoop_spark.operators.multimodal import attach_media
+    from pyspark.sql import functions as F
+
+    media = attach_media(
+        _mp4_ipcm_fixture(spark, n=12), F.col("payload"), media_type="video/mp4"
+    )
+    got = {
+        (r["media_id"], r["frame_idx"]): r
+        for r in mp4_frame_stats(media).collect()
+    }
+    n_rows = 0
+    for key in range(12):
+        w, h, nf = 16 * (1 + key % 3), 16 * (1 + key % 2), 1 + key % 3
+        c = np.arange(w)[None, :]
+        r_ = np.arange(h)[:, None]
+        for f in range(nf):
+            y = ((7 * c + 13 * r_ + 11 * f + key) % 256).astype(np.int64)
+            row = got[(key, f)]
+            assert (row["width"], row["height"]) == (w, h)
+            assert row["y_sum"] == int(y.sum())
+            csv = ",".join(str(v) for v in y.flatten())
+            assert row["y_md5"] == hashlib.md5(csv.encode()).hexdigest()
+            n_rows += 1
+    assert len(got) == n_rows
