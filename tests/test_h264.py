@@ -199,3 +199,57 @@ def test_spark_kernel_matches_formula(spark):
             assert row["y_md5"] == hashlib.md5(csv.encode()).hexdigest()
             n_rows += 1
     assert len(got) == n_rows
+
+
+def test_deemulation_vectorized_matches_sequential_twin():
+    from itertools import product
+
+    from pagerank_hadoop_spark.operators.h264 import _ebsp_to_rbsp_scan
+
+    # exhaustive over every 6-byte alphabet-{0,1,3}| string — covers
+    # every overlap/adjacency case of the 00 00 03 pattern
+    for t in product((0, 1, 3), repeat=6):
+        b = bytes(t)
+        assert _ebsp_to_rbsp(b) == _ebsp_to_rbsp_scan(b), t
+    # and on a real encoded payload
+    raw = RNG.integers(0, 4, 5000, dtype=np.uint8).tobytes()
+    eb = _rbsp_to_ebsp(raw)
+    assert _ebsp_to_rbsp(eb) == _ebsp_to_rbsp_scan(eb) == raw
+
+
+def test_ipcm_fast_path_matches_bitwise_loop():
+    from pagerank_hadoop_spark.operators.h264 import (
+        _BitReader,
+        _read_ipcm_mb,
+        _read_ipcm_samples,
+    )
+
+    fs = _frames(1, 32, 48)
+    payload = mp4_mux_avc(fs)
+    d = mp4_demux_avc(payload)
+    nal = d["samples"][0][0]
+    sps = h264_parse_sps(_ebsp_to_rbsp(d["sps"][0][1:]))
+    pps = h264_parse_pps(_ebsp_to_rbsp(d["pps"][0][1:]))
+    # decode once through the public path (fast path engages)
+    idx, y, cb, cr = next(iter(mp4_decode_ipcm_frames(payload)))
+    assert np.array_equal(y, fs[0][0])
+    # replay the slice through the pure bitwise loop: skip the slice
+    # header by reading up to the first MB via the public helpers
+    rbsp = _ebsp_to_rbsp(nal[1:])
+
+    def read_all_bitwise(r, n):
+        return np.stack(
+            [np.frombuffer(_read_ipcm_mb(r), dtype=np.uint8) for _ in range(n)]
+        )
+
+    # position two readers identically at slice_data by re-parsing the
+    # header fields (same walk as h264_decode_ipcm_frame)
+    def at_slice_data():
+        r = _BitReader(rbsp)
+        r.ue(); r.ue(); r.ue(); r.u(4); r.ue(); r.u(1); r.u(1); r.se()
+        return r
+
+    n_mbs = sps["width_mbs"] * sps["height_mbs"]
+    fast = _read_ipcm_samples(at_slice_data(), n_mbs)
+    slow = read_all_bitwise(at_slice_data(), n_mbs)
+    assert np.array_equal(fast, slow)
