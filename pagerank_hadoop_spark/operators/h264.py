@@ -898,6 +898,63 @@ def mp4_decode_ipcm_frames(payload: bytes):
                 idx += 1
 
 
+AHASH_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("frame_idx", LongType()),
+        StructField("ahash", StringType()),
+        StructField("y_md5", StringType()),
+    ]
+)
+
+
+def mp4_frame_ahash(media: DataFrame) -> DataFrame:
+    """Perceptual hash over DECODED video frames: the 8x8 average
+    hash on the luma plane, integer-exact so both engines derive the
+    identical bit string — bit g (raster over the 8x8 cell grid) is 1
+    iff ``64 * cell_sum(g) > total_sum`` (equivalent to
+    cell_mean > frame_mean with no float division; cells are equal
+    sized for %8==0 dims, which the I_PCM path guarantees up to
+    cropping). Emitted as a 64-char '0'/'1' string (no sign-bit
+    portability hazard), alongside the per-frame luma md5 so a
+    downstream exact-verify stage can separate byte-dups from
+    perceptual dups. The bucket-join on this key is the scalable
+    near-dup candidate shape (shuffle 8-byte-ish keys, never frames —
+    same economy as the MinHash band join in operators/dedup.py)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        import numpy as np
+
+        for pdf in it:
+            rows = {k: [] for k in ("media_id", "frame_idx", "ahash", "y_md5")}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                for idx, y, _cb, _cr in mp4_decode_ipcm_frames(bytes(payload)):
+                    h, w = y.shape
+                    if h % 8 or w % 8:
+                        raise ValueError(
+                            f"aHash needs %8==0 dims, got {w}x{h} (cropped)"
+                        )
+                    cells = (
+                        y.astype(np.int64)
+                        .reshape(8, h // 8, 8, w // 8)
+                        .sum(axis=(1, 3))
+                    )
+                    total = int(y.sum(dtype=np.int64))
+                    bits = "".join(
+                        "1" if v else "0" for v in (64 * cells > total).flatten()
+                    )
+                    csv = ",".join(str(v) for v in y.flatten())
+                    rows["media_id"].append(mid)
+                    rows["frame_idx"].append(idx)
+                    rows["ahash"].append(bits)
+                    rows["y_md5"].append(hashlib.md5(csv.encode()).hexdigest())
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(batches, AHASH_SCHEMA)
+
+
 MP4_FRAME_SCHEMA = StructType(
     [
         StructField("media_id", LongType()),

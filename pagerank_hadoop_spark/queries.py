@@ -13095,3 +13095,117 @@ def q_media_mp4_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         _mp4_ipcm_fixture(spark), F.col("payload"), media_type="video/mp4"
     )
     return mp4_frame_stats(media).orderBy("media_id", "frame_idx")
+
+
+def _mp4_ipcm_fixture_clones(spark: SparkSession, n: int = 180) -> DataFrame:
+    """The `_mp4_ipcm_fixture` originals (keys 0..n-1) plus one
+    "re-encode" clone per original (key+n): identical frames except
+    luma pixel (0,0) is +1 — so every clone frame differs from its
+    original in BYTES (md5 ≠) but not perceptually (the +1 cannot
+    flip an integer aHash cell comparison here; both engines verify
+    rather than assume that, since the oracle recomputes the hash
+    arithmetic). (0,0)'s base value 11f+key ≤ 201 < 255, so the +1
+    never wraps."""
+    import numpy as np
+
+    from pagerank_hadoop_spark.operators.h264 import mp4_mux_avc
+
+    rows = []
+    for key in range(n):
+        w, h, nf = 16 * (1 + key % 3), 16 * (1 + key % 2), 1 + key % 3
+        c = np.arange(w)[None, :]
+        r = np.arange(h)[:, None]
+        cc = np.arange(w // 2)[None, :]
+        rr = np.arange(h // 2)[:, None]
+        orig, clone = [], []
+        for f in range(nf):
+            y = ((7 * c + 13 * r + 11 * f + key) % 256).astype(np.uint8)
+            cbp = ((5 * cc + 3 * rr + 11 * f + 2 * key) % 256).astype(np.uint8)
+            crp = ((cc + 2 * rr + 5 * f + 3 * key) % 256).astype(np.uint8)
+            yc = y.copy()
+            yc[0, 0] += 1
+            orig.append((y, cbp, crp))
+            clone.append((yc, cbp, crp))
+        rows.append((key, bytearray(mp4_mux_avc(orig, n_chunks=1 + key % 2))))
+        rows.append((key + n, bytearray(mp4_mux_avc(clone))))
+    return spark.createDataFrame(rows, "media_id long, payload binary")
+
+
+@register(
+    "media_video_ahash_dedup",
+    """
+    WITH k AS (SELECT range AS key FROM range(0, 360)),
+    b AS (SELECT key, CASE WHEN key >= 180 THEN key - 180 ELSE key END AS k0,
+                 CASE WHEN key >= 180 THEN 1 ELSE 0 END AS clone FROM k),
+    g AS (SELECT key, k0, clone, 16 * (1 + k0 % 3) AS w,
+                 16 * (1 + k0 % 2) AS h, 1 + k0 % 3 AS nf FROM b),
+    fr AS (SELECT key, k0, clone, w, h, unnest(range(0, nf)) AS fi FROM g),
+    px AS MATERIALIZED (SELECT key, fi, w, h,
+             list_transform(range(0, w * h),
+               i -> (7 * (i % w) + 13 * (i // w) + 11 * fi + k0) % 256
+                    + CASE WHEN clone = 1 AND i = 0 THEN 1 ELSE 0 END) AS yl
+           FROM fr),
+    hashes AS MATERIALIZED (SELECT key, fi,
+        array_to_string(list_transform(range(0, 64), g2 ->
+          CASE WHEN 64 * list_sum(list_transform(range(0, (h // 8) * (w // 8)),
+                 j -> yl[((g2 // 8) * (h // 8) + j // (w // 8)) * w
+                        + (g2 % 8) * (w // 8) + j % (w // 8) + 1]))
+                   > list_sum(yl)
+               THEN 1 ELSE 0 END), '') AS ahash,
+        md5(array_to_string(yl, ',')) AS y_md5
+      FROM px)
+    SELECT CAST(a.key AS BIGINT) AS id_a, CAST(a.fi AS BIGINT) AS frame_a,
+           CAST(b2.key AS BIGINT) AS id_b, CAST(b2.fi AS BIGINT) AS frame_b,
+           a.ahash AS ahash,
+           CAST(a.y_md5 = b2.y_md5 AS INT) AS bytes_equal
+    FROM hashes a JOIN hashes b2
+      ON a.ahash = b2.ahash
+     AND (a.key < b2.key OR (a.key = b2.key AND a.fi < b2.fi))
+    ORDER BY id_a, frame_a, id_b, frame_b
+    """,
+)
+def q_media_video_ahash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5×E2 [r9] integration: VIDEO near-dup candidates over REAL
+    decoded frames — the multimodal→dedup pipeline end-to-end. 360
+    fixture videos (180 originals + 180 one-pixel-perturbed
+    "re-encodes"), decoded by the I_PCM path (operators/h264.py),
+    hashed with the integer-exact 8x8 luma aHash, and bucket-joined
+    on hash equality — the scalable candidate shape (shuffles 64-bit
+    perceptual keys + md5s, never frames; the downstream exact-verify
+    is the bytes_equal flag, md5-backed). Every planted clone pair
+    surfaces with bytes_equal = 0: perceptual dup, not byte dup —
+    the case exact dedup cannot catch; chance aHash collisions
+    (gradient frames hash alike — a real aHash property) are derived
+    identically by the oracle, which recomputes the full cell
+    arithmetic in closed form rather than trusting the kernel. The
+    hash frame is localCheckpointed before the self-join (repo
+    double-consumption rule: Catalyst does not CSE the two join
+    legs, so an un-checkpointed kernel would decode every video
+    twice)."""
+    from pagerank_hadoop_spark.operators.h264 import mp4_frame_ahash
+    from pagerank_hadoop_spark.operators.multimodal import attach_media
+
+    media = attach_media(
+        _mp4_ipcm_fixture_clones(spark), F.col("payload"),
+        media_type="video/mp4",
+    )
+    hashes = mp4_frame_ahash(media).localCheckpoint(eager=False)
+    a, b = hashes.alias("a"), hashes.alias("b")
+    first = (F.col("a.media_id") < F.col("b.media_id")) | (
+        (F.col("a.media_id") == F.col("b.media_id"))
+        & (F.col("a.frame_idx") < F.col("b.frame_idx"))
+    )
+    return (
+        a.join(b, (F.col("a.ahash") == F.col("b.ahash")) & first)
+        .select(
+            F.col("a.media_id").alias("id_a"),
+            F.col("a.frame_idx").alias("frame_a"),
+            F.col("b.media_id").alias("id_b"),
+            F.col("b.frame_idx").alias("frame_b"),
+            F.col("a.ahash").alias("ahash"),
+            (F.col("a.y_md5") == F.col("b.y_md5")).cast("int").alias(
+                "bytes_equal"
+            ),
+        )
+        .orderBy("id_a", "frame_a", "id_b", "frame_b")
+    )

@@ -253,3 +253,29 @@ def test_ipcm_fast_path_matches_bitwise_loop():
     fast = _read_ipcm_samples(at_slice_data(), n_mbs)
     slow = read_all_bitwise(at_slice_data(), n_mbs)
     assert np.array_equal(fast, slow)
+
+
+def test_ahash_kernel_and_planted_clone_pairs(spark):
+    """Integration pin on a 12-video subset of the committed
+    media_video_ahash_dedup fixture: every planted clone pair
+    surfaces with equal aHash and differing md5."""
+    from pagerank_hadoop_spark.operators.h264 import mp4_frame_ahash
+    from pagerank_hadoop_spark.operators.multimodal import attach_media
+    from pagerank_hadoop_spark.queries import _mp4_ipcm_fixture_clones
+    from pyspark.sql import functions as F
+
+    media = attach_media(
+        _mp4_ipcm_fixture_clones(spark, n=6), F.col("payload"),
+        media_type="video/mp4",
+    )
+    rows = {(r["media_id"], r["frame_idx"]): r
+            for r in mp4_frame_ahash(media).collect()}
+    n_pairs = 0
+    for key in range(6):
+        for f in range(1 + key % 3):
+            a, b = rows[(key, f)], rows[(key + 6, f)]
+            assert a["ahash"] == b["ahash"]          # perceptual dup
+            assert a["y_md5"] != b["y_md5"]          # not a byte dup
+            assert len(a["ahash"]) == 64 and set(a["ahash"]) <= {"0", "1"}
+            n_pairs += 1
+    assert n_pairs == 12
