@@ -335,24 +335,36 @@ def mp4_mux_avc(
     frame_ticks: int = 40,
     n_chunks: int = 1,
     crop: tuple[int, int, int, int] = (0, 0, 0, 0),
+    sei_per_sample: bool = False,
+    use_co64: bool = False,
 ) -> bytes:
     """Well-formed single-track MP4 around I_PCM AVC samples.
     ``frames`` is a list of (y, cb, cr) uint8 plane triples (one IDR
     sample each). ``n_chunks`` > 1 splits samples across chunks so the
     demuxer's general stsc/stco walk is exercised (chunk i holds a
     contiguous run; the stsc table gets one entry per distinct run
-    length, run-length-coded exactly as the spec intends)."""
+    length, run-length-coded exactly as the spec intends).
+    ``sei_per_sample`` prepends a user-data SEI NAL to every sample
+    (exercises the decoder's multi-NAL sample split + type-6 skip);
+    ``use_co64`` writes 64-bit chunk offsets (the large-file table
+    variant the demuxer must also read)."""
     h, w = frames[0][0].shape
     width = w - 2 * (crop[0] + crop[1])
     height = h - 2 * (crop[2] + crop[3])
     sps = _nal(3, 7, h264_sps_rbsp(w // 16, h // 16, crop))
     pps = _nal(3, 8, h264_pps_rbsp())
+    # SEI: payload_type 5 (user_data_unregistered), 16-byte uuid-ish
+    # payload, then rbsp trailing — content is skipped by decoders
+    sei = _nal(0, 6, bytes([5, 16]) + bytes(range(16)) + b"\x80")
     samples = []
     for i, (y, cb, cr) in enumerate(frames):
         if y.shape != (h, w):
             raise ValueError("all frames must share dimensions")
         nal = h264_encode_ipcm(y, cb, cr, idr_pic_id=i % 16)
-        samples.append(len(nal).to_bytes(4, "big") + nal)
+        sample = len(nal).to_bytes(4, "big") + nal
+        if sei_per_sample:
+            sample = len(sei).to_bytes(4, "big") + sei + sample
+        samples.append(sample)
     sizes = [len(s) for s in samples]
     n = len(samples)
     duration = n * frame_ticks
@@ -414,12 +426,13 @@ def mp4_mux_avc(
     )
 
     def stco_box(chunk_offsets: list[int]) -> bytes:
+        btype, osz = (b"co64", 8) if use_co64 else (b"stco", 4)
         return _full(
-            b"stco",
+            btype,
             0,
             0,
             len(chunk_offsets).to_bytes(4, "big"),
-            b"".join(o.to_bytes(4, "big") for o in chunk_offsets),
+            b"".join(o.to_bytes(osz, "big") for o in chunk_offsets),
         )
 
     unity_matrix = b"".join(

@@ -279,3 +279,107 @@ def test_ahash_kernel_and_planted_clone_pairs(spark):
             assert len(a["ahash"]) == 64 and set(a["ahash"]) <= {"0", "1"}
             n_pairs += 1
     assert n_pairs == 12
+
+
+def test_co64_and_sei_multinal_roundtrip():
+    fs = _frames(4, 16, 32)
+    for kwargs in ({"use_co64": True}, {"sei_per_sample": True},
+                   {"use_co64": True, "sei_per_sample": True, "n_chunks": 3}):
+        payload = mp4_mux_avc(fs, **kwargs)
+        dec = list(mp4_decode_ipcm_frames(payload))
+        assert len(dec) == 4, kwargs
+        for (idx, y, cb, cr), (ey, ecb, ecr) in zip(dec, fs):
+            assert np.array_equal(y, ey) and np.array_equal(cb, ecb)
+    # SEI variant really does carry two NALs per sample
+    d = mp4_demux_avc(mp4_mux_avc(fs, sei_per_sample=True))
+    assert all(len(nals) == 2 and nals[0][0] & 0x1F == 6
+               for nals in d["samples"])
+
+
+def _sps_poc0_rbsp(width_mbs, height_mbs):
+    """Hand-built SPS with pic_order_cnt_type 0 (the slice header
+    then carries pic_order_cnt_lsb) — our encoder always emits type
+    2, so this pins the other parse branch."""
+    w = _BitWriter()
+    w.u(66, 8); w.u(0xC0, 8); w.u(30, 8)
+    w.ue(0)        # sps id
+    w.ue(0)        # log2_max_frame_num_minus4
+    w.ue(0)        # pic_order_cnt_type 0
+    w.ue(0)        # log2_max_pic_order_cnt_lsb_minus4 -> u(4)
+    w.ue(0)        # max_num_ref_frames
+    w.u(0, 1)      # gaps
+    w.ue(width_mbs - 1)
+    w.ue(height_mbs - 1)
+    w.u(1, 1); w.u(1, 1); w.u(0, 1); w.u(0, 1)
+    return w.rbsp_trailing()
+
+
+def test_poc_type0_and_nonidr_slice_headers():
+    from pagerank_hadoop_spark.operators.h264 import h264_pps_rbsp
+
+    sps = h264_parse_sps(_sps_poc0_rbsp(1, 1))
+    assert sps["poc_type"] == 0 and sps["log2_max_poc_lsb"] == 4
+    pps = h264_parse_pps(h264_pps_rbsp())
+    pcm = RNG.integers(0, 256, 384, dtype=np.uint8)
+
+    def slice_nal(nal_type):
+        w = _BitWriter()
+        w.ue(0)            # first_mb_in_slice
+        w.ue(7)            # slice_type I
+        w.ue(0)            # pps id
+        w.u(0, 4)          # frame_num
+        if nal_type == 5:
+            w.ue(0)        # idr_pic_id
+        w.u(3, 4)          # pic_order_cnt_lsb (poc type 0)
+        if nal_type == 5:
+            w.u(0, 1); w.u(0, 1)   # dec_ref_pic_marking (IDR)
+        else:
+            w.u(0, 1)      # adaptive_ref_pic_marking_mode_flag = 0
+        w.se(0)            # slice_qp_delta
+        w.ue(25)           # I_PCM
+        w.byte_align_zero()
+        w.raw_bytes(pcm.tobytes())
+        return _nal(3, nal_type, w.rbsp_trailing())
+
+    for nal_type in (5, 1):
+        y, cb, cr = h264_decode_ipcm_frame(slice_nal(nal_type), sps, pps)
+        assert np.array_equal(y.flatten(), pcm[:256])
+        assert np.array_equal(cb.flatten(), pcm[256:320])
+        assert np.array_equal(cr.flatten(), pcm[320:])
+
+
+def test_hypothesis_roundtrip_property():
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        st.integers(1, 3),                      # frames
+        st.sampled_from([16, 32, 48]),          # w
+        st.sampled_from([16, 32]),              # h
+        st.integers(1, 4),                      # chunks
+        st.booleans(),                          # sei
+        st.booleans(),                          # co64
+        st.randoms(use_true_random=False),
+    )
+    def prop(n, w, h, chunks, sei, co64, rnd):
+        seed = rnd.randint(0, 2**31)
+        rng = np.random.default_rng(seed)
+        fs = [
+            (
+                rng.integers(0, 256, (h, w), dtype=np.uint8),
+                rng.integers(0, 256, (h // 2, w // 2), dtype=np.uint8),
+                rng.integers(0, 256, (h // 2, w // 2), dtype=np.uint8),
+            )
+            for _ in range(n)
+        ]
+        payload = mp4_mux_avc(
+            fs, n_chunks=chunks, sei_per_sample=sei, use_co64=co64
+        )
+        dec = list(mp4_decode_ipcm_frames(payload))
+        assert len(dec) == n
+        for (idx, y, cb, cr), (ey, ecb, ecr) in zip(dec, fs):
+            assert np.array_equal(y, ey)
+            assert np.array_equal(cb, ecb)
+            assert np.array_equal(cr, ecr)
+
+    prop()
