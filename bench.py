@@ -142,6 +142,8 @@ def main() -> None:
         "quality_scores",
         "bpe_tokens",
         "packed_bins",
+        "media_mp4_frames",
+        "media_video_ahash_dedup",
     ]
     if not sys.argv[1:]:  # full-registry runs only: a named subset
         # run must not clobber the full per-query record
