@@ -16,6 +16,7 @@ degrees correspond to the outdeg computed inline at
 from __future__ import annotations
 
 import warnings
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, functions as F
 
@@ -69,6 +70,42 @@ def _edge_partitions(edges: DataFrame, doubled: bool = True) -> int:
     return max(1, min(shuffle_parts, need)) if need < shuffle_parts else shuffle_parts
 
 
+@contextmanager
+def _loop_shuffle_scope(spark, parts: int | None):
+    """Scope ``spark.sql.shuffle.partitions`` to a loop's
+    stats-derived task count (:func:`_edge_partitions`) for the
+    duration of its per-round jobs. AQE coalesces one-shot queries'
+    tiny shuffles by bytes, but a fixpoint loop pays the map-side
+    width and checkpoint-materialization task count EVERY round, and
+    those are set by the session conf, not by AQE — on a small graph
+    32-wide rounds are pure scheduling overhead (measured -33%/-36%
+    on scc/bfs wall at sf0.1). At production scale the stats-derived
+    count reaches the session default and this is a no-op; it only
+    ever narrows, never widens. Restores the session value even on
+    error. Only loop drivers whose aggregates are order-insensitive
+    and exact (min / mode / count / bool-or on ids) may use it —
+    float-sum loops (pagerank, hits) stay at the session setting so
+    partial-aggregation order, and therefore last-ulp sums, cannot
+    move under the oracle gate."""
+    if parts is None:
+        yield
+        return
+    key = "spark.sql.shuffle.partitions"
+    try:
+        current = int(spark.conf.get(key, "32"))
+    except (ValueError, TypeError):  # e.g. "auto"
+        yield
+        return
+    if parts >= current:
+        yield
+        return
+    spark.conf.set(key, str(parts))
+    try:
+        yield
+    finally:
+        spark.conf.set(key, str(current))
+
+
 def pregel(
     edges: DataFrame,
     init: DataFrame,
@@ -76,6 +113,7 @@ def pregel(
     max_iter: int = 50,
     on_max_iter: str = "warn",
     label: str = "pregel",
+    shuffle_parts: int | None = None,
 ) -> DataFrame:
     """Generic fixed-point loop driver — the one-job-per-round +
     lazy-checkpoint economy every iterative operator in this module
@@ -94,7 +132,18 @@ def pregel(
 
     ``edges`` is passed through untouched — shape it first (symmetrize,
     right-size partitions, eager-checkpoint) as the built-ins do.
+    ``shuffle_parts`` scopes the per-round exchange width to the
+    caller's stats-derived task count (see :func:`_loop_shuffle_scope`
+    — pass it ONLY for order-insensitive-aggregation steps).
     """
+    with _loop_shuffle_scope(edges.sparkSession, shuffle_parts):
+        converged, state = _pregel_loop_body(edges, step, max_iter, init)
+    if not converged:
+        _nonconvergence(label, max_iter, on_max_iter)
+    return state
+
+
+def _pregel_loop_body(edges, step, max_iter, init):
     from pyspark.sql import Observation
 
     state = init
@@ -122,9 +171,7 @@ def pregel(
         if n_changed == 0:
             converged = True
             break
-    if not converged:
-        _nonconvergence(label, max_iter, on_max_iter)
-    return state
+    return converged, state
 
 
 class PropertyGraph:
@@ -316,7 +363,8 @@ def connected_components(
         )
 
     labels = pregel(
-        sym, init, step, max_iter=max_iter, label="connected_components"
+        sym, init, step, max_iter=max_iter, label="connected_components",
+        shuffle_parts=parts,
     )
     sym.unpersist()
     return labels
@@ -370,7 +418,10 @@ def shortest_paths(
             ),
         )
 
-    dist = pregel(sym, init, step, max_iter=max_iter, label="shortest_paths")
+    dist = pregel(
+        sym, init, step, max_iter=max_iter, label="shortest_paths",
+        shuffle_parts=parts,
+    )
     sym.unpersist()
     return dist
 
@@ -1028,6 +1079,9 @@ def weighted_shortest_paths(
         max_iter=max_iter,
         on_max_iter=on_max_iter,
         label="weighted_shortest_paths",
+        # least()/min over exact per-edge relaxations is
+        # order-insensitive, so the narrow loop scope is hash-safe
+        shuffle_parts=_edge_partitions(e, doubled=False),
     )
     e.unpersist()
     return dist
@@ -1073,6 +1127,10 @@ def strongly_connected_components(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    # loop-scope width from the REAL (checkpointed) edge set once —
+    # the per-round ce subgraph is a join whose Catalyst size estimate
+    # runs far high, which would turn the scope into a no-op
+    loop_parts = _edge_partitions(e, doubled=False)
     done_parts: list[DataFrame] = []
 
     for _ in range(max_outer):
@@ -1101,6 +1159,7 @@ def strongly_connected_components(
             max_iter=max_iter,
             on_max_iter=on_max_iter,
             label="scc:color",
+            shuffle_parts=loop_parts,
         ).localCheckpoint(eager=True)
 
         # 2. backward reachability from roots, within color classes.
@@ -1150,6 +1209,7 @@ def strongly_connected_components(
             max_iter=max_iter,
             on_max_iter=on_max_iter,
             label="scc:backward",
+            shuffle_parts=loop_parts,
         ).localCheckpoint(eager=True)
 
         settled = swept.where(F.col("in_scc")).select(
