@@ -549,3 +549,62 @@ def test_hits_and_lpa_salted_match_unsalted(spark):
     l1 = {r.id: r.label
           for r in label_propagation(edges, 3, salt=4).collect()}
     assert l0 == l1
+
+
+def test_loop_shuffle_scope_semantics(spark):
+    """The loop-width scope narrows, never widens; restores on error;
+    tolerates non-integer session values."""
+    import pytest as _pytest
+
+    from pagerank_hadoop_spark.operators.graph import _loop_shuffle_scope
+
+    key = "spark.sql.shuffle.partitions"
+    before = spark.conf.get(key)
+    # narrows inside, restores after
+    with _loop_shuffle_scope(spark, 4):
+        assert spark.conf.get(key) == "4"
+    assert spark.conf.get(key) == before
+    # never widens
+    with _loop_shuffle_scope(spark, 10_000):
+        assert spark.conf.get(key) == before
+    # None is a no-op
+    with _loop_shuffle_scope(spark, None):
+        assert spark.conf.get(key) == before
+    # restores even when the body raises
+    with _pytest.raises(RuntimeError, match="boom"):
+        with _loop_shuffle_scope(spark, 2):
+            assert spark.conf.get(key) == "2"
+            raise RuntimeError("boom")
+    assert spark.conf.get(key) == before
+    # (the non-integer "auto" session-value guard can't be exercised
+    # here — this Spark build validates the conf as an int on set —
+    # it exists for auto-tuning platforms whose GET returns non-int)
+
+
+def test_scoped_loops_match_unscoped_results(spark, sf_dir):
+    """Bit-identical results under any loop width (the property that
+    makes the scope hash-safe for the order-insensitive drivers):
+    run connected_components with the scope engaged (default) and
+    with the session width forced so the scope no-ops, compare."""
+    from pagerank_hadoop_spark.operators.graph import connected_components
+
+    edges = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .selectExpr("o_custkey AS src", "o_custkey % 97 AS dst")
+        .limit(4000)
+    )
+    key = "spark.sql.shuffle.partitions"
+    before = spark.conf.get(key)
+    scoped = {
+        (r["id"], r["component"])
+        for r in connected_components(edges).collect()
+    }
+    spark.conf.set(key, "2")  # scope can't narrow below this
+    try:
+        narrow = {
+            (r["id"], r["component"])
+            for r in connected_components(edges).collect()
+        }
+    finally:
+        spark.conf.set(key, before)
+    assert scoped == narrow and scoped
