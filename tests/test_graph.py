@@ -608,3 +608,32 @@ def test_scoped_loops_match_unscoped_results(spark, sf_dir):
     finally:
         spark.conf.set(key, before)
     assert scoped == narrow and scoped
+
+
+def test_scc_width_invariant(spark, sf_dir):
+    """SCC (two nested pregels + outer recursion, all under one
+    threaded loop width) returns identical components at any forced
+    session width — a scope leak between the inner loops or into the
+    epilogue would surface here."""
+    from pagerank_hadoop_spark.operators.graph import (
+        strongly_connected_components,
+    )
+
+    edges = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .selectExpr("o_custkey % 53 AS src", "(o_custkey * 7) % 53 AS dst")
+        .distinct()
+        .limit(600)
+    )
+    key = "spark.sql.shuffle.partitions"
+    before = spark.conf.get(key)
+    a = {(r["id"], r["scc"])
+         for r in strongly_connected_components(edges).collect()}
+    spark.conf.set(key, "3")
+    try:
+        b = {(r["id"], r["scc"])
+             for r in strongly_connected_components(edges).collect()}
+    finally:
+        spark.conf.set(key, before)
+    assert a == b and a
+    assert spark.conf.get(key) == before
