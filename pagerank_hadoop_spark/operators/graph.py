@@ -86,7 +86,15 @@ def _loop_shuffle_scope(spark, parts: int | None):
     and exact (min / mode / count / bool-or on ids) may use it —
     float-sum loops (pagerank, hits) stay at the session setting so
     partial-aggregation order, and therefore last-ulp sums, cannot
-    move under the oracle gate."""
+    move under the oracle gate.
+
+    NOT thread-safe: this mutates the session-global conf, so any
+    concurrent query on the same SparkSession silently plans its
+    shuffles at the narrowed width for the scope's duration (results
+    unaffected — the conf is a task-count knob — but a wide query
+    would run under-parallel). The repo's bench/driver/test paths are
+    single-threaded per session; wrap concurrent use in a dedicated
+    child session (``spark.newSession()``) instead."""
     if parts is None:
         yield
         return

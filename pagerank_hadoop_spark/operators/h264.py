@@ -640,7 +640,9 @@ def _read_ipcm_samples(r: _BitReader, n_mbs: int):
             r.data, dtype=np.uint8, count=need, offset=start
         ).reshape(n_mbs - 1, 386)
         if (block[:, 0] == 0x0D).all() and (block[:, 1] == 0x00).all():
-            r.pos += 8 * need
+            # absolute, not +=: pins the reader to the exact byte end
+            # of the block even if a future caller enters unaligned
+            r.pos = (start + need) * 8
             return np.concatenate([first.reshape(1, 384), block[:, 2:]])
     # fallback: bitwise per-MB loop (still spec-conformant input, just
     # not the all-I_PCM fixed layout — e.g. a truncated tail, which
@@ -798,6 +800,11 @@ def mp4_demux_avc(payload: bytes) -> dict:
     entry_size = int.from_bytes(payload[entry_body : entry_body + 4], "big")
     avcc = _find(payload, entry_body + 8 + 78, entry_body + entry_size, b"avcC")
     a = payload[avcc[0] : avcc[1]]
+    # bounds-check the record body so a truncated avcC raises the
+    # module's typed ValueError instead of a bare IndexError / silent
+    # short SPS bytes (fixed header is 6 bytes + >=1 byte PPS count)
+    if len(a) < 7:
+        raise ValueError("truncated avcC")
     if a[0] != 1:
         raise ValueError(f"unsupported avcC configurationVersion {a[0]}")
     length_size = (a[4] & 3) + 1
@@ -805,16 +812,25 @@ def mp4_demux_avc(payload: bytes) -> dict:
     sps_list, pps_list = [], []
     n_sps = a[pos] & 0x1F
     pos += 1
-    for _ in range(n_sps):
+
+    def read_nal(pos: int) -> tuple[bytes, int]:
+        if pos + 2 > len(a):
+            raise ValueError("truncated avcC")
         ln = int.from_bytes(a[pos : pos + 2], "big")
-        sps_list.append(a[pos + 2 : pos + 2 + ln])
-        pos += 2 + ln
+        if pos + 2 + ln > len(a):
+            raise ValueError("truncated avcC")
+        return a[pos + 2 : pos + 2 + ln], pos + 2 + ln
+
+    for _ in range(n_sps):
+        nal, pos = read_nal(pos)
+        sps_list.append(nal)
+    if pos >= len(a):
+        raise ValueError("truncated avcC")
     n_pps = a[pos]
     pos += 1
     for _ in range(n_pps):
-        ln = int.from_bytes(a[pos : pos + 2], "big")
-        pps_list.append(a[pos + 2 : pos + 2 + ln])
-        pos += 2 + ln
+        nal, pos = read_nal(pos)
+        pps_list.append(nal)
     if not sps_list or not pps_list:
         raise ValueError("avcC carries no SPS/PPS")
 

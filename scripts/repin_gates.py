@@ -89,10 +89,13 @@ def read_block(src: str) -> tuple[str, dict]:
     if not m:
         sys.exit(f"FATAL: pinned-gates markers not found in {QUERIES_PY}")
     block = m.group(0)
-    dict_src = re.search(
-        r"_PINNED: dict = (\{.*?\n\})", block, re.DOTALL
-    ).group(1)
-    return block, ast.literal_eval(dict_src)
+    dm = re.search(r"_PINNED: dict = (\{.*?\n\})", block, re.DOTALL)
+    if dm is None:
+        sys.exit(
+            f"FATAL: pinned-gates markers found but no '_PINNED: dict ="
+            f" {{...}}' header inside the block in {QUERIES_PY}"
+        )
+    return block, ast.literal_eval(dm.group(1))
 
 
 def main() -> None:

@@ -168,6 +168,29 @@ def test_truncation_and_garbage_errors():
         list(mp4_decode_ipcm_frames(payload[:-40]))
 
 
+def test_truncated_avcc_raises_typed_error():
+    """A truncated avcC body must raise the typed ValueError, not a
+    bare IndexError or silently short SPS bytes: shrink the avcC box
+    in place (keep its declared length-prefix consistent) at several
+    cut points — inside the fixed header, mid-SPS-length, mid-SPS
+    payload, and before the PPS count."""
+    payload = bytearray(mp4_mux_avc(_frames(1, 16, 16)))
+    at = bytes(payload).find(b"avcC")
+    assert at > 0
+    box_start = at - 4
+    box_len = int.from_bytes(payload[box_start : box_start + 4], "big")
+    body_len = box_len - 8
+    for keep in (3, 6, 7, 8, body_len - 2):
+        if keep >= body_len:
+            continue
+        cut = bytearray(payload)
+        # rewrite the box length and drop the tail bytes of the body
+        cut[box_start : box_start + 4] = (8 + keep).to_bytes(4, "big")
+        del cut[box_start + 8 + keep : box_start + 8 + body_len]
+        with pytest.raises(ValueError, match="avcC"):
+            mp4_demux_avc(bytes(cut))
+
+
 def test_spark_kernel_matches_formula(spark):
     """End-to-end Arrow-kernel gate: the same pin the committed
     media_mp4_frames oracle enforces, on a 12-video subset."""
