@@ -582,29 +582,35 @@ def k_core(
     )
     prev_edges = cur.count()
     converged = False
-    for _ in range(max_iter):
-        # keep derives FROM cur, so the semi-joins are self-joins;
-        # name-based join keys (not cross-plan Column refs) keep the
-        # analyzer from resolving the condition into the shared subplan
-        keep = (
-            cur.groupBy("src")
-            .agg(F.count(F.lit(1)).alias("__d"))
-            .where(F.col("__d") >= k)
-            .select("src")
-        )
-        pre_ckpt = (
-            cur.join(keep, "src", "left_semi")
-            .join(keep.select(F.col("src").alias("dst")), "dst", "left_semi")
-            .select("src", "dst")
-        )
-        runtime_counters.note_round(pre_ckpt)
-        nxt = pre_ckpt.localCheckpoint(eager=False)
-        n = nxt.count()  # materializes the checkpoint + fixpoint test
-        cur = nxt
-        if n == prev_edges:
-            converged = True
-            break
-        prev_edges = n
+    # the peel's per-round aggregates are exact integer counts and
+    # id semi-joins — order-insensitive, so the loop-width scope is
+    # hash-safe (see _loop_shuffle_scope); the entry-level estimate
+    # is threaded through every round because the edge list only
+    # shrinks (the scc precedent: per-round re-estimates run high)
+    with _loop_shuffle_scope(edges.sparkSession, parts):
+        for _ in range(max_iter):
+            # keep derives FROM cur, so the semi-joins are self-joins;
+            # name-based join keys (not cross-plan Column refs) keep the
+            # analyzer from resolving the condition into the shared subplan
+            keep = (
+                cur.groupBy("src")
+                .agg(F.count(F.lit(1)).alias("__d"))
+                .where(F.col("__d") >= k)
+                .select("src")
+            )
+            pre_ckpt = (
+                cur.join(keep, "src", "left_semi")
+                .join(keep.select(F.col("src").alias("dst")), "dst", "left_semi")
+                .select("src", "dst")
+            )
+            runtime_counters.note_round(pre_ckpt)
+            nxt = pre_ckpt.localCheckpoint(eager=False)
+            n = nxt.count()  # materializes the checkpoint + fixpoint test
+            cur = nxt
+            if n == prev_edges:
+                converged = True
+                break
+            prev_edges = n
     if not converged:
         # the peel cascade was still shrinking the edge list when the
         # round budget ran out: the result would contain vertices a
@@ -667,48 +673,54 @@ def maximal_independent_set(
     )
     chosen = None
     converged = False
-    for _ in range(max_iter):
-        # min active-neighbor (pri, id) per vertex; duplicate edges are
-        # absorbed by the min, so the symmetrized list is not deduped
-        neigh = (
-            sym.join(
-                active.select(
-                    F.col("id").alias("dst"), F.struct("pri", "id").alias("__p")
-                ),
-                "dst",
+    # min-of-(pri, id) structs and id anti-joins only — exact and
+    # order-insensitive, so the loop-width scope is hash-safe
+    with _loop_shuffle_scope(edges.sparkSession, parts):
+        for _ in range(max_iter):
+            # min active-neighbor (pri, id) per vertex; duplicate edges
+            # are absorbed by the min, so the symmetrized list is not
+            # deduped
+            neigh = (
+                sym.join(
+                    active.select(
+                        F.col("id").alias("dst"),
+                        F.struct("pri", "id").alias("__p"),
+                    ),
+                    "dst",
+                )
+                .groupBy(F.col("src").alias("id"))
+                .agg(F.min("__p").alias("__minp"))
             )
-            .groupBy(F.col("src").alias("id"))
-            .agg(F.min("__p").alias("__minp"))
-        )
-        pre_ckpt = (
-            active.join(neigh, "id", "left")
-            .where(
-                F.col("__minp").isNull()
-                | (F.struct("pri", "id") < F.col("__minp"))
+            pre_ckpt = (
+                active.join(neigh, "id", "left")
+                .where(
+                    F.col("__minp").isNull()
+                    | (F.struct("pri", "id") < F.col("__minp"))
+                )
+                .select("id")
             )
-            .select("id")
-        )
-        runtime_counters.note_round(pre_ckpt)
-        winners = pre_ckpt.localCheckpoint(eager=False)
-        n_win = winners.count()
-        if n_win == 0:
-            converged = True
-            break
-        # each winners frame is already pinned by its count; collect
-        # references and union once at the end instead of paying an
-        # eager re-checkpoint of the growing chosen set every round
-        chosen = winners if chosen is None else chosen.unionByName(winners)
-        touched = winners.unionByName(
-            sym.join(
-                winners.withColumnRenamed("id", "src"), "src", "left_semi"
-            ).select(F.col("dst").alias("id"))
-        )
-        # no per-round active.count(): an empty active set just makes
-        # the NEXT round's winners.count() return 0 and exit — one
-        # fewer job per round (the lazy checkpoint pins on first use)
-        active = (
-            active.join(touched, "id", "left_anti").localCheckpoint(eager=False)
-        )
+            runtime_counters.note_round(pre_ckpt)
+            winners = pre_ckpt.localCheckpoint(eager=False)
+            n_win = winners.count()
+            if n_win == 0:
+                converged = True
+                break
+            # each winners frame is already pinned by its count; collect
+            # references and union once at the end instead of paying an
+            # eager re-checkpoint of the growing chosen set every round
+            chosen = winners if chosen is None else chosen.unionByName(winners)
+            touched = winners.unionByName(
+                sym.join(
+                    winners.withColumnRenamed("id", "src"), "src", "left_semi"
+                ).select(F.col("dst").alias("id"))
+            )
+            # no per-round active.count(): an empty active set just makes
+            # the NEXT round's winners.count() return 0 and exit — one
+            # fewer job per round (the lazy checkpoint pins on first use)
+            active = (
+                active.join(touched, "id", "left_anti")
+                .localCheckpoint(eager=False)
+            )
     # Luby rounds exhausted with eligible vertices still active → the
     # set is independent but possibly NOT maximal; only the final
     # exhaustion path pays the active-count job
@@ -836,19 +848,34 @@ def label_propagation(
         .withColumn("label", F.col("id"))
         .localCheckpoint(eager=True)
     )
-    for i in range(max_iter):
-        labels_j = _replicated_scores(labels, salt) if salt else labels
-        pre_ckpt = (
-            sym.join(
-                labels_j,
-                (sym.src == labels_j.id)
-                & ((sym["__salt"] == labels_j["__salt"]) if salt else F.lit(True)),
+    # mode(deterministic=true) is an exact counted argmax with a total
+    # tie-break — partial-aggregation order cannot move it, so the
+    # loop-width scope is hash-safe here too
+    with _loop_shuffle_scope(edges.sparkSession, parts):
+        for i in range(max_iter):
+            labels_j = _replicated_scores(labels, salt) if salt else labels
+            pre_ckpt = (
+                sym.join(
+                    labels_j,
+                    (sym.src == labels_j.id)
+                    & (
+                        (sym["__salt"] == labels_j["__salt"])
+                        if salt
+                        else F.lit(True)
+                    ),
+                )
+                .groupBy(F.col("dst").alias("id"))
+                .agg(F.mode("label", True).alias("label"))
             )
-            .groupBy(F.col("dst").alias("id"))
-            .agg(F.mode("label", True).alias("label"))
-        )
-        runtime_counters.note_round(pre_ckpt)
-        labels = pre_ckpt.localCheckpoint(eager=False)
+            runtime_counters.note_round(pre_ckpt)
+            labels = pre_ckpt.localCheckpoint(eager=False)
+        # unlike pregel/k_core/MIS there is no per-round action, so the
+        # whole chain would otherwise PLAN at the caller's first action
+        # — outside this scope, making it a silent no-op; one count
+        # materializes every round's lazy checkpoint at the narrowed
+        # width (same total work: the caller re-reads pinned partitions)
+        if max_iter > 0:
+            labels.count()
     return labels
 
 

@@ -637,3 +637,47 @@ def test_scc_width_invariant(spark, sf_dir):
         spark.conf.set(key, before)
     assert a == b and a
     assert spark.conf.get(key) == before
+
+
+def test_kcore_mis_lpa_width_invariant(spark, sf_dir):
+    """r10 loop-scope extension: the three hand-rolled integer loops
+    (k_core peel, Luby MIS, label propagation) return bit-identical
+    results at any forced session width — their per-round aggregates
+    are exact counts / struct-mins / deterministic modes, the
+    order-insensitivity argument the scope requires."""
+    from pagerank_hadoop_spark.operators.graph import (
+        k_core,
+        label_propagation,
+        maximal_independent_set,
+    )
+
+    edges = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .selectExpr(
+            "CAST(o_custkey % 53 AS STRING) AS src",
+            "CAST((o_custkey * 13) % 53 AS STRING) AS dst",
+        )
+        .limit(3000)
+    )
+
+    def run():
+        return (
+            {(r["id"], r["core_deg"]) for r in k_core(edges, k=2).collect()},
+            {r["id"] for r in maximal_independent_set(edges).collect()},
+            {
+                (r["id"], r["label"])
+                for r in label_propagation(edges, max_iter=3).collect()
+            },
+        )
+
+    key = "spark.sql.shuffle.partitions"
+    before = spark.conf.get(key)
+    wide = run()
+    spark.conf.set(key, "2")  # scope can't narrow below this
+    try:
+        narrow = run()
+    finally:
+        spark.conf.set(key, before)
+    assert wide == narrow
+    assert all(wide)
+    assert spark.conf.get(key) == before
