@@ -318,6 +318,191 @@ def h264_encode_ipcm(y, cb, cr, idr_pic_id: int = 0) -> bytes:
     return _nal(3, 5, wr.rbsp_trailing())
 
 
+# ---------------------------------------------------------------------------
+# CAVLC (ISO/IEC 14496-10 §9.2) — the single-coefficient subset
+# ---------------------------------------------------------------------------
+# The repo's second decodable transform-coded subset (after I_PCM):
+# I_16x16 macroblocks with CodedBlockPatternLuma == 0 and
+# CodedBlockPatternChroma == 0, i.e. AC coefficients entirely absent
+# and the residual carried by the Intra16x16DCLevel block alone,
+# restricted to blocks with AT MOST ONE nonzero coefficient. That
+# restriction keeps every codeword inside the handful of Table
+# 9-5/9-7 entries that are unambiguous from the spec prose
+# (coeff_token for 0 <= nC < 2 with total_coeff <= 1, the
+# total_zeros column for total_coeff == 1, unary level prefixes
+# below the escape threshold) — the same honest-boundary pattern as
+# the DC-only JPEG gate: richer blocks raise typed
+# NotImplementedError naming the missing table, they never decode
+# wrong. run_before never occurs (it is parsed for the first
+# TotalCoeff-1 coefficients only).
+
+# coeff_token codewords, 0 <= nC < 2 column of Table 9-5, the
+# total_coeff <= 1 rows: (total_coeff, trailing_ones) -> bits
+_COEFF_TOKEN_TC01 = {(0, 0): "1", (1, 1): "01", (1, 0): "000101"}
+
+# total_zeros codewords for total_coeff == 1 (Table 9-7 column 1):
+# index = total_zeros 0..15
+_TOTAL_ZEROS_TC1 = [
+    "1", "011", "010", "0011", "0010", "00011", "00010", "000011",
+    "000010", "0000011", "0000010", "00000011", "00000010",
+    "000000011", "000000010", "000000001",
+]
+_TOTAL_ZEROS_TC1_DEC = {v: i for i, v in enumerate(_TOTAL_ZEROS_TC1)}
+
+# 4x4 zigzag scan (Table 8-13 inverse scan): scan index -> (row, col)
+_ZIGZAG4 = [
+    (0, 0), (0, 1), (1, 0), (2, 0), (1, 1), (0, 2), (0, 3), (1, 2),
+    (2, 1), (3, 0), (3, 1), (2, 2), (1, 3), (2, 3), (3, 2), (3, 3),
+]
+
+# LevelScale4x4 element (0, 0) per qP % 6 (normAdjust4x4 column V00)
+_V00 = (10, 11, 13, 14, 16, 18)
+
+
+def _cavlc_write_dc1(w: _BitWriter, level: int, pos: int) -> None:
+    """Encode one Intra16x16DCLevel block holding a single nonzero
+    ``level`` (|level| <= 7) at zigzag scan position ``pos`` (0..15),
+    or the empty block for level == 0 — the encoder twin of
+    :func:`_cavlc_read_dc1` (roundtrip-pinned in tests/test_h264.py)."""
+    if level == 0:
+        w.u(1, 1)  # coeff_token (0, 0)
+        return
+    mag, neg = abs(level), level < 0
+    if mag > 7:
+        raise ValueError("single-coefficient subset encodes |level| <= 7")
+    if not 0 <= pos <= 15:
+        raise ValueError("zigzag position out of range")
+    if mag == 1:
+        for b in _COEFF_TOKEN_TC01[(1, 1)]:  # trailing-one path
+            w.u(int(b), 1)
+        w.u(1 if neg else 0, 1)  # trailing_ones_sign_flag
+    else:
+        for b in _COEFF_TOKEN_TC01[(1, 0)]:
+            w.u(int(b), 1)
+        # first level with trailing_ones < 3: encoder pre-subtracts
+        # the 2 the decoder adds back (§9.2.2.1); suffixLength 0 so
+        # the code is the bare unary level_prefix
+        level_code = 2 * (mag - 1) + (1 if neg else 0) - 2
+        w.u(1, level_code + 1)  # level_code zeros then the stop bit
+    for b in _TOTAL_ZEROS_TC1[pos]:  # total_zeros == scan position
+        w.u(int(b), 1)
+
+
+def _read_vlc(r: _BitReader, table: dict, what: str, max_bits: int = 16):
+    """Prefix-decode one codeword from a {bitstring: value} table."""
+    bits = ""
+    for _ in range(max_bits):
+        bits += "1" if r.u(1) else "0"
+        if bits in table:
+            return table[bits]
+    raise NotImplementedError(
+        f"CAVLC {what} codeword '{bits}' is outside the implemented "
+        "single-coefficient subset tables"
+    )
+
+
+def _cavlc_read_dc1(r: _BitReader):
+    """Decode one Intra16x16DCLevel block of the single-coefficient
+    subset (nC derived 0 here: every macroblock of the subset has
+    CodedBlockPatternLuma 0, so neighbouring 4x4 AC TotalCoeff is 0).
+    Returns a 4x4 int matrix of DC coefficients (all zero for the
+    empty block). Typed NotImplementedError for any coeff_token
+    outside total_coeff <= 1 and for escape-coded levels."""
+    token = {v: k for k, v in _COEFF_TOKEN_TC01.items()}
+    tc, t1 = _read_vlc(r, token, "coeff_token(0<=nC<2)")
+    c = [[0] * 4 for _ in range(4)]
+    if tc == 0:
+        return c
+    if t1:
+        level = -1 if r.u(1) else 1
+    else:
+        prefix = 0
+        while r.u(1) == 0:
+            prefix += 1
+            if prefix >= 14:
+                raise NotImplementedError(
+                    "CAVLC escape-coded level (level_prefix >= 14) is "
+                    "outside the single-coefficient subset"
+                )
+        level_code = prefix  # suffixLength 0
+        level_code += 2  # first level, trailing_ones < 3 (§9.2.2.1)
+        level = (level_code + 2) >> 1
+        if level_code & 1:
+            level = -level
+    pos = _read_vlc(r, _TOTAL_ZEROS_TC1_DEC, "total_zeros(tc=1)")
+    row, col = _ZIGZAG4[pos]
+    c[row][col] = level
+    return c
+
+
+def _dc_residual_constants(c, qp: int):
+    """§8.5.10: inverse Hadamard over the 4x4 DC matrix, qP scaling,
+    then the per-4x4-block constant the core transform yields when
+    every AC coefficient is zero — returns a 4x4 int matrix r where
+    r[i][j] is the residual added to EVERY pixel of luma 4x4 block
+    (row i, col j) of the macroblock."""
+    h = ((1, 1, 1, 1), (1, 1, -1, -1), (1, -1, -1, 1), (1, -1, 1, -1))
+    f = [[0] * 4 for _ in range(4)]
+    for i in range(4):
+        for j in range(4):
+            f[i][j] = sum(
+                h[i][u] * c[u][v] * h[j][v] for u in range(4) for v in range(4)
+            )
+    v00 = _V00[qp % 6]
+    out = [[0] * 4 for _ in range(4)]
+    for i in range(4):
+        for j in range(4):
+            if qp >= 36:
+                dc = (f[i][j] * v00) << (qp // 6 - 6)
+            else:
+                dc = (f[i][j] * v00 + (1 << (5 - qp // 6))) >> (6 - qp // 6)
+            out[i][j] = (dc + 32) >> 6
+    return out
+
+
+def h264_encode_islice(mbs, width_mbs: int, qp: int = 26, idr_pic_id: int = 0) -> bytes:
+    """One IDR I-slice NAL mixing I_PCM and DC-only I_16x16
+    macroblocks — the encoder twin for the CAVLC subset (mirrors
+    h264_encode_ipcm's slice header; independent of the decoder).
+
+    ``mbs``: raster list of ('pcm', (y16, cb8, cr8)) or
+    ('dc', level, pos) entries — the latter an I_16x16_2_0_0
+    macroblock (DC luma prediction, DC chroma prediction, no AC, no
+    chroma residual) whose Intra16x16DCLevel block holds ``level`` at
+    zigzag position ``pos``. ``qp`` is carried in slice_qp_delta
+    (pic_init_qp is 26 in h264_pps_rbsp); every mb_qp_delta is 0."""
+    if len(mbs) % width_mbs:
+        raise ValueError("mbs must fill a width_mbs-wide raster exactly")
+    wr = _BitWriter()
+    wr.ue(0)  # first_mb_in_slice
+    wr.ue(7)  # slice_type (I, all slices)
+    wr.ue(0)  # pic_parameter_set_id
+    wr.u(0, 4)  # frame_num
+    wr.ue(idr_pic_id)
+    wr.u(0, 1)  # no_output_of_prior_pics_flag
+    wr.u(0, 1)  # long_term_reference_flag
+    wr.se(qp - 26)  # slice_qp_delta
+    for mb in mbs:
+        if mb[0] == "pcm":
+            y16, cb8, cr8 = (bytes(b) for b in mb[1])
+            if len(y16) != 256 or len(cb8) != 64 or len(cr8) != 64:
+                raise ValueError(
+                    "I_PCM macroblock needs 256 luma + 64 + 64 chroma bytes"
+                )
+            wr.ue(25)
+            wr.byte_align_zero()
+            wr.raw_bytes(y16 + cb8 + cr8)
+        elif mb[0] == "dc":
+            _, level, pos = mb
+            wr.ue(3)  # mb_type I_16x16_2_0_0 (DC pred, cbp 0/0)
+            wr.ue(0)  # intra_chroma_pred_mode: DC
+            wr.se(0)  # mb_qp_delta
+            _cavlc_write_dc1(wr, level, pos)
+        else:
+            raise ValueError(f"unknown macroblock spec {mb[0]!r}")
+    return _nal(3, 5, wr.rbsp_trailing())
+
+
 def _box(btype: bytes, *payloads: bytes) -> bytes:
     body = b"".join(payloads)
     return (8 + len(body)).to_bytes(4, "big") + btype + body
@@ -337,18 +522,26 @@ def mp4_mux_avc(
     crop: tuple[int, int, int, int] = (0, 0, 0, 0),
     sei_per_sample: bool = False,
     use_co64: bool = False,
+    dims: tuple[int, int] | None = None,
 ) -> bytes:
-    """Well-formed single-track MP4 around I_PCM AVC samples.
-    ``frames`` is a list of (y, cb, cr) uint8 plane triples (one IDR
-    sample each). ``n_chunks`` > 1 splits samples across chunks so the
-    demuxer's general stsc/stco walk is exercised (chunk i holds a
-    contiguous run; the stsc table gets one entry per distinct run
-    length, run-length-coded exactly as the spec intends).
-    ``sei_per_sample`` prepends a user-data SEI NAL to every sample
-    (exercises the decoder's multi-NAL sample split + type-6 skip);
-    ``use_co64`` writes 64-bit chunk offsets (the large-file table
-    variant the demuxer must also read)."""
-    h, w = frames[0][0].shape
+    """Well-formed single-track MP4 around AVC samples. ``frames`` is
+    a list of (y, cb, cr) uint8 plane triples (encoded I_PCM, one IDR
+    sample each) — or pre-encoded slice-NAL ``bytes`` (e.g. from
+    :func:`h264_encode_islice`), in which case ``dims`` = (h, w) luma
+    pixels is required. ``n_chunks`` > 1 splits samples across chunks
+    so the demuxer's general stsc/stco walk is exercised (chunk i
+    holds a contiguous run; the stsc table gets one entry per
+    distinct run length, run-length-coded exactly as the spec
+    intends). ``sei_per_sample`` prepends a user-data SEI NAL to
+    every sample (exercises the decoder's multi-NAL sample split +
+    type-6 skip); ``use_co64`` writes 64-bit chunk offsets (the
+    large-file table variant the demuxer must also read)."""
+    if isinstance(frames[0], (bytes, bytearray)):
+        if dims is None:
+            raise ValueError("dims=(h, w) is required for pre-encoded NALs")
+        h, w = dims
+    else:
+        h, w = frames[0][0].shape
     width = w - 2 * (crop[0] + crop[1])
     height = h - 2 * (crop[2] + crop[3])
     sps = _nal(3, 7, h264_sps_rbsp(w // 16, h // 16, crop))
@@ -357,10 +550,14 @@ def mp4_mux_avc(
     # payload, then rbsp trailing — content is skipped by decoders
     sei = _nal(0, 6, bytes([5, 16]) + bytes(range(16)) + b"\x80")
     samples = []
-    for i, (y, cb, cr) in enumerate(frames):
-        if y.shape != (h, w):
-            raise ValueError("all frames must share dimensions")
-        nal = h264_encode_ipcm(y, cb, cr, idr_pic_id=i % 16)
+    for i, fr in enumerate(frames):
+        if isinstance(fr, (bytes, bytearray)):
+            nal = bytes(fr)
+        else:
+            y, cb, cr = fr
+            if y.shape != (h, w):
+                raise ValueError("all frames must share dimensions")
+            nal = h264_encode_ipcm(y, cb, cr, idr_pic_id=i % 16)
         sample = len(nal).to_bytes(4, "big") + nal
         if sei_per_sample:
             sample = len(sei).to_bytes(4, "big") + sei + sample
@@ -653,11 +850,149 @@ def _read_ipcm_samples(r: _BitReader, n_mbs: int):
     return np.stack(rows)
 
 
+def _assemble_pcm_planes(samples, wmb: int, hmb: int):
+    """(n_mbs, 384) I_PCM raster -> full (y, cb, cr) planes."""
+    y = (
+        samples[:, :256]
+        .reshape(hmb, wmb, 16, 16)
+        .transpose(0, 2, 1, 3)
+        .reshape(hmb * 16, wmb * 16)
+    )
+    cb = (
+        samples[:, 256:320]
+        .reshape(hmb, wmb, 8, 8)
+        .transpose(0, 2, 1, 3)
+        .reshape(hmb * 8, wmb * 8)
+    )
+    cr = (
+        samples[:, 320:]
+        .reshape(hmb, wmb, 8, 8)
+        .transpose(0, 2, 1, 3)
+        .reshape(hmb * 8, wmb * 8)
+    )
+    return y, cb, cr
+
+
+def _i16_dc_pred(plane, mbx: int, mby: int, size: int) -> int:
+    """DC prediction for a size x size block at macroblock (mbx, mby)
+    from RECONSTRUCTED neighbour pixels (§8.3.3.3 for luma 16x16; the
+    same all-neighbour rule serves the 8x8 chroma DC-mode blocks of
+    this subset via per-quadrant calls in _decode_mb_loop)."""
+    x0, y0 = mbx * size, mby * size
+    left = plane[y0 : y0 + size, x0 - 1] if x0 > 0 else None
+    top = plane[y0 - 1, x0 : x0 + size] if y0 > 0 else None
+    if left is not None and top is not None:
+        return (int(left.sum()) + int(top.sum()) + size) >> (
+            size.bit_length()  # 2*size values: >> log2(size)+1
+        )
+    if left is not None:
+        return (int(left.sum()) + size // 2) >> (size.bit_length() - 1)
+    if top is not None:
+        return (int(top.sum()) + size // 2) >> (size.bit_length() - 1)
+    return 128
+
+
+def _chroma_dc_pred(plane, mbx: int, mby: int, qx: int, qy: int) -> int:
+    """§8.3.4 (DC mode): chroma prediction for the 4x4 quadrant
+    (qx, qy) of the 8x8 chroma block at macroblock (mbx, mby). The
+    neighbour pixel sets are always the quadrant's OWN 4-row left
+    column / 4-col top row; the corner quadrants (0,0)/(1,1) average
+    both available sets, (1,0) prefers top, (0,1) prefers left."""
+    x0, y0 = mbx * 8 + 4 * qx, mby * 8 + 4 * qy
+    left = plane[y0 : y0 + 4, mbx * 8 - 1] if mbx > 0 else None
+    top = plane[mby * 8 - 1, x0 : x0 + 4] if mby > 0 else None
+    if qx == qy:  # (0,0) and (1,1): average both when available
+        if left is not None and top is not None:
+            return (int(left.sum()) + int(top.sum()) + 4) >> 3
+        order = (left, top)
+    elif qx == 1:  # (1,0): top, else left
+        order = (top, left)
+    else:  # (0,1): left, else top
+        order = (left, top)
+    for cand in order:
+        if cand is not None:
+            return (int(cand.sum()) + 2) >> 2
+    return 128
+
+
+def _decode_mb_loop(r: _BitReader, wmb: int, hmb: int, slice_qp: int):
+    """General per-macroblock reconstruction: I_PCM pastes raw
+    samples; I_16x16 DC-only macroblocks (mb_type 1..4 with cbp 0/0,
+    DC luma + DC chroma prediction, single-coefficient CAVLC DC
+    block) predict from previously reconstructed neighbours and add
+    the per-4x4-block residual constants. Anything else raises a
+    typed NotImplementedError naming the missing stage."""
+    import numpy as np
+
+    y = np.zeros((hmb * 16, wmb * 16), dtype=np.uint8)
+    cb = np.zeros((hmb * 8, wmb * 8), dtype=np.uint8)
+    cr = np.zeros((hmb * 8, wmb * 8), dtype=np.uint8)
+    qp = slice_qp
+    for mb in range(wmb * hmb):
+        mby, mbx = divmod(mb, wmb)
+        mb_type = r.ue()
+        if mb_type == 25:
+            r.byte_align()
+            raw = np.frombuffer(r.raw_bytes(384), dtype=np.uint8)
+            y[mby * 16 : mby * 16 + 16, mbx * 16 : mbx * 16 + 16] = raw[
+                :256
+            ].reshape(16, 16)
+            cb[mby * 8 : mby * 8 + 8, mbx * 8 : mbx * 8 + 8] = raw[
+                256:320
+            ].reshape(8, 8)
+            cr[mby * 8 : mby * 8 + 8, mbx * 8 : mbx * 8 + 8] = raw[
+                320:
+            ].reshape(8, 8)
+            continue
+        if mb_type == 0:
+            raise NotImplementedError(
+                "I_4x4 macroblocks need per-block intra modes and the "
+                "AC residual decoder"
+            )
+        if not 1 <= mb_type <= 24:
+            raise ValueError(f"invalid I-slice mb_type {mb_type}")
+        m1 = mb_type - 1
+        pred_mode, cbp_chroma, cbp_luma = m1 % 4, (m1 // 4) % 3, m1 >= 12
+        if cbp_luma or cbp_chroma:
+            raise NotImplementedError(
+                f"I_16x16 mb_type {mb_type} carries AC/chroma residuals "
+                "(CAVLC beyond the single-coefficient DC subset)"
+            )
+        if pred_mode != 2:
+            raise NotImplementedError(
+                f"Intra16x16 prediction mode {pred_mode} (V/H/Plane) is "
+                "not implemented; only DC (mode 2)"
+            )
+        if r.ue() != 0:  # intra_chroma_pred_mode
+            raise NotImplementedError(
+                "chroma intra prediction modes other than DC are not "
+                "implemented"
+            )
+        qp = (qp + r.se() + 52) % 52  # mb_qp_delta
+        consts = _dc_residual_constants(_cavlc_read_dc1(r), qp)
+        pred = _i16_dc_pred(y, mbx, mby, 16)
+        blk = np.array(consts, dtype=np.int32) + pred
+        mb_y = np.repeat(np.repeat(blk, 4, axis=0), 4, axis=1)
+        y[mby * 16 : mby * 16 + 16, mbx * 16 : mbx * 16 + 16] = np.clip(
+            mb_y, 0, 255
+        ).astype(np.uint8)
+        for plane in (cb, cr):
+            for qy in range(2):
+                for qx in range(2):
+                    plane[
+                        mby * 8 + 4 * qy : mby * 8 + 4 * qy + 4,
+                        mbx * 8 + 4 * qx : mbx * 8 + 4 * qx + 4,
+                    ] = _chroma_dc_pred(plane, mbx, mby, qx, qy)
+    return y, cb, cr
+
+
 def h264_decode_ipcm_frame(nal: bytes, sps: dict, pps: dict):
-    """Decode one I-slice NAL whose macroblocks are all I_PCM into
-    (y, cb, cr) uint8 planes (cropped per the SPS). Typed
-    NotImplementedError for any macroblock that would need the
-    residual decoder."""
+    """Decode one I-slice NAL into (y, cb, cr) uint8 planes (cropped
+    per the SPS). Two decodable macroblock subsets: I_PCM (raw
+    samples, vectorized all-I_PCM fast path) and I_16x16 DC-only
+    (mb_type 1..4, single-coefficient CAVLC DC block — see the CAVLC
+    section above). Typed NotImplementedError for anything needing
+    the general residual decoder."""
     import numpy as np
 
     nal_ref_idc = (nal[0] >> 5) & 3
@@ -703,33 +1038,30 @@ def h264_decode_ipcm_frame(nal: bytes, sps: dict, pps: dict):
                     r.ue()
                 if op == 4:
                     r.ue()
-    r.se()  # slice_qp_delta
+    slice_qp = 26 + r.se()  # pic_init_qp 26 (h264_parse_pps rejects CABAC
+    # PPSes; this decoder's own PPS twin writes pic_init_qp_minus26 = 0,
+    # and a nonzero value would only shift qp — parse kept simple)
     if pps["deblocking_control_present"]:
         if r.ue() != 1:  # disable_deblocking_filter_idc
             r.se()
             r.se()
     wmb, hmb = sps["width_mbs"], sps["height_mbs"]
     n_mbs = wmb * hmb
-    samples = _read_ipcm_samples(r, n_mbs)
-    # assemble planes from the (n_mbs, 384) raster: 256 Y, 64 Cb, 64 Cr
-    y = (
-        samples[:, :256]
-        .reshape(hmb, wmb, 16, 16)
-        .transpose(0, 2, 1, 3)
-        .reshape(hmb * 16, wmb * 16)
-    )
-    cb = (
-        samples[:, 256:320]
-        .reshape(hmb, wmb, 8, 8)
-        .transpose(0, 2, 1, 3)
-        .reshape(hmb * 8, wmb * 8)
-    )
-    cr = (
-        samples[:, 320:]
-        .reshape(hmb, wmb, 8, 8)
-        .transpose(0, 2, 1, 3)
-        .reshape(hmb * 8, wmb * 8)
-    )
+    slice_data_pos = r.pos
+    peek = r.ue()
+    r.pos = slice_data_pos
+    if peek == 25:
+        try:
+            samples = _read_ipcm_samples(r, n_mbs)
+            y, cb, cr = _assemble_pcm_planes(samples, wmb, hmb)
+        except NotImplementedError:
+            # mixed slice starting with an I_PCM macroblock: re-enter
+            # through the general per-MB loop (one extra parse of the
+            # consumed prefix; mixed streams are the rare case)
+            r.pos = slice_data_pos
+            y, cb, cr = _decode_mb_loop(r, wmb, hmb, slice_qp)
+    else:
+        y, cb, cr = _decode_mb_loop(r, wmb, hmb, slice_qp)
     cl, crt, ct, cbm = sps["crop"]
     if any(sps["crop"]):
         # 4:2:0 frame MBs: crop units are 2 luma / 1 chroma px

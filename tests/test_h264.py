@@ -142,9 +142,11 @@ def _minimal_slice_nal(mb_type_bits, slice_type=7, nal_type=5):
 
 
 def test_transform_coded_mb_rejected():
+    # mb_type 0 = I_4x4: still outside both decodable subsets (I_PCM
+    # and the r10 single-coefficient I_16x16 DC path)
     sps = h264_parse_sps(h264_sps_rbsp(1, 1))
     pps = h264_parse_pps(h264_pps_rbsp())
-    with pytest.raises(NotImplementedError, match="CAVLC residual"):
+    with pytest.raises(NotImplementedError, match="AC residual decoder"):
         h264_decode_ipcm_frame(_minimal_slice_nal(0), sps, pps)
 
 
@@ -406,3 +408,198 @@ def test_hypothesis_roundtrip_property():
             assert np.array_equal(cr, ecr)
 
     prop()
+
+
+# ---------------------------------------------------------------------------
+# r10: CAVLC single-coefficient I_16x16 DC-only subset
+# ---------------------------------------------------------------------------
+
+
+def _dc_resid(level, qp):
+    """Independent replay of §8.5.10 for a position-0 single-coeff DC
+    block (flat Hadamard spread): the per-pixel residual constant."""
+    v = (10, 11, 13, 14, 16, 18)[qp % 6]
+    if qp >= 36:
+        d = (level * v) << (qp // 6 - 6)
+    else:
+        d = (level * v + (1 << (5 - qp // 6))) >> (6 - qp // 6)
+    return (d + 32) >> 6
+
+
+def test_cavlc_dc1_roundtrip_all_levels_positions():
+    from pagerank_hadoop_spark.operators.h264 import (
+        _BitReader,
+        _BitWriter,
+        _ZIGZAG4,
+        _cavlc_read_dc1,
+        _cavlc_write_dc1,
+    )
+
+    for level in range(-7, 8):
+        for pos in range(16):
+            w = _BitWriter()
+            _cavlc_write_dc1(w, level, pos)
+            w.u(1, 1)  # padding so rbsp_trailing always has content
+            c = _cavlc_read_dc1(_BitReader(w.rbsp_trailing()))
+            exp = [[0] * 4 for _ in range(4)]
+            if level:
+                i, j = _ZIGZAG4[pos]
+                exp[i][j] = level
+            assert c == exp, (level, pos)
+            if level == 0:
+                break  # position is meaningless for the empty block
+
+
+def test_dconly_row_frames_match_independent_recurrence():
+    """Mux → demux → decode a 4-MB-wide DC-only row at qps spanning
+    both §8.5.10 scaling branches; expected luma via the independent
+    cumulative-DC-prediction recurrence, chroma pinned at 128."""
+    import numpy as np
+
+    from pagerank_hadoop_spark.operators.h264 import (
+        h264_encode_islice,
+        mp4_decode_ipcm_frames,
+        mp4_mux_avc,
+    )
+
+    W = 4
+    for qp in (12, 20, 26, 35, 36, 44, 51):
+        levels = [(-6 + (2 * i + qp) % 13) for i in range(W)]
+        nal = h264_encode_islice([("dc", lv, 0) for lv in levels], W, qp=qp)
+        frames = list(
+            mp4_decode_ipcm_frames(mp4_mux_avc([nal], dims=(16, 16 * W)))
+        )
+        assert len(frames) == 1
+        _, y, cb, cr = frames[0]
+        c_prev, exp = None, []
+        for lv in levels:
+            pred = 128 if c_prev is None else c_prev
+            c_prev = int(np.clip(pred + _dc_resid(lv, qp), 0, 255))
+            exp.append(c_prev)
+        expected = np.repeat(np.array(exp, np.uint8), 16)[None, :].repeat(16, 0)
+        assert (y == expected).all(), (qp, levels)
+        assert (cb == 128).all() and (cr == 128).all()
+
+
+def test_dconly_grid_uses_top_and_left_dc_prediction():
+    import numpy as np
+
+    from pagerank_hadoop_spark.operators.h264 import (
+        h264_encode_islice,
+        mp4_decode_ipcm_frames,
+        mp4_mux_avc,
+    )
+
+    levels = [3, -4, 5, -2]
+    nal = h264_encode_islice([("dc", lv, 0) for lv in levels], 2, qp=30)
+    _, y, cb, cr = next(
+        iter(mp4_decode_ipcm_frames(mp4_mux_avc([nal], dims=(32, 32))))
+    )
+    ey = np.zeros((32, 32), np.int32)
+    for mb, lv in enumerate(levels):
+        mby, mbx = divmod(mb, 2)
+        ls = (
+            int(ey[mby * 16 : mby * 16 + 16, mbx * 16 - 1].sum())
+            if mbx > 0
+            else None
+        )
+        ts = (
+            int(ey[mby * 16 - 1, mbx * 16 : mbx * 16 + 16].sum())
+            if mby > 0
+            else None
+        )
+        if ls is not None and ts is not None:
+            pred = (ls + ts + 16) >> 5
+        elif ls is not None:
+            pred = (ls + 8) >> 4
+        elif ts is not None:
+            pred = (ts + 8) >> 4
+        else:
+            pred = 128
+        ey[mby * 16 : mby * 16 + 16, mbx * 16 : mbx * 16 + 16] = np.clip(
+            pred + _dc_resid(lv, 30), 0, 255
+        )
+    assert (y == ey.astype(np.uint8)).all()
+    assert (cb == 128).all() and (cr == 128).all()
+
+
+def test_mixed_pcm_and_dconly_slices_both_orders():
+    """A DC MB next to an I_PCM MB in one slice, both orders — the
+    pcm-first order exercises the frame-level fallback from the
+    vectorized all-I_PCM path into the general macroblock loop, and
+    the DC MB's luma/chroma predictions read the PCM MB's
+    reconstructed pixels."""
+    import numpy as np
+
+    from pagerank_hadoop_spark.operators.h264 import (
+        h264_encode_islice,
+        mp4_decode_ipcm_frames,
+        mp4_mux_avc,
+    )
+
+    ypcm = ((np.arange(256).reshape(16, 16) * 3 + 7) % 256).astype(np.uint8)
+    cbp = np.full((8, 8), 40, np.uint8)
+    crp = np.full((8, 8), 200, np.uint8)
+    pcm = ("pcm", (ypcm.tobytes(), cbp.tobytes(), crp.tobytes()))
+    dc = ("dc", 4, 0)
+    r28 = _dc_resid(4, 28)
+
+    nal = h264_encode_islice([dc, pcm], 2, qp=28)
+    _, y, cb, cr = next(
+        iter(mp4_decode_ipcm_frames(mp4_mux_avc([nal], dims=(16, 32))))
+    )
+    assert (y[:, :16] == np.clip(128 + r28, 0, 255)).all()
+    assert (y[:, 16:] == ypcm).all()
+
+    nal = h264_encode_islice([pcm, dc], 2, qp=28)
+    _, y, cb, cr = next(
+        iter(mp4_decode_ipcm_frames(mp4_mux_avc([nal], dims=(16, 32))))
+    )
+    assert (y[:, :16] == ypcm).all()
+    pred = (int(ypcm[:, 15].astype(np.int64).sum()) + 8) >> 4
+    assert (y[:, 16:] == np.clip(pred + r28, 0, 255)).all()
+    # chroma quadrants of the DC MB predict from the PCM MB's planes
+    assert (cb[:, 8:] == 40).all() and (cr[:, 8:] == 200).all()
+
+
+def test_dconly_typed_refusals():
+    import pytest as _pytest
+
+    from pagerank_hadoop_spark.operators.h264 import (
+        _BitReader,
+        _BitWriter,
+        _cavlc_read_dc1,
+        h264_decode_ipcm_frame,
+        h264_encode_islice,
+        h264_parse_pps,
+        h264_parse_sps,
+        h264_pps_rbsp,
+        h264_sps_rbsp,
+    )
+
+    sps = h264_parse_sps(h264_sps_rbsp(1, 1))
+    pps = h264_parse_pps(h264_pps_rbsp())
+
+    def _decode(mutate):
+        nal = bytearray(h264_encode_islice([("dc", 4, 0)], 1, qp=28))
+        return h264_decode_ipcm_frame(bytes(mutate(nal)), sps, pps)
+
+    # coeff_token outside the tc<=1 subset: "001" prefix (tc=2, t1=2)
+    w = _BitWriter()
+    w.u(0b0011, 4)
+    w.u(1, 4)
+    with _pytest.raises(NotImplementedError, match="coeff_token"):
+        _cavlc_read_dc1(_BitReader(w.rbsp_trailing()))
+    # escape-coded level: 14 zeros of level_prefix
+    w = _BitWriter()
+    for b in "000101":  # coeff_token (1, 0)
+        w.u(int(b), 1)
+    w.u(0, 14)
+    w.u(1, 10)
+    with _pytest.raises(NotImplementedError, match="escape"):
+        _cavlc_read_dc1(_BitReader(w.rbsp_trailing()))
+    # encoder guards
+    with _pytest.raises(ValueError, match="level"):
+        h264_encode_islice([("dc", 9, 0)], 1)
+    with _pytest.raises(ValueError, match="position"):
+        h264_encode_islice([("dc", 4, 16)], 1)
