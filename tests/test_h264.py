@@ -603,3 +603,61 @@ def test_dconly_typed_refusals():
         h264_encode_islice([("dc", 9, 0)], 1)
     with _pytest.raises(ValueError, match="position"):
         h264_encode_islice([("dc", 4, 16)], 1)
+
+
+def test_spark_dconly_kernel_matches_closed_form(spark):
+    """End-to-end Arrow-kernel gate for the CAVLC DC-only subset: the
+    same pin the committed media_mp4_dconly oracle enforces, on a
+    24-video subset (covers the full qp 30..51 span, BOTH §8.5.10
+    scaling branches, and every |level| 0..7). The expectation is an
+    independent closed-form replay — prediction chain + residual
+    constants — not the decoder's own arithmetic."""
+    import hashlib
+
+    from pagerank_hadoop_spark.queries import _mp4_dconly_fixture
+    from pagerank_hadoop_spark.operators.h264 import _V00, mp4_frame_stats
+    from pagerank_hadoop_spark.operators.multimodal import attach_media
+    from pyspark.sql import functions as F
+
+    def resid(level, qp):
+        v00 = _V00[qp % 6]
+        if qp >= 36:
+            dc = (level * v00) << (qp // 6 - 6)
+        else:
+            dc = (level * v00 + (1 << (5 - qp // 6))) >> (6 - qp // 6)
+        return (dc + 32) >> 6
+
+    media = attach_media(
+        _mp4_dconly_fixture(spark, n=24), F.col("payload"),
+        media_type="video/mp4",
+    )
+    got = {
+        (r["media_id"], r["frame_idx"]): r
+        for r in mp4_frame_stats(media).collect()
+    }
+    n_rows = 0
+    for key in range(24):
+        wmb, nf, qp = 2 + key % 3, 1 + key % 2, 30 + key % 22
+        for f in range(nf):
+            pred = (
+                sum((45 + 5 * r + 7 * f + key) % 256 for r in range(16)) + 8
+            ) >> 4
+            vs = []
+            for k in range(1, wmb):
+                lvl = (key * 3 + 2 * k + 5 * f) % 15 - 7
+                pred = max(0, min(255, pred + resid(lvl, qp)))
+                vs.append(pred)
+            w = 16 * wmb
+            raster = [
+                (3 * (i % w) + 5 * (i // w) + 7 * f + key) % 256
+                if i % w < 16
+                else vs[(i % w) // 16 - 1]
+                for i in range(w * 16)
+            ]
+            row = got[(key, f)]
+            assert (row["width"], row["height"]) == (w, 16)
+            assert row["y_sum"] == sum(raster)
+            csv = ",".join(str(v) for v in raster)
+            assert row["y_md5"] == hashlib.md5(csv.encode()).hexdigest()
+            n_rows += 1
+    assert len(got) == n_rows
