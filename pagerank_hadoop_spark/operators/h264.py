@@ -27,8 +27,19 @@ What is REAL here (pure stdlib + NumPy, no codec library):
 - **I_PCM macroblock decode**: per-MB mb_type, pcm alignment, 256 Y +
   64 Cb + 64 Cr raw samples (4:2:0) assembled into frame planes,
   cropping applied.
-What is honestly refused: transform-coded macroblocks (any I-slice
-mb_type != 25), CABAC slices, inter (P/B) slices, FMO — each raises a
+- **I_16x16 intra decode** (r9/r10): CAVLC single-coefficient DC
+  residual blocks (§9.2 restricted to the unambiguous total_coeff<=1
+  table entries), §8.5.10 DC scaling in both branches, and ALL FOUR
+  Intra16x16 luma prediction modes (V/H/DC/Plane, §8.3.3) plus all
+  four chroma modes (DC quadrants/H/V/Plane, §8.3.4) from
+  reconstructed neighbours — every cbp-0/0 I_16x16 mb_type decodes.
+What is honestly refused: AC/chroma residuals (mb_type >= 5 I_16x16,
+i.e. CAVLC beyond the single-coefficient subset — the full Table 9-5
+(62 codewords x 4 nC classes) cannot be validated in this container,
+which has no reference decoder or table source, and a from-memory
+table would be encoder/decoder-self-consistent yet unverifiable, the
+exact failure mode the oracle discipline exists to prevent), I_4x4
+macroblocks, CABAC slices, inter (P/B) slices, FMO — each raises a
 typed NotImplementedError naming the missing decoder stage, the same
 strict-mode contract as multimodal.decode_media.
 
@@ -461,16 +472,21 @@ def _dc_residual_constants(c, qp: int):
 
 
 def h264_encode_islice(mbs, width_mbs: int, qp: int = 26, idr_pic_id: int = 0) -> bytes:
-    """One IDR I-slice NAL mixing I_PCM and DC-only I_16x16
+    """One IDR I-slice NAL mixing I_PCM and residual-DC-only I_16x16
     macroblocks — the encoder twin for the CAVLC subset (mirrors
     h264_encode_ipcm's slice header; independent of the decoder).
 
-    ``mbs``: raster list of ('pcm', (y16, cb8, cr8)) or
-    ('dc', level, pos) entries — the latter an I_16x16_2_0_0
-    macroblock (DC luma prediction, DC chroma prediction, no AC, no
-    chroma residual) whose Intra16x16DCLevel block holds ``level`` at
-    zigzag position ``pos``. ``qp`` is carried in slice_qp_delta
-    (pic_init_qp is 26 in h264_pps_rbsp); every mb_qp_delta is 0."""
+    ``mbs``: raster list of
+    - ('pcm', (y16, cb8, cr8)) — an I_PCM macroblock;
+    - ('dc', level, pos) — shorthand for ('i16', 2, 0, level, pos);
+    - ('i16', pred_mode, chroma_mode, level, pos) — an I_16x16
+      macroblock with cbp 0/0: luma Intra16x16PredMode ``pred_mode``
+      (0 V / 1 H / 2 DC / 3 Plane → mb_type 1+pred_mode),
+      intra_chroma_pred_mode ``chroma_mode`` (0 DC / 1 H / 2 V /
+      3 Plane), whose Intra16x16DCLevel block holds ``level`` at
+      zigzag position ``pos``.
+    ``qp`` is carried in slice_qp_delta (pic_init_qp is 26 in
+    h264_pps_rbsp); every mb_qp_delta is 0."""
     if len(mbs) % width_mbs:
         raise ValueError("mbs must fill a width_mbs-wide raster exactly")
     wr = _BitWriter()
@@ -492,10 +508,16 @@ def h264_encode_islice(mbs, width_mbs: int, qp: int = 26, idr_pic_id: int = 0) -
             wr.ue(25)
             wr.byte_align_zero()
             wr.raw_bytes(y16 + cb8 + cr8)
-        elif mb[0] == "dc":
-            _, level, pos = mb
-            wr.ue(3)  # mb_type I_16x16_2_0_0 (DC pred, cbp 0/0)
-            wr.ue(0)  # intra_chroma_pred_mode: DC
+        elif mb[0] in ("dc", "i16"):
+            if mb[0] == "dc":
+                _, level, pos = mb
+                pred_mode, chroma_mode = 2, 0
+            else:
+                _, pred_mode, chroma_mode, level, pos = mb
+            if not 0 <= pred_mode <= 3 or not 0 <= chroma_mode <= 3:
+                raise ValueError("prediction modes must be 0..3")
+            wr.ue(1 + pred_mode)  # mb_type I_16x16_<mode>_0_0
+            wr.ue(chroma_mode)  # intra_chroma_pred_mode
             wr.se(0)  # mb_qp_delta
             _cavlc_write_dc1(wr, level, pos)
         else:
@@ -915,13 +937,113 @@ def _chroma_dc_pred(plane, mbx: int, mby: int, qx: int, qy: int) -> int:
     return 128
 
 
+def _plane_pred(plane, mbx: int, mby: int, size: int):
+    """§8.3.3.4 (Intra_16x16_Plane, size 16) / §8.3.4.4 (chroma Plane
+    for 4:2:0, size 8): the integer least-squares gradient fit over
+    the top row, left column, and top-left corner of RECONSTRUCTED
+    neighbours. Returns a size x size int64 prediction array (already
+    Clip1'd)."""
+    import numpy as np
+
+    if mbx == 0 or mby == 0:
+        raise ValueError(
+            "plane intra prediction needs left, top and top-left "
+            "neighbour macroblocks"
+        )
+    x0, y0 = mbx * size, mby * size
+    half = size // 2
+    top = plane[y0 - 1, x0 : x0 + size].astype(np.int64)
+    left = plane[y0 : y0 + size, x0 - 1].astype(np.int64)
+    corner = int(plane[y0 - 1, x0 - 1])
+
+    def p(row, c):  # row/column with index -1 = the corner sample
+        return corner if c < 0 else int(row[c])
+
+    hsum = sum(
+        (i + 1) * (p(top, half + i) - p(top, half - 2 - i))
+        for i in range(half)
+    )
+    vsum = sum(
+        (i + 1) * (p(left, half + i) - p(left, half - 2 - i))
+        for i in range(half)
+    )
+    mult = 5 if size == 16 else 34
+    a = 16 * (int(top[size - 1]) + int(left[size - 1]))
+    b = (mult * hsum + 32) >> 6
+    c = (mult * vsum + 32) >> 6
+    xs = np.arange(size, dtype=np.int64) - (half - 1)
+    pred = (a + b * xs[None, :] + c * xs[:, None] + 16) >> 5
+    return np.clip(pred, 0, 255)
+
+
+def _i16_luma_pred(y, mbx: int, mby: int, mode: int):
+    """Intra16x16 luma prediction (§8.3.3.1-4) as a full 16x16 int64
+    array: 0 Vertical, 1 Horizontal, 2 DC, 3 Plane. V/H/Plane raise
+    ValueError when the neighbours the mode is defined over are
+    outside the picture (a conformant encoder cannot signal them
+    there)."""
+    import numpy as np
+
+    x0, y0 = mbx * 16, mby * 16
+    if mode == 2:
+        return np.full((16, 16), _i16_dc_pred(y, mbx, mby, 16), np.int64)
+    if mode == 0:
+        if mby == 0:
+            raise ValueError("vertical intra prediction needs a top row")
+        return np.broadcast_to(
+            y[y0 - 1, x0 : x0 + 16].astype(np.int64), (16, 16)
+        )
+    if mode == 1:
+        if mbx == 0:
+            raise ValueError("horizontal intra prediction needs a left column")
+        return np.broadcast_to(
+            y[y0 : y0 + 16, x0 - 1].astype(np.int64)[:, None], (16, 16)
+        )
+    if mode == 3:
+        return _plane_pred(y, mbx, mby, 16)
+    raise ValueError(f"invalid Intra16x16 prediction mode {mode}")
+
+
+def _chroma_mb_pred(plane, mbx: int, mby: int, mode: int):
+    """Chroma intra prediction (§8.3.4) as a full 8x8 int64 array:
+    0 DC (per-quadrant neighbour averages), 1 Horizontal, 2 Vertical,
+    3 Plane. Note the chroma mode order differs from luma."""
+    import numpy as np
+
+    x0, y0 = mbx * 8, mby * 8
+    if mode == 0:
+        out = np.empty((8, 8), np.int64)
+        for qy in range(2):
+            for qx in range(2):
+                out[4 * qy : 4 * qy + 4, 4 * qx : 4 * qx + 4] = (
+                    _chroma_dc_pred(plane, mbx, mby, qx, qy)
+                )
+        return out
+    if mode == 1:
+        if mbx == 0:
+            raise ValueError("horizontal chroma prediction needs a left column")
+        return np.broadcast_to(
+            plane[y0 : y0 + 8, x0 - 1].astype(np.int64)[:, None], (8, 8)
+        )
+    if mode == 2:
+        if mby == 0:
+            raise ValueError("vertical chroma prediction needs a top row")
+        return np.broadcast_to(
+            plane[y0 - 1, x0 : x0 + 8].astype(np.int64), (8, 8)
+        )
+    if mode == 3:
+        return _plane_pred(plane, mbx, mby, 8)
+    raise ValueError(f"invalid chroma intra prediction mode {mode}")
+
+
 def _decode_mb_loop(r: _BitReader, wmb: int, hmb: int, slice_qp: int):
     """General per-macroblock reconstruction: I_PCM pastes raw
-    samples; I_16x16 DC-only macroblocks (mb_type 1..4 with cbp 0/0,
-    DC luma + DC chroma prediction, single-coefficient CAVLC DC
-    block) predict from previously reconstructed neighbours and add
-    the per-4x4-block residual constants. Anything else raises a
-    typed NotImplementedError naming the missing stage."""
+    samples; residual-DC-only I_16x16 macroblocks (mb_type 1..4 with
+    cbp 0/0, any of the four luma prediction modes x four chroma
+    modes, single-coefficient CAVLC DC block) predict from previously
+    reconstructed neighbours and add the per-4x4-block residual
+    constants. Anything else raises a typed NotImplementedError
+    naming the missing stage."""
     import numpy as np
 
     y = np.zeros((hmb * 16, wmb * 16), dtype=np.uint8)
@@ -958,31 +1080,24 @@ def _decode_mb_loop(r: _BitReader, wmb: int, hmb: int, slice_qp: int):
                 f"I_16x16 mb_type {mb_type} carries AC/chroma residuals "
                 "(CAVLC beyond the single-coefficient DC subset)"
             )
-        if pred_mode != 2:
-            raise NotImplementedError(
-                f"Intra16x16 prediction mode {pred_mode} (V/H/Plane) is "
-                "not implemented; only DC (mode 2)"
-            )
-        if r.ue() != 0:  # intra_chroma_pred_mode
-            raise NotImplementedError(
-                "chroma intra prediction modes other than DC are not "
-                "implemented"
+        chroma_mode = r.ue()  # intra_chroma_pred_mode
+        if chroma_mode > 3:
+            raise ValueError(
+                f"invalid intra_chroma_pred_mode {chroma_mode}"
             )
         qp = (qp + r.se() + 52) % 52  # mb_qp_delta
         consts = _dc_residual_constants(_cavlc_read_dc1(r), qp)
-        pred = _i16_dc_pred(y, mbx, mby, 16)
-        blk = np.array(consts, dtype=np.int32) + pred
-        mb_y = np.repeat(np.repeat(blk, 4, axis=0), 4, axis=1)
+        pred = _i16_luma_pred(y, mbx, mby, pred_mode)
+        resid = np.repeat(
+            np.repeat(np.array(consts, dtype=np.int64), 4, axis=0), 4, axis=1
+        )
         y[mby * 16 : mby * 16 + 16, mbx * 16 : mbx * 16 + 16] = np.clip(
-            mb_y, 0, 255
+            pred + resid, 0, 255
         ).astype(np.uint8)
         for plane in (cb, cr):
-            for qy in range(2):
-                for qx in range(2):
-                    plane[
-                        mby * 8 + 4 * qy : mby * 8 + 4 * qy + 4,
-                        mbx * 8 + 4 * qx : mbx * 8 + 4 * qx + 4,
-                    ] = _chroma_dc_pred(plane, mbx, mby, qx, qy)
+            plane[mby * 8 : mby * 8 + 8, mbx * 8 : mbx * 8 + 8] = (
+                _chroma_mb_pred(plane, mbx, mby, chroma_mode).astype(np.uint8)
+            )
     return y, cb, cr
 
 

@@ -13367,3 +13367,238 @@ def q_media_mp4_dconly(spark: SparkSession, sf_dir: str) -> DataFrame:
         _mp4_dconly_fixture(spark), F.col("payload"), media_type="video/mp4"
     )
     return mp4_frame_stats(media).orderBy("media_id", "frame_idx")
+
+
+def _mp4_intra_pred_fixture(spark: SparkSession, n: int = 180) -> DataFrame:
+    """Driver-built MP4s exercising ALL FOUR Intra16x16 luma
+    prediction modes and all four chroma modes in one 2x2-macroblock
+    frame (32x32 luma), nf = 1 + key%2 IDR frames, qp = 30 + key%22:
+
+    - MB(0,0): I_PCM formula planes (the reconstructed-neighbour
+      source for every predictor);
+    - MB(1,0): luma Horizontal (mode 1) off the PCM right column;
+      chroma Horizontal on odd keys, chroma DC (partial-availability
+      quadrants: left only) on even keys;
+    - MB(0,1): luma Vertical (mode 0) off the PCM bottom row; chroma
+      Vertical on odd keys, chroma DC (top only) on even keys;
+    - MB(1,1): luma AND chroma Plane (mode 3) — top/left/corner all
+      reconstructed, so the §8.3.3.4 / §8.3.4.4 gradient fit runs
+      against real neighbour samples (even keys give it a nonzero
+      gradient; odd keys pin the zero-gradient constant case).
+
+    Each predicted MB carries a single-coefficient DC residual at
+    zigzag position 0 (level = (3key+2k+5f)%15-7), so reconstruction
+    stays a closed form the oracle replays exactly: the H MB is
+    row-constant, the V MB column-constant, and the Plane MB's
+    H/V sums collapse to 8*(T-corner) / 8*(L-corner) because its
+    top row and left column are those constants."""
+    from pagerank_hadoop_spark.operators.h264 import (
+        h264_encode_islice,
+        mp4_mux_avc,
+    )
+
+    rows = []
+    for key in range(n):
+        nf, qp, odd = 1 + key % 2, 30 + key % 22, key % 2
+        nals = []
+        for f in range(nf):
+            y16 = bytes(
+                (3 * c + 5 * r + 7 * f + key) % 256
+                for r in range(16)
+                for c in range(16)
+            )
+            cb8 = bytes(
+                (2 * c + 3 * r + 5 * f + key) % 256
+                for r in range(8)
+                for c in range(8)
+            )
+            cr8 = bytes(
+                (c + r + 3 * f + 2 * key) % 256
+                for r in range(8)
+                for c in range(8)
+            )
+            lvl = [(key * 3 + k + 5 * f) % 15 - 7 for k in (2, 4, 6)]
+            mbs = [
+                ("pcm", (y16, cb8, cr8)),
+                ("i16", 1, 1 if odd else 0, lvl[0], 0),
+                ("i16", 0, 2 if odd else 0, lvl[1], 0),
+                ("i16", 3, 3, lvl[2], 0),
+            ]
+            nals.append(h264_encode_islice(mbs, 2, qp=qp, idr_pic_id=f % 16))
+        rows.append(
+            (
+                key,
+                bytearray(
+                    mp4_mux_avc(nals, dims=(32, 32), n_chunks=1 + key % 2)
+                ),
+            )
+        )
+    return spark.createDataFrame(rows, "media_id long, payload binary")
+
+
+@register(
+    "media_mp4_intra_pred",
+    """
+    WITH f AS (SELECT range AS key, 1 + range % 2 AS nf,
+                      30 + range % 22 AS qp, range % 2 AS odd
+               FROM range(0, 180)),
+    fr AS (SELECT key, qp, odd, unnest(range(0, nf)) AS fi FROM f),
+    lv AS (SELECT key, qp, odd, fi,
+             list_transform([2, 4, 6],
+               k -> (key * 3 + k + 5 * fi) % 15 - 7) AS lvls,
+             list_extract([10, 11, 13, 14, 16, 18],
+                          CAST(qp % 6 AS INT) + 1) AS v00
+           FROM fr),
+    rs AS (SELECT key, qp, odd, fi,
+             list_transform(lvls, l -> CAST(floor((
+               CASE WHEN qp >= 36
+                    THEN l * v00 * power(2, qp // 6 - 6)
+                    ELSE floor((l * v00 + power(2, 5 - qp // 6))
+                               / power(2, 6 - qp // 6)) END
+               + 32) / 64) AS BIGINT)) AS rsd
+           FROM lv),
+    lm AS (SELECT key, qp, odd, fi, rsd,
+             list_transform(range(0, 16), r -> LEAST(255, GREATEST(0,
+               (45 + 5 * r + 7 * fi + key) % 256 + rsd[1]))) AS hv,
+             list_transform(range(0, 16), c -> LEAST(255, GREATEST(0,
+               (3 * c + 75 + 7 * fi + key) % 256 + rsd[2]))) AS vv,
+             (120 + 7 * fi + key) % 256 AS cor
+           FROM rs),
+    pc AS (SELECT *, 16 * (hv[16] + vv[16]) AS pa,
+             CAST(floor((40 * (hv[16] - cor) + 32) / 64) AS BIGINT) AS pb,
+             CAST(floor((40 * (vv[16] - cor) + 32) / 64) AS BIGINT) AS pcf
+           FROM lm),
+    pl AS (SELECT *, list_transform(range(0, 256), i ->
+             LEAST(255, GREATEST(0,
+               LEAST(255, GREATEST(0, CAST(floor(
+                 (pa + pb * (i % 16 - 7) + pcf * (i // 16 - 7) + 16) / 32)
+                 AS BIGINT))) + rsd[3])))
+             AS plane
+           FROM pc),
+    cbb AS (SELECT key, qp, odd, fi, rsd, hv, vv, plane,
+             CAST(list_sum(list_transform(range(0, 64),
+               i -> (2 * (i % 8) + 3 * (i // 8) + 5 * fi + key) % 256))
+               AS BIGINT) AS cb_pcm,
+             CASE WHEN odd = 1
+               THEN 8 * CAST(list_sum(list_transform(range(0, 8),
+                 r -> (14 + 3 * r + 5 * fi + key) % 256)) AS BIGINT)
+               ELSE 32 * (
+                 (CAST(list_sum(list_transform(range(0, 4),
+                   r -> (14 + 3 * r + 5 * fi + key) % 256)) AS BIGINT) + 2) // 4
+                 + (CAST(list_sum(list_transform(range(4, 8),
+                   r -> (14 + 3 * r + 5 * fi + key) % 256)) AS BIGINT) + 2) // 4)
+               END AS cb_mbh,
+             CASE WHEN odd = 1
+               THEN 8 * CAST(list_sum(list_transform(range(0, 8),
+                 c -> (2 * c + 21 + 5 * fi + key) % 256)) AS BIGINT)
+               ELSE 32 * (
+                 (CAST(list_sum(list_transform(range(0, 4),
+                   c -> (2 * c + 21 + 5 * fi + key) % 256)) AS BIGINT) + 2) // 4
+                 + (CAST(list_sum(list_transform(range(4, 8),
+                   c -> (2 * c + 21 + 5 * fi + key) % 256)) AS BIGINT) + 2) // 4)
+               END AS cb_mbv,
+             CASE WHEN odd = 1 THEN (35 + 5 * fi + key) % 256
+               ELSE (CAST(list_sum(list_transform(range(4, 8),
+                 r -> (14 + 3 * r + 5 * fi + key) % 256)) AS BIGINT) + 2) // 4
+               END AS cb_t,
+             CASE WHEN odd = 1 THEN (35 + 5 * fi + key) % 256
+               ELSE (CAST(list_sum(list_transform(range(4, 8),
+                 c -> (2 * c + 21 + 5 * fi + key) % 256)) AS BIGINT) + 2) // 4
+               END AS cb_l,
+             (35 + 5 * fi + key) % 256 AS cb_cor,
+             CAST(list_sum(list_transform(range(0, 64),
+               i -> ((i % 8) + (i // 8) + 3 * fi + 2 * key) % 256))
+               AS BIGINT) AS cr_pcm,
+             CASE WHEN odd = 1
+               THEN 8 * CAST(list_sum(list_transform(range(0, 8),
+                 r -> (7 + r + 3 * fi + 2 * key) % 256)) AS BIGINT)
+               ELSE 32 * (
+                 (CAST(list_sum(list_transform(range(0, 4),
+                   r -> (7 + r + 3 * fi + 2 * key) % 256)) AS BIGINT) + 2) // 4
+                 + (CAST(list_sum(list_transform(range(4, 8),
+                   r -> (7 + r + 3 * fi + 2 * key) % 256)) AS BIGINT) + 2) // 4)
+               END AS cr_mbh,
+             CASE WHEN odd = 1
+               THEN 8 * CAST(list_sum(list_transform(range(0, 8),
+                 c -> (c + 7 + 3 * fi + 2 * key) % 256)) AS BIGINT)
+               ELSE 32 * (
+                 (CAST(list_sum(list_transform(range(0, 4),
+                   c -> (c + 7 + 3 * fi + 2 * key) % 256)) AS BIGINT) + 2) // 4
+                 + (CAST(list_sum(list_transform(range(4, 8),
+                   c -> (c + 7 + 3 * fi + 2 * key) % 256)) AS BIGINT) + 2) // 4)
+               END AS cr_mbv,
+             CASE WHEN odd = 1 THEN (14 + 3 * fi + 2 * key) % 256
+               ELSE (CAST(list_sum(list_transform(range(4, 8),
+                 r -> (7 + r + 3 * fi + 2 * key) % 256)) AS BIGINT) + 2) // 4
+               END AS cr_t,
+             CASE WHEN odd = 1 THEN (14 + 3 * fi + 2 * key) % 256
+               ELSE (CAST(list_sum(list_transform(range(4, 8),
+                 c -> (c + 7 + 3 * fi + 2 * key) % 256)) AS BIGINT) + 2) // 4
+               END AS cr_l,
+             (14 + 3 * fi + 2 * key) % 256 AS cr_cor
+           FROM pl),
+    cpl AS (SELECT *,
+             CAST(list_sum(list_transform(range(0, 64), i ->
+               LEAST(255, GREATEST(0, CAST(floor((16 * (cb_t + cb_l)
+                 + CAST(floor((136 * (cb_t - cb_cor) + 32) / 64) AS BIGINT)
+                   * (i % 8 - 3)
+                 + CAST(floor((136 * (cb_l - cb_cor) + 32) / 64) AS BIGINT)
+                   * (i // 8 - 3)
+                 + 16) / 32) AS BIGINT))))) AS BIGINT) AS cb_pl,
+             CAST(list_sum(list_transform(range(0, 64), i ->
+               LEAST(255, GREATEST(0, CAST(floor((16 * (cr_t + cr_l)
+                 + CAST(floor((136 * (cr_t - cr_cor) + 32) / 64) AS BIGINT)
+                   * (i % 8 - 3)
+                 + CAST(floor((136 * (cr_l - cr_cor) + 32) / 64) AS BIGINT)
+                   * (i // 8 - 3)
+                 + 16) / 32) AS BIGINT))))) AS BIGINT) AS cr_pl
+           FROM cbb),
+    fin AS (SELECT *,
+             CAST(list_sum(list_transform(range(0, 256),
+               i -> (3 * (i % 16) + 5 * (i // 16) + 7 * fi + key) % 256))
+               AS BIGINT) AS pcm_y,
+             list_transform(range(0, 1024), i ->
+               CASE WHEN i // 32 < 16 AND i % 32 < 16
+                      THEN (3 * (i % 32) + 5 * (i // 32) + 7 * fi + key) % 256
+                    WHEN i // 32 < 16 THEN hv[i // 32 + 1]
+                    WHEN i % 32 < 16 THEN vv[i % 32 + 1]
+                    ELSE plane[(i // 32 - 16) * 16 + (i % 32 - 16) + 1]
+               END) AS yl
+           FROM cpl)
+    SELECT CAST(key AS BIGINT) AS media_id,
+           CAST(fi AS BIGINT) AS frame_idx,
+           CAST(32 AS INTEGER) AS width, CAST(32 AS INTEGER) AS height,
+           CAST(pcm_y + 16 * CAST(list_sum(hv) AS BIGINT)
+                + 16 * CAST(list_sum(vv) AS BIGINT)
+                + CAST(list_sum(plane) AS BIGINT) AS BIGINT) AS y_sum,
+           CAST(cb_pcm + cb_mbh + cb_mbv + cb_pl AS BIGINT) AS cb_sum,
+           CAST(cr_pcm + cr_mbh + cr_mbv + cr_pl AS BIGINT) AS cr_sum,
+           md5(array_to_string(yl, ',')) AS y_md5
+    FROM fin ORDER BY media_id, frame_idx
+    """,
+)
+def q_media_mp4_intra_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5 [r10]: ALL FOUR Intra16x16 luma prediction modes (Vertical,
+    Horizontal, DC, Plane — ISO/IEC 14496-10 §8.3.3) and all four
+    chroma modes (DC quadrants incl. partial availability,
+    Horizontal, Vertical, Plane — §8.3.4), decoded end-to-end through
+    the driver gate. Closes the pred_mode!=2 / chroma!=DC typed
+    refusals: every cbp-0/0 I_16x16 macroblock type (mb_type 1..4)
+    now decodes. Prediction runs against RECONSTRUCTED neighbours —
+    the Plane macroblock's top row and left column are themselves
+    predicted+residual outputs of the H and V macroblocks, so the
+    gate pins the cross-macroblock reconstruction order, not just
+    each formula in isolation. The oracle replays the §8.3.3.4/
+    §8.3.4.4 integer gradient fit in closed form (the H/V sums
+    collapse to 8*(T-corner) and 8*(L-corner) against the constant
+    neighbour rows this fixture produces) and pins every decoded
+    luma byte via the decimal-CSV md5. Same Arrow-batched
+    mapInPandas kernel as media_mp4_frames."""
+    from pagerank_hadoop_spark.operators.h264 import mp4_frame_stats
+    from pagerank_hadoop_spark.operators.multimodal import attach_media
+
+    media = attach_media(
+        _mp4_intra_pred_fixture(spark), F.col("payload"),
+        media_type="video/mp4",
+    )
+    return mp4_frame_stats(media).orderBy("media_id", "frame_idx")

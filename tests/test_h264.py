@@ -661,3 +661,134 @@ def test_spark_dconly_kernel_matches_closed_form(spark):
             assert row["y_md5"] == hashlib.md5(csv.encode()).hexdigest()
             n_rows += 1
     assert len(got) == n_rows
+
+
+def test_intra16_vhp_modes_match_independent_replay():
+    """All four Intra16x16 luma modes + all four chroma modes against
+    random-content I_PCM neighbours, verified by a from-scratch
+    §8.3.3/§8.3.4 replay (direct formula evaluation over the PCM
+    pixels — NOT the decoder's helper functions). Unlike the
+    driver-gate fixture, the Plane macroblock's neighbours here have
+    full per-pixel variety, so every one of the 8 (luma) / 4 (chroma)
+    gradient terms is nonzero."""
+    import numpy as np
+
+    from pagerank_hadoop_spark.operators.h264 import (
+        h264_encode_islice,
+        mp4_decode_ipcm_frames,
+        mp4_mux_avc,
+    )
+
+    qp = 34
+    planes = []
+    for _ in range(3):  # PCM at (0,0), (1,0), (0,1)
+        planes.append(
+            (
+                RNG.integers(0, 256, (16, 16), dtype=np.uint8),
+                RNG.integers(0, 256, (8, 8), dtype=np.uint8),
+                RNG.integers(0, 256, (8, 8), dtype=np.uint8),
+            )
+        )
+    lv = 5
+    mbs = [
+        ("pcm", tuple(p.tobytes() for p in planes[0])),
+        ("pcm", tuple(p.tobytes() for p in planes[1])),
+        ("pcm", tuple(p.tobytes() for p in planes[2])),
+        ("i16", 3, 3, lv, 0),  # Plane luma + Plane chroma at (1,1)
+    ]
+    nal = h264_encode_islice(mbs, 2, qp=qp)
+    _, y, cb, cr = next(
+        iter(mp4_decode_ipcm_frames(mp4_mux_avc([nal], dims=(32, 32))))
+    )
+
+    def plane_replay(top, left, corner, size, mult):
+        half = size // 2
+        p = lambda row, c: corner if c < 0 else int(row[c])
+        hs = sum(
+            (i + 1) * (p(top, half + i) - p(top, half - 2 - i))
+            for i in range(half)
+        )
+        vs = sum(
+            (i + 1) * (p(left, half + i) - p(left, half - 2 - i))
+            for i in range(half)
+        )
+        a = 16 * (int(top[size - 1]) + int(left[size - 1]))
+        b = (mult * hs + 32) >> 6
+        c_ = (mult * vs + 32) >> 6
+        xs = np.arange(size, dtype=np.int64) - (half - 1)
+        return np.clip((a + b * xs[None, :] + c_ * xs[:, None] + 16) >> 5, 0, 255)
+
+    # luma plane at (1,1): top = bottom row of PCM(1,0), left = right
+    # column of PCM(0,1), corner = PCM(0,0)[15,15]
+    pred = plane_replay(
+        planes[1][0][15, :].astype(np.int64),
+        planes[2][0][:, 15].astype(np.int64),
+        int(planes[0][0][15, 15]),
+        16,
+        5,
+    )
+    assert (y[16:, 16:] == np.clip(pred + _dc_resid(lv, qp), 0, 255)).all()
+    for got, idx in ((cb, 1), (cr, 2)):
+        predc = plane_replay(
+            planes[1][idx][7, :].astype(np.int64),
+            planes[2][idx][:, 7].astype(np.int64),
+            int(planes[0][idx][7, 7]),
+            8,
+            34,
+        )
+        assert (got[8:, 8:] == predc).all()
+
+    # V and H luma + V and H chroma against the same PCM content
+    mbs = [
+        ("pcm", tuple(p.tobytes() for p in planes[0])),
+        ("i16", 1, 1, 2, 0),  # H luma + H chroma right of PCM
+        ("i16", 0, 2, -3, 0),  # V luma + V chroma below PCM
+        ("i16", 2, 0, 0, 0),  # DC luma + DC chroma (both neighbours)
+    ]
+    nal = h264_encode_islice(mbs, 2, qp=qp)
+    _, y, cb, cr = next(
+        iter(mp4_decode_ipcm_frames(mp4_mux_avc([nal], dims=(32, 32))))
+    )
+    ey_h = np.clip(
+        planes[0][0][:, 15].astype(np.int64)[:, None] + _dc_resid(2, qp), 0, 255
+    )
+    assert (y[:16, 16:] == np.broadcast_to(ey_h, (16, 16))).all()
+    ey_v = np.clip(
+        planes[0][0][15, :].astype(np.int64)[None, :] + _dc_resid(-3, qp), 0, 255
+    )
+    assert (y[16:, :16] == np.broadcast_to(ey_v, (16, 16))).all()
+    assert (cb[:8, 8:] == np.broadcast_to(planes[0][1][:, 7][:, None], (8, 8))).all()
+    assert (cr[8:, :8] == np.broadcast_to(planes[0][2][7, :][None, :], (8, 8))).all()
+    # DC MB at (1,1): luma pred over H-MB's bottom row + V-MB's right col
+    ls = int(np.broadcast_to(ey_v, (16, 16))[:, 15].sum())
+    ts = int(np.broadcast_to(ey_h, (16, 16))[15, :].sum())
+    assert (y[16:, 16:] == np.clip((ls + ts + 16) >> 5, 0, 255)).all()
+
+
+def test_intra16_availability_refusals():
+    """V/H/Plane at picture edges where their neighbours don't exist
+    are malformed streams: typed ValueError, never a wrong decode."""
+    import pytest as _pytest
+
+    from pagerank_hadoop_spark.operators.h264 import (
+        h264_encode_islice,
+        mp4_decode_ipcm_frames,
+        mp4_mux_avc,
+    )
+
+    def decode_single(mb):
+        nal = h264_encode_islice([mb], 1, qp=30)
+        next(iter(mp4_decode_ipcm_frames(mp4_mux_avc([nal], dims=(16, 16)))))
+
+    with _pytest.raises(ValueError, match="vertical"):
+        decode_single(("i16", 0, 0, 1, 0))
+    with _pytest.raises(ValueError, match="horizontal"):
+        decode_single(("i16", 1, 0, 1, 0))
+    with _pytest.raises(ValueError, match="plane"):
+        decode_single(("i16", 3, 0, 1, 0))
+    with _pytest.raises(ValueError, match="horizontal chroma"):
+        decode_single(("i16", 2, 1, 1, 0))
+    with _pytest.raises(ValueError, match="vertical chroma"):
+        decode_single(("i16", 2, 2, 1, 0))
+    with _pytest.raises(ValueError, match="modes must be 0..3"):
+        h264_encode_islice([("i16", 4, 0, 1, 0)], 1)
