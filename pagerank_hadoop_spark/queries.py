@@ -13602,3 +13602,124 @@ def q_media_mp4_intra_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
         media_type="video/mp4",
     )
     return mp4_frame_stats(media).orderBy("media_id", "frame_idx")
+
+
+@register(
+    "leakage_safe_split",
+    r"""
+    WITH RECURSIVE corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, text || ' near dup tail'
+      FROM documents WHERE doc_id % 3 = 0),
+    gr AS MATERIALIZED (
+      SELECT doc_id, list_distinct(list_transform(list_transform(
+        generate_series(1, greatest(length(lower(text)) - 4, 1)),
+        i -> substr(lower(text), i, 5)), s -> hash(s))) AS grams
+      FROM corpus),
+    e AS MATERIALIZED (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM gr a JOIN gr b ON a.doc_id < b.doc_id
+      WHERE len(a.grams) * 1.0 / len(b.grams) BETWEEN 0.8 AND 1.25
+        AND len(list_intersect(a.grams, b.grams)) * 1.0
+            / len(list_distinct(list_concat(a.grams, b.grams))) >= 0.8),
+    sym(src, dst) AS (SELECT id_a, id_b FROM e UNION SELECT id_b, id_a FROM e),
+    reach(id, r) AS (
+      SELECT doc_id, doc_id FROM corpus
+      UNION
+      SELECT s.dst, reach.r FROM reach JOIN sym s ON s.src = reach.id),
+    rp AS (SELECT id AS doc_id, MIN(r) AS rep FROM reach GROUP BY id),
+    sp AS (SELECT doc_id, rep,
+             CASE WHEN b < 90 THEN 'train'
+                  WHEN b < 95 THEN 'validation'
+                  ELSE 'test' END AS split
+           FROM (SELECT doc_id, rep,
+                   ('0x' || substr(md5(CAST(rep AS VARCHAR)), 1, 4))::BIGINT
+                     % 100 AS b
+                 FROM rp)),
+    cx AS (SELECT CAST(COALESCE(SUM(
+             CASE WHEN a.split <> b.split THEN 1 ELSE 0 END), 0) AS BIGINT)
+             AS crossing_pairs
+           FROM e JOIN sp a ON e.id_a = a.doc_id
+                  JOIN sp b ON e.id_b = b.doc_id)
+    SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT rep) AS BIGINT) AS n_clusters,
+           (SELECT crossing_pairs FROM cx) AS crossing_pairs
+    FROM sp GROUP BY split ORDER BY split
+    """,
+)
+def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1/E2 x curation [r10]: DUP-CLUSTER-AWARE train/validation/test
+    split — the leakage guard a plain per-document hash split lacks.
+    A near-duplicate pair straddling train and test contaminates
+    evaluation (the model has effectively seen the test document), so
+    the split key must be the DUP CLUSTER, not the document:
+    confirmed near-dup pairs (banded MinHash-LSH candidates -> exact
+    Jaccard >= 0.8, the `minhash_dedup_survivors` artifact, memoized
+    per session) -> connected components (hash-min label propagation,
+    operators.graph) -> every document keyed by its cluster
+    representative (component min id) -> engine-portable md5 bucket
+    of the REPRESENTATIVE (operators.curation.split_bucket, 90/5/5).
+    Whole clusters land in one split by construction; `crossing_pairs`
+    certifies it (0 on both engines, each deriving it from its own
+    independently computed pair set).
+
+    Scale posture: the pair set is banded-LSH-shaped (no all-pairs in
+    the engine; the oracle's all-pairs join is DuckDB-only ground
+    truth), components shuffle (id, label) pairs, and the split hash
+    is stateless — re-running on a grown corpus never migrates an
+    existing document unless a NEW near-dup edge merges two clusters,
+    in which case the merged cluster deterministically follows its
+    new min-id representative (the desired behavior: the pair must
+    not straddle splits). Singleton docs (no near-dup) hash on their
+    own id, so this degrades to exactly `train_split_counts` on a
+    dup-free corpus."""
+    from pagerank_hadoop_spark.operators.curation import split_name
+    from pagerank_hadoop_spark.operators.graph import connected_components
+
+    corpus = _near_dup_corpus(spark, sf_dir).select("doc_id")
+    pairs = _confirmed_pairs_cached(spark, sf_dir).select("id_a", "id_b")
+    cc = connected_components(
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    )
+    assigned = (
+        corpus.join(
+            cc.select(F.col("id").alias("doc_id"), "component"),
+            "doc_id",
+            "left",
+        )
+        .select(
+            "doc_id",
+            F.coalesce("component", F.col("doc_id")).alias("rep"),
+        )
+        .withColumn("split", split_name(F.col("rep")))
+        .localCheckpoint(eager=False)
+    )
+    crossing = (
+        pairs.join(
+            assigned.select(
+                F.col("doc_id").alias("id_a"), F.col("split").alias("sa")
+            ),
+            "id_a",
+        )
+        .join(
+            assigned.select(
+                F.col("doc_id").alias("id_b"), F.col("split").alias("sb")
+            ),
+            "id_b",
+        )
+        .agg(
+            F.coalesce(
+                F.sum((F.col("sa") != F.col("sb")).cast("long")), F.lit(0)
+            ).alias("crossing_pairs")
+        )
+    )
+    return (
+        assigned.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.countDistinct("rep").cast("long").alias("n_clusters"),
+        )
+        .crossJoin(crossing)
+        .orderBy("split")
+    )
