@@ -150,6 +150,28 @@ def main() -> None:
         full_path = os.path.join(
             os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"
         )
+        # Identical-code window canaries: wiki_pagerank / pagerank_topk
+        # change rarely, so their value in THIS artifact vs the prior
+        # round's is a mechanical ambient-drift divisor for every other
+        # per-query diff (the r3→r4 / r9 hypervisor-noise episodes had
+        # to be reconstructed from prose; see SCALE.md's drift
+        # methodology). Three dedicated re-runs AFTER the sweep, plus
+        # the main-pass samples, so both the end-of-session window and
+        # any intra-run slope are visible.
+        canaries = {}
+        for cname in ("wiki_pagerank", "pagerank_topk"):
+            if cname not in qs:
+                continue
+            post = []
+            for _ in range(3):
+                t0 = time.time()
+                qs[cname](spark, SF_DIR).count()
+                post.append(round(time.time() - t0, 3))
+            canaries[cname] = {
+                "pass_samples": [p[cname] for p in runs if cname in p],
+                "post_samples": post,
+                "min": min(post + [p[cname] for p in runs if cname in p]),
+            }
         variance = None
         if len(runs) >= 2:
             ratios = sorted(
@@ -169,6 +191,7 @@ def main() -> None:
                     "queries": timings,
                     "runs": runs,
                     "variance": variance,
+                    "canaries": canaries,
                     # nonzero only for iterative/loop-driver queries:
                     # lets round-over-round drift analysis separate
                     # "same rounds, slower box" from "more rounds"
