@@ -792,3 +792,217 @@ def test_intra16_availability_refusals():
         decode_single(("i16", 2, 2, 1, 0))
     with _pytest.raises(ValueError, match="modes must be 0..3"):
         h264_encode_islice([("i16", 4, 0, 1, 0)], 1)
+
+
+def test_islice_randomized_grids_match_reference_decoder():
+    """Property gate over the whole decodable I-slice subset: random
+    grids (1x1..3x3 macroblocks) mixing I_PCM and I_16x16 macroblocks
+    with position-legal random prediction modes, random single-
+    coefficient DC residuals at ANY zigzag position, and random slice
+    qp — decoded by the production path and compared against a
+    REFERENCE decoder written in matrix form (numpy Hadamard
+    H·C·H, vectorized prediction assembly) rather than the
+    production code's element loops. Catches cross-macroblock
+    interaction bugs the per-mode gates cannot (mode availability on
+    interior rows, PCM/predicted interleaving, residual placement at
+    every scan position)."""
+    import numpy as np
+
+    from pagerank_hadoop_spark.operators.h264 import (
+        _V00,
+        _ZIGZAG4,
+        h264_encode_islice,
+        mp4_decode_ipcm_frames,
+        mp4_mux_avc,
+    )
+
+    H4 = np.array(
+        [[1, 1, 1, 1], [1, 1, -1, -1], [1, -1, -1, 1], [1, -1, 1, -1]],
+        np.int64,
+    )
+
+    def ref_decode(mbs, wmb, hmb, qp):
+        y = np.zeros((hmb * 16, wmb * 16), np.int64)
+        cb = np.zeros((hmb * 8, wmb * 8), np.int64)
+        cr = np.zeros((hmb * 8, wmb * 8), np.int64)
+        for mb, spec in enumerate(mbs):
+            mby, mbx = divmod(mb, wmb)
+            if spec[0] == "pcm":
+                yb, cbb, crb = spec[1]
+                y[mby * 16 : mby * 16 + 16, mbx * 16 : mbx * 16 + 16] = (
+                    np.frombuffer(yb, np.uint8).reshape(16, 16)
+                )
+                cb[mby * 8 : mby * 8 + 8, mbx * 8 : mbx * 8 + 8] = (
+                    np.frombuffer(cbb, np.uint8).reshape(8, 8)
+                )
+                cr[mby * 8 : mby * 8 + 8, mbx * 8 : mbx * 8 + 8] = (
+                    np.frombuffer(crb, np.uint8).reshape(8, 8)
+                )
+                continue
+            _, pm, cm, level, pos = spec
+            # residual constants: inverse Hadamard in matrix form
+            C = np.zeros((4, 4), np.int64)
+            C[_ZIGZAG4[pos]] = level
+            F_ = H4 @ C @ H4
+            v00 = _V00[qp % 6]
+            if qp >= 36:
+                dc = (F_ * v00) * (1 << (qp // 6 - 6))
+            else:
+                # floor shift, elementwise, negatives included
+                dc = (F_ * v00 + (1 << (5 - qp // 6))) >> (6 - qp // 6)
+            R = np.repeat(np.repeat((dc + 32) >> 6, 4, 0), 4, 1)
+
+            def pred16(plane, size):
+                x0, y0 = mbx * size, mby * size
+                top = plane[y0 - 1, x0 : x0 + size] if mby > 0 else None
+                left = plane[y0 : y0 + size, x0 - 1] if mbx > 0 else None
+                return top, left, (
+                    int(plane[y0 - 1, x0 - 1]) if mbx > 0 and mby > 0 else None
+                )
+
+            top, left, corner = pred16(y, 16)
+            if pm == 0:
+                P = np.tile(top, (16, 1))
+            elif pm == 1:
+                P = np.tile(left[:, None], (1, 16))
+            elif pm == 2:
+                if top is not None and left is not None:
+                    d = (int(top.sum()) + int(left.sum()) + 16) >> 5
+                elif top is not None:
+                    d = (int(top.sum()) + 8) >> 4
+                elif left is not None:
+                    d = (int(left.sum()) + 8) >> 4
+                else:
+                    d = 128
+                P = np.full((16, 16), d, np.int64)
+            else:
+                hsum = sum(
+                    (i + 1)
+                    * (int(top[8 + i]) - (int(top[6 - i]) if 6 - i >= 0 else corner))
+                    for i in range(8)
+                )
+                vsum = sum(
+                    (i + 1)
+                    * (int(left[8 + i]) - (int(left[6 - i]) if 6 - i >= 0 else corner))
+                    for i in range(8)
+                )
+                a = 16 * (int(top[15]) + int(left[15]))
+                b = (5 * hsum + 32) >> 6
+                c_ = (5 * vsum + 32) >> 6
+                xs = np.arange(16, dtype=np.int64)
+                P = np.clip(
+                    (a + b * (xs[None, :] - 7) + c_ * (xs[:, None] - 7) + 16) >> 5,
+                    0,
+                    255,
+                )
+            y[mby * 16 : mby * 16 + 16, mbx * 16 : mbx * 16 + 16] = np.clip(
+                P + R, 0, 255
+            )
+
+            for plane in (cb, cr):
+                topc, leftc, cornerc = pred16(plane, 8)
+                if cm == 1:
+                    Pc = np.tile(leftc[:, None], (1, 8))
+                elif cm == 2:
+                    Pc = np.tile(topc, (8, 1))
+                elif cm == 3:
+                    hs = sum(
+                        (i + 1)
+                        * (int(topc[4 + i]) - (int(topc[2 - i]) if 2 - i >= 0 else cornerc))
+                        for i in range(4)
+                    )
+                    vs = sum(
+                        (i + 1)
+                        * (int(leftc[4 + i]) - (int(leftc[2 - i]) if 2 - i >= 0 else cornerc))
+                        for i in range(4)
+                    )
+                    a = 16 * (int(topc[7]) + int(leftc[7]))
+                    b = (34 * hs + 32) >> 6
+                    c_ = (34 * vs + 32) >> 6
+                    xs = np.arange(8, dtype=np.int64)
+                    Pc = np.clip(
+                        (a + b * (xs[None, :] - 3) + c_ * (xs[:, None] - 3) + 16)
+                        >> 5,
+                        0,
+                        255,
+                    )
+                else:  # DC quadrants
+                    Pc = np.empty((8, 8), np.int64)
+                    for qy in range(2):
+                        for qx in range(2):
+                            lq = (
+                                leftc[4 * qy : 4 * qy + 4]
+                                if leftc is not None
+                                else None
+                            )
+                            tq = (
+                                topc[4 * qx : 4 * qx + 4]
+                                if topc is not None
+                                else None
+                            )
+                            if qx == qy:
+                                if lq is not None and tq is not None:
+                                    v = (int(lq.sum()) + int(tq.sum()) + 4) >> 3
+                                else:
+                                    cand = lq if lq is not None else tq
+                                    v = (
+                                        (int(cand.sum()) + 2) >> 2
+                                        if cand is not None
+                                        else 128
+                                    )
+                            else:
+                                order = (tq, lq) if qx == 1 else (lq, tq)
+                                v = 128
+                                for cand in order:
+                                    if cand is not None:
+                                        v = (int(cand.sum()) + 2) >> 2
+                                        break
+                            Pc[4 * qy : 4 * qy + 4, 4 * qx : 4 * qx + 4] = v
+                plane[mby * 8 : mby * 8 + 8, mbx * 8 : mbx * 8 + 8] = Pc
+        return y, cb, cr
+
+    rng = np.random.default_rng(777)
+    for trial in range(25):
+        wmb, hmb = int(rng.integers(1, 4)), int(rng.integers(1, 4))
+        qp = int(rng.integers(0, 52))
+        mbs = []
+        for mb in range(wmb * hmb):
+            mby, mbx = divmod(mb, wmb)
+            if rng.random() < 0.4:
+                mbs.append(
+                    (
+                        "pcm",
+                        (
+                            rng.integers(0, 256, 256, np.uint8).tobytes(),
+                            rng.integers(0, 256, 64, np.uint8).tobytes(),
+                            rng.integers(0, 256, 64, np.uint8).tobytes(),
+                        ),
+                    )
+                )
+                continue
+            legal_l = [2] + ([0] if mby > 0 else []) + ([1] if mbx > 0 else [])
+            legal_c = [0] + ([1] if mbx > 0 else []) + ([2] if mby > 0 else [])
+            if mbx > 0 and mby > 0:
+                legal_l.append(3)
+                legal_c.append(3)
+            mbs.append(
+                (
+                    "i16",
+                    int(rng.choice(legal_l)),
+                    int(rng.choice(legal_c)),
+                    int(rng.integers(-7, 8)),
+                    int(rng.integers(0, 16)),
+                )
+            )
+        nal = h264_encode_islice(mbs, wmb, qp=qp)
+        _, y, cb, cr = next(
+            iter(
+                mp4_decode_ipcm_frames(
+                    mp4_mux_avc([nal], dims=(hmb * 16, wmb * 16))
+                )
+            )
+        )
+        ey, ecb, ecr = ref_decode(mbs, wmb, hmb, qp)
+        assert (y == ey.astype(np.uint8)).all(), f"luma trial {trial}"
+        assert (cb == ecb.astype(np.uint8)).all(), f"cb trial {trial}"
+        assert (cr == ecr.astype(np.uint8)).all(), f"cr trial {trial}"
