@@ -33,15 +33,24 @@ What is REAL here (pure stdlib + NumPy, no codec library):
   Intra16x16 luma prediction modes (V/H/DC/Plane, §8.3.3) plus all
   four chroma modes (DC quadrants/H/V/Plane, §8.3.4) from
   reconstructed neighbours — every cbp-0/0 I_16x16 mb_type decodes.
-What is honestly refused: AC/chroma residuals (mb_type >= 5 I_16x16,
-i.e. CAVLC beyond the single-coefficient subset — the full Table 9-5
-(62 codewords x 4 nC classes) cannot be validated in this container,
-which has no reference decoder or table source, and a from-memory
-table would be encoder/decoder-self-consistent yet unverifiable, the
-exact failure mode the oracle discipline exists to prevent), I_4x4
-macroblocks, CABAC slices, inter (P/B) slices, FMO — each raises a
-typed NotImplementedError naming the missing decoder stage, the same
-strict-mode contract as multimodal.decode_media.
+- **I_4x4 intra decode, cbp 0** (r10): all NINE §8.3.1 4x4
+  prediction modes (V/H/DC/DDL/DDR/VR/HD/VL/HU) with the real
+  per-block machinery — predIntra4x4PredMode derivation + prev/rem
+  signaling (§8.3.1.1), 4x4 decode-order availability incl. the
+  top-right substitution rule (§8.3.1.2), and the Table 9-4 intra
+  cbp-0 codeword — pure-prediction macroblocks (coded_block_pattern
+  0 carries no residual, so the subset needs no entropy decoding
+  beyond the codeword itself).
+What is honestly refused: AC/chroma residuals (I_16x16 mb_type >= 5
+and I_4x4 cbp != 0, i.e. CAVLC beyond the single-coefficient subset
+— the full Table 9-5 (62 codewords x 4 nC classes) cannot be
+validated in this container, which has no reference decoder or table
+source, and a from-memory table would be
+encoder/decoder-self-consistent yet unverifiable, the exact failure
+mode the oracle discipline exists to prevent), CABAC slices, inter
+(P/B) slices, FMO — each raises a typed NotImplementedError naming
+the missing decoder stage, the same strict-mode contract as
+multimodal.decode_media.
 
 The fixture twins (`h264_encode_ipcm`, `mp4_mux_avc`) are INDEPENDENT
 spec-only writers (shared knowledge = the published bitstream syntax,
@@ -485,10 +494,19 @@ def h264_encode_islice(mbs, width_mbs: int, qp: int = 26, idr_pic_id: int = 0) -
       intra_chroma_pred_mode ``chroma_mode`` (0 DC / 1 H / 2 V /
       3 Plane), whose Intra16x16DCLevel block holds ``level`` at
       zigzag position ``pos``.
+    - ('i4', modes, chroma_mode) — an I_4x4 macroblock with cbp 0
+      (pure prediction): ``modes`` is one §8.3.1.1 mode 0..8 for all
+      sixteen 4x4 blocks, or a 16-list in luma4x4BlkIdx order. The
+      encoder derives predIntra4x4PredMode exactly as the decoder
+      does and emits prev_intra4x4_pred_mode_flag / rem accordingly.
     ``qp`` is carried in slice_qp_delta (pic_init_qp is 26 in
     h264_pps_rbsp); every mb_qp_delta is 0."""
     if len(mbs) % width_mbs:
         raise ValueError("mbs must fill a width_mbs-wide raster exactly")
+    import numpy as np
+
+    hmb = len(mbs) // width_mbs
+    mode4x4 = np.full((hmb * 4, width_mbs * 4), -1, dtype=np.int64)
     wr = _BitWriter()
     wr.ue(0)  # first_mb_in_slice
     wr.ue(7)  # slice_type (I, all slices)
@@ -498,7 +516,31 @@ def h264_encode_islice(mbs, width_mbs: int, qp: int = 26, idr_pic_id: int = 0) -
     wr.u(0, 1)  # no_output_of_prior_pics_flag
     wr.u(0, 1)  # long_term_reference_flag
     wr.se(qp - 26)  # slice_qp_delta
-    for mb in mbs:
+    for mbi, mb in enumerate(mbs):
+        mby, mbx = divmod(mbi, width_mbs)
+        if mb[0] == "i4":
+            _, modes, chroma_mode = mb
+            if isinstance(modes, int):
+                modes = [modes] * 16
+            if len(modes) != 16 or not all(0 <= m <= 8 for m in modes):
+                raise ValueError("i4 needs 16 luma modes in 0..8")
+            if not 0 <= chroma_mode <= 3:
+                raise ValueError("prediction modes must be 0..3")
+            wr.ue(0)  # mb_type I_4x4
+            for idx in range(16):
+                bx, by = _I4_SCAN[idx]
+                cx, cy = mbx * 4 + bx, mby * 4 + by
+                pm = _i4_pred_mode(mode4x4, cx, cy)
+                mode = modes[idx]
+                if mode == pm:
+                    wr.u(1, 1)  # prev_intra4x4_pred_mode_flag
+                else:
+                    wr.u(0, 1)
+                    wr.u(mode - (1 if mode > pm else 0), 3)
+                mode4x4[cy, cx] = mode
+            wr.ue(chroma_mode)  # intra_chroma_pred_mode
+            wr.ue(_CBP_INTRA_ZERO_CODENUM)  # coded_block_pattern = 0
+            continue
         if mb[0] == "pcm":
             y16, cb8, cr8 = (bytes(b) for b in mb[1])
             if len(y16) != 256 or len(cb8) != 64 or len(cr8) != 64:
@@ -1036,6 +1078,173 @@ def _chroma_mb_pred(plane, mbx: int, mby: int, mode: int):
     raise ValueError(f"invalid chroma intra prediction mode {mode}")
 
 
+# luma4x4BlkIdx -> (bx, by) sub-block position inside the macroblock
+# (§6.4.3: 8x8-quadrant-then-4x4 zigzag decode order)
+_I4_SCAN = [
+    (0, 0), (1, 0), (0, 1), (1, 1), (2, 0), (3, 0), (2, 1), (3, 1),
+    (0, 2), (1, 2), (0, 3), (1, 3), (2, 2), (3, 2), (2, 3), (3, 3),
+]
+
+# Table 9-4 (intra column), first entries: codeNum 3 <-> cbp 0 — the
+# only mapping the cbp-0 I_4x4 subset needs (47, 31, 15, 0, ... lead
+# the intra column because all-blocks-coded is most probable there).
+_CBP_INTRA_ZERO_CODENUM = 3
+
+
+def _i4_pred(y, px: int, py: int, mode: int, dec):
+    """Intra_4x4 sample prediction (§8.3.1.2.1-9) for the 4x4 block
+    whose top-left pixel is (px, py), from RECONSTRUCTED neighbour
+    samples. ``dec`` is the picture's decoded mask at 4x4-block
+    granularity (decode-order availability — a top-right region that
+    belongs to a later block is substituted per §8.3.1.2, everything
+    else a conformant encoder cannot reference raises ValueError).
+    Returns a 4x4 int64 array."""
+    import numpy as np
+
+    cx, cy = px // 4, py // 4
+    wpix = y.shape[1]
+    top_ok = py > 0 and dec[cy - 1, cx]
+    left_ok = px > 0 and dec[cy, cx - 1]
+    corner_ok = px > 0 and py > 0 and dec[cy - 1, cx - 1]
+    tr_ok = py > 0 and px + 4 < wpix and dec[cy - 1, cx + 1]
+    t = y[py - 1, px : px + 4].astype(np.int64) if top_ok else None
+    left = y[py : py + 4, px - 1].astype(np.int64) if left_ok else None
+    z = int(y[py - 1, px - 1]) if corner_ok else None
+    if t is not None:
+        tr = (
+            y[py - 1, px + 4 : px + 8].astype(np.int64)
+            if tr_ok
+            else np.full(4, t[3], np.int64)
+        )
+        t8 = np.concatenate([t, tr])
+    out = np.empty((4, 4), np.int64)
+    if mode == 2:  # DC — the always-available mode
+        if t is not None and left is not None:
+            return np.full((4, 4), (int(t.sum()) + int(left.sum()) + 4) >> 3)
+        if t is not None:
+            return np.full((4, 4), (int(t.sum()) + 2) >> 2)
+        if left is not None:
+            return np.full((4, 4), (int(left.sum()) + 2) >> 2)
+        return np.full((4, 4), 128)
+    if mode == 0:  # Vertical
+        if t is None:
+            raise ValueError("Intra_4x4 vertical needs the top row")
+        return np.tile(t, (4, 1))
+    if mode == 1:  # Horizontal
+        if left is None:
+            raise ValueError("Intra_4x4 horizontal needs the left column")
+        return np.tile(left[:, None], (1, 4))
+    if mode == 3:  # Diagonal-Down-Left
+        if t is None:
+            raise ValueError("Intra_4x4 diagonal-down-left needs the top row")
+        for yy in range(4):
+            for xx in range(4):
+                if xx == 3 and yy == 3:
+                    out[yy, xx] = (t8[6] + 3 * t8[7] + 2) >> 2
+                else:
+                    k = xx + yy
+                    out[yy, xx] = (t8[k] + 2 * t8[k + 1] + t8[k + 2] + 2) >> 2
+        return out
+    if mode in (4, 5, 6):  # DDR / Vertical-Right / Horizontal-Down
+        if t is None or left is None or z is None:
+            raise ValueError(
+                "Intra_4x4 mode needs top, left and top-left neighbours"
+            )
+
+        def m(i):  # p[i, -1] with m(-1) = corner
+            return z if i < 0 else int(t8[i])
+
+        def lt(i):  # p[-1, i] with lt(-1) = corner
+            return z if i < 0 else int(left[i])
+
+        for yy in range(4):
+            for xx in range(4):
+                if mode == 4:
+                    if xx > yy:
+                        k = xx - yy
+                        out[yy, xx] = (m(k - 2) + 2 * m(k - 1) + m(k) + 2) >> 2
+                    elif xx < yy:
+                        k = yy - xx
+                        out[yy, xx] = (
+                            lt(k - 2) + 2 * lt(k - 1) + lt(k) + 2
+                        ) >> 2
+                    else:
+                        out[yy, xx] = (m(0) + 2 * z + lt(0) + 2) >> 2
+                elif mode == 5:
+                    zvr = 2 * xx - yy
+                    k = xx - (yy >> 1)
+                    if zvr >= 0 and zvr % 2 == 0:
+                        out[yy, xx] = (m(k - 1) + m(k) + 1) >> 1
+                    elif zvr >= 0:
+                        out[yy, xx] = (m(k - 2) + 2 * m(k - 1) + m(k) + 2) >> 2
+                    elif zvr == -1:
+                        out[yy, xx] = (lt(0) + 2 * z + m(0) + 2) >> 2
+                    else:
+                        k = yy - 2 * xx
+                        out[yy, xx] = (
+                            lt(k - 1) + 2 * lt(k - 2) + lt(k - 3) + 2
+                        ) >> 2
+                else:  # mode 6, the left/top mirror of 5
+                    zhd = 2 * yy - xx
+                    k = yy - (xx >> 1)
+                    if zhd >= 0 and zhd % 2 == 0:
+                        out[yy, xx] = (lt(k - 1) + lt(k) + 1) >> 1
+                    elif zhd >= 0:
+                        out[yy, xx] = (
+                            lt(k - 2) + 2 * lt(k - 1) + lt(k) + 2
+                        ) >> 2
+                    elif zhd == -1:
+                        out[yy, xx] = (m(0) + 2 * z + lt(0) + 2) >> 2
+                    else:
+                        k = xx - 2 * yy
+                        out[yy, xx] = (m(k - 1) + 2 * m(k - 2) + m(k - 3) + 2) >> 2
+        return out
+    if mode == 7:  # Vertical-Left
+        if t is None:
+            raise ValueError("Intra_4x4 vertical-left needs the top row")
+        for yy in range(4):
+            for xx in range(4):
+                k = xx + (yy >> 1)
+                if yy % 2 == 0:
+                    out[yy, xx] = (t8[k] + t8[k + 1] + 1) >> 1
+                else:
+                    out[yy, xx] = (t8[k] + 2 * t8[k + 1] + t8[k + 2] + 2) >> 2
+        return out
+    if mode == 8:  # Horizontal-Up
+        if left is None:
+            raise ValueError("Intra_4x4 horizontal-up needs the left column")
+        for yy in range(4):
+            for xx in range(4):
+                zhu = xx + 2 * yy
+                k = yy + (xx >> 1)
+                if zhu in (0, 2, 4):
+                    out[yy, xx] = (left[k] + left[k + 1] + 1) >> 1
+                elif zhu in (1, 3):
+                    out[yy, xx] = (
+                        left[k] + 2 * left[k + 1] + left[k + 2] + 2
+                    ) >> 2
+                elif zhu == 5:
+                    out[yy, xx] = (left[2] + 3 * left[3] + 2) >> 2
+                else:
+                    out[yy, xx] = left[3]
+        return out
+    raise ValueError(f"invalid Intra_4x4 prediction mode {mode}")
+
+
+def _i4_pred_mode(mode4x4, cx: int, cy: int):
+    """predIntra4x4PredMode (§8.3.1.1): min of the left and top
+    neighbour 4x4 blocks' modes; a neighbour whose macroblock is
+    outside the picture, or is not I_4x4-coded (stored -1), counts
+    as 2 (DC)."""
+    if cx == 0 or cy == 0:
+        # a picture-edge block has an unavailable neighbour MB in at
+        # least one direction -> dcPredModePredictedFlag -> DC
+        return 2
+    a = mode4x4[cy, cx - 1]
+    b = mode4x4[cy - 1, cx]
+    return int(min(2 if a < 0 else a, 2 if b < 0 else b))
+
+
 def _decode_mb_loop(r: _BitReader, wmb: int, hmb: int, slice_qp: int):
     """General per-macroblock reconstruction: I_PCM pastes raw
     samples; residual-DC-only I_16x16 macroblocks (mb_type 1..4 with
@@ -1049,6 +1258,11 @@ def _decode_mb_loop(r: _BitReader, wmb: int, hmb: int, slice_qp: int):
     y = np.zeros((hmb * 16, wmb * 16), dtype=np.uint8)
     cb = np.zeros((hmb * 8, wmb * 8), dtype=np.uint8)
     cr = np.zeros((hmb * 8, wmb * 8), dtype=np.uint8)
+    # decode-order availability at 4x4 granularity (sample prediction)
+    # and per-4x4-block intra modes (-1 = MB not I_4x4; mode
+    # prediction treats those as DC per §8.3.1.1)
+    dec = np.zeros((hmb * 4, wmb * 4), dtype=bool)
+    mode4x4 = np.full((hmb * 4, wmb * 4), -1, dtype=np.int64)
     qp = slice_qp
     for mb in range(wmb * hmb):
         mby, mbx = divmod(mb, wmb)
@@ -1065,12 +1279,48 @@ def _decode_mb_loop(r: _BitReader, wmb: int, hmb: int, slice_qp: int):
             cr[mby * 8 : mby * 8 + 8, mbx * 8 : mbx * 8 + 8] = raw[
                 320:
             ].reshape(8, 8)
+            dec[mby * 4 : mby * 4 + 4, mbx * 4 : mbx * 4 + 4] = True
             continue
-        if mb_type == 0:
-            raise NotImplementedError(
-                "I_4x4 macroblocks need per-block intra modes and the "
-                "AC residual decoder"
-            )
+        if mb_type == 0:  # I_4x4 (I_NxN; transform_8x8 absent in PPS)
+            modes = []
+            for idx in range(16):
+                bx, by = _I4_SCAN[idx]
+                cx, cy = mbx * 4 + bx, mby * 4 + by
+                pm = _i4_pred_mode(mode4x4, cx, cy)
+                if r.u(1):  # prev_intra4x4_pred_mode_flag
+                    mode = pm
+                else:
+                    rem = r.u(3)
+                    mode = rem if rem < pm else rem + 1
+                mode4x4[cy, cx] = mode
+                modes.append(mode)
+            chroma_mode = r.ue()
+            if chroma_mode > 3:
+                raise ValueError(
+                    f"invalid intra_chroma_pred_mode {chroma_mode}"
+                )
+            if r.ue() != _CBP_INTRA_ZERO_CODENUM:  # coded_block_pattern
+                raise NotImplementedError(
+                    "I_4x4 coded_block_pattern != 0 needs the AC "
+                    "residual decoder (Table 9-4 intra mapping beyond "
+                    "the cbp-0 codeword)"
+                )
+            # cbp 0: no mb_qp_delta, no residual — pure prediction
+            for idx in range(16):
+                bx, by = _I4_SCAN[idx]
+                px, py = mbx * 16 + bx * 4, mby * 16 + by * 4
+                blk = _i4_pred(y, px, py, modes[idx], dec)
+                y[py : py + 4, px : px + 4] = np.clip(blk, 0, 255).astype(
+                    np.uint8
+                )
+                dec[mby * 4 + by, mbx * 4 + bx] = True
+            for plane in (cb, cr):
+                plane[mby * 8 : mby * 8 + 8, mbx * 8 : mbx * 8 + 8] = (
+                    _chroma_mb_pred(plane, mbx, mby, chroma_mode).astype(
+                        np.uint8
+                    )
+                )
+            continue
         if not 1 <= mb_type <= 24:
             raise ValueError(f"invalid I-slice mb_type {mb_type}")
         m1 = mb_type - 1
@@ -1094,6 +1344,7 @@ def _decode_mb_loop(r: _BitReader, wmb: int, hmb: int, slice_qp: int):
         y[mby * 16 : mby * 16 + 16, mbx * 16 : mbx * 16 + 16] = np.clip(
             pred + resid, 0, 255
         ).astype(np.uint8)
+        dec[mby * 4 : mby * 4 + 4, mbx * 4 : mbx * 4 + 4] = True
         for plane in (cb, cr):
             plane[mby * 8 : mby * 8 + 8, mbx * 8 : mbx * 8 + 8] = (
                 _chroma_mb_pred(plane, mbx, mby, chroma_mode).astype(np.uint8)
