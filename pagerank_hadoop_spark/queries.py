@@ -13723,3 +13723,121 @@ def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(crossing)
         .orderBy("split")
     )
+
+
+def _mp4_i4x4_fixture(spark: SparkSession, n: int = 180) -> DataFrame:
+    """Driver-built MP4s for the I_4x4 pure-prediction subset
+    (cbp 0): 2x2-macroblock frames, nf = 1 + key%2. MB(0,0) is I_PCM
+    with LINEAR planes (y = a+3c+5r, cb = b0+2c+3r, cr = c0+c+r —
+    coefficients bounded so nothing wraps mod 256, keeping the
+    closed form exactly linear); MB(1,0) is I_4x4 all-Horizontal
+    (rows chain off the PCM right column — per-block left neighbours
+    are EARLIER 4x4 blocks of the same macroblock, so the §6.4.3
+    decode order is load-bearing); MB(0,1) all-Vertical off the PCM
+    bottom row; MB(1,1) cycles a per-key/per-block pattern over ALL
+    NINE §8.3.1.2 modes (modes[idx] = (key+idx+f) % 9) — its top
+    row, left column and corner are the constant a+120 by
+    construction, so every mode reconstructs that constant and the
+    oracle stays closed-form while the full mode-signaling
+    (prev/rem) and availability machinery runs under the driver
+    gate. Per-mode VALUE correctness over varied neighbours is
+    pinned by the randomized gather-reference gate in
+    tests/test_h264.py (and by the H/V macroblocks here, whose
+    neighbours ARE varied)."""
+    from pagerank_hadoop_spark.operators.h264 import (
+        h264_encode_islice,
+        mp4_mux_avc,
+    )
+
+    rows = []
+    for key in range(n):
+        nf = 1 + key % 2
+        nals = []
+        for f in range(nf):
+            a = 20 + (key + 31 * f) % 60
+            b0 = 10 + (key * 2 + 7 * f) % 50
+            c0 = 5 + (key * 3 + 11 * f) % 40
+            y16 = bytes(
+                a + 3 * c + 5 * r for r in range(16) for c in range(16)
+            )
+            cb8 = bytes(b0 + 2 * c + 3 * r for r in range(8) for c in range(8))
+            cr8 = bytes(c0 + c + r for r in range(8) for c in range(8))
+            mbs = [
+                ("pcm", (y16, cb8, cr8)),
+                ("i4", 1, 1),  # all-Horizontal luma, H chroma
+                ("i4", 0, 2),  # all-Vertical luma, V chroma
+                ("i4", [(key + idx + f) % 9 for idx in range(16)], key % 4),
+            ]
+            nals.append(h264_encode_islice(mbs, 2, qp=28, idr_pic_id=f % 16))
+        rows.append(
+            (
+                key,
+                bytearray(
+                    mp4_mux_avc(nals, dims=(32, 32), n_chunks=1 + key % 2)
+                ),
+            )
+        )
+    return spark.createDataFrame(rows, "media_id long, payload binary")
+
+
+@register(
+    "media_mp4_i4x4",
+    """
+    WITH f AS (SELECT range AS key, 1 + range % 2 AS nf FROM range(0, 180)),
+    fr AS (SELECT key, unnest(range(0, nf)) AS fi FROM f),
+    p AS (SELECT key, fi,
+            20 + (key + 31 * fi) % 60 AS a,
+            10 + (key * 2 + 7 * fi) % 50 AS b0,
+            5 + (key * 3 + 11 * fi) % 40 AS c0
+          FROM fr),
+    q AS (SELECT key, fi, a, b0, c0,
+            -- quadrant sums: PCM linear, H rows = a+45+5r,
+            -- V cols = a+75+3c, fourth MB constant a+120
+            256 * a + 15360 AS pcm_y,
+            16 * CAST(list_sum(list_transform(range(0, 16),
+              r -> a + 45 + 5 * r)) AS BIGINT) AS h_y,
+            16 * CAST(list_sum(list_transform(range(0, 16),
+              c -> a + 75 + 3 * c)) AS BIGINT) AS v_y,
+            256 * (a + 120) AS q_y,
+            list_transform(range(0, 1024), i ->
+              CASE WHEN i // 32 < 16 AND i % 32 < 16
+                     THEN a + 3 * (i % 32) + 5 * (i // 32)
+                   WHEN i // 32 < 16 THEN a + 45 + 5 * (i // 32)
+                   WHEN i % 32 < 16 THEN a + 75 + 3 * (i % 32)
+                   ELSE a + 120 END) AS yl
+          FROM p)
+    SELECT CAST(key AS BIGINT) AS media_id,
+           CAST(fi AS BIGINT) AS frame_idx,
+           CAST(32 AS INTEGER) AS width, CAST(32 AS INTEGER) AS height,
+           CAST(pcm_y + h_y + v_y + q_y AS BIGINT) AS y_sum,
+           CAST(64 * b0 + 1120
+                + 64 * b0 + 1568
+                + 64 * b0 + 1792
+                + 64 * (b0 + 35) AS BIGINT) AS cb_sum,
+           CAST(64 * c0 + 448
+                + 64 * c0 + 672
+                + 64 * c0 + 672
+                + 64 * (c0 + 14) AS BIGINT) AS cr_sum,
+           md5(array_to_string(yl, ',')) AS y_md5
+    FROM q ORDER BY media_id, frame_idx
+    """,
+)
+def q_media_mp4_i4x4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5 [r10]: I_4x4 macroblock decode (mb_type 0, cbp 0) through
+    the driver gate — all nine §8.3.1.2 prediction modes, the
+    predIntra4x4PredMode prev/rem signaling, the §6.4.3 4x4 decode
+    order (Horizontal blocks chain across earlier same-macroblock
+    blocks), and the Table 9-4 intra cbp-0 codeword. The oracle is
+    fully closed-form because the fixture's PCM planes are LINEAR
+    (no mod-256 wrap): the Horizontal macroblock reconstructs
+    row-constants a+45+5r, the Vertical one column-constants
+    a+75+3c, and the all-nine-modes macroblock the constant a+120;
+    every decoded luma byte is md5-pinned. Same Arrow-batched
+    mapInPandas kernel as the other MP4 gates."""
+    from pagerank_hadoop_spark.operators.h264 import mp4_frame_stats
+    from pagerank_hadoop_spark.operators.multimodal import attach_media
+
+    media = attach_media(
+        _mp4_i4x4_fixture(spark), F.col("payload"), media_type="video/mp4"
+    )
+    return mp4_frame_stats(media).orderBy("media_id", "frame_idx")
