@@ -162,16 +162,26 @@ def main() -> None:
         for cname in ("wiki_pagerank", "pagerank_topk"):
             if cname not in qs:
                 continue
-            post = []
-            for _ in range(3):
-                t0 = time.time()
-                qs[cname](spark, SF_DIR).count()
-                post.append(round(time.time() - t0, 3))
-            canaries[cname] = {
-                "pass_samples": [p[cname] for p in runs if cname in p],
-                "post_samples": post,
-                "min": min(post + [p[cname] for p in runs if cname in p]),
-            }
+            # A canary failure (e.g. a fixture regression) must not
+            # lose the already-collected sweep timings — record the
+            # error and keep writing BENCH_FULL.json.
+            try:
+                post = []
+                for _ in range(3):
+                    t0 = time.time()
+                    qs[cname](spark, SF_DIR).count()
+                    post.append(round(time.time() - t0, 3))
+                canaries[cname] = {
+                    "pass_samples": [
+                        p[cname] for p in runs if cname in p
+                    ],
+                    "post_samples": post,
+                    "min": min(
+                        post + [p[cname] for p in runs if cname in p]
+                    ),
+                }
+            except Exception as exc:  # pragma: no cover - defensive
+                canaries[cname] = {"err": f"{type(exc).__name__}: {exc}"}
         variance = None
         if len(runs) >= 2:
             ratios = sorted(

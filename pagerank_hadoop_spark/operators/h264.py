@@ -50,7 +50,9 @@ encoder/decoder-self-consistent yet unverifiable, the exact failure
 mode the oracle discipline exists to prevent), CABAC slices, inter
 (P/B) slices, FMO — each raises a typed NotImplementedError naming
 the missing decoder stage, the same strict-mode contract as
-multimodal.decode_media.
+multimodal.decode_media. (Re-probed round 11, 2026-08-16: still no
+spec text, conformance vectors, or reference decoder anywhere in the
+container — boundary unchanged.)
 
 The fixture twins (`h264_encode_ipcm`, `mp4_mux_avc`) are INDEPENDENT
 spec-only writers (shared knowledge = the published bitstream syntax,
@@ -1282,6 +1284,14 @@ def _decode_mb_loop(r: _BitReader, wmb: int, hmb: int, slice_qp: int):
             dec[mby * 4 : mby * 4 + 4, mbx * 4 : mbx * 4 + 4] = True
             continue
         if mb_type == 0:  # I_4x4 (I_NxN; transform_8x8 absent in PPS)
+            # Parse-then-reconstruct split: all 16 prev/rem mode
+            # elements, the chroma mode, and cbp are read BEFORE any
+            # 4x4 prediction runs. That ordering is only safe while
+            # cbp == 0 (parsing never depends on reconstructed
+            # samples); extending this branch to residual decoding
+            # requires interleaving per-block reconstruction with the
+            # residual parse, since CAVLC nC context depends on
+            # neighbouring blocks' total_coeff.
             modes = []
             for idx in range(16):
                 bx, by = _I4_SCAN[idx]
@@ -1299,7 +1309,16 @@ def _decode_mb_loop(r: _BitReader, wmb: int, hmb: int, slice_qp: int):
                 raise ValueError(
                     f"invalid intra_chroma_pred_mode {chroma_mode}"
                 )
-            if r.ue() != _CBP_INTRA_ZERO_CODENUM:  # coded_block_pattern
+            cbp_codenum = r.ue()  # coded_block_pattern
+            if cbp_codenum > 47:
+                # Table 9-4 has 48 intra entries (codeNum 0..47);
+                # beyond that the bitstream is malformed, not an
+                # unimplemented capability.
+                raise ValueError(
+                    f"invalid intra coded_block_pattern codeNum "
+                    f"{cbp_codenum} (Table 9-4 defines 0..47)"
+                )
+            if cbp_codenum != _CBP_INTRA_ZERO_CODENUM:
                 raise NotImplementedError(
                     "I_4x4 coded_block_pattern != 0 needs the AC "
                     "residual decoder (Table 9-4 intra mapping beyond "

@@ -44,14 +44,19 @@ real and tested. Codec status:
   restart intervals) raise typed errors.
 * MP4/video: the CONTAINER layer is real as of round 5
   (:func:`parse_mp4_meta` — ISO-BMFF box walk, mvhd duration, trak
-  count, tkhd dims, ``media_mp4_meta`` oracle-checked); the video
-  SAMPLE DECODE is the one remaining stub — a codec stack genuinely
-  needs libraries this container lacks: ``decode_media`` with
-  ``strict=True`` raises ``NotImplementedError`` for payloads that
-  are not BMP/WAV (the production path would call the codec); with
-  ``strict=False`` unrecognized payloads get a deterministic fake
-  decode (dimensions derived from a hash of the payload) so the
-  pipeline shape stays exercisable end-to-end.
+  count, tkhd dims, ``media_mp4_meta`` oracle-checked), and as of
+  rounds 9-10 the SAMPLE DECODE is real too for four H.264 intra
+  subsets (see :mod:`pagerank_hadoop_spark.operators.h264`):
+  I_PCM, CAVLC DC-only I_16x16, all Intra16x16 + chroma prediction
+  modes, and all nine I_4x4 cbp-0 prediction modes — each md5-pinned
+  over every decoded luma byte. The remaining honest refusals are
+  the full CAVLC residual table (Table 9-5 — no validatable source
+  in this container; rationale in ``h264.py``'s module docstring),
+  CABAC, and inter slices, each a typed ``NotImplementedError``.
+  ``decode_media`` with ``strict=True`` raises for payloads outside
+  the decodable set; with ``strict=False`` unrecognized payloads get
+  a deterministic fake decode (dimensions derived from a hash of the
+  payload) so the pipeline shape stays exercisable end-to-end.
 """
 
 from __future__ import annotations
