@@ -13841,3 +13841,167 @@ def q_media_mp4_i4x4(spark: SparkSession, sf_dir: str) -> DataFrame:
         _mp4_i4x4_fixture(spark), F.col("payload"), media_type="video/mp4"
     )
     return mp4_frame_stats(media).orderBy("media_id", "frame_idx")
+
+
+@register(
+    "dedup_aware_mixture",
+    r"""
+    WITH RECURSIVE corpus AS (
+      SELECT doc_id, text, source FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, text || ' near dup tail', source
+      FROM documents WHERE doc_id % 3 = 0),
+    gr AS MATERIALIZED (
+      SELECT doc_id, list_distinct(list_transform(list_transform(
+        generate_series(1, greatest(length(lower(text)) - 4, 1)),
+        i -> substr(lower(text), i, 5)), s -> hash(s))) AS grams
+      FROM corpus),
+    e AS MATERIALIZED (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM gr a JOIN gr b ON a.doc_id < b.doc_id
+      WHERE len(a.grams) * 1.0 / len(b.grams) BETWEEN 0.8 AND 1.25
+        AND len(list_intersect(a.grams, b.grams)) * 1.0
+            / len(list_distinct(list_concat(a.grams, b.grams))) >= 0.8),
+    sym(src, dst) AS (SELECT id_a, id_b FROM e UNION SELECT id_b, id_a FROM e),
+    reach(id, r) AS (
+      SELECT doc_id, doc_id FROM corpus
+      UNION
+      SELECT s.dst, reach.r FROM reach JOIN sym s ON s.src = reach.id),
+    rp AS (SELECT id AS doc_id, MIN(r) AS rep FROM reach GROUP BY id),
+    mem AS MATERIALIZED (
+      SELECT c.doc_id, c.source, length(c.text) AS chars, rp.rep
+      FROM corpus c JOIN rp USING (doc_id)),
+    cl AS MATERIALIZED (
+      SELECT rep, source, chars FROM mem WHERE doc_id = rep),
+    mass AS (SELECT source, SUM(chars) AS m FROM cl GROUP BY source),
+    tot AS (SELECT SUM(m) AS total, COUNT(*) AS k FROM mass),
+    frac AS (SELECT source, LEAST(1.0, 0.5 * total / k / m) AS f
+             FROM mass CROSS JOIN tot),
+    keepc AS MATERIALIZED (
+      SELECT cl.rep, cl.source, cl.chars FROM cl JOIN frac USING (source)
+      WHERE ('0x' || substr(md5('mixdd' || CAST(rep AS VARCHAR)), 1, 6))::BIGINT
+            < CAST(FLOOR(f * 16777216.0) AS BIGINT)),
+    flags AS (SELECT doc_id,
+                     rep IN (SELECT rep FROM keepc) AS kept FROM mem),
+    sp AS (SELECT CAST(COALESCE(SUM(
+             CASE WHEN fa.kept <> fb.kept THEN 1 ELSE 0 END), 0) AS BIGINT)
+             AS split_pairs
+           FROM e JOIN flags fa ON e.id_a = fa.doc_id
+                  JOIN flags fb ON e.id_b = fb.doc_id)
+    SELECT m.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT m.rep) AS BIGINT) AS n_clusters,
+           CAST(SUM(CASE WHEN m.doc_id = m.rep THEN m.chars ELSE 0 END)
+                AS BIGINT) AS budget_chars,
+           CAST(SUM(m.chars) AS BIGINT) AS raw_chars,
+           (SELECT split_pairs FROM sp) AS split_pairs
+    FROM mem m JOIN keepc k ON m.rep = k.rep
+    GROUP BY m.source ORDER BY m.source
+    """,
+)
+def q_dedup_aware_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2/E9 x curation [r11]: DUP-CLUSTER-AWARE dataset mixing — the
+    near-dup analogue of `leakage_safe_split`, closing the loop the
+    r10 verdict suggested: a plain per-document mixture rebalance
+    double-counts near-duplicate mass (a source that shipped the same
+    article 40 times looks 40x heavier than its real content) and can
+    keep one copy while dropping another, silently re-admitting the
+    dup mass the dedup stage paid to find. Here the BUDGET UNIT IS
+    THE DUP CLUSTER: confirmed near-dup pairs (banded MinHash-LSH ->
+    exact Jaccard >= 0.8, the memoized `minhash_dedup_survivors`
+    artifact) -> connected components -> one row per cluster weighted
+    by its REPRESENTATIVE's char count (the post-dedup mass), run
+    through operators.sampling.mixture_rebalance (equal-share
+    half-total budget, content-addressed md5 Bernoulli on the
+    representative id), then membership fans the keep decision back
+    to every member — a cluster is kept or dropped ATOMICALLY.
+    `split_pairs` certifies atomicity: the count of confirmed pairs
+    whose members got different keep decisions, 0 on both engines,
+    each deriving it from its own independently computed pair set.
+    `budget_chars` (what the budget counted: representatives only)
+    vs `raw_chars` (all kept members) exposes the double-count this
+    query removes.
+
+    Scale posture: identical to `leakage_safe_split` — the pair set
+    is banded-LSH-shaped (the oracle's all-pairs join is DuckDB-only
+    ground truth), components shuffle (id, label) pairs, the cluster
+    table is corpus-sized-or-smaller, mixture_rebalance broadcasts a
+    per-source fraction table so the member fan-back is one
+    broadcast-range semi-join, and the keep rule is a stateless hash
+    — reproducible across retries, partitionings, and engines."""
+    from pagerank_hadoop_spark.operators.graph import connected_components
+    from pagerank_hadoop_spark.operators.sampling import mixture_rebalance
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.length("text").alias("chars")
+    )
+    dups = docs.where(F.col("doc_id") % 3 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        "source",
+        (F.col("chars") + F.length(F.lit(" near dup tail"))).alias("chars"),
+    )
+    members = docs.unionByName(dups)
+    pairs = _confirmed_pairs_cached(spark, sf_dir).select("id_a", "id_b")
+    cc = connected_components(
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    )
+    assigned = (
+        members.join(
+            cc.select(F.col("id").alias("doc_id"), "component"),
+            "doc_id",
+            "left",
+        )
+        .select(
+            "doc_id",
+            "source",
+            "chars",
+            F.coalesce("component", F.col("doc_id")).alias("rep"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    clusters = assigned.where(F.col("doc_id") == F.col("rep")).select(
+        "rep", "source", "chars"
+    )
+    kept = mixture_rebalance(
+        clusters, "rep", "source", "chars", 0.5, salt="mixdd"
+    ).localCheckpoint(eager=False)
+    flags = assigned.select("doc_id", "rep").join(
+        kept.select("rep", F.lit(True).alias("kept")), "rep", "left"
+    ).select("doc_id", F.coalesce("kept", F.lit(False)).alias("kept"))
+    split = (
+        pairs.join(
+            flags.select(
+                F.col("doc_id").alias("id_a"), F.col("kept").alias("ka")
+            ),
+            "id_a",
+        )
+        .join(
+            flags.select(
+                F.col("doc_id").alias("id_b"), F.col("kept").alias("kb")
+            ),
+            "id_b",
+        )
+        .agg(
+            F.coalesce(
+                F.sum((F.col("ka") != F.col("kb")).cast("long")), F.lit(0)
+            ).alias("split_pairs")
+        )
+    )
+    return (
+        assigned.join(kept.select("rep"), "rep", "left_semi")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.countDistinct("rep").cast("long").alias("n_clusters"),
+            F.sum(
+                F.when(
+                    F.col("doc_id") == F.col("rep"), F.col("chars")
+                ).otherwise(F.lit(0))
+            )
+            .cast("long")
+            .alias("budget_chars"),
+            F.sum("chars").cast("long").alias("raw_chars"),
+        )
+        .crossJoin(split)
+        .orderBy("source")
+    )

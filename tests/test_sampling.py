@@ -136,3 +136,26 @@ def test_weighted_sample_prefers_heavy_weights(spark):
         [(1, 0.0), (2, -3.0), (3, 5.0)], "id long, w double"
     )
     assert [r.id for r in weighted_sample(df2, "w", 5, "id").collect()] == [3]
+
+
+def test_dedup_aware_mixture_atomic_and_budget(spark, sf_dir):
+    """The r11 cluster-aware mixture query: every confirmed near-dup
+    pair is kept or dropped atomically (split_pairs == 0), the budget
+    counts representatives only (budget_chars <= raw_chars, strictly
+    less wherever a kept cluster has a planted dup member), and every
+    cluster id appearing in the output is a representative of itself."""
+    from pagerank_hadoop_spark.queries import q_dedup_aware_mixture
+
+    rows = q_dedup_aware_mixture(spark, sf_dir).collect()
+    assert rows, "expected at least one source"
+    assert all(r["split_pairs"] == 0 for r in rows)
+    assert all(r["n_clusters"] <= r["n_docs"] for r in rows)
+    assert all(r["budget_chars"] <= r["raw_chars"] for r in rows)
+    # planted dups exist in every sf fixture, so at least one kept
+    # cluster somewhere has >1 member and the double-count shows up
+    assert sum(r["n_docs"] for r in rows) > sum(
+        r["n_clusters"] for r in rows
+    )
+    assert sum(r["raw_chars"] for r in rows) > sum(
+        r["budget_chars"] for r in rows
+    )
