@@ -1,0 +1,185 @@
+"""FLAC constant/verbatim-subset codec (operators.flac).
+
+Round-trip gates run the independent encoder twin against the
+decoder; refusal gates pin the typed honest-boundary errors; the
+corruption gates prove the CRC/MD5 checks actually fire (both CRCs
+are implemented twice — bitwise encoder-side, table decoder-side —
+so these tests also cross-validate the two implementations)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from pagerank_hadoop_spark.operators.flac import (
+    _crc8_bitwise,
+    _crc16_bitwise,
+    _utf8_like_encode,
+    crc8,
+    crc16,
+    flac_decode,
+    flac_encode,
+)
+
+
+def _ramp(n, ch, scale=37, off=0):
+    i = np.arange(n * ch).reshape(n, ch)
+    return (i * scale + off) % 65536 - 32768
+
+
+def test_crc_impls_agree():
+    for data in (b"", b"\x00", b"123456789", bytes(range(256))):
+        assert crc8(data) == _crc8_bitwise(data)
+        assert crc16(data) == _crc16_bitwise(data)
+
+
+def test_crc_check_values():
+    # published check values for these generators over b"123456789":
+    # CRC-8/ATM (poly 0x07, init 0) = 0xF4; CRC-16/BUYPASS (poly
+    # 0x8005, init 0, unreflected) = 0xFEE8
+    assert crc8(b"123456789") == 0xF4
+    assert crc16(b"123456789") == 0xFEE8
+
+
+def test_roundtrip_mono_verbatim():
+    x = _ramp(100, 1)
+    d = flac_decode(flac_encode(x, 8000, 16, block_size=32))
+    assert d["sample_rate"] == 8000
+    assert d["channels"] == 1
+    assert d["bits_per_sample"] == 16
+    assert d["n_frames"] == 4
+    assert (d["samples"] == x).all()
+
+
+def test_roundtrip_constant_blocks_and_partial_tail():
+    x = np.full((70, 2), -1234, dtype=np.int64)
+    x[32:64, 0] = _ramp(32, 1).ravel()  # one verbatim block, ch 0
+    enc = flac_encode(x, 44100, 16, block_size=32)
+    d = flac_decode(enc)
+    assert d["n_frames"] == 3  # 32 + 32 + 6 (partial last)
+    assert d["total_samples"] == 70
+    assert (d["samples"] == x).all()
+    # constant subframes make this dramatically smaller than verbatim
+    assert len(enc) < len(flac_encode(x, 44100, 16, block_size=32,
+                                      force_verbatim=True))
+
+
+def test_roundtrip_wasted_bits():
+    x = (_ramp(50, 2) // 8) * 8  # divisible by 2^3
+    d = flac_decode(flac_encode(x, 16000, 16, block_size=16, wasted_bits=3))
+    assert (d["samples"] == x).all()
+
+
+def test_roundtrip_24_bit_and_16bit_blocksize_field():
+    x = (np.arange(600).reshape(-1, 1) * 10007 - 3000000).astype(np.int64)
+    d = flac_decode(flac_encode(x, 96000, 24, block_size=512))
+    assert d["bits_per_sample"] == 24
+    assert (d["samples"] == x).all()
+
+
+def test_roundtrip_multibyte_frame_number():
+    # >127 frames forces the 2-byte UTF-8-style coded number
+    x = _ramp(16 * 130, 1)
+    d = flac_decode(flac_encode(x, 8000, 16, block_size=16))
+    assert d["n_frames"] == 130
+    assert (d["samples"] == x).all()
+
+
+def test_utf8_like_spot_values():
+    assert _utf8_like_encode(0) == b"\x00"
+    assert _utf8_like_encode(127) == b"\x7f"
+    # 128 = UTF-8 two-byte 0xC2 0x80; 0x7FF = 0xDF 0xBF (same scheme)
+    assert _utf8_like_encode(128) == b"\xc2\x80"
+    assert _utf8_like_encode(0x7FF) == b"\xdf\xbf"
+    assert _utf8_like_encode(0x800) == b"\xe0\xa0\x80"
+
+
+def test_corruption_detected():
+    x = _ramp(64, 1)
+    enc = bytearray(flac_encode(x, 8000, 16, block_size=32))
+    # flip one sample bit in the last frame body -> CRC-16 fires
+    bad = bytearray(enc)
+    bad[-5] ^= 0x10
+    with pytest.raises(ValueError, match="CRC-16|CRC-8|MD5|sync"):
+        flac_decode(bytes(bad))
+    # flip a bit in STREAMINFO md5 -> decoded-audio MD5 check fires
+    bad2 = bytearray(enc)
+    bad2[30] ^= 0x01  # inside the 16-byte md5 field (bytes 26..41)
+    with pytest.raises(ValueError, match="MD5"):
+        flac_decode(bytes(bad2))
+
+
+def test_typed_refusals():
+    x = _ramp(32, 1)
+    enc = flac_encode(x, 8000, 16, block_size=32)
+    # find the first frame: it starts right after the metadata block
+    fstart = 4 + 4 + 34
+    assert enc[fstart] == 0xFF and enc[fstart + 1] & 0xFC == 0xF8
+    # subframe header is the byte after the 5-byte fixed header +
+    # 1-byte frame number + 1-byte blocksize-1 + 1-byte CRC-8; rewrite
+    # it to a FIXED order-2 subframe (type bits 0b001010 -> byte 0x14)
+    # and fix up the header CRC (unchanged) — decoder must refuse with
+    # NotImplementedError naming the Rice residuals, not crash
+    sub = fstart + 4 + 1 + 1 + 1
+    bad = bytearray(enc)
+    bad[sub] = 0b00010100
+    with pytest.raises(NotImplementedError, match="Rice"):
+        flac_decode(bytes(bad))
+    bad[sub] = 0b01000000  # LPC order 1 (type 32): 0 pad + 100000 + 0
+    with pytest.raises(NotImplementedError, match="Rice"):
+        flac_decode(bytes(bad))
+    bad[sub] = 0b00000100  # reserved type 2
+    with pytest.raises(ValueError, match="reserved subframe"):
+        flac_decode(bytes(bad))
+    # stereo decorrelation channel assignment (left/side = 8)
+    st = flac_encode(_ramp(32, 2), 8000, 16, block_size=32)
+    bad2 = bytearray(st)
+    hdr = bytearray(bad2[fstart : fstart + 4])
+    hdr[3] = (8 << 4) | (hdr[3] & 0x0F)
+    bad2[fstart : fstart + 4] = hdr
+    bad2[fstart + 6] = _crc8_bitwise(bytes(bad2[fstart : fstart + 6]))
+    with pytest.raises(NotImplementedError, match="decorrelation"):
+        flac_decode(bytes(bad2))
+
+
+def test_not_flac_rejected():
+    with pytest.raises(ValueError, match="fLaC"):
+        flac_decode(b"RIFF" + b"\x00" * 100)
+
+
+def test_encoder_validates_inputs():
+    with pytest.raises(ValueError, match="range 16"):
+        flac_encode(_ramp(10, 1), 8000, 16, block_size=4)
+    with pytest.raises(ValueError, match="divisible"):
+        flac_encode(_ramp(10, 1) | 1, 8000, 16, block_size=16,
+                    wasted_bits=1)
+    with pytest.raises(ValueError, match="exceed"):
+        flac_encode(np.array([[40000]]), 8000, 16, block_size=16)
+
+
+def test_flac_sample_stats_kernel(spark):
+    from pagerank_hadoop_spark.operators.flac import flac_sample_stats
+    from pagerank_hadoop_spark.operators.multimodal import attach_media
+
+    xs = {k: _ramp(40 + k, 1 + k % 2, off=11 * k) for k in range(6)}
+    df = spark.createDataFrame(
+        [
+            (k, bytearray(flac_encode(x, 8000, 16, block_size=16)))
+            for k, x in xs.items()
+        ],
+        "media_id long, payload binary",
+    )
+    rows = {
+        r["media_id"]: r
+        for r in flac_sample_stats(
+            attach_media(df, __import__("pyspark.sql.functions",
+                                        fromlist=["col"]).col("payload"),
+                         media_type="audio/flac")
+        ).collect()
+    }
+    for k, x in xs.items():
+        flat = x.reshape(-1)
+        assert rows[k]["n_samples"] == x.shape[0]
+        assert rows[k]["channels"] == x.shape[1]
+        assert rows[k]["energy"] == int((flat * flat).sum())
+        assert rows[k]["peak"] == int(np.abs(flat).max())
