@@ -23,24 +23,35 @@ driver gate plus round-trip unit tests):
   channel assignments, the UTF-8-style coded frame number, CRC-8
   (poly 0x07) over the header and CRC-16 (poly 0x8005) over the
   whole frame — both verified on every frame;
-* subframe layer — CONSTANT (one value fills the block) and VERBATIM
-  (unencoded samples) subframes, signed two's-complement at any
-  bits-per-sample 4..32, including the wasted-bits-per-sample
-  mechanism (unary count + left-shift on output).
+* subframe layer — CONSTANT (one value fills the block), VERBATIM
+  (unencoded samples), and FIXED subframes (orders 0..4: warm-up
+  samples + Rice-coded residuals — both RICE/RICE2 parameter widths,
+  multi-partition residual layout, and the raw-bits escape), signed
+  two's-complement at any bits-per-sample 4..32, including the
+  wasted-bits-per-sample mechanism (unary count + left-shift on
+  output). Rice coding is decoded here while CAVLC Table 9-5 is
+  refused in ``h264.py`` because the two differ in KIND: Rice is a
+  two-line closed formula (unary quotient, k-bit remainder, zigzag
+  fold) validated by round-trip against the independent twin plus
+  the same md5-pinned oracle discipline as the §8.3.1.2 intra-mode
+  formulas, whereas Table 9-5 is 62x4 arbitrary codewords that no
+  in-container source can confirm.
 
 What is honestly refused, each with a typed error naming the stage:
 
-* ``NotImplementedError`` — FIXED (types 8..12) and LPC (32..63)
-  subframes: their residuals are Rice-coded, i.e. the entropy-coded
-  path; stereo decorrelation (channel assignments 8..10, left/side,
-  right/side, mid/side); block-size codes 1..5 and 8..15 and
+* ``NotImplementedError`` — LPC subframes (types 32..63: the
+  quantized-coefficient predictor path, unvalidated here); stereo
+  decorrelation (channel assignments 8..10, left/side, right/side,
+  mid/side); block-size codes 1..5 and 8..15 and
   sample-rate/sample-size table codes (compile-time lookup tables
   this container has no authoritative source to validate against —
   the encoder twin only ever emits the explicit/deferring codes, so
   nothing decodable refuses);
 * ``ValueError`` — malformed streams: bad marker/sync, reserved
-  bits set, reserved subframe types (2..7, 13..31), CRC-8/CRC-16
-  mismatch, STREAMINFO-MD5 mismatch, truncated payloads.
+  bits set, reserved subframe types (2..7, 13..31), reserved
+  residual coding methods (2..3), a partition order that does not
+  divide the block size, CRC-8/CRC-16 mismatch, STREAMINFO-MD5
+  mismatch, truncated payloads.
 
 The two CRCs are implemented TWICE on purpose — bitwise in the
 encoder, table-driven in the decoder — so a transcription slip in
@@ -268,6 +279,50 @@ def _audio_md5(samples: np.ndarray, bits_per_sample: int) -> bytes:
     return h.digest()
 
 
+# FIXED predictor: order-o residual is the o-th forward difference;
+# reconstruction coefficients per ISO-free public FLAC format docs
+_FIXED_COEF = {0: [], 1: [1], 2: [2, -1], 3: [3, -3, 1], 4: [4, -6, 4, -1]}
+
+
+def _zigzag(v: int) -> int:
+    return (v << 1) if v >= 0 else (((-v) << 1) - 1)
+
+
+def _unzigzag(u: int) -> int:
+    return -((u + 1) >> 1) if u & 1 else (u >> 1)
+
+
+def _rice_write(w: _BitWriter, residuals: list[int], escape: bool) -> None:
+    """One residual partition: pick the cheapest 4-bit Rice parameter
+    (or the raw-bits escape), write parameter + coded residuals."""
+    uz = [_zigzag(v) for v in residuals]
+    rawbits = max(
+        ((v if v >= 0 else -v - 1).bit_length() + 1 for v in residuals),
+        default=0,
+    ) if any(residuals) else 0
+    if escape or not uz:
+        best_p = None
+    else:
+        cost, best_p = min(
+            (sum(u >> p for u in uz) + len(uz) * (p + 1), p)
+            for p in range(15)
+        )
+        if 5 + rawbits * len(uz) < cost:
+            best_p = None
+    if best_p is None:
+        w.u(15, 4)  # escape code
+        w.u(rawbits, 5)
+        for v in residuals:
+            if rawbits:
+                w.s(v, rawbits)
+    else:
+        w.u(best_p, 4)
+        for u in uz:
+            w.u(1, (u >> best_p) + 1)  # unary quotient: q zeros then 1
+            if best_p:
+                w.u(u & ((1 << best_p) - 1), best_p)
+
+
 def flac_encode(
     samples: np.ndarray,
     sample_rate: int,
@@ -275,6 +330,9 @@ def flac_encode(
     block_size: int = 4096,
     wasted_bits: int = 0,
     force_verbatim: bool = False,
+    fixed_order: int | None = None,
+    partition_order: int = 0,
+    rice_escape: bool = False,
 ) -> bytes:
     """Independent spec-twin FLAC writer (constant/verbatim subset).
 
@@ -345,7 +403,31 @@ def flac_encode(
             const = bool(bs) and bool((ch == ch[0]).all())
             eff = bits_per_sample - wasted_bits
             w2.u(0, 1)  # subframe zero bit
-            if const and not force_verbatim:
+            if fixed_order is not None and not force_verbatim:
+                order = min(fixed_order, 4, bs - 1)
+                eff_vals = [int(v) >> wasted_bits for v in ch.tolist()]
+                w2.u(8 + order, 6)  # FIXED
+                if wasted_bits:
+                    w2.u(1, 1)
+                    w2.u(1, wasted_bits)
+                else:
+                    w2.u(0, 1)
+                for v in eff_vals[:order]:  # warm-up
+                    w2.s(v, eff)
+                res = eff_vals
+                for _ in range(order):
+                    res = [b - a for a, b in zip(res, res[1:])]
+                po = partition_order
+                while po and (bs % (1 << po) or (bs >> po) < order):
+                    po -= 1
+                w2.u(0, 2)  # residual coding method: RICE (4-bit)
+                w2.u(po, 4)
+                idx = 0
+                for part in range(1 << po):
+                    cnt = (bs >> po) - (order if part == 0 else 0)
+                    _rice_write(w2, res[idx : idx + cnt], rice_escape)
+                    idx += cnt
+            elif const and not force_verbatim:
                 w2.u(0, 6)  # CONSTANT
                 if wasted_bits:
                     w2.u(1, 1)
@@ -379,7 +461,7 @@ def flac_encode(
 
 
 def flac_decode(payload: bytes) -> dict:
-    """Decode a FLAC stream in the constant/verbatim subset.
+    """Decode a FLAC stream in the constant/verbatim/FIXED subset.
 
     Returns ``{"sample_rate", "channels", "bits_per_sample",
     "total_samples", "samples" (np.int64 (n, channels)), "n_frames"}``.
@@ -481,19 +563,13 @@ def flac_decode(payload: bytes) -> dict:
             if r.u(1):
                 raise ValueError("subframe padding bit set")
             stype = r.u(6)
-            if 8 <= stype <= 12:
-                raise NotImplementedError(
-                    f"FIXED subframe (order {stype - 8}) carries "
-                    "Rice-coded residuals — the entropy-coded path is "
-                    "out of the validated subset"
-                )
             if stype >= 32:
                 raise NotImplementedError(
-                    f"LPC subframe (order {stype - 31}) carries "
-                    "Rice-coded residuals — the entropy-coded path is "
+                    f"LPC subframe (order {stype - 31}) uses the "
+                    "quantized-coefficient predictor path, which is "
                     "out of the validated subset"
                 )
-            if stype not in (0, 1):
+            if stype not in (0, 1) and not 8 <= stype <= 12:
                 raise ValueError(f"reserved subframe type {stype}")
             wasted = 0
             if r.u(1):
@@ -503,8 +579,55 @@ def flac_decode(payload: bytes) -> dict:
                 raise ValueError(f"wasted bits {wasted} >= bps {bps}")
             if stype == 0:
                 chans[c].extend([r.s(eff) << wasted] * bs)
-            else:
+            elif stype == 1:
                 chans[c].extend(r.s(eff) << wasted for _ in range(bs))
+            else:  # FIXED, order 0..4
+                order = stype - 8
+                if bs < order:
+                    raise ValueError(
+                        f"block size {bs} < FIXED order {order}"
+                    )
+                x = [r.s(eff) for _ in range(order)]  # warm-up
+                method = r.u(2)
+                if method >= 2:
+                    raise ValueError(
+                        f"reserved residual coding method {method}"
+                    )
+                pbits = 4 if method == 0 else 5
+                esc = (1 << pbits) - 1
+                po = r.u(4)
+                if bs % (1 << po):
+                    raise ValueError(
+                        f"partition order {po} does not divide "
+                        f"block size {bs}"
+                    )
+                if (bs >> po) < order:
+                    raise ValueError(
+                        f"partition size {bs >> po} < FIXED order {order}"
+                    )
+                res: list[int] = []
+                for part in range(1 << po):
+                    cnt = (bs >> po) - (order if part == 0 else 0)
+                    p = r.u(pbits)
+                    if p == esc:
+                        rawbits = r.u(5)
+                        res.extend(
+                            (r.s(rawbits) if rawbits else 0)
+                            for _ in range(cnt)
+                        )
+                    else:
+                        for _ in range(cnt):
+                            q = r.unary()
+                            res.append(_unzigzag((q << p) | r.u(p)))
+                coef = _FIXED_COEF[order]
+                for rv in res:
+                    x.append(
+                        rv
+                        + sum(
+                            cf * x[-1 - j] for j, cf in enumerate(coef)
+                        )
+                    )
+                chans[c].extend(v << wasted for v in x)
         r.align()
         if not r.aligned:
             raise ValueError("frame not byte-aligned before CRC-16")

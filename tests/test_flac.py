@@ -117,16 +117,12 @@ def test_typed_refusals():
     assert enc[fstart] == 0xFF and enc[fstart + 1] & 0xFC == 0xF8
     # subframe header is the byte after the 5-byte fixed header +
     # 1-byte frame number + 1-byte blocksize-1 + 1-byte CRC-8; rewrite
-    # it to a FIXED order-2 subframe (type bits 0b001010 -> byte 0x14)
-    # and fix up the header CRC (unchanged) — decoder must refuse with
-    # NotImplementedError naming the Rice residuals, not crash
+    # it to an LPC subframe — decoder must refuse with a typed
+    # NotImplementedError naming the predictor path, not crash
     sub = fstart + 4 + 1 + 1 + 1
     bad = bytearray(enc)
-    bad[sub] = 0b00010100
-    with pytest.raises(NotImplementedError, match="Rice"):
-        flac_decode(bytes(bad))
     bad[sub] = 0b01000000  # LPC order 1 (type 32): 0 pad + 100000 + 0
-    with pytest.raises(NotImplementedError, match="Rice"):
+    with pytest.raises(NotImplementedError, match="quantized-coefficient"):
         flac_decode(bytes(bad))
     bad[sub] = 0b00000100  # reserved type 2
     with pytest.raises(ValueError, match="reserved subframe"):
@@ -183,3 +179,70 @@ def test_flac_sample_stats_kernel(spark):
         assert rows[k]["channels"] == x.shape[1]
         assert rows[k]["energy"] == int((flat * flat).sum())
         assert rows[k]["peak"] == int(np.abs(flat).max())
+
+
+def test_roundtrip_fixed_all_orders_partitions_escape():
+    rng = np.random.default_rng(7)
+    for order in range(5):
+        for po in (0, 1, 2):
+            for esc in (False, True):
+                n = 101  # 3 full 32-blocks + partial 5-sample tail
+                i = np.arange(n)
+                base = sum(
+                    ((order + 2 - d) * i**d) // (d + 1)
+                    for d in range(order + 1)
+                )
+                x = np.stack(
+                    [
+                        (base + rng.integers(-30, 30, n)) % 4000 - 2000,
+                        (base * 2 + rng.integers(-5, 5, n)) % 3000 - 1500,
+                    ],
+                    axis=1,
+                )
+                d = flac_decode(
+                    flac_encode(
+                        x, 8000, 16, block_size=32, fixed_order=order,
+                        partition_order=po, rice_escape=esc,
+                    )
+                )
+                assert (d["samples"] == x).all(), (order, po, esc)
+
+
+def test_fixed_compresses_ramps():
+    ramp = (np.arange(500) % 3000 - 1500).reshape(-1, 1)
+    e_fixed = flac_encode(ramp, 8000, 16, block_size=250, fixed_order=1)
+    e_verb = flac_encode(ramp, 8000, 16, block_size=250,
+                         force_verbatim=True)
+    assert len(e_fixed) < len(e_verb) / 3
+    assert (flac_decode(e_fixed)["samples"] == ramp).all()
+
+
+def test_fixed_with_wasted_bits_and_noise():
+    rng = np.random.default_rng(11)
+    x = rng.integers(-2000, 2000, (64, 1)) * 4
+    d = flac_decode(
+        flac_encode(x, 8000, 16, block_size=32, fixed_order=2,
+                    wasted_bits=2)
+    )
+    assert (d["samples"] == x).all()
+    # full-range noise at order 0 stresses high Rice parameters /
+    # the escape-cost comparison
+    y = rng.integers(-32768, 32768, (300, 2))
+    d2 = flac_decode(flac_encode(y, 48000, 16, block_size=64,
+                                 fixed_order=0))
+    assert (d2["samples"] == y).all()
+
+
+def test_reserved_residual_method_rejected():
+    x = _ramp(32, 1)
+    enc = bytearray(flac_encode(x, 8000, 16, block_size=32,
+                                fixed_order=0))
+    fstart = 4 + 4 + 34
+    # subframe byte: 0 pad + 001000 (FIXED order 0) + wasted 0 ->
+    # 0b00010000; the next two bits are the residual coding method.
+    sub = fstart + 4 + 1 + 1 + 1
+    assert enc[sub] == 0b00010000
+    bad = bytearray(enc)
+    bad[sub + 1] |= 0b10000000  # method 0 -> 2 (reserved)
+    with pytest.raises(ValueError, match="residual coding method"):
+        flac_decode(bytes(bad))
