@@ -23,35 +23,42 @@ driver gate plus round-trip unit tests):
   channel assignments, the UTF-8-style coded frame number, CRC-8
   (poly 0x07) over the header and CRC-16 (poly 0x8005) over the
   whole frame — both verified on every frame;
-* subframe layer — CONSTANT (one value fills the block), VERBATIM
-  (unencoded samples), and FIXED subframes (orders 0..4: warm-up
-  samples + Rice-coded residuals — both RICE/RICE2 parameter widths,
-  multi-partition residual layout, and the raw-bits escape), signed
-  two's-complement at any bits-per-sample 4..32, including the
-  wasted-bits-per-sample mechanism (unary count + left-shift on
-  output). Rice coding is decoded here while CAVLC Table 9-5 is
-  refused in ``h264.py`` because the two differ in KIND: Rice is a
-  two-line closed formula (unary quotient, k-bit remainder, zigzag
-  fold) validated by round-trip against the independent twin plus
-  the same md5-pinned oracle discipline as the §8.3.1.2 intra-mode
-  formulas, whereas Table 9-5 is 62x4 arbitrary codewords that no
-  in-container source can confirm.
+* subframe layer — ALL FOUR subframe types: CONSTANT (one value
+  fills the block), VERBATIM (unencoded samples), FIXED (orders
+  0..4), and LPC (orders 1..32: coefficient precision + quantization
+  shift + signed coefficients, prediction-sum arithmetic-shifted),
+  the last two with Rice-coded residuals — both RICE/RICE2 parameter
+  widths, multi-partition residual layout with the shortened first
+  partition, and the raw-bits escape — signed two's-complement at
+  any bits-per-sample 4..32, including the wasted-bits-per-sample
+  mechanism (unary count + left-shift on output);
+* stereo decorrelation — channel assignments 8..10 (left/side,
+  right/side, mid/side; the side channel at bps+1, mid's lost LSB
+  recovered from the side's parity).
+
+  Rice coding, the LPC predictor, and the decorrelation transforms
+  are decoded here while CAVLC Table 9-5 is refused in ``h264.py``
+  because they differ in KIND: each is a closed FORMULA (unary
+  quotient + k-bit remainder + zigzag fold; coefficient dot-product
+  >> shift; L/R±side algebra) validated by round-trip against the
+  independent twin plus the same md5-pinned oracle discipline as the
+  §8.3.1.2 intra-mode formulas, whereas Table 9-5 is 62x4 arbitrary
+  codewords that no in-container source can confirm.
 
 What is honestly refused, each with a typed error naming the stage:
 
-* ``NotImplementedError`` — LPC subframes (types 32..63: the
-  quantized-coefficient predictor path, unvalidated here); stereo
-  decorrelation (channel assignments 8..10, left/side, right/side,
-  mid/side); block-size codes 1..5 and 8..15 and
+* ``NotImplementedError`` — block-size codes 1..5 and 8..15 and
   sample-rate/sample-size table codes (compile-time lookup tables
   this container has no authoritative source to validate against —
   the encoder twin only ever emits the explicit/deferring codes, so
   nothing decodable refuses);
 * ``ValueError`` — malformed streams: bad marker/sync, reserved
   bits set, reserved subframe types (2..7, 13..31), reserved
-  residual coding methods (2..3), a partition order that does not
-  divide the block size, CRC-8/CRC-16 mismatch, STREAMINFO-MD5
-  mismatch, truncated payloads.
+  residual coding methods (2..3), LPC precision code 15, negative
+  LPC shift, a partition order that does not divide the block size,
+  a decorrelated channel assignment in a non-stereo stream,
+  CRC-8/CRC-16 mismatch, STREAMINFO-MD5 mismatch, truncated
+  payloads.
 
 The two CRCs are implemented TWICE on purpose — bitwise in the
 encoder, table-driven in the decoder — so a transcription slip in
@@ -323,6 +330,105 @@ def _rice_write(w: _BitWriter, residuals: list[int], escape: bool) -> None:
                 w.u(u & ((1 << best_p) - 1), best_p)
 
 
+def _write_subframe(
+    w2: _BitWriter,
+    vals: list[int],
+    sub_bps: int,
+    *,
+    wasted_bits: int,
+    force_verbatim: bool,
+    fixed_order: int | None,
+    partition_order: int,
+    rice_escape: bool,
+    lpc_coef: list[int] | None,
+    lpc_shift: int,
+) -> None:
+    """One subframe at ``sub_bps`` bits (bps+1 for a side channel).
+    Preference order: LPC (if requested and the block is long enough)
+    → FIXED (ditto) → CONSTANT → VERBATIM; a block shorter than the
+    predictor order falls through, as real encoders do."""
+    bs = len(vals)
+    eff = sub_bps - wasted_bits
+    const = bool(bs) and all(v == vals[0] for v in vals)
+    w2.u(0, 1)  # subframe zero bit
+
+    def _wasted_flag() -> None:
+        if wasted_bits:
+            w2.u(1, 1)
+            w2.u(1, wasted_bits)  # unary wasted_bits: k-1 zeros, 1
+        else:
+            w2.u(0, 1)
+
+    def _residual(res: list[int], order: int) -> None:
+        po = partition_order
+        while po and (bs % (1 << po) or (bs >> po) < order):
+            po -= 1
+        w2.u(0, 2)  # residual coding method: RICE (4-bit)
+        w2.u(po, 4)
+        idx = 0
+        for part in range(1 << po):
+            cnt = (bs >> po) - (order if part == 0 else 0)
+            _rice_write(w2, res[idx : idx + cnt], rice_escape)
+            idx += cnt
+
+    if lpc_coef is not None and not force_verbatim and len(lpc_coef) <= bs:
+        order = len(lpc_coef)
+        if not 1 <= order <= 32:
+            raise ValueError(f"LPC order {order} out of 1..32")
+        if not 0 <= lpc_shift <= 15:
+            raise ValueError(f"lpc_shift {lpc_shift} out of 0..15")
+        prec = max(
+            max(
+                (v if v >= 0 else -v - 1).bit_length() + 1
+                for v in lpc_coef
+            ),
+            2,
+        )
+        if prec > 15:
+            raise ValueError("LPC coefficients exceed 15 bits")
+        eff_vals = [v >> wasted_bits for v in vals]
+        w2.u(31 + order, 6)  # LPC
+        _wasted_flag()
+        for v in eff_vals[:order]:  # warm-up
+            w2.s(v, eff)
+        w2.u(prec - 1, 4)
+        w2.s(lpc_shift, 5)
+        for cf in lpc_coef:
+            w2.s(cf, prec)
+        res = [
+            eff_vals[i]
+            - (
+                sum(
+                    cf * eff_vals[i - 1 - j]
+                    for j, cf in enumerate(lpc_coef)
+                )
+                >> lpc_shift
+            )
+            for i in range(order, bs)
+        ]
+        _residual(res, order)
+    elif fixed_order is not None and not force_verbatim:
+        order = min(fixed_order, 4, bs - 1)
+        eff_vals = [v >> wasted_bits for v in vals]
+        w2.u(8 + order, 6)  # FIXED
+        _wasted_flag()
+        for v in eff_vals[:order]:  # warm-up
+            w2.s(v, eff)
+        res = eff_vals
+        for _ in range(order):
+            res = [b - a for a, b in zip(res, res[1:])]
+        _residual(res, order)
+    elif const and not force_verbatim:
+        w2.u(0, 6)  # CONSTANT
+        _wasted_flag()
+        w2.s(vals[0] >> wasted_bits, eff)
+    else:
+        w2.u(1, 6)  # VERBATIM
+        _wasted_flag()
+        for x in vals:
+            w2.s(x >> wasted_bits, eff)
+
+
 def flac_encode(
     samples: np.ndarray,
     sample_rate: int,
@@ -333,6 +439,9 @@ def flac_encode(
     fixed_order: int | None = None,
     partition_order: int = 0,
     rice_escape: bool = False,
+    lpc_coef: list[int] | None = None,
+    lpc_shift: int = 0,
+    stereo_mode: str | None = None,
 ) -> bytes:
     """Independent spec-twin FLAC writer (constant/verbatim subset).
 
@@ -359,6 +468,13 @@ def flac_encode(
     hi = (1 << (bits_per_sample - 1)) - 1
     if samples.min(initial=0) < lo or samples.max(initial=0) > hi:
         raise ValueError(f"samples exceed {bits_per_sample}-bit range")
+    if stereo_mode is not None:
+        if stereo_mode not in ("left_side", "right_side", "mid_side"):
+            raise ValueError(f"unknown stereo_mode {stereo_mode!r}")
+        if channels != 2:
+            raise ValueError("stereo_mode requires exactly 2 channels")
+        if wasted_bits:
+            raise ValueError("stereo_mode with wasted_bits not supported")
     if not 16 <= block_size <= 65535:
         raise ValueError(f"block_size {block_size} out of range 16..65535")
     if n_total < 1:
@@ -390,7 +506,27 @@ def flac_encode(
         w.u(0, 1)  # blocking strategy: fixed
         w.u(7 if bs > 256 else 6, 4)  # block size: explicit field
         w.u(0, 4)  # sample rate: STREAMINFO
-        w.u(channels - 1, 4)  # independent channels
+        if stereo_mode is None:
+            w.u(channels - 1, 4)  # independent channels
+            subs = [
+                ([int(v) for v in blk[:, c].tolist()], bits_per_sample)
+                for c in range(channels)
+            ]
+        else:
+            code = {"left_side": 8, "right_side": 9, "mid_side": 10}[
+                stereo_mode
+            ]
+            w.u(code, 4)
+            left = [int(v) for v in blk[:, 0].tolist()]
+            right = [int(v) for v in blk[:, 1].tolist()]
+            side = [x - y for x, y in zip(left, right)]
+            if code == 8:
+                subs = [(left, bits_per_sample), (side, bits_per_sample + 1)]
+            elif code == 9:
+                subs = [(side, bits_per_sample + 1), (right, bits_per_sample)]
+            else:
+                mid = [(x + y) >> 1 for x, y in zip(left, right)]
+                subs = [(mid, bits_per_sample), (side, bits_per_sample + 1)]
         w.u(0, 3)  # sample size: STREAMINFO
         w.u(0, 1)  # reserved
         for b in _utf8_like_encode(fi):
@@ -398,52 +534,19 @@ def flac_encode(
         w.u(bs - 1, 16 if bs > 256 else 8)
         header = w.bytes()
         w2 = _BitWriter()
-        for c in range(channels):
-            ch = blk[:, c]
-            const = bool(bs) and bool((ch == ch[0]).all())
-            eff = bits_per_sample - wasted_bits
-            w2.u(0, 1)  # subframe zero bit
-            if fixed_order is not None and not force_verbatim:
-                order = min(fixed_order, 4, bs - 1)
-                eff_vals = [int(v) >> wasted_bits for v in ch.tolist()]
-                w2.u(8 + order, 6)  # FIXED
-                if wasted_bits:
-                    w2.u(1, 1)
-                    w2.u(1, wasted_bits)
-                else:
-                    w2.u(0, 1)
-                for v in eff_vals[:order]:  # warm-up
-                    w2.s(v, eff)
-                res = eff_vals
-                for _ in range(order):
-                    res = [b - a for a, b in zip(res, res[1:])]
-                po = partition_order
-                while po and (bs % (1 << po) or (bs >> po) < order):
-                    po -= 1
-                w2.u(0, 2)  # residual coding method: RICE (4-bit)
-                w2.u(po, 4)
-                idx = 0
-                for part in range(1 << po):
-                    cnt = (bs >> po) - (order if part == 0 else 0)
-                    _rice_write(w2, res[idx : idx + cnt], rice_escape)
-                    idx += cnt
-            elif const and not force_verbatim:
-                w2.u(0, 6)  # CONSTANT
-                if wasted_bits:
-                    w2.u(1, 1)
-                    w2.u(1, wasted_bits)  # unary wasted_bits: k-1 zeros, 1
-                else:
-                    w2.u(0, 1)
-                w2.s(int(ch[0]) >> wasted_bits, eff)
-            else:
-                w2.u(1, 6)  # VERBATIM
-                if wasted_bits:
-                    w2.u(1, 1)
-                    w2.u(1, wasted_bits)
-                else:
-                    w2.u(0, 1)
-                for x in ch.tolist():
-                    w2.s(int(x) >> wasted_bits, eff)
+        for vals, sub_bps in subs:
+            _write_subframe(
+                w2,
+                vals,
+                sub_bps,
+                wasted_bits=wasted_bits,
+                force_verbatim=force_verbatim,
+                fixed_order=fixed_order,
+                partition_order=partition_order,
+                rice_escape=rice_escape,
+                lpc_coef=lpc_coef,
+                lpc_shift=lpc_shift,
+            )
         w2.align()
         frame = (
             header + _crc8_bitwise(header).to_bytes(1, "big") + w2.bytes()
@@ -458,6 +561,78 @@ def flac_encode(
 # --------------------------------------------------------------------------
 # Decoder.
 # --------------------------------------------------------------------------
+
+
+def _read_subframe(r: _BitReader, bs: int, sub_bps: int) -> list[int]:
+    """One subframe at ``sub_bps`` bits (bps+1 for a side channel):
+    CONSTANT / VERBATIM / FIXED / LPC, wasted-bits, Rice or escaped
+    residual partitions. Returns ``bs`` reconstructed samples."""
+    if r.u(1):
+        raise ValueError("subframe padding bit set")
+    stype = r.u(6)
+    if stype not in (0, 1) and not 8 <= stype <= 12 and stype < 32:
+        raise ValueError(f"reserved subframe type {stype}")
+    wasted = 0
+    if r.u(1):
+        wasted = r.unary() + 1
+    eff = sub_bps - wasted
+    if eff <= 0:
+        raise ValueError(f"wasted bits {wasted} >= bps {sub_bps}")
+    if stype == 0:
+        return [r.s(eff) << wasted] * bs
+    if stype == 1:
+        return [r.s(eff) << wasted for _ in range(bs)]
+    # predicted: FIXED order 0..4 or LPC order 1..32
+    order = stype - 31 if stype >= 32 else stype - 8
+    if bs < order:
+        raise ValueError(f"block size {bs} < predictor order {order}")
+    x = [r.s(eff) for _ in range(order)]  # warm-up
+    if stype >= 32:  # LPC coefficient section
+        prec = r.u(4)
+        if prec == 15:
+            raise ValueError("invalid LPC coefficient precision code 15")
+        prec += 1
+        shift = r.s(5)
+        if shift < 0:
+            raise ValueError(f"negative LPC quantization shift {shift}")
+        coef = [r.s(prec) for _ in range(order)]
+    else:
+        shift = 0
+        coef = _FIXED_COEF[order]
+    method = r.u(2)
+    if method >= 2:
+        raise ValueError(f"reserved residual coding method {method}")
+    pbits = 4 if method == 0 else 5
+    esc = (1 << pbits) - 1
+    po = r.u(4)
+    if bs % (1 << po):
+        raise ValueError(
+            f"partition order {po} does not divide block size {bs}"
+        )
+    if (bs >> po) < order:
+        raise ValueError(
+            f"partition size {bs >> po} < predictor order {order}"
+        )
+    res: list[int] = []
+    for part in range(1 << po):
+        cnt = (bs >> po) - (order if part == 0 else 0)
+        p = r.u(pbits)
+        if p == esc:
+            rawbits = r.u(5)
+            res.extend(
+                (r.s(rawbits) if rawbits else 0) for _ in range(cnt)
+            )
+        else:
+            for _ in range(cnt):
+                q = r.unary()
+                res.append(_unzigzag((q << p) | r.u(p)))
+    for rv in res:
+        # Python >> on negative ints is an arithmetic (floor) shift —
+        # exactly the spec's predictor quantization semantics
+        x.append(
+            rv + (sum(cf * x[-1 - j] for j, cf in enumerate(coef)) >> shift)
+        )
+    return [v << wasted for v in x]
 
 
 def flac_decode(payload: bytes) -> dict:
@@ -545,12 +720,12 @@ def flac_decode(payload: bytes) -> dict:
             )
         if ch_code >= 11:
             raise ValueError(f"reserved channel assignment {ch_code}")
-        if ch_code >= 8:
-            raise NotImplementedError(
-                "stereo decorrelation (left/side, right/side, mid/side) "
-                "is not implemented; only independent channels decode"
+        if ch_code >= 8 and channels != 2:
+            raise ValueError(
+                f"decorrelated channel assignment {ch_code} in a "
+                f"{channels}-channel stream"
             )
-        if ch_code + 1 != channels:
+        if ch_code < 8 and ch_code + 1 != channels:
             raise ValueError(
                 f"frame channel count {ch_code + 1} != STREAMINFO {channels}"
             )
@@ -559,75 +734,26 @@ def flac_decode(payload: bytes) -> dict:
             raise ValueError("frame header not byte-aligned before CRC-8")
         if r.u(8) != crc8(header_bytes):
             raise ValueError(f"frame header CRC-8 mismatch at {frame_start}")
-        for c in range(channels):
-            if r.u(1):
-                raise ValueError("subframe padding bit set")
-            stype = r.u(6)
-            if stype >= 32:
-                raise NotImplementedError(
-                    f"LPC subframe (order {stype - 31}) uses the "
-                    "quantized-coefficient predictor path, which is "
-                    "out of the validated subset"
-                )
-            if stype not in (0, 1) and not 8 <= stype <= 12:
-                raise ValueError(f"reserved subframe type {stype}")
-            wasted = 0
-            if r.u(1):
-                wasted = r.unary() + 1
-            eff = bps - wasted
-            if eff <= 0:
-                raise ValueError(f"wasted bits {wasted} >= bps {bps}")
-            if stype == 0:
-                chans[c].extend([r.s(eff) << wasted] * bs)
-            elif stype == 1:
-                chans[c].extend(r.s(eff) << wasted for _ in range(bs))
-            else:  # FIXED, order 0..4
-                order = stype - 8
-                if bs < order:
-                    raise ValueError(
-                        f"block size {bs} < FIXED order {order}"
-                    )
-                x = [r.s(eff) for _ in range(order)]  # warm-up
-                method = r.u(2)
-                if method >= 2:
-                    raise ValueError(
-                        f"reserved residual coding method {method}"
-                    )
-                pbits = 4 if method == 0 else 5
-                esc = (1 << pbits) - 1
-                po = r.u(4)
-                if bs % (1 << po):
-                    raise ValueError(
-                        f"partition order {po} does not divide "
-                        f"block size {bs}"
-                    )
-                if (bs >> po) < order:
-                    raise ValueError(
-                        f"partition size {bs >> po} < FIXED order {order}"
-                    )
-                res: list[int] = []
-                for part in range(1 << po):
-                    cnt = (bs >> po) - (order if part == 0 else 0)
-                    p = r.u(pbits)
-                    if p == esc:
-                        rawbits = r.u(5)
-                        res.extend(
-                            (r.s(rawbits) if rawbits else 0)
-                            for _ in range(cnt)
-                        )
-                    else:
-                        for _ in range(cnt):
-                            q = r.unary()
-                            res.append(_unzigzag((q << p) | r.u(p)))
-                coef = _FIXED_COEF[order]
-                for rv in res:
-                    x.append(
-                        rv
-                        + sum(
-                            cf * x[-1 - j] for j, cf in enumerate(coef)
-                        )
-                    )
-                chans[c].extend(v << wasted for v in x)
+        if ch_code < 8:
+            for c in range(channels):
+                chans[c].extend(_read_subframe(r, bs, bps))
+        else:
+            # stereo decorrelation: the SIDE channel (L-R) carries one
+            # extra bit of range; mid is the floor-average with its
+            # lost LSB recovered from the side's parity
+            bps0 = bps + (1 if ch_code == 9 else 0)
+            bps1 = bps + (1 if ch_code != 9 else 0)
+            a = _read_subframe(r, bs, bps0)
+            b = _read_subframe(r, bs, bps1)
+            if ch_code == 8:  # left/side
+                left, right = a, [x - s for x, s in zip(a, b)]
+            elif ch_code == 9:  # right/side (side first)
+                left, right = [x + s for x, s in zip(b, a)], b
+            else:  # mid/side
+                left = [(((m << 1) | (s & 1)) + s) >> 1 for m, s in zip(a, b)]
+                right = [(((m << 1) | (s & 1)) - s) >> 1 for m, s in zip(a, b)]
+            chans[0].extend(left)
+            chans[1].extend(right)
         r.align()
         if not r.aligned:
             raise ValueError("frame not byte-aligned before CRC-16")

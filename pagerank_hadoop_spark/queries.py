@@ -14190,3 +14190,111 @@ def q_media_flac_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
         media_type="audio/flac",
     )
     return flac_sample_stats(media).orderBy("media_id")
+
+
+def _flac_lpc_fixture(spark: SparkSession, n: int = 240) -> DataFrame:
+    """Driver-built stereo FLAC streams over the LPC + decorrelation
+    subset: channel pair L/R = base + small per-channel detail
+    (base = (29i+7key)%4000-2000, detail = (i+c+key)%5-2), cycled
+    through all three stereo modes (left/side, right/side, mid/side
+    by key%3 — the side channel rides at bps+1, mid recovers its LSB
+    from the side's parity), encoded with an LPC predictor on even
+    keys (coefficient/shift set cycled by key%4, incl. a
+    realistic-magnitude (205,-102)>>7 pair) and a FIXED predictor of
+    order key%5 on odd keys; partition_order = key%3, raw-bits
+    escape on key%13==0. Lossless, so the oracle replays the
+    generating arithmetic whatever the encoder chose. Encoder twin:
+    operators.flac.flac_encode."""
+    import numpy as np
+
+    from pagerank_hadoop_spark.operators.flac import flac_encode
+
+    lpc_sets = [([1], 0), ([2, -1], 0), ([3, -1], 1), ([205, -102], 7)]
+    modes = ["left_side", "right_side", "mid_side"]
+    rows = []
+    for key in range(n):
+        bs = 16 + 4 * (key % 5)
+        nb = 2 + key % 2
+        total = bs * nb - key % 7
+        i = np.arange(total, dtype=np.int64)
+        base = (29 * i + 7 * key) % 4000 - 2000
+        x = np.stack(
+            [
+                base + ((i + c + key) % 5 - 2)
+                for c in range(2)
+            ],
+            axis=1,
+        )
+        opts = {}
+        if key % 2 == 0:
+            coef, shift = lpc_sets[key % 4]
+            opts = {"lpc_coef": coef, "lpc_shift": shift}
+        else:
+            opts = {"fixed_order": key % 5}
+        rows.append(
+            (
+                key,
+                bytearray(
+                    flac_encode(
+                        x,
+                        8000 + key,
+                        16,
+                        block_size=bs,
+                        stereo_mode=modes[key % 3],
+                        partition_order=key % 3,
+                        rice_escape=key % 13 == 0,
+                        **opts,
+                    )
+                ),
+            )
+        )
+    return spark.createDataFrame(rows, "media_id long, payload binary")
+
+
+@register(
+    "media_flac_lpc",
+    """
+    WITH f AS (SELECT range AS key, 16 + 4 * (range % 5) AS bs,
+                      2 + range % 2 AS nb
+               FROM range(0, 240)),
+    g AS (SELECT key, bs, nb, bs * nb - key % 7 AS total FROM f),
+    s AS (SELECT key, bs, nb, total,
+            list_transform(range(0, total * 2), t ->
+              ((29 * (t // 2) + 7 * key) % 4000 - 2000)
+              + ((t // 2 + t % 2 + key) % 5 - 2)) AS xs
+          FROM g)
+    SELECT CAST(key AS BIGINT) AS media_id,
+           CAST(8000 + key AS INTEGER) AS sample_rate,
+           CAST(2 AS INTEGER) AS channels,
+           CAST(total AS BIGINT) AS n_samples,
+           CAST(nb AS INTEGER) AS n_frames,
+           CAST(list_sum(list_transform(xs, x -> x * x)) AS BIGINT) AS energy,
+           CAST(list_max(list_transform(xs, x -> abs(x))) AS BIGINT) AS peak,
+           md5(array_to_string(xs, ',')) AS samples_md5
+    FROM s ORDER BY media_id
+    """,
+)
+def q_media_flac_lpc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5 [r11]: FLAC LPC-subframe + stereo-decorrelation decode —
+    quantized-coefficient prediction (precision/shift/coefficient
+    parse, dot-product arithmetic-shifted per sample) and all three
+    inter-channel transforms (left/side, right/side, mid/side, the
+    side subframe at bps+1) through the driver gate, composed with
+    the FIXED/Rice machinery media_flac_fixed pins. With this the
+    decoder covers every FLAC subframe type and channel assignment;
+    the only remaining refusals are the compile-time header code
+    tables (operators/flac.py docstring). Lossless: the oracle
+    replays the generating L/R arithmetic closed-form and pins every
+    decoded sample via the interleaved decimal-CSV md5 — a slip in
+    coefficient parse order, the shift floor semantics, the side
+    channel's extra bit, or mid's parity-recovered LSB reddens 240
+    hashes. Arrow-batched mapInPandas kernel; per-payload decode
+    parallelism, only stats cross the shuffle."""
+    from pagerank_hadoop_spark.operators.flac import flac_sample_stats
+    from pagerank_hadoop_spark.operators.multimodal import attach_media
+
+    media = attach_media(
+        _flac_lpc_fixture(spark), F.col("payload"),
+        media_type="audio/flac",
+    )
+    return flac_sample_stats(media).orderBy("media_id")

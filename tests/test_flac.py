@@ -117,25 +117,31 @@ def test_typed_refusals():
     assert enc[fstart] == 0xFF and enc[fstart + 1] & 0xFC == 0xF8
     # subframe header is the byte after the 5-byte fixed header +
     # 1-byte frame number + 1-byte blocksize-1 + 1-byte CRC-8; rewrite
-    # it to an LPC subframe — decoder must refuse with a typed
-    # NotImplementedError naming the predictor path, not crash
+    # its type field to a reserved value — typed ValueError, no crash
     sub = fstart + 4 + 1 + 1 + 1
     bad = bytearray(enc)
-    bad[sub] = 0b01000000  # LPC order 1 (type 32): 0 pad + 100000 + 0
-    with pytest.raises(NotImplementedError, match="quantized-coefficient"):
-        flac_decode(bytes(bad))
-    bad[sub] = 0b00000100  # reserved type 2
+    bad[sub] = 0b00000100  # reserved type 2 (byte = type << 1)
     with pytest.raises(ValueError, match="reserved subframe"):
         flac_decode(bytes(bad))
-    # stereo decorrelation channel assignment (left/side = 8)
+    # reserved channel assignment 11 -> ValueError (decorrelated
+    # assignments 8..10 now DECODE; see the stereo round-trip tests)
     st = flac_encode(_ramp(32, 2), 8000, 16, block_size=32)
     bad2 = bytearray(st)
     hdr = bytearray(bad2[fstart : fstart + 4])
-    hdr[3] = (8 << 4) | (hdr[3] & 0x0F)
+    hdr[3] = (11 << 4) | (hdr[3] & 0x0F)
     bad2[fstart : fstart + 4] = hdr
     bad2[fstart + 6] = _crc8_bitwise(bytes(bad2[fstart : fstart + 6]))
-    with pytest.raises(NotImplementedError, match="decorrelation"):
+    with pytest.raises(ValueError, match="reserved channel"):
         flac_decode(bytes(bad2))
+    # a decorrelated assignment in a MONO stream is malformed
+    mono = flac_encode(_ramp(32, 1), 8000, 16, block_size=32)
+    bad3 = bytearray(mono)
+    hdr = bytearray(bad3[fstart : fstart + 4])
+    hdr[3] = (8 << 4) | (hdr[3] & 0x0F)
+    bad3[fstart : fstart + 4] = hdr
+    bad3[fstart + 6] = _crc8_bitwise(bytes(bad3[fstart : fstart + 6]))
+    with pytest.raises(ValueError, match="decorrelated channel"):
+        flac_decode(bytes(bad3))
 
 
 def test_not_flac_rejected():
@@ -245,4 +251,81 @@ def test_reserved_residual_method_rejected():
     bad = bytearray(enc)
     bad[sub + 1] |= 0b10000000  # method 0 -> 2 (reserved)
     with pytest.raises(ValueError, match="residual coding method"):
+        flac_decode(bytes(bad))
+
+
+def test_roundtrip_lpc_orders_and_shifts():
+    rng = np.random.default_rng(3)
+    cases = [([1], 0), ([3, -1], 1), ([205, -102], 7), ([29, -18, 5], 4),
+             ([10, -4, 3, -2, 1, 1, -1, 2], 3),
+             ([int(c) for c in rng.integers(-100, 100, 32)], 6)]
+    for coef, shift in cases:
+        x = rng.integers(-3000, 3000, (101, 2))
+        for po, esc in ((0, False), (2, True)):
+            d = flac_decode(
+                flac_encode(x, 8000, 16, block_size=32, lpc_coef=coef,
+                            lpc_shift=shift, partition_order=po,
+                            rice_escape=esc)
+            )
+            assert (d["samples"] == x).all(), (coef, shift, po, esc)
+
+
+def test_lpc_compresses_smooth_signals():
+    i = np.arange(400)
+    smooth = ((50 * np.sin(i / 20)).astype(np.int64) + i).reshape(-1, 1)
+    e_lpc = flac_encode(smooth, 8000, 16, block_size=200,
+                        lpc_coef=[4, -2], lpc_shift=1)
+    e_verb = flac_encode(smooth, 8000, 16, block_size=200,
+                         force_verbatim=True)
+    assert len(e_lpc) < len(e_verb) / 3
+    assert (flac_decode(e_lpc)["samples"] == smooth).all()
+
+
+def test_roundtrip_stereo_decorrelation_all_modes():
+    rng = np.random.default_rng(5)
+    for mode in ("left_side", "right_side", "mid_side"):
+        for opts in ({}, {"fixed_order": 2},
+                     {"lpc_coef": [2, -1], "lpc_shift": 0},
+                     {"fixed_order": 1, "partition_order": 2,
+                      "rice_escape": True}):
+            base = rng.integers(-15000, 15000, 101)
+            x = np.stack([base + rng.integers(-100, 100, 101),
+                          base + rng.integers(-100, 100, 101)], axis=1)
+            d = flac_decode(flac_encode(x, 44100, 16, block_size=32,
+                                        stereo_mode=mode, **opts))
+            assert (d["samples"] == x).all(), (mode, opts)
+    # extremes: the side channel needs bps+1; mid's LSB comes from the
+    # side's parity — full-range corners catch both
+    x = np.array([[32767, -32768], [-32768, 32767], [0, -32768],
+                  [32767, 0]] * 8, dtype=np.int64)
+    for mode in ("left_side", "right_side", "mid_side"):
+        d = flac_decode(flac_encode(x, 8000, 16, block_size=16,
+                                    stereo_mode=mode))
+        assert (d["samples"] == x).all(), mode
+
+
+def test_decorrelation_compresses_correlated_stereo():
+    rng = np.random.default_rng(9)
+    base = (np.cumsum(rng.integers(-50, 51, 400))).clip(-30000, 30000)
+    x = np.stack([base, base + rng.integers(-3, 4, 400)], axis=1)
+    e_ms = flac_encode(x, 44100, 16, block_size=200,
+                       stereo_mode="mid_side", fixed_order=1)
+    e_ind = flac_encode(x, 44100, 16, block_size=200, fixed_order=1)
+    assert len(e_ms) < len(e_ind)
+    assert (flac_decode(e_ms)["samples"] == x).all()
+
+
+def test_lpc_malformed_rejected():
+    x = _ramp(32, 1)
+    enc = bytearray(flac_encode(x, 8000, 16, block_size=32,
+                                lpc_coef=[1], lpc_shift=0))
+    fstart = 4 + 4 + 34
+    sub = fstart + 4 + 1 + 1 + 1
+    assert enc[sub] == 0b01000000  # LPC order 1 (type 32; byte=type<<1)
+    # warm-up is 16 bits (bytes sub+1, sub+2); the next 4 bits are
+    # precision-1 in the HIGH nibble of sub+3. Force precision code 15
+    # (invalid) — decoder must reject before reading coefficients
+    bad = bytearray(enc)
+    bad[sub + 3] |= 0b11110000
+    with pytest.raises(ValueError, match="precision code 15"):
         flac_decode(bytes(bad))
