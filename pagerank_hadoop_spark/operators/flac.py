@@ -442,6 +442,9 @@ def flac_encode(
     lpc_coef: list[int] | None = None,
     lpc_shift: int = 0,
     stereo_mode: str | None = None,
+    tags: list[tuple[str, str]] | None = None,
+    vendor: str = "",
+    padding: int = 0,
 ) -> bytes:
     """Independent spec-twin FLAC writer (constant/verbatim subset).
 
@@ -493,9 +496,24 @@ def flac_encode(
     si.u(bits_per_sample - 1, 5)
     si.u(n_total, 36)
     body = si.bytes() + _audio_md5(samples, bits_per_sample)
-    out.append(0x80)  # last-metadata-block flag | type 0 (STREAMINFO)
+    extra: list[tuple[int, bytes]] = []
+    if tags is not None or vendor:
+        vb = vendor.encode("utf-8")
+        tb = bytearray(len(vb).to_bytes(4, "little") + vb)
+        tb += len(tags or []).to_bytes(4, "little")
+        for k, v in tags or []:
+            item = f"{k}={v}".encode("utf-8")
+            tb += len(item).to_bytes(4, "little") + item
+        extra.append((4, bytes(tb)))  # VORBIS_COMMENT
+    if padding:
+        extra.append((1, bytes(padding)))  # PADDING
+    out.append((0x80 if not extra else 0x00) | 0)  # STREAMINFO
     out += len(body).to_bytes(3, "big")
     out += body
+    for i, (btype, bbody) in enumerate(extra):
+        out.append((0x80 if i == len(extra) - 1 else 0x00) | btype)
+        out += len(bbody).to_bytes(3, "big")
+        out += bbody
 
     for fi in range(n_blocks):
         blk = samples[fi * block_size : (fi + 1) * block_size]
@@ -556,6 +574,84 @@ def flac_encode(
         frame += _crc16_bitwise(frame).to_bytes(2, "big")
         out += frame
     return bytes(out)
+
+
+# --------------------------------------------------------------------------
+# Metadata-only walk (no frame decode).
+# --------------------------------------------------------------------------
+
+
+def flac_meta(payload: bytes) -> dict:
+    """Walk the metadata blocks only — the cheap catalog pass a media
+    pipeline runs before deciding what to decode. Returns STREAMINFO
+    fields, per-type block counts, PADDING byte total, SEEKTABLE point
+    count, and the VORBIS_COMMENT vendor string + tags (keys
+    uppercased per the Vorbis-comment case-insensitivity rule). The
+    audio frames are never touched."""
+    if len(payload) < 42 or payload[:4] != b"fLaC":
+        raise ValueError("not a FLAC stream (missing fLaC marker)")
+    pos = 4
+    meta = {
+        "sample_rate": None,
+        "channels": None,
+        "bits_per_sample": None,
+        "total_samples": None,
+        "n_blocks": 0,
+        "padding_bytes": 0,
+        "seek_points": 0,
+        "vendor": "",
+        "tags": {},
+    }
+    while True:
+        if pos + 4 > len(payload):
+            raise ValueError("truncated metadata block header")
+        last = payload[pos] >> 7
+        btype = payload[pos] & 0x7F
+        blen = int.from_bytes(payload[pos + 1 : pos + 4], "big")
+        body = payload[pos + 4 : pos + 4 + blen]
+        if len(body) != blen:
+            raise ValueError("truncated metadata block")
+        meta["n_blocks"] += 1
+        if btype == 0:
+            if blen != 34:
+                raise ValueError(f"STREAMINFO length {blen} != 34")
+            r = _BitReader(body)
+            r.u(16), r.u(16), r.u(24), r.u(24)
+            meta["sample_rate"] = r.u(20)
+            meta["channels"] = r.u(3) + 1
+            meta["bits_per_sample"] = r.u(5) + 1
+            meta["total_samples"] = r.u(36)
+        elif btype == 1:
+            meta["padding_bytes"] += blen
+        elif btype == 3:
+            if blen % 18:
+                raise ValueError("SEEKTABLE length not a multiple of 18")
+            meta["seek_points"] += blen // 18
+        elif btype == 4:
+            p = 0
+            vlen = int.from_bytes(body[p : p + 4], "little")
+            p += 4
+            meta["vendor"] = body[p : p + vlen].decode("utf-8")
+            p += vlen
+            ntags = int.from_bytes(body[p : p + 4], "little")
+            p += 4
+            for _ in range(ntags):
+                ilen = int.from_bytes(body[p : p + 4], "little")
+                p += 4
+                item = body[p : p + ilen].decode("utf-8")
+                p += ilen
+                k, _, v = item.partition("=")
+                meta["tags"][k.upper()] = v
+            if p != len(body):
+                raise ValueError("trailing bytes in VORBIS_COMMENT block")
+        elif btype == 127:
+            raise ValueError("invalid metadata block type 127")
+        pos += 4 + blen
+        if last:
+            break
+    if meta["sample_rate"] is None:
+        raise ValueError("missing mandatory STREAMINFO block")
+    return meta
 
 
 # --------------------------------------------------------------------------
@@ -838,3 +934,60 @@ def flac_sample_stats(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(batches, FLAC_SCHEMA)
+
+
+META_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("channels", IntegerType()),
+        StructField("total_samples", LongType()),
+        StructField("n_blocks", IntegerType()),
+        StructField("n_tags", IntegerType()),
+        StructField("padding_bytes", LongType()),
+        StructField("vendor", StringType()),
+        StructField("title", StringType()),
+        StructField("artist", StringType()),
+    ]
+)
+
+
+def flac_meta_stats(media: DataFrame) -> DataFrame:
+    """Metadata catalog pass: :func:`flac_meta` per payload (frames
+    never decoded — the scan cost is the metadata prefix, not the
+    audio), TITLE/ARTIST pulled from the Vorbis comments. Same Arrow
+    ``mapInPandas`` shape as :func:`flac_sample_stats`."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def one(payload: bytes):
+            m = flac_meta(bytes(payload))
+            return (
+                m["sample_rate"],
+                m["channels"],
+                m["total_samples"],
+                m["n_blocks"],
+                len(m["tags"]),
+                m["padding_bytes"],
+                m["vendor"],
+                m["tags"].get("TITLE"),
+                m["tags"].get("ARTIST"),
+            )
+
+        for pdf in it:
+            d = pdf["payload"].map(one)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "sample_rate": d.map(lambda t: t[0]).astype("int32"),
+                    "channels": d.map(lambda t: t[1]).astype("int32"),
+                    "total_samples": d.map(lambda t: t[2]).astype("int64"),
+                    "n_blocks": d.map(lambda t: t[3]).astype("int32"),
+                    "n_tags": d.map(lambda t: t[4]).astype("int32"),
+                    "padding_bytes": d.map(lambda t: t[5]).astype("int64"),
+                    "vendor": d.map(lambda t: t[6]),
+                    "title": d.map(lambda t: t[7]),
+                    "artist": d.map(lambda t: t[8]),
+                }
+            )
+
+    return media.mapInPandas(batches, META_SCHEMA)

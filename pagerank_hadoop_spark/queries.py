@@ -14298,3 +14298,85 @@ def q_media_flac_lpc(spark: SparkSession, sf_dir: str) -> DataFrame:
         media_type="audio/flac",
     )
     return flac_sample_stats(media).orderBy("media_id")
+
+
+def _flac_meta_fixture(spark: SparkSession, n: int = 240) -> DataFrame:
+    """Driver-built tagged FLAC streams: VORBIS_COMMENT blocks
+    (length-prefixed little-endian vendor + KEY=value tags, keys
+    written lower-case to pin the case-insensitivity rule), PADDING
+    blocks of key%50 bytes, and a minimal constant audio stream —
+    the metadata walk never touches frames, so the payload stays
+    tiny. Encoder twin: operators.flac.flac_encode tags/vendor/
+    padding."""
+    import numpy as np
+
+    from pagerank_hadoop_spark.operators.flac import flac_encode
+
+    rows = []
+    for key in range(n):
+        total = 16 + key % 5
+        x = np.full((total, 1), key % 100 - 50, dtype=np.int64)
+        tags = [
+            ("title", f"doc {key}"),
+            ("artist", f"src {key % 7}"),
+            ("lang", ["en", "de", "fr"][key % 3]),
+        ]
+        if key % 4 == 0:
+            tags.append(("album", f"corpus {key % 11}"))
+        rows.append(
+            (
+                key,
+                bytearray(
+                    flac_encode(
+                        x,
+                        8000 + key,
+                        16,
+                        block_size=32,
+                        tags=tags,
+                        vendor="pagerank_hadoop_spark flac twin",
+                        padding=key % 50,
+                    )
+                ),
+            )
+        )
+    return spark.createDataFrame(rows, "media_id long, payload binary")
+
+
+@register(
+    "media_flac_meta",
+    """
+    SELECT CAST(range AS BIGINT) AS media_id,
+           CAST(8000 + range AS INTEGER) AS sample_rate,
+           CAST(1 AS INTEGER) AS channels,
+           CAST(16 + range % 5 AS BIGINT) AS total_samples,
+           CAST(CASE WHEN range % 50 = 0 THEN 2 ELSE 3 END
+                AS INTEGER) AS n_blocks,
+           CAST(CASE WHEN range % 4 = 0 THEN 4 ELSE 3 END
+                AS INTEGER) AS n_tags,
+           CAST(range % 50 AS BIGINT) AS padding_bytes,
+           'pagerank_hadoop_spark flac twin' AS vendor,
+           'doc ' || CAST(range AS VARCHAR) AS title,
+           'src ' || CAST(range % 7 AS VARCHAR) AS artist
+    FROM range(0, 240) ORDER BY media_id
+    """,
+)
+def q_media_flac_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5 [r11]: FLAC metadata catalog pass — the audio member of the
+    media-metadata family (`media_mp4_meta`, `media_jpeg_meta`):
+    STREAMINFO fields, per-type block walk (PADDING byte totals, the
+    last-block flag chain), and VORBIS_COMMENT parsing (little-endian
+    length-prefixed vendor + KEY=value tags, case-insensitive keys
+    surfaced upper-cased) WITHOUT decoding any audio frame — the
+    catalog scan cost is the metadata prefix, not the payload. The
+    oracle recomputes every field from the fixture formulas,
+    including the n_blocks drop when padding is zero and the
+    n_tags bump on key%4==0. Uses operators.flac.flac_meta_stats
+    (Arrow-batched mapInPandas)."""
+    from pagerank_hadoop_spark.operators.flac import flac_meta_stats
+    from pagerank_hadoop_spark.operators.multimodal import attach_media
+
+    media = attach_media(
+        _flac_meta_fixture(spark), F.col("payload"),
+        media_type="audio/flac",
+    )
+    return flac_meta_stats(media).orderBy("media_id")

@@ -329,3 +329,28 @@ def test_lpc_malformed_rejected():
     bad[sub + 3] |= 0b11110000
     with pytest.raises(ValueError, match="precision code 15"):
         flac_decode(bytes(bad))
+
+
+def test_flac_meta_tags_padding_and_decode_coexist():
+    from pagerank_hadoop_spark.operators.flac import flac_meta
+
+    x = _ramp(40, 1)
+    enc = flac_encode(
+        x, 8000, 16, block_size=16,
+        tags=[("TITLE", "doc 7"), ("artist", "unit test"), ("LANG", "en")],
+        vendor="twin", padding=37,
+    )
+    m = flac_meta(enc)
+    assert m["tags"] == {"TITLE": "doc 7", "ARTIST": "unit test",
+                        "LANG": "en"}
+    assert m["vendor"] == "twin"
+    assert m["padding_bytes"] == 37
+    assert m["n_blocks"] == 3
+    assert m["total_samples"] == 40
+    # tagged streams still DECODE (the frame walk skips the new blocks)
+    assert (flac_decode(enc)["samples"] == x).all()
+    # untagged stream: a single STREAMINFO block, no tags
+    plain = flac_meta(flac_encode(x, 8000, 16, block_size=16))
+    assert plain["n_blocks"] == 1 and plain["tags"] == {}
+    with pytest.raises(ValueError, match="fLaC"):
+        flac_meta(b"\x00" * 64)
