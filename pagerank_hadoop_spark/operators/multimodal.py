@@ -201,12 +201,19 @@ def decode_media(media: DataFrame, strict: bool = False) -> DataFrame:
             if wav is not None:
                 channels, rate, _bits, n_samples = wav
                 return rate, channels, n_samples
+            if payload[:4] == b"fLaC":
+                # metadata-only walk: same (rate, channels, frames)
+                # convention as WAV, no audio decode on the catalog path
+                from pagerank_hadoop_spark.operators.flac import flac_meta
+
+                m = flac_meta(bytes(payload))
+                return m["sample_rate"], m["channels"], m["total_samples"]
             if strict:
                 raise NotImplementedError(
-                    "payload is neither BMP nor WAV; compressed-codec "
-                    "decode requires libraries not present in this "
-                    "environment — run with strict=False for the "
-                    "deterministic fake decode"
+                    "payload is neither BMP, GIF, WAV nor FLAC; "
+                    "compressed-codec decode for other formats requires "
+                    "libraries not present in this environment — run "
+                    "with strict=False for the deterministic fake decode"
                 )
             h = hashlib.sha256(payload).digest()
             return 64 + h[0] % 192, 64 + h[1] % 192, 1 + h[2] % 16

@@ -354,3 +354,67 @@ def test_flac_meta_tags_padding_and_decode_coexist():
     assert plain["n_blocks"] == 1 and plain["tags"] == {}
     with pytest.raises(ValueError, match="fLaC"):
         flac_meta(b"\x00" * 64)
+
+
+def test_decode_media_routes_flac(spark):
+    from pagerank_hadoop_spark.operators.flac import flac_meta
+    from pagerank_hadoop_spark.operators.multimodal import (
+        attach_media,
+        decode_media,
+    )
+    from pyspark.sql import functions as F
+
+    enc = flac_encode(_ramp(48, 2), 22050, 16, block_size=16)
+    df = spark.createDataFrame(
+        [(1, bytearray(enc))], "media_id long, payload binary"
+    )
+    row = decode_media(
+        attach_media(df, F.col("payload"), media_type="audio/flac"),
+        strict=True,
+    ).collect()[0]
+    # (width, height, n_frames) = (rate, channels, samples), the WAV
+    # convention — and it must round through flac_meta, not the fake
+    m = flac_meta(enc)
+    assert (row["width"], row["height"], row["n_frames"]) == (
+        m["sample_rate"], m["channels"], m["total_samples"],
+    ) == (22050, 2, 48)
+
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    data=st.data(),
+    n=st.integers(min_value=17, max_value=90),
+    channels=st.integers(min_value=1, max_value=2),
+    coding=st.sampled_from(["auto", "fixed", "lpc"]),
+    stereo=st.sampled_from([None, "left_side", "right_side", "mid_side"]),
+    po=st.integers(min_value=0, max_value=3),
+    esc=st.booleans(),
+)
+def test_property_roundtrip_identity(data, n, channels, coding, stereo,
+                                     po, esc):
+    """Lossless means LOSSLESS: any int16 signal, any encoder knob
+    combination in the supported surface, encode→decode is identity."""
+    if stereo is not None:
+        channels = 2
+    flat = data.draw(
+        st.lists(st.integers(-32768, 32767), min_size=n * channels,
+                 max_size=n * channels)
+    )
+    x = np.array(flat, dtype=np.int64).reshape(n, channels)
+    opts = {}
+    if coding == "fixed":
+        opts["fixed_order"] = data.draw(st.integers(0, 4))
+    elif coding == "lpc":
+        order = data.draw(st.integers(1, 6))
+        opts["lpc_coef"] = data.draw(
+            st.lists(st.integers(-300, 300), min_size=order,
+                     max_size=order)
+        )
+        opts["lpc_shift"] = data.draw(st.integers(0, 10))
+    enc = flac_encode(x, 8000, 16, block_size=16, stereo_mode=stereo,
+                      partition_order=po, rice_escape=esc, **opts)
+    d = flac_decode(enc)
+    assert (d["samples"] == x).all()
