@@ -991,3 +991,42 @@ def flac_meta_stats(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(batches, META_SCHEMA)
+
+
+FREQ_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("n_samples", LongType()),
+        StructField("dom_bin", IntegerType()),
+    ]
+)
+
+
+def flac_dominant_freq(media: DataFrame) -> DataFrame:
+    """Spectral profile over DECODED FLAC audio: full decode
+    (:func:`flac_decode` — subframes, Rice, CRCs, MD5), then the same
+    dominant-bin rule as ``multimodal.wav_dominant_freq``
+    (``argmax_{1 <= b <= n/2} |X_b|`` over the channel-mean signal,
+    DC excluded) — the tone/silence-artifact filter an audio corpus
+    runs, now reading compressed audio instead of PCM."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def dom(payload: bytes):
+            d = flac_decode(bytes(payload))
+            x = d["samples"].astype(np.float64).mean(axis=1)
+            if len(x) < 4:
+                raise ValueError("too few samples for a spectrum")
+            mag = np.abs(np.fft.rfft(x))
+            return len(x), int(mag[1:].argmax()) + 1
+
+        for pdf in it:
+            d = pdf["payload"].map(dom)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "n_samples": d.map(lambda t: t[0]).astype("int64"),
+                    "dom_bin": d.map(lambda t: t[1]).astype("int32"),
+                }
+            )
+
+    return media.mapInPandas(batches, FREQ_SCHEMA)

@@ -14380,3 +14380,64 @@ def q_media_flac_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         media_type="audio/flac",
     )
     return flac_meta_stats(media).orderBy("media_id")
+
+
+def _flac_tone_fixture(spark: SparkSession, n: int = 240) -> DataFrame:
+    """FLAC-compressed pure tones: x_i = round(12000 sin(2π k i/128)),
+    k = 3 + key%13, 128 samples mono, FIXED-order-2 coding (a sine is
+    locally quadratic, so the predictor genuinely engages) with
+    partition_order = key%2. Encoder twin: operators.flac.flac_encode."""
+    import math
+
+    import numpy as np
+
+    from pagerank_hadoop_spark.operators.flac import flac_encode
+
+    rows = []
+    n_samp = 128
+    for key in range(n):
+        k = 3 + key % 13
+        i = np.arange(n_samp)
+        x = np.round(12000 * np.sin(2.0 * math.pi * k * i / n_samp)).astype(
+            np.int64
+        ).reshape(-1, 1)
+        rows.append(
+            (
+                key,
+                bytearray(
+                    flac_encode(
+                        x, 8000, 16, block_size=32, fixed_order=2,
+                        partition_order=key % 2,
+                    )
+                ),
+            )
+        )
+    return spark.createDataFrame(rows, "media_id long, payload binary")
+
+
+@register(
+    "media_flac_dominant_freq",
+    """
+    SELECT CAST(range AS BIGINT) AS media_id,
+           CAST(128 AS BIGINT) AS n_samples,
+           CAST(3 + range % 13 AS INTEGER) AS dom_bin
+    FROM range(0, 240) ORDER BY media_id
+    """,
+)
+def q_media_flac_dominant_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5 [r11]: spectral analysis over COMPRESSED audio — FLAC
+    decode (FIXED-order-2 + Rice, CRC/MD5 verified) feeding the same
+    real-FFT dominant-bin rule as `media_wav_dominant_freq`. The
+    oracle never FFTs: fixtures are pure planted tones, so the
+    generating frequency IS the expected answer and the kernel must
+    recover it from the compressed wire bytes — pinning the decode
+    and the spectral pass in one gate (a residual slip anywhere
+    shifts the argmax). Uses operators.flac.flac_dominant_freq."""
+    from pagerank_hadoop_spark.operators.flac import flac_dominant_freq
+    from pagerank_hadoop_spark.operators.multimodal import attach_media
+
+    media = attach_media(
+        _flac_tone_fixture(spark), F.col("payload"),
+        media_type="audio/flac",
+    )
+    return flac_dominant_freq(media).orderBy("media_id")
