@@ -78,6 +78,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.types import (
+    BinaryType,
     IntegerType,
     LongType,
     StringType,
@@ -445,6 +446,8 @@ def flac_encode(
     tags: list[tuple[str, str]] | None = None,
     vendor: str = "",
     padding: int = 0,
+    seek_points: list[tuple[int, int, int]] | None = None,
+    pictures: list[dict] | None = None,
 ) -> bytes:
     """Independent spec-twin FLAC writer (constant/verbatim subset).
 
@@ -505,6 +508,26 @@ def flac_encode(
             item = f"{k}={v}".encode("utf-8")
             tb += len(item).to_bytes(4, "little") + item
         extra.append((4, bytes(tb)))  # VORBIS_COMMENT
+    if seek_points:
+        stb = bytearray()
+        for sp_sample, sp_offset, sp_n in seek_points:
+            stb += sp_sample.to_bytes(8, "big")
+            stb += sp_offset.to_bytes(8, "big")
+            stb += sp_n.to_bytes(2, "big")
+        extra.append((3, bytes(stb)))  # SEEKTABLE
+    for pic in pictures or []:
+        mime = pic.get("mime", "image/bmp").encode("ascii")
+        desc = pic.get("description", "").encode("utf-8")
+        data = pic["data"]
+        pb = bytearray(int(pic.get("pic_type", 3)).to_bytes(4, "big"))
+        pb += len(mime).to_bytes(4, "big") + mime
+        pb += len(desc).to_bytes(4, "big") + desc
+        pb += int(pic.get("width", 0)).to_bytes(4, "big")
+        pb += int(pic.get("height", 0)).to_bytes(4, "big")
+        pb += int(pic.get("depth", 0)).to_bytes(4, "big")
+        pb += int(pic.get("n_colors", 0)).to_bytes(4, "big")
+        pb += len(data).to_bytes(4, "big") + data
+        extra.append((6, bytes(pb)))  # PICTURE
     if padding:
         extra.append((1, bytes(padding)))  # PADDING
     out.append((0x80 if not extra else 0x00) | 0)  # STREAMINFO
@@ -601,6 +624,7 @@ def flac_meta(payload: bytes) -> dict:
         "seek_points": 0,
         "vendor": "",
         "tags": {},
+        "pictures": [],
     }
     while True:
         if pos + 4 > len(payload):
@@ -644,6 +668,40 @@ def flac_meta(payload: bytes) -> dict:
                 meta["tags"][k.upper()] = v
             if p != len(body):
                 raise ValueError("trailing bytes in VORBIS_COMMENT block")
+        elif btype == 6:  # PICTURE (all fields big-endian)
+            p = 0
+
+            def _u32() -> int:
+                nonlocal p
+                v = int.from_bytes(body[p : p + 4], "big")
+                p += 4
+                return v
+
+            pic_type = _u32()
+            mlen = _u32()
+            mime = body[p : p + mlen].decode("ascii")
+            p += mlen
+            dlen = _u32()
+            desc = body[p : p + dlen].decode("utf-8")
+            p += dlen
+            width, height, depth, n_colors = _u32(), _u32(), _u32(), _u32()
+            datalen = _u32()
+            data = body[p : p + datalen]
+            p += datalen
+            if p != len(body) or len(data) != datalen:
+                raise ValueError("malformed PICTURE block")
+            meta["pictures"].append(
+                {
+                    "pic_type": pic_type,
+                    "mime": mime,
+                    "description": desc,
+                    "width": width,
+                    "height": height,
+                    "depth": depth,
+                    "n_colors": n_colors,
+                    "data": data,
+                }
+            )
         elif btype == 127:
             raise ValueError("invalid metadata block type 127")
         pos += 4 + blen
@@ -1030,3 +1088,59 @@ def flac_dominant_freq(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(batches, FREQ_SCHEMA)
+
+
+COVER_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("mime", StringType()),
+        StructField("pic_width", IntegerType()),
+        StructField("pic_height", IntegerType()),
+        StructField("payload", BinaryType()),
+    ]
+)
+
+
+def flac_cover_art(media: DataFrame) -> DataFrame:
+    """Extract the FIRST embedded PICTURE from each FLAC payload as a
+    new binary column — the cross-modal hop: downstream the extracted
+    image is a first-class media payload for the IMAGE kernels
+    (``attach_media`` + ``bmp_pixel_stats`` etc.), so one file's
+    audio and art flow through their own typed decoders. Rows without
+    a PICTURE block are dropped (the pipeline filter shape). Frames
+    are never decoded here — this is a metadata-walk extraction."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {
+                "media_id": [],
+                "mime": [],
+                "pic_width": [],
+                "pic_height": [],
+                "payload": [],
+            }
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                pics = flac_meta(bytes(payload))["pictures"]
+                if not pics:
+                    continue
+                pic = pics[0]
+                out["media_id"].append(mid)
+                out["mime"].append(pic["mime"])
+                out["pic_width"].append(pic["width"])
+                out["pic_height"].append(pic["height"])
+                out["payload"].append(pic["data"])
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(out["media_id"], dtype="int64"),
+                    "mime": pd.Series(out["mime"], dtype="object"),
+                    "pic_width": pd.Series(
+                        out["pic_width"], dtype="int32"
+                    ),
+                    "pic_height": pd.Series(
+                        out["pic_height"], dtype="int32"
+                    ),
+                    "payload": pd.Series(out["payload"], dtype="object"),
+                }
+            )
+
+    return media.mapInPandas(batches, COVER_SCHEMA)

@@ -14441,3 +14441,143 @@ def q_media_flac_dominant_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
         media_type="audio/flac",
     )
     return flac_dominant_freq(media).orderBy("media_id")
+
+
+def _flac_cover_fixture(spark: SparkSession, n: int = 240) -> DataFrame:
+    """Tagged FLAC streams with an embedded 24-bit BMP cover in a
+    PICTURE block (big-endian type/mime/description/dims framing):
+    image w = 4 + key%4 (odd widths exercise BMP stride padding),
+    h = 3 + key%3, pixel (r,c) channels b/g/r =
+    (2c+3r+key, c+r+2key, 3c+r+key) mod 256, bottom-up raster. The
+    audio side stays a short constant stream — the query under test
+    never decodes frames. Encoder twin: operators.flac.flac_encode
+    pictures=[...]."""
+    import numpy as np
+
+    from pagerank_hadoop_spark.operators.flac import flac_encode
+
+    def bmp_bytes(w: int, h: int, key: int) -> bytes:
+        stride = (w * 3 + 3) // 4 * 4
+        raster = bytearray()
+        for r in range(h - 1, -1, -1):  # bottom-up
+            row = bytearray()
+            for c in range(w):
+                row += bytes(
+                    [
+                        (2 * c + 3 * r + key) % 256,
+                        (c + r + 2 * key) % 256,
+                        (3 * c + r + key) % 256,
+                    ]
+                )
+            row += bytes(stride - len(row))
+            raster += row
+        img = len(raster)
+        hdr = (
+            b"BM"
+            + (54 + img).to_bytes(4, "little")
+            + b"\x00" * 4
+            + (54).to_bytes(4, "little")
+            + (40).to_bytes(4, "little")
+            + w.to_bytes(4, "little")
+            + h.to_bytes(4, "little")
+            + (1).to_bytes(2, "little")
+            + (24).to_bytes(2, "little")
+            + b"\x00" * 4
+            + img.to_bytes(4, "little")
+            + b"\x00" * 16
+        )
+        return bytes(hdr + raster)
+
+    rows = []
+    for key in range(n):
+        w, h = 4 + key % 4, 3 + key % 3
+        bmp = bmp_bytes(w, h, key)
+        x = np.full((16, 1), key % 64, dtype=np.int64)
+        rows.append(
+            (
+                key,
+                bytearray(
+                    flac_encode(
+                        x,
+                        8000,
+                        16,
+                        block_size=16,
+                        tags=[("title", f"doc {key}")],
+                        pictures=[
+                            {
+                                "pic_type": 3,
+                                "mime": "image/bmp",
+                                "description": "cover",
+                                "width": w,
+                                "height": h,
+                                "depth": 24,
+                                "data": bmp,
+                            }
+                        ],
+                    )
+                ),
+            )
+        )
+    return spark.createDataFrame(rows, "media_id long, payload binary")
+
+
+@register(
+    "media_flac_cover_art",
+    """
+    WITH f AS (SELECT range AS key, 4 + range % 4 AS w, 3 + range % 3 AS h
+               FROM range(0, 240)),
+    s AS (SELECT key, w, h,
+            list_transform(range(0, w * h),
+              i -> (2 * (i % w) + 3 * (i // w) + key) % 256) AS bs,
+            list_transform(range(0, w * h),
+              i -> ((i % w) + (i // w) + 2 * key) % 256) AS gs,
+            list_transform(range(0, w * h),
+              i -> (3 * (i % w) + (i // w) + key) % 256) AS rs
+          FROM f)
+    SELECT CAST(key AS BIGINT) AS media_id,
+           'image/bmp' AS mime,
+           CAST(w AS INTEGER) AS pic_width,
+           CAST(h AS INTEGER) AS pic_height,
+           CAST(w * h AS BIGINT) AS n_px,
+           CAST(list_sum(bs) AS BIGINT) AS b_sum,
+           CAST(list_sum(gs) AS BIGINT) AS g_sum,
+           CAST(list_sum(rs) AS BIGINT) AS r_sum
+    FROM s ORDER BY media_id
+    """,
+)
+def q_media_flac_cover_art(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5 [r11]: CROSS-MODAL extraction — embedded cover art hops
+    from the audio container to the image decoders as a first-class
+    payload: PICTURE-block walk (operators.flac.flac_cover_art, a
+    metadata pass that never touches audio frames) emits the
+    embedded bytes as a new binary column, attach_media re-types
+    them, and the existing 24-bit BMP raster kernel
+    (multimodal.bmp_pixel_stats) decodes pixels — two Arrow
+    mapInPandas stages composed in the DataFrame layer, the
+    one-file-many-modalities shape a multimodal curation pipeline
+    needs. The oracle replays the planted raster formulas (stride
+    padding and bottom-up order are the kernel's problem, sums are
+    orientation-invariant) plus the PICTURE metadata fields."""
+    from pagerank_hadoop_spark.operators.flac import flac_cover_art
+    from pagerank_hadoop_spark.operators.multimodal import (
+        attach_media,
+        bmp_pixel_stats,
+    )
+
+    media = attach_media(
+        _flac_cover_fixture(spark), F.col("payload"),
+        media_type="audio/flac",
+    )
+    art = flac_cover_art(media).localCheckpoint(eager=False)
+    stats = bmp_pixel_stats(
+        attach_media(
+            art.select("media_id", "payload"),
+            F.col("payload"),
+            media_type="image/bmp",
+        )
+    )
+    return (
+        art.select("media_id", "mime", "pic_width", "pic_height")
+        .join(stats, "media_id")
+        .orderBy("media_id")
+    )

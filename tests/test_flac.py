@@ -418,3 +418,29 @@ def test_property_roundtrip_identity(data, n, channels, coding, stereo,
                       partition_order=po, rice_escape=esc, **opts)
     d = flac_decode(enc)
     assert (d["samples"] == x).all()
+
+
+def test_picture_seektable_blocks_roundtrip():
+    from pagerank_hadoop_spark.operators.flac import flac_meta
+
+    bmp = b"BM" + bytes(100)  # payload opacity: any bytes carry through
+    x = _ramp(20, 1)
+    enc = flac_encode(
+        x, 8000, 16, block_size=16,
+        tags=[("TITLE", "t")],
+        seek_points=[(0, 0, 16), (16, 100, 4)],
+        pictures=[{"pic_type": 3, "mime": "image/bmp",
+                   "description": "cover", "width": 5, "height": 4,
+                   "depth": 24, "data": bmp}],
+    )
+    m = flac_meta(enc)
+    assert m["seek_points"] == 2
+    assert len(m["pictures"]) == 1
+    pic = m["pictures"][0]
+    assert pic["data"] == bmp
+    assert (pic["mime"], pic["description"], pic["width"],
+            pic["height"], pic["depth"]) == ("image/bmp", "cover", 5, 4, 24)
+    # blocks: STREAMINFO + VORBIS_COMMENT + SEEKTABLE + PICTURE
+    assert m["n_blocks"] == 4
+    # audio still decodes with all block types present
+    assert (flac_decode(enc)["samples"] == x).all()
