@@ -194,15 +194,18 @@ class _BitReader:
         return self._bit == 0
 
     def u(self, nbits: int) -> int:
-        v = 0
-        for _ in range(nbits):
-            if self._byte >= len(self._d):
-                raise ValueError("truncated FLAC bitstream")
-            v = (v << 1) | ((self._d[self._byte] >> (7 - self._bit)) & 1)
-            self._bit += 1
-            if self._bit == 8:
-                self._bit = 0
-                self._byte += 1
+        # bulk read: one int.from_bytes over the covered byte span
+        # instead of a per-bit loop (the decode hot path)
+        if nbits == 0:
+            return 0
+        end_bit = self._byte * 8 + self._bit + nbits
+        end_byte = (end_bit + 7) >> 3
+        if end_byte > len(self._d):
+            raise ValueError("truncated FLAC bitstream")
+        chunk = int.from_bytes(self._d[self._byte : end_byte], "big")
+        v = (chunk >> ((end_byte << 3) - end_bit)) & ((1 << nbits) - 1)
+        self._byte = end_bit >> 3
+        self._bit = end_bit & 7
         return v
 
     def s(self, nbits: int) -> int:
@@ -210,10 +213,110 @@ class _BitReader:
         return v - (1 << nbits) if v >> (nbits - 1) else v
 
     def unary(self) -> int:
+        # count zeros up to the terminating 1, skipping whole zero
+        # bytes — Rice quotients are the other decode hot path
         n = 0
-        while self.u(1) == 0:
-            n += 1
-        return n
+        while True:
+            if self._byte >= len(self._d):
+                raise ValueError("truncated FLAC bitstream")
+            cur = self._d[self._byte] & (0xFF >> self._bit)
+            if cur == 0:
+                n += 8 - self._bit
+                self._byte += 1
+                self._bit = 0
+                continue
+            zeros = (8 - self._bit) - cur.bit_length()
+            n += zeros
+            self._bit += zeros + 1
+            if self._bit >= 8:
+                self._byte += 1
+                self._bit -= 8
+            return n
+
+    def u_many(self, count: int, nbits: int) -> np.ndarray:
+        """``count`` fixed-width unsigned fields in one vectorized
+        unpackbits + matmul (the VERBATIM/warm-up bulk path)."""
+        if count == 0 or nbits == 0:
+            return np.zeros(count, dtype=np.int64)
+        start = (self._byte << 3) + self._bit
+        end = start + count * nbits
+        last_byte = (end + 7) >> 3
+        if last_byte > len(self._d):
+            raise ValueError("truncated FLAC bitstream")
+        first_byte = start >> 3
+        bits = np.unpackbits(
+            np.frombuffer(
+                self._d, np.uint8, last_byte - first_byte, first_byte
+            )
+        )
+        off = start - (first_byte << 3)
+        m = bits[off : off + count * nbits].reshape(count, nbits)
+        w = 1 << np.arange(nbits - 1, -1, -1, dtype=np.int64)
+        v = m.astype(np.int64) @ w
+        self._byte, self._bit = end >> 3, end & 7
+        return v
+
+    def s_many(self, count: int, nbits: int) -> np.ndarray:
+        v = self.u_many(count, nbits)
+        return np.where(v >> (nbits - 1) > 0, v - (1 << nbits), v)
+
+    def rice_partition(self, count: int, p: int) -> np.ndarray:
+        """Decode ``count`` Rice(p) codes vectorized: unpack a bounded
+        window, walk the set-bit index for quotient terminators (the
+        only sequential dependency), then gather every remainder in
+        one fancy-indexed matmul. Window doubles on under-estimate —
+        cost stays linear in actual coded bits."""
+        if count == 0:
+            return np.zeros(0, dtype=np.int64)
+        start = (self._byte << 3) + self._bit
+        total_bits = len(self._d) << 3
+        win = max(1 << 14, count * (p + 2) * 2)
+        while True:
+            end = min(start + win, total_bits)
+            first_byte = start >> 3
+            last_byte = (end + 7) >> 3
+            bits = np.unpackbits(
+                np.frombuffer(
+                    self._d, np.uint8, last_byte - first_byte, first_byte
+                )
+            )
+            base = first_byte << 3
+            ones_arr = np.flatnonzero(bits) + base
+            ones_arr = ones_arr[ones_arr >= start]
+            # plain-int walk: numpy scalars in a tight loop cost ~5x
+            ones = ones_arr.tolist()
+            q_end_l: list[int] = []
+            pos = start
+            idx = 0
+            n_ones = len(ones)
+            step = 1 + p
+            ok = True
+            for _ in range(count):
+                while idx < n_ones and ones[idx] < pos:
+                    idx += 1
+                if idx >= n_ones:
+                    ok = False
+                    break
+                o = ones[idx]
+                q_end_l.append(o)
+                pos = o + step
+                idx += 1
+            if ok and pos <= end:
+                q_end = np.array(q_end_l, dtype=np.int64)
+                break
+            if end >= total_bits:
+                raise ValueError("truncated FLAC bitstream")
+            win <<= 2
+        starts = np.empty(count, dtype=np.int64)
+        starts[0] = start
+        starts[1:] = q_end[:-1] + 1 + p
+        u = (q_end - starts) << p
+        if p:
+            ridx = (q_end + 1 - base)[:, None] + np.arange(p)
+            w = 1 << np.arange(p - 1, -1, -1, dtype=np.int64)
+            u = u | (bits[ridx].astype(np.int64) @ w)
+        self._byte, self._bit = pos >> 3, pos & 7
+        return np.where(u & 1, -((u + 1) >> 1), u >> 1)
 
     def align(self) -> None:
         if self._bit:
@@ -278,13 +381,12 @@ def _audio_md5(samples: np.ndarray, bits_per_sample: int) -> bytes:
     each sample little-endian signed, ceil(bps/8) bytes."""
     nbytes = (bits_per_sample + 7) // 8
     flat = samples.astype(np.int64).reshape(-1)  # row-major = interleaved
-    h = hashlib.md5()
     span = 1 << (8 * nbytes)
-    buf = bytearray()
-    for x in flat.tolist():
-        buf += int(x % span).to_bytes(nbytes, "little")
-    h.update(bytes(buf))
-    return h.digest()
+    # vectorized little-endian packing: view the mod-span values as LE
+    # uint64 byte lanes and keep the low `nbytes` of each
+    u = (flat % span).astype("<u8")
+    buf = u.view(np.uint8).reshape(-1, 8)[:, :nbytes].tobytes()
+    return hashlib.md5(buf).digest()
 
 
 # FIXED predictor: order-o residual is the o-th forward difference;
@@ -717,10 +819,13 @@ def flac_meta(payload: bytes) -> dict:
 # --------------------------------------------------------------------------
 
 
-def _read_subframe(r: _BitReader, bs: int, sub_bps: int) -> list[int]:
+def _read_subframe(r: _BitReader, bs: int, sub_bps: int) -> np.ndarray:
     """One subframe at ``sub_bps`` bits (bps+1 for a side channel):
     CONSTANT / VERBATIM / FIXED / LPC, wasted-bits, Rice or escaped
-    residual partitions. Returns ``bs`` reconstructed samples."""
+    residual partitions. Returns ``bs`` reconstructed samples
+    (np.int64). VERBATIM/warm-up fields, Rice partitions, and FIXED
+    reconstruction are all vectorized; only the LPC recurrence (a
+    genuine IIR dependency) stays a per-sample loop."""
     if r.u(1):
         raise ValueError("subframe padding bit set")
     stype = r.u(6)
@@ -733,14 +838,14 @@ def _read_subframe(r: _BitReader, bs: int, sub_bps: int) -> list[int]:
     if eff <= 0:
         raise ValueError(f"wasted bits {wasted} >= bps {sub_bps}")
     if stype == 0:
-        return [r.s(eff) << wasted] * bs
+        return np.full(bs, r.s(eff) << wasted, dtype=np.int64)
     if stype == 1:
-        return [r.s(eff) << wasted for _ in range(bs)]
+        return r.s_many(bs, eff) << wasted
     # predicted: FIXED order 0..4 or LPC order 1..32
     order = stype - 31 if stype >= 32 else stype - 8
     if bs < order:
         raise ValueError(f"block size {bs} < predictor order {order}")
-    x = [r.s(eff) for _ in range(order)]  # warm-up
+    warm = r.s_many(order, eff)
     if stype >= 32:  # LPC coefficient section
         prec = r.u(4)
         if prec == 15:
@@ -767,26 +872,47 @@ def _read_subframe(r: _BitReader, bs: int, sub_bps: int) -> list[int]:
         raise ValueError(
             f"partition size {bs >> po} < predictor order {order}"
         )
-    res: list[int] = []
+    parts = []
     for part in range(1 << po):
         cnt = (bs >> po) - (order if part == 0 else 0)
         p = r.u(pbits)
         if p == esc:
             rawbits = r.u(5)
-            res.extend(
-                (r.s(rawbits) if rawbits else 0) for _ in range(cnt)
+            parts.append(
+                r.s_many(cnt, rawbits)
+                if rawbits
+                else np.zeros(cnt, dtype=np.int64)
             )
         else:
-            for _ in range(cnt):
-                q = r.unary()
-                res.append(_unzigzag((q << p) | r.u(p)))
-    for rv in res:
-        # Python >> on negative ints is an arithmetic (floor) shift —
-        # exactly the spec's predictor quantization semantics
-        x.append(
-            rv + (sum(cf * x[-1 - j] for j, cf in enumerate(coef)) >> shift)
-        )
-    return [v << wasted for v in x]
+            parts.append(r.rice_partition(cnt, p))
+    res = np.concatenate(parts) if parts else np.zeros(0, dtype=np.int64)
+    if stype < 32:
+        # FIXED: the order-o residual is the o-th forward difference,
+        # so reconstruction is o nested prefix sums seeded from the
+        # warm-up's difference pyramid
+        diffs = [warm]
+        for _ in range(order):
+            diffs.append(np.diff(diffs[-1]))
+        seq = res
+        for k in range(order, 0, -1):
+            seq = diffs[k - 1][-1] + np.cumsum(seq)
+        out = np.concatenate([warm, seq])
+    else:
+        # LPC is an IIR recurrence (each sample feeds the next
+        # prediction through the quantization shift) — per-sample by
+        # nature. Python ints; >> on negatives is the spec's
+        # arithmetic-shift semantics.
+        x = [int(v) for v in warm]
+        for rv in res.tolist():
+            x.append(
+                rv
+                + (
+                    sum(cf * x[-1 - j] for j, cf in enumerate(coef))
+                    >> shift
+                )
+            )
+        out = np.array(x, dtype=np.int64)
+    return out << wasted
 
 
 def flac_decode(payload: bytes) -> dict:
@@ -832,7 +958,7 @@ def flac_decode(payload: bytes) -> dict:
     total = r.u(36)
     md5_claim = streaminfo[18:34]
 
-    chans: list[list[int]] = [[] for _ in range(channels)]
+    chans: list[list[np.ndarray]] = [[] for _ in range(channels)]
     n_frames = 0
     while pos < len(payload):
         frame_start = pos
@@ -890,7 +1016,7 @@ def flac_decode(payload: bytes) -> dict:
             raise ValueError(f"frame header CRC-8 mismatch at {frame_start}")
         if ch_code < 8:
             for c in range(channels):
-                chans[c].extend(_read_subframe(r, bs, bps))
+                chans[c].append(_read_subframe(r, bs, bps))
         else:
             # stereo decorrelation: the SIDE channel (L-R) carries one
             # extra bit of range; mid is the floor-average with its
@@ -900,14 +1026,14 @@ def flac_decode(payload: bytes) -> dict:
             a = _read_subframe(r, bs, bps0)
             b = _read_subframe(r, bs, bps1)
             if ch_code == 8:  # left/side
-                left, right = a, [x - s for x, s in zip(a, b)]
+                left, right = a, a - b
             elif ch_code == 9:  # right/side (side first)
-                left, right = [x + s for x, s in zip(b, a)], b
+                left, right = b + a, b
             else:  # mid/side
-                left = [(((m << 1) | (s & 1)) + s) >> 1 for m, s in zip(a, b)]
-                right = [(((m << 1) | (s & 1)) - s) >> 1 for m, s in zip(a, b)]
-            chans[0].extend(left)
-            chans[1].extend(right)
+                m2 = (a << 1) | (b & 1)
+                left, right = (m2 + b) >> 1, (m2 - b) >> 1
+            chans[0].append(left)
+            chans[1].append(right)
         r.align()
         if not r.aligned:
             raise ValueError("frame not byte-aligned before CRC-16")
@@ -917,18 +1043,23 @@ def flac_decode(payload: bytes) -> dict:
         pos = r.byte_pos
         n_frames += 1
 
-    if total and len(chans[0]) != total:
+    cols = [
+        np.concatenate(c) if c else np.zeros(0, dtype=np.int64)
+        for c in chans
+    ]
+    n_dec = len(cols[0])
+    if total and n_dec != total:
         raise ValueError(
-            f"decoded {len(chans[0])} samples, STREAMINFO says {total}"
+            f"decoded {n_dec} samples, STREAMINFO says {total}"
         )
-    samples = np.array(chans, dtype=np.int64).T.reshape(-1, channels)
+    samples = np.stack(cols, axis=1)
     if _audio_md5(samples, bps) != md5_claim:
         raise ValueError("decoded audio MD5 does not match STREAMINFO")
     return {
         "sample_rate": sample_rate,
         "channels": channels,
         "bits_per_sample": bps,
-        "total_samples": len(chans[0]),
+        "total_samples": n_dec,
         "n_frames": n_frames,
         "samples": samples,
     }
