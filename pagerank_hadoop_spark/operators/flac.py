@@ -1275,3 +1275,60 @@ def flac_cover_art(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(batches, COVER_SCHEMA)
+
+
+QUALITY_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("n_samples", LongType()),
+        StructField("clip_n", LongType()),
+        StructField("quiet_n", LongType()),
+        StructField("peak", LongType()),
+        StructField("keep", IntegerType()),
+    ]
+)
+
+
+def flac_quality_stats(
+    media: DataFrame,
+    clip_level: int = 32700,
+    quiet_level: int = 64,
+    max_clip_frac: float = 0.01,
+    max_quiet_frac: float = 0.5,
+) -> DataFrame:
+    """Audio-corpus quality screen over DECODED FLAC samples — the
+    audio analogue of the Gopher-style text flags: per stream, the
+    clipped-sample count (|x| >= clip_level: limiter/distortion
+    artifacts), the near-silence count (|x| < quiet_level), the peak,
+    and a keep flag (clip fraction <= max_clip_frac AND quiet
+    fraction <= max_quiet_frac). Thresholds are plan literals so the
+    filter is reproducible across engines; counts are exact integers.
+    Same Arrow ``mapInPandas`` shape as :func:`flac_sample_stats`."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def q(payload: bytes):
+            d = flac_decode(bytes(payload))
+            x = d["samples"].reshape(-1)
+            ax = np.abs(x)
+            n = len(x)
+            clip = int((ax >= clip_level).sum())
+            quiet = int((ax < quiet_level).sum())
+            keep = int(
+                clip <= max_clip_frac * n and quiet <= max_quiet_frac * n
+            )
+            return n, clip, quiet, int(ax.max()) if n else 0, keep
+
+        for pdf in it:
+            d = pdf["payload"].map(q)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "n_samples": d.map(lambda t: t[0]).astype("int64"),
+                    "clip_n": d.map(lambda t: t[1]).astype("int64"),
+                    "quiet_n": d.map(lambda t: t[2]).astype("int64"),
+                    "peak": d.map(lambda t: t[3]).astype("int64"),
+                    "keep": d.map(lambda t: t[4]).astype("int32"),
+                }
+            )
+
+    return media.mapInPandas(batches, QUALITY_SCHEMA)

@@ -14581,3 +14581,75 @@ def q_media_flac_cover_art(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(stats, "media_id")
         .orderBy("media_id")
     )
+
+
+def _flac_quality_fixture(spark: SparkSession, n: int = 240) -> DataFrame:
+    """Streams with PLANTED quality defects: 96 base samples
+    x_i = (37i+13key) mod 2^16 - 2^15, then key%9 clipped samples
+    (+32760) and key%40 near-silent samples (value key%60-30, inside
+    the |x|<64 silence band iff |key%60-30|<64 — always) appended, so
+    clip_n/quiet_n are exact closed forms. The base ramp contributes:
+    clips where |x_i| >= 32700 (i.e. v_i = (37i+13key)%65536 in
+    [0,68) u [65468,65536)) and quiet where |x_i| < 64 (v_i in
+    (32704, 32832)) — both replayed by the oracle per sample."""
+    import numpy as np
+
+    from pagerank_hadoop_spark.operators.flac import flac_encode
+
+    rows = []
+    for key in range(n):
+        base = [(37 * i + 13 * key) % 65536 - 32768 for i in range(96)]
+        planted = [32760] * (key % 9) + [key % 60 - 30] * (key % 40)
+        x = np.array(base + planted, dtype=np.int64).reshape(-1, 1)
+        rows.append(
+            (key, bytearray(flac_encode(x, 16000, 16, block_size=32)))
+        )
+    return spark.createDataFrame(rows, "media_id long, payload binary")
+
+
+@register(
+    "media_flac_quality",
+    """
+    WITH f AS (SELECT range AS key, 96 + range % 9 + range % 40 AS n
+               FROM range(0, 240)),
+    s AS (SELECT key, n,
+            list_transform(range(0, 96),
+              i -> (37 * i + 13 * key) % 65536 - 32768) AS base
+          FROM f),
+    c AS (SELECT key, n,
+            CAST(len(list_filter(base, x -> abs(x) >= 32700))
+                 + key % 9 AS BIGINT) AS clip_n,
+            CAST(len(list_filter(base, x -> abs(x) < 64))
+                 + key % 40 AS BIGINT) AS quiet_n,
+            CAST(greatest(list_max(list_transform(base, x -> abs(x))),
+                 CASE WHEN key % 9 > 0 THEN 32760 ELSE 0 END,
+                 CASE WHEN key % 40 > 0 THEN abs(key % 60 - 30)
+                      ELSE 0 END) AS BIGINT) AS peak
+          FROM s)
+    SELECT CAST(key AS BIGINT) AS media_id,
+           CAST(n AS BIGINT) AS n_samples,
+           clip_n, quiet_n, peak,
+           CAST(CASE WHEN clip_n <= 0.01 * n AND quiet_n <= 0.5 * n
+                THEN 1 ELSE 0 END AS INTEGER) AS keep
+    FROM c ORDER BY media_id
+    """,
+)
+def q_media_flac_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5 x quality [r11]: audio-corpus quality screen — the audio
+    analogue of `gopher_quality_flags`: decode each FLAC stream and
+    count clipped samples (|x| >= 32700, limiter/distortion
+    artifacts) and near-silence (|x| < 64), derive an exact-integer
+    keep flag (clip <= 1%, quiet <= 50%). Fixtures plant both defect
+    kinds in closed form; the oracle replays base-ramp hits per
+    sample plus the planted counts, so a decode slip or an off-by-one
+    in either threshold flips exact integers. Thresholds ride as plan
+    literals — the filter is engine-reproducible, the shape a corpus
+    curation scan needs. Uses operators.flac.flac_quality_stats."""
+    from pagerank_hadoop_spark.operators.flac import flac_quality_stats
+    from pagerank_hadoop_spark.operators.multimodal import attach_media
+
+    media = attach_media(
+        _flac_quality_fixture(spark), F.col("payload"),
+        media_type="audio/flac",
+    )
+    return flac_quality_stats(media).orderBy("media_id")
