@@ -144,6 +144,8 @@ def main() -> None:
         "packed_bins",
         "media_mp4_frames",
         "media_video_ahash_dedup",
+        "media_flac_fixed",
+        "dedup_aware_mixture",
     ]
     if not sys.argv[1:]:  # full-registry runs only: a named subset
         # run must not clobber the full per-query record
