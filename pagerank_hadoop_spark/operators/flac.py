@@ -402,9 +402,14 @@ def _unzigzag(u: int) -> int:
     return -((u + 1) >> 1) if u & 1 else (u >> 1)
 
 
-def _rice_write(w: _BitWriter, residuals: list[int], escape: bool) -> None:
-    """One residual partition: pick the cheapest 4-bit Rice parameter
-    (or the raw-bits escape), write parameter + coded residuals."""
+def _rice_write(
+    w: _BitWriter, residuals: list[int], escape: bool, pbits: int = 4
+) -> None:
+    """One residual partition: pick the cheapest Rice parameter (or
+    the raw-bits escape), write parameter + coded residuals. ``pbits``
+    is the parameter field width: 4 for method 0 (RICE), 5 for
+    method 1 (RICE2)."""
+    esc_code = (1 << pbits) - 1
     uz = [_zigzag(v) for v in residuals]
     rawbits = max(
         ((v if v >= 0 else -v - 1).bit_length() + 1 for v in residuals),
@@ -415,18 +420,18 @@ def _rice_write(w: _BitWriter, residuals: list[int], escape: bool) -> None:
     else:
         cost, best_p = min(
             (sum(u >> p for u in uz) + len(uz) * (p + 1), p)
-            for p in range(15)
+            for p in range(esc_code)
         )
         if 5 + rawbits * len(uz) < cost:
             best_p = None
     if best_p is None:
-        w.u(15, 4)  # escape code
+        w.u(esc_code, pbits)  # escape code
         w.u(rawbits, 5)
         for v in residuals:
             if rawbits:
                 w.s(v, rawbits)
     else:
-        w.u(best_p, 4)
+        w.u(best_p, pbits)
         for u in uz:
             w.u(1, (u >> best_p) + 1)  # unary quotient: q zeros then 1
             if best_p:
@@ -445,6 +450,7 @@ def _write_subframe(
     rice_escape: bool,
     lpc_coef: list[int] | None,
     lpc_shift: int,
+    rice_method: int = 0,
 ) -> None:
     """One subframe at ``sub_bps`` bits (bps+1 for a side channel).
     Preference order: LPC (if requested and the block is long enough)
@@ -466,12 +472,13 @@ def _write_subframe(
         po = partition_order
         while po and (bs % (1 << po) or (bs >> po) < order):
             po -= 1
-        w2.u(0, 2)  # residual coding method: RICE (4-bit)
+        w2.u(rice_method, 2)  # 0 = RICE (4-bit), 1 = RICE2 (5-bit)
         w2.u(po, 4)
+        pbits = 4 if rice_method == 0 else 5
         idx = 0
         for part in range(1 << po):
             cnt = (bs >> po) - (order if part == 0 else 0)
-            _rice_write(w2, res[idx : idx + cnt], rice_escape)
+            _rice_write(w2, res[idx : idx + cnt], rice_escape, pbits)
             idx += cnt
 
     if lpc_coef is not None and not force_verbatim and len(lpc_coef) <= bs:
@@ -550,6 +557,7 @@ def flac_encode(
     padding: int = 0,
     seek_points: list[tuple[int, int, int]] | None = None,
     pictures: list[dict] | None = None,
+    rice_method: int = 0,
 ) -> bytes:
     """Independent spec-twin FLAC writer (constant/verbatim subset).
 
@@ -689,6 +697,7 @@ def flac_encode(
                 rice_escape=rice_escape,
                 lpc_coef=lpc_coef,
                 lpc_shift=lpc_shift,
+                rice_method=rice_method,
             )
         w2.align()
         frame = (

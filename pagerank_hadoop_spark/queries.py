@@ -14101,9 +14101,10 @@ def _flac_fixed_fixture(spark: SparkSession, n: int = 240) -> DataFrame:
     (a = (13key+5c)%120-60, b = (key+c)%7-3, g = key%3-1), encoded
     with fixed_order = key%5, partition_order = key%3 (exercising
     the shortened first partition whenever order > 0 and po > 0),
-    and the raw-bits escape forced on key%11==0 — so all five FIXED
-    predictors, Rice parameter selection, multi-partition layouts,
-    and the escape path all cross the driver gate. Lossless: the
+    the raw-bits escape forced on key%11==0, and residual coding
+    method 1 (RICE2, 5-bit parameters) on key%17==0 — so all five
+    FIXED predictors, both Rice parameter widths, multi-partition
+    layouts, and the escape path all cross the driver gate. Lossless: the
     oracle replays the generating polynomial, whatever the encoder
     chose. Encoder twin: operators.flac.flac_encode."""
     import numpy as np
@@ -14135,6 +14136,9 @@ def _flac_fixed_fixture(spark: SparkSession, n: int = 240) -> DataFrame:
                         fixed_order=key % 5,
                         partition_order=key % 3,
                         rice_escape=key % 11 == 0,
+                        # method 1 (RICE2, 5-bit params) on a slice of
+                        # keys — lossless, so the oracle is unchanged
+                        rice_method=1 if key % 17 == 0 else 0,
                     )
                 ),
             )

@@ -444,3 +444,19 @@ def test_picture_seektable_blocks_roundtrip():
     assert m["n_blocks"] == 4
     # audio still decodes with all block types present
     assert (flac_decode(enc)["samples"] == x).all()
+
+
+def test_roundtrip_rice2_method():
+    """Residual coding method 1 (RICE2, 5-bit parameters): the decode
+    branch the 4-bit default never exercises, incl. its distinct
+    escape code (31)."""
+    rng = np.random.default_rng(13)
+    for order_kw in ({"fixed_order": 2},
+                     {"lpc_coef": [3, -1], "lpc_shift": 1}):
+        for esc in (False, True):
+            x = rng.integers(-3000, 3000, (101, 2))
+            enc = flac_encode(x, 8000, 16, block_size=32, rice_method=1,
+                              partition_order=1, rice_escape=esc,
+                              **order_kw)
+            d = flac_decode(enc)
+            assert (d["samples"] == x).all(), (order_kw, esc)
