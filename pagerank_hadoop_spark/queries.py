@@ -14657,3 +14657,66 @@ def q_media_flac_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         media_type="audio/flac",
     )
     return flac_quality_stats(media).orderBy("media_id")
+
+
+@register(
+    "stream_flac_energy",
+    """
+    WITH f AS (SELECT range AS key, 1 + range % 2 AS ch,
+                      16 + range % 17 AS bs, 2 + range % 2 AS nb
+               FROM range(0, 240)),
+    g AS (SELECT key, ch, bs, nb, bs * nb - key % 7 AS total FROM f),
+    s AS (SELECT key, ch, bs, nb, total,
+            list_transform(range(0, total * ch), t ->
+              CASE WHEN (key + t % ch + (t // ch) // bs) % 2 = 0
+                   THEN (37 * ((t // ch) // bs) + 13 * key + 5 * (t % ch))
+                        % 65536 - 32768
+                   ELSE (37 * (t // ch) + 13 * key + 101 * (t % ch))
+                        % 65536 - 32768
+              END) AS xs
+          FROM g)
+    SELECT CAST(key AS BIGINT) AS media_id,
+           CAST(8000 + key AS INTEGER) AS sample_rate,
+           CAST(ch AS INTEGER) AS channels,
+           CAST(total AS BIGINT) AS n_samples,
+           CAST(nb AS INTEGER) AS n_frames,
+           CAST(list_sum(list_transform(xs, x -> x * x)) AS BIGINT) AS energy,
+           CAST(list_max(list_transform(xs, x -> abs(x))) AS BIGINT) AS peak,
+           md5(array_to_string(xs, ',')) AS samples_md5
+    FROM s ORDER BY media_id
+    """,
+)
+def q_stream_flac_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E6 x E5 [r11]: STREAMING media ingest — the media_flac_audio
+    fixtures staged as a parquet directory, consumed with a REAL
+    readStream (file source, explicit binary schema, availableNow
+    trigger), decoded per micro-batch by the same Arrow
+    flac_sample_stats kernel (stateless mapInPandas runs unchanged
+    under Structured Streaming), drained to a memory sink, and
+    checked against the identical batch oracle — streaming ≡ batch
+    on bounded input, the ingest shape a continuously-arriving media
+    corpus needs (each arriving file decodes once, only stats reach
+    state). Payloads are identical to media_flac_audio's, so this
+    also certifies the decode path is trigger-invariant."""
+    import tempfile
+
+    from pagerank_hadoop_spark.operators.flac import flac_sample_stats
+    from pagerank_hadoop_spark.operators.multimodal import attach_media
+    from pagerank_hadoop_spark.streaming.windows import run_to_memory
+
+    stage = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_flacstream_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    if not os.path.exists(os.path.join(stage, "_SUCCESS")):
+        _flac_fixture(spark).write.mode("overwrite").parquet(stage)
+    stream = spark.readStream.schema("media_id long, payload binary").parquet(
+        stage
+    )
+    stats = flac_sample_stats(
+        attach_media(stream, F.col("payload"), media_type="audio/flac")
+    )
+    _STREAM_SEQ["n"] += 1
+    name = f"stream_flac_energy_{_STREAM_SEQ['n']}"
+    run_to_memory(stats, name, output_mode="append")
+    return spark.table(name).orderBy("media_id")
