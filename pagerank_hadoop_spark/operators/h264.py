@@ -41,18 +41,31 @@ What is REAL here (pure stdlib + NumPy, no codec library):
   cbp-0 codeword — pure-prediction macroblocks (coded_block_pattern
   0 carries no residual, so the subset needs no entropy decoding
   beyond the codeword itself).
+- **P-slice SKIP+INTRA decode** (r11): the first INTER subset —
+  full P slice-header parse (ref-idx override, list-modification /
+  weighted-pred refusals, non-IDR ref-pic marking), mb_skip_run
+  slice data, skipped macroblocks copying the co-located block of
+  the previous decoded picture (the derived motion vector is
+  provably (0,0) in this subset; the induction is documented at
+  :func:`_decode_pskip_loop`), and I_PCM macroblocks re-coded intra
+  inside P slices (mb_type 30, Table 7-13's 5-offset) — an all-skip
+  P frame is a bit-exact repeat, the temporal-redundancy shape the
+  video-dedup queries feed on.
 What is honestly refused: AC/chroma residuals (I_16x16 mb_type >= 5
 and I_4x4 cbp != 0, i.e. CAVLC beyond the single-coefficient subset
 — the full Table 9-5 (62 codewords x 4 nC classes) cannot be
 validated in this container, which has no reference decoder or table
 source, and a from-memory table would be
 encoder/decoder-self-consistent yet unverifiable, the exact failure
-mode the oracle discipline exists to prevent), CABAC slices, inter
-(P/B) slices, FMO — each raises a typed NotImplementedError naming
-the missing decoder stage, the same strict-mode contract as
-multimodal.decode_media. (Re-probed round 11, 2026-08-16: still no
-spec text, conformance vectors, or reference decoder anywhere in the
-container — boundary unchanged.)
+mode the oracle discipline exists to prevent), inter macroblocks
+with real motion vectors or residuals (mb_type 0..4 in P slices —
+sub-pel interpolation and MV reconstruction sit behind the same
+unvalidatable-table/filter wall), CABAC slices, B/SP/SI slices, FMO
+— each raises a typed NotImplementedError naming the missing decoder
+stage, the same strict-mode contract as multimodal.decode_media.
+(Table 9-5 re-probed round 11, 2026-08-16: still no spec text,
+conformance vectors, or reference decoder anywhere in the container
+— that boundary unchanged.)
 
 The fixture twins (`h264_encode_ipcm`, `mp4_mux_avc`) are INDEPENDENT
 spec-only writers (shared knowledge = the published bitstream syntax,
@@ -241,11 +254,15 @@ def _ebsp_to_rbsp(ebsp: bytes) -> bytes:
 
 
 def h264_sps_rbsp(
-    width_mbs: int, height_mbs: int, crop: tuple[int, int, int, int] = (0, 0, 0, 0)
+    width_mbs: int,
+    height_mbs: int,
+    crop: tuple[int, int, int, int] = (0, 0, 0, 0),
+    max_ref: int = 0,
 ) -> bytes:
     """Baseline-profile SPS (profile_idc 66, poc type 2,
     frame_mbs_only). ``crop`` = (left, right, top, bottom) in chroma
-    crop units (2 luma px each for 4:2:0 frame macroblocks)."""
+    crop units (2 luma px each for 4:2:0 frame macroblocks);
+    ``max_ref`` = max_num_ref_frames (1 for streams with P slices)."""
     w = _BitWriter()
     w.u(66, 8)  # profile_idc: Baseline
     w.u(0b11000000, 8)  # constraint_set0/1, reserved zeros
@@ -253,7 +270,7 @@ def h264_sps_rbsp(
     w.ue(0)  # seq_parameter_set_id
     w.ue(0)  # log2_max_frame_num_minus4 -> u(4) frame_num
     w.ue(2)  # pic_order_cnt_type 2: no POC fields anywhere
-    w.ue(0)  # max_num_ref_frames
+    w.ue(max_ref)  # max_num_ref_frames
     w.u(0, 1)  # gaps_in_frame_num_value_allowed_flag
     w.ue(width_mbs - 1)
     w.ue(height_mbs - 1)
@@ -569,6 +586,58 @@ def h264_encode_islice(mbs, width_mbs: int, qp: int = 26, idr_pic_id: int = 0) -
     return _nal(3, 5, wr.rbsp_trailing())
 
 
+def h264_encode_pskip(
+    width_mbs: int,
+    height_mbs: int,
+    frame_num: int,
+    pcm_mbs: dict | None = None,
+) -> bytes:
+    """One non-IDR P-slice NAL in the SKIP+INTRA subset: every
+    macroblock is either SKIPPED (mb_skip_run — reconstruction copies
+    the co-located reference block, since in this subset the derived
+    motion vector is provably (0,0): the §8.4.1.1 zero-forcing rule
+    fires for MBs whose left/top neighbour is unavailable, intra, or
+    a zero-MV skip, and by induction every inter context the stream
+    ever builds is exactly that) or an I_PCM macroblock
+    (``pcm_mbs``: {(mbx, mby): (y16, cb8, cr8)}) re-encoded intra
+    inside the P slice (mb_type 25 + 5-offset per Table 7-13).
+
+    Slice header mirrors the I twins (poc type 2, CAVLC PPS, no
+    reordering / weighting / adaptive marking): spec-only, written
+    independently of the decoder."""
+    import numpy as np
+
+    pcm_mbs = pcm_mbs or {}
+    wr = _BitWriter()
+    wr.ue(0)  # first_mb_in_slice
+    wr.ue(5)  # slice_type 5 = P (all slices in picture)
+    wr.ue(0)  # pic_parameter_set_id
+    wr.u(frame_num % 16, 4)  # frame_num (log2_max_frame_num = 4)
+    # poc type 2: no POC fields; non-IDR so no idr_pic_id
+    wr.u(0, 1)  # num_ref_idx_active_override_flag
+    wr.u(0, 1)  # ref_pic_list_modification_flag_l0
+    # weighted_pred_flag is 0 in h264_pps_rbsp: no pred_weight_table
+    wr.u(0, 1)  # adaptive_ref_pic_marking_mode_flag (nal_ref_idc > 0)
+    wr.se(0)  # slice_qp_delta
+    run = 0
+    for mby in range(height_mbs):
+        for mbx in range(width_mbs):
+            if (mbx, mby) not in pcm_mbs:
+                run += 1
+                continue
+            wr.ue(run)  # mb_skip_run before this coded macroblock
+            run = 0
+            y16, cb8, cr8 = pcm_mbs[(mbx, mby)]
+            wr.ue(30)  # mb_type: 5 + 25 (I_PCM inside a P slice)
+            wr.byte_align_zero()
+            wr.raw_bytes(np.asarray(y16, dtype=np.uint8).tobytes())
+            wr.raw_bytes(np.asarray(cb8, dtype=np.uint8).tobytes())
+            wr.raw_bytes(np.asarray(cr8, dtype=np.uint8).tobytes())
+    if run:
+        wr.ue(run)  # trailing skip run to the end of the picture
+    return _nal(2, 1, wr.rbsp_trailing())
+
+
 def _box(btype: bytes, *payloads: bytes) -> bytes:
     body = b"".join(payloads)
     return (8 + len(body)).to_bytes(4, "big") + btype + body
@@ -589,6 +658,7 @@ def mp4_mux_avc(
     sei_per_sample: bool = False,
     use_co64: bool = False,
     dims: tuple[int, int] | None = None,
+    max_ref: int = 0,
 ) -> bytes:
     """Well-formed single-track MP4 around AVC samples. ``frames`` is
     a list of (y, cb, cr) uint8 plane triples (encoded I_PCM, one IDR
@@ -610,7 +680,7 @@ def mp4_mux_avc(
         h, w = frames[0][0].shape
     width = w - 2 * (crop[0] + crop[1])
     height = h - 2 * (crop[2] + crop[3])
-    sps = _nal(3, 7, h264_sps_rbsp(w // 16, h // 16, crop))
+    sps = _nal(3, 7, h264_sps_rbsp(w // 16, h // 16, crop, max_ref))
     pps = _nal(3, 8, h264_pps_rbsp())
     # SEI: payload_type 5 (user_data_unregistered), 16-byte uuid-ish
     # payload, then rbsp trailing — content is skipped by decoders
@@ -851,7 +921,7 @@ def h264_parse_pps(rbsp: bytes) -> dict:
         raise NotImplementedError("FMO (slice groups) is not supported")
     r.ue()  # num_ref_idx_l0_default_active_minus1
     r.ue()  # num_ref_idx_l1_default_active_minus1
-    r.u(1)  # weighted_pred_flag
+    weighted_pred = r.u(1)
     r.u(2)  # weighted_bipred_idc
     r.se()  # pic_init_qp_minus26
     r.se()  # pic_init_qs_minus26
@@ -863,6 +933,7 @@ def h264_parse_pps(rbsp: bytes) -> dict:
         "bottom_field_poc_present": bottom_field_poc_present,
         "deblocking_control_present": deblocking_control_present,
         "redundant_pic_cnt_present": redundant_pic_cnt_present,
+        "weighted_pred": weighted_pred,
     }
 
 
@@ -1371,13 +1442,34 @@ def _decode_mb_loop(r: _BitReader, wmb: int, hmb: int, slice_qp: int):
     return y, cb, cr
 
 
-def h264_decode_ipcm_frame(nal: bytes, sps: dict, pps: dict):
-    """Decode one I-slice NAL into (y, cb, cr) uint8 planes (cropped
-    per the SPS). Two decodable macroblock subsets: I_PCM (raw
-    samples, vectorized all-I_PCM fast path) and I_16x16 DC-only
-    (mb_type 1..4, single-coefficient CAVLC DC block — see the CAVLC
-    section above). Typed NotImplementedError for anything needing
-    the general residual decoder."""
+def h264_decode_ipcm_frame(nal: bytes, sps: dict, pps: dict, ref=None):
+    """Decode one coded-slice NAL into (y, cb, cr) uint8 planes
+    (cropped per the SPS). Decodable subsets: I slices with I_PCM /
+    I_16x16-DC-only / intra-predicted macroblocks (see the CAVLC
+    section above), and — since r11 — P slices in the SKIP+INTRA
+    subset (every inter macroblock skipped, copying the co-located
+    block of ``ref``, the previous UNCROPPED decoded planes; intra
+    macroblocks restricted to I_PCM). Typed NotImplementedError for
+    anything needing the general residual decoder, motion vectors,
+    or B-slice machinery."""
+    y, cb, cr = _h264_decode_frame(nal, sps, pps, ref)
+    return _crop_planes(y, cb, cr, sps)
+
+
+def _crop_planes(y, cb, cr, sps: dict):
+    cl, crt, ct, cbm = sps["crop"]
+    if any(sps["crop"]):
+        # 4:2:0 frame MBs: crop units are 2 luma / 1 chroma px
+        y = y[2 * ct : y.shape[0] - 2 * cbm, 2 * cl : y.shape[1] - 2 * crt]
+        cb = cb[ct : cb.shape[0] - cbm, cl : cb.shape[1] - crt]
+        cr = cr[ct : cr.shape[0] - cbm, cl : cr.shape[1] - crt]
+    return y, cb, cr
+
+
+def _h264_decode_frame(nal: bytes, sps: dict, pps: dict, ref=None):
+    """Slice parse + reconstruction, returning UNCROPPED planes (the
+    reference a following P frame predicts from is the full decoded
+    picture, not the display crop)."""
     import numpy as np
 
     nal_ref_idc = (nal[0] >> 5) & 3
@@ -1388,10 +1480,13 @@ def h264_decode_ipcm_frame(nal: bytes, sps: dict, pps: dict):
     if r.ue() != 0:
         raise NotImplementedError("multi-slice pictures are not supported")
     slice_type = r.ue()
-    if slice_type % 5 != 2:  # 2 / 7 = I
+    if slice_type % 5 not in (0, 2):  # P (0/5) and I (2/7) decode
         raise NotImplementedError(
-            f"slice_type {slice_type} needs inter prediction (P/B/SP/SI)"
+            f"slice_type {slice_type} needs B/SP/SI machinery"
         )
+    is_p = slice_type % 5 == 0
+    if is_p and nal_type == 5:
+        raise ValueError("IDR picture with a P slice is malformed")
     r.ue()  # pic_parameter_set_id
     r.u(sps["log2_max_frame_num"])  # frame_num
     if nal_type == 5:
@@ -1406,6 +1501,17 @@ def h264_decode_ipcm_frame(nal: bytes, sps: dict, pps: dict):
             r.se()
     if pps["redundant_pic_cnt_present"]:
         r.ue()
+    if is_p:
+        if r.u(1):  # num_ref_idx_active_override_flag
+            r.ue()  # num_ref_idx_l0_active_minus1
+        if r.u(1):  # ref_pic_list_modification_flag_l0
+            raise NotImplementedError(
+                "reference picture list modification is not supported"
+            )
+        if pps["weighted_pred"]:
+            raise NotImplementedError(
+                "weighted prediction (pred_weight_table) is not supported"
+            )
     if nal_ref_idc:
         if nal_type == 5:
             r.u(1)  # no_output_of_prior_pics_flag
@@ -1432,6 +1538,16 @@ def h264_decode_ipcm_frame(nal: bytes, sps: dict, pps: dict):
             r.se()
     wmb, hmb = sps["width_mbs"], sps["height_mbs"]
     n_mbs = wmb * hmb
+    if is_p:
+        if ref is None:
+            raise ValueError(
+                "P slice with no prior decoded reference picture"
+            )
+        if ref[0].shape != (hmb * 16, wmb * 16):
+            raise ValueError(
+                "reference picture dimensions do not match the SPS"
+            )
+        return _decode_pskip_loop(r, wmb, hmb, ref)
     slice_data_pos = r.pos
     peek = r.ue()
     r.pos = slice_data_pos
@@ -1447,12 +1563,61 @@ def h264_decode_ipcm_frame(nal: bytes, sps: dict, pps: dict):
             y, cb, cr = _decode_mb_loop(r, wmb, hmb, slice_qp)
     else:
         y, cb, cr = _decode_mb_loop(r, wmb, hmb, slice_qp)
-    cl, crt, ct, cbm = sps["crop"]
-    if any(sps["crop"]):
-        # 4:2:0 frame MBs: crop units are 2 luma / 1 chroma px
-        y = y[2 * ct : y.shape[0] - 2 * cbm, 2 * cl : y.shape[1] - 2 * crt]
-        cb = cb[ct : cb.shape[0] - cbm, cl : cb.shape[1] - crt]
-        cr = cr[ct : cr.shape[0] - cbm, cl : cr.shape[1] - crt]
+    return y, cb, cr
+
+
+def _decode_pskip_loop(r: "_BitReader", wmb: int, hmb: int, ref):
+    """P-slice data in the SKIP+INTRA subset: mb_skip_run before each
+    coded macroblock, skipped macroblocks copy the CO-LOCATED block
+    of the reference (derived motion vector (0,0) — sound for this
+    subset by induction: the first skip's left/top are unavailable →
+    §8.4.1.1 forces zero; thereafter every neighbour is either a
+    zero-MV skip (refIdx 0, mv (0,0) → forced zero) or intra
+    (refIdx < 0 → forced zero), so no nonzero vector can ever enter
+    the prediction context), and coded macroblocks must be intra —
+    I_PCM decodes (mb_type 30 = 5 + 25 per Table 7-13), other intra
+    types and all inter mb_types raise typed refusals."""
+    import numpy as np
+
+    y = ref[0].copy()
+    cb = ref[1].copy()
+    cr = ref[2].copy()
+    n_mbs = wmb * hmb
+    done = 0
+    while done < n_mbs:
+        run = r.ue()  # mb_skip_run
+        if done + run > n_mbs:
+            raise ValueError(
+                f"mb_skip_run {run} overruns the picture at MB {done}"
+            )
+        done += run
+        if done == n_mbs:
+            break
+        mb_type = r.ue()
+        if mb_type < 5:
+            raise NotImplementedError(
+                f"P macroblock type {mb_type} needs motion-vector and "
+                "residual decoding (only skipped inter macroblocks "
+                "are in the validated subset)"
+            )
+        if mb_type != 30:  # 5 + 25: I_PCM inside a P slice
+            raise NotImplementedError(
+                f"intra-in-P decode is implemented for I_PCM only "
+                f"(intra mb_type {mb_type - 5})"
+            )
+        mbx, mby = done % wmb, done // wmb
+        r.byte_align()
+        raw = np.frombuffer(r.raw_bytes(384), dtype=np.uint8)
+        y[mby * 16 : mby * 16 + 16, mbx * 16 : mbx * 16 + 16] = raw[
+            :256
+        ].reshape(16, 16)
+        cb[mby * 8 : mby * 8 + 8, mbx * 8 : mbx * 8 + 8] = raw[
+            256:320
+        ].reshape(8, 8)
+        cr[mby * 8 : mby * 8 + 8, mbx * 8 : mbx * 8 + 8] = raw[
+            320:
+        ].reshape(8, 8)
+        done += 1
     return y, cb, cr
 
 
@@ -1630,6 +1795,8 @@ def mp4_decode_ipcm_frames(payload: bytes):
     sps = h264_parse_sps(_ebsp_to_rbsp(demux["sps"][0][1:]))
     pps = h264_parse_pps(_ebsp_to_rbsp(demux["pps"][0][1:]))
     idx = 0
+    prev = None  # UNCROPPED planes of the last decoded picture —
+    # the reference a P slice predicts from
     for nals in demux["samples"]:
         for nal in nals:
             if not nal:
@@ -1640,7 +1807,8 @@ def mp4_decode_ipcm_frames(payload: bytes):
             elif t == 8:
                 pps = h264_parse_pps(_ebsp_to_rbsp(nal[1:]))
             elif t in (1, 5):
-                yield idx, *h264_decode_ipcm_frame(nal, sps, pps)
+                prev = _h264_decode_frame(nal, sps, pps, prev)
+                yield idx, *_crop_planes(*prev, sps)
                 idx += 1
 
 

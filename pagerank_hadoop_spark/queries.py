@@ -14720,3 +14720,135 @@ def q_stream_flac_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = f"stream_flac_energy_{_STREAM_SEQ['n']}"
     run_to_memory(stats, name, output_mode="append")
     return spark.table(name).orderBy("media_id")
+
+
+def _mp4_pskip_fixture(spark: SparkSession, n: int = 120) -> DataFrame:
+    """Driver-built MP4s for the P-slice SKIP+INTRA subset: frame 0
+    is an IDR all-I_PCM picture with linear planes (y = a+2c+3r,
+    cb = u0+c+r, cr = v0+c+r — no mod-256 wrap), frames 1..nf-2 are
+    P slices that SKIP every macroblock except one I_PCM patch
+    (frame j patches MB j: luma b_j+c+2r, constant chroma), and the
+    LAST frame is an all-skip P slice — a bit-exact repeat of its
+    reference, the temporal-redundancy shape video dedup feeds on.
+    Patches ACCUMULATE across frames (each P frame predicts from the
+    previous DECODED picture, not from the IDR), which is exactly
+    what the oracle replays. Encoder twins: h264_encode_ipcm /
+    h264_encode_pskip; mux exercises 1-2 chunks and max_ref=1."""
+    import numpy as np
+
+    from pagerank_hadoop_spark.operators.h264 import (
+        h264_encode_ipcm,
+        h264_encode_pskip,
+        mp4_mux_avc,
+    )
+
+    rows = []
+    for key in range(n):
+        nf = 3 + key % 2
+        a = 20 + key % 60
+        u0 = 15 + key % 50
+        v0 = 9 + key % 40
+        y0 = np.fromfunction(
+            lambda r, c: a + 2 * c + 3 * r, (32, 32)
+        ).astype(np.uint8)
+        cb0 = np.fromfunction(
+            lambda r, c: u0 + c + r, (16, 16)
+        ).astype(np.uint8)
+        cr0 = np.fromfunction(
+            lambda r, c: v0 + c + r, (16, 16)
+        ).astype(np.uint8)
+        nals = [h264_encode_ipcm(y0, cb0, cr0)]
+        for j in range(1, nf - 1):
+            mbx, mby = j % 2, j // 2
+            b_j = 10 + (key + 17 * j) % 40
+            py = np.fromfunction(
+                lambda r, c: b_j + (c + 16 * mbx) + 2 * (r + 16 * mby),
+                (16, 16),
+            ).astype(np.uint8)
+            pcb = np.full((8, 8), 60 + (key + j) % 50, np.uint8)
+            pcr = np.full((8, 8), 30 + (key + 3 * j) % 40, np.uint8)
+            nals.append(
+                h264_encode_pskip(2, 2, j, {(mbx, mby): (py, pcb, pcr)})
+            )
+        nals.append(h264_encode_pskip(2, 2, nf - 1))  # all-skip repeat
+        rows.append(
+            (
+                key,
+                bytearray(
+                    mp4_mux_avc(
+                        nals,
+                        dims=(32, 32),
+                        n_chunks=1 + key % 2,
+                        max_ref=1,
+                    )
+                ),
+            )
+        )
+    return spark.createDataFrame(rows, "media_id long, payload binary")
+
+
+@register(
+    "media_mp4_pskip",
+    """
+    WITH f AS (SELECT range AS key, 3 + range % 2 AS nf
+               FROM range(0, 120)),
+    fr AS (SELECT key, nf, unnest(range(0, nf)) AS fi FROM f),
+    p AS (SELECT key, nf, fi,
+            least(fi, nf - 2) AS np,
+            20 + key % 60 AS a, 15 + key % 50 AS u0, 9 + key % 40 AS v0
+          FROM fr),
+    v AS (SELECT key, fi, np, a, u0, v0,
+            list_transform(range(0, 1024), i ->
+              CASE WHEN ((i // 32) // 16) * 2 + ((i % 32) // 16)
+                        BETWEEN 1 AND np
+                   THEN 10 + (key + 17 * (((i // 32) // 16) * 2
+                                          + ((i % 32) // 16))) % 40
+                        + (i % 32) + 2 * (i // 32)
+                   ELSE a + 2 * (i % 32) + 3 * (i // 32) END) AS yl,
+            list_transform(range(0, 256), i ->
+              CASE WHEN ((i // 16) // 8) * 2 + ((i % 16) // 8)
+                        BETWEEN 1 AND np
+                   THEN 60 + (key + ((i // 16) // 8) * 2
+                              + ((i % 16) // 8)) % 50
+                   ELSE u0 + (i % 16) + (i // 16) END) AS cbl,
+            list_transform(range(0, 256), i ->
+              CASE WHEN ((i // 16) // 8) * 2 + ((i % 16) // 8)
+                        BETWEEN 1 AND np
+                   THEN 30 + (key + 3 * (((i // 16) // 8) * 2
+                                         + ((i % 16) // 8))) % 40
+                   ELSE v0 + (i % 16) + (i // 16) END) AS crl
+          FROM p)
+    SELECT CAST(key AS BIGINT) AS media_id,
+           CAST(fi AS BIGINT) AS frame_idx,
+           CAST(32 AS INTEGER) AS width, CAST(32 AS INTEGER) AS height,
+           CAST(list_sum(yl) AS BIGINT) AS y_sum,
+           CAST(list_sum(cbl) AS BIGINT) AS cb_sum,
+           CAST(list_sum(crl) AS BIGINT) AS cr_sum,
+           md5(array_to_string(yl, ',')) AS y_md5
+    FROM v ORDER BY media_id, frame_idx
+    """,
+)
+def q_media_mp4_pskip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5 [r11]: INTER-predicted H.264 decode — the P-slice
+    SKIP+INTRA subset through the driver gate, the first temporal
+    dimension in the video stack: skipped macroblocks copy the
+    co-located block of the previous DECODED picture (the derived
+    motion vector is provably (0,0) in this subset — §8.4.1.1's
+    zero-forcing rule holds by induction, documented at
+    operators/h264.py::_decode_pskip_loop), I_PCM macroblocks inside
+    P slices overwrite their block, and patches therefore ACCUMULATE
+    frame over frame — the oracle replays the accumulation closed-
+    form (min(frame, nf-2) patches applied) and pins every decoded
+    luma byte by md5, so a reference-tracking slip, a skip-run
+    off-by-one, or a wrong predecessor frame reddens 420 rows. Full
+    P slice-header parse (ref-idx override, list-modification /
+    weighted-pred refusals, non-IDR marking); inter macroblocks with
+    real motion vectors or residuals stay typed refusals. Same Arrow
+    mapInPandas kernel as the other MP4 gates."""
+    from pagerank_hadoop_spark.operators.h264 import mp4_frame_stats
+    from pagerank_hadoop_spark.operators.multimodal import attach_media
+
+    media = attach_media(
+        _mp4_pskip_fixture(spark), F.col("payload"), media_type="video/mp4"
+    )
+    return mp4_frame_stats(media).orderBy("media_id", "frame_idx")

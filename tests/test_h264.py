@@ -151,13 +151,94 @@ def test_transform_coded_mb_rejected():
         h264_decode_ipcm_frame(_minimal_slice_nal(13), sps, pps)
 
 
-def test_inter_slice_rejected():
+def test_b_slice_rejected_and_p_needs_reference():
     sps = h264_parse_sps(h264_sps_rbsp(1, 1))
     pps = h264_parse_pps(h264_pps_rbsp())
-    with pytest.raises(NotImplementedError, match="inter prediction"):
+    # B slices (type 1/6) stay refused
+    with pytest.raises(NotImplementedError, match="B/SP/SI"):
         h264_decode_ipcm_frame(
-            _minimal_slice_nal(None, slice_type=5, nal_type=1), sps, pps
+            _minimal_slice_nal(None, slice_type=6, nal_type=1), sps, pps
         )
+    # P slices decode in the skip subset — but never without a
+    # reference picture
+    from pagerank_hadoop_spark.operators.h264 import h264_encode_pskip
+
+    with pytest.raises(ValueError, match="no prior decoded reference"):
+        h264_decode_ipcm_frame(h264_encode_pskip(1, 1, 1), sps, pps)
+
+
+def test_pskip_roundtrip_and_refusals():
+    import numpy as np
+
+    from pagerank_hadoop_spark.operators.h264 import (
+        _BitWriter,
+        _nal,
+        h264_encode_ipcm,
+        h264_encode_pskip,
+        mp4_decode_ipcm_frames,
+        mp4_mux_avc,
+    )
+
+    y0 = np.fromfunction(lambda r, c: 20 + 2 * c + 3 * r, (32, 32)).astype(
+        np.uint8
+    )
+    cb0 = np.fromfunction(lambda r, c: 15 + c + r, (16, 16)).astype(np.uint8)
+    cr0 = np.fromfunction(lambda r, c: 9 + c + r, (16, 16)).astype(np.uint8)
+    patch = (
+        np.full((16, 16), 107, np.uint8),
+        np.full((8, 8), 61, np.uint8),
+        np.full((8, 8), 41, np.uint8),
+    )
+    nals = [
+        h264_encode_ipcm(y0, cb0, cr0),
+        h264_encode_pskip(2, 2, 1, {(1, 0): patch}),  # patch MB 1
+        h264_encode_pskip(2, 2, 2),  # all-skip: exact repeat
+    ]
+    frames = list(
+        mp4_decode_ipcm_frames(mp4_mux_avc(nals, dims=(32, 32), max_ref=1))
+    )
+    assert len(frames) == 3
+    _, y1, cb1, cr1 = frames[1]
+    exp_y = y0.copy()
+    exp_y[0:16, 16:32] = patch[0]
+    assert (y1 == exp_y).all()
+    assert (cb1[0:8, 8:16] == patch[1]).all()
+    assert (cb1[0:8, 0:8] == cb0[0:8, 0:8]).all()
+    # frame 2 is the all-skip repeat of frame 1 — byte-identical
+    assert (frames[2][1] == y1).all() and (frames[2][3] == cr1).all()
+
+    # refusals: a P macroblock with motion vectors (mb_type 0) and a
+    # non-PCM intra type inside a P slice
+    sps = h264_parse_sps(h264_sps_rbsp(2, 2, max_ref=1))
+    pps = h264_parse_pps(h264_pps_rbsp())
+    ref = (y0, cb0, cr0)
+
+    def p_slice_with(mb_type_code):
+        w = _BitWriter()
+        w.ue(0)  # first_mb_in_slice
+        w.ue(5)  # slice_type P
+        w.ue(0)  # pps id
+        w.u(1, 4)  # frame_num
+        w.u(0, 1)  # num_ref_idx_active_override
+        w.u(0, 1)  # ref_pic_list_modification_flag_l0
+        w.u(0, 1)  # adaptive_ref_pic_marking_mode_flag
+        w.se(0)  # slice_qp_delta
+        w.ue(0)  # mb_skip_run 0
+        w.ue(mb_type_code)
+        w.u(0, 8)  # filler so parsing has bits to chew
+        return _nal(2, 1, w.rbsp_trailing())
+
+    with pytest.raises(NotImplementedError, match="motion-vector"):
+        h264_decode_ipcm_frame(p_slice_with(0), sps, pps, ref)
+    with pytest.raises(NotImplementedError, match="I_PCM only"):
+        h264_decode_ipcm_frame(p_slice_with(7), sps, pps, ref)
+    # skip run overrunning the picture is malformed, not unsupported
+    w = _BitWriter()
+    w.ue(0), w.ue(5), w.ue(0), w.u(1, 4)
+    w.u(0, 1), w.u(0, 1), w.u(0, 1), w.se(0)
+    w.ue(9)  # 9 skips in a 4-MB picture
+    with pytest.raises(ValueError, match="overruns the picture"):
+        h264_decode_ipcm_frame(_nal(2, 1, w.rbsp_trailing()), sps, pps, ref)
 
 
 def test_truncation_and_garbage_errors():
