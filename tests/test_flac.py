@@ -460,3 +460,20 @@ def test_roundtrip_rice2_method():
                               **order_kw)
             d = flac_decode(enc)
             assert (d["samples"] == x).all(), (order_kw, esc)
+
+
+def test_unknown_metadata_block_skipped():
+    from pagerank_hadoop_spark.operators.flac import flac_meta
+
+    x = _ramp(20, 1)
+    enc = bytearray(flac_encode(x, 8000, 16, block_size=16))
+    # splice an APPLICATION block (type 2) after STREAMINFO: clear the
+    # last-block flag on STREAMINFO, insert header+body before frames
+    assert enc[4] == 0x80  # last | STREAMINFO
+    enc[4] = 0x00
+    app = bytes([0x82]) + (8).to_bytes(3, "big") + b"APPLbody"
+    spliced = bytes(enc[: 4 + 4 + 34]) + app + bytes(enc[4 + 4 + 34 :])
+    m = flac_meta(spliced)
+    assert m["n_blocks"] == 2
+    # unknown types are walked over, audio still decodes
+    assert (flac_decode(spliced)["samples"] == x).all()

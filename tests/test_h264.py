@@ -1344,3 +1344,20 @@ def test_i4x4_refusals_and_signaling():
     nal = _nal(3, 5, wr.rbsp_trailing())
     with _pytest.raises(NotImplementedError, match="coded_block_pattern"):
         next(iter(mp4_decode_ipcm_frames(mp4_mux_avc([nal], dims=(16, 16)))))
+
+
+def test_p_frame_first_mp4_rejected():
+    """A stream whose first sample is a P slice has no reference —
+    the MP4 decode path must surface the typed ValueError, and the
+    generator must not leak a reference across separate payloads."""
+    from pagerank_hadoop_spark.operators.h264 import (
+        h264_encode_pskip,
+        mp4_decode_ipcm_frames,
+        mp4_mux_avc,
+    )
+
+    bad = mp4_mux_avc(
+        [h264_encode_pskip(1, 1, 0)], dims=(16, 16), max_ref=1
+    )
+    with pytest.raises(ValueError, match="no prior decoded reference"):
+        list(mp4_decode_ipcm_frames(bad))
