@@ -470,7 +470,9 @@ def _write_subframe(
 
     def _residual(res: list[int], order: int) -> None:
         po = partition_order
-        while po and (bs % (1 << po) or (bs >> po) < order):
+        # strict >: RFC 9639 forbids bs >> po == order (empty first
+        # partition); mirror of the decoder's conformance check
+        while po and (bs % (1 << po) or (bs >> po) <= order):
             po -= 1
         w2.u(rice_method, 2)  # 0 = RICE (4-bit), 1 = RICE2 (5-bit)
         w2.u(po, 4)
@@ -481,7 +483,7 @@ def _write_subframe(
             _rice_write(w2, res[idx : idx + cnt], rice_escape, pbits)
             idx += cnt
 
-    if lpc_coef is not None and not force_verbatim and len(lpc_coef) <= bs:
+    if lpc_coef is not None and not force_verbatim and len(lpc_coef) < bs:
         order = len(lpc_coef)
         if not 1 <= order <= 32:
             raise ValueError(f"LPC order {order} out of 1..32")
@@ -599,8 +601,11 @@ def flac_encode(
     out = bytearray(b"fLaC")
     si = _BitWriter()
     n_blocks = max(1, -(-n_total // block_size))
-    last_size = n_total - (n_blocks - 1) * block_size
-    si.u(min(block_size, max(last_size, 1)), 16)  # min block size
+    # min/max blocksize EXCLUDE the last block (spec: a stream where
+    # every block has the same size is "fixed-blocksize" regardless of
+    # a short tail), so both fields carry block_size — values < 16
+    # would be nonconformant
+    si.u(block_size, 16)  # min block size
     si.u(block_size, 16)  # max block size
     si.u(0, 24)  # min frame size unknown
     si.u(0, 24)  # max frame size unknown
@@ -877,9 +882,12 @@ def _read_subframe(r: _BitReader, bs: int, sub_bps: int) -> np.ndarray:
         raise ValueError(
             f"partition order {po} does not divide block size {bs}"
         )
-    if (bs >> po) < order:
+    if (bs >> po) <= order:
+        # RFC 9639: block_size >> partition_order must be STRICTLY
+        # larger than the predictor order (an empty first partition
+        # is nonconformant)
         raise ValueError(
-            f"partition size {bs >> po} < predictor order {order}"
+            f"partition size {bs >> po} <= predictor order {order}"
         )
     parts = []
     for part in range(1 << po):
@@ -1103,16 +1111,18 @@ def flac_sample_stats(media: DataFrame) -> DataFrame:
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         def stats(payload: bytes):
             d = flac_decode(bytes(payload))
-            x = d["samples"].reshape(-1)
+            vals = d["samples"].reshape(-1).tolist()
+            # Python-int accumulation: int64 Σx² silently wraps past
+            # ~16-bit samples (24/32-bit audio squares reach 2^62)
             return (
                 d["sample_rate"],
                 d["channels"],
                 d["total_samples"],
                 d["n_frames"],
-                int((x * x).sum()),
-                int(np.abs(x).max()) if len(x) else 0,
+                sum(v * v for v in vals),
+                max((abs(v) for v in vals), default=0),
                 hashlib.md5(
-                    ",".join(str(v) for v in x.tolist()).encode()
+                    ",".join(str(v) for v in vals).encode()
                 ).hexdigest(),
             )
 

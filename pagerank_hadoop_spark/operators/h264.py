@@ -1795,8 +1795,9 @@ def mp4_decode_ipcm_frames(payload: bytes):
     sps = h264_parse_sps(_ebsp_to_rbsp(demux["sps"][0][1:]))
     pps = h264_parse_pps(_ebsp_to_rbsp(demux["pps"][0][1:]))
     idx = 0
-    prev = None  # UNCROPPED planes of the last decoded picture —
-    # the reference a P slice predicts from
+    prev = None  # UNCROPPED planes of the last decoded REFERENCE
+    # picture — a non-reference picture (nal_ref_idc == 0) never
+    # enters the DPB, so a following P slice must not predict from it
     for nals in demux["samples"]:
         for nal in nals:
             if not nal:
@@ -1807,8 +1808,10 @@ def mp4_decode_ipcm_frames(payload: bytes):
             elif t == 8:
                 pps = h264_parse_pps(_ebsp_to_rbsp(nal[1:]))
             elif t in (1, 5):
-                prev = _h264_decode_frame(nal, sps, pps, prev)
-                yield idx, *_crop_planes(*prev, sps)
+                pic = _h264_decode_frame(nal, sps, pps, prev)
+                if (nal[0] >> 5) & 3:
+                    prev = pic
+                yield idx, *_crop_planes(*pic, sps)
                 idx += 1
 
 

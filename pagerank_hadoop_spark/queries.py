@@ -14231,7 +14231,9 @@ def _flac_lpc_fixture(spark: SparkSession, n: int = 240) -> DataFrame:
         )
         opts = {}
         if key % 2 == 0:
-            coef, shift = lpc_sets[key % 4]
+            # (key // 2) % 4 so even keys reach ALL four sets — key % 4
+            # on even keys only ever hits indices 0 and 2
+            coef, shift = lpc_sets[(key // 2) % 4]
             opts = {"lpc_coef": coef, "lpc_shift": shift}
         else:
             opts = {"fixed_order": key % 5}
