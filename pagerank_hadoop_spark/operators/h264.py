@@ -537,60 +537,70 @@ def h264_encode_islice(mbs, width_mbs: int, qp: int = 26, idr_pic_id: int = 0) -
     wr.se(qp - 26)  # slice_qp_delta
     for mbi, mb in enumerate(mbs):
         mby, mbx = divmod(mbi, width_mbs)
-        if mb[0] == "i4":
-            _, modes, chroma_mode = mb
-            if isinstance(modes, int):
-                modes = [modes] * 16
-            if len(modes) != 16 or not all(0 <= m <= 8 for m in modes):
-                raise ValueError("i4 needs 16 luma modes in 0..8")
-            if not 0 <= chroma_mode <= 3:
-                raise ValueError("prediction modes must be 0..3")
-            wr.ue(0)  # mb_type I_4x4
-            for idx in range(16):
-                bx, by = _I4_SCAN[idx]
-                cx, cy = mbx * 4 + bx, mby * 4 + by
-                pm = _i4_pred_mode(mode4x4, cx, cy)
-                mode = modes[idx]
-                if mode == pm:
-                    wr.u(1, 1)  # prev_intra4x4_pred_mode_flag
-                else:
-                    wr.u(0, 1)
-                    wr.u(mode - (1 if mode > pm else 0), 3)
-                mode4x4[cy, cx] = mode
-            wr.ue(chroma_mode)  # intra_chroma_pred_mode
-            wr.ue(_CBP_INTRA_ZERO_CODENUM)  # coded_block_pattern = 0
-            continue
-        if mb[0] == "pcm":
-            y16, cb8, cr8 = (bytes(b) for b in mb[1])
-            if len(y16) != 256 or len(cb8) != 64 or len(cr8) != 64:
-                raise ValueError(
-                    "I_PCM macroblock needs 256 luma + 64 + 64 chroma bytes"
-                )
-            wr.ue(25)
-            wr.byte_align_zero()
-            wr.raw_bytes(y16 + cb8 + cr8)
-        elif mb[0] in ("dc", "i16"):
-            if mb[0] == "dc":
-                _, level, pos = mb
-                pred_mode, chroma_mode = 2, 0
-            else:
-                _, pred_mode, chroma_mode, level, pos = mb
-            if not 0 <= pred_mode <= 3 or not 0 <= chroma_mode <= 3:
-                raise ValueError("prediction modes must be 0..3")
-            wr.ue(1 + pred_mode)  # mb_type I_16x16_<mode>_0_0
-            wr.ue(chroma_mode)  # intra_chroma_pred_mode
-            wr.se(0)  # mb_qp_delta
-            _cavlc_write_dc1(wr, level, pos)
-        else:
-            raise ValueError(f"unknown macroblock spec {mb[0]!r}")
+        _write_intra_mb(wr, mb, mbx, mby, mode4x4)
     return _nal(3, 5, wr.rbsp_trailing())
+
+
+def _write_intra_mb(wr: _BitWriter, mb, mbx: int, mby: int, mode4x4, type_offset: int = 0) -> None:
+    """Write one intra macroblock_layer from its encoder spec tuple
+    ('pcm' / 'dc' / 'i16' / 'i4', see h264_encode_islice). Shared by
+    the I-slice and P-slice encoder twins: ``type_offset`` = 5 codes
+    the same macroblock inside a P slice (Table 7-13 offsets intra
+    mb_type by 5 there; the layer syntax is unchanged)."""
+    if mb[0] == "i4":
+        _, modes, chroma_mode = mb
+        if isinstance(modes, int):
+            modes = [modes] * 16
+        if len(modes) != 16 or not all(0 <= m <= 8 for m in modes):
+            raise ValueError("i4 needs 16 luma modes in 0..8")
+        if not 0 <= chroma_mode <= 3:
+            raise ValueError("prediction modes must be 0..3")
+        wr.ue(0 + type_offset)  # mb_type I_4x4
+        for idx in range(16):
+            bx, by = _I4_SCAN[idx]
+            cx, cy = mbx * 4 + bx, mby * 4 + by
+            pm = _i4_pred_mode(mode4x4, cx, cy)
+            mode = modes[idx]
+            if mode == pm:
+                wr.u(1, 1)  # prev_intra4x4_pred_mode_flag
+            else:
+                wr.u(0, 1)
+                wr.u(mode - (1 if mode > pm else 0), 3)
+            mode4x4[cy, cx] = mode
+        wr.ue(chroma_mode)  # intra_chroma_pred_mode
+        wr.ue(_CBP_INTRA_ZERO_CODENUM)  # coded_block_pattern = 0
+    elif mb[0] == "pcm":
+        y16, cb8, cr8 = (bytes(b) for b in mb[1])
+        if len(y16) != 256 or len(cb8) != 64 or len(cr8) != 64:
+            raise ValueError(
+                "I_PCM macroblock needs 256 luma + 64 + 64 chroma bytes"
+            )
+        wr.ue(25 + type_offset)
+        wr.byte_align_zero()
+        wr.raw_bytes(y16 + cb8 + cr8)
+    elif mb[0] in ("dc", "i16"):
+        if mb[0] == "dc":
+            _, level, pos = mb
+            pred_mode, chroma_mode = 2, 0
+        else:
+            _, pred_mode, chroma_mode, level, pos = mb
+        if not 0 <= pred_mode <= 3 or not 0 <= chroma_mode <= 3:
+            raise ValueError("prediction modes must be 0..3")
+        wr.ue(1 + pred_mode + type_offset)  # mb_type I_16x16_<mode>_0_0
+        wr.ue(chroma_mode)  # intra_chroma_pred_mode
+        wr.se(0)  # mb_qp_delta
+        _cavlc_write_dc1(wr, level, pos)
+    else:
+        raise ValueError(f"unknown macroblock spec {mb[0]!r}")
 
 
 def h264_encode_pskip(
     width_mbs: int,
     height_mbs: int,
     frame_num: int,
-    pcm_mbs: dict | None = None,
+    intra_mbs: dict | None = None,
+    qp: int = 26,
+    disposable: bool = False,
 ) -> bytes:
     """One non-IDR P-slice NAL in the SKIP+INTRA subset: every
     macroblock is either SKIPPED (mb_skip_run — reconstruction copies
@@ -598,16 +608,25 @@ def h264_encode_pskip(
     motion vector is provably (0,0): the §8.4.1.1 zero-forcing rule
     fires for MBs whose left/top neighbour is unavailable, intra, or
     a zero-MV skip, and by induction every inter context the stream
-    ever builds is exactly that) or an I_PCM macroblock
-    (``pcm_mbs``: {(mbx, mby): (y16, cb8, cr8)}) re-encoded intra
-    inside the P slice (mb_type 25 + 5-offset per Table 7-13).
+    ever builds is exactly that) or an INTRA macroblock re-encoded
+    inside the P slice with its mb_type offset by 5 (Table 7-13).
+    ``intra_mbs``: {(mbx, mby): spec} where spec is any
+    h264_encode_islice macroblock tuple ('pcm' / 'dc' / 'i16' /
+    'i4'); a bare (y16, cb8, cr8) plane triple is accepted as I_PCM
+    shorthand (the pre-r12 calling convention). ``qp`` rides in
+    slice_qp_delta, as in the I twins.
 
-    Slice header mirrors the I twins (poc type 2, CAVLC PPS, no
-    reordering / weighting / adaptive marking): spec-only, written
-    independently of the decoder."""
+    Slice header mirrors the I twins (poc type 2, CAVLC PPS —
+    constrained_intra_pred_flag 0, so intra prediction here may read
+    skipped neighbours' samples — no reordering / weighting /
+    adaptive marking): spec-only, written independently of the
+    decoder."""
     import numpy as np
 
-    pcm_mbs = pcm_mbs or {}
+    intra_mbs = intra_mbs or {}
+    mode4x4 = np.full(
+        (height_mbs * 4, width_mbs * 4), -1, dtype=np.int64
+    )  # skipped MBs stay -1: not I_4x4 in the §8.3.1.1 mode context
     wr = _BitWriter()
     wr.ue(0)  # first_mb_in_slice
     wr.ue(5)  # slice_type 5 = P (all slices in picture)
@@ -617,25 +636,26 @@ def h264_encode_pskip(
     wr.u(0, 1)  # num_ref_idx_active_override_flag
     wr.u(0, 1)  # ref_pic_list_modification_flag_l0
     # weighted_pred_flag is 0 in h264_pps_rbsp: no pred_weight_table
-    wr.u(0, 1)  # adaptive_ref_pic_marking_mode_flag (nal_ref_idc > 0)
-    wr.se(0)  # slice_qp_delta
+    if not disposable:
+        # dec_ref_pic_marking exists only when nal_ref_idc > 0; a
+        # disposable picture (ref_idc 0) omits the bit entirely
+        wr.u(0, 1)  # adaptive_ref_pic_marking_mode_flag
+    wr.se(qp - 26)  # slice_qp_delta
     run = 0
     for mby in range(height_mbs):
         for mbx in range(width_mbs):
-            if (mbx, mby) not in pcm_mbs:
+            if (mbx, mby) not in intra_mbs:
                 run += 1
                 continue
             wr.ue(run)  # mb_skip_run before this coded macroblock
             run = 0
-            y16, cb8, cr8 = pcm_mbs[(mbx, mby)]
-            wr.ue(30)  # mb_type: 5 + 25 (I_PCM inside a P slice)
-            wr.byte_align_zero()
-            wr.raw_bytes(np.asarray(y16, dtype=np.uint8).tobytes())
-            wr.raw_bytes(np.asarray(cb8, dtype=np.uint8).tobytes())
-            wr.raw_bytes(np.asarray(cr8, dtype=np.uint8).tobytes())
+            mb = intra_mbs[(mbx, mby)]
+            if not isinstance(mb[0], str):
+                mb = ("pcm", mb)  # legacy bare plane triple
+            _write_intra_mb(wr, mb, mbx, mby, mode4x4, type_offset=5)
     if run:
         wr.ue(run)  # trailing skip run to the end of the picture
-    return _nal(2, 1, wr.rbsp_trailing())
+    return _nal(0 if disposable else 2, 1, wr.rbsp_trailing())
 
 
 def _box(btype: bytes, *payloads: bytes) -> bytes:
@@ -1340,106 +1360,131 @@ def _decode_mb_loop(r: _BitReader, wmb: int, hmb: int, slice_qp: int):
     for mb in range(wmb * hmb):
         mby, mbx = divmod(mb, wmb)
         mb_type = r.ue()
-        if mb_type == 25:
-            r.byte_align()
-            raw = np.frombuffer(r.raw_bytes(384), dtype=np.uint8)
-            y[mby * 16 : mby * 16 + 16, mbx * 16 : mbx * 16 + 16] = raw[
-                :256
-            ].reshape(16, 16)
-            cb[mby * 8 : mby * 8 + 8, mbx * 8 : mbx * 8 + 8] = raw[
-                256:320
-            ].reshape(8, 8)
-            cr[mby * 8 : mby * 8 + 8, mbx * 8 : mbx * 8 + 8] = raw[
-                320:
-            ].reshape(8, 8)
-            dec[mby * 4 : mby * 4 + 4, mbx * 4 : mbx * 4 + 4] = True
-            continue
-        if mb_type == 0:  # I_4x4 (I_NxN; transform_8x8 absent in PPS)
-            # Parse-then-reconstruct split: all 16 prev/rem mode
-            # elements, the chroma mode, and cbp are read BEFORE any
-            # 4x4 prediction runs. That ordering is only safe while
-            # cbp == 0 (parsing never depends on reconstructed
-            # samples); extending this branch to residual decoding
-            # requires interleaving per-block reconstruction with the
-            # residual parse, since CAVLC nC context depends on
-            # neighbouring blocks' total_coeff.
-            modes = []
-            for idx in range(16):
-                bx, by = _I4_SCAN[idx]
-                cx, cy = mbx * 4 + bx, mby * 4 + by
-                pm = _i4_pred_mode(mode4x4, cx, cy)
-                if r.u(1):  # prev_intra4x4_pred_mode_flag
-                    mode = pm
-                else:
-                    rem = r.u(3)
-                    mode = rem if rem < pm else rem + 1
-                mode4x4[cy, cx] = mode
-                modes.append(mode)
-            chroma_mode = r.ue()
-            if chroma_mode > 3:
-                raise ValueError(
-                    f"invalid intra_chroma_pred_mode {chroma_mode}"
-                )
-            cbp_codenum = r.ue()  # coded_block_pattern
-            if cbp_codenum > 47:
-                # Table 9-4 has 48 intra entries (codeNum 0..47);
-                # beyond that the bitstream is malformed, not an
-                # unimplemented capability.
-                raise ValueError(
-                    f"invalid intra coded_block_pattern codeNum "
-                    f"{cbp_codenum} (Table 9-4 defines 0..47)"
-                )
-            if cbp_codenum != _CBP_INTRA_ZERO_CODENUM:
-                raise NotImplementedError(
-                    "I_4x4 coded_block_pattern != 0 needs the AC "
-                    "residual decoder (Table 9-4 intra mapping beyond "
-                    "the cbp-0 codeword)"
-                )
-            # cbp 0: no mb_qp_delta, no residual — pure prediction
-            for idx in range(16):
-                bx, by = _I4_SCAN[idx]
-                px, py = mbx * 16 + bx * 4, mby * 16 + by * 4
-                blk = _i4_pred(y, px, py, modes[idx], dec)
-                y[py : py + 4, px : px + 4] = np.clip(blk, 0, 255).astype(
-                    np.uint8
-                )
-                dec[mby * 4 + by, mbx * 4 + bx] = True
-            for plane in (cb, cr):
-                plane[mby * 8 : mby * 8 + 8, mbx * 8 : mbx * 8 + 8] = (
-                    _chroma_mb_pred(plane, mbx, mby, chroma_mode).astype(
-                        np.uint8
-                    )
-                )
-            continue
-        if not 1 <= mb_type <= 24:
-            raise ValueError(f"invalid I-slice mb_type {mb_type}")
-        m1 = mb_type - 1
-        pred_mode, cbp_chroma, cbp_luma = m1 % 4, (m1 // 4) % 3, m1 >= 12
-        if cbp_luma or cbp_chroma:
-            raise NotImplementedError(
-                f"I_16x16 mb_type {mb_type} carries AC/chroma residuals "
-                "(CAVLC beyond the single-coefficient DC subset)"
-            )
-        chroma_mode = r.ue()  # intra_chroma_pred_mode
+        qp = _decode_intra_mb(
+            r, mb_type, mbx, mby, y, cb, cr, dec, mode4x4, qp
+        )
+    return y, cb, cr
+
+
+def _decode_intra_mb(
+    r: _BitReader,
+    mb_type: int,
+    mbx: int,
+    mby: int,
+    y,
+    cb,
+    cr,
+    dec,
+    mode4x4,
+    qp: int,
+) -> int:
+    """One intra macroblock_layer (I-table mb_type 0..25), shared by
+    the I-slice loop and the P-slice SKIP+INTRA loop — §7.4.5 codes
+    an intra macroblock in a P slice with mb_type offset by 5 into
+    the SAME table, with identical layer syntax. Reconstructs in
+    place and returns the (possibly mb_qp_delta-updated) slice qp."""
+    import numpy as np
+
+    if mb_type == 25:
+        r.byte_align()
+        raw = np.frombuffer(r.raw_bytes(384), dtype=np.uint8)
+        y[mby * 16 : mby * 16 + 16, mbx * 16 : mbx * 16 + 16] = raw[
+            :256
+        ].reshape(16, 16)
+        cb[mby * 8 : mby * 8 + 8, mbx * 8 : mbx * 8 + 8] = raw[
+            256:320
+        ].reshape(8, 8)
+        cr[mby * 8 : mby * 8 + 8, mbx * 8 : mbx * 8 + 8] = raw[
+            320:
+        ].reshape(8, 8)
+        dec[mby * 4 : mby * 4 + 4, mbx * 4 : mbx * 4 + 4] = True
+        return qp
+    if mb_type == 0:  # I_4x4 (I_NxN; transform_8x8 absent in PPS)
+        # Parse-then-reconstruct split: all 16 prev/rem mode
+        # elements, the chroma mode, and cbp are read BEFORE any
+        # 4x4 prediction runs. That ordering is only safe while
+        # cbp == 0 (parsing never depends on reconstructed
+        # samples); extending this branch to residual decoding
+        # requires interleaving per-block reconstruction with the
+        # residual parse, since CAVLC nC context depends on
+        # neighbouring blocks' total_coeff.
+        modes = []
+        for idx in range(16):
+            bx, by = _I4_SCAN[idx]
+            cx, cy = mbx * 4 + bx, mby * 4 + by
+            pm = _i4_pred_mode(mode4x4, cx, cy)
+            if r.u(1):  # prev_intra4x4_pred_mode_flag
+                mode = pm
+            else:
+                rem = r.u(3)
+                mode = rem if rem < pm else rem + 1
+            mode4x4[cy, cx] = mode
+            modes.append(mode)
+        chroma_mode = r.ue()
         if chroma_mode > 3:
             raise ValueError(
                 f"invalid intra_chroma_pred_mode {chroma_mode}"
             )
-        qp = (qp + r.se() + 52) % 52  # mb_qp_delta
-        consts = _dc_residual_constants(_cavlc_read_dc1(r), qp)
-        pred = _i16_luma_pred(y, mbx, mby, pred_mode)
-        resid = np.repeat(
-            np.repeat(np.array(consts, dtype=np.int64), 4, axis=0), 4, axis=1
-        )
-        y[mby * 16 : mby * 16 + 16, mbx * 16 : mbx * 16 + 16] = np.clip(
-            pred + resid, 0, 255
-        ).astype(np.uint8)
-        dec[mby * 4 : mby * 4 + 4, mbx * 4 : mbx * 4 + 4] = True
+        cbp_codenum = r.ue()  # coded_block_pattern
+        if cbp_codenum > 47:
+            # Table 9-4 has 48 intra entries (codeNum 0..47);
+            # beyond that the bitstream is malformed, not an
+            # unimplemented capability.
+            raise ValueError(
+                f"invalid intra coded_block_pattern codeNum "
+                f"{cbp_codenum} (Table 9-4 defines 0..47)"
+            )
+        if cbp_codenum != _CBP_INTRA_ZERO_CODENUM:
+            raise NotImplementedError(
+                "I_4x4 coded_block_pattern != 0 needs the AC "
+                "residual decoder (Table 9-4 intra mapping beyond "
+                "the cbp-0 codeword)"
+            )
+        # cbp 0: no mb_qp_delta, no residual — pure prediction
+        for idx in range(16):
+            bx, by = _I4_SCAN[idx]
+            px, py = mbx * 16 + bx * 4, mby * 16 + by * 4
+            blk = _i4_pred(y, px, py, modes[idx], dec)
+            y[py : py + 4, px : px + 4] = np.clip(blk, 0, 255).astype(
+                np.uint8
+            )
+            dec[mby * 4 + by, mbx * 4 + bx] = True
         for plane in (cb, cr):
             plane[mby * 8 : mby * 8 + 8, mbx * 8 : mbx * 8 + 8] = (
-                _chroma_mb_pred(plane, mbx, mby, chroma_mode).astype(np.uint8)
+                _chroma_mb_pred(plane, mbx, mby, chroma_mode).astype(
+                    np.uint8
+                )
             )
-    return y, cb, cr
+        return qp
+    if not 1 <= mb_type <= 24:
+        raise ValueError(f"invalid intra mb_type {mb_type}")
+    m1 = mb_type - 1
+    pred_mode, cbp_chroma, cbp_luma = m1 % 4, (m1 // 4) % 3, m1 >= 12
+    if cbp_luma or cbp_chroma:
+        raise NotImplementedError(
+            f"I_16x16 mb_type {mb_type} carries AC/chroma residuals "
+            "(CAVLC beyond the single-coefficient DC subset)"
+        )
+    chroma_mode = r.ue()  # intra_chroma_pred_mode
+    if chroma_mode > 3:
+        raise ValueError(
+            f"invalid intra_chroma_pred_mode {chroma_mode}"
+        )
+    qp = (qp + r.se() + 52) % 52  # mb_qp_delta
+    consts = _dc_residual_constants(_cavlc_read_dc1(r), qp)
+    pred = _i16_luma_pred(y, mbx, mby, pred_mode)
+    resid = np.repeat(
+        np.repeat(np.array(consts, dtype=np.int64), 4, axis=0), 4, axis=1
+    )
+    y[mby * 16 : mby * 16 + 16, mbx * 16 : mbx * 16 + 16] = np.clip(
+        pred + resid, 0, 255
+    ).astype(np.uint8)
+    dec[mby * 4 : mby * 4 + 4, mbx * 4 : mbx * 4 + 4] = True
+    for plane in (cb, cr):
+        plane[mby * 8 : mby * 8 + 8, mbx * 8 : mbx * 8 + 8] = (
+            _chroma_mb_pred(plane, mbx, mby, chroma_mode).astype(np.uint8)
+        )
+    return qp
 
 
 def h264_decode_ipcm_frame(nal: bytes, sps: dict, pps: dict, ref=None):
@@ -1547,7 +1592,7 @@ def _h264_decode_frame(nal: bytes, sps: dict, pps: dict, ref=None):
             raise ValueError(
                 "reference picture dimensions do not match the SPS"
             )
-        return _decode_pskip_loop(r, wmb, hmb, ref)
+        return _decode_pskip_loop(r, wmb, hmb, ref, slice_qp)
     slice_data_pos = r.pos
     peek = r.ue()
     r.pos = slice_data_pos
@@ -1566,7 +1611,9 @@ def _h264_decode_frame(nal: bytes, sps: dict, pps: dict, ref=None):
     return y, cb, cr
 
 
-def _decode_pskip_loop(r: "_BitReader", wmb: int, hmb: int, ref):
+def _decode_pskip_loop(
+    r: "_BitReader", wmb: int, hmb: int, ref, slice_qp: int
+):
     """P-slice data in the SKIP+INTRA subset: mb_skip_run before each
     coded macroblock, skipped macroblocks copy the CO-LOCATED block
     of the reference (derived motion vector (0,0) — sound for this
@@ -1574,14 +1621,27 @@ def _decode_pskip_loop(r: "_BitReader", wmb: int, hmb: int, ref):
     §8.4.1.1 forces zero; thereafter every neighbour is either a
     zero-MV skip (refIdx 0, mv (0,0) → forced zero) or intra
     (refIdx < 0 → forced zero), so no nonzero vector can ever enter
-    the prediction context), and coded macroblocks must be intra —
-    I_PCM decodes (mb_type 30 = 5 + 25 per Table 7-13), other intra
-    types and all inter mb_types raise typed refusals."""
+    the prediction context), and coded macroblocks must be intra
+    (Table 7-13: mb_type - 5 indexes the I table) — the FULL decoded
+    intra surface is reachable here via :func:`_decode_intra_mb`
+    (I_PCM, I_4x4 cbp-0, I_16x16 DC-only), predicting from the
+    current picture's reconstructed samples. Skipped (inter)
+    macroblocks count as available neighbours for that prediction
+    because the PPS twin writes constrained_intra_pred_flag = 0
+    (§8.3: with the flag clear, intra prediction in P slices uses
+    inter-decoded samples). Inter mb_types (0..4, needing motion
+    vectors + residuals) raise typed refusals."""
     import numpy as np
 
     y = ref[0].copy()
     cb = ref[1].copy()
     cr = ref[2].copy()
+    # same availability / mode grids as the I-slice loop; a skipped
+    # macroblock is immediately "decoded" (reference copy) but is
+    # never I_4x4, so its mode stays -1 (→ DC in §8.3.1.1 context)
+    dec = np.zeros((hmb * 4, wmb * 4), dtype=bool)
+    mode4x4 = np.full((hmb * 4, wmb * 4), -1, dtype=np.int64)
+    qp = slice_qp
     n_mbs = wmb * hmb
     done = 0
     while done < n_mbs:
@@ -1590,6 +1650,9 @@ def _decode_pskip_loop(r: "_BitReader", wmb: int, hmb: int, ref):
             raise ValueError(
                 f"mb_skip_run {run} overruns the picture at MB {done}"
             )
+        for mb in range(done, done + run):
+            sy, sx = divmod(mb, wmb)
+            dec[sy * 4 : sy * 4 + 4, sx * 4 : sx * 4 + 4] = True
         done += run
         if done == n_mbs:
             break
@@ -1600,23 +1663,10 @@ def _decode_pskip_loop(r: "_BitReader", wmb: int, hmb: int, ref):
                 "residual decoding (only skipped inter macroblocks "
                 "are in the validated subset)"
             )
-        if mb_type != 30:  # 5 + 25: I_PCM inside a P slice
-            raise NotImplementedError(
-                f"intra-in-P decode is implemented for I_PCM only "
-                f"(intra mb_type {mb_type - 5})"
-            )
         mbx, mby = done % wmb, done // wmb
-        r.byte_align()
-        raw = np.frombuffer(r.raw_bytes(384), dtype=np.uint8)
-        y[mby * 16 : mby * 16 + 16, mbx * 16 : mbx * 16 + 16] = raw[
-            :256
-        ].reshape(16, 16)
-        cb[mby * 8 : mby * 8 + 8, mbx * 8 : mbx * 8 + 8] = raw[
-            256:320
-        ].reshape(8, 8)
-        cr[mby * 8 : mby * 8 + 8, mbx * 8 : mbx * 8 + 8] = raw[
-            320:
-        ].reshape(8, 8)
+        qp = _decode_intra_mb(
+            r, mb_type - 5, mbx, mby, y, cb, cr, dec, mode4x4, qp
+        )
         done += 1
     return y, cb, cr
 

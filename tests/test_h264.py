@@ -230,8 +230,10 @@ def test_pskip_roundtrip_and_refusals():
 
     with pytest.raises(NotImplementedError, match="motion-vector"):
         h264_decode_ipcm_frame(p_slice_with(0), sps, pps, ref)
-    with pytest.raises(NotImplementedError, match="I_PCM only"):
-        h264_decode_ipcm_frame(p_slice_with(7), sps, pps, ref)
+    # intra-in-P now decodes the predicted types; one carrying AC
+    # residuals (intra type 18 = I_16x16 with cbp luma) still refuses
+    with pytest.raises(NotImplementedError, match="AC/chroma residuals"):
+        h264_decode_ipcm_frame(p_slice_with(5 + 18), sps, pps, ref)
     # skip run overrunning the picture is malformed, not unsupported
     w = _BitWriter()
     w.ue(0), w.ue(5), w.ue(0), w.u(1, 4)
@@ -1361,3 +1363,94 @@ def test_p_frame_first_mp4_rejected():
     )
     with pytest.raises(ValueError, match="no prior decoded reference"):
         list(mp4_decode_ipcm_frames(bad))
+
+
+def test_intra_in_p_predicted_types_roundtrip():
+    """r12: I_16x16 and cbp-0 I_4x4 macroblocks inside P slices
+    reconstruct from the current picture — including SKIPPED
+    neighbours' samples (constrained_intra_pred_flag = 0) — with the
+    qp thread crossing mb_skip_run, and a frame-2 patch predicting
+    from samples a frame-1 patch rewrote."""
+    from pagerank_hadoop_spark.operators.h264 import (
+        _dc_residual_constants,
+        h264_encode_ipcm,
+        h264_encode_pskip,
+    )
+
+    y0 = np.fromfunction(lambda r, c: 20 + 2 * c + 3 * r, (32, 32)).astype(
+        np.uint8
+    )
+    cb0 = np.fromfunction(lambda r, c: 15 + c + r, (16, 16)).astype(np.uint8)
+    cr0 = np.fromfunction(lambda r, c: 9 + c + r, (16, 16)).astype(np.uint8)
+    sps = h264_parse_sps(h264_sps_rbsp(2, 2, (0, 0, 0, 0), 1))
+    pps = h264_parse_pps(h264_pps_rbsp())
+    f0 = h264_decode_ipcm_frame(h264_encode_ipcm(y0, cb0, cr0), sps, pps)
+
+    # frame 1: I_16x16 V/V with DC level -6 at qp 40 on MB (0,1)
+    dc = [[0] * 4 for _ in range(4)]
+    dc[0][0] = -6
+    k = _dc_residual_constants(dc, 40)[0][0]
+    assert k != 0  # qp 40 is in the left-shift branch; residual bites
+    p1 = h264_encode_pskip(2, 2, 1, {(0, 1): ("i16", 0, 2, -6, 0)}, qp=40)
+    y1, cb1, cr1 = h264_decode_ipcm_frame(p1, sps, pps, ref=f0)
+    exp = y0.astype(np.int64).copy()
+    exp[16:32, 0:16] = np.clip(y0[15, 0:16].astype(np.int64) + k, 0, 255)
+    assert (y1 == exp).all()
+    expcb = cb0.astype(np.int64).copy()
+    expcb[8:16, 0:8] = cb0[7, 0:8]  # chroma V copies row 7
+    assert (cb1 == expcb).all() and (cr1[8:16, 0:8] == cr0[7, 0:8]).all()
+
+    # frame 2: I_4x4 all-vertical + H chroma on MB (1,1); its chroma
+    # source column 7 was rewritten by the frame-1 patch
+    p2 = h264_encode_pskip(2, 2, 2, {(1, 1): ("i4", 0, 1)})
+    y2, cb2, _ = h264_decode_ipcm_frame(p2, sps, pps, ref=(y1, cb1, cr1))
+    exp2 = y1.astype(np.int64).copy()
+    exp2[16:32, 16:32] = y1[15, 16:32].astype(np.int64)
+    assert (y2 == exp2).all()
+    expcb2 = cb1.astype(np.int64).copy()
+    expcb2[8:16, 8:16] = cb1[8:16, 7].astype(np.int64)[:, None]
+    assert (cb2 == expcb2).all()
+    assert (cb2[8:16, 8:16] == cb0[7, 7]).all()  # the rewritten column
+
+    # legacy bare plane-triple still means I_PCM
+    p3 = h264_encode_pskip(
+        2, 2, 3, {(0, 0): (y0[:16, :16], cb0[:8, :8], cr0[:8, :8])}
+    )
+    y3, _, _ = h264_decode_ipcm_frame(p3, sps, pps, ref=(y2, cb2, _))
+    assert (y3[:16, :16] == y0[:16, :16]).all()
+    assert (y3[16:, :] == y2[16:, :]).all()
+
+
+def test_nonreference_picture_not_promoted_to_p_reference():
+    """A disposable picture (nal_ref_idc == 0) must not become the
+    prediction reference of a following P slice: the stream below
+    repeats the IDR content in a non-reference I slice with DIFFERENT
+    samples, then sends an all-skip P frame — which must reproduce
+    the IDR (the last REFERENCE picture), not the disposable one."""
+    from pagerank_hadoop_spark.operators.h264 import (
+        h264_encode_ipcm,
+        h264_encode_pskip,
+        mp4_decode_ipcm_frames,
+    )
+
+    y0 = np.full((16, 16), 50, np.uint8)
+    c0 = np.full((8, 8), 90, np.uint8)
+    yd = np.full((16, 16), 200, np.uint8)  # disposable content
+    idr = h264_encode_ipcm(y0, c0, c0)
+    # frame 1: DISPOSABLE P frame (nal_ref_idc 0 — dec_ref_pic_marking
+    # absent) patching the whole picture with I_PCM; frame 2: all-skip
+    # REFERENCE P frame
+    disposable = h264_encode_pskip(
+        1, 1, 1,
+        {(0, 0): (yd, np.full((8, 8), 10, np.uint8),
+                  np.full((8, 8), 10, np.uint8))},
+        disposable=True,
+    )
+    pskip = h264_encode_pskip(1, 1, 2)
+    payload = mp4_mux_avc(
+        [idr, disposable, pskip], dims=(16, 16), max_ref=1
+    )
+    frames = list(mp4_decode_ipcm_frames(payload))
+    assert len(frames) == 3
+    assert (frames[1][1] == yd).all()  # disposable still DISPLAYS
+    assert (frames[2][1] == y0).all()  # skip copies the IDR, not yd
