@@ -1351,3 +1351,73 @@ def flac_quality_stats(
             )
 
     return media.mapInPandas(batches, QUALITY_SCHEMA)
+
+
+FP_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("window_idx", LongType()),
+        StructField("fp", StringType()),
+        StructField("pcm_md5", StringType()),
+    ]
+)
+
+
+def flac_window_fingerprint(
+    media: DataFrame, window: int = 512, cells: int = 64
+) -> DataFrame:
+    """Perceptual fingerprint over DECODED FLAC audio — the audio twin
+    of ``h264.mp4_frame_ahash`` (r12): channel 0's PCM is cut into
+    non-overlapping ``window``-sample windows (a short tail is
+    dropped), each split into ``cells`` equal cells, and bit g of the
+    fingerprint is 1 iff ``cells * cell_energy(g) > window_energy``
+    (cell-above-mean energy, integer-exact with no float division so
+    both engines derive the identical bit string). Emitted as a
+    '0'/'1' string alongside the per-window PCM md5 (decimal CSV) so
+    a downstream exact-verify stage can separate byte-dups from
+    perceptual dups. Bucket-joining on ``fp`` is the scalable
+    near-dup candidate shape — the shuffle carries fingerprints and
+    digests, never PCM, the same economy as the MinHash band join in
+    operators/dedup.py. Energies accumulate in Python ints (the
+    flac_sample_stats overflow rule: int64 squares wrap past ~16-bit
+    samples)."""
+    if window % cells:
+        raise ValueError(f"window {window} not divisible by cells {cells}")
+    step = window // cells
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def fps(payload: bytes):
+            d = flac_decode(bytes(payload))
+            x = d["samples"][:, 0].tolist()
+            out = []
+            for wi in range(len(x) // window):
+                w = x[wi * window : (wi + 1) * window]
+                cell = [
+                    sum(v * v for v in w[g * step : (g + 1) * step])
+                    for g in range(cells)
+                ]
+                total = sum(cell)
+                fp = "".join(
+                    "1" if cells * c > total else "0" for c in cell
+                )
+                out.append(
+                    (
+                        wi,
+                        fp,
+                        hashlib.md5(
+                            ",".join(str(v) for v in w).encode()
+                        ).hexdigest(),
+                    )
+                )
+            return out
+
+        for pdf in it:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                for wi, fp, md in fps(payload):
+                    rows.append((int(mid), wi, fp, md))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "window_idx", "fp", "pcm_md5"]
+            )
+
+    return media.mapInPandas(batches, FP_SCHEMA)

@@ -15017,3 +15017,132 @@ def q_media_mp4_pintra(spark: SparkSession, sf_dir: str) -> DataFrame:
         _mp4_pintra_fixture(spark), F.col("payload"), media_type="video/mp4"
     )
     return mp4_frame_stats(media).orderBy("media_id", "frame_idx")
+
+
+def _flac_dedup_fixture(spark: SparkSession, n: int = 120) -> DataFrame:
+    """Mono 16-bit FLAC originals (keys 0..n-1; PCM
+    x[i] = (23i+7k)%2000-1000, total = 512*(1+k%2)+k%9 so the
+    fingerprint's short-tail drop is exercised) plus one "re-master"
+    clone per original (key+n): identical PCM except sample 0 is +1 —
+    every clone differs from its original in BYTES (window-0 md5 ≠)
+    but, for this corpus, not perceptually. Whether a +1 on one
+    squared sample could flip a marginal energy cell is not assumed:
+    the oracle recomputes the full cell arithmetic, so both engines
+    derive any flip identically. Encoder: operators.flac.flac_encode
+    (FIXED order k%5, partition order k%3 — decode is lossless, so
+    the oracle replays the generating arithmetic whatever the
+    encoder chose)."""
+    import numpy as np
+
+    from pagerank_hadoop_spark.operators.flac import flac_encode
+
+    rows = []
+    for key in range(n):
+        total = 512 * (1 + key % 2) + key % 9
+        i = np.arange(total, dtype=np.int64)
+        x = (23 * i + 7 * key) % 2000 - 1000
+        xc = x.copy()
+        xc[0] += 1
+        for mid, pcm in ((key, x), (key + n, xc)):
+            rows.append(
+                (
+                    mid,
+                    bytearray(
+                        flac_encode(
+                            pcm[:, None],
+                            8000 + key,
+                            16,
+                            block_size=256,
+                            fixed_order=key % 5,
+                            partition_order=key % 3,
+                        )
+                    ),
+                )
+            )
+    return spark.createDataFrame(rows, "media_id long, payload binary")
+
+
+@register(
+    "media_audio_fp_dedup",
+    """
+    WITH k AS (SELECT range AS key FROM range(0, 240)),
+    b AS (SELECT key,
+                 CASE WHEN key >= 120 THEN key - 120 ELSE key END AS k0,
+                 CASE WHEN key >= 120 THEN 1 ELSE 0 END AS clone FROM k),
+    g AS (SELECT key, k0, clone, 512 * (1 + k0 % 2) + k0 % 9 AS total,
+                 1 + k0 % 2 AS nw FROM b),
+    xs AS MATERIALIZED (SELECT key, nw,
+            list_transform(range(0, total), i ->
+              (23 * i + 7 * k0) % 2000 - 1000
+              + CASE WHEN clone = 1 AND i = 0 THEN 1 ELSE 0 END) AS x
+          FROM g),
+    w AS (SELECT key, unnest(range(0, nw)) AS wi, x FROM xs),
+    wt AS (SELECT key, wi, x,
+             list_sum(list_transform(range(0, 512),
+               j -> x[wi * 512 + j + 1] * x[wi * 512 + j + 1])) AS tot
+           FROM w),
+    fps AS MATERIALIZED (SELECT key, wi,
+        array_to_string(list_transform(range(0, 64), g2 ->
+          CASE WHEN 64 * list_sum(list_transform(range(0, 8),
+                 j -> x[wi * 512 + g2 * 8 + j + 1]
+                      * x[wi * 512 + g2 * 8 + j + 1])) > tot
+               THEN 1 ELSE 0 END), '') AS fp,
+        md5(array_to_string(list_transform(range(0, 512),
+            j -> x[wi * 512 + j + 1]), ',')) AS pcm_md5
+      FROM wt)
+    SELECT CAST(a.key AS BIGINT) AS id_a, CAST(a.wi AS BIGINT) AS win_a,
+           CAST(b2.key AS BIGINT) AS id_b, CAST(b2.wi AS BIGINT) AS win_b,
+           a.fp AS fp,
+           CAST(a.pcm_md5 = b2.pcm_md5 AS INT) AS bytes_equal
+    FROM fps a JOIN fps b2
+      ON a.fp = b2.fp
+     AND (a.key < b2.key OR (a.key = b2.key AND a.wi < b2.wi))
+    ORDER BY id_a, win_a, id_b, win_b
+    """,
+)
+def q_media_audio_fp_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5×E2 [r12] integration: AUDIO near-dup candidates over REAL
+    decoded FLAC — the audio twin of media_video_ahash_dedup,
+    composing the r11 FLAC decode kernel with the E2 dedup shape per
+    the r11 verdict's task 5. 240 fixture files (120 originals + 120
+    one-sample-perturbed "re-masters") are decoded
+    (operators/flac.py — subframes, Rice, CRCs, STREAMINFO-MD5),
+    fingerprinted with the integer-exact 64-cell window energy hash
+    (flac_window_fingerprint), and bucket-joined on fingerprint
+    equality — the scalable candidate shape (the shuffle carries
+    64-bit-ish perceptual keys + md5s, never PCM; downstream exact
+    verify is the md5-backed bytes_equal flag). Clone window-0 pairs
+    surface with bytes_equal = 0 (perceptual dup, not byte dup — the
+    case exact dedup cannot catch); window-1 pairs are byte-identical
+    and carry bytes_equal = 1, separating the re-master from a true
+    copy inside one result. The hash frame is localCheckpointed
+    before the self-join (repo double-consumption rule: Catalyst
+    does not CSE the two join legs — an un-checkpointed kernel would
+    decode every file twice)."""
+    from pagerank_hadoop_spark.operators.flac import flac_window_fingerprint
+    from pagerank_hadoop_spark.operators.multimodal import attach_media
+
+    media = attach_media(
+        _flac_dedup_fixture(spark), F.col("payload"),
+        media_type="audio/flac",
+    )
+    hashes = flac_window_fingerprint(media).localCheckpoint(eager=False)
+    a, b = hashes.alias("a"), hashes.alias("b")
+    first = (F.col("a.media_id") < F.col("b.media_id")) | (
+        (F.col("a.media_id") == F.col("b.media_id"))
+        & (F.col("a.window_idx") < F.col("b.window_idx"))
+    )
+    return (
+        a.join(b, (F.col("a.fp") == F.col("b.fp")) & first)
+        .select(
+            F.col("a.media_id").alias("id_a"),
+            F.col("a.window_idx").alias("win_a"),
+            F.col("b.media_id").alias("id_b"),
+            F.col("b.window_idx").alias("win_b"),
+            F.col("a.fp").alias("fp"),
+            (F.col("a.pcm_md5") == F.col("b.pcm_md5")).cast("int").alias(
+                "bytes_equal"
+            ),
+        )
+        .orderBy("id_a", "win_a", "id_b", "win_b")
+    )

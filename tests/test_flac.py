@@ -477,3 +477,58 @@ def test_unknown_metadata_block_skipped():
     assert m["n_blocks"] == 2
     # unknown types are walked over, audio still decodes
     assert (flac_decode(spliced)["samples"] == x).all()
+
+
+def test_flac_window_fingerprint_kernel(spark):
+    """r12: the audio perceptual fingerprint — window cut, short-tail
+    drop, integer-exact cell-energy bits, per-window md5 — against a
+    NumPy-independent reference computation, incl. a one-sample
+    "re-master" whose window-0 bytes differ but fingerprint agrees."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from pagerank_hadoop_spark.operators.flac import (
+        flac_window_fingerprint,
+    )
+    from pagerank_hadoop_spark.operators.multimodal import attach_media
+
+    total = 512 * 2 + 5  # two windows + dropped tail
+    i = np.arange(total, dtype=np.int64)
+    x = (23 * i + 7) % 2000 - 1000
+    xc = x.copy()
+    xc[0] += 1
+    df = spark.createDataFrame(
+        [
+            (0, bytearray(flac_encode(x[:, None], 8000, 16,
+                                      block_size=256))),
+            (1, bytearray(flac_encode(xc[:, None], 8000, 16,
+                                      block_size=256))),
+        ],
+        "media_id long, payload binary",
+    )
+    out = flac_window_fingerprint(
+        attach_media(df, F.col("payload"), media_type="audio/flac")
+    ).collect()
+    rows = {(r["media_id"], r["window_idx"]): r for r in out}
+    assert len(rows) == 4  # 2 files x 2 windows, tail dropped
+
+    def ref_fp(vals):
+        cell = [
+            sum(int(v) * int(v) for v in vals[g * 8 : g * 8 + 8])
+            for g in range(64)
+        ]
+        tot = sum(cell)
+        return "".join("1" if 64 * c > tot else "0" for c in cell)
+
+    for mid, pcm in ((0, x), (1, xc)):
+        for wi in range(2):
+            w = pcm[wi * 512 : (wi + 1) * 512]
+            r = rows[(mid, wi)]
+            assert r["fp"] == ref_fp(w.tolist())
+            assert r["pcm_md5"] == hashlib.md5(
+                ",".join(str(v) for v in w.tolist()).encode()
+            ).hexdigest()
+    # the re-master: window 0 bytes differ, window 1 identical
+    assert rows[(0, 0)]["pcm_md5"] != rows[(1, 0)]["pcm_md5"]
+    assert rows[(0, 1)]["pcm_md5"] == rows[(1, 1)]["pcm_md5"]
