@@ -15146,3 +15146,136 @@ def q_media_audio_fp_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("id_a", "win_a", "id_b", "win_b")
     )
+
+
+def _flac_contamination_fixture(spark: SparkSession):
+    """Corpus of 180 mono FLAC files across 3 sources (source =
+    key%3; PCM x[i] = (step*i + 7k) % 2000 - 1000 with a per-key
+    step 23 + 2*(k%13), total = 512*(1+k%2)+k%9) plus a 30-file
+    "benchmark" whose asset b is a one-sample re-master of corpus
+    file 6b + b%3 (so planted contamination spreads 10 per source,
+    and EXACT hashing cannot catch it — the bytes differ). Returns
+    (corpus_df(media_id, source, payload), bench_df(media_id,
+    payload)); benchmark ids ride at 1000+b."""
+    import numpy as np
+
+    from pagerank_hadoop_spark.operators.flac import flac_encode
+
+    def pcm(k0: int, clone: bool):
+        total = 512 * (1 + k0 % 2) + k0 % 9
+        i = np.arange(total, dtype=np.int64)
+        x = ((23 + 2 * (k0 % 13)) * i + 7 * k0) % 2000 - 1000
+        if clone:
+            x[0] += 1
+        return x
+
+    def enc(k0: int, clone: bool) -> bytearray:
+        return bytearray(
+            flac_encode(
+                pcm(k0, clone)[:, None],
+                8000 + k0,
+                16,
+                block_size=256,
+                fixed_order=k0 % 5,
+                partition_order=k0 % 3,
+            )
+        )
+
+    corpus = spark.createDataFrame(
+        [(k, k % 3, enc(k, False)) for k in range(180)],
+        "media_id long, source int, payload binary",
+    )
+    bench = spark.createDataFrame(
+        [(1000 + b, enc(6 * b + b % 3, True)) for b in range(30)],
+        "media_id long, payload binary",
+    )
+    return corpus, bench
+
+
+@register(
+    "media_contamination_screen",
+    """
+    WITH side AS (
+      SELECT 0 AS kind, range AS key, range AS k0, 0 AS clone
+      FROM range(0, 180)
+      UNION ALL
+      SELECT 1 AS kind, 1000 + range AS key,
+             6 * range + range % 3 AS k0, 1 AS clone
+      FROM range(0, 30)),
+    g AS (SELECT kind, key, k0, clone,
+                 512 * (1 + k0 % 2) + k0 % 9 AS total,
+                 1 + k0 % 2 AS nw FROM side),
+    xs AS MATERIALIZED (SELECT kind, key, k0, nw,
+            list_transform(range(0, total), i ->
+              ((23 + 2 * (k0 % 13)) * i + 7 * k0) % 2000 - 1000
+              + CASE WHEN clone = 1 AND i = 0 THEN 1 ELSE 0 END) AS x
+          FROM g),
+    w AS (SELECT kind, key, k0, unnest(range(0, nw)) AS wi, x FROM xs),
+    wt AS (SELECT kind, key, k0, wi, x,
+             list_sum(list_transform(range(0, 512),
+               j -> x[wi * 512 + j + 1] * x[wi * 512 + j + 1])) AS tot
+           FROM w),
+    fps AS MATERIALIZED (SELECT kind, key, k0,
+        array_to_string(list_transform(range(0, 64), g2 ->
+          CASE WHEN 64 * list_sum(list_transform(range(0, 8),
+                 j -> x[wi * 512 + g2 * 8 + j + 1]
+                      * x[wi * 512 + g2 * 8 + j + 1])) > tot
+               THEN 1 ELSE 0 END), '') AS fp
+      FROM wt),
+    hit AS (SELECT DISTINCT key FROM fps
+            WHERE kind = 0
+              AND fp IN (SELECT fp FROM fps WHERE kind = 1)),
+    corp AS (SELECT DISTINCT key, CAST(k0 % 3 AS INT) AS source
+             FROM fps WHERE kind = 0)
+    SELECT c.source AS source,
+           CAST(count(*) AS BIGINT) AS n_files,
+           CAST(count(h.key) AS BIGINT) AS n_contaminated
+    FROM corp c LEFT JOIN hit h ON c.key = h.key
+    GROUP BY c.source ORDER BY c.source
+    """,
+)
+def q_media_contamination_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5×E2 [r12]: CROSS-MODAL benchmark decontamination — the
+    audio counterpart of `contamination_screen`'s text n-gram
+    screen, on PERCEPTUAL keys instead of exact ones (a re-mastered
+    benchmark asset differs in bytes, so md5/exact-substring screens
+    miss it; the energy fingerprint survives the one-sample
+    perturbation unless a marginal cell flips — both engines derive
+    any flip identically). Pipeline: decode both sides with the FLAC
+    kernel, fingerprint windows (flac_window_fingerprint), LEFT-SEMI
+    join the corpus fingerprints against the BROADCAST benchmark
+    fingerprint set, report per-source contamination counts. The
+    100 TB shape matches the text screen exactly: the corpus — the
+    big side — never shuffles its fingerprints; only the small
+    benchmark set moves (operators/curation.py's broadcast
+    discipline)."""
+    from pagerank_hadoop_spark.operators.flac import flac_window_fingerprint
+    from pagerank_hadoop_spark.operators.multimodal import attach_media
+
+    corpus, bench = _flac_contamination_fixture(spark)
+    corpus_fp = flac_window_fingerprint(
+        attach_media(corpus, F.col("payload"), media_type="audio/flac")
+    )
+    bench_fp = flac_window_fingerprint(
+        attach_media(bench, F.col("payload"), media_type="audio/flac")
+    )
+    hits = (
+        corpus_fp.join(
+            F.broadcast(bench_fp.select("fp").distinct()), "fp", "left_semi"
+        )
+        .select("media_id")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    return (
+        corpus.select("media_id", "source")
+        .join(hits, "media_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_files"),
+            F.sum(F.coalesce("hit", F.lit(0)))
+            .cast("bigint")
+            .alias("n_contaminated"),
+        )
+        .orderBy("source")
+    )
