@@ -47,10 +47,18 @@ What is REAL here (pure stdlib + NumPy, no codec library):
   slice data, skipped macroblocks copying the co-located block of
   the previous decoded picture (the derived motion vector is
   provably (0,0) in this subset; the induction is documented at
-  :func:`_decode_pskip_loop`), and I_PCM macroblocks re-coded intra
-  inside P slices (mb_type 30, Table 7-13's 5-offset) — an all-skip
-  P frame is a bit-exact repeat, the temporal-redundancy shape the
-  video-dedup queries feed on.
+  :func:`_decode_pskip_slice`), and — since r12 — the FULL decoded
+  intra surface re-coded inside P slices (Table 7-13's 5-offset:
+  I_PCM, cbp-0 I_4x4, DC-only I_16x16, predicting from the current
+  picture incl. skipped neighbours per constrained_intra_pred_flag
+  0) — an all-skip P frame is a bit-exact repeat, the
+  temporal-redundancy shape the video-dedup queries feed on.
+- **Multi-slice pictures** (r12): one access unit = one picture;
+  each coded-slice NAL reconstructs its first_mb_in_slice raster
+  extent with FRESH availability/mode grids, so intra prediction
+  never crosses a slice boundary (§6.4.9) — the property that makes
+  slices independently decodable, i.e. the stream shape real
+  encoders emit for parallel decode (:func:`_h264_decode_picture`).
 What is honestly refused: AC/chroma residuals (I_16x16 mb_type >= 5
 and I_4x4 cbp != 0, i.e. CAVLC beyond the single-coefficient subset
 — the full Table 9-5 (62 codewords x 4 nC classes) cannot be
@@ -63,7 +71,7 @@ sub-pel interpolation and MV reconstruction sit behind the same
 unvalidatable-table/filter wall), CABAC slices, B/SP/SI slices, FMO
 — each raises a typed NotImplementedError naming the missing decoder
 stage, the same strict-mode contract as multimodal.decode_media.
-(Table 9-5 re-probed round 11, 2026-08-16: still no spec text,
+(Table 9-5 re-probed rounds 11–12, 2026-08-16: still no spec text,
 conformance vectors, or reference decoder anywhere in the container
 — that boundary unchanged.)
 
@@ -499,7 +507,13 @@ def _dc_residual_constants(c, qp: int):
     return out
 
 
-def h264_encode_islice(mbs, width_mbs: int, qp: int = 26, idr_pic_id: int = 0) -> bytes:
+def h264_encode_islice(
+    mbs,
+    width_mbs: int,
+    qp: int = 26,
+    idr_pic_id: int = 0,
+    first_mb: int = 0,
+) -> bytes:
     """One IDR I-slice NAL mixing I_PCM and residual-DC-only I_16x16
     macroblocks — the encoder twin for the CAVLC subset (mirrors
     h264_encode_ipcm's slice header; independent of the decoder).
@@ -519,15 +533,17 @@ def h264_encode_islice(mbs, width_mbs: int, qp: int = 26, idr_pic_id: int = 0) -
       encoder derives predIntra4x4PredMode exactly as the decoder
       does and emits prev_intra4x4_pred_mode_flag / rem accordingly.
     ``qp`` is carried in slice_qp_delta (pic_init_qp is 26 in
-    h264_pps_rbsp); every mb_qp_delta is 0."""
-    if len(mbs) % width_mbs:
-        raise ValueError("mbs must fill a width_mbs-wide raster exactly")
+    h264_pps_rbsp); every mb_qp_delta is 0. ``first_mb`` > 0 writes
+    one slice of a MULTI-SLICE picture: ``mbs`` covers the raster
+    extent [first_mb, first_mb + len(mbs)), and the i4 mode-
+    prediction grid starts fresh (matching the decoder's §6.4.9
+    slice-scoped availability)."""
     import numpy as np
 
-    hmb = len(mbs) // width_mbs
+    hmb = -(-(first_mb + len(mbs)) // width_mbs)
     mode4x4 = np.full((hmb * 4, width_mbs * 4), -1, dtype=np.int64)
     wr = _BitWriter()
-    wr.ue(0)  # first_mb_in_slice
+    wr.ue(first_mb)  # first_mb_in_slice
     wr.ue(7)  # slice_type (I, all slices)
     wr.ue(0)  # pic_parameter_set_id
     wr.u(0, 4)  # frame_num
@@ -536,7 +552,7 @@ def h264_encode_islice(mbs, width_mbs: int, qp: int = 26, idr_pic_id: int = 0) -
     wr.u(0, 1)  # long_term_reference_flag
     wr.se(qp - 26)  # slice_qp_delta
     for mbi, mb in enumerate(mbs):
-        mby, mbx = divmod(mbi, width_mbs)
+        mby, mbx = divmod(first_mb + mbi, width_mbs)
         _write_intra_mb(wr, mb, mbx, mby, mode4x4)
     return _nal(3, 5, wr.rbsp_trailing())
 
@@ -601,6 +617,8 @@ def h264_encode_pskip(
     intra_mbs: dict | None = None,
     qp: int = 26,
     disposable: bool = False,
+    first_mb: int = 0,
+    n_mbs: int | None = None,
 ) -> bytes:
     """One non-IDR P-slice NAL in the SKIP+INTRA subset: every
     macroblock is either SKIPPED (mb_skip_run — reconstruction copies
@@ -628,7 +646,7 @@ def h264_encode_pskip(
         (height_mbs * 4, width_mbs * 4), -1, dtype=np.int64
     )  # skipped MBs stay -1: not I_4x4 in the §8.3.1.1 mode context
     wr = _BitWriter()
-    wr.ue(0)  # first_mb_in_slice
+    wr.ue(first_mb)  # first_mb_in_slice
     wr.ue(5)  # slice_type 5 = P (all slices in picture)
     wr.ue(0)  # pic_parameter_set_id
     wr.u(frame_num % 16, 4)  # frame_num (log2_max_frame_num = 4)
@@ -642,19 +660,22 @@ def h264_encode_pskip(
         wr.u(0, 1)  # adaptive_ref_pic_marking_mode_flag
     wr.se(qp - 26)  # slice_qp_delta
     run = 0
-    for mby in range(height_mbs):
-        for mbx in range(width_mbs):
-            if (mbx, mby) not in intra_mbs:
-                run += 1
-                continue
-            wr.ue(run)  # mb_skip_run before this coded macroblock
-            run = 0
-            mb = intra_mbs[(mbx, mby)]
-            if not isinstance(mb[0], str):
-                mb = ("pcm", mb)  # legacy bare plane triple
-            _write_intra_mb(wr, mb, mbx, mby, mode4x4, type_offset=5)
+    count = (
+        width_mbs * height_mbs - first_mb if n_mbs is None else n_mbs
+    )  # slice extent: [first_mb, first_mb + count) in raster order
+    for mbi in range(first_mb, first_mb + count):
+        mby, mbx = divmod(mbi, width_mbs)
+        if (mbx, mby) not in intra_mbs:
+            run += 1
+            continue
+        wr.ue(run)  # mb_skip_run before this coded macroblock
+        run = 0
+        mb = intra_mbs[(mbx, mby)]
+        if not isinstance(mb[0], str):
+            mb = ("pcm", mb)  # legacy bare plane triple
+        _write_intra_mb(wr, mb, mbx, mby, mode4x4, type_offset=5)
     if run:
-        wr.ue(run)  # trailing skip run to the end of the picture
+        wr.ue(run)  # trailing skip run to the end of the slice
     return _nal(0 if disposable else 2, 1, wr.rbsp_trailing())
 
 
@@ -692,7 +713,14 @@ def mp4_mux_avc(
     every sample (exercises the decoder's multi-NAL sample split +
     type-6 skip); ``use_co64`` writes 64-bit chunk offsets (the
     large-file table variant the demuxer must also read)."""
-    if isinstance(frames[0], (bytes, bytearray)):
+    def _is_nals(fr):
+        return isinstance(fr, (bytes, bytearray)) or (
+            isinstance(fr, (list, tuple))
+            and fr
+            and isinstance(fr[0], (bytes, bytearray))
+        )
+
+    if _is_nals(frames[0]):
         if dims is None:
             raise ValueError("dims=(h, w) is required for pre-encoded NALs")
         h, w = dims
@@ -707,14 +735,22 @@ def mp4_mux_avc(
     sei = _nal(0, 6, bytes([5, 16]) + bytes(range(16)) + b"\x80")
     samples = []
     for i, fr in enumerate(frames):
-        if isinstance(fr, (bytes, bytearray)):
-            nal = bytes(fr)
+        if _is_nals(fr):
+            # one pre-encoded NAL, or a LIST of NALs forming one
+            # access unit (e.g. the slices of a multi-slice picture)
+            nal_list = (
+                [bytes(fr)]
+                if isinstance(fr, (bytes, bytearray))
+                else [bytes(n) for n in fr]
+            )
         else:
             y, cb, cr = fr
             if y.shape != (h, w):
                 raise ValueError("all frames must share dimensions")
-            nal = h264_encode_ipcm(y, cb, cr, idr_pic_id=i % 16)
-        sample = len(nal).to_bytes(4, "big") + nal
+            nal_list = [h264_encode_ipcm(y, cb, cr, idr_pic_id=i % 16)]
+        sample = b"".join(
+            len(n).to_bytes(4, "big") + n for n in nal_list
+        )
         if sei_per_sample:
             sample = len(sei).to_bytes(4, "big") + sei + sample
         samples.append(sample)
@@ -1030,14 +1066,20 @@ def _assemble_pcm_planes(samples, wmb: int, hmb: int):
     return y, cb, cr
 
 
-def _i16_dc_pred(plane, mbx: int, mby: int, size: int) -> int:
+def _i16_dc_pred(
+    plane, mbx: int, mby: int, size: int, top_ok: bool, left_ok: bool
+) -> int:
     """DC prediction for a size x size block at macroblock (mbx, mby)
     from RECONSTRUCTED neighbour pixels (§8.3.3.3 for luma 16x16; the
     same all-neighbour rule serves the 8x8 chroma DC-mode blocks of
-    this subset via per-quadrant calls in _decode_mb_loop)."""
+    this subset via per-quadrant calls in _decode_intra_mb).
+    ``top_ok``/``left_ok`` carry §6.4.9 neighbour availability — a
+    macroblock outside the picture OR in another slice is
+    unavailable, which is why the caller derives them from the
+    per-slice decoded grid rather than from position alone."""
     x0, y0 = mbx * size, mby * size
-    left = plane[y0 : y0 + size, x0 - 1] if x0 > 0 else None
-    top = plane[y0 - 1, x0 : x0 + size] if y0 > 0 else None
+    left = plane[y0 : y0 + size, x0 - 1] if left_ok else None
+    top = plane[y0 - 1, x0 : x0 + size] if top_ok else None
     if left is not None and top is not None:
         return (int(left.sum()) + int(top.sum()) + size) >> (
             size.bit_length()  # 2*size values: >> log2(size)+1
@@ -1049,15 +1091,20 @@ def _i16_dc_pred(plane, mbx: int, mby: int, size: int) -> int:
     return 128
 
 
-def _chroma_dc_pred(plane, mbx: int, mby: int, qx: int, qy: int) -> int:
+def _chroma_dc_pred(
+    plane, mbx: int, mby: int, qx: int, qy: int,
+    top_ok: bool, left_ok: bool,
+) -> int:
     """§8.3.4 (DC mode): chroma prediction for the 4x4 quadrant
     (qx, qy) of the 8x8 chroma block at macroblock (mbx, mby). The
     neighbour pixel sets are always the quadrant's OWN 4-row left
     column / 4-col top row; the corner quadrants (0,0)/(1,1) average
-    both available sets, (1,0) prefers top, (0,1) prefers left."""
+    both available sets, (1,0) prefers top, (0,1) prefers left.
+    ``top_ok``/``left_ok`` are §6.4.9 macroblock availability (same
+    flags as luma: other-slice neighbours are unavailable)."""
     x0, y0 = mbx * 8 + 4 * qx, mby * 8 + 4 * qy
-    left = plane[y0 : y0 + 4, mbx * 8 - 1] if mbx > 0 else None
-    top = plane[mby * 8 - 1, x0 : x0 + 4] if mby > 0 else None
+    left = plane[y0 : y0 + 4, mbx * 8 - 1] if left_ok else None
+    top = plane[mby * 8 - 1, x0 : x0 + 4] if top_ok else None
     if qx == qy:  # (0,0) and (1,1): average both when available
         if left is not None and top is not None:
             return (int(left.sum()) + int(top.sum()) + 4) >> 3
@@ -1072,7 +1119,7 @@ def _chroma_dc_pred(plane, mbx: int, mby: int, qx: int, qy: int) -> int:
     return 128
 
 
-def _plane_pred(plane, mbx: int, mby: int, size: int):
+def _plane_pred(plane, mbx: int, mby: int, size: int, avail: bool = True):
     """§8.3.3.4 (Intra_16x16_Plane, size 16) / §8.3.4.4 (chroma Plane
     for 4:2:0, size 8): the integer least-squares gradient fit over
     the top row, left column, and top-left corner of RECONSTRUCTED
@@ -1080,10 +1127,10 @@ def _plane_pred(plane, mbx: int, mby: int, size: int):
     Clip1'd)."""
     import numpy as np
 
-    if mbx == 0 or mby == 0:
+    if not avail:
         raise ValueError(
             "plane intra prediction needs left, top and top-left "
-            "neighbour macroblocks"
+            "neighbour macroblocks (in the same slice)"
         )
     x0, y0 = mbx * size, mby * size
     half = size // 2
@@ -1111,38 +1158,50 @@ def _plane_pred(plane, mbx: int, mby: int, size: int):
     return np.clip(pred, 0, 255)
 
 
-def _i16_luma_pred(y, mbx: int, mby: int, mode: int):
+def _i16_luma_pred(
+    y, mbx: int, mby: int, mode: int,
+    top_ok: bool, left_ok: bool, corner_ok: bool,
+):
     """Intra16x16 luma prediction (§8.3.3.1-4) as a full 16x16 int64
     array: 0 Vertical, 1 Horizontal, 2 DC, 3 Plane. V/H/Plane raise
     ValueError when the neighbours the mode is defined over are
-    outside the picture (a conformant encoder cannot signal them
-    there)."""
+    unavailable per §6.4.9 — outside the picture OR in another slice
+    (a conformant encoder cannot signal them there); the flags come
+    from the caller's per-slice decoded grid."""
     import numpy as np
 
     x0, y0 = mbx * 16, mby * 16
     if mode == 2:
-        return np.full((16, 16), _i16_dc_pred(y, mbx, mby, 16), np.int64)
+        return np.full(
+            (16, 16), _i16_dc_pred(y, mbx, mby, 16, top_ok, left_ok),
+            np.int64,
+        )
     if mode == 0:
-        if mby == 0:
+        if not top_ok:
             raise ValueError("vertical intra prediction needs a top row")
         return np.broadcast_to(
             y[y0 - 1, x0 : x0 + 16].astype(np.int64), (16, 16)
         )
     if mode == 1:
-        if mbx == 0:
+        if not left_ok:
             raise ValueError("horizontal intra prediction needs a left column")
         return np.broadcast_to(
             y[y0 : y0 + 16, x0 - 1].astype(np.int64)[:, None], (16, 16)
         )
     if mode == 3:
-        return _plane_pred(y, mbx, mby, 16)
+        return _plane_pred(y, mbx, mby, 16, top_ok and left_ok and corner_ok)
     raise ValueError(f"invalid Intra16x16 prediction mode {mode}")
 
 
-def _chroma_mb_pred(plane, mbx: int, mby: int, mode: int):
+def _chroma_mb_pred(
+    plane, mbx: int, mby: int, mode: int,
+    top_ok: bool, left_ok: bool, corner_ok: bool,
+):
     """Chroma intra prediction (§8.3.4) as a full 8x8 int64 array:
     0 DC (per-quadrant neighbour averages), 1 Horizontal, 2 Vertical,
-    3 Plane. Note the chroma mode order differs from luma."""
+    3 Plane. Note the chroma mode order differs from luma. The
+    availability flags are the MACROBLOCK's (§6.4.9 — shared with
+    luma; other-slice neighbours unavailable)."""
     import numpy as np
 
     x0, y0 = mbx * 8, mby * 8
@@ -1151,23 +1210,25 @@ def _chroma_mb_pred(plane, mbx: int, mby: int, mode: int):
         for qy in range(2):
             for qx in range(2):
                 out[4 * qy : 4 * qy + 4, 4 * qx : 4 * qx + 4] = (
-                    _chroma_dc_pred(plane, mbx, mby, qx, qy)
+                    _chroma_dc_pred(
+                        plane, mbx, mby, qx, qy, top_ok, left_ok
+                    )
                 )
         return out
     if mode == 1:
-        if mbx == 0:
+        if not left_ok:
             raise ValueError("horizontal chroma prediction needs a left column")
         return np.broadcast_to(
             plane[y0 : y0 + 8, x0 - 1].astype(np.int64)[:, None], (8, 8)
         )
     if mode == 2:
-        if mby == 0:
+        if not top_ok:
             raise ValueError("vertical chroma prediction needs a top row")
         return np.broadcast_to(
             plane[y0 - 1, x0 : x0 + 8].astype(np.int64), (8, 8)
         )
     if mode == 3:
-        return _plane_pred(plane, mbx, mby, 8)
+        return _plane_pred(plane, mbx, mby, 8, top_ok and left_ok and corner_ok)
     raise ValueError(f"invalid chroma intra prediction mode {mode}")
 
 
@@ -1338,32 +1399,41 @@ def _i4_pred_mode(mode4x4, cx: int, cy: int):
     return int(min(2 if a < 0 else a, 2 if b < 0 else b))
 
 
-def _decode_mb_loop(r: _BitReader, wmb: int, hmb: int, slice_qp: int):
-    """General per-macroblock reconstruction: I_PCM pastes raw
+def _decode_i_slice_mbs(
+    r: _BitReader,
+    wmb: int,
+    hmb: int,
+    y,
+    cb,
+    cr,
+    slice_qp: int,
+    first_mb: int,
+    count: int,
+):
+    """General per-macroblock I-slice reconstruction over the slice's
+    raster extent [first_mb, first_mb + count): I_PCM pastes raw
     samples; residual-DC-only I_16x16 macroblocks (mb_type 1..4 with
     cbp 0/0, any of the four luma prediction modes x four chroma
     modes, single-coefficient CAVLC DC block) predict from previously
     reconstructed neighbours and add the per-4x4-block residual
     constants. Anything else raises a typed NotImplementedError
-    naming the missing stage."""
+    naming the missing stage. The availability/mode grids are FRESH
+    per slice (allocated here), which is exactly §6.4.9's rule that
+    another slice's macroblocks are unavailable to intra prediction."""
     import numpy as np
 
-    y = np.zeros((hmb * 16, wmb * 16), dtype=np.uint8)
-    cb = np.zeros((hmb * 8, wmb * 8), dtype=np.uint8)
-    cr = np.zeros((hmb * 8, wmb * 8), dtype=np.uint8)
     # decode-order availability at 4x4 granularity (sample prediction)
     # and per-4x4-block intra modes (-1 = MB not I_4x4; mode
     # prediction treats those as DC per §8.3.1.1)
     dec = np.zeros((hmb * 4, wmb * 4), dtype=bool)
     mode4x4 = np.full((hmb * 4, wmb * 4), -1, dtype=np.int64)
     qp = slice_qp
-    for mb in range(wmb * hmb):
+    for mb in range(first_mb, first_mb + count):
         mby, mbx = divmod(mb, wmb)
         mb_type = r.ue()
         qp = _decode_intra_mb(
             r, mb_type, mbx, mby, y, cb, cr, dec, mode4x4, qp
         )
-    return y, cb, cr
 
 
 def _decode_intra_mb(
@@ -1382,7 +1452,20 @@ def _decode_intra_mb(
     the I-slice loop and the P-slice SKIP+INTRA loop — §7.4.5 codes
     an intra macroblock in a P slice with mb_type offset by 5 into
     the SAME table, with identical layer syntax. Reconstructs in
-    place and returns the (possibly mb_qp_delta-updated) slice qp."""
+    place and returns the (possibly mb_qp_delta-updated) slice qp.
+
+    Neighbour-macroblock availability (§6.4.9) is derived from the
+    caller's ``dec`` grid, NOT from position: the grid is fresh per
+    SLICE, so a neighbour decoded by another slice of the same
+    picture correctly reads unavailable (intra prediction never
+    crosses a slice boundary), while in a P slice a SKIPPED
+    neighbour — marked decoded by the skip loop — correctly reads
+    available (constrained_intra_pred_flag = 0)."""
+    top_ok = mby > 0 and bool(dec[mby * 4 - 1, mbx * 4])
+    left_ok = mbx > 0 and bool(dec[mby * 4, mbx * 4 - 1])
+    corner_ok = (
+        mbx > 0 and mby > 0 and bool(dec[mby * 4 - 1, mbx * 4 - 1])
+    )
     import numpy as np
 
     if mb_type == 25:
@@ -1451,9 +1534,10 @@ def _decode_intra_mb(
             dec[mby * 4 + by, mbx * 4 + bx] = True
         for plane in (cb, cr):
             plane[mby * 8 : mby * 8 + 8, mbx * 8 : mbx * 8 + 8] = (
-                _chroma_mb_pred(plane, mbx, mby, chroma_mode).astype(
-                    np.uint8
-                )
+                _chroma_mb_pred(
+                    plane, mbx, mby, chroma_mode,
+                    top_ok, left_ok, corner_ok,
+                ).astype(np.uint8)
             )
         return qp
     if not 1 <= mb_type <= 24:
@@ -1472,7 +1556,9 @@ def _decode_intra_mb(
         )
     qp = (qp + r.se() + 52) % 52  # mb_qp_delta
     consts = _dc_residual_constants(_cavlc_read_dc1(r), qp)
-    pred = _i16_luma_pred(y, mbx, mby, pred_mode)
+    pred = _i16_luma_pred(
+        y, mbx, mby, pred_mode, top_ok, left_ok, corner_ok
+    )
     resid = np.repeat(
         np.repeat(np.array(consts, dtype=np.int64), 4, axis=0), 4, axis=1
     )
@@ -1482,7 +1568,9 @@ def _decode_intra_mb(
     dec[mby * 4 : mby * 4 + 4, mbx * 4 : mbx * 4 + 4] = True
     for plane in (cb, cr):
         plane[mby * 8 : mby * 8 + 8, mbx * 8 : mbx * 8 + 8] = (
-            _chroma_mb_pred(plane, mbx, mby, chroma_mode).astype(np.uint8)
+            _chroma_mb_pred(
+                plane, mbx, mby, chroma_mode, top_ok, left_ok, corner_ok
+            ).astype(np.uint8)
         )
     return qp
 
@@ -1491,12 +1579,12 @@ def h264_decode_ipcm_frame(nal: bytes, sps: dict, pps: dict, ref=None):
     """Decode one coded-slice NAL into (y, cb, cr) uint8 planes
     (cropped per the SPS). Decodable subsets: I slices with I_PCM /
     I_16x16-DC-only / intra-predicted macroblocks (see the CAVLC
-    section above), and — since r11 — P slices in the SKIP+INTRA
-    subset (every inter macroblock skipped, copying the co-located
-    block of ``ref``, the previous UNCROPPED decoded planes; intra
-    macroblocks restricted to I_PCM). Typed NotImplementedError for
-    anything needing the general residual decoder, motion vectors,
-    or B-slice machinery."""
+    section above), and P slices in the SKIP+INTRA subset (every
+    inter macroblock skipped, copying the co-located block of
+    ``ref``, the previous UNCROPPED decoded planes; intra
+    macroblocks may be any of the decoded intra types since r12).
+    Typed NotImplementedError for anything needing the general
+    residual decoder, motion vectors, or B-slice machinery."""
     y, cb, cr = _h264_decode_frame(nal, sps, pps, ref)
     return _crop_planes(y, cb, cr, sps)
 
@@ -1512,18 +1600,96 @@ def _crop_planes(y, cb, cr, sps: dict):
 
 
 def _h264_decode_frame(nal: bytes, sps: dict, pps: dict, ref=None):
-    """Slice parse + reconstruction, returning UNCROPPED planes (the
+    """Single-NAL wrapper over :func:`_h264_decode_picture` (kept for
+    the one-slice-per-picture callers and tests)."""
+    return _h264_decode_picture([nal], sps, pps, ref)
+
+
+def _h264_decode_picture(nals: list, sps: dict, pps: dict, ref=None):
+    """Access-unit reconstruction, returning UNCROPPED planes (the
     reference a following P frame predicts from is the full decoded
-    picture, not the display crop)."""
+    picture, not the display crop). ``nals`` is the picture's
+    coded-slice NALs in decode order — one for the single-slice case,
+    several for a MULTI-SLICE picture (first_mb_in_slice partitions
+    the raster; real encoders slice pictures exactly so that decode
+    parallelizes). Each slice gets FRESH availability/mode grids, so
+    intra prediction never crosses a slice boundary (§6.4.9: a
+    macroblock in another slice is unavailable) — the property that
+    makes slices independently decodable. A picture may mix P and I
+    slices (§7.4.3 allows it); any P slice requires ``ref``."""
     import numpy as np
 
+    headers = [_parse_slice_header(nal, sps, pps) for nal in nals]
+    wmb, hmb = sps["width_mbs"], sps["height_mbs"]
+    n_mbs = wmb * hmb
+    firsts = [h["first_mb"] for h in headers]
+    if firsts[0] != 0:
+        raise ValueError(
+            f"first slice starts at macroblock {firsts[0]}, not 0"
+        )
+    if any(a >= b for a, b in zip(firsts, firsts[1:])):
+        raise ValueError(
+            "slices are not in raster decode order "
+            f"(first_mb_in_slice sequence {firsts})"
+        )
+    if any(f >= n_mbs for f in firsts):
+        raise ValueError("first_mb_in_slice beyond the picture")
+    ends = firsts[1:] + [n_mbs]
+    if any(h["is_p"] for h in headers):
+        if ref is None:
+            raise ValueError(
+                "P slice with no prior decoded reference picture"
+            )
+        if ref[0].shape != (hmb * 16, wmb * 16):
+            raise ValueError(
+                "reference picture dimensions do not match the SPS"
+            )
+        # P skips copy the co-located reference block: start from the
+        # reference; every slice then overwrites its coded extent
+        y = ref[0].copy()
+        cb = ref[1].copy()
+        cr = ref[2].copy()
+    else:
+        y = np.zeros((hmb * 16, wmb * 16), dtype=np.uint8)
+        cb = np.zeros((hmb * 8, wmb * 8), dtype=np.uint8)
+        cr = np.zeros((hmb * 8, wmb * 8), dtype=np.uint8)
+    for h, end in zip(headers, ends):
+        r, first = h["r"], h["first_mb"]
+        if h["is_p"]:
+            _decode_pskip_slice(
+                r, wmb, hmb, y, cb, cr, h["qp"], first, end - first
+            )
+            continue
+        if first == 0 and end == n_mbs:
+            # whole-picture I slice: keep the all-I_PCM fast path
+            slice_data_pos = r.pos
+            peek = r.ue()
+            r.pos = slice_data_pos
+            if peek == 25:
+                try:
+                    samples = _read_ipcm_samples(r, n_mbs)
+                    yy, ycb, ycr = _assemble_pcm_planes(samples, wmb, hmb)
+                    y[:, :], cb[:, :], cr[:, :] = yy, ycb, ycr
+                    continue
+                except NotImplementedError:
+                    # mixed slice starting with an I_PCM macroblock:
+                    # re-enter through the general per-MB loop
+                    r.pos = slice_data_pos
+        _decode_i_slice_mbs(
+            r, wmb, hmb, y, cb, cr, h["qp"], first, end - first
+        )
+    return y, cb, cr
+
+
+def _parse_slice_header(nal: bytes, sps: dict, pps: dict) -> dict:
+    """Parse one coded-slice NAL's slice_header; returns first_mb,
+    slice kind, initial qp, and the reader positioned at slice_data."""
     nal_ref_idc = (nal[0] >> 5) & 3
     nal_type = nal[0] & 0x1F
     if nal_type not in (1, 5):
         raise ValueError(f"not a coded-slice NAL (type {nal_type})")
     r = _BitReader(_ebsp_to_rbsp(nal[1:]))
-    if r.ue() != 0:
-        raise NotImplementedError("multi-slice pictures are not supported")
+    first_mb = r.ue()  # first_mb_in_slice
     slice_type = r.ue()
     if slice_type % 5 not in (0, 2):  # P (0/5) and I (2/7) decode
         raise NotImplementedError(
@@ -1581,80 +1747,71 @@ def _h264_decode_frame(nal: bytes, sps: dict, pps: dict, ref=None):
         if r.ue() != 1:  # disable_deblocking_filter_idc
             r.se()
             r.se()
-    wmb, hmb = sps["width_mbs"], sps["height_mbs"]
-    n_mbs = wmb * hmb
-    if is_p:
-        if ref is None:
-            raise ValueError(
-                "P slice with no prior decoded reference picture"
-            )
-        if ref[0].shape != (hmb * 16, wmb * 16):
-            raise ValueError(
-                "reference picture dimensions do not match the SPS"
-            )
-        return _decode_pskip_loop(r, wmb, hmb, ref, slice_qp)
-    slice_data_pos = r.pos
-    peek = r.ue()
-    r.pos = slice_data_pos
-    if peek == 25:
-        try:
-            samples = _read_ipcm_samples(r, n_mbs)
-            y, cb, cr = _assemble_pcm_planes(samples, wmb, hmb)
-        except NotImplementedError:
-            # mixed slice starting with an I_PCM macroblock: re-enter
-            # through the general per-MB loop (one extra parse of the
-            # consumed prefix; mixed streams are the rare case)
-            r.pos = slice_data_pos
-            y, cb, cr = _decode_mb_loop(r, wmb, hmb, slice_qp)
-    else:
-        y, cb, cr = _decode_mb_loop(r, wmb, hmb, slice_qp)
-    return y, cb, cr
+    return {
+        "first_mb": first_mb,
+        "is_p": is_p,
+        "qp": slice_qp,
+        "r": r,
+        "nal_type": nal_type,
+        "ref_idc": nal_ref_idc,
+    }
 
 
-def _decode_pskip_loop(
-    r: "_BitReader", wmb: int, hmb: int, ref, slice_qp: int
+def _decode_pskip_slice(
+    r: "_BitReader",
+    wmb: int,
+    hmb: int,
+    y,
+    cb,
+    cr,
+    slice_qp: int,
+    first_mb: int,
+    count: int,
 ):
-    """P-slice data in the SKIP+INTRA subset: mb_skip_run before each
+    """P-slice data in the SKIP+INTRA subset over the slice's raster
+    extent [first_mb, first_mb + count): mb_skip_run before each
     coded macroblock, skipped macroblocks copy the CO-LOCATED block
-    of the reference (derived motion vector (0,0) — sound for this
-    subset by induction: the first skip's left/top are unavailable →
-    §8.4.1.1 forces zero; thereafter every neighbour is either a
-    zero-MV skip (refIdx 0, mv (0,0) → forced zero) or intra
-    (refIdx < 0 → forced zero), so no nonzero vector can ever enter
-    the prediction context), and coded macroblocks must be intra
-    (Table 7-13: mb_type - 5 indexes the I table) — the FULL decoded
-    intra surface is reachable here via :func:`_decode_intra_mb`
-    (I_PCM, I_4x4 cbp-0, I_16x16 DC-only), predicting from the
-    current picture's reconstructed samples. Skipped (inter)
-    macroblocks count as available neighbours for that prediction
-    because the PPS twin writes constrained_intra_pred_flag = 0
-    (§8.3: with the flag clear, intra prediction in P slices uses
-    inter-decoded samples). Inter mb_types (0..4, needing motion
-    vectors + residuals) raise typed refusals."""
+    of the reference (a no-op here: the picture driver seeds the
+    planes from the reference, so a skip leaves the co-located
+    content in place; the derived motion vector is provably (0,0) —
+    sound for this subset by induction, PER SLICE since §8.4.1.1's
+    neighbour availability is slice-scoped: the slice's first skip
+    has no available neighbours → forced zero; thereafter every
+    same-slice neighbour is either a zero-MV skip (refIdx 0,
+    mv (0,0) → forced zero) or intra (refIdx < 0 → forced zero), so
+    no nonzero vector can ever enter the prediction context), and
+    coded macroblocks must be intra (Table 7-13: mb_type - 5 indexes
+    the I table) — the FULL decoded intra surface is reachable here
+    via :func:`_decode_intra_mb` (I_PCM, I_4x4 cbp-0, I_16x16
+    DC-only), predicting from the current picture's reconstructed
+    samples. Skipped (inter) macroblocks count as available
+    neighbours for that prediction because the PPS twin writes
+    constrained_intra_pred_flag = 0 (§8.3: with the flag clear,
+    intra prediction in P slices uses inter-decoded samples) — but
+    macroblocks of ANOTHER slice never do (fresh grids per slice).
+    Inter mb_types (0..4, needing motion vectors + residuals) raise
+    typed refusals."""
     import numpy as np
 
-    y = ref[0].copy()
-    cb = ref[1].copy()
-    cr = ref[2].copy()
     # same availability / mode grids as the I-slice loop; a skipped
     # macroblock is immediately "decoded" (reference copy) but is
     # never I_4x4, so its mode stays -1 (→ DC in §8.3.1.1 context)
     dec = np.zeros((hmb * 4, wmb * 4), dtype=bool)
     mode4x4 = np.full((hmb * 4, wmb * 4), -1, dtype=np.int64)
     qp = slice_qp
-    n_mbs = wmb * hmb
-    done = 0
-    while done < n_mbs:
+    end = first_mb + count
+    done = first_mb
+    while done < end:
         run = r.ue()  # mb_skip_run
-        if done + run > n_mbs:
+        if done + run > end:
             raise ValueError(
-                f"mb_skip_run {run} overruns the picture at MB {done}"
+                f"mb_skip_run {run} overruns the slice at MB {done}"
             )
         for mb in range(done, done + run):
             sy, sx = divmod(mb, wmb)
             dec[sy * 4 : sy * 4 + 4, sx * 4 : sx * 4 + 4] = True
         done += run
-        if done == n_mbs:
+        if done == end:
             break
         mb_type = r.ue()
         if mb_type < 5:
@@ -1668,7 +1825,6 @@ def _decode_pskip_loop(
             r, mb_type - 5, mbx, mby, y, cb, cr, dec, mode4x4, qp
         )
         done += 1
-    return y, cb, cr
 
 
 def _walk(buf: bytes, lo: int, hi: int):
@@ -1849,6 +2005,10 @@ def mp4_decode_ipcm_frames(payload: bytes):
     # picture — a non-reference picture (nal_ref_idc == 0) never
     # enters the DPB, so a following P slice must not predict from it
     for nals in demux["samples"]:
+        # one MP4 sample = one access unit = one picture: every
+        # coded-slice NAL in the sample is a slice of the SAME
+        # picture (multi-slice pictures decode as a unit)
+        slice_nals = []
         for nal in nals:
             if not nal:
                 continue
@@ -1858,11 +2018,13 @@ def mp4_decode_ipcm_frames(payload: bytes):
             elif t == 8:
                 pps = h264_parse_pps(_ebsp_to_rbsp(nal[1:]))
             elif t in (1, 5):
-                pic = _h264_decode_frame(nal, sps, pps, prev)
-                if (nal[0] >> 5) & 3:
-                    prev = pic
-                yield idx, *_crop_planes(*pic, sps)
-                idx += 1
+                slice_nals.append(nal)
+        if slice_nals:
+            pic = _h264_decode_picture(slice_nals, sps, pps, prev)
+            if (slice_nals[0][0] >> 5) & 3:
+                prev = pic
+            yield idx, *_crop_planes(*pic, sps)
+            idx += 1
 
 
 AHASH_SCHEMA = StructType(

@@ -15279,3 +15279,187 @@ def q_media_contamination_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+def _mp4_multislice_fixture(spark: SparkSession, n: int = 120) -> DataFrame:
+    """Driver-built MP4s whose pictures are MULTI-SLICE (r12): a
+    2x2-MB IDR picture cut into two slices at raster index
+    split = 2 + (key//2)%2 — a MID-ROW boundary on half the keys —
+    followed by a multi-slice P picture (slice A all-skip, slice B
+    skip + one I_16x16 patch on MB3). Slice boundaries change the
+    DECODED BYTES: MB3's intra DC prediction sees its left/top
+    neighbours only when they are in the SAME slice (§6.4.9), so at
+    split=3 it predicts 128 (both neighbours in slice A) while a
+    slice-unaware decoder would average real samples — md5-visible
+    on every row. MB2 flips between top-DC prediction (split=3, same
+    slice as MB0) and the 128 fallback (split=2, first MB of slice
+    B). Even keys code MB3 as I_16x16 DC-only (+residual), odd keys
+    as a cbp-0 I_4x4 all-DC macroblock. In the P picture the patch's
+    left neighbour is a SKIPPED same-slice macroblock (available,
+    cip=0) while its top is the other slice (unavailable). Encoder
+    twins: h264_encode_islice / h264_encode_pskip with first_mb."""
+    import numpy as np
+
+    from pagerank_hadoop_spark.operators.h264 import (
+        h264_encode_islice,
+        h264_encode_pskip,
+        mp4_mux_avc,
+    )
+
+    rows = []
+    for key in range(n):
+        a = 20 + key % 60
+        u0 = 15 + key % 50
+        v0 = 9 + key % 40
+        qp = 30 + key % 22
+        l1 = (3 * key + 5) % 15 - 7
+        l2 = (5 * key + 1) % 15 - 7
+        l3 = (7 * key + 2) % 15 - 7
+        l4 = (11 * key + 3) % 15 - 7
+        split = 2 + (key // 2) % 2
+        y0 = np.fromfunction(
+            lambda r, c: a + 2 * c + 3 * r, (16, 16)
+        ).astype(np.uint8)
+        cb0 = np.fromfunction(
+            lambda r, c: u0 + c + r, (8, 8)
+        ).astype(np.uint8)
+        cr0 = np.fromfunction(
+            lambda r, c: v0 + c + r, (8, 8)
+        ).astype(np.uint8)
+        mb1 = ("i16", 2, 1, l1, 0)  # DC luma, H chroma
+        mb2 = ("i16", 2, 2 if split == 3 else 0, l2, 0)
+        mb3_chroma = 0 if split == 3 else 1
+        mb3 = (
+            ("i16", 2, mb3_chroma, l3, 0)
+            if key % 2 == 0
+            else ("i4", 2, mb3_chroma)
+        )
+        mbs = [("pcm", (y0.tobytes(), cb0.tobytes(), cr0.tobytes())),
+               mb1, mb2, mb3]
+        idr = [
+            h264_encode_islice(mbs[:split], 2, qp=qp, first_mb=0),
+            h264_encode_islice(mbs[split:], 2, qp=qp, first_mb=split),
+        ]
+        # split=3 isolates MB3 in its own P slice: the patch has NO
+        # same-slice neighbour, so luma DC falls back to 128 and the
+        # chroma must be DC; split=2 gives it a skipped same-slice
+        # left neighbour (available, cip=0) -> chroma H is legal
+        p_patch = ("i16", 2, 1 if split == 2 else 0, l4, 0)
+        pframe = [
+            h264_encode_pskip(2, 2, 1, None, qp=qp,
+                              first_mb=0, n_mbs=split),
+            h264_encode_pskip(2, 2, 1, {(1, 1): p_patch},
+                              qp=qp, first_mb=split, n_mbs=4 - split),
+        ]
+        rows.append(
+            (
+                key,
+                bytearray(
+                    mp4_mux_avc(
+                        [idr, pframe],
+                        dims=(32, 32),
+                        n_chunks=1 + key % 2,
+                        max_ref=1,
+                    )
+                ),
+            )
+        )
+    return spark.createDataFrame(rows, "media_id long, payload binary")
+
+
+@register(
+    "media_mp4_multislice",
+    """
+    WITH f AS (SELECT range AS key, 20 + range % 60 AS a,
+                      15 + range % 50 AS u0, 9 + range % 40 AS v0,
+                      30 + range % 22 AS qp,
+                      (3 * range + 5) % 15 - 7 AS l1,
+                      (5 * range + 1) % 15 - 7 AS l2,
+                      (7 * range + 2) % 15 - 7 AS l3,
+                      (11 * range + 3) % 15 - 7 AS l4,
+                      2 + (range // 2) % 2 AS split,
+                      range % 2 AS odd
+               FROM range(0, 120)),
+    q AS (SELECT *, list_extract([10, 11, 13, 14, 16, 18],
+                                 CAST(qp % 6 AS INT) + 1) AS v00 FROM f),
+    rcs AS (SELECT key, a, u0, v0, split, odd,
+             [l1, l2, l3, l4] AS lv,
+             list_transform([l1, l2, l3, l4], L ->
+               CAST(floor((
+                 CASE WHEN qp >= 36
+                      THEN L * v00 * power(2, qp // 6 - 6)
+                      ELSE floor((L * v00 + power(2, 5 - qp // 6))
+                                 / power(2, 6 - qp // 6)) END
+                 + 32) / 64) AS BIGINT)) AS rc
+            FROM q),
+    vals AS (SELECT key, a, u0, v0, split, odd,
+             LEAST(255, GREATEST(0, a + 53 + rc[1])) AS v1,
+             LEAST(255, GREATEST(0,
+               CASE WHEN split = 3 THEN a + 60 ELSE 128 END + rc[2]))
+               AS v2
+           FROM rcs),
+    vals2 AS (SELECT v.key, v.a AS a, v.u0 AS u0, v.v0 AS v0,
+             v.split AS split, v.odd AS odd, v1, v2,
+             CASE WHEN v.odd = 0
+                  THEN LEAST(255, GREATEST(0,
+                    CASE WHEN v.split = 3 THEN 128 ELSE v2 END + r.rc[3]))
+                  ELSE CASE WHEN v.split = 3 THEN 128 ELSE v2 END END AS v3,
+             LEAST(255, GREATEST(0,
+               CASE WHEN v.split = 3 THEN 128 ELSE v2 END + r.rc[4])) AS v4
+           FROM vals v JOIN rcs r ON v.key = r.key),
+    fr AS (SELECT *, unnest(range(0, 2)) AS fi FROM vals2),
+    px AS (SELECT key, fi, a, u0, v0, split,
+            list_transform(range(0, 1024), i ->
+              CASE ((i // 32) // 16) * 2 + ((i % 32) // 16)
+                WHEN 0 THEN a + 2 * (i % 32) + 3 * (i // 32)
+                WHEN 1 THEN v1
+                WHEN 2 THEN v2
+                ELSE CASE WHEN fi = 0 THEN v3 ELSE v4 END END) AS yl,
+            list_transform(range(0, 256), i ->
+              CASE ((i // 16) // 8) * 2 + ((i % 16) // 8)
+                WHEN 0 THEN u0 + (i % 16) + (i // 16)
+                WHEN 1 THEN u0 + 7 + (i // 16)
+                WHEN 2 THEN CASE WHEN split = 3
+                                 THEN u0 + (i % 16) + 7 ELSE 128 END
+                ELSE 128 END) AS cbl,
+            list_transform(range(0, 256), i ->
+              CASE ((i // 16) // 8) * 2 + ((i % 16) // 8)
+                WHEN 0 THEN v0 + (i % 16) + (i // 16)
+                WHEN 1 THEN v0 + 7 + (i // 16)
+                WHEN 2 THEN CASE WHEN split = 3
+                                 THEN v0 + (i % 16) + 7 ELSE 128 END
+                ELSE 128 END) AS crl
+          FROM fr)
+    SELECT CAST(key AS BIGINT) AS media_id,
+           CAST(fi AS BIGINT) AS frame_idx,
+           CAST(32 AS INTEGER) AS width, CAST(32 AS INTEGER) AS height,
+           CAST(list_sum(yl) AS BIGINT) AS y_sum,
+           CAST(list_sum(cbl) AS BIGINT) AS cb_sum,
+           CAST(list_sum(crl) AS BIGINT) AS cr_sum,
+           md5(array_to_string(yl, ',')) AS y_md5
+    FROM px ORDER BY media_id, frame_idx
+    """,
+)
+def q_media_mp4_multislice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5 [r12]: MULTI-SLICE picture decode — the slice-parallel
+    stream shape real encoders emit so pictures decode concurrently.
+    One MP4 sample = one access unit: every coded-slice NAL in the
+    sample reconstructs into ONE picture, each slice over its
+    first_mb_in_slice raster extent with FRESH availability/mode
+    grids, so intra prediction never crosses a slice boundary
+    (§6.4.9: another slice's macroblocks are unavailable — MB3 at
+    split=3 DC-predicts 128 with both physical neighbours present
+    but foreign, and a slice-unaware decoder reddens every md5).
+    Covers mid-row boundaries, both §8.5.10 qp branches, I_16x16 and
+    I_4x4 at the boundary, and a multi-slice P picture whose patch
+    sees a skipped SAME-slice neighbour as available (cip=0) while
+    its other-slice top stays unavailable. Oracle replays the
+    slice-scoped prediction algebra closed-form."""
+    from pagerank_hadoop_spark.operators.h264 import mp4_frame_stats
+    from pagerank_hadoop_spark.operators.multimodal import attach_media
+
+    media = attach_media(
+        _mp4_multislice_fixture(spark), F.col("payload"),
+        media_type="video/mp4",
+    )
+    return mp4_frame_stats(media).orderBy("media_id", "frame_idx")

@@ -239,7 +239,7 @@ def test_pskip_roundtrip_and_refusals():
     w.ue(0), w.ue(5), w.ue(0), w.u(1, 4)
     w.u(0, 1), w.u(0, 1), w.u(0, 1), w.se(0)
     w.ue(9)  # 9 skips in a 4-MB picture
-    with pytest.raises(ValueError, match="overruns the picture"):
+    with pytest.raises(ValueError, match="overruns the slice"):
         h264_decode_ipcm_frame(_nal(2, 1, w.rbsp_trailing()), sps, pps, ref)
 
 
@@ -1454,3 +1454,66 @@ def test_nonreference_picture_not_promoted_to_p_reference():
     assert len(frames) == 3
     assert (frames[1][1] == yd).all()  # disposable still DISPLAYS
     assert (frames[2][1] == y0).all()  # skip copies the IDR, not yd
+
+
+def test_multislice_picture_slice_scoped_availability():
+    """r12: a multi-slice I picture decodes as ONE picture and intra
+    prediction never crosses the slice boundary — MB3, alone in its
+    slice, DC-predicts 128 even though both physical neighbours hold
+    decoded samples; a slice-unaware decoder would average them."""
+    import pagerank_hadoop_spark.operators.h264 as H
+    from pagerank_hadoop_spark.operators.h264 import (
+        h264_encode_islice,
+        h264_encode_pskip,
+    )
+
+    a, qp = 20, 40
+    y0 = np.fromfunction(lambda r, c: a + 2 * c + 3 * r, (16, 16)).astype(
+        np.uint8
+    )
+    cb0 = np.fromfunction(lambda r, c: 15 + c + r, (8, 8)).astype(np.uint8)
+    cr0 = np.fromfunction(lambda r, c: 9 + c + r, (8, 8)).astype(np.uint8)
+
+    def rc(level):
+        c = [[0] * 4 for _ in range(4)]
+        c[0][0] = level
+        return H._dc_residual_constants(c, qp)[0][0]
+
+    mbs = [
+        ("pcm", (y0.tobytes(), cb0.tobytes(), cr0.tobytes())),
+        ("i16", 2, 1, 5, 0),   # MB1: DC luma (left = MB0), H chroma
+        ("i16", 2, 2, -6, 0),  # MB2: DC luma (top = MB0), V chroma
+        ("i16", 2, 0, 7, 0),   # MB3: alone in slice B -> 128 + rc
+    ]
+    sliceA = h264_encode_islice(mbs[:3], 2, qp=qp, first_mb=0)
+    sliceB = h264_encode_islice(mbs[3:], 2, qp=qp, first_mb=3)
+    sps = h264_parse_sps(h264_sps_rbsp(2, 2, (0, 0, 0, 0), 1))
+    pps = h264_parse_pps(h264_pps_rbsp())
+    y, cb, cr = H._h264_decode_picture([sliceA, sliceB], sps, pps)
+    dc1 = (int(y0[:, 15].astype(np.int64).sum()) + 8) >> 4
+    dc2 = (int(y0[15, :].astype(np.int64).sum()) + 8) >> 4
+    assert (y[0:16, 0:16] == y0).all()
+    assert (y[0:16, 16:32] == np.clip(dc1 + rc(5), 0, 255)).all()
+    assert (y[16:32, 0:16] == np.clip(dc2 + rc(-6), 0, 255)).all()
+    assert (y[16:32, 16:32] == np.clip(128 + rc(7), 0, 255)).all()
+    assert (cb[8:16, 8:16] == 128).all()  # chroma DC, no same-slice nbrs
+
+    # multi-slice P picture: slice B's patch sees the SKIPPED
+    # same-slice MB2 as available (cip=0), never the other slice
+    pA = h264_encode_pskip(2, 2, 1, None, qp=qp, first_mb=0, n_mbs=2)
+    pB = h264_encode_pskip(
+        2, 2, 1, {(1, 1): ("i16", 2, 1, -3, 0)}, qp=qp,
+        first_mb=2, n_mbs=2,
+    )
+    v2 = int(y[16, 0])
+    y2, cb2, _ = H._h264_decode_picture([pA, pB], sps, pps, (y, cb, cr))
+    assert (y2[0:16, :] == y[0:16, :]).all()
+    assert (y2[16:32, 0:16] == v2).all()  # skipped: reference copy
+    assert (y2[16:32, 16:32] == np.clip(v2 + rc(-3), 0, 255)).all()
+    assert (cb2[8:16, 8:16] == cb[8:16, 7][:, None]).all()  # H from skip
+
+    # malformed slice sets are ValueErrors, not silent misdecodes
+    with pytest.raises(ValueError, match="not 0"):
+        H._h264_decode_picture([sliceB], sps, pps)
+    with pytest.raises(ValueError, match="raster decode order"):
+        H._h264_decode_picture([sliceA, sliceA], sps, pps)
