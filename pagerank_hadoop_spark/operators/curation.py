@@ -222,3 +222,92 @@ def k_anonymity_violations(
         .agg(F.count(F.lit(1)).alias("n"))
         .where(F.col("n") < k)
     )
+
+
+def fuzzy_contaminated_pairs(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_id_col: str = "bench_id",
+    num_hashes: int = 32,
+    bands: int = 4,
+    shingle_n: int = 5,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """FUZZY decontamination (r12): corpus documents NEAR-duplicating
+    a benchmark document — the screen exact n-gram matching
+    (:func:`contaminated_ids`) cannot provide, since a lightly
+    rephrased or re-formatted benchmark leak shares few exact word
+    5-grams but high shingle Jaccard. Shape: portable-hash MinHash
+    signatures on both sides (``md5_shingle_hashes`` →
+    ``minhash_signature``, the oracle-replayable family), LSH band
+    join with the BENCHMARK side broadcast (the corpus — the 100 TB
+    side — computes signatures map-side and never shuffles its
+    shingles; only candidate id pairs move), then exact shingle-
+    Jaccard verification of the candidates (LSH recall is what it
+    is — both engines derive the same candidate set, so misses are
+    honest, identical, and bounded by the band calculus documented
+    at dedup.minhash_lsh_candidates). Returns verified
+    ``(doc_id, bench_id, jaccard)`` rows."""
+    from pagerank_hadoop_spark.operators.dedup import (
+        _band_cols,
+        md5_shingle_hashes,
+        minhash_signature,
+    )
+
+    def sigs(df, out_id, in_id):
+        return (
+            df.select(
+                F.col(in_id).alias(out_id),
+                md5_shingle_hashes(F.col(text_col), shingle_n).alias("sh"),
+            )
+            .select(
+                out_id,
+                "sh",
+                minhash_signature(F.col("sh"), num_hashes).alias("sig"),
+            )
+            .localCheckpoint(eager=True)  # consumed by band join AND
+            # verify join (repo double-consumption rule)
+        )
+
+    corp = sigs(corpus, "doc_id", id_col)
+    bench = sigs(benchmark, bench_id_col, id_col)
+    bcols = _band_cols(num_hashes, bands)
+    banded_c = corp.select(
+        "doc_id", F.posexplode(F.array(*bcols)).alias("band", "bh")
+    )
+    banded_b = bench.select(
+        bench_id_col, F.posexplode(F.array(*bcols)).alias("band", "bh")
+    )
+    cand = (
+        banded_c.join(F.broadcast(banded_b), ["band", "bh"])
+        .select("doc_id", bench_id_col)
+        .distinct()
+    )
+    verified = (
+        cand.join(corp.select("doc_id", "sh"), "doc_id")
+        .join(
+            F.broadcast(
+                bench.select(bench_id_col, F.col("sh").alias("sh_b"))
+            ),
+            bench_id_col,
+        )
+        .select(
+            "doc_id",
+            bench_id_col,
+            F.size(F.array_intersect("sh", "sh_b")).alias("__i"),
+            F.size("sh").alias("__na"),
+            F.size("sh_b").alias("__nb"),
+        )
+        .select(
+            "doc_id",
+            bench_id_col,
+            (
+                F.col("__i").cast("double")
+                / (F.col("__na") + F.col("__nb") - F.col("__i"))
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+    return verified

@@ -15463,3 +15463,104 @@ def q_media_mp4_multislice(spark: SparkSession, sf_dir: str) -> DataFrame:
         media_type="video/mp4",
     )
     return mp4_frame_stats(media).orderBy("media_id", "frame_idx")
+
+
+@register(
+    "fuzzy_contamination_screen",
+    """
+    WITH bench AS (SELECT doc_id AS bid, lower(text) AS t
+                   FROM documents WHERE doc_id % 97 = 0),
+    corp AS (
+      SELECT doc_id, source, lower(text) AS t
+      FROM documents WHERE doc_id % 97 <> 0
+      UNION ALL
+      SELECT doc_id + 10000000, source,
+             lower(text || ' benchmark leak tail')
+      FROM documents WHERE doc_id % 97 = 0),
+    shc AS MATERIALIZED (SELECT doc_id, source,
+        list_distinct(list_transform(
+          generate_series(1, greatest(length(t) - 4, 1)),
+          i -> ('0x' || substr(md5(substr(t, i, 5)), 1, 15))::BIGINT))
+          AS sh
+      FROM corp),
+    shb AS MATERIALIZED (SELECT bid,
+        list_distinct(list_transform(
+          generate_series(1, greatest(length(t) - 4, 1)),
+          i -> ('0x' || substr(md5(substr(t, i, 5)), 1, 15))::BIGINT))
+          AS sh
+      FROM bench),
+    sigc AS MATERIALIZED (SELECT doc_id, source, sh,
+        list_transform(range(0, 32), i ->
+          list_min(list_transform(sh, h ->
+            ((h % 4294967311) * (2 * i + 1) + (i + 1) * 104729)
+            % 4294967311))) AS sig
+      FROM shc),
+    sigb AS MATERIALIZED (SELECT bid, sh,
+        list_transform(range(0, 32), i ->
+          list_min(list_transform(sh, h ->
+            ((h % 4294967311) * (2 * i + 1) + (i + 1) * 104729)
+            % 4294967311))) AS sig
+      FROM shb),
+    cand AS (SELECT c.doc_id, c.sh AS sh_c, b.sh AS sh_b
+             FROM sigc c JOIN sigb b ON EXISTS (
+               SELECT 1 FROM range(0, 4) t(bd)
+               WHERE list_slice(c.sig, bd * 8 + 1, bd * 8 + 8)
+                   = list_slice(b.sig, bd * 8 + 1, bd * 8 + 8))),
+    hit AS (SELECT DISTINCT doc_id FROM cand
+            WHERE len(list_intersect(sh_c, sh_b)) * 1.0
+                  / (len(sh_c) + len(sh_b)
+                     - len(list_intersect(sh_c, sh_b))) >= 0.7)
+    SELECT c.source AS source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(h.doc_id) AS BIGINT) AS n_contaminated
+    FROM (SELECT doc_id, source FROM corp) c
+    LEFT JOIN hit h ON c.doc_id = h.doc_id
+    GROUP BY c.source ORDER BY c.source
+    """,
+)
+def q_fuzzy_contamination_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2×curation [r12]: FUZZY benchmark decontamination — the
+    near-dup twin of `contamination_screen` (exact word 5-grams
+    cannot catch a lightly-perturbed leak; shingle Jaccard can). The
+    corpus is the real documents table plus PLANTED leaks: every
+    benchmark doc re-enters with a ' benchmark leak tail' suffix
+    (bytes differ, Jaccard stays high). Pipeline:
+    curation.fuzzy_contaminated_pairs — portable-hash MinHash
+    signatures both sides, LSH band join with the benchmark
+    BROADCAST (the corpus never shuffles shingles), exact-Jaccard
+    verify at 0.7 — then per-source contaminated counts. LSH recall
+    is derived identically by both engines (the oracle replays the
+    signature/band arithmetic, not ground-truth Jaccard), so a
+    band-calculus miss is honest and pinned rather than hidden."""
+    from pagerank_hadoop_spark.operators.curation import (
+        fuzzy_contaminated_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 97 == 0)
+    leaked = bench.select(
+        (F.col("doc_id") + 10000000).alias("doc_id"),
+        "source",
+        F.concat(F.col("text"), F.lit(" benchmark leak tail")).alias(
+            "text"
+        ),
+    )
+    corpus = docs.where(F.col("doc_id") % 97 != 0).select(
+        "doc_id", "source", "text"
+    ).unionByName(leaked)
+    pairs = fuzzy_contaminated_pairs(corpus, bench, threshold=0.7)
+    flagged = (
+        pairs.select("doc_id").distinct().withColumn("hit", F.lit(1))
+    )
+    return (
+        corpus.select("doc_id", "source")
+        .join(flagged, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.coalesce("hit", F.lit(0)))
+            .cast("bigint")
+            .alias("n_contaminated"),
+        )
+        .orderBy("source")
+    )
