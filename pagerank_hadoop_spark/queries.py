@@ -15564,3 +15564,70 @@ def q_fuzzy_contamination_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "stream_audio_fp_index",
+    """
+    WITH k AS (SELECT range AS key FROM range(0, 240)),
+    b AS (SELECT key,
+                 CASE WHEN key >= 120 THEN key - 120 ELSE key END AS k0,
+                 CASE WHEN key >= 120 THEN 1 ELSE 0 END AS clone FROM k),
+    g AS (SELECT key, k0, clone, 512 * (1 + k0 % 2) + k0 % 9 AS total,
+                 1 + k0 % 2 AS nw FROM b),
+    xs AS MATERIALIZED (SELECT key, nw,
+            list_transform(range(0, total), i ->
+              (23 * i + 7 * k0) % 2000 - 1000
+              + CASE WHEN clone = 1 AND i = 0 THEN 1 ELSE 0 END) AS x
+          FROM g),
+    w AS (SELECT key, unnest(range(0, nw)) AS wi, x FROM xs),
+    wt AS (SELECT key, wi, x,
+             list_sum(list_transform(range(0, 512),
+               j -> x[wi * 512 + j + 1] * x[wi * 512 + j + 1])) AS tot
+           FROM w)
+    SELECT CAST(key AS BIGINT) AS media_id,
+           CAST(wi AS BIGINT) AS window_idx,
+           array_to_string(list_transform(range(0, 64), g2 ->
+             CASE WHEN 64 * list_sum(list_transform(range(0, 8),
+                    j -> x[wi * 512 + g2 * 8 + j + 1]
+                         * x[wi * 512 + g2 * 8 + j + 1])) > tot
+                  THEN 1 ELSE 0 END), '') AS fp,
+           md5(array_to_string(list_transform(range(0, 512),
+               j -> x[wi * 512 + j + 1]), ',')) AS pcm_md5
+    FROM wt ORDER BY media_id, window_idx
+    """,
+)
+def q_stream_audio_fp_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E6×E5×E2 [r12]: STREAMING perceptual-fingerprint ingest — the
+    media_audio_fp_dedup fixtures staged as a parquet directory,
+    consumed with a REAL readStream (file source, availableNow
+    trigger), fingerprinted per micro-batch by the same Arrow
+    flac_window_fingerprint kernel (stateless mapInPandas runs
+    unchanged under Structured Streaming), drained to a memory sink —
+    the index a continuously-arriving audio corpus maintains so the
+    downstream near-dup bucket join (media_audio_fp_dedup's batch
+    shape) always has fresh keys. Streaming ≡ batch: the oracle is
+    the identical closed-form fingerprint table, so a trigger-
+    boundary effect in the decode or windowing would hash-mismatch."""
+    import tempfile
+
+    from pagerank_hadoop_spark.operators.flac import flac_window_fingerprint
+    from pagerank_hadoop_spark.operators.multimodal import attach_media
+    from pagerank_hadoop_spark.streaming.windows import run_to_memory
+
+    stage = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_audiofp_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    if not os.path.exists(os.path.join(stage, "_SUCCESS")):
+        _flac_dedup_fixture(spark).write.mode("overwrite").parquet(stage)
+    stream = spark.readStream.schema("media_id long, payload binary").parquet(
+        stage
+    )
+    fps = flac_window_fingerprint(
+        attach_media(stream, F.col("payload"), media_type="audio/flac")
+    )
+    _STREAM_SEQ["n"] += 1
+    name = f"stream_audio_fp_index_{_STREAM_SEQ['n']}"
+    run_to_memory(fps, name, output_mode="append")
+    return spark.table(name).orderBy("media_id", "window_idx")
