@@ -623,6 +623,20 @@ def flac_encode(
             item = f"{k}={v}".encode("utf-8")
             tb += len(item).to_bytes(4, "little") + item
         extra.append((4, bytes(tb)))  # VORBIS_COMMENT
+    auto_seek = seek_points == "auto"
+    if auto_seek:
+        # one seekpoint per frame; byte offsets are patched in after
+        # the frames are serialized (they are relative to the FIRST
+        # FRAME byte, so the table's own size does not perturb them)
+        seek_points = [
+            (
+                fi * block_size,
+                0,
+                min(block_size, n_total - fi * block_size),
+            )
+            for fi in range(n_blocks)
+        ]
+    seek_body_pos = None
     if seek_points:
         stb = bytearray()
         for sp_sample, sp_offset, sp_n in seek_points:
@@ -649,11 +663,16 @@ def flac_encode(
     out += len(body).to_bytes(3, "big")
     out += body
     for i, (btype, bbody) in enumerate(extra):
+        if btype == 3:
+            seek_body_pos = len(out) + 4
         out.append((0x80 if i == len(extra) - 1 else 0x00) | btype)
         out += len(bbody).to_bytes(3, "big")
         out += bbody
 
+    frames_start = len(out)
+    frame_offsets = []
     for fi in range(n_blocks):
+        frame_offsets.append(len(out) - frames_start)
         blk = samples[fi * block_size : (fi + 1) * block_size]
         bs = blk.shape[0]
         w = _BitWriter()
@@ -712,6 +731,10 @@ def flac_encode(
         # a table transcription slip breaks round-trip, not silently
         frame += _crc16_bitwise(frame).to_bytes(2, "big")
         out += frame
+    if auto_seek and seek_body_pos is not None:
+        for i, off in enumerate(frame_offsets):
+            pos = seek_body_pos + 18 * i + 8
+            out[pos : pos + 8] = off.to_bytes(8, "big")
     return bytes(out)
 
 
@@ -975,101 +998,24 @@ def flac_decode(payload: bytes) -> dict:
     total = r.u(36)
     md5_claim = streaminfo[18:34]
 
-    chans: list[list[np.ndarray]] = [[] for _ in range(channels)]
+    frames: list[np.ndarray] = []
     n_frames = 0
     while pos < len(payload):
-        frame_start = pos
-        r = _BitReader(payload, pos)
-        if r.u(14) != 0x3FFE:
-            raise ValueError(f"bad frame sync at byte {frame_start}")
-        if r.u(1):
-            raise ValueError("reserved bit set in frame header")
-        r.u(1)  # blocking strategy (either is parseable here)
-        bs_code = r.u(4)
-        sr_code = r.u(4)
-        ch_code = r.u(4)
-        ss_code = r.u(3)
-        if r.u(1):
-            raise ValueError("reserved bit set in frame header")
-        _utf8_like_decode(r)
-        if bs_code == 6:
-            bs = r.u(8) + 1
-        elif bs_code == 7:
-            bs = r.u(16) + 1
-        elif bs_code == 0:
-            raise ValueError("reserved block-size code 0")
-        else:
-            raise NotImplementedError(
-                f"block-size table code {bs_code} needs the compile-time "
-                "block-size table (no authoritative source in this "
-                "container to validate against); the encoder twin only "
-                "emits explicit codes 6/7"
-            )
-        if sr_code != 0:
-            raise NotImplementedError(
-                f"sample-rate code {sr_code} needs the sample-rate table; "
-                "only code 0 (defer to STREAMINFO) decodes"
-            )
-        if ss_code != 0:
-            raise NotImplementedError(
-                f"sample-size code {ss_code} needs the sample-size table; "
-                "only code 0 (defer to STREAMINFO) decodes"
-            )
-        if ch_code >= 11:
-            raise ValueError(f"reserved channel assignment {ch_code}")
-        if ch_code >= 8 and channels != 2:
-            raise ValueError(
-                f"decorrelated channel assignment {ch_code} in a "
-                f"{channels}-channel stream"
-            )
-        if ch_code < 8 and ch_code + 1 != channels:
-            raise ValueError(
-                f"frame channel count {ch_code + 1} != STREAMINFO {channels}"
-            )
-        header_bytes = payload[frame_start : r.byte_pos]
-        if not r.aligned:
-            raise ValueError("frame header not byte-aligned before CRC-8")
-        if r.u(8) != crc8(header_bytes):
-            raise ValueError(f"frame header CRC-8 mismatch at {frame_start}")
-        if ch_code < 8:
-            for c in range(channels):
-                chans[c].append(_read_subframe(r, bs, bps))
-        else:
-            # stereo decorrelation: the SIDE channel (L-R) carries one
-            # extra bit of range; mid is the floor-average with its
-            # lost LSB recovered from the side's parity
-            bps0 = bps + (1 if ch_code == 9 else 0)
-            bps1 = bps + (1 if ch_code != 9 else 0)
-            a = _read_subframe(r, bs, bps0)
-            b = _read_subframe(r, bs, bps1)
-            if ch_code == 8:  # left/side
-                left, right = a, a - b
-            elif ch_code == 9:  # right/side (side first)
-                left, right = b + a, b
-            else:  # mid/side
-                m2 = (a << 1) | (b & 1)
-                left, right = (m2 + b) >> 1, (m2 - b) >> 1
-            chans[0].append(left)
-            chans[1].append(right)
-        r.align()
-        if not r.aligned:
-            raise ValueError("frame not byte-aligned before CRC-16")
-        body = payload[frame_start : r.byte_pos]
-        if r.u(16) != crc16(body):
-            raise ValueError(f"frame CRC-16 mismatch at {frame_start}")
-        pos = r.byte_pos
+        frame, _coded, pos = _decode_frame_at(payload, pos, channels, bps)
+        frames.append(frame)
         n_frames += 1
 
-    cols = [
-        np.concatenate(c) if c else np.zeros(0, dtype=np.int64)
-        for c in chans
-    ]
-    n_dec = len(cols[0])
+    cols = (
+        np.concatenate(frames, axis=0)
+        if frames
+        else np.zeros((0, channels), dtype=np.int64)
+    )
+    n_dec = cols.shape[0]
     if total and n_dec != total:
         raise ValueError(
             f"decoded {n_dec} samples, STREAMINFO says {total}"
         )
-    samples = np.stack(cols, axis=1)
+    samples = cols
     if _audio_md5(samples, bps) != md5_claim:
         raise ValueError("decoded audio MD5 does not match STREAMINFO")
     return {
@@ -1080,6 +1026,97 @@ def flac_decode(payload: bytes) -> dict:
         "n_frames": n_frames,
         "samples": samples,
     }
+
+
+def _decode_frame_at(payload: bytes, pos: int, channels: int, bps: int):
+    """Decode exactly ONE frame starting at byte ``pos`` (which must
+    be a frame-sync boundary): full header parse + CRC-8, all
+    subframes, stereo decorrelation, padding + CRC-16. Returns
+    ``(samples (block_size, channels) int64, coded_number,
+    next_pos)`` — the random-access primitive behind
+    :func:`flac_decode_frame_at`; :func:`flac_decode` is just this in
+    a loop. ``coded_number`` is the header's UTF-8-style coded frame
+    (fixed-blocksize) or sample (variable-blocksize) number."""
+    frame_start = pos
+    r = _BitReader(payload, pos)
+    if r.u(14) != 0x3FFE:
+        raise ValueError(f"bad frame sync at byte {frame_start}")
+    if r.u(1):
+        raise ValueError("reserved bit set in frame header")
+    blocking = r.u(1)  # blocking strategy (either is parseable here)
+    bs_code = r.u(4)
+    sr_code = r.u(4)
+    ch_code = r.u(4)
+    ss_code = r.u(3)
+    if r.u(1):
+        raise ValueError("reserved bit set in frame header")
+    coded_number = _utf8_like_decode(r)
+    if bs_code == 6:
+        bs = r.u(8) + 1
+    elif bs_code == 7:
+        bs = r.u(16) + 1
+    elif bs_code == 0:
+        raise ValueError("reserved block-size code 0")
+    else:
+        raise NotImplementedError(
+            f"block-size table code {bs_code} needs the compile-time "
+            "block-size table (no authoritative source in this "
+            "container to validate against); the encoder twin only "
+            "emits explicit codes 6/7"
+        )
+    if sr_code != 0:
+        raise NotImplementedError(
+            f"sample-rate code {sr_code} needs the sample-rate table; "
+            "only code 0 (defer to STREAMINFO) decodes"
+        )
+    if ss_code != 0:
+        raise NotImplementedError(
+            f"sample-size code {ss_code} needs the sample-size table; "
+            "only code 0 (defer to STREAMINFO) decodes"
+        )
+    if ch_code >= 11:
+        raise ValueError(f"reserved channel assignment {ch_code}")
+    if ch_code >= 8 and channels != 2:
+        raise ValueError(
+            f"decorrelated channel assignment {ch_code} in a "
+            f"{channels}-channel stream"
+        )
+    if ch_code < 8 and ch_code + 1 != channels:
+        raise ValueError(
+            f"frame channel count {ch_code + 1} != STREAMINFO {channels}"
+        )
+    header_bytes = payload[frame_start : r.byte_pos]
+    if not r.aligned:
+        raise ValueError("frame header not byte-aligned before CRC-8")
+    if r.u(8) != crc8(header_bytes):
+        raise ValueError(f"frame header CRC-8 mismatch at {frame_start}")
+    chans: list[np.ndarray] = []
+    if ch_code < 8:
+        for c in range(channels):
+            chans.append(_read_subframe(r, bs, bps))
+    else:
+        # stereo decorrelation: the SIDE channel (L-R) carries one
+        # extra bit of range; mid is the floor-average with its
+        # lost LSB recovered from the side's parity
+        bps0 = bps + (1 if ch_code == 9 else 0)
+        bps1 = bps + (1 if ch_code != 9 else 0)
+        a = _read_subframe(r, bs, bps0)
+        b = _read_subframe(r, bs, bps1)
+        if ch_code == 8:  # left/side
+            left, right = a, a - b
+        elif ch_code == 9:  # right/side (side first)
+            left, right = b + a, b
+        else:  # mid/side
+            m2 = (a << 1) | (b & 1)
+            left, right = (m2 + b) >> 1, (m2 - b) >> 1
+        chans = [left, right]
+    r.align()
+    if not r.aligned:
+        raise ValueError("frame not byte-aligned before CRC-16")
+    body = payload[frame_start : r.byte_pos]
+    if r.u(16) != crc16(body):
+        raise ValueError(f"frame CRC-16 mismatch at {frame_start}")
+    return np.stack(chans, axis=1), coded_number, r.byte_pos
 
 
 # --------------------------------------------------------------------------
@@ -1421,3 +1458,143 @@ def flac_window_fingerprint(
             )
 
     return media.mapInPandas(batches, FP_SCHEMA)
+
+
+def flac_decode_frame_at(payload: bytes, point_idx: int) -> dict:
+    """RANDOM-ACCESS decode: reconstruct exactly ONE frame via the
+    SEEKTABLE, without touching any other frame's bytes — the media
+    analogue of predicate pushdown (sampling a window from an
+    hours-long file costs one frame's decode, not the file's). Walks
+    the metadata blocks, takes seekpoint ``point_idx``, positions at
+    first-frame-byte + offset, and runs the single-frame primitive
+    (:func:`_decode_frame_at`: header CRC-8, subframes, decorrelation,
+    frame CRC-16 — all per-frame checks still apply; only the
+    stream-level STREAMINFO-MD5 is necessarily skipped, since it is
+    defined over the whole stream). Verifies the frame header's coded
+    frame number against the seekpoint's sample number (fixed
+    blocksize: sample = frame_index * nominal_block_size), so a
+    stale or corrupt table fails loudly instead of returning the
+    wrong window. Returns ``{"sample_number", "n", "samples"}``."""
+    if len(payload) < 42 or payload[:4] != b"fLaC":
+        raise ValueError("not a FLAC stream (missing fLaC marker)")
+    pos = 4
+    streaminfo = None
+    points: list[tuple[int, int, int]] = []
+    while True:
+        if pos + 4 > len(payload):
+            raise ValueError("truncated metadata block header")
+        last = payload[pos] >> 7
+        btype = payload[pos] & 0x7F
+        blen = int.from_bytes(payload[pos + 1 : pos + 4], "big")
+        if pos + 4 + blen > len(payload):
+            raise ValueError("truncated metadata block")
+        if btype == 0:
+            streaminfo = payload[pos + 4 : pos + 38]
+        elif btype == 3:
+            if blen % 18:
+                raise ValueError("SEEKTABLE length not a multiple of 18")
+            for i in range(blen // 18):
+                o = pos + 4 + 18 * i
+                points.append(
+                    (
+                        int.from_bytes(payload[o : o + 8], "big"),
+                        int.from_bytes(payload[o + 8 : o + 16], "big"),
+                        int.from_bytes(payload[o + 16 : o + 18], "big"),
+                    )
+                )
+        pos += 4 + blen
+        if last:
+            break
+    if streaminfo is None:
+        raise ValueError("missing mandatory STREAMINFO block")
+    if not points:
+        raise ValueError("stream has no SEEKTABLE to seek with")
+    if not 0 <= point_idx < len(points):
+        raise ValueError(
+            f"seekpoint {point_idx} out of range 0..{len(points) - 1}"
+        )
+    r = _BitReader(streaminfo)
+    r.u(16)  # min block size
+    nominal_bs = r.u(16)  # max block size (fixed-blocksize nominal)
+    r.u(48)  # min/max frame size
+    r.u(20)  # sample rate
+    channels = r.u(3) + 1
+    bps = r.u(5) + 1
+    sample_number, offset, n_in_frame = points[point_idx]
+    if sample_number == 0xFFFFFFFFFFFFFFFF:
+        raise ValueError("placeholder seekpoint cannot be seeked to")
+    frame, coded_number, _next = _decode_frame_at(
+        payload, pos + offset, channels, bps
+    )
+    if coded_number * nominal_bs != sample_number:
+        raise ValueError(
+            f"seekpoint sample {sample_number} does not match the "
+            f"frame's coded number {coded_number} "
+            f"(x blocksize {nominal_bs})"
+        )
+    if n_in_frame and frame.shape[0] != n_in_frame:
+        raise ValueError(
+            f"seekpoint says {n_in_frame} samples, frame has "
+            f"{frame.shape[0]}"
+        )
+    return {
+        "sample_number": sample_number,
+        "n": frame.shape[0],
+        "samples": frame,
+    }
+
+
+SEEK_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("point_idx", IntegerType()),
+        StructField("sample_number", LongType()),
+        StructField("n", IntegerType()),
+        StructField("energy", LongType()),
+        StructField("frame_md5", StringType()),
+    ]
+)
+
+
+def flac_seek_stats(media: DataFrame) -> DataFrame:
+    """Per-payload random-access decode stats: seekpoint
+    ``media_id % n_points`` is decoded ALONE (one frame's bytes, not
+    the stream's) and pinned — interleaved decimal-CSV md5 plus
+    exact-integer energy (Python-int accumulation per the r12
+    overflow rule). Arrow-batched ``mapInPandas``; the shuffle
+    carries six fixed-width columns, never samples."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def seek(mid: int, payload: bytes):
+            meta = flac_meta(bytes(payload))
+            idx = int(mid) % max(meta.get("seek_points", 0), 1)
+            d = flac_decode_frame_at(bytes(payload), idx)
+            vals = d["samples"].reshape(-1).tolist()
+            return (
+                idx,
+                d["sample_number"],
+                d["n"],
+                sum(v * v for v in vals),
+                hashlib.md5(
+                    ",".join(str(v) for v in vals).encode()
+                ).hexdigest(),
+            )
+
+        for pdf in it:
+            rows = [
+                (int(m),) + seek(m, p)
+                for m, p in zip(pdf["media_id"], pdf["payload"])
+            ]
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id",
+                    "point_idx",
+                    "sample_number",
+                    "n",
+                    "energy",
+                    "frame_md5",
+                ],
+            )
+
+    return media.mapInPandas(batches, SEEK_SCHEMA)

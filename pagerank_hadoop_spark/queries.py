@@ -15631,3 +15631,84 @@ def q_stream_audio_fp_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = f"stream_audio_fp_index_{_STREAM_SEQ['n']}"
     run_to_memory(fps, name, output_mode="append")
     return spark.table(name).orderBy("media_id", "window_idx")
+
+
+def _flac_seek_fixture(spark: SparkSession, n: int = 240) -> DataFrame:
+    """Mono 16-bit FLAC with an AUTO SEEKTABLE (one point per frame,
+    encoder-patched true byte offsets): nb = 4 + k%3 frames of
+    block_size 64 with a k%7-sample short tail,
+    x[i] = (19i+5k)%3000-1500, FIXED order k%5 / partition order k%3
+    so the seeked frame exercises the Rice machinery too. Encoder:
+    operators.flac.flac_encode(seek_points='auto')."""
+    import numpy as np
+
+    from pagerank_hadoop_spark.operators.flac import flac_encode
+
+    rows = []
+    for key in range(n):
+        nb = 4 + key % 3
+        total = 64 * nb - key % 7
+        i = np.arange(total, dtype=np.int64)
+        x = (19 * i + 5 * key) % 3000 - 1500
+        rows.append(
+            (
+                key,
+                bytearray(
+                    flac_encode(
+                        x[:, None],
+                        8000 + key,
+                        16,
+                        block_size=64,
+                        fixed_order=key % 5,
+                        partition_order=key % 3,
+                        seek_points="auto",
+                    )
+                ),
+            )
+        )
+    return spark.createDataFrame(rows, "media_id long, payload binary")
+
+
+@register(
+    "media_flac_seek",
+    """
+    WITH f AS (SELECT range AS key, 4 + range % 3 AS nb
+               FROM range(0, 240)),
+    g AS (SELECT key, nb, 64 * nb - key % 7 AS total,
+                 CAST(key % nb AS INT) AS p FROM f),
+    s AS (SELECT key, p, 64 * p AS start,
+                 LEAST(64, total - 64 * p) AS n FROM g),
+    v AS (SELECT key, p, start, n,
+            list_transform(range(0, n),
+              j -> (19 * (start + j) + 5 * key) % 3000 - 1500) AS xs
+          FROM s)
+    SELECT CAST(key AS BIGINT) AS media_id,
+           p AS point_idx,
+           CAST(start AS BIGINT) AS sample_number,
+           CAST(n AS INT) AS n,
+           CAST(list_sum(list_transform(xs, x -> x * x)) AS BIGINT)
+             AS energy,
+           md5(array_to_string(xs, ',')) AS frame_md5
+    FROM v ORDER BY media_id
+    """,
+)
+def q_media_flac_seek(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5 [r12]: RANDOM-ACCESS FLAC decode — seekpoint
+    media_id % n_points is reconstructed ALONE via the SEEKTABLE
+    (operators/flac.py::flac_decode_frame_at: one frame's bytes, all
+    per-frame CRCs still verified), the media analogue of predicate
+    pushdown: sampling a window from an hours-long file costs one
+    frame's decode, not the file's. The unit gates prove the
+    randomness of the access — corrupting every OTHER frame's bytes
+    leaves the seeked decode intact while the full decode fails. The
+    oracle replays the seeked frame's samples closed-form (exact
+    energy + decimal-CSV md5), incl. short-tail last frames where
+    the seekpoint's sample count shrinks."""
+    from pagerank_hadoop_spark.operators.flac import flac_seek_stats
+    from pagerank_hadoop_spark.operators.multimodal import attach_media
+
+    media = attach_media(
+        _flac_seek_fixture(spark), F.col("payload"),
+        media_type="audio/flac",
+    )
+    return flac_seek_stats(media).orderBy("media_id")

@@ -532,3 +532,83 @@ def test_flac_window_fingerprint_kernel(spark):
     # the re-master: window 0 bytes differ, window 1 identical
     assert rows[(0, 0)]["pcm_md5"] != rows[(1, 0)]["pcm_md5"]
     assert rows[(0, 1)]["pcm_md5"] == rows[(1, 1)]["pcm_md5"]
+
+
+def test_seek_decode_is_truly_random_access():
+    """r12: flac_decode_frame_at reads ONE frame's bytes — corrupting
+    every other frame breaks the full decode but not the seeked one;
+    validation still fires on the seeked frame itself and on
+    table/frame mismatches."""
+    from pagerank_hadoop_spark.operators.flac import (
+        flac_decode,
+        flac_decode_frame_at,
+    )
+
+    total = 64 * 4 - 3
+    i = np.arange(total, dtype=np.int64)
+    x = (19 * i + 5) % 3000 - 1500
+    payload = bytearray(
+        flac_encode(x[:, None], 8000, 16, block_size=64,
+                    fixed_order=2, partition_order=1,
+                    seek_points="auto")
+    )
+    d = flac_decode_frame_at(bytes(payload), 2)
+    assert d["sample_number"] == 128 and d["n"] == 64
+    assert (d["samples"][:, 0] == x[128:192]).all()
+    # short-tail last frame: the auto table records 61 samples
+    dl = flac_decode_frame_at(bytes(payload), 3)
+    assert dl["n"] == 61 and (dl["samples"][:, 0] == x[192:]).all()
+
+    # locate frame byte ranges via the table, then corrupt every
+    # frame EXCEPT #2 (flip a mid-frame byte, far from the header)
+    from pagerank_hadoop_spark.operators.flac import flac_meta
+
+    meta = flac_meta(bytes(payload))
+    assert meta["seek_points"] == 4
+    # frames start right after the metadata walk: find via decode of
+    # point 0's offset being 0 -> derive frames_start by scanning for
+    # the first frame sync after the last metadata block
+    pos = 4
+    while True:
+        last = payload[pos] >> 7
+        pos += 4 + int.from_bytes(payload[pos + 1 : pos + 4], "big")
+        if last:
+            break
+    frames_start = pos
+    # read the four offsets straight out of the stream's SEEKTABLE
+    p2 = 4
+    offs = []
+    while True:
+        last = payload[p2] >> 7
+        btype = payload[p2] & 0x7F
+        blen = int.from_bytes(payload[p2 + 1 : p2 + 4], "big")
+        if btype == 3:
+            for k in range(blen // 18):
+                o = p2 + 4 + 18 * k
+                offs.append(int.from_bytes(payload[o + 8 : o + 16], "big"))
+        p2 += 4 + blen
+        if last:
+            break
+    assert offs[0] == 0 and sorted(offs) == offs and len(offs) == 4
+    for fi, off in enumerate(offs):
+        if fi == 2:
+            continue
+        payload[frames_start + off + 6] ^= 0xFF  # inside the header/data
+    with pytest.raises(ValueError):
+        flac_decode(bytes(payload))  # full decode touches everything
+    d2 = flac_decode_frame_at(bytes(payload), 2)  # seek does not
+    assert (d2["samples"][:, 0] == x[128:192]).all()
+    with pytest.raises(ValueError):
+        flac_decode_frame_at(bytes(payload), 1)  # the corrupt frame
+
+    # a lying seekpoint (sample number not matching the frame) fails
+    bad = bytearray(
+        flac_encode(x[:, None], 8000, 16, block_size=64,
+                    seek_points=[(64, 0, 64)])
+    )
+    with pytest.raises(ValueError, match="does not match"):
+        flac_decode_frame_at(bytes(bad), 0)
+    with pytest.raises(ValueError, match="no SEEKTABLE"):
+        flac_decode_frame_at(
+            flac_encode(x[:, None], 8000, 16, block_size=64), 0
+        )
