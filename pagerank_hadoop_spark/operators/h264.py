@@ -734,6 +734,7 @@ def mp4_mux_avc(
     # payload, then rbsp trailing — content is skipped by decoders
     sei = _nal(0, 6, bytes([5, 16]) + bytes(range(16)) + b"\x80")
     samples = []
+    sync_flags = []
     for i, fr in enumerate(frames):
         if _is_nals(fr):
             # one pre-encoded NAL, or a LIST of NALs forming one
@@ -754,6 +755,9 @@ def mp4_mux_avc(
         if sei_per_sample:
             sample = len(sei).to_bytes(4, "big") + sei + sample
         samples.append(sample)
+        sync_flags.append(
+            any((n[0] & 0x1F) == 5 for n in nal_list if n)
+        )
     sizes = [len(s) for s in samples]
     n = len(samples)
     duration = n * frame_ticks
@@ -872,7 +876,23 @@ def mp4_mux_avc(
         )
         dref = _full(b"dref", 0, 0, (1).to_bytes(4, "big"), _full(b"url ", 0, 1))
         vmhd = _full(b"vmhd", 0, 1, b"\x00" * 8)
-        stbl = _box(b"stbl", stsd, stts, stsc, stsz, stco_box(chunk_offsets))
+        stbl_children = [stsd, stts, stsc, stsz, stco_box(chunk_offsets)]
+        if not all(sync_flags):
+            # stss: 1-based sync-sample numbers. Absence means ALL
+            # samples are sync (ISO 14496-12 §8.6.2), so the box is
+            # only written for streams with non-IDR samples.
+            syncs = [i + 1 for i, s in enumerate(sync_flags) if s]
+            stbl_children.insert(
+                4,
+                _full(
+                    b"stss",
+                    0,
+                    0,
+                    len(syncs).to_bytes(4, "big"),
+                    *[s.to_bytes(4, "big") for s in syncs],
+                ),
+            )
+        stbl = _box(b"stbl", *stbl_children)
         minf = _box(b"minf", vmhd, _box(b"dinf", dref), stbl)
         mdia = _box(b"mdia", mdhd, hdlr, minf)
         trak = _box(b"trak", tkhd, mdia)
@@ -1990,7 +2010,70 @@ def mp4_demux_avc(payload: bytes) -> dict:
             samples.append(nals)
             pos += sizes[si]
             si += 1
-    return {"sps": sps_list, "pps": pps_list, "samples": samples}
+    # stss (sync-sample table): 0-based indices; ABSENT means every
+    # sample is a sync sample (ISO 14496-12 §8.6.2)
+    try:
+        yb, ye = table(b"stss")
+        n_sync = int.from_bytes(payload[yb + 4 : yb + 8], "big")
+        if yb + 8 + 4 * n_sync > ye:
+            raise ValueError("truncated stss table")
+        sync = [
+            int.from_bytes(payload[yb + 8 + 4 * i : yb + 12 + 4 * i], "big")
+            - 1
+            for i in range(n_sync)
+        ]
+        if any(s < 0 or s >= n_samples for s in sync):
+            raise ValueError("stss sample number out of range")
+    except ValueError as e:
+        if "not found" not in str(e):
+            raise
+        sync = list(range(n_samples))
+    return {
+        "sps": sps_list,
+        "pps": pps_list,
+        "samples": samples,
+        "sync_samples": sync,
+    }
+
+
+def mp4_decode_frame_seek(payload: bytes, target: int):
+    """GOP-level RANDOM ACCESS: decode sample ``target`` by entering
+    the stream at the nearest PRECEDING sync sample (stss) and
+    decoding forward only through the target's own GOP — the video
+    twin of ``flac.flac_decode_frame_at`` (cost = the GOP prefix, not
+    the file; parameter sets come from avcC, which is what makes
+    mid-file entry sound — a conformant seekable stream keeps them
+    out-of-band). Returns ``(sync_idx, y, cb, cr)`` with the planes
+    cropped per the SPS."""
+    demux = mp4_demux_avc(payload)
+    n = len(demux["samples"])
+    if not 0 <= target < n:
+        raise ValueError(f"target sample {target} out of range 0..{n - 1}")
+    preceding = [s for s in demux["sync_samples"] if s <= target]
+    if not preceding:
+        raise ValueError(f"no sync sample at or before target {target}")
+    start = max(preceding)
+    sps = h264_parse_sps(_ebsp_to_rbsp(demux["sps"][0][1:]))
+    pps = h264_parse_pps(_ebsp_to_rbsp(demux["pps"][0][1:]))
+    prev = None
+    for idx in range(start, target + 1):
+        slice_nals = []
+        for nal in demux["samples"][idx]:
+            if not nal:
+                continue
+            t = nal[0] & 0x1F
+            if t == 7:
+                sps = h264_parse_sps(_ebsp_to_rbsp(nal[1:]))
+            elif t == 8:
+                pps = h264_parse_pps(_ebsp_to_rbsp(nal[1:]))
+            elif t in (1, 5):
+                slice_nals.append(nal)
+        if not slice_nals:
+            raise ValueError(f"sample {idx} carries no coded slice")
+        pic = _h264_decode_picture(slice_nals, sps, pps, prev)
+        if (slice_nals[0][0] >> 5) & 3:
+            prev = pic
+    return (start, *_crop_planes(*pic, sps))
 
 
 def mp4_decode_ipcm_frames(payload: bytes):
@@ -2129,3 +2212,73 @@ def mp4_frame_stats(media: DataFrame) -> DataFrame:
             yield out
 
     return media.mapInPandas(batches, MP4_FRAME_SCHEMA)
+
+
+SEEK_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("target_idx", IntegerType()),
+        StructField("sync_idx", IntegerType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("y_sum", LongType()),
+        StructField("cb_sum", LongType()),
+        StructField("cr_sum", LongType()),
+        StructField("y_md5", StringType()),
+    ]
+)
+
+
+def mp4_seek_stats(media: DataFrame) -> DataFrame:
+    """Per-payload GOP-seek decode stats: sample ``media_id %
+    n_samples`` is reconstructed via :func:`mp4_decode_frame_seek`
+    (decode starts at the nearest preceding stss sync sample — the
+    GOP prefix, not the file) and pinned by sums + the luma md5.
+    Arrow-batched ``mapInPandas``; the shuffle carries fixed-width
+    stats and a digest, never planes."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        def seek(mid: int, payload: bytes):
+            demux = mp4_demux_avc(bytes(payload))
+            target = int(mid) % len(demux["samples"])
+            sync, y, cb, cr = mp4_decode_frame_seek(
+                bytes(payload), target
+            )
+            return (
+                target,
+                sync,
+                y.shape[1],
+                y.shape[0],
+                int(y.astype("int64").sum()),
+                int(cb.astype("int64").sum()),
+                int(cr.astype("int64").sum()),
+                hashlib.md5(
+                    ",".join(
+                        str(v) for v in y.reshape(-1).tolist()
+                    ).encode()
+                ).hexdigest(),
+            )
+
+        for pdf in it:
+            rows = [
+                (int(m),) + seek(m, p)
+                for m, p in zip(pdf["media_id"], pdf["payload"])
+            ]
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id",
+                    "target_idx",
+                    "sync_idx",
+                    "width",
+                    "height",
+                    "y_sum",
+                    "cb_sum",
+                    "cr_sum",
+                    "y_md5",
+                ],
+            )
+
+    return media.mapInPandas(batches, SEEK_SCHEMA)

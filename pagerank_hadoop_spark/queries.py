@@ -15712,3 +15712,139 @@ def q_media_flac_seek(spark: SparkSession, sf_dir: str) -> DataFrame:
         media_type="audio/flac",
     )
     return flac_seek_stats(media).orderBy("media_id")
+
+
+def _mp4_seek_fixture(spark: SparkSession, n: int = 240) -> DataFrame:
+    """Driver-built MP4s with TWO GOPs for the stss random-access
+    subset: samples [IDR, P, P, IDR, P, P] where GOP g's IDR is a
+    linear-ramp I_PCM picture (a_g = 20+(key+40g)%60) and its P
+    frames patch macroblock (1,0) then (0,0) with constant I_PCM
+    planes — so every frame is closed-form from its OWN GOP alone,
+    which is exactly what seeking certifies. The muxer writes stss
+    [1, 4] (1-based) because the P samples are non-sync. Encoder
+    twins: h264_encode_ipcm / h264_encode_pskip / mp4_mux_avc."""
+    import numpy as np
+
+    from pagerank_hadoop_spark.operators.h264 import (
+        h264_encode_ipcm,
+        h264_encode_pskip,
+        mp4_mux_avc,
+    )
+
+    rows = []
+    for key in range(n):
+        nals = []
+        for g in range(2):
+            a = 20 + (key + 40 * g) % 60
+            u = 15 + (key + 7 * g) % 50
+            v = 9 + (key + 11 * g) % 40
+            y0 = np.fromfunction(
+                lambda r, c: a + 2 * c + 3 * r, (16, 32)
+            ).astype(np.uint8)
+            cb0 = np.fromfunction(
+                lambda r, c: u + c + r, (8, 16)
+            ).astype(np.uint8)
+            cr0 = np.fromfunction(
+                lambda r, c: v + c + r, (8, 16)
+            ).astype(np.uint8)
+            nals.append(h264_encode_ipcm(y0, cb0, cr0, idr_pic_id=g))
+            for o, mbx in ((1, 1), (2, 0)):
+                p = 40 + (key + 12 * o - 3 + 50 * g) % 60
+                cu = 60 + (key + 5 * (o - 1) + 13 * g) % 50
+                cv = 30 + (key + 5 * (o - 1) + 17 * g) % 40
+                nals.append(
+                    h264_encode_pskip(
+                        2, 1, 3 * g + o,
+                        {(mbx, 0): (
+                            np.full((16, 16), p, np.uint8),
+                            np.full((8, 8), cu, np.uint8),
+                            np.full((8, 8), cv, np.uint8),
+                        )},
+                    )
+                )
+        rows.append(
+            (
+                key,
+                bytearray(
+                    mp4_mux_avc(
+                        nals,
+                        dims=(16, 32),
+                        n_chunks=1 + key % 2,
+                        max_ref=1,
+                    )
+                ),
+            )
+        )
+    return spark.createDataFrame(rows, "media_id long, payload binary")
+
+
+@register(
+    "media_mp4_seek",
+    """
+    WITH f AS (SELECT range AS key, CAST(range % 6 AS INT) AS t
+               FROM range(0, 240)),
+    g AS (SELECT key, t, t // 3 AS gp, t % 3 AS o FROM f),
+    c AS (SELECT key, t, gp, o,
+                 20 + (key + 40 * gp) % 60 AS a,
+                 15 + (key + 7 * gp) % 50 AS u,
+                 9 + (key + 11 * gp) % 40 AS v,
+                 40 + (key + 9 + 50 * gp) % 60 AS p1,
+                 40 + (key + 21 + 50 * gp) % 60 AS p2,
+                 60 + (key + 13 * gp) % 50 AS cu1,
+                 60 + (key + 5 + 13 * gp) % 50 AS cu2,
+                 30 + (key + 17 * gp) % 40 AS cv1,
+                 30 + (key + 5 + 17 * gp) % 40 AS cv2
+          FROM g),
+    px AS (SELECT key, t, gp,
+            list_transform(range(0, 512), i ->
+              CASE WHEN (i % 32) >= 16
+                   THEN CASE WHEN o >= 1 THEN p1
+                             ELSE a + 2 * (i % 32) + 3 * (i // 32) END
+                   ELSE CASE WHEN o >= 2 THEN p2
+                             ELSE a + 2 * (i % 32) + 3 * (i // 32) END
+              END) AS yl,
+            list_transform(range(0, 128), i ->
+              CASE WHEN (i % 16) >= 8
+                   THEN CASE WHEN o >= 1 THEN cu1
+                             ELSE u + (i % 16) + (i // 16) END
+                   ELSE CASE WHEN o >= 2 THEN cu2
+                             ELSE u + (i % 16) + (i // 16) END
+              END) AS cbl,
+            list_transform(range(0, 128), i ->
+              CASE WHEN (i % 16) >= 8
+                   THEN CASE WHEN o >= 1 THEN cv1
+                             ELSE v + (i % 16) + (i // 16) END
+                   ELSE CASE WHEN o >= 2 THEN cv2
+                             ELSE v + (i % 16) + (i // 16) END
+              END) AS crl
+          FROM c)
+    SELECT CAST(key AS BIGINT) AS media_id,
+           t AS target_idx,
+           CAST(gp * 3 AS INT) AS sync_idx,
+           CAST(32 AS INTEGER) AS width, CAST(16 AS INTEGER) AS height,
+           CAST(list_sum(yl) AS BIGINT) AS y_sum,
+           CAST(list_sum(cbl) AS BIGINT) AS cb_sum,
+           CAST(list_sum(crl) AS BIGINT) AS cr_sum,
+           md5(array_to_string(yl, ',')) AS y_md5
+    FROM px ORDER BY media_id
+    """,
+)
+def q_media_mp4_seek(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5 [r12]: GOP-level RANDOM ACCESS — sample media_id % 6 is
+    decoded by entering the stream at the nearest preceding stss
+    sync sample and decoding forward through its OWN GOP only
+    (operators/h264.py::mp4_decode_frame_seek), the video twin of
+    media_flac_seek and the shape a 100 TB video pipeline samples
+    frames with: cost = GOP prefix, not file. The fixture's two GOPs
+    carry different content, so a seek that entered at the wrong
+    sync — or worse, at sample 0 — reconstructs the wrong planes and
+    reddens the md5; the unit gate additionally corrupts the OTHER
+    GOP's bytes and the seeked decode must not notice. Oracle
+    replays each target frame closed-form from its GOP alone."""
+    from pagerank_hadoop_spark.operators.h264 import mp4_seek_stats
+    from pagerank_hadoop_spark.operators.multimodal import attach_media
+
+    media = attach_media(
+        _mp4_seek_fixture(spark), F.col("payload"), media_type="video/mp4"
+    )
+    return mp4_seek_stats(media).orderBy("media_id")

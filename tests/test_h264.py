@@ -1517,3 +1517,68 @@ def test_multislice_picture_slice_scoped_availability():
         H._h264_decode_picture([sliceB], sps, pps)
     with pytest.raises(ValueError, match="raster decode order"):
         H._h264_decode_picture([sliceA, sliceA], sps, pps)
+
+
+def test_gop_seek_random_access():
+    """r12: stss-driven seek decodes from the nearest preceding sync
+    sample only — corrupting the OTHER GOP's bytes must not affect
+    the seeked frame, and the full sequential decode must fail."""
+    from pagerank_hadoop_spark.operators.h264 import (
+        h264_encode_ipcm,
+        h264_encode_pskip,
+        mp4_decode_frame_seek,
+    )
+
+    def idr(a):
+        y = np.fromfunction(
+            lambda r, c: a + 2 * c + 3 * r, (16, 32)
+        ).astype(np.uint8)
+        cb = np.fromfunction(lambda r, c: 15 + c + r, (8, 16)).astype(
+            np.uint8
+        )
+        return h264_encode_ipcm(y, cb, cb), y
+
+    def patch(fn, mbx, b):
+        return h264_encode_pskip(
+            2, 1, fn,
+            {(mbx, 0): (
+                np.full((16, 16), b, np.uint8),
+                np.full((8, 8), 70, np.uint8),
+                np.full((8, 8), 70, np.uint8),
+            )},
+        )
+
+    i0, y0 = idr(20)
+    i1, y1 = idr(50)
+    payload = mp4_mux_avc(
+        [i0, patch(1, 1, 99), patch(2, 0, 88),
+         i1, patch(1, 1, 77), patch(2, 0, 66)],
+        dims=(16, 32), max_ref=1,
+    )
+    assert mp4_demux_avc(payload)["sync_samples"] == [0, 3]
+    sync, y, cb, cr = mp4_decode_frame_seek(payload, 4)
+    exp = y1.astype(np.int64).copy()
+    exp[:, 16:] = 77
+    assert sync == 3 and (y == exp).all()
+    # frame 2 lives in GOP 0 and accumulates both patches
+    sync0, y2, _, _ = mp4_decode_frame_seek(payload, 2)
+    assert sync0 == 0 and (y2[:, :16] == 88).all() and (y2[:, 16:] == 99).all()
+
+    # corrupt GOP 0's first P sample: GOP-1 seeks are untouched,
+    # the sequential full decode is not
+    ba = bytearray(payload)
+    at = ba.find(bytes([99]) * 32)
+    assert at > 0
+    ba[at] ^= 0xFF
+    sync, y, _, _ = mp4_decode_frame_seek(bytes(ba), 5)
+    assert sync == 3 and (y[:, :16] == 66).all() and (y[:, 16:] == 77).all()
+    # I_PCM carries no CRC, so the corruption decodes silently WRONG
+    # in its own GOP (frame 1 diverges) — while the GOP-1 seek above
+    # is bit-identical to the pristine decode
+    bad1 = list(mp4_decode_ipcm_frames(bytes(ba)))[1][1]
+    good1 = list(mp4_decode_ipcm_frames(payload))[1][1]
+    assert (bad1 != good1).any()
+    _, ybad, _, _ = mp4_decode_frame_seek(bytes(ba), 2)
+    assert (ybad != y2).any()  # target in the bad GOP sees the flip
+    with pytest.raises(ValueError, match="out of range"):
+        mp4_decode_frame_seek(payload, 6)
