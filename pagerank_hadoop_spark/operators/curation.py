@@ -252,9 +252,11 @@ def fuzzy_contaminated_pairs(
     ``(doc_id, bench_id, jaccard)`` rows."""
     from pagerank_hadoop_spark.operators.dedup import (
         _band_cols,
+        _minhash_sig_arrow,
         md5_shingle_hashes,
-        minhash_signature,
     )
+
+    sig_kernel = _minhash_sig_arrow(num_hashes)
 
     def sigs(df, out_id, in_id):
         return (
@@ -265,7 +267,11 @@ def fuzzy_contaminated_pairs(
             .select(
                 out_id,
                 "sh",
-                minhash_signature(F.col("sh"), num_hashes).alias("sig"),
+                # Arrow kernel over the PORTABLE md5 hash family —
+                # bit-identical to minhash_signature (same constants,
+                # same pmod convention) at ~10x the interpreted-HOF
+                # Column path, so the oracle replay stands unchanged
+                sig_kernel(F.col("sh")).alias("sig"),
             )
             .localCheckpoint(eager=True)  # consumed by band join AND
             # verify join (repo double-consumption rule)
