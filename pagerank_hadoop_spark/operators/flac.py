@@ -560,6 +560,7 @@ def flac_encode(
     seek_points: list[tuple[int, int, int]] | None = None,
     pictures: list[dict] | None = None,
     rice_method: int = 0,
+    block_sizes: list[int] | None = None,
 ) -> bytes:
     """Independent spec-twin FLAC writer (constant/verbatim subset).
 
@@ -597,16 +598,33 @@ def flac_encode(
         raise ValueError(f"block_size {block_size} out of range 16..65535")
     if n_total < 1:
         raise ValueError("need at least one sample")
+    if block_sizes is not None:
+        # VARIABLE-blocksize stream (blocking strategy 1): the caller
+        # partitions the samples exactly; every block must be a legal
+        # size on its own (no last-block exemption — the sizes are
+        # explicit), and the frame header codes the first SAMPLE
+        # number instead of the frame number
+        if sum(block_sizes) != n_total:
+            raise ValueError(
+                f"block_sizes sum {sum(block_sizes)} != {n_total} samples"
+            )
+        if any(not 16 <= b <= 65535 for b in block_sizes):
+            raise ValueError("every variable block size must be 16..65535")
 
     out = bytearray(b"fLaC")
     si = _BitWriter()
-    n_blocks = max(1, -(-n_total // block_size))
-    # min/max blocksize EXCLUDE the last block (spec: a stream where
-    # every block has the same size is "fixed-blocksize" regardless of
-    # a short tail), so both fields carry block_size — values < 16
-    # would be nonconformant
-    si.u(block_size, 16)  # min block size
-    si.u(block_size, 16)  # max block size
+    if block_sizes is not None:
+        n_blocks = len(block_sizes)
+        si.u(min(block_sizes), 16)  # min block size (true, variable)
+        si.u(max(block_sizes), 16)  # max block size
+    else:
+        n_blocks = max(1, -(-n_total // block_size))
+        # min/max blocksize EXCLUDE the last block (spec: a stream
+        # where every block has the same size is "fixed-blocksize"
+        # regardless of a short tail), so both fields carry
+        # block_size — values < 16 would be nonconformant
+        si.u(block_size, 16)  # min block size
+        si.u(block_size, 16)  # max block size
     si.u(0, 24)  # min frame size unknown
     si.u(0, 24)  # max frame size unknown
     si.u(sample_rate, 20)
@@ -628,11 +646,20 @@ def flac_encode(
         # one seekpoint per frame; byte offsets are patched in after
         # the frames are serialized (they are relative to the FIRST
         # FRAME byte, so the table's own size does not perturb them)
+        starts = (
+            [sum(block_sizes[:i]) for i in range(n_blocks)]
+            if block_sizes is not None
+            else [fi * block_size for fi in range(n_blocks)]
+        )
         seek_points = [
             (
-                fi * block_size,
+                starts[fi],
                 0,
-                min(block_size, n_total - fi * block_size),
+                (
+                    block_sizes[fi]
+                    if block_sizes is not None
+                    else min(block_size, n_total - starts[fi])
+                ),
             )
             for fi in range(n_blocks)
         ]
@@ -673,12 +700,19 @@ def flac_encode(
     frame_offsets = []
     for fi in range(n_blocks):
         frame_offsets.append(len(out) - frames_start)
-        blk = samples[fi * block_size : (fi + 1) * block_size]
+        if block_sizes is not None:
+            start = sum(block_sizes[:fi])
+            blk = samples[start : start + block_sizes[fi]]
+        else:
+            start = fi * block_size
+            blk = samples[start : start + block_size]
         bs = blk.shape[0]
         w = _BitWriter()
         w.u(0x3FFE, 14)  # sync
         w.u(0, 1)  # reserved
-        w.u(0, 1)  # blocking strategy: fixed
+        # blocking strategy: 1 codes the first SAMPLE number per
+        # frame (variable), 0 the frame number (fixed)
+        w.u(1 if block_sizes is not None else 0, 1)
         w.u(7 if bs > 256 else 6, 4)  # block size: explicit field
         w.u(0, 4)  # sample rate: STREAMINFO
         if stereo_mode is None:
@@ -704,7 +738,9 @@ def flac_encode(
                 subs = [(mid, bits_per_sample), (side, bits_per_sample + 1)]
         w.u(0, 3)  # sample size: STREAMINFO
         w.u(0, 1)  # reserved
-        for b in _utf8_like_encode(fi):
+        for b in _utf8_like_encode(
+            start if block_sizes is not None else fi
+        ):
             w.u(b, 8)
         w.u(bs - 1, 16 if bs > 256 else 8)
         header = w.bytes()
@@ -1001,7 +1037,9 @@ def flac_decode(payload: bytes) -> dict:
     frames: list[np.ndarray] = []
     n_frames = 0
     while pos < len(payload):
-        frame, _coded, pos = _decode_frame_at(payload, pos, channels, bps)
+        frame, _coded, _blk, pos = _decode_frame_at(
+            payload, pos, channels, bps
+        )
         frames.append(frame)
         n_frames += 1
 
@@ -1033,10 +1071,11 @@ def _decode_frame_at(payload: bytes, pos: int, channels: int, bps: int):
     be a frame-sync boundary): full header parse + CRC-8, all
     subframes, stereo decorrelation, padding + CRC-16. Returns
     ``(samples (block_size, channels) int64, coded_number,
-    next_pos)`` — the random-access primitive behind
-    :func:`flac_decode_frame_at`; :func:`flac_decode` is just this in
-    a loop. ``coded_number`` is the header's UTF-8-style coded frame
-    (fixed-blocksize) or sample (variable-blocksize) number."""
+    blocking_strategy, next_pos)`` — the random-access primitive
+    behind :func:`flac_decode_frame_at`; :func:`flac_decode` is just
+    this in a loop. ``coded_number`` is the header's UTF-8-style
+    coded frame (fixed-blocksize, strategy 0) or first-sample
+    (variable-blocksize, strategy 1) number."""
     frame_start = pos
     r = _BitReader(payload, pos)
     if r.u(14) != 0x3FFE:
@@ -1116,7 +1155,7 @@ def _decode_frame_at(payload: bytes, pos: int, channels: int, bps: int):
     body = payload[frame_start : r.byte_pos]
     if r.u(16) != crc16(body):
         raise ValueError(f"frame CRC-16 mismatch at {frame_start}")
-    return np.stack(chans, axis=1), coded_number, r.byte_pos
+    return np.stack(chans, axis=1), coded_number, blocking, r.byte_pos
 
 
 # --------------------------------------------------------------------------
@@ -1523,14 +1562,20 @@ def flac_decode_frame_at(payload: bytes, point_idx: int) -> dict:
     sample_number, offset, n_in_frame = points[point_idx]
     if sample_number == 0xFFFFFFFFFFFFFFFF:
         raise ValueError("placeholder seekpoint cannot be seeked to")
-    frame, coded_number, _next = _decode_frame_at(
+    frame, coded_number, blocking, _next = _decode_frame_at(
         payload, pos + offset, channels, bps
     )
-    if coded_number * nominal_bs != sample_number:
+    # strategy 1 (variable blocksize) codes the first SAMPLE number
+    # directly; strategy 0 codes the FRAME number, so the sample
+    # number is frame_index x the nominal (STREAMINFO max) blocksize
+    first_sample = (
+        coded_number if blocking else coded_number * nominal_bs
+    )
+    if first_sample != sample_number:
         raise ValueError(
             f"seekpoint sample {sample_number} does not match the "
-            f"frame's coded number {coded_number} "
-            f"(x blocksize {nominal_bs})"
+            f"frame's first sample {first_sample} (coded number "
+            f"{coded_number}, blocking strategy {blocking})"
         )
     if n_in_frame and frame.shape[0] != n_in_frame:
         raise ValueError(

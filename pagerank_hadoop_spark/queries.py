@@ -15848,3 +15848,111 @@ def q_media_mp4_seek(spark: SparkSession, sf_dir: str) -> DataFrame:
         _mp4_seek_fixture(spark), F.col("payload"), media_type="video/mp4"
     )
     return mp4_seek_stats(media).orderBy("media_id")
+
+
+def _flac_varblock_fixture(spark: SparkSession, n: int = 240) -> DataFrame:
+    """Mono 16-bit VARIABLE-blocksize FLAC (blocking strategy 1 —
+    every frame header codes its first SAMPLE number and its own
+    explicit size): nb = 3 + k%3 blocks whose sizes rotate through
+    [32, 16, 48, 24, 64] starting at k, x[i] = (13i+9k)%2600-1300,
+    FIXED order k%5 / partition order k%3, auto SEEKTABLE. Encoder:
+    operators.flac.flac_encode(block_sizes=..., seek_points='auto')."""
+    import numpy as np
+
+    from pagerank_hadoop_spark.operators.flac import flac_encode
+
+    base = [32, 16, 48, 24, 64]
+    rows = []
+    for key in range(n):
+        nb = 3 + key % 3
+        sizes = [base[(key + i) % 5] for i in range(nb)]
+        total = sum(sizes)
+        i = np.arange(total, dtype=np.int64)
+        x = (13 * i + 9 * key) % 2600 - 1300
+        rows.append(
+            (
+                key,
+                bytearray(
+                    flac_encode(
+                        x[:, None],
+                        8000 + key,
+                        16,
+                        block_sizes=sizes,
+                        fixed_order=key % 5,
+                        partition_order=key % 3,
+                        seek_points="auto",
+                    )
+                ),
+            )
+        )
+    return spark.createDataFrame(rows, "media_id long, payload binary")
+
+
+@register(
+    "media_flac_varblock",
+    """
+    WITH f AS (SELECT range AS key, 3 + range % 3 AS nb
+               FROM range(0, 240)),
+    g AS (SELECT key, nb,
+            list_transform(range(0, nb),
+              i -> list_extract([32, 16, 48, 24, 64],
+                                CAST((key + i) % 5 AS INT) + 1)) AS sizes,
+            CAST(key % nb AS INT) AS p
+          FROM f),
+    h AS (SELECT key, nb, sizes, p,
+            CAST(list_sum(sizes) AS BIGINT) AS total,
+            COALESCE(list_sum(list_slice(sizes, 1, p)), 0) AS fstart,
+            sizes[p + 1] AS fn
+          FROM g),
+    v AS (SELECT key, nb, p, total, fstart, fn,
+            list_transform(range(0, total),
+              i -> (13 * i + 9 * key) % 2600 - 1300) AS xs
+          FROM h)
+    SELECT CAST(key AS BIGINT) AS media_id,
+           CAST(8000 + key AS INTEGER) AS sample_rate,
+           CAST(1 AS INTEGER) AS channels,
+           total AS n_samples,
+           CAST(nb AS INTEGER) AS n_frames,
+           CAST(list_sum(list_transform(xs, x -> x * x)) AS BIGINT)
+             AS energy,
+           CAST(list_max(list_transform(xs, x -> abs(x))) AS BIGINT)
+             AS peak,
+           md5(array_to_string(xs, ',')) AS samples_md5,
+           p AS point_idx,
+           CAST(fstart AS BIGINT) AS sample_number,
+           CAST(fn AS INT) AS frame_n,
+           md5(array_to_string(list_slice(xs, fstart + 1, fstart + fn),
+                               ',')) AS frame_md5
+    FROM v ORDER BY media_id
+    """,
+)
+def q_media_flac_varblock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5 [r12]: VARIABLE-blocksize FLAC (blocking strategy 1) — the
+    format's second blocking mode, fully formula-only: every frame
+    self-describes its size (explicit codes 6/7) and codes its first
+    SAMPLE number UTF-8-style in the header. One query pins BOTH
+    paths on the same streams: the full decode (every sample md5'd,
+    STREAMINFO-MD5 verified over frames of five different sizes) and
+    a strategy-1 SEEK (flac_decode_frame_at validates the seekpoint
+    against the frame's first-sample number directly rather than
+    frame_index x nominal size — a fixed/variable confusion reddens
+    240 rows). Oracle replays both closed-form."""
+    from pagerank_hadoop_spark.operators.flac import (
+        flac_sample_stats,
+        flac_seek_stats,
+    )
+    from pagerank_hadoop_spark.operators.multimodal import attach_media
+
+    media = attach_media(
+        _flac_varblock_fixture(spark), F.col("payload"),
+        media_type="audio/flac",
+    )
+    full = flac_sample_stats(media)
+    seek = flac_seek_stats(media).select(
+        "media_id",
+        "point_idx",
+        "sample_number",
+        F.col("n").alias("frame_n"),
+        "frame_md5",
+    )
+    return full.join(seek, "media_id").orderBy("media_id")

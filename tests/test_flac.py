@@ -612,3 +612,30 @@ def test_seek_decode_is_truly_random_access():
         flac_decode_frame_at(
             flac_encode(x[:, None], 8000, 16, block_size=64), 0
         )
+
+
+def test_variable_blocksize_roundtrip_and_seek():
+    """r12: blocking strategy 1 — frames self-describe their sizes,
+    headers code first-sample numbers, STREAMINFO min/max differ, and
+    strategy-1 seek validates against the sample number directly."""
+    from pagerank_hadoop_spark.operators.flac import (
+        flac_decode,
+        flac_decode_frame_at,
+    )
+
+    x = ((np.arange(120, dtype=np.int64) * 17 + 3) % 2000 - 1000)[:, None]
+    payload = flac_encode(
+        x, 8000, 16, block_sizes=[32, 16, 48, 24], seek_points="auto"
+    )
+    d = flac_decode(payload)
+    assert (d["samples"] == x).all() and d["n_frames"] == 4
+    assert payload[8:10] == (16).to_bytes(2, "big")  # min blocksize
+    assert payload[10:12] == (48).to_bytes(2, "big")  # max blocksize
+    for idx, (start, n) in enumerate([(0, 32), (32, 16), (48, 48), (96, 24)]):
+        s = flac_decode_frame_at(payload, idx)
+        assert s["sample_number"] == start and s["n"] == n
+        assert (s["samples"][:, 0] == x[start : start + n, 0]).all()
+    with pytest.raises(ValueError, match="sum"):
+        flac_encode(x, 8000, 16, block_sizes=[32, 16])
+    with pytest.raises(ValueError, match="16..65535"):
+        flac_encode(x, 8000, 16, block_sizes=[110, 10])
