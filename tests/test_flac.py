@@ -639,3 +639,39 @@ def test_variable_blocksize_roundtrip_and_seek():
         flac_encode(x, 8000, 16, block_sizes=[32, 16])
     with pytest.raises(ValueError, match="16..65535"):
         flac_encode(x, 8000, 16, block_sizes=[110, 10])
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.lists(st.integers(16, 96), min_size=1, max_size=6),
+    st.integers(0, 4),
+    st.integers(0, 2),
+    st.integers(0, 10_000),
+)
+def test_property_varblock_roundtrip_and_seek_equivalence(
+    sizes, order, po, seed
+):
+    """Property (r12): for ANY variable block-size partition, the
+    full decode is lossless AND every seekpoint's frame equals the
+    corresponding slice of the full decode — seek and stream paths
+    can never drift."""
+    from pagerank_hadoop_spark.operators.flac import (
+        flac_decode,
+        flac_decode_frame_at,
+    )
+
+    total = sum(sizes)
+    i = np.arange(total, dtype=np.int64)
+    x = ((31 * i + seed) % 4000 - 2000)[:, None]
+    payload = flac_encode(
+        x, 8000, 16, block_sizes=sizes, fixed_order=order,
+        partition_order=po, seek_points="auto",
+    )
+    full = flac_decode(payload)["samples"]
+    assert (full == x).all()
+    start = 0
+    for idx, n in enumerate(sizes):
+        d = flac_decode_frame_at(payload, idx)
+        assert d["sample_number"] == start and d["n"] == n
+        assert (d["samples"] == full[start : start + n]).all()
+        start += n

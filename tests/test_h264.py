@@ -1582,3 +1582,49 @@ def test_gop_seek_random_access():
     assert (ybad != y2).any()  # target in the bad GOP sees the flip
     with pytest.raises(ValueError, match="out of range"):
         mp4_decode_frame_seek(payload, 6)
+
+
+def test_property_multislice_pcm_equals_single_slice():
+    """Property (r12): for all-I_PCM content — where intra prediction
+    plays no role — a picture split at ANY slice boundary decodes
+    bit-identically to the unsplit picture, for every split point."""
+    from pagerank_hadoop_spark.operators.h264 import (
+        _h264_decode_picture,
+        h264_encode_islice,
+    )
+
+    rng = np.random.default_rng(712)
+    wmb, hmb = 3, 2
+    mbs = []
+    for _ in range(wmb * hmb):
+        mbs.append(
+            ("pcm", (
+                rng.integers(0, 256, 256, dtype=np.uint8).tobytes(),
+                rng.integers(0, 256, 64, dtype=np.uint8).tobytes(),
+                rng.integers(0, 256, 64, dtype=np.uint8).tobytes(),
+            ))
+        )
+    sps = h264_parse_sps(h264_sps_rbsp(wmb, hmb))
+    pps = h264_parse_pps(h264_pps_rbsp())
+    whole = _h264_decode_picture(
+        [h264_encode_islice(mbs, wmb)], sps, pps
+    )
+    for split in range(1, wmb * hmb):
+        parts = [
+            h264_encode_islice(mbs[:split], wmb, first_mb=0),
+            h264_encode_islice(mbs[split:], wmb, first_mb=split),
+        ]
+        y, cb, cr = _h264_decode_picture(parts, sps, pps)
+        assert (y == whole[0]).all()
+        assert (cb == whole[1]).all() and (cr == whole[2]).all()
+    # three-way split too
+    y3, cb3, cr3 = _h264_decode_picture(
+        [
+            h264_encode_islice(mbs[:2], wmb, first_mb=0),
+            h264_encode_islice(mbs[2:5], wmb, first_mb=2),
+            h264_encode_islice(mbs[5:], wmb, first_mb=5),
+        ],
+        sps,
+        pps,
+    )
+    assert (y3 == whole[0]).all()
