@@ -1643,3 +1643,76 @@ def flac_seek_stats(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(batches, SEEK_SCHEMA)
+
+
+SEEK_QA_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("n_probed", LongType()),
+        StructField("clip_n", LongType()),
+        StructField("quiet_n", LongType()),
+        StructField("peak", LongType()),
+        StructField("keep", IntegerType()),
+    ]
+)
+
+
+def flac_seek_quality_stats(
+    media: DataFrame,
+    n_probes: int = 2,
+    clip_level: int = 32700,
+    quiet_level: int = 64,
+    max_clip_frac: float = 0.01,
+    max_quiet_frac: float = 0.5,
+) -> DataFrame:
+    """SAMPLED audio quality screen — the composition that makes
+    random access pay at corpus scale: instead of decoding the whole
+    file, probe ``n_probes`` SEEKTABLE frames (probe j = point
+    ``(media_id + j * (n_points // n_probes)) % n_points``, a
+    deterministic engine-replayable spread) via
+    :func:`flac_decode_frame_at` and run the clip/near-silence screen
+    of :func:`flac_quality_stats` over the probed windows only.
+    Cost per file: O(probes x frame), independent of duration —
+    the spot-check a 100 TB ingest runs before committing to a full
+    decode. Flags are exact integers over the probed sample set."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def q(mid: int, payload: bytes):
+            pl = bytes(payload)
+            n_points = flac_meta(pl).get("seek_points", 0)
+            if n_points < 1:
+                raise ValueError("sampled QA needs a SEEKTABLE")
+            stride = max(1, n_points // n_probes)
+            idxs = sorted({(int(mid) + j * stride) % n_points
+                           for j in range(n_probes)})
+            vals: list[int] = []
+            for idx in idxs:
+                frame = flac_decode_frame_at(pl, idx)["samples"]
+                vals.extend(frame.reshape(-1).tolist())
+            n = len(vals)
+            clip = sum(1 for v in vals if abs(v) >= clip_level)
+            quiet = sum(1 for v in vals if abs(v) < quiet_level)
+            keep = int(
+                clip <= max_clip_frac * n and quiet <= max_quiet_frac * n
+            )
+            peak = max((abs(v) for v in vals), default=0)
+            return n, clip, quiet, peak, keep
+
+        for pdf in it:
+            rows = [
+                (int(m),) + q(m, p)
+                for m, p in zip(pdf["media_id"], pdf["payload"])
+            ]
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id",
+                    "n_probed",
+                    "clip_n",
+                    "quiet_n",
+                    "peak",
+                    "keep",
+                ],
+            )
+
+    return media.mapInPandas(batches, SEEK_QA_SCHEMA)

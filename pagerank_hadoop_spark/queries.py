@@ -15956,3 +15956,103 @@ def q_media_flac_varblock(spark: SparkSession, sf_dir: str) -> DataFrame:
         "frame_md5",
     )
     return full.join(seek, "media_id").orderBy("media_id")
+
+
+def _flac_seek_qa_fixture(spark: SparkSession, n: int = 240) -> DataFrame:
+    """Mono 16-bit FLAC with auto SEEKTABLEs and PLANTED quality
+    defects: keys k%5==0 are near-silence throughout
+    (x = (3i+k)%100-50, every |x| < 64), k%5==1 are clipped
+    (x = 32700 + (i+k)%60 - 30, about half the samples at or above
+    the 32700 limiter line), the rest are healthy ramps
+    ((19i+5k)%3000-1500). nb = 4 + k%3 frames of exactly 64 samples.
+    A SAMPLED screen must still flag the defective files from two
+    probed frames, because the defects are stationary — exactly the
+    corpus property sampled QA relies on."""
+    import numpy as np
+
+    from pagerank_hadoop_spark.operators.flac import flac_encode
+
+    rows = []
+    for key in range(n):
+        nb = 4 + key % 3
+        total = 64 * nb
+        i = np.arange(total, dtype=np.int64)
+        if key % 5 == 0:
+            x = (3 * i + key) % 100 - 50
+        elif key % 5 == 1:
+            x = 32700 + (i + key) % 60 - 30
+        else:
+            x = (19 * i + 5 * key) % 3000 - 1500
+        rows.append(
+            (
+                key,
+                bytearray(
+                    flac_encode(
+                        x[:, None],
+                        8000 + key,
+                        16,
+                        block_size=64,
+                        fixed_order=key % 5,
+                        partition_order=key % 3,
+                        seek_points="auto",
+                    )
+                ),
+            )
+        )
+    return spark.createDataFrame(rows, "media_id long, payload binary")
+
+
+@register(
+    "media_audio_seek_qa",
+    """
+    WITH f AS (SELECT range AS key, 4 + range % 3 AS nb
+               FROM range(0, 240)),
+    g AS (SELECT key, nb,
+                 CAST(key % nb AS INT) AS p0,
+                 CAST((key + nb // 2) % nb AS INT) AS p1 FROM f),
+    w AS (SELECT key, nb, unnest([p0, p1]) AS p FROM g),
+    xs AS (SELECT key, p,
+            list_transform(range(64 * p, 64 * p + 64), i ->
+              CASE WHEN key % 5 = 0 THEN (3 * i + key) % 100 - 50
+                   WHEN key % 5 = 1 THEN 32700 + (i + key) % 60 - 30
+                   ELSE (19 * i + 5 * key) % 3000 - 1500 END) AS v
+          FROM w),
+    agg AS (SELECT key,
+             CAST(64 * count(*) AS BIGINT) AS n_probed,
+             CAST(list_sum(list_transform(flatten(list(v)),
+               x -> CASE WHEN abs(x) >= 32700 THEN 1 ELSE 0 END))
+               AS BIGINT) AS clip_n,
+             CAST(list_sum(list_transform(flatten(list(v)),
+               x -> CASE WHEN abs(x) < 64 THEN 1 ELSE 0 END))
+               AS BIGINT) AS quiet_n,
+             CAST(list_max(list_transform(flatten(list(v)),
+               x -> abs(x))) AS BIGINT) AS peak
+           FROM xs GROUP BY key)
+    SELECT CAST(key AS BIGINT) AS media_id, n_probed, clip_n, quiet_n,
+           peak,
+           CAST(CASE WHEN clip_n <= 0.01 * n_probed
+                      AND quiet_n <= 0.5 * n_probed
+                     THEN 1 ELSE 0 END AS INT) AS keep
+    FROM agg ORDER BY media_id
+    """,
+)
+def q_media_audio_seek_qa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5×E2 [r12]: SAMPLED audio QA — the composition that makes the
+    r12 random-access decode pay: two SEEKTABLE frames are probed per
+    file (deterministic spread (media_id + j*(n_points//2)) %
+    n_points) and the clip/near-silence screen runs over the probed
+    128 samples only — O(probes x frame) per file regardless of
+    duration, the spot-check an ingest runs before committing to a
+    full decode. Planted defects are STATIONARY (all-quiet and
+    all-clipped files), so the sampled screen flags exactly what the
+    full screen would — all k%5==0 files drop on quiet fraction, all
+    k%5==1 on clip fraction, the rest keep. Oracle replays the probe
+    choice and the flag algebra closed-form."""
+    from pagerank_hadoop_spark.operators.flac import flac_seek_quality_stats
+    from pagerank_hadoop_spark.operators.multimodal import attach_media
+
+    media = attach_media(
+        _flac_seek_qa_fixture(spark), F.col("payload"),
+        media_type="audio/flac",
+    )
+    return flac_seek_quality_stats(media).orderBy("media_id")
