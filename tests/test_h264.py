@@ -1628,3 +1628,60 @@ def test_property_multislice_pcm_equals_single_slice():
         pps,
     )
     assert (y3 == whole[0]).all()
+
+
+def test_property_all_intra_p_slice_equals_i_slice():
+    """Property (r12): a P slice whose every macroblock is intra
+    decodes bit-identically to the I slice carrying the SAME spec
+    list — the 5-offset changes the mb_type coding, not the layer
+    semantics, and with zero skips the availability/mode grids evolve
+    identically. Random mixes of pcm / i16 / i4 specs, several qps."""
+    import pagerank_hadoop_spark.operators.h264 as H
+    from pagerank_hadoop_spark.operators.h264 import (
+        h264_encode_islice,
+        h264_encode_pskip,
+    )
+
+    rng = np.random.default_rng(888)
+    wmb, hmb = 2, 2
+    sps = h264_parse_sps(h264_sps_rbsp(wmb, hmb, (0, 0, 0, 0), 1))
+    pps = h264_parse_pps(h264_pps_rbsp())
+    ref = (
+        np.full((hmb * 16, wmb * 16), 77, np.uint8),
+        np.full((hmb * 8, wmb * 8), 88, np.uint8),
+        np.full((hmb * 8, wmb * 8), 99, np.uint8),
+    )
+    for trial in range(8):
+        qp = int(rng.integers(26, 46))
+        mbs = []
+        for mbi in range(wmb * hmb):
+            kind = int(rng.integers(0, 3))
+            mby, mbx = divmod(mbi, wmb)
+            if kind == 0:
+                mbs.append(("pcm", (
+                    rng.integers(0, 256, 256, dtype=np.uint8).tobytes(),
+                    rng.integers(0, 256, 64, dtype=np.uint8).tobytes(),
+                    rng.integers(0, 256, 64, dtype=np.uint8).tobytes(),
+                )))
+            elif kind == 1:
+                # legal modes only: V needs a top row, H a left column
+                pred = int(rng.choice(
+                    [2] + ([0] if mby else []) + ([1] if mbx else [])
+                ))
+                chroma = int(rng.choice(
+                    [0] + ([2] if mby else []) + ([1] if mbx else [])
+                ))
+                mbs.append(("i16", pred, chroma,
+                            int(rng.integers(-7, 8)), 0))
+            else:
+                mbs.append(("i4", 2, 0))  # DC everywhere: always legal
+        i_nal = h264_encode_islice(mbs, wmb, qp=qp)
+        p_nal = h264_encode_pskip(
+            wmb, hmb, 1,
+            {(mbi % wmb, mbi // wmb): mb for mbi, mb in enumerate(mbs)},
+            qp=qp,
+        )
+        yi, cbi, cri = H._h264_decode_picture([i_nal], sps, pps)
+        yp, cbp_, crp = H._h264_decode_picture([p_nal], sps, pps, ref)
+        assert (yi == yp).all(), f"trial {trial} luma diverged"
+        assert (cbi == cbp_).all() and (cri == crp).all()
