@@ -2282,3 +2282,78 @@ def mp4_seek_stats(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(batches, SEEK_SCHEMA)
+
+
+SEEK_AHASH_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("target_idx", IntegerType()),
+        StructField("sync_idx", IntegerType()),
+        StructField("ahash", StringType()),
+        StructField("y_md5", StringType()),
+    ]
+)
+
+
+def mp4_seek_ahash(media: DataFrame) -> DataFrame:
+    """SAMPLED perceptual video index — the composition that makes
+    GOP seek pay: instead of hashing every decoded frame
+    (:func:`mp4_frame_ahash`), decode ONLY sample ``media_id %
+    n_samples`` via :func:`mp4_decode_frame_seek` (cost = its GOP
+    prefix) and emit the same integer-exact 8x8 luma aHash + frame
+    md5. At corpus scale this is how a perceptual index is kept
+    fresh cheaply: sample, hash, bucket-join against the full index
+    (media_video_ahash_dedup's shape) — full decode only on
+    candidates."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        def seek(mid: int, payload: bytes):
+            demux = mp4_demux_avc(bytes(payload))
+            target = int(mid) % len(demux["samples"])
+            sync, y, _cb, _cr = mp4_decode_frame_seek(
+                bytes(payload), target
+            )
+            h, w = y.shape
+            if h % 8 or w % 8:
+                raise ValueError("aHash needs %8==0 luma dims")
+            cells = (
+                y.astype("int64")
+                .reshape(8, h // 8, 8, w // 8)
+                .sum(axis=(1, 3))
+            )
+            total = int(cells.sum())
+            bits = "".join(
+                "1" if 64 * int(cells[r, c]) > total else "0"
+                for r in range(8)
+                for c in range(8)
+            )
+            return (
+                target,
+                sync,
+                bits,
+                hashlib.md5(
+                    ",".join(
+                        str(v) for v in y.reshape(-1).tolist()
+                    ).encode()
+                ).hexdigest(),
+            )
+
+        for pdf in it:
+            rows = [
+                (int(m),) + seek(m, p)
+                for m, p in zip(pdf["media_id"], pdf["payload"])
+            ]
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id",
+                    "target_idx",
+                    "sync_idx",
+                    "ahash",
+                    "y_md5",
+                ],
+            )
+
+    return media.mapInPandas(batches, SEEK_AHASH_SCHEMA)

@@ -16056,3 +16056,56 @@ def q_media_audio_seek_qa(spark: SparkSession, sf_dir: str) -> DataFrame:
         media_type="audio/flac",
     )
     return flac_seek_quality_stats(media).orderBy("media_id")
+
+
+@register(
+    "media_video_seek_ahash",
+    """
+    WITH f AS (SELECT range AS key, CAST(range % 6 AS INT) AS t
+               FROM range(0, 240)),
+    g AS (SELECT key, t, t // 3 AS gp, t % 3 AS o FROM f),
+    c AS (SELECT key, t, gp, o,
+                 20 + (key + 40 * gp) % 60 AS a,
+                 40 + (key + 9 + 50 * gp) % 60 AS p1,
+                 40 + (key + 21 + 50 * gp) % 60 AS p2
+          FROM g),
+    px AS MATERIALIZED (SELECT key, t, gp,
+            list_transform(range(0, 512), i ->
+              CASE WHEN (i % 32) >= 16
+                   THEN CASE WHEN o >= 1 THEN p1
+                             ELSE a + 2 * (i % 32) + 3 * (i // 32) END
+                   ELSE CASE WHEN o >= 2 THEN p2
+                             ELSE a + 2 * (i % 32) + 3 * (i // 32) END
+              END) AS yl
+          FROM c)
+    SELECT CAST(key AS BIGINT) AS media_id,
+           t AS target_idx,
+           CAST(gp * 3 AS INT) AS sync_idx,
+           array_to_string(list_transform(range(0, 64), g2 ->
+             CASE WHEN 64 * list_sum(list_transform(range(0, 8),
+                    j -> yl[((g2 // 8) * 2 + j // 4) * 32
+                            + (g2 % 8) * 4 + j % 4 + 1]))
+                      > list_sum(yl)
+                  THEN 1 ELSE 0 END), '') AS ahash,
+           md5(array_to_string(yl, ',')) AS y_md5
+    FROM px ORDER BY media_id
+    """,
+)
+def q_media_video_seek_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5×E2 [r12]: SAMPLED perceptual video indexing — the video
+    twin of media_audio_seek_qa and the composition that makes GOP
+    seek pay: one frame per video (media_id % 6) is decoded via the
+    stss seek path (its GOP prefix only) and hashed with the same
+    integer-exact 8x8 luma aHash the full index uses
+    (mp4_frame_ahash's bit rule), so sampled keys bucket-join
+    directly against the full perceptual index. The oracle replays
+    the seeked frame AND its cell arithmetic closed-form — a wrong
+    sync entry, accumulation slip, or cell-geometry bug reddens the
+    hash column on 240 rows."""
+    from pagerank_hadoop_spark.operators.h264 import mp4_seek_ahash
+    from pagerank_hadoop_spark.operators.multimodal import attach_media
+
+    media = attach_media(
+        _mp4_seek_fixture(spark), F.col("payload"), media_type="video/mp4"
+    )
+    return mp4_seek_ahash(media).orderBy("media_id")
