@@ -675,3 +675,40 @@ def test_property_varblock_roundtrip_and_seek_equivalence(
         assert d["sample_number"] == start and d["n"] == n
         assert (d["samples"] == full[start : start + n]).all()
         start += n
+
+
+def test_seek_qa_matches_full_screen_on_stationary_defects(spark):
+    """r12: for stationary defects the sampled screen's keep flag
+    must agree with the full screen's — quiet and clipped files drop,
+    healthy ones keep, from two probed frames."""
+    from pyspark.sql import functions as F
+
+    from pagerank_hadoop_spark.operators.flac import (
+        flac_quality_stats,
+        flac_seek_quality_stats,
+    )
+    from pagerank_hadoop_spark.operators.multimodal import attach_media
+
+    i = np.arange(64 * 4, dtype=np.int64)
+    cases = {
+        0: (3 * i) % 100 - 50,            # all-quiet -> keep 0
+        1: 32700 + i % 60 - 30,           # clipped -> keep 0
+        2: (19 * i + 5) % 3000 - 1500,    # healthy -> keep 1
+    }
+    df = spark.createDataFrame(
+        [
+            (k, bytearray(flac_encode(x[:, None], 8000, 16,
+                                      block_size=64,
+                                      seek_points="auto")))
+            for k, x in cases.items()
+        ],
+        "media_id long, payload binary",
+    )
+    media = attach_media(df, F.col("payload"), media_type="audio/flac")
+    sampled = {r["media_id"]: r for r in
+               flac_seek_quality_stats(media).collect()}
+    full = {r["media_id"]: r for r in
+            flac_quality_stats(media).collect()}
+    for k in cases:
+        assert sampled[k]["keep"] == full[k]["keep"] == (1 if k == 2 else 0)
+        assert sampled[k]["n_probed"] == 128  # two 64-sample frames

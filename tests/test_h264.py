@@ -1685,3 +1685,31 @@ def test_property_all_intra_p_slice_equals_i_slice():
         yp, cbp_, crp = H._h264_decode_picture([p_nal], sps, pps, ref)
         assert (yi == yp).all(), f"trial {trial} luma diverged"
         assert (cbi == cbp_).all() and (cri == crp).all()
+
+
+def test_seek_ahash_matches_full_index(spark):
+    """r12: the sampled perceptual key must equal the FULL index's
+    key for the same frame — otherwise sampled keys could not
+    bucket-join against the full index."""
+    from pyspark.sql import functions as F
+
+    from pagerank_hadoop_spark.operators.h264 import (
+        mp4_frame_ahash,
+        mp4_seek_ahash,
+    )
+    from pagerank_hadoop_spark.operators.multimodal import attach_media
+
+    frames = _frames(3, 16, 32)
+    df = spark.createDataFrame(
+        [(7, bytearray(mp4_mux_avc(frames)))],
+        "media_id long, payload binary",
+    )
+    media = attach_media(df, F.col("payload"), media_type="video/mp4")
+    sampled = mp4_seek_ahash(media).collect()[0]
+    # media_id 7 % 3 samples -> target 1; all-IDR stream: sync == 1
+    assert sampled["target_idx"] == 1 and sampled["sync_idx"] == 1
+    full = {
+        r["frame_idx"]: r for r in mp4_frame_ahash(media).collect()
+    }
+    assert sampled["ahash"] == full[1]["ahash"]
+    assert sampled["y_md5"] == full[1]["y_md5"]
