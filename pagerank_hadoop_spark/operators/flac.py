@@ -73,6 +73,7 @@ from __future__ import annotations
 
 import hashlib
 from collections.abc import Iterator
+from typing import Literal
 
 import numpy as np
 import pandas as pd
@@ -557,7 +558,7 @@ def flac_encode(
     tags: list[tuple[str, str]] | None = None,
     vendor: str = "",
     padding: int = 0,
-    seek_points: list[tuple[int, int, int]] | None = None,
+    seek_points: Literal["auto"] | list[tuple[int, int, int]] | None = None,
     pictures: list[dict] | None = None,
     rice_method: int = 0,
     block_sizes: list[int] | None = None,
@@ -568,7 +569,11 @@ def flac_encode(
     channel of each block is written as a CONSTANT subframe when all
     its samples are equal (unless ``force_verbatim``), else VERBATIM.
     ``wasted_bits > 0`` requires every sample divisible by
-    2**wasted_bits and exercises the unary wasted-bits path. Always
+    2**wasted_bits and exercises the unary wasted-bits path.
+    ``seek_points`` is either an explicit list of
+    (sample_number, byte_offset, n_samples) triples, or the string
+    sentinel ``"auto"`` to emit one spec-correct seekpoint per frame
+    with byte offsets patched in after serialization. Always
     emits blocking strategy 0 with explicit block-size fields (codes
     6/7) and STREAMINFO-deferring sample-rate/size codes, so every
     stream this writer produces is inside the decodable subset.
@@ -610,6 +615,16 @@ def flac_encode(
             )
         if any(not 16 <= b <= 65535 for b in block_sizes):
             raise ValueError("every variable block size must be 16..65535")
+        if len(set(block_sizes)) == 1:
+            # RFC 9639 §8.2: STREAMINFO min==max declares a
+            # FIXED-blocksize stream, which would contradict the
+            # blocking-strategy-1 frame headers we are about to write
+            # (and make strict decoders read coded sample numbers as
+            # frame numbers). All-equal sizes must use the fixed path.
+            raise ValueError(
+                "all-equal block_sizes encode a fixed-blocksize stream; "
+                "use block_size= instead"
+            )
 
     out = bytearray(b"fLaC")
     si = _BitWriter()

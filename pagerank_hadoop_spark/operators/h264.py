@@ -1640,6 +1640,17 @@ def _h264_decode_picture(nals: list, sps: dict, pps: dict, ref=None):
     import numpy as np
 
     headers = [_parse_slice_header(nal, sps, pps) for nal in nals]
+    # §7.4.1.2.4: every slice of one access unit shares nal_unit_type,
+    # nal_ref_idc, and frame_num. Without this check a malformed
+    # picture mixing ref_idc values would silently mis-thread the
+    # DPB, since callers read only slice_nals[0]'s ref_idc.
+    for field in ("nal_type", "ref_idc", "frame_num"):
+        vals = {h[field] for h in headers}
+        if len(vals) > 1:
+            raise ValueError(
+                f"slices of one picture disagree on {field}: "
+                f"{sorted(vals)}"
+            )
     wmb, hmb = sps["width_mbs"], sps["height_mbs"]
     n_mbs = wmb * hmb
     firsts = [h["first_mb"] for h in headers]
@@ -1719,7 +1730,7 @@ def _parse_slice_header(nal: bytes, sps: dict, pps: dict) -> dict:
     if is_p and nal_type == 5:
         raise ValueError("IDR picture with a P slice is malformed")
     r.ue()  # pic_parameter_set_id
-    r.u(sps["log2_max_frame_num"])  # frame_num
+    frame_num = r.u(sps["log2_max_frame_num"])
     if nal_type == 5:
         r.ue()  # idr_pic_id
     if sps["poc_type"] == 0:
@@ -1774,6 +1785,7 @@ def _parse_slice_header(nal: bytes, sps: dict, pps: dict) -> dict:
         "r": r,
         "nal_type": nal_type,
         "ref_idc": nal_ref_idc,
+        "frame_num": frame_num,
     }
 
 
@@ -2036,7 +2048,7 @@ def mp4_demux_avc(payload: bytes) -> dict:
     }
 
 
-def mp4_decode_frame_seek(payload: bytes, target: int):
+def mp4_decode_frame_seek(payload: bytes | dict, target: int):
     """GOP-level RANDOM ACCESS: decode sample ``target`` by entering
     the stream at the nearest PRECEDING sync sample (stss) and
     decoding forward only through the target's own GOP — the video
@@ -2044,8 +2056,11 @@ def mp4_decode_frame_seek(payload: bytes, target: int):
     the file; parameter sets come from avcC, which is what makes
     mid-file entry sound — a conformant seekable stream keeps them
     out-of-band). Returns ``(sync_idx, y, cb, cr)`` with the planes
-    cropped per the SPS."""
-    demux = mp4_demux_avc(payload)
+    cropped per the SPS. ``payload`` may be the raw MP4 bytes or an
+    already-demuxed dict from :func:`mp4_demux_avc`, so callers that
+    need the sample count first (the sampled seek kernels) walk the
+    sample tables ONCE per payload instead of twice."""
+    demux = payload if isinstance(payload, dict) else mp4_demux_avc(payload)
     n = len(demux["samples"])
     if not 0 <= target < n:
         raise ValueError(f"target sample {target} out of range 0..{n - 1}")
@@ -2243,9 +2258,7 @@ def mp4_seek_stats(media: DataFrame) -> DataFrame:
         def seek(mid: int, payload: bytes):
             demux = mp4_demux_avc(bytes(payload))
             target = int(mid) % len(demux["samples"])
-            sync, y, cb, cr = mp4_decode_frame_seek(
-                bytes(payload), target
-            )
+            sync, y, cb, cr = mp4_decode_frame_seek(demux, target)
             return (
                 target,
                 sync,
@@ -2312,9 +2325,7 @@ def mp4_seek_ahash(media: DataFrame) -> DataFrame:
         def seek(mid: int, payload: bytes):
             demux = mp4_demux_avc(bytes(payload))
             target = int(mid) % len(demux["samples"])
-            sync, y, _cb, _cr = mp4_decode_frame_seek(
-                bytes(payload), target
-            )
+            sync, y, _cb, _cr = mp4_decode_frame_seek(demux, target)
             h, w = y.shape
             if h % 8 or w % 8:
                 raise ValueError("aHash needs %8==0 luma dims")

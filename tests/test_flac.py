@@ -639,11 +639,18 @@ def test_variable_blocksize_roundtrip_and_seek():
         flac_encode(x, 8000, 16, block_sizes=[32, 16])
     with pytest.raises(ValueError, match="16..65535"):
         flac_encode(x, 8000, 16, block_sizes=[110, 10])
+    # r13 (ADVICE): all-equal sizes would write STREAMINFO min==max,
+    # which RFC 9639 defines as a FIXED-blocksize stream and would
+    # contradict the strategy-1 frame headers — rejected up front
+    with pytest.raises(ValueError, match="fixed-blocksize"):
+        flac_encode(x[:64], 8000, 16, block_sizes=[32, 32])
+    with pytest.raises(ValueError, match="fixed-blocksize"):
+        flac_encode(x[:120], 8000, 16, block_sizes=[120])
 
 
 @settings(max_examples=25, deadline=None)
 @given(
-    st.lists(st.integers(16, 96), min_size=1, max_size=6),
+    st.lists(st.integers(16, 96), min_size=2, max_size=6),
     st.integers(0, 4),
     st.integers(0, 2),
     st.integers(0, 10_000),
@@ -654,12 +661,17 @@ def test_property_varblock_roundtrip_and_seek_equivalence(
     """Property (r12): for ANY variable block-size partition, the
     full decode is lossless AND every seekpoint's frame equals the
     corresponding slice of the full decode — seek and stream paths
-    can never drift."""
+    can never drift. All-equal partitions are excluded: since r13
+    the encoder rejects them (they are fixed-blocksize streams by
+    RFC 9639 §8.2 and must use block_size=)."""
+    from hypothesis import assume
+
     from pagerank_hadoop_spark.operators.flac import (
         flac_decode,
         flac_decode_frame_at,
     )
 
+    assume(len(set(sizes)) > 1)
     total = sum(sizes)
     i = np.arange(total, dtype=np.int64)
     x = ((31 * i + seed) % 4000 - 2000)[:, None]

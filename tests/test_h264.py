@@ -1519,6 +1519,49 @@ def test_multislice_picture_slice_scoped_availability():
         H._h264_decode_picture([sliceA, sliceA], sps, pps)
 
 
+def test_cross_slice_header_consistency_enforced():
+    """r13 (ADVICE): §7.4.1.2.4 — all slices of one access unit share
+    nal_unit_type, nal_ref_idc, and frame_num. A picture whose slices
+    disagree must raise, not silently decode with slice_nals[0]'s
+    values (which would mis-thread the DPB on mixed ref_idc)."""
+    import pagerank_hadoop_spark.operators.h264 as H
+    from pagerank_hadoop_spark.operators.h264 import (
+        h264_encode_islice,
+        h264_encode_pskip,
+    )
+
+    sps = h264_parse_sps(h264_sps_rbsp(2, 2, (0, 0, 0, 0), 1))
+    pps = h264_parse_pps(h264_pps_rbsp())
+    ref = (
+        np.full((32, 32), 60, np.uint8),
+        np.full((16, 16), 90, np.uint8),
+        np.full((16, 16), 90, np.uint8),
+    )
+
+    # frame_num mismatch between two P slices of one picture
+    pA = h264_encode_pskip(2, 2, 1, None, first_mb=0, n_mbs=2)
+    pB_fn2 = h264_encode_pskip(2, 2, 2, None, first_mb=2, n_mbs=2)
+    with pytest.raises(ValueError, match="frame_num"):
+        H._h264_decode_picture([pA, pB_fn2], sps, pps, ref)
+
+    # ref_idc mismatch: slice B disposable, slice A a reference slice
+    pB_disp = h264_encode_pskip(
+        2, 2, 1, None, first_mb=2, n_mbs=2, disposable=True
+    )
+    with pytest.raises(ValueError, match="ref_idc"):
+        H._h264_decode_picture([pA, pB_disp], sps, pps, ref)
+
+    # nal_type mismatch: IDR I slice + non-IDR P slice in one "picture"
+    iA = h264_encode_islice([("dc", 3, 0), ("dc", 3, 0)], 2, first_mb=0)
+    with pytest.raises(ValueError, match="nal_type"):
+        H._h264_decode_picture([iA, pB_disp], sps, pps, ref)
+
+    # consistent multi-slice P picture still decodes
+    pB = h264_encode_pskip(2, 2, 1, None, first_mb=2, n_mbs=2)
+    y, cb, cr = H._h264_decode_picture([pA, pB], sps, pps, ref)
+    assert (y == ref[0]).all() and (cb == ref[1]).all()
+
+
 def test_gop_seek_random_access():
     """r12: stss-driven seek decodes from the nearest preceding sync
     sample only — corrupting the OTHER GOP's bytes must not affect
