@@ -59,16 +59,34 @@ What is REAL here (pure stdlib + NumPy, no codec library):
   never crosses a slice boundary (§6.4.9) — the property that makes
   slices independently decodable, i.e. the stream shape real
   encoders emit for parallel decode (:func:`_h264_decode_picture`).
+- **P_L0_16x16 integer-pel motion compensation** (r13): the first
+  MV-CARRYING inter subset — exp-Golomb mvd_l0 parse, the full
+  §8.4.1.3 median motion-vector prediction (A/B/C neighbours with
+  the C→D substitution, the exactly-one-refIdx short-circuit, and
+  slice-scoped availability) shared verbatim between decoder and
+  encoder twin, §8.4.1.1 DERIVED skip vectors (skips after an MV
+  block inherit its motion — the pre-r13 zero-MV induction is now a
+  computed special case), clamped reference gathers (§8.4.2.2.1
+  Clip3 edge replication), and the §8.4.2.2.2 chroma BILINEAR at
+  eighth-sample positions (an integer luma vector with an odd pel
+  offset lands on a half chroma sample — eq 8-266 is a closed
+  formula, inside the decodable line). This decodes the
+  motion-shifted-duplicate shape video near-dup actually meets:
+  a global integer pan is one mvd + skips.
 What is honestly refused: AC/chroma residuals (I_16x16 mb_type >= 5
 and I_4x4 cbp != 0, i.e. CAVLC beyond the single-coefficient subset
 — the full Table 9-5 (62 codewords x 4 nC classes) cannot be
 validated in this container, which has no reference decoder or table
 source, and a from-memory table would be
 encoder/decoder-self-consistent yet unverifiable, the exact failure
-mode the oracle discipline exists to prevent), inter macroblocks
-with real motion vectors or residuals (mb_type 0..4 in P slices —
-sub-pel interpolation and MV reconstruction sit behind the same
-unvalidatable-table/filter wall), CABAC slices, B/SP/SI slices, FMO
+mode the oracle discipline exists to prevent), FRACTIONAL luma
+motion vectors (the §8.4.2.2.1 six-tap half-sample interpolator +
+quarter-sample averaging — refused so the interpolation wall stays
+intact and every decoded sample remains a closed-form gather),
+nonzero inter coded_block_pattern (Table 9-4's inter mapping AND
+the residual decoder), sub-MB partitions (P 16x8/8x16/8x8),
+multi-reference prediction (num_ref_idx_l0_active > 1 needs te(v)
+ref_idx and a real DPB), CABAC slices, B/SP/SI slices, FMO
 — each raises a typed NotImplementedError naming the missing decoder
 stage, the same strict-mode contract as multimodal.decode_media.
 (Table 9-5 re-probed rounds 11–12, 2026-08-16: still no spec text,
@@ -620,19 +638,26 @@ def h264_encode_pskip(
     first_mb: int = 0,
     n_mbs: int | None = None,
 ) -> bytes:
-    """One non-IDR P-slice NAL in the SKIP+INTRA subset: every
-    macroblock is either SKIPPED (mb_skip_run — reconstruction copies
-    the co-located reference block, since in this subset the derived
-    motion vector is provably (0,0): the §8.4.1.1 zero-forcing rule
-    fires for MBs whose left/top neighbour is unavailable, intra, or
-    a zero-MV skip, and by induction every inter context the stream
-    ever builds is exactly that) or an INTRA macroblock re-encoded
-    inside the P slice with its mb_type offset by 5 (Table 7-13).
+    """One non-IDR P-slice NAL in the SKIP + INTRA + P_L0_16x16
+    subset: every macroblock is SKIPPED (mb_skip_run — the decoder
+    reconstructs it at the §8.4.1.1 DERIVED motion vector, which is
+    (0,0) until an MV-carrying macroblock precedes it in the slice),
+    an INTRA macroblock re-encoded inside the P slice with its
+    mb_type offset by 5 (Table 7-13), or (r13) a P_L0_16x16
+    macroblock with an explicit motion vector and no residual.
     ``intra_mbs``: {(mbx, mby): spec} where spec is any
     h264_encode_islice macroblock tuple ('pcm' / 'dc' / 'i16' /
-    'i4'); a bare (y16, cb8, cr8) plane triple is accepted as I_PCM
-    shorthand (the pre-r12 calling convention). ``qp`` rides in
-    slice_qp_delta, as in the I twins.
+    'i4'), the r13 inter spec ('mv', mvx, mvy) — the whole-MB motion
+    vector in QUARTER-PEL units, written as mvd_l0 = mv - mvp with
+    the decoder-identical §8.4.1.3 median prediction, cbp 0 — or a
+    bare (y16, cb8, cr8) plane triple, accepted as I_PCM shorthand
+    (the pre-r12 calling convention). A sub-pel 'mv' spec (component
+    & 3 != 0) is written as requested but produces a stream OUTSIDE
+    the decodable subset (the decoder's typed six-tap refusal — the
+    tests pin exactly that). NOTE: macroblocks skipped AFTER an 'mv'
+    macroblock inherit its motion through the skip derivation; list
+    explicit ('mv', 0, 0) specs to hold a region co-located. ``qp``
+    rides in slice_qp_delta, as in the I twins.
 
     Slice header mirrors the I twins (poc type 2, CAVLC PPS —
     constrained_intra_pred_flag 0, so intra prediction here may read
@@ -663,9 +688,13 @@ def h264_encode_pskip(
     count = (
         width_mbs * height_mbs - first_mb if n_mbs is None else n_mbs
     )  # slice extent: [first_mb, first_mb + count) in raster order
+    motion: dict = {}  # decoder-mirrored slice motion context
     for mbi in range(first_mb, first_mb + count):
         mby, mbx = divmod(mbi, width_mbs)
         if (mbx, mby) not in intra_mbs:
+            # the DERIVED skip vector enters the motion context the
+            # encoder shares with the decoder's mvp computation
+            motion[mbi] = _skip_mv(motion, width_mbs, mbx, mby)
             run += 1
             continue
         wr.ue(run)  # mb_skip_run before this coded macroblock
@@ -673,7 +702,17 @@ def h264_encode_pskip(
         mb = intra_mbs[(mbx, mby)]
         if not isinstance(mb[0], str):
             mb = ("pcm", mb)  # legacy bare plane triple
-        _write_intra_mb(wr, mb, mbx, mby, mode4x4, type_offset=5)
+        if mb[0] == "mv":
+            _, mvx, mvy = mb
+            mvp = _mv_pred_16x16(motion, width_mbs, mbx, mby)
+            wr.ue(0)  # mb_type P_L0_16x16 (ref_idx inferred 0)
+            wr.se(mvx - mvp[0])  # mvd_l0 x
+            wr.se(mvy - mvp[1])  # mvd_l0 y
+            wr.ue(0)  # coded_block_pattern 0 (Table 9-4 inter)
+            motion[mbi] = (mvx, mvy)
+        else:
+            _write_intra_mb(wr, mb, mbx, mby, mode4x4, type_offset=5)
+            motion[mbi] = "I"
     if run:
         wr.ue(run)  # trailing skip run to the end of the slice
     return _nal(0 if disposable else 2, 1, wr.rbsp_trailing())
@@ -995,7 +1034,7 @@ def h264_parse_pps(rbsp: bytes) -> dict:
     bottom_field_poc_present = r.u(1)
     if r.ue():  # num_slice_groups_minus1
         raise NotImplementedError("FMO (slice groups) is not supported")
-    r.ue()  # num_ref_idx_l0_default_active_minus1
+    n_ref_l0_default = r.ue() + 1  # num_ref_idx_l0_default_active_minus1
     r.ue()  # num_ref_idx_l1_default_active_minus1
     weighted_pred = r.u(1)
     r.u(2)  # weighted_bipred_idc
@@ -1010,6 +1049,7 @@ def h264_parse_pps(rbsp: bytes) -> dict:
         "deblocking_control_present": deblocking_control_present,
         "redundant_pic_cnt_present": redundant_pic_cnt_present,
         "weighted_pred": weighted_pred,
+        "n_ref_l0_default": n_ref_l0_default,
     }
 
 
@@ -1688,7 +1728,8 @@ def _h264_decode_picture(nals: list, sps: dict, pps: dict, ref=None):
         r, first = h["r"], h["first_mb"]
         if h["is_p"]:
             _decode_pskip_slice(
-                r, wmb, hmb, y, cb, cr, h["qp"], first, end - first
+                r, wmb, hmb, y, cb, cr, h["qp"], first, end - first,
+                ref, h["n_ref_l0"],
             )
             continue
         if first == 0 and end == n_mbs:
@@ -1743,9 +1784,10 @@ def _parse_slice_header(nal: bytes, sps: dict, pps: dict) -> dict:
             r.se()
     if pps["redundant_pic_cnt_present"]:
         r.ue()
+    n_ref_l0 = pps["n_ref_l0_default"]
     if is_p:
         if r.u(1):  # num_ref_idx_active_override_flag
-            r.ue()  # num_ref_idx_l0_active_minus1
+            n_ref_l0 = r.ue() + 1  # num_ref_idx_l0_active_minus1
         if r.u(1):  # ref_pic_list_modification_flag_l0
             raise NotImplementedError(
                 "reference picture list modification is not supported"
@@ -1786,7 +1828,133 @@ def _parse_slice_header(nal: bytes, sps: dict, pps: dict) -> dict:
         "nal_type": nal_type,
         "ref_idc": nal_ref_idc,
         "frame_num": frame_num,
+        "n_ref_l0": n_ref_l0,
     }
+
+
+def _mv_neighbour(motion: dict, wmb: int, mbx: int, mby: int, dx: int, dy: int):
+    """(refIdxL0N, mvL0N) of the neighbour macroblock at
+    (mbx+dx, mby+dy) for §8.4.1.3's prediction inputs, or None when
+    mbAddrN itself is UNAVAILABLE (outside the picture, in another
+    slice, or not yet decoded — ``motion`` holds only the current
+    slice's decoded prefix, so one lookup covers all three). An
+    available INTRA neighbour contributes refIdx -1 / mv (0,0)
+    (§8.4.1.3.2 step 2); every inter macroblock in this subset has
+    refIdx 0."""
+    nx, ny = mbx + dx, mby + dy
+    if nx < 0 or ny < 0 or nx >= wmb:
+        return None
+    info = motion.get(ny * wmb + nx)
+    if info is None:
+        return None
+    if info == "I":
+        return (-1, (0, 0))
+    return (0, info)
+
+
+def _mv_pred_16x16(motion: dict, wmb: int, mbx: int, mby: int):
+    """§8.4.1.3 luma motion-vector prediction for a whole-macroblock
+    (16x16, partIdx 0) partition with refIdxL0 = 0 — a CLOSED
+    formula over the A/B/C neighbour vectors: C falls back to D when
+    unavailable (§8.4.1.3.1); if B and (substituted) C are both
+    unavailable and A is available the prediction is mvA; if exactly
+    one neighbour references the same picture (refIdx 0) the
+    prediction is its vector; otherwise the componentwise median.
+    Shared verbatim by the decoder and the encoder twin (which needs
+    the identical prediction to emit mvd = mv - mvp)."""
+    a = _mv_neighbour(motion, wmb, mbx, mby, -1, 0)
+    b = _mv_neighbour(motion, wmb, mbx, mby, 0, -1)
+    c = _mv_neighbour(motion, wmb, mbx, mby, 1, -1)
+    if c is None:
+        c = _mv_neighbour(motion, wmb, mbx, mby, -1, -1)
+    if b is None and c is None and a is not None:
+        return a[1]
+    trip = [n if n is not None else (-1, (0, 0)) for n in (a, b, c)]
+    same_ref = [n[1] for n in trip if n[0] == 0]
+    if len(same_ref) == 1:
+        return same_ref[0]
+    xs = sorted(n[1][0] for n in trip)
+    ys = sorted(n[1][1] for n in trip)
+    return (xs[1], ys[1])
+
+
+def _skip_mv(motion: dict, wmb: int, mbx: int, mby: int):
+    """§8.4.1.1 P_Skip motion vector: zero when the left or top
+    neighbour macroblock is unavailable or either is a zero-vector
+    refIdx-0 inter block, else the §8.4.1.3 median prediction. In a
+    slice containing no MV-carrying macroblocks this provably
+    returns (0,0) for every skip (the pre-r13 induction); once a
+    P_L0_16x16 block decodes, following skips inherit its motion
+    through the median — which is why skips must DERIVE, not
+    assume."""
+    a = _mv_neighbour(motion, wmb, mbx, mby, -1, 0)
+    b = _mv_neighbour(motion, wmb, mbx, mby, 0, -1)
+    if a is None or b is None:
+        return (0, 0)
+    if a == (0, (0, 0)) or b == (0, (0, 0)):
+        return (0, 0)
+    return _mv_pred_16x16(motion, wmb, mbx, mby)
+
+
+def _mc_block(plane, x0: int, y0: int, w: int, h: int):
+    """Clamped reference-sample gather (§8.4.2.2.1: every reference
+    coordinate is Clip3'd to the picture bounds, so motion vectors
+    may legally point outside the decoded area — edge samples
+    replicate)."""
+    import numpy as np
+
+    rows = np.clip(np.arange(y0, y0 + h), 0, plane.shape[0] - 1)
+    cols = np.clip(np.arange(x0, x0 + w), 0, plane.shape[1] - 1)
+    return plane[np.ix_(rows, cols)]
+
+
+def _mc_copy_16x16(ref, mbx: int, mby: int, mv, y, cb, cr) -> None:
+    """Whole-macroblock motion compensation at INTEGER luma
+    positions: the luma block is a clamped copy from the reference
+    picture at (mv>>2) samples; chroma reuses the same vector at
+    eighth-chroma-sample resolution (§8.4.2.2.1: xFracC = mvx & 7 —
+    an integer luma vector with an ODD sample offset lands on a HALF
+    chroma sample), resolved by the §8.4.2.2.2 bilinear formula
+    (eq 8-266: ((8-xF)(8-yF)A + xF(8-yF)B + (8-xF)yF·C + xF·yF·D
+    + 32) >> 6) — a closed formula, in-bounds by convexity. Only
+    fractional LUMA positions (mv & 3 != 0), which need the six-tap
+    half-sample interpolator, raise the typed refusal — that wall
+    stays intact."""
+    import numpy as np
+
+    mvx, mvy = mv
+    if mvx & 3 or mvy & 3:
+        raise NotImplementedError(
+            f"sub-pel luma motion vector ({mvx},{mvy}) quarter-pel "
+            "units needs the §8.4.2.2.1 six-tap half-sample "
+            "interpolator (only integer-pel vectors decode)"
+        )
+    refy, refcb, refcr = ref
+    y[mby * 16 : mby * 16 + 16, mbx * 16 : mbx * 16 + 16] = _mc_block(
+        refy, mbx * 16 + (mvx >> 2), mby * 16 + (mvy >> 2), 16, 16
+    )
+    cxi, cyi = mvx >> 3, mvy >> 3  # arithmetic shift, as the spec's >>
+    cxf, cyf = mvx & 7, mvy & 7
+    for plane, out in ((refcb, cb), (refcr, cr)):
+        if cxf == 0 and cyf == 0:
+            blk = _mc_block(plane, mbx * 8 + cxi, mby * 8 + cyi, 8, 8)
+        else:
+            quads = [
+                _mc_block(
+                    plane, mbx * 8 + cxi + qx, mby * 8 + cyi + qy, 8, 8
+                ).astype(np.int64)
+                for qy in (0, 1)
+                for qx in (0, 1)
+            ]
+            blk = (
+                (8 - cxf) * (8 - cyf) * quads[0]
+                + cxf * (8 - cyf) * quads[1]
+                + (8 - cxf) * cyf * quads[2]
+                + cxf * cyf * quads[3]
+                + 32
+            ) >> 6
+            blk = blk.astype(np.uint8)
+        out[mby * 8 : mby * 8 + 8, mbx * 8 : mbx * 8 + 8] = blk
 
 
 def _decode_pskip_slice(
@@ -1799,30 +1967,34 @@ def _decode_pskip_slice(
     slice_qp: int,
     first_mb: int,
     count: int,
+    ref=None,
+    n_ref_l0: int = 1,
 ):
-    """P-slice data in the SKIP+INTRA subset over the slice's raster
-    extent [first_mb, first_mb + count): mb_skip_run before each
-    coded macroblock, skipped macroblocks copy the CO-LOCATED block
-    of the reference (a no-op here: the picture driver seeds the
-    planes from the reference, so a skip leaves the co-located
-    content in place; the derived motion vector is provably (0,0) —
-    sound for this subset by induction, PER SLICE since §8.4.1.1's
-    neighbour availability is slice-scoped: the slice's first skip
-    has no available neighbours → forced zero; thereafter every
-    same-slice neighbour is either a zero-MV skip (refIdx 0,
-    mv (0,0) → forced zero) or intra (refIdx < 0 → forced zero), so
-    no nonzero vector can ever enter the prediction context), and
-    coded macroblocks must be intra (Table 7-13: mb_type - 5 indexes
-    the I table) — the FULL decoded intra surface is reachable here
-    via :func:`_decode_intra_mb` (I_PCM, I_4x4 cbp-0, I_16x16
-    DC-only), predicting from the current picture's reconstructed
-    samples. Skipped (inter) macroblocks count as available
-    neighbours for that prediction because the PPS twin writes
-    constrained_intra_pred_flag = 0 (§8.3: with the flag clear,
-    intra prediction in P slices uses inter-decoded samples) — but
-    macroblocks of ANOTHER slice never do (fresh grids per slice).
-    Inter mb_types (0..4, needing motion vectors + residuals) raise
-    typed refusals."""
+    """P-slice data in the SKIP + INTRA + P_L0_16x16 subset over the
+    slice's raster extent [first_mb, first_mb + count): mb_skip_run
+    before each coded macroblock; SKIPPED macroblocks reconstruct at
+    the §8.4.1.1 DERIVED motion vector (zero until an MV-carrying
+    macroblock appears in the slice — the picture driver seeds the
+    planes from the reference, so a zero-MV skip is a no-op copy of
+    the co-located block; after a nonzero vector enters the slice's
+    prediction context, following skips inherit it through the
+    median and explicitly motion-compensate); P_L0_16x16 macroblocks
+    (mb_type 0, r13) carry an exp-Golomb mvd_l0 added to the
+    §8.4.1.3 median prediction and copy the INTEGER-pel-shifted
+    reference block (coded_block_pattern must be 0 — the residual
+    decoder and Table 9-4's inter mapping stay behind the CAVLC
+    wall, as do fractional luma positions, 16x8/8x16/8x8 partitions,
+    and multi-reference prediction); INTRA macroblocks (Table 7-13:
+    mb_type - 5 indexes the I table) reach the FULL decoded intra
+    surface via :func:`_decode_intra_mb` (I_PCM, I_4x4 cbp-0,
+    I_16x16 DC-only), predicting from the current picture's
+    reconstructed samples. Skipped and MV-compensated (inter)
+    macroblocks count as available neighbours for that prediction
+    because the PPS twin writes constrained_intra_pred_flag = 0
+    (§8.3: with the flag clear, intra prediction in P slices uses
+    inter-decoded samples) — but macroblocks of ANOTHER slice never
+    do (fresh grids per slice, motion context included: §8.4.1.3's
+    neighbour availability is slice-scoped)."""
     import numpy as np
 
     # same availability / mode grids as the I-slice loop; a skipped
@@ -1830,6 +2002,10 @@ def _decode_pskip_slice(
     # never I_4x4, so its mode stays -1 (→ DC in §8.3.1.1 context)
     dec = np.zeros((hmb * 4, wmb * 4), dtype=bool)
     mode4x4 = np.full((hmb * 4, wmb * 4), -1, dtype=np.int64)
+    # slice-scoped motion context: mb addr -> "I" or (mvx, mvy) in
+    # quarter-pel units (refIdx always 0 — single-reference subset)
+    motion: dict = {}
+    has_mv = False  # no MV-carrying MB yet => every skip MV is (0,0)
     qp = slice_qp
     end = first_mb + count
     done = first_mb
@@ -1841,21 +2017,51 @@ def _decode_pskip_slice(
             )
         for mb in range(done, done + run):
             sy, sx = divmod(mb, wmb)
+            mv = _skip_mv(motion, wmb, sx, sy) if has_mv else (0, 0)
+            if mv != (0, 0):
+                _mc_copy_16x16(ref, sx, sy, mv, y, cb, cr)
+            motion[mb] = mv
             dec[sy * 4 : sy * 4 + 4, sx * 4 : sx * 4 + 4] = True
         done += run
         if done == end:
             break
         mb_type = r.ue()
-        if mb_type < 5:
-            raise NotImplementedError(
-                f"P macroblock type {mb_type} needs motion-vector and "
-                "residual decoding (only skipped inter macroblocks "
-                "are in the validated subset)"
-            )
         mbx, mby = done % wmb, done // wmb
-        qp = _decode_intra_mb(
-            r, mb_type - 5, mbx, mby, y, cb, cr, dec, mode4x4, qp
-        )
+        if mb_type >= 5:
+            qp = _decode_intra_mb(
+                r, mb_type - 5, mbx, mby, y, cb, cr, dec, mode4x4, qp
+            )
+            motion[done] = "I"
+        elif mb_type == 0:  # P_L0_16x16
+            if n_ref_l0 > 1:
+                raise NotImplementedError(
+                    f"num_ref_idx_l0_active = {n_ref_l0} needs te(v) "
+                    "ref_idx_l0 parsing and a multi-picture DPB "
+                    "(single-reference subset)"
+                )
+            mvd = (r.se(), r.se())  # mvd_l0[0][0][0..1]
+            mvp = _mv_pred_16x16(motion, wmb, mbx, mby)
+            mv = (mvp[0] + mvd[0], mvp[1] + mvd[1])
+            cbp_codenum = r.ue()  # coded_block_pattern, me(v)
+            if cbp_codenum != 0:
+                # Table 9-4 inter column: codeNum 0 <-> cbp 0; any
+                # other codeNum needs the inter cbp mapping AND the
+                # residual decoder — both behind the CAVLC wall
+                raise NotImplementedError(
+                    f"inter coded_block_pattern codeNum {cbp_codenum} "
+                    "needs Table 9-4's inter mapping and the AC "
+                    "residual decoder (only cbp 0 decodes)"
+                )
+            # cbp 0: no mb_qp_delta, no residual — pure motion copy
+            _mc_copy_16x16(ref, mbx, mby, mv, y, cb, cr)
+            motion[done] = mv
+            has_mv = True
+            dec[mby * 4 : mby * 4 + 4, mbx * 4 : mbx * 4 + 4] = True
+        else:
+            raise NotImplementedError(
+                f"P macroblock type {mb_type} (16x8/8x16/8x8 "
+                "partitions) needs per-partition motion decoding"
+            )
         done += 1
 
 

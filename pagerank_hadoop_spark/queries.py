@@ -16109,3 +16109,233 @@ def q_media_video_seek_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
         _mp4_seek_fixture(spark), F.col("payload"), media_type="video/mp4"
     )
     return mp4_seek_ahash(media).orderBy("media_id")
+
+
+def _mp4_pmv_fixture(spark: SparkSession, n: int = 120) -> DataFrame:
+    """Driver-built MP4s for the r13 MV-carrying inter subset
+    (P_L0_16x16, integer-pel): frame 0 is an IDR all-I_PCM picture
+    with linear planes (y = a+2c+3r, cb = u0+c+r, cr = v0+c+r), and
+    frame 1 carries a REGION-WISE integer pan — explicit
+    ('mv', 4*dx, 4*dy) macroblocks with vector vA on MBs (0,0)/(0,1)
+    and vB = vA+(2,-2) on (1,0), while MB (1,1) is SKIPPED so the
+    decoder must DERIVE its vector (§8.4.1.1: the A/B/C median is vA
+    unless vB == 0, in which case the zero-forcing rule fires — both
+    branches are live across keys: 75 and 110 hit vB == 0). Odd vA
+    components land chroma on HALF-sample positions (§8.4.2.2.2
+    bilinear); key%8==0 plants vA = (40,-40), far outside the
+    picture, exercising the §8.4.2.2.1 Clip3 edge replication over
+    whole macroblocks. Frame 2 pans again with an always-even global
+    vC (3 explicit MBs + 1 derived skip), COMPOSING motion — its
+    reference is the frame-1 reconstruction, not the IDR. Frame 3 is
+    all-skip: every derived vector is zero (fresh per-slice motion
+    context — frame 2\'s pan must NOT leak in), a bit-exact repeat.
+    Encoder twins: h264_encode_ipcm / h264_encode_pskip ('mv' specs,
+    mvd = mv - mvp via the decoder-shared §8.4.1.3 prediction)."""
+    import numpy as np
+
+    from pagerank_hadoop_spark.operators.h264 import (
+        h264_encode_ipcm,
+        h264_encode_pskip,
+        mp4_mux_avc,
+    )
+
+    rows = []
+    for key in range(n):
+        a = 20 + key % 60
+        u0 = 15 + key % 50
+        v0 = 9 + key % 40
+        va = (40, -40) if key % 8 == 0 else ((key % 5) - 2, (key % 7) - 3)
+        vb = (va[0] + 2, va[1] - 2)
+        vc = (2 * ((key % 3) - 1), 2 * ((key % 5) - 2))
+        y0 = np.fromfunction(
+            lambda r, c: a + 2 * c + 3 * r, (32, 32)
+        ).astype(np.uint8)
+        cb0 = np.fromfunction(
+            lambda r, c: u0 + c + r, (16, 16)
+        ).astype(np.uint8)
+        cr0 = np.fromfunction(
+            lambda r, c: v0 + c + r, (16, 16)
+        ).astype(np.uint8)
+        f1 = {
+            (0, 0): ("mv", 4 * va[0], 4 * va[1]),
+            (1, 0): ("mv", 4 * vb[0], 4 * vb[1]),
+            (0, 1): ("mv", 4 * va[0], 4 * va[1]),
+        }
+        f2 = {
+            (x, yy): ("mv", 4 * vc[0], 4 * vc[1])
+            for x, yy in [(0, 0), (1, 0), (0, 1)]
+        }
+        nals = [
+            h264_encode_ipcm(y0, cb0, cr0),
+            h264_encode_pskip(2, 2, 1, f1),
+            h264_encode_pskip(2, 2, 2, f2),
+            h264_encode_pskip(2, 2, 3),  # all-skip repeat
+        ]
+        rows.append(
+            (key, bytearray(mp4_mux_avc(nals, dims=(32, 32), max_ref=1)))
+        )
+    return spark.createDataFrame(rows, "media_id long, payload binary")
+
+
+@register(
+    "media_mp4_pmv",
+    """
+WITH f AS (
+  SELECT range AS key,
+         20 + range % 60 AS a,
+         15 + range % 50 AS u0,
+         9 + range % 40 AS v0,
+         CASE WHEN range % 8 = 0 THEN 40 ELSE (range % 5) - 2 END AS dxa,
+         CASE WHEN range % 8 = 0 THEN -40 ELSE (range % 7) - 3 END AS dya,
+         2 * ((range % 3) - 1) AS dxc,
+         2 * ((range % 5) - 2) AS dyc
+  FROM range(0, 120)),
+g AS (
+  SELECT *, dxa + 2 AS dxb, dya - 2 AS dyb,
+         CASE WHEN (dxa + 2 = 0 AND dya - 2 = 0) THEN 0 ELSE dxa END AS dxs,
+         CASE WHEN (dxa + 2 = 0 AND dya - 2 = 0) THEN 0 ELSE dya END AS dys
+  FROM f),
+p0 AS (
+  SELECT *,
+    list_transform(range(0, 1024), i -> a + 2 * (i % 32) + 3 * (i // 32)) AS y0,
+    list_transform(range(0, 256), i -> u0 + (i % 16) + (i // 16)) AS cb0,
+    list_transform(range(0, 256), i -> v0 + (i % 16) + (i // 16)) AS cr0
+  FROM g),
+-- per-pixel frame-1 vectors: region (1,0) uses B, (1,1) the derived
+-- skip vector S, everything else A  (luma 32x32, chroma 16x16)
+vec1 AS (
+  SELECT *,
+    list_transform(range(0, 1024), i ->
+      CASE WHEN (i % 32) >= 16 AND (i // 32) < 16 THEN dxb
+           WHEN (i % 32) >= 16 AND (i // 32) >= 16 THEN dxs
+           ELSE dxa END) AS ldx,
+    list_transform(range(0, 1024), i ->
+      CASE WHEN (i % 32) >= 16 AND (i // 32) < 16 THEN dyb
+           WHEN (i % 32) >= 16 AND (i // 32) >= 16 THEN dys
+           ELSE dya END) AS ldy,
+    list_transform(range(0, 256), i ->
+      CASE WHEN (i % 16) >= 8 AND (i // 16) < 8 THEN dxb
+           WHEN (i % 16) >= 8 AND (i // 16) >= 8 THEN dxs
+           ELSE dxa END) AS cdx,
+    list_transform(range(0, 256), i ->
+      CASE WHEN (i % 16) >= 8 AND (i // 16) < 8 THEN dyb
+           WHEN (i % 16) >= 8 AND (i // 16) >= 8 THEN dys
+           ELSE dya END) AS cdy
+  FROM p0),
+-- integer/fractional chroma offsets (eighth-chroma-sample): the
+-- vector is 4*pel, so cxi = floor(pel/2), frac = 0 or 4
+vec2 AS (
+  SELECT *,
+    list_transform(cdx, v -> CAST(floor(v / 2.0) AS BIGINT)) AS cxi,
+    list_transform(cdy, v -> CAST(floor(v / 2.0) AS BIGINT)) AS cyi
+  FROM vec1),
+p1 AS (
+  SELECT *,
+    list_transform(range(0, 1024), i ->
+      list_extract(y0,
+        LEAST(31, GREATEST(0, (i // 32) + list_extract(ldy, i + 1))) * 32 +
+        LEAST(31, GREATEST(0, (i % 32) + list_extract(ldx, i + 1))) + 1)) AS y1,
+    list_transform(range(0, 256), i ->
+      ((8 - 4 * (list_extract(cdx, i + 1) - 2 * list_extract(cxi, i + 1)))
+         * (8 - 4 * (list_extract(cdy, i + 1) - 2 * list_extract(cyi, i + 1)))
+         * list_extract(cb0,
+             LEAST(15, GREATEST(0, (i // 16) + list_extract(cyi, i + 1))) * 16 +
+             LEAST(15, GREATEST(0, (i % 16) + list_extract(cxi, i + 1))) + 1)
+       + (4 * (list_extract(cdx, i + 1) - 2 * list_extract(cxi, i + 1)))
+         * (8 - 4 * (list_extract(cdy, i + 1) - 2 * list_extract(cyi, i + 1)))
+         * list_extract(cb0,
+             LEAST(15, GREATEST(0, (i // 16) + list_extract(cyi, i + 1))) * 16 +
+             LEAST(15, GREATEST(0, (i % 16) + list_extract(cxi, i + 1) + 1)) + 1)
+       + (8 - 4 * (list_extract(cdx, i + 1) - 2 * list_extract(cxi, i + 1)))
+         * (4 * (list_extract(cdy, i + 1) - 2 * list_extract(cyi, i + 1)))
+         * list_extract(cb0,
+             LEAST(15, GREATEST(0, (i // 16) + list_extract(cyi, i + 1) + 1)) * 16 +
+             LEAST(15, GREATEST(0, (i % 16) + list_extract(cxi, i + 1))) + 1)
+       + (4 * (list_extract(cdx, i + 1) - 2 * list_extract(cxi, i + 1)))
+         * (4 * (list_extract(cdy, i + 1) - 2 * list_extract(cyi, i + 1)))
+         * list_extract(cb0,
+             LEAST(15, GREATEST(0, (i // 16) + list_extract(cyi, i + 1) + 1)) * 16 +
+             LEAST(15, GREATEST(0, (i % 16) + list_extract(cxi, i + 1) + 1)) + 1)
+       + 32) // 64) AS cb1,
+    list_transform(range(0, 256), i ->
+      ((8 - 4 * (list_extract(cdx, i + 1) - 2 * list_extract(cxi, i + 1)))
+         * (8 - 4 * (list_extract(cdy, i + 1) - 2 * list_extract(cyi, i + 1)))
+         * list_extract(cr0,
+             LEAST(15, GREATEST(0, (i // 16) + list_extract(cyi, i + 1))) * 16 +
+             LEAST(15, GREATEST(0, (i % 16) + list_extract(cxi, i + 1))) + 1)
+       + (4 * (list_extract(cdx, i + 1) - 2 * list_extract(cxi, i + 1)))
+         * (8 - 4 * (list_extract(cdy, i + 1) - 2 * list_extract(cyi, i + 1)))
+         * list_extract(cr0,
+             LEAST(15, GREATEST(0, (i // 16) + list_extract(cyi, i + 1))) * 16 +
+             LEAST(15, GREATEST(0, (i % 16) + list_extract(cxi, i + 1) + 1)) + 1)
+       + (8 - 4 * (list_extract(cdx, i + 1) - 2 * list_extract(cxi, i + 1)))
+         * (4 * (list_extract(cdy, i + 1) - 2 * list_extract(cyi, i + 1)))
+         * list_extract(cr0,
+             LEAST(15, GREATEST(0, (i // 16) + list_extract(cyi, i + 1) + 1)) * 16 +
+             LEAST(15, GREATEST(0, (i % 16) + list_extract(cxi, i + 1))) + 1)
+       + (4 * (list_extract(cdx, i + 1) - 2 * list_extract(cxi, i + 1)))
+         * (4 * (list_extract(cdy, i + 1) - 2 * list_extract(cyi, i + 1)))
+         * list_extract(cr0,
+             LEAST(15, GREATEST(0, (i // 16) + list_extract(cyi, i + 1) + 1)) * 16 +
+             LEAST(15, GREATEST(0, (i % 16) + list_extract(cxi, i + 1) + 1)) + 1)
+       + 32) // 64) AS cr1
+  FROM vec2),
+p2 AS (
+  SELECT *,
+    list_transform(range(0, 1024), i ->
+      list_extract(y1,
+        LEAST(31, GREATEST(0, (i // 32) + dyc)) * 32 +
+        LEAST(31, GREATEST(0, (i % 32) + dxc)) + 1)) AS y2,
+    list_transform(range(0, 256), i ->
+      list_extract(cb1,
+        LEAST(15, GREATEST(0, (i // 16) + dyc // 2)) * 16 +
+        LEAST(15, GREATEST(0, (i % 16) + dxc // 2)) + 1)) AS cb2,
+    list_transform(range(0, 256), i ->
+      list_extract(cr1,
+        LEAST(15, GREATEST(0, (i // 16) + dyc // 2)) * 16 +
+        LEAST(15, GREATEST(0, (i % 16) + dxc // 2)) + 1)) AS cr2
+  FROM p1),
+fr AS (SELECT *, unnest(range(0, 4)) AS fi FROM p2),
+v AS (
+  SELECT key, fi,
+    CASE WHEN fi = 0 THEN y0 WHEN fi = 1 THEN y1 ELSE y2 END AS yl,
+    CASE WHEN fi = 0 THEN cb0 WHEN fi = 1 THEN cb1 ELSE cb2 END AS cbl,
+    CASE WHEN fi = 0 THEN cr0 WHEN fi = 1 THEN cr1 ELSE cr2 END AS crl
+  FROM fr)
+SELECT CAST(key AS BIGINT) AS media_id,
+       CAST(fi AS BIGINT) AS frame_idx,
+       CAST(32 AS INTEGER) AS width, CAST(32 AS INTEGER) AS height,
+       CAST(list_sum(yl) AS BIGINT) AS y_sum,
+       CAST(list_sum(cbl) AS BIGINT) AS cb_sum,
+       CAST(list_sum(crl) AS BIGINT) AS cr_sum,
+       md5(array_to_string(yl, ',')) AS y_md5
+FROM v ORDER BY media_id, frame_idx
+""",
+)
+def q_media_mp4_pmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5 [r13]: MV-CARRYING inter decode — P_L0_16x16 macroblocks
+    with explicit integer-pel motion vectors (exp-Golomb mvd_l0 +
+    the full §8.4.1.3 median prediction with C→D substitution and
+    the exactly-one-refIdx short-circuit), §8.4.1.1 DERIVED skip
+    vectors that inherit a preceding MV block\'s motion (the pre-r13
+    zero-MV induction is now a computed special case — and its
+    zero-forcing branch is live on keys 75/110 where vB = 0),
+    clamped out-of-picture gathers, and the §8.4.2.2.2 chroma
+    bilinear at half-sample positions from odd pel vectors. The
+    oracle replays every stage closed-form in SQL — region-wise
+    clamped index gathers off the IDR plane lists, the exact
+    64-denominator bilinear, the two-frame motion COMPOSITION, and
+    the all-skip repeat — so a wrong median, a missed zero-force, a
+    frac-sign slip (floor vs truncate on negative vectors), or a
+    reference-threading bug reddens y_md5/sums on 480 rows. This is
+    the motion-shifted-duplicate shape video near-dup meets: a
+    global pan is one mvd + skips. Spec: ISO/IEC 14496-10 §8.4;
+    reference has no video path (mandated [EXT] layer); per the r12
+    verdict\'s task 3, sub-pel luma (six-tap) stays refused."""
+    from pagerank_hadoop_spark.operators.h264 import mp4_frame_stats
+    from pagerank_hadoop_spark.operators.multimodal import attach_media
+
+    media = attach_media(
+        _mp4_pmv_fixture(spark), F.col("payload"), media_type="video/mp4"
+    )
+    return mp4_frame_stats(media).orderBy("media_id", "frame_idx")

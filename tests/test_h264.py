@@ -228,8 +228,12 @@ def test_pskip_roundtrip_and_refusals():
         w.u(0, 8)  # filler so parsing has bits to chew
         return _nal(2, 1, w.rbsp_trailing())
 
-    with pytest.raises(NotImplementedError, match="motion-vector"):
-        h264_decode_ipcm_frame(p_slice_with(0), sps, pps, ref)
+    # r13: mb_type 0 (P_L0_16x16) now DECODES (integer MVs); the
+    # refusal boundary moved to sub-MB partitions (1..4)
+    with pytest.raises(NotImplementedError, match="per-partition"):
+        h264_decode_ipcm_frame(p_slice_with(1), sps, pps, ref)
+    with pytest.raises(NotImplementedError, match="per-partition"):
+        h264_decode_ipcm_frame(p_slice_with(4), sps, pps, ref)
     # intra-in-P now decodes the predicted types; one carrying AC
     # residuals (intra type 18 = I_16x16 with cbp luma) still refuses
     with pytest.raises(NotImplementedError, match="AC/chroma residuals"):
@@ -1756,3 +1760,259 @@ def test_seek_ahash_matches_full_index(spark):
     }
     assert sampled["ahash"] == full[1]["ahash"]
     assert sampled["y_md5"] == full[1]["y_md5"]
+
+
+# ---------------------------------------------------------------------------
+# r13: P_L0_16x16 full-pel motion-vector decode
+# ---------------------------------------------------------------------------
+
+
+def _gather_clamped(plane, x0, y0, w, h):
+    """Test-local reference gather with edge replication, written
+    with np.take(mode='clip') so it is NOT the implementation's
+    np.ix_ path."""
+    rows = np.take(
+        plane, np.arange(y0, y0 + h), axis=0, mode="clip"
+    )
+    return np.take(rows, np.arange(x0, x0 + w), axis=1, mode="clip")
+
+
+def test_mv_prediction_rules_hand_computed():
+    """§8.4.1.3 unit cases, each checked against a HAND-computed
+    value (the encoder and decoder share this helper, so a shared
+    round-trip alone could not catch a wrong formula)."""
+    import pagerank_hadoop_spark.operators.h264 as H
+
+    wmb = 3
+    # no neighbours at all: every input zeroed -> median (0,0)
+    assert H._mv_pred_16x16({}, wmb, 0, 0) == (0, 0)
+    # rule 1: B and C unavailable, A available -> mvA verbatim
+    assert H._mv_pred_16x16({0: (8, 4)}, wmb, 1, 0) == (8, 4)
+    # ...even when A is intra (rule 1 checks mbAddr availability;
+    # the intra A contributes its zeroed vector)
+    assert H._mv_pred_16x16({0: "I"}, wmb, 1, 0) == (0, 0)
+    # rule 2: exactly one neighbour with refIdx 0 -> its vector
+    # MB (1,1): A=addr3 intra, B=addr1 inter, C=addr2 intra
+    m = {0: (99, 99), 1: (12, -8), 2: "I", 3: "I"}
+    assert H._mv_pred_16x16(m, wmb, 1, 1) == (12, -8)
+    # rule 3: median componentwise over three refIdx-0 neighbours
+    m = {0: (99, 99), 1: (8, 4), 2: (16, -4), 3: (4, 0)}
+    assert H._mv_pred_16x16(m, wmb, 1, 1) == (8, 0)
+    # C geometric fallback to D: MB (2,1) has mbx+1 == wmb, so C is
+    # replaced by D=addr1; A=addr5, B=addr2
+    m = {1: (20, 8), 2: (8, 4), 5: (4, 0)}
+    assert H._mv_pred_16x16(m, wmb, 2, 1) == (8, 4)
+    # skip derivation: unavailable A or B forces zero
+    assert H._skip_mv({}, wmb, 1, 1) == (0, 0)  # neither decoded
+    assert H._skip_mv({1: (4, 4)}, wmb, 1, 1) == (0, 0)  # A missing
+    # zero-vector refIdx-0 A forces zero even with a moving B
+    assert H._skip_mv({1: (4, 4), 3: (0, 0)}, wmb, 1, 1) == (0, 0)
+    # intra A does NOT force zero (refIdx -1): proceeds to median
+    # A=addr3 intra, B=addr1 (4,8), C=addr2 (12,16):
+    # two refIdx-0 matches -> median((0,0),(4,8),(12,16)) = (4,8)
+    assert H._skip_mv({1: (4, 8), 2: (12, 16), 3: "I"}, wmb, 1, 1) == (4, 8)
+
+
+def test_pmv_integer_motion_roundtrip_luma_and_chroma():
+    """Encode-decode round trip for planted integer motion vectors,
+    verified against an INDEPENDENT clamped-gather + bilinear model:
+    even vectors hit integer chroma positions, odd vectors hit the
+    half-chroma-sample bilinear (§8.4.2.2.2), and vectors pointing
+    outside the picture replicate edge samples (§8.4.2.2.1 Clip3)."""
+    import pagerank_hadoop_spark.operators.h264 as H
+    from pagerank_hadoop_spark.operators.h264 import (
+        h264_encode_ipcm,
+        h264_encode_pskip,
+    )
+
+    rng = np.random.default_rng(13)
+    wmb, hmb = 4, 3
+    y0 = rng.integers(0, 256, (hmb * 16, wmb * 16)).astype(np.uint8)
+    cb0 = rng.integers(0, 256, (hmb * 8, wmb * 8)).astype(np.uint8)
+    cr0 = rng.integers(0, 256, (hmb * 8, wmb * 8)).astype(np.uint8)
+    sps = h264_parse_sps(h264_sps_rbsp(wmb, hmb, (0, 0, 0, 0), 1))
+    pps = h264_parse_pps(h264_pps_rbsp())
+
+    # one explicit MV per macroblock: mix of even/odd/negative pels
+    # and a far vector that lands outside the picture
+    pels = {
+        (0, 0): (2, 0), (1, 0): (-3, 1), (2, 0): (0, -2), (3, 0): (7, 5),
+        (0, 1): (-40, 0), (1, 1): (1, 1), (2, 1): (0, 0), (3, 1): (-1, -1),
+        (0, 2): (6, -40), (1, 2): (4, 2), (2, 2): (-2, 3), (3, 2): (3, 3),
+    }
+    specs = {k: ("mv", 4 * dx, 4 * dy) for k, (dx, dy) in pels.items()}
+    nal = h264_encode_pskip(wmb, hmb, 1, specs)
+    y, cb, cr = H._h264_decode_picture([nal], sps, pps, (y0, cb0, cr0))
+
+    for (mbx, mby), (dx, dy) in pels.items():
+        got = y[mby * 16 : mby * 16 + 16, mbx * 16 : mbx * 16 + 16]
+        exp = _gather_clamped(y0, mbx * 16 + dx, mby * 16 + dy, 16, 16)
+        assert (got == exp).all(), f"luma MB ({mbx},{mby}) mv {dx},{dy}"
+        # chroma: eighth-sample position 4*d & 7 -> frac 0 (even d)
+        # or 4 (odd d); bilinear written independently here
+        for p0, pd in ((cb0, cb), (cr0, cr)):
+            cxi, cyi = (4 * dx) >> 3, (4 * dy) >> 3
+            cxf, cyf = (4 * dx) & 7, (4 * dy) & 7
+            a = _gather_clamped(
+                p0, mbx * 8 + cxi, mby * 8 + cyi, 8, 8
+            ).astype(np.int64)
+            b = _gather_clamped(
+                p0, mbx * 8 + cxi + 1, mby * 8 + cyi, 8, 8
+            ).astype(np.int64)
+            c = _gather_clamped(
+                p0, mbx * 8 + cxi, mby * 8 + cyi + 1, 8, 8
+            ).astype(np.int64)
+            d = _gather_clamped(
+                p0, mbx * 8 + cxi + 1, mby * 8 + cyi + 1, 8, 8
+            ).astype(np.int64)
+            expc = (
+                (8 - cxf) * (8 - cyf) * a
+                + cxf * (8 - cyf) * b
+                + (8 - cxf) * cyf * c
+                + cxf * cyf * d
+                + 32
+            ) >> 6
+            gotc = pd[mby * 8 : mby * 8 + 8, mbx * 8 : mbx * 8 + 8]
+            assert (gotc == expc).all(), (
+                f"chroma MB ({mbx},{mby}) mv {dx},{dy}"
+            )
+
+
+def test_pmv_skip_inheritance_and_explicit_zero_hold():
+    """Skips AFTER an MV macroblock inherit its motion through the
+    §8.4.1.1 derivation (they must explicitly motion-compensate, no
+    longer a co-located no-op), while explicit ('mv', 0, 0) blocks —
+    carrying a nonzero mvd against the moving prediction — hold the
+    co-located content."""
+    import pagerank_hadoop_spark.operators.h264 as H
+    from pagerank_hadoop_spark.operators.h264 import h264_encode_pskip
+
+    wmb, hmb = 4, 2
+    rng = np.random.default_rng(7)
+    y0 = rng.integers(0, 256, (hmb * 16, wmb * 16)).astype(np.uint8)
+    cb0 = rng.integers(0, 256, (hmb * 8, wmb * 8)).astype(np.uint8)
+    cr0 = cb0[::-1].copy()
+    sps = h264_parse_sps(h264_sps_rbsp(wmb, hmb, (0, 0, 0, 0), 1))
+    pps = h264_parse_pps(h264_pps_rbsp())
+
+    # row 0: all explicit (8,4)-pel MV; row 1: (0,1) explicit same
+    # MV, (1,1) and (2,1) SKIPPED -> derived median is (32,16)
+    # quarter-pel = (8,4) pels; (3,1) explicit zero MV (mvd != 0)
+    mv = ("mv", 32, 16)
+    specs = {(x, 0): mv for x in range(4)}
+    specs[(0, 1)] = mv
+    specs[(3, 1)] = ("mv", 0, 0)
+    nal = h264_encode_pskip(wmb, hmb, 1, specs)
+    y, cb, cr = H._h264_decode_picture([nal], sps, pps, (y0, cb0, cr0))
+
+    for mbx, mby in [(1, 1), (2, 1)]:  # inherited skips
+        got = y[mby * 16 : mby * 16 + 16, mbx * 16 : mbx * 16 + 16]
+        exp = _gather_clamped(y0, mbx * 16 + 8, mby * 16 + 4, 16, 16)
+        assert (got == exp).all(), f"skip MB ({mbx},{mby}) not shifted"
+        gotc = cb[mby * 8 : mby * 8 + 8, mbx * 8 : mbx * 8 + 8]
+        expc = _gather_clamped(cb0, mbx * 8 + 4, mby * 8 + 2, 8, 8)
+        assert (gotc == expc).all()
+    # explicit zero-MV block stays co-located
+    assert (y[16:32, 48:64] == y0[16:32, 48:64]).all()
+    assert (cr[8:16, 24:32] == cr0[8:16, 24:32]).all()
+
+    # control: with NO mv macroblock in the slice, an all-skip slice
+    # still reproduces the reference exactly (pre-r13 behavior)
+    nal0 = h264_encode_pskip(wmb, hmb, 2)
+    y2, cb2, cr2 = H._h264_decode_picture(
+        [nal0], sps, pps, (y0, cb0, cr0)
+    )
+    assert (y2 == y0).all() and (cb2 == cb0).all() and (cr2 == cr0).all()
+
+
+def test_pmv_refusals_subpel_cbp_partitions_multiref():
+    """Typed boundaries of the r13 inter subset: fractional luma
+    vectors (six-tap wall), nonzero inter coded_block_pattern
+    (residual wall), sub-MB partition types, and multi-reference
+    slices all refuse with NotImplementedError naming the stage."""
+    import pagerank_hadoop_spark.operators.h264 as H
+    from pagerank_hadoop_spark.operators.h264 import (
+        _BitWriter,
+        _nal,
+        h264_encode_pskip,
+    )
+
+    wmb, hmb = 2, 2
+    ref = (
+        np.full((32, 32), 77, np.uint8),
+        np.full((16, 16), 88, np.uint8),
+        np.full((16, 16), 99, np.uint8),
+    )
+    sps = h264_parse_sps(h264_sps_rbsp(wmb, hmb, (0, 0, 0, 0), 1))
+    pps = h264_parse_pps(h264_pps_rbsp())
+
+    # sub-pel: the encoder writes the stream as asked; the decoder's
+    # six-tap refusal is the pinned boundary
+    nal = h264_encode_pskip(wmb, hmb, 1, {(0, 0): ("mv", 2, 0)})
+    with pytest.raises(NotImplementedError, match="six-tap"):
+        H._h264_decode_picture([nal], sps, pps, ref)
+    nal = h264_encode_pskip(wmb, hmb, 1, {(0, 0): ("mv", 0, -1)})
+    with pytest.raises(NotImplementedError, match="six-tap"):
+        H._h264_decode_picture([nal], sps, pps, ref)
+
+    def p_header(w):
+        w.ue(0)  # first_mb_in_slice
+        w.ue(5)  # slice_type P
+        w.ue(0)  # pps id
+        w.u(1, 4)  # frame_num
+
+    # nonzero inter cbp: craft P_L0_16x16 with cbp codeNum 2
+    w = _BitWriter()
+    p_header(w)
+    w.u(0, 1), w.u(0, 1), w.u(0, 1)  # no override/reorder/marking
+    w.se(0)  # slice_qp_delta
+    w.ue(0)  # mb_skip_run
+    w.ue(0)  # mb_type P_L0_16x16
+    w.se(4), w.se(0)  # integer mvd
+    w.ue(2)  # coded_block_pattern codeNum 2 != 0
+    with pytest.raises(NotImplementedError, match="inter coded_block_pattern"):
+        H._h264_decode_picture([_nal(2, 1, w.rbsp_trailing())], sps, pps, ref)
+
+    # num_ref_idx_l0_active > 1 via the slice-header override
+    w = _BitWriter()
+    p_header(w)
+    w.u(1, 1)  # num_ref_idx_active_override_flag
+    w.ue(1)  # num_ref_idx_l0_active_minus1 = 1 -> 2 refs
+    w.u(0, 1), w.u(0, 1)  # no reorder / no adaptive marking
+    w.se(0)
+    w.ue(0)  # skip run
+    w.ue(0)  # P_L0_16x16
+    with pytest.raises(NotImplementedError, match="multi-picture DPB"):
+        H._h264_decode_picture([_nal(2, 1, w.rbsp_trailing())], sps, pps, ref)
+
+
+def test_pmv_accumulates_across_frames_in_mp4():
+    """End-to-end through the MP4 mux/demux: two P frames each
+    shifting by (+4,0) pels compose — frame 2 shows the IDR content
+    shifted by 8 columns (with left-edge replication), proving the
+    motion-compensated picture (not the IDR) is the next reference."""
+    from pagerank_hadoop_spark.operators.h264 import (
+        h264_encode_ipcm,
+        h264_encode_pskip,
+        mp4_decode_ipcm_frames,
+    )
+
+    rng = np.random.default_rng(21)
+    y0 = rng.integers(0, 256, (16, 32)).astype(np.uint8)
+    cbcr = rng.integers(0, 256, (8, 16)).astype(np.uint8)
+    shift = {(x, 0): ("mv", 16, 0) for x in range(2)}  # +4 pels right
+    nals = [
+        h264_encode_ipcm(y0, cbcr, cbcr),
+        h264_encode_pskip(2, 1, 1, shift),
+        h264_encode_pskip(2, 1, 2, shift),
+    ]
+    payload = mp4_mux_avc(nals, dims=(16, 32), max_ref=1)
+    frames = list(mp4_decode_ipcm_frames(payload))
+    assert len(frames) == 3
+    exp1 = _gather_clamped(y0, 4, 0, 32, 16)
+    assert (frames[1][1] == exp1).all()
+    exp2 = _gather_clamped(exp1, 4, 0, 32, 16)
+    assert (frames[2][1] == exp2).all()
+    # and the chroma double-shift (+2 chroma samples per frame)
+    expc = _gather_clamped(_gather_clamped(cbcr, 2, 0, 16, 8), 2, 0, 16, 8)
+    assert (frames[2][2] == expc).all()
