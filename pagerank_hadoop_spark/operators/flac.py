@@ -1514,6 +1514,88 @@ def flac_window_fingerprint(
     return media.mapInPandas(batches, FP_SCHEMA)
 
 
+PHASE_FP_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("phase", IntegerType()),
+        StructField("window_idx", IntegerType()),
+        StructField("fp", StringType()),
+        StructField("pcm_md5", StringType()),
+    ]
+)
+
+
+def flac_phase_fingerprints(
+    media: DataFrame,
+    window: int = 512,
+    cells: int = 64,
+    phase_step: int = 64,
+) -> DataFrame:
+    """PHASE-SWEPT window fingerprints for CONTAINMENT screening —
+    the :func:`flac_window_fingerprint` bit rule evaluated at every
+    start offset ``phase`` in range(0, window, phase_step), so a
+    SHORT clip embedded mid-file in a longer recording lines up with
+    the corpus's phase-0 windows at whichever phase cancels the
+    embed offset (corpus window ≡ clip window iff
+    (offset + phase) % window == 0). This is the side of the
+    asymmetry that makes the screen scale: the BENCHMARK clips — the
+    small side — pay the window/phase_step-fold sweep and broadcast;
+    the corpus is fingerprinted ONCE at phase 0 and never shuffles
+    PCM (the exact_substring_scrub ownership posture applied to
+    audio windows). ``phase_step`` is the recall/cost knob: the
+    screen catches embeds whose offset is a multiple of
+    gcd(phase_step, window); full recall = phase_step 1 at
+    window-fold clip-side cost, corpus cost unchanged. Bit rule,
+    integer arithmetic, and md5-CSV digest are IDENTICAL to the
+    phase-0 kernel (phase 0 here is bit-for-bit
+    flac_window_fingerprint), so the two sides join on equality."""
+    if window % cells:
+        raise ValueError(f"window {window} not divisible by cells {cells}")
+    if not 1 <= phase_step <= window:
+        raise ValueError(f"phase_step {phase_step} out of 1..{window}")
+    step = window // cells
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def fps(payload: bytes):
+            d = flac_decode(bytes(payload))
+            x = d["samples"][:, 0].tolist()
+            out = []
+            for phase in range(0, window, phase_step):
+                for wi in range((len(x) - phase) // window):
+                    w = x[phase + wi * window : phase + (wi + 1) * window]
+                    cell = [
+                        sum(v * v for v in w[g * step : (g + 1) * step])
+                        for g in range(cells)
+                    ]
+                    total = sum(cell)
+                    fp = "".join(
+                        "1" if cells * c > total else "0" for c in cell
+                    )
+                    out.append(
+                        (
+                            phase,
+                            wi,
+                            fp,
+                            hashlib.md5(
+                                ",".join(str(v) for v in w).encode()
+                            ).hexdigest(),
+                        )
+                    )
+            return out
+
+        for pdf in it:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                for phase, wi, fp, md in fps(payload):
+                    rows.append((int(mid), phase, wi, fp, md))
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "phase", "window_idx", "fp", "pcm_md5"],
+            )
+
+    return media.mapInPandas(batches, PHASE_FP_SCHEMA)
+
+
 def flac_decode_frame_at(payload: bytes, point_idx: int) -> dict:
     """RANDOM-ACCESS decode: reconstruct exactly ONE frame via the
     SEEKTABLE, without touching any other frame's bytes — the media

@@ -16339,3 +16339,172 @@ def q_media_mp4_pmv(spark: SparkSession, sf_dir: str) -> DataFrame:
         _mp4_pmv_fixture(spark), F.col("payload"), media_type="video/mp4"
     )
     return mp4_frame_stats(media).orderBy("media_id", "frame_idx")
+
+
+def _audio_containment_fixture(spark: SparkSession):
+    """Corpus of 120 mono FLAC recordings (PCM x[i] =
+    ((17+2*(k%11))*i + 5k) % 2000 - 1000, total = 512*(2+k%3)+k%9)
+    plus 30 short benchmark clips: clips 0..23 are EXCERPTS of
+    corpus file k0 = 3*(b%38)+2 (always a >= 2048-sample file)
+    starting at offset o = 64*(1 + b%6) — on the 64-sample phase
+    grid but NEVER window-aligned (o < 512, o % 512 != 0), so a
+    whole-file fingerprint join or an index-aligned window join
+    provably misses every plant — of length 1024 + 64*(b%5); clips
+    with b % 4 == 0 are additionally RE-MASTERED (+1 on clip sample
+    600, inside the aligned window), so their exact-verify md5 fails
+    while the energy fingerprint still matches. Clips 24..29 are
+    DECOYS (synthetic PCM (29i+11b)%1800-900 in no corpus file).
+    Returns (corpus_df(media_id, payload), clips_df(media_id,
+    payload)); clip ids ride at 1000+b."""
+    import numpy as np
+
+    from pagerank_hadoop_spark.operators.flac import flac_encode
+
+    def corpus_pcm(k: int):
+        total = 512 * (2 + k % 3) + k % 9
+        i = np.arange(total, dtype=np.int64)
+        return ((17 + 2 * (k % 11)) * i + 5 * k) % 2000 - 1000
+
+    def clip_pcm(b: int):
+        if b >= 24:  # decoy
+            i = np.arange(1024, dtype=np.int64)
+            return (29 * i + 11 * b) % 1800 - 900
+        k0 = 3 * (b % 38) + 2
+        o = 64 * (1 + b % 6)
+        x = corpus_pcm(k0)[o : o + 1024 + 64 * (b % 5)].copy()
+        if b % 4 == 0:
+            x[600] += 1
+        return x
+
+    def enc(x, k: int) -> bytearray:
+        return bytearray(
+            flac_encode(
+                x[:, None], 8000 + k, 16, block_size=256,
+                fixed_order=k % 5, partition_order=k % 3,
+            )
+        )
+
+    corpus = spark.createDataFrame(
+        [(k, enc(corpus_pcm(k), k)) for k in range(120)],
+        "media_id long, payload binary",
+    )
+    clips = spark.createDataFrame(
+        [(1000 + b, enc(clip_pcm(b), b)) for b in range(30)],
+        "media_id long, payload binary",
+    )
+    return corpus, clips
+
+
+@register(
+    "audio_containment_screen",
+    """
+WITH corp_g AS (
+  SELECT range AS key, 512 * (2 + range % 3) + range % 9 AS total FROM range(0, 120)),
+corp_x AS MATERIALIZED (
+  SELECT key, total,
+    list_transform(range(0, total), i ->
+      ((17 + 2 * (key % 11)) * i + 5 * key) % 2000 - 1000) AS x
+  FROM corp_g),
+clip_g AS (
+  SELECT 1000 + range AS bid, range AS b,
+         CASE WHEN range < 24 THEN 3 * (range % 38) + 2 ELSE -1 END AS k0,
+         CASE WHEN range < 24 THEN 64 * (1 + range % 6) ELSE 0 END AS o,
+         CASE WHEN range < 24 THEN 1024 + 64 * (range % 5) ELSE 1024 END AS len
+  FROM range(0, 30)),
+clip_x AS MATERIALIZED (
+  SELECT bid, len,
+    list_transform(range(0, len), j ->
+      CASE WHEN k0 < 0 THEN (29 * j + 11 * b) % 1800 - 900
+           ELSE ((17 + 2 * (k0 % 11)) * (o + j) + 5 * k0) % 2000 - 1000
+                + CASE WHEN b % 4 = 0 AND j = 600 THEN 1 ELSE 0 END END) AS x
+  FROM clip_g),
+corp_w AS (
+  SELECT key, unnest(range(0, total // 512)) AS wi, x FROM corp_x),
+corp_fp AS MATERIALIZED (
+  SELECT key, wi,
+    array_to_string(list_transform(range(0, 64), g ->
+      CASE WHEN 64 * list_sum(list_transform(range(0, 8),
+             j -> x[wi * 512 + g * 8 + j + 1] * x[wi * 512 + g * 8 + j + 1]))
+           > list_sum(list_transform(range(0, 512),
+             j -> x[wi * 512 + j + 1] * x[wi * 512 + j + 1]))
+           THEN 1 ELSE 0 END), '') AS fp,
+    md5(array_to_string(list_transform(range(0, 512),
+      j -> x[wi * 512 + j + 1]), ',')) AS pcm_md5
+  FROM corp_w),
+clip_pw AS (
+  SELECT bid, x, unnest(range(0, 8)) * 64 AS p, len FROM clip_x),
+clip_w AS (
+  SELECT bid, x, p, unnest(range(0, (len - p) // 512)) AS wi FROM clip_pw),
+clip_fp AS MATERIALIZED (
+  SELECT bid, p, wi,
+    array_to_string(list_transform(range(0, 64), g ->
+      CASE WHEN 64 * list_sum(list_transform(range(0, 8),
+             j -> x[p + wi * 512 + g * 8 + j + 1] * x[p + wi * 512 + g * 8 + j + 1]))
+           > list_sum(list_transform(range(0, 512),
+             j -> x[p + wi * 512 + j + 1] * x[p + wi * 512 + j + 1]))
+           THEN 1 ELSE 0 END), '') AS fp,
+    md5(array_to_string(list_transform(range(0, 512),
+      j -> x[p + wi * 512 + j + 1]), ',')) AS pcm_md5
+  FROM clip_w)
+SELECT CAST(c.bid AS BIGINT) AS bench_id,
+       CAST(f.key AS BIGINT) AS media_id,
+       CAST(count(*) AS BIGINT) AS n_matched,
+       CAST(sum(CASE WHEN f.pcm_md5 = c.pcm_md5 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_exact
+FROM corp_fp f JOIN clip_fp c ON f.fp = c.fp
+GROUP BY c.bid, f.key ORDER BY bench_id, media_id
+""",
+)
+def q_audio_containment_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5×E2 [r13]: CLIP-LEVEL audio containment screen — finds a
+    SHORT benchmark clip embedded MID-FILE in longer corpus
+    recordings, the leak shape the whole-file fingerprint join
+    (media_audio_fp_dedup) and the aligned-window screen
+    (media_contamination_screen) structurally cannot catch, because
+    an embed at offset o != 0 (mod window) lines no corpus window up
+    with any clip window. The fix is the exact_substring_scrub
+    posture applied to PCM: the CORPUS — the big side — is
+    fingerprinted ONCE at phase 0 (flac_window_fingerprint,
+    unchanged cost, never shuffles PCM); the CLIPS — the small
+    side — pay a PHASE SWEEP (flac_phase_fingerprints, all 8 offsets
+    on the 64-sample grid) and BROADCAST, so the corpus window at
+    the embed's alignment meets the clip window fingerprint that
+    cancels its offset. Matched pairs split into perceptual-only vs
+    byte-exact via the md5 second stage (re-mastered clips: fp
+    matches, md5 fails). The oracle replays both fingerprint sides
+    closed-form — plant offsets, phase enumeration, energy-cell bit
+    rule, md5-CSV — and the fixture pins negatives too: 6 decoy
+    clips surface zero rows. phase_step is the documented
+    recall/cost knob (catches embeds on the gcd(phase_step, window)
+    grid; full recall = phase_step 1, clip-side-only cost). 100 TB
+    shape: benchmark side small + broadcast, corpus-side cost flat
+    (operators/curation.py's screen asymmetry)."""
+    from pagerank_hadoop_spark.operators.flac import (
+        flac_phase_fingerprints,
+        flac_window_fingerprint,
+    )
+    from pagerank_hadoop_spark.operators.multimodal import attach_media
+
+    corpus, clips = _audio_containment_fixture(spark)
+    corpus_fp = flac_window_fingerprint(
+        attach_media(corpus, F.col("payload"), media_type="audio/flac")
+    )
+    clip_fp = flac_phase_fingerprints(
+        attach_media(clips, F.col("payload"), media_type="audio/flac"),
+        phase_step=64,
+    ).select(
+        F.col("media_id").alias("bench_id"),
+        F.col("fp"),
+        F.col("pcm_md5").alias("clip_md5"),
+    )
+    return (
+        corpus_fp.join(F.broadcast(clip_fp), "fp")
+        .groupBy("bench_id", "media_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_matched"),
+            F.sum(
+                (F.col("pcm_md5") == F.col("clip_md5")).cast("bigint")
+            ).alias("n_exact"),
+        )
+        .orderBy("bench_id", "media_id")
+    )

@@ -724,3 +724,74 @@ def test_seek_qa_matches_full_screen_on_stationary_defects(spark):
     for k in cases:
         assert sampled[k]["keep"] == full[k]["keep"] == (1 if k == 2 else 0)
         assert sampled[k]["n_probed"] == 128  # two 64-sample frames
+
+
+def test_flac_phase_fingerprints_alignment_and_phase0_identity(spark):
+    """r13: the phase-swept kernel. (1) phase 0 is bit-for-bit
+    flac_window_fingerprint; (2) the containment theorem: a clip
+    excerpted at offset o produces, at phase p = (-o) mod window,
+    EXACTLY the host's windows w >= ceil(o/window) — fp AND md5 —
+    while no index-aligned join (phase 0 vs phase 0) matches;
+    (3) phase_step validation raises."""
+    from pyspark.sql import functions as F
+
+    from pagerank_hadoop_spark.operators.flac import (
+        flac_phase_fingerprints,
+        flac_window_fingerprint,
+    )
+    from pagerank_hadoop_spark.operators.multimodal import attach_media
+
+    total = 512 * 4 + 3
+    i = np.arange(total, dtype=np.int64)
+    host = (31 * i + 11) % 2000 - 1000
+    o, length = 192, 512 * 2 + 64  # mid-file excerpt, not aligned
+    clip = host[o : o + length]
+    df = spark.createDataFrame(
+        [
+            (0, bytearray(flac_encode(host[:, None], 8000, 16,
+                                      block_size=256))),
+            (1, bytearray(flac_encode(clip[:, None], 8000, 16,
+                                      block_size=256))),
+        ],
+        "media_id long, payload binary",
+    )
+    media = attach_media(df, F.col("payload"), media_type="audio/flac")
+    swept = flac_phase_fingerprints(media, phase_step=64).collect()
+    plain = flac_window_fingerprint(media).collect()
+
+    # (1) phase-0 identity
+    p0 = sorted(
+        (r["media_id"], r["window_idx"], r["fp"], r["pcm_md5"])
+        for r in swept if r["phase"] == 0
+    )
+    pw = sorted(
+        (r["media_id"], r["window_idx"], r["fp"], r["pcm_md5"])
+        for r in plain
+    )
+    assert p0 == pw
+
+    # (2) alignment: clip phase (512 - 192) = 320 windows equal host
+    # windows 1.. (clip[320 + 512*j : ...] == host[512*(j+1) : ...])
+    host_rows = {
+        r["window_idx"]: r for r in swept
+        if r["media_id"] == 0 and r["phase"] == 0
+    }
+    clip_rows = {
+        r["window_idx"]: r for r in swept
+        if r["media_id"] == 1 and r["phase"] == 320
+    }
+    n_aligned = (length - 320) // 512
+    assert n_aligned == len(clip_rows) == 1
+    for j, r in clip_rows.items():
+        assert r["fp"] == host_rows[j + 1]["fp"]
+        assert r["pcm_md5"] == host_rows[j + 1]["pcm_md5"]
+    # ...and the index-aligned join misses: no clip phase-0 window
+    # shares bytes with any host window
+    clip_p0 = [r for r in swept if r["media_id"] == 1 and r["phase"] == 0]
+    host_md5s = {r["pcm_md5"] for r in host_rows.values()}
+    assert clip_p0 and all(r["pcm_md5"] not in host_md5s for r in clip_p0)
+
+    with pytest.raises(ValueError, match="phase_step"):
+        flac_phase_fingerprints(media, phase_step=0)
+    with pytest.raises(ValueError, match="divisible"):
+        flac_phase_fingerprints(media, window=500, cells=64)
