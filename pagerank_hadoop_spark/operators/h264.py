@@ -59,20 +59,24 @@ What is REAL here (pure stdlib + NumPy, no codec library):
   never crosses a slice boundary (§6.4.9) — the property that makes
   slices independently decodable, i.e. the stream shape real
   encoders emit for parallel decode (:func:`_h264_decode_picture`).
-- **P_L0_16x16 integer-pel motion compensation** (r13): the first
-  MV-CARRYING inter subset — exp-Golomb mvd_l0 parse, the full
-  §8.4.1.3 median motion-vector prediction (A/B/C neighbours with
-  the C→D substitution, the exactly-one-refIdx short-circuit, and
-  slice-scoped availability) shared verbatim between decoder and
-  encoder twin, §8.4.1.1 DERIVED skip vectors (skips after an MV
-  block inherit its motion — the pre-r13 zero-MV induction is now a
-  computed special case), clamped reference gathers (§8.4.2.2.1
-  Clip3 edge replication), and the §8.4.2.2.2 chroma BILINEAR at
-  eighth-sample positions (an integer luma vector with an odd pel
-  offset lands on a half chroma sample — eq 8-266 is a closed
-  formula, inside the decodable line). This decodes the
-  motion-shifted-duplicate shape video near-dup actually meets:
-  a global integer pan is one mvd + skips.
+- **Integer-pel motion compensation, 16x16 + 16x8 + 8x16
+  partitions** (r13): the MV-CARRYING inter subset — exp-Golomb
+  mvd_l0 parse, the full §8.4.1.3 motion-vector prediction at the
+  spec's 4x4-BLOCK granularity (:class:`_MotionCtx`: median with
+  C→D substitution and the exactly-one-refIdx short-circuit for
+  16x16; the DIRECTIONAL shortcuts for half-MB partitions — top
+  16x8 takes B, bottom takes A, left 8x16 takes A, right takes the
+  substituted C — whose B/A neighbours can be the OTHER half of the
+  same macroblock, which is why the context must be block-granular)
+  shared verbatim between decoder and encoder twin, §8.4.1.1
+  DERIVED skip vectors (skips after an MV block inherit its motion
+  — the pre-r13 zero-MV induction is now a computed special case),
+  clamped reference gathers (§8.4.2.2.1 Clip3 edge replication),
+  and the §8.4.2.2.2 chroma BILINEAR at eighth-sample positions (an
+  integer luma vector with an odd pel offset lands on a half chroma
+  sample — eq 8-266 is a closed formula, inside the decodable
+  line). This decodes the motion-shifted-duplicate shape video
+  near-dup actually meets: a global integer pan is one mvd + skips.
 What is honestly refused: AC/chroma residuals (I_16x16 mb_type >= 5
 and I_4x4 cbp != 0, i.e. CAVLC beyond the single-coefficient subset
 — the full Table 9-5 (62 codewords x 4 nC classes) cannot be
@@ -84,12 +88,13 @@ motion vectors (the §8.4.2.2.1 six-tap half-sample interpolator +
 quarter-sample averaging — refused so the interpolation wall stays
 intact and every decoded sample remains a closed-form gather),
 nonzero inter coded_block_pattern (Table 9-4's inter mapping AND
-the residual decoder), sub-MB partitions (P 16x8/8x16/8x8),
-multi-reference prediction (num_ref_idx_l0_active > 1 needs te(v)
-ref_idx and a real DPB), CABAC slices, B/SP/SI slices, FMO
+the residual decoder), P_8x8 sub-partitions (sub_mb_type parsing +
+per-sub-block motion), multi-reference prediction
+(num_ref_idx_l0_active > 1 needs te(v) ref_idx and a real DPB),
+CABAC slices, B/SP/SI slices, FMO
 — each raises a typed NotImplementedError naming the missing decoder
 stage, the same strict-mode contract as multimodal.decode_media.
-(Table 9-5 re-probed rounds 11–12, 2026-08-16: still no spec text,
+(Table 9-5 re-probed rounds 11–13, 2026-08-16: still no spec text,
 conformance vectors, or reference decoder anywhere in the container
 — that boundary unchanged.)
 
@@ -647,11 +652,14 @@ def h264_encode_pskip(
     macroblock with an explicit motion vector and no residual.
     ``intra_mbs``: {(mbx, mby): spec} where spec is any
     h264_encode_islice macroblock tuple ('pcm' / 'dc' / 'i16' /
-    'i4'), the r13 inter spec ('mv', mvx, mvy) — the whole-MB motion
-    vector in QUARTER-PEL units, written as mvd_l0 = mv - mvp with
-    the decoder-identical §8.4.1.3 median prediction, cbp 0 — or a
-    bare (y16, cb8, cr8) plane triple, accepted as I_PCM shorthand
-    (the pre-r12 calling convention). A sub-pel 'mv' spec (component
+    'i4'), an r13 inter spec — ('mv', mvx, mvy) for a whole-MB
+    vector, ('mv16x8', (x0,y0), (x1,y1)) for top/bottom halves, or
+    ('mv8x16', (x0,y0), (x1,y1)) for left/right halves, all in
+    QUARTER-PEL units, each written as mvd_l0 = mv - mvp with the
+    decoder-identical §8.4.1.3 prediction (directional shortcut for
+    the half-MB shapes), cbp 0 — or a bare (y16, cb8, cr8) plane
+    triple, accepted as I_PCM shorthand (the pre-r12 calling
+    convention). A sub-pel 'mv' spec (component
     & 3 != 0) is written as requested but produces a stream OUTSIDE
     the decodable subset (the decoder's typed six-tap refusal — the
     tests pin exactly that). NOTE: macroblocks skipped AFTER an 'mv'
@@ -688,13 +696,15 @@ def h264_encode_pskip(
     count = (
         width_mbs * height_mbs - first_mb if n_mbs is None else n_mbs
     )  # slice extent: [first_mb, first_mb + count) in raster order
-    motion: dict = {}  # decoder-mirrored slice motion context
+    ctx = _MotionCtx(width_mbs, height_mbs)  # decoder-mirrored
     for mbi in range(first_mb, first_mb + count):
         mby, mbx = divmod(mbi, width_mbs)
         if (mbx, mby) not in intra_mbs:
             # the DERIVED skip vector enters the motion context the
             # encoder shares with the decoder's mvp computation
-            motion[mbi] = _skip_mv(motion, width_mbs, mbx, mby)
+            ctx.set_inter(
+                mbx * 4, mby * 4, 4, 4, ctx.skip_mv(mbx, mby)
+            )
             run += 1
             continue
         wr.ue(run)  # mb_skip_run before this coded macroblock
@@ -702,17 +712,28 @@ def h264_encode_pskip(
         mb = intra_mbs[(mbx, mby)]
         if not isinstance(mb[0], str):
             mb = ("pcm", mb)  # legacy bare plane triple
-        if mb[0] == "mv":
-            _, mvx, mvy = mb
-            mvp = _mv_pred_16x16(motion, width_mbs, mbx, mby)
-            wr.ue(0)  # mb_type P_L0_16x16 (ref_idx inferred 0)
-            wr.se(mvx - mvp[0])  # mvd_l0 x
-            wr.se(mvy - mvp[1])  # mvd_l0 y
+        if mb[0] in ("mv", "mv16x8", "mv8x16"):
+            mb_type = {"mv": 0, "mv16x8": 1, "mv8x16": 2}[mb[0]]
+            parts = _P_PARTS[mb_type]
+            mvs = [mb[1:]] if mb[0] == "mv" else list(mb[1:])
+            if len(mvs) != len(parts):
+                raise ValueError(
+                    f"{mb[0]} spec needs {len(parts)} vectors"
+                )
+            wr.ue(mb_type)  # (ref_idx inferred 0: one active ref)
+            # derive-and-write in partIdx order, exactly like the
+            # decoder: partition 1's mvp reads partition 0's vector
+            for pi, (ox, oy, pw, ph) in enumerate(parts):
+                bx, by = mbx * 4 + ox, mby * 4 + oy
+                mvx, mvy = mvs[pi]
+                mvp = ctx.pred(bx, by, pw, ph, pi)
+                wr.se(mvx - mvp[0])  # mvd_l0 x
+                wr.se(mvy - mvp[1])  # mvd_l0 y
+                ctx.set_inter(bx, by, pw, ph, (mvx, mvy))
             wr.ue(0)  # coded_block_pattern 0 (Table 9-4 inter)
-            motion[mbi] = (mvx, mvy)
         else:
             _write_intra_mb(wr, mb, mbx, mby, mode4x4, type_offset=5)
-            motion[mbi] = "I"
+            ctx.set_intra_mb(mbx, mby)
     if run:
         wr.ue(run)  # trailing skip run to the end of the slice
     return _nal(0 if disposable else 2, 1, wr.rbsp_trailing())
@@ -1832,68 +1853,122 @@ def _parse_slice_header(nal: bytes, sps: dict, pps: dict) -> dict:
     }
 
 
-def _mv_neighbour(motion: dict, wmb: int, mbx: int, mby: int, dx: int, dy: int):
-    """(refIdxL0N, mvL0N) of the neighbour macroblock at
-    (mbx+dx, mby+dy) for §8.4.1.3's prediction inputs, or None when
-    mbAddrN itself is UNAVAILABLE (outside the picture, in another
-    slice, or not yet decoded — ``motion`` holds only the current
-    slice's decoded prefix, so one lookup covers all three). An
-    available INTRA neighbour contributes refIdx -1 / mv (0,0)
-    (§8.4.1.3.2 step 2); every inter macroblock in this subset has
-    refIdx 0."""
-    nx, ny = mbx + dx, mby + dy
-    if nx < 0 or ny < 0 or nx >= wmb:
-        return None
-    info = motion.get(ny * wmb + nx)
-    if info is None:
-        return None
-    if info == "I":
-        return (-1, (0, 0))
-    return (0, info)
+class _MotionCtx:
+    """Slice-scoped §8.4 motion context at the spec's 4x4-block
+    granularity (6.4.11.7 neighbouring-partition derivation): every
+    decoded inter partition writes its vector into its blocks, intra
+    macroblocks mark theirs refIdx -1, and blocks of another slice
+    (or not yet decoded — raster order makes one state serve both)
+    read UNAVAILABLE. Block granularity is what makes the 16x8/8x16
+    directional rules correct: a bottom 16x8 partition's B neighbour
+    is the TOP partition of the SAME macroblock, which an
+    MB-granular map cannot represent. Shared verbatim by the decoder
+    and the encoder twin (which needs the identical prediction to
+    emit mvd = mv - mvp)."""
+
+    def __init__(self, wmb: int, hmb: int):
+        import numpy as np
+
+        self.w, self.h = wmb * 4, hmb * 4
+        # -2 unavailable/undecoded, -1 intra, 0 inter with refIdx 0
+        self.state = np.full((self.h, self.w), -2, dtype=np.int8)
+        self.mvx = np.zeros((self.h, self.w), dtype=np.int32)
+        self.mvy = np.zeros((self.h, self.w), dtype=np.int32)
+
+    def set_inter(self, bx: int, by: int, pw: int, ph: int, mv) -> None:
+        self.state[by : by + ph, bx : bx + pw] = 0
+        self.mvx[by : by + ph, bx : bx + pw] = mv[0]
+        self.mvy[by : by + ph, bx : bx + pw] = mv[1]
+
+    def set_intra_mb(self, mbx: int, mby: int) -> None:
+        self.state[mby * 4 : mby * 4 + 4, mbx * 4 : mbx * 4 + 4] = -1
+
+    def nbr(self, bx: int, by: int):
+        """(refIdxL0N, mvL0N) of the 4x4 block at (bx, by), or None
+        when the block itself is UNAVAILABLE (outside the picture,
+        in another slice, or not yet decoded). An available INTRA
+        block contributes refIdx -1 / mv (0,0) (§8.4.1.3.2 step 2);
+        every inter block in this subset has refIdx 0."""
+        if bx < 0 or by < 0 or bx >= self.w or by >= self.h:
+            return None
+        s = int(self.state[by, bx])
+        if s == -2:
+            return None
+        if s == -1:
+            return (-1, (0, 0))
+        return (0, (int(self.mvx[by, bx]), int(self.mvy[by, bx])))
+
+    def _median(self, bx: int, by: int, pw: int):
+        """§8.4.1.3.2 median prediction for the partition whose
+        top-left 4x4 block is (bx, by) and width is pw blocks: C
+        falls back to D when unavailable (§8.4.1.3.1); if B and the
+        substituted C are both unavailable and A is available the
+        prediction is mvA; if exactly one neighbour references the
+        same picture (refIdx 0) the prediction is its vector;
+        otherwise the componentwise median."""
+        a = self.nbr(bx - 1, by)
+        b = self.nbr(bx, by - 1)
+        c = self.nbr(bx + pw, by - 1)
+        if c is None:
+            c = self.nbr(bx - 1, by - 1)
+        if b is None and c is None and a is not None:
+            return a[1]
+        trip = [n if n is not None else (-1, (0, 0)) for n in (a, b, c)]
+        same_ref = [n[1] for n in trip if n[0] == 0]
+        if len(same_ref) == 1:
+            return same_ref[0]
+        xs = sorted(n[1][0] for n in trip)
+        ys = sorted(n[1][1] for n in trip)
+        return (xs[1], ys[1])
+
+    def pred(self, bx: int, by: int, pw: int, ph: int, part_idx: int):
+        """§8.4.1.3 luma MV prediction. 16x16 partitions take the
+        median; 16x8 and 8x16 partitions first try the DIRECTIONAL
+        shortcut — top 16x8 takes B's vector, bottom takes A's, left
+        8x16 takes A's, right takes (D-substituted) C's, each only
+        when that neighbour references the same picture — and fall
+        back to the median otherwise. All closed formulas."""
+        if (pw, ph) == (4, 2):  # 16x8
+            n = self.nbr(bx, by - 1) if part_idx == 0 else self.nbr(bx - 1, by)
+            if n is not None and n[0] == 0:
+                return n[1]
+        elif (pw, ph) == (2, 4):  # 8x16
+            if part_idx == 0:
+                n = self.nbr(bx - 1, by)
+            else:
+                n = self.nbr(bx + pw, by - 1)
+                if n is None:
+                    n = self.nbr(bx - 1, by - 1)
+            if n is not None and n[0] == 0:
+                return n[1]
+        return self._median(bx, by, pw)
+
+    def skip_mv(self, mbx: int, mby: int):
+        """§8.4.1.1 P_Skip motion vector: zero when the left or top
+        neighbour block is unavailable or either is a zero-vector
+        refIdx-0 inter block, else the §8.4.1.3 median prediction.
+        In a slice containing no MV-carrying macroblocks this
+        provably returns (0,0) for every skip (the pre-r13
+        induction); once an MV block decodes, following skips
+        inherit its motion through the median — which is why skips
+        must DERIVE, not assume."""
+        bx, by = mbx * 4, mby * 4
+        a = self.nbr(bx - 1, by)
+        b = self.nbr(bx, by - 1)
+        if a is None or b is None:
+            return (0, 0)
+        if a == (0, (0, 0)) or b == (0, (0, 0)):
+            return (0, 0)
+        return self._median(bx, by, 4)
 
 
-def _mv_pred_16x16(motion: dict, wmb: int, mbx: int, mby: int):
-    """§8.4.1.3 luma motion-vector prediction for a whole-macroblock
-    (16x16, partIdx 0) partition with refIdxL0 = 0 — a CLOSED
-    formula over the A/B/C neighbour vectors: C falls back to D when
-    unavailable (§8.4.1.3.1); if B and (substituted) C are both
-    unavailable and A is available the prediction is mvA; if exactly
-    one neighbour references the same picture (refIdx 0) the
-    prediction is its vector; otherwise the componentwise median.
-    Shared verbatim by the decoder and the encoder twin (which needs
-    the identical prediction to emit mvd = mv - mvp)."""
-    a = _mv_neighbour(motion, wmb, mbx, mby, -1, 0)
-    b = _mv_neighbour(motion, wmb, mbx, mby, 0, -1)
-    c = _mv_neighbour(motion, wmb, mbx, mby, 1, -1)
-    if c is None:
-        c = _mv_neighbour(motion, wmb, mbx, mby, -1, -1)
-    if b is None and c is None and a is not None:
-        return a[1]
-    trip = [n if n is not None else (-1, (0, 0)) for n in (a, b, c)]
-    same_ref = [n[1] for n in trip if n[0] == 0]
-    if len(same_ref) == 1:
-        return same_ref[0]
-    xs = sorted(n[1][0] for n in trip)
-    ys = sorted(n[1][1] for n in trip)
-    return (xs[1], ys[1])
-
-
-def _skip_mv(motion: dict, wmb: int, mbx: int, mby: int):
-    """§8.4.1.1 P_Skip motion vector: zero when the left or top
-    neighbour macroblock is unavailable or either is a zero-vector
-    refIdx-0 inter block, else the §8.4.1.3 median prediction. In a
-    slice containing no MV-carrying macroblocks this provably
-    returns (0,0) for every skip (the pre-r13 induction); once a
-    P_L0_16x16 block decodes, following skips inherit its motion
-    through the median — which is why skips must DERIVE, not
-    assume."""
-    a = _mv_neighbour(motion, wmb, mbx, mby, -1, 0)
-    b = _mv_neighbour(motion, wmb, mbx, mby, 0, -1)
-    if a is None or b is None:
-        return (0, 0)
-    if a == (0, (0, 0)) or b == (0, (0, 0)):
-        return (0, 0)
-    return _mv_pred_16x16(motion, wmb, mbx, mby)
+# partition geometry per P mb_type: (block-x offset, block-y offset,
+# width, height) in 4x4-block units (Table 7-13 / §6.4.2.1)
+_P_PARTS = {
+    0: [(0, 0, 4, 4)],              # P_L0_16x16
+    1: [(0, 0, 4, 2), (0, 2, 4, 2)],  # P_L0_L0_16x8 (top, bottom)
+    2: [(0, 0, 2, 4), (2, 0, 2, 4)],  # P_L0_L0_8x16 (left, right)
+}
 
 
 def _mc_block(plane, x0: int, y0: int, w: int, h: int):
@@ -1908,10 +1983,11 @@ def _mc_block(plane, x0: int, y0: int, w: int, h: int):
     return plane[np.ix_(rows, cols)]
 
 
-def _mc_copy_16x16(ref, mbx: int, mby: int, mv, y, cb, cr) -> None:
-    """Whole-macroblock motion compensation at INTEGER luma
-    positions: the luma block is a clamped copy from the reference
-    picture at (mv>>2) samples; chroma reuses the same vector at
+def _mc_copy_rect(ref, x0: int, y0: int, w: int, h: int, mv, y, cb, cr) -> None:
+    """Partition motion compensation at INTEGER luma positions for
+    the luma rect (x0, y0, w, h) in samples: the luma block is a
+    clamped copy from the reference picture at (mv>>2) samples;
+    chroma (the half-resolution rect) reuses the same vector at
     eighth-chroma-sample resolution (§8.4.2.2.1: xFracC = mvx & 7 —
     an integer luma vector with an ODD sample offset lands on a HALF
     chroma sample), resolved by the §8.4.2.2.2 bilinear formula
@@ -1930,18 +2006,19 @@ def _mc_copy_16x16(ref, mbx: int, mby: int, mv, y, cb, cr) -> None:
             "interpolator (only integer-pel vectors decode)"
         )
     refy, refcb, refcr = ref
-    y[mby * 16 : mby * 16 + 16, mbx * 16 : mbx * 16 + 16] = _mc_block(
-        refy, mbx * 16 + (mvx >> 2), mby * 16 + (mvy >> 2), 16, 16
+    y[y0 : y0 + h, x0 : x0 + w] = _mc_block(
+        refy, x0 + (mvx >> 2), y0 + (mvy >> 2), w, h
     )
     cxi, cyi = mvx >> 3, mvy >> 3  # arithmetic shift, as the spec's >>
     cxf, cyf = mvx & 7, mvy & 7
+    cx0, cy0, cw, ch = x0 // 2, y0 // 2, w // 2, h // 2
     for plane, out in ((refcb, cb), (refcr, cr)):
         if cxf == 0 and cyf == 0:
-            blk = _mc_block(plane, mbx * 8 + cxi, mby * 8 + cyi, 8, 8)
+            blk = _mc_block(plane, cx0 + cxi, cy0 + cyi, cw, ch)
         else:
             quads = [
                 _mc_block(
-                    plane, mbx * 8 + cxi + qx, mby * 8 + cyi + qy, 8, 8
+                    plane, cx0 + cxi + qx, cy0 + cyi + qy, cw, ch
                 ).astype(np.int64)
                 for qy in (0, 1)
                 for qx in (0, 1)
@@ -1954,7 +2031,7 @@ def _mc_copy_16x16(ref, mbx: int, mby: int, mv, y, cb, cr) -> None:
                 + 32
             ) >> 6
             blk = blk.astype(np.uint8)
-        out[mby * 8 : mby * 8 + 8, mbx * 8 : mbx * 8 + 8] = blk
+        out[cy0 : cy0 + ch, cx0 : cx0 + cw] = blk
 
 
 def _decode_pskip_slice(
@@ -2002,9 +2079,9 @@ def _decode_pskip_slice(
     # never I_4x4, so its mode stays -1 (→ DC in §8.3.1.1 context)
     dec = np.zeros((hmb * 4, wmb * 4), dtype=bool)
     mode4x4 = np.full((hmb * 4, wmb * 4), -1, dtype=np.int64)
-    # slice-scoped motion context: mb addr -> "I" or (mvx, mvy) in
-    # quarter-pel units (refIdx always 0 — single-reference subset)
-    motion: dict = {}
+    # slice-scoped motion context at 4x4-block granularity (quarter-
+    # pel vectors, refIdx always 0 — single-reference subset)
+    ctx = _MotionCtx(wmb, hmb)
     has_mv = False  # no MV-carrying MB yet => every skip MV is (0,0)
     qp = slice_qp
     end = first_mb + count
@@ -2017,10 +2094,10 @@ def _decode_pskip_slice(
             )
         for mb in range(done, done + run):
             sy, sx = divmod(mb, wmb)
-            mv = _skip_mv(motion, wmb, sx, sy) if has_mv else (0, 0)
+            mv = ctx.skip_mv(sx, sy) if has_mv else (0, 0)
             if mv != (0, 0):
-                _mc_copy_16x16(ref, sx, sy, mv, y, cb, cr)
-            motion[mb] = mv
+                _mc_copy_rect(ref, sx * 16, sy * 16, 16, 16, mv, y, cb, cr)
+            ctx.set_inter(sx * 4, sy * 4, 4, 4, mv)
             dec[sy * 4 : sy * 4 + 4, sx * 4 : sx * 4 + 4] = True
         done += run
         if done == end:
@@ -2031,17 +2108,17 @@ def _decode_pskip_slice(
             qp = _decode_intra_mb(
                 r, mb_type - 5, mbx, mby, y, cb, cr, dec, mode4x4, qp
             )
-            motion[done] = "I"
-        elif mb_type == 0:  # P_L0_16x16
+            ctx.set_intra_mb(mbx, mby)
+        elif mb_type in _P_PARTS:  # P_L0_16x16 / 16x8 / 8x16
             if n_ref_l0 > 1:
                 raise NotImplementedError(
                     f"num_ref_idx_l0_active = {n_ref_l0} needs te(v) "
                     "ref_idx_l0 parsing and a multi-picture DPB "
                     "(single-reference subset)"
                 )
-            mvd = (r.se(), r.se())  # mvd_l0[0][0][0..1]
-            mvp = _mv_pred_16x16(motion, wmb, mbx, mby)
-            mv = (mvp[0] + mvd[0], mvp[1] + mvd[1])
+            parts = _P_PARTS[mb_type]
+            # mb_pred: every partition's mvd_l0 parses before cbp
+            mvds = [(r.se(), r.se()) for _ in parts]
             cbp_codenum = r.ue()  # coded_block_pattern, me(v)
             if cbp_codenum != 0:
                 # Table 9-4 inter column: codeNum 0 <-> cbp 0; any
@@ -2052,15 +2129,23 @@ def _decode_pskip_slice(
                     "needs Table 9-4's inter mapping and the AC "
                     "residual decoder (only cbp 0 decodes)"
                 )
-            # cbp 0: no mb_qp_delta, no residual — pure motion copy
-            _mc_copy_16x16(ref, mbx, mby, mv, y, cb, cr)
-            motion[done] = mv
+            # cbp 0: no mb_qp_delta, no residual — pure motion copy;
+            # partition 1's prediction reads partition 0's vector
+            # from the context, so derive-and-write in partIdx order
+            for pi, (ox, oy, pw, ph) in enumerate(parts):
+                bx, by = mbx * 4 + ox, mby * 4 + oy
+                mvp = ctx.pred(bx, by, pw, ph, pi)
+                mv = (mvp[0] + mvds[pi][0], mvp[1] + mvds[pi][1])
+                _mc_copy_rect(
+                    ref, bx * 4, by * 4, pw * 4, ph * 4, mv, y, cb, cr
+                )
+                ctx.set_inter(bx, by, pw, ph, mv)
             has_mv = True
             dec[mby * 4 : mby * 4 + 4, mbx * 4 : mbx * 4 + 4] = True
         else:
             raise NotImplementedError(
-                f"P macroblock type {mb_type} (16x8/8x16/8x8 "
-                "partitions) needs per-partition motion decoding"
+                f"P macroblock type {mb_type} (P_8x8 sub-partitions) "
+                "needs sub_mb_type parsing and per-sub-block motion"
             )
         done += 1
 

@@ -16508,3 +16508,224 @@ def q_audio_containment_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bench_id", "media_id")
     )
+
+
+def _mp4_pmv_parts_fixture(spark: SparkSession, n: int = 120) -> DataFrame:
+    """Driver-built MP4s for the r13 PARTITIONED motion subset: the
+    IDR (linear I_PCM planes) is followed by a P frame whose four
+    macroblocks exercise every decoded partition shape at once —
+    MB(0,0) is P_L0_L0_16x8 with distinct top/bottom vectors
+    (pT / pB; key%10==0 plants pT = (40,-40), the far-clamp case),
+    MB(1,0) is P_L0_L0_8x16 with distinct left/right vectors
+    (pL / pR), MB(0,1) is a whole-MB P_L0_16x16 (pA), and MB(1,1) is
+    SKIPPED — its §8.4.1.1 derived vector reads the BLOCK-granular
+    context: A = MB(0,1)'s vector, B = MB(1,0)'s LEFT half, D (C is
+    outside the picture) = MB(0,0)'s BOTTOM half, i.e. three values
+    an MB-granular motion map could not supply; pA and pL are
+    nonzero by construction (y-component >= 1) so the zero-forcing
+    rule never fires and the skip is the pure componentwise median.
+    Frame 2 is all-skip (fresh slice context -> zero vectors, exact
+    repeat). Vectors mix odd/even pels so the chroma bilinear and
+    integer paths both run. Encoder twins: h264_encode_pskip
+    ('mv16x8' / 'mv8x16' / 'mv' specs; per-partition
+    mvd = mv - mvp via the decoder-shared _MotionCtx)."""
+    import numpy as np
+
+    from pagerank_hadoop_spark.operators.h264 import (
+        h264_encode_ipcm,
+        h264_encode_pskip,
+        mp4_mux_avc,
+    )
+
+    rows = []
+    for key in range(n):
+        a = 20 + key % 60
+        u0 = 15 + key % 50
+        v0 = 9 + key % 40
+        pt = (40, -40) if key % 10 == 0 else (key % 5 - 2, key % 7 - 3)
+        pb = (key % 3 - 1, key % 9 - 4)
+        pl = (key % 7 - 3, 1 + key % 4)
+        pr = (key % 9 - 4, key % 3 - 1)
+        pa = (key % 5 - 2, 1 + key % 3)
+        y0 = np.fromfunction(
+            lambda r, c: a + 2 * c + 3 * r, (32, 32)
+        ).astype(np.uint8)
+        cb0 = np.fromfunction(
+            lambda r, c: u0 + c + r, (16, 16)
+        ).astype(np.uint8)
+        cr0 = np.fromfunction(
+            lambda r, c: v0 + c + r, (16, 16)
+        ).astype(np.uint8)
+
+        def q(p):
+            return (4 * p[0], 4 * p[1])
+
+        f1 = {
+            (0, 0): ("mv16x8", q(pt), q(pb)),
+            (1, 0): ("mv8x16", q(pl), q(pr)),
+            (0, 1): ("mv",) + q(pa),
+        }
+        nals = [
+            h264_encode_ipcm(y0, cb0, cr0),
+            h264_encode_pskip(2, 2, 1, f1),
+            h264_encode_pskip(2, 2, 2),  # all-skip repeat
+        ]
+        rows.append(
+            (key, bytearray(mp4_mux_avc(nals, dims=(32, 32), max_ref=1)))
+        )
+    return spark.createDataFrame(rows, "media_id long, payload binary")
+
+
+@register(
+    "media_mp4_pmv_parts",
+    """
+WITH f AS (
+  SELECT range AS key,
+         20 + range % 60 AS a, 15 + range % 50 AS u0, 9 + range % 40 AS v0,
+         CASE WHEN range % 10 = 0 THEN 40 ELSE range % 5 - 2 END AS tx,
+         CASE WHEN range % 10 = 0 THEN -40 ELSE range % 7 - 3 END AS ty,
+         range % 3 - 1 AS bx2, range % 9 - 4 AS by2,
+         range % 7 - 3 AS lx, 1 + range % 4 AS ly,
+         range % 9 - 4 AS rx, range % 3 - 1 AS ry,
+         range % 5 - 2 AS ax, 1 + range % 3 AS ay
+  FROM range(0, 120)),
+g AS (
+  SELECT *,
+    ax + lx + bx2 - GREATEST(ax, lx, bx2) - LEAST(ax, lx, bx2) AS sx,
+    ay + ly + by2 - GREATEST(ay, ly, by2) - LEAST(ay, ly, by2) AS sy
+  FROM f),
+p0 AS (
+  SELECT *,
+    list_transform(range(0, 1024), i -> a + 2 * (i % 32) + 3 * (i // 32)) AS y0,
+    list_transform(range(0, 256), i -> u0 + (i % 16) + (i // 16)) AS cb0,
+    list_transform(range(0, 256), i -> v0 + (i % 16) + (i // 16)) AS cr0
+  FROM g),
+vec1 AS (
+  SELECT *,
+    list_transform(range(0, 1024), i ->
+      CASE WHEN (i % 32) < 16 AND (i // 32) < 8 THEN tx
+           WHEN (i % 32) < 16 AND (i // 32) < 16 THEN bx2
+           WHEN (i % 32) >= 16 AND (i // 32) < 16 AND (i % 32) < 24 THEN lx
+           WHEN (i % 32) >= 16 AND (i // 32) < 16 THEN rx
+           WHEN (i % 32) < 16 THEN ax
+           ELSE sx END) AS ldx,
+    list_transform(range(0, 1024), i ->
+      CASE WHEN (i % 32) < 16 AND (i // 32) < 8 THEN ty
+           WHEN (i % 32) < 16 AND (i // 32) < 16 THEN by2
+           WHEN (i % 32) >= 16 AND (i // 32) < 16 AND (i % 32) < 24 THEN ly
+           WHEN (i % 32) >= 16 AND (i // 32) < 16 THEN ry
+           WHEN (i % 32) < 16 THEN ay
+           ELSE sy END) AS ldy,
+    list_transform(range(0, 256), i ->
+      CASE WHEN (i % 16) < 8 AND (i // 16) < 4 THEN tx
+           WHEN (i % 16) < 8 AND (i // 16) < 8 THEN bx2
+           WHEN (i % 16) >= 8 AND (i // 16) < 8 AND (i % 16) < 12 THEN lx
+           WHEN (i % 16) >= 8 AND (i // 16) < 8 THEN rx
+           WHEN (i % 16) < 8 THEN ax
+           ELSE sx END) AS cdx,
+    list_transform(range(0, 256), i ->
+      CASE WHEN (i % 16) < 8 AND (i // 16) < 4 THEN ty
+           WHEN (i % 16) < 8 AND (i // 16) < 8 THEN by2
+           WHEN (i % 16) >= 8 AND (i // 16) < 8 AND (i % 16) < 12 THEN ly
+           WHEN (i % 16) >= 8 AND (i // 16) < 8 THEN ry
+           WHEN (i % 16) < 8 THEN ay
+           ELSE sy END) AS cdy
+  FROM p0),
+vec2 AS (
+  SELECT *,
+    list_transform(cdx, v -> CAST(floor(v / 2.0) AS BIGINT)) AS cxi,
+    list_transform(cdy, v -> CAST(floor(v / 2.0) AS BIGINT)) AS cyi
+  FROM vec1),
+p1 AS (
+  SELECT *,
+    list_transform(range(0, 1024), i ->
+      list_extract(y0,
+        LEAST(31, GREATEST(0, (i // 32) + list_extract(ldy, i + 1))) * 32 +
+        LEAST(31, GREATEST(0, (i % 32) + list_extract(ldx, i + 1))) + 1)) AS y1,
+    list_transform(range(0, 256), i ->
+      ((8 - 4 * (list_extract(cdx, i + 1) - 2 * list_extract(cxi, i + 1)))
+         * (8 - 4 * (list_extract(cdy, i + 1) - 2 * list_extract(cyi, i + 1)))
+         * list_extract(cb0,
+             LEAST(15, GREATEST(0, (i // 16) + list_extract(cyi, i + 1))) * 16 +
+             LEAST(15, GREATEST(0, (i % 16) + list_extract(cxi, i + 1))) + 1)
+       + (4 * (list_extract(cdx, i + 1) - 2 * list_extract(cxi, i + 1)))
+         * (8 - 4 * (list_extract(cdy, i + 1) - 2 * list_extract(cyi, i + 1)))
+         * list_extract(cb0,
+             LEAST(15, GREATEST(0, (i // 16) + list_extract(cyi, i + 1))) * 16 +
+             LEAST(15, GREATEST(0, (i % 16) + list_extract(cxi, i + 1) + 1)) + 1)
+       + (8 - 4 * (list_extract(cdx, i + 1) - 2 * list_extract(cxi, i + 1)))
+         * (4 * (list_extract(cdy, i + 1) - 2 * list_extract(cyi, i + 1)))
+         * list_extract(cb0,
+             LEAST(15, GREATEST(0, (i // 16) + list_extract(cyi, i + 1) + 1)) * 16 +
+             LEAST(15, GREATEST(0, (i % 16) + list_extract(cxi, i + 1))) + 1)
+       + (4 * (list_extract(cdx, i + 1) - 2 * list_extract(cxi, i + 1)))
+         * (4 * (list_extract(cdy, i + 1) - 2 * list_extract(cyi, i + 1)))
+         * list_extract(cb0,
+             LEAST(15, GREATEST(0, (i // 16) + list_extract(cyi, i + 1) + 1)) * 16 +
+             LEAST(15, GREATEST(0, (i % 16) + list_extract(cxi, i + 1) + 1)) + 1)
+       + 32) // 64) AS cb1,
+    list_transform(range(0, 256), i ->
+      ((8 - 4 * (list_extract(cdx, i + 1) - 2 * list_extract(cxi, i + 1)))
+         * (8 - 4 * (list_extract(cdy, i + 1) - 2 * list_extract(cyi, i + 1)))
+         * list_extract(cr0,
+             LEAST(15, GREATEST(0, (i // 16) + list_extract(cyi, i + 1))) * 16 +
+             LEAST(15, GREATEST(0, (i % 16) + list_extract(cxi, i + 1))) + 1)
+       + (4 * (list_extract(cdx, i + 1) - 2 * list_extract(cxi, i + 1)))
+         * (8 - 4 * (list_extract(cdy, i + 1) - 2 * list_extract(cyi, i + 1)))
+         * list_extract(cr0,
+             LEAST(15, GREATEST(0, (i // 16) + list_extract(cyi, i + 1))) * 16 +
+             LEAST(15, GREATEST(0, (i % 16) + list_extract(cxi, i + 1) + 1)) + 1)
+       + (8 - 4 * (list_extract(cdx, i + 1) - 2 * list_extract(cxi, i + 1)))
+         * (4 * (list_extract(cdy, i + 1) - 2 * list_extract(cyi, i + 1)))
+         * list_extract(cr0,
+             LEAST(15, GREATEST(0, (i // 16) + list_extract(cyi, i + 1) + 1)) * 16 +
+             LEAST(15, GREATEST(0, (i % 16) + list_extract(cxi, i + 1))) + 1)
+       + (4 * (list_extract(cdx, i + 1) - 2 * list_extract(cxi, i + 1)))
+         * (4 * (list_extract(cdy, i + 1) - 2 * list_extract(cyi, i + 1)))
+         * list_extract(cr0,
+             LEAST(15, GREATEST(0, (i // 16) + list_extract(cyi, i + 1) + 1)) * 16 +
+             LEAST(15, GREATEST(0, (i % 16) + list_extract(cxi, i + 1) + 1)) + 1)
+       + 32) // 64) AS cr1
+  FROM vec2),
+fr AS (SELECT *, unnest(range(0, 3)) AS fi FROM p1),
+v AS (
+  SELECT key, fi,
+    CASE WHEN fi = 0 THEN y0 ELSE y1 END AS yl,
+    CASE WHEN fi = 0 THEN cb0 ELSE cb1 END AS cbl,
+    CASE WHEN fi = 0 THEN cr0 ELSE cr1 END AS crl
+  FROM fr)
+SELECT CAST(key AS BIGINT) AS media_id,
+       CAST(fi AS BIGINT) AS frame_idx,
+       CAST(32 AS INTEGER) AS width, CAST(32 AS INTEGER) AS height,
+       CAST(list_sum(yl) AS BIGINT) AS y_sum,
+       CAST(list_sum(cbl) AS BIGINT) AS cb_sum,
+       CAST(list_sum(crl) AS BIGINT) AS cr_sum,
+       md5(array_to_string(yl, ',')) AS y_md5
+FROM v ORDER BY media_id, frame_idx
+""",
+)
+def q_media_mp4_pmv_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5 [r13]: PARTITIONED inter decode — P_L0_L0_16x8 and
+    P_L0_L0_8x16 macroblocks with per-partition integer vectors,
+    which forces motion tracking down to the spec's 4x4-BLOCK
+    granularity (operators/h264.py::_MotionCtx): the §8.4.1.3
+    DIRECTIONAL prediction shortcuts (top 16x8 takes B, bottom takes
+    A, left 8x16 takes A, right takes the D-substituted C) are
+    exercised by the encoder/decoder mvd round trip, and the skipped
+    MB(1,1) derives its vector from three DIFFERENT half-MB vectors
+    (left MB's whole vector, above MB's left half, diagonal MB's
+    bottom half) — a median an MB-granular context cannot compute.
+    The oracle replays the per-half-MB clamped gathers, the exact
+    median arithmetic, the chroma bilinear, and the all-skip repeat
+    closed-form in SQL, so a wrong directional rule, a partition
+    geometry slip, or a block-granularity shortcut reddens y_md5 on
+    360 rows. Spec: ISO/IEC 14496-10 §8.4.1.3/§6.4.11.7; extends
+    media_mp4_pmv (r13); P_8x8 sub-partitions stay refused."""
+    from pagerank_hadoop_spark.operators.h264 import mp4_frame_stats
+    from pagerank_hadoop_spark.operators.multimodal import attach_media
+
+    media = attach_media(
+        _mp4_pmv_parts_fixture(spark), F.col("payload"),
+        media_type="video/mp4",
+    )
+    return mp4_frame_stats(media).orderBy("media_id", "frame_idx")

@@ -228,11 +228,11 @@ def test_pskip_roundtrip_and_refusals():
         w.u(0, 8)  # filler so parsing has bits to chew
         return _nal(2, 1, w.rbsp_trailing())
 
-    # r13: mb_type 0 (P_L0_16x16) now DECODES (integer MVs); the
-    # refusal boundary moved to sub-MB partitions (1..4)
-    with pytest.raises(NotImplementedError, match="per-partition"):
-        h264_decode_ipcm_frame(p_slice_with(1), sps, pps, ref)
-    with pytest.raises(NotImplementedError, match="per-partition"):
+    # r13: mb_types 0..2 (16x16/16x8/8x16 partitions) now DECODE
+    # (integer MVs); the refusal boundary moved to P_8x8 (3..4)
+    with pytest.raises(NotImplementedError, match="sub_mb_type"):
+        h264_decode_ipcm_frame(p_slice_with(3), sps, pps, ref)
+    with pytest.raises(NotImplementedError, match="sub_mb_type"):
         h264_decode_ipcm_frame(p_slice_with(4), sps, pps, ref)
     # intra-in-P now decodes the predicted types; one carrying AC
     # residuals (intra type 18 = I_16x16 with cbp luma) still refuses
@@ -1777,40 +1777,109 @@ def _gather_clamped(plane, x0, y0, w, h):
     return np.take(rows, np.arange(x0, x0 + w), axis=1, mode="clip")
 
 
+def _ctx_with(wmb, hmb, entries):
+    """Build a _MotionCtx from {(mbx, mby): 'I' | (mvx, mvy)} at MB
+    granularity (test shorthand; partition tests write finer)."""
+    import pagerank_hadoop_spark.operators.h264 as H
+
+    ctx = H._MotionCtx(wmb, hmb)
+    for (mbx, mby), v in entries.items():
+        if v == "I":
+            ctx.set_intra_mb(mbx, mby)
+        else:
+            ctx.set_inter(mbx * 4, mby * 4, 4, 4, v)
+    return ctx
+
+
 def test_mv_prediction_rules_hand_computed():
     """§8.4.1.3 unit cases, each checked against a HAND-computed
     value (the encoder and decoder share this helper, so a shared
     round-trip alone could not catch a wrong formula)."""
-    import pagerank_hadoop_spark.operators.h264 as H
+    wmb, hmb = 3, 2
 
-    wmb = 3
+    def pred16(entries, mbx, mby):
+        return _ctx_with(wmb, hmb, entries).pred(mbx * 4, mby * 4, 4, 4, 0)
+
     # no neighbours at all: every input zeroed -> median (0,0)
-    assert H._mv_pred_16x16({}, wmb, 0, 0) == (0, 0)
+    assert pred16({}, 0, 0) == (0, 0)
     # rule 1: B and C unavailable, A available -> mvA verbatim
-    assert H._mv_pred_16x16({0: (8, 4)}, wmb, 1, 0) == (8, 4)
+    assert pred16({(0, 0): (8, 4)}, 1, 0) == (8, 4)
     # ...even when A is intra (rule 1 checks mbAddr availability;
     # the intra A contributes its zeroed vector)
-    assert H._mv_pred_16x16({0: "I"}, wmb, 1, 0) == (0, 0)
+    assert pred16({(0, 0): "I"}, 1, 0) == (0, 0)
     # rule 2: exactly one neighbour with refIdx 0 -> its vector
-    # MB (1,1): A=addr3 intra, B=addr1 inter, C=addr2 intra
-    m = {0: (99, 99), 1: (12, -8), 2: "I", 3: "I"}
-    assert H._mv_pred_16x16(m, wmb, 1, 1) == (12, -8)
+    # MB (1,1): A=(0,1) intra, B=(1,0) inter, C=(2,0) intra
+    m = {(0, 0): (99, 99), (1, 0): (12, -8), (2, 0): "I", (0, 1): "I"}
+    assert pred16(m, 1, 1) == (12, -8)
     # rule 3: median componentwise over three refIdx-0 neighbours
-    m = {0: (99, 99), 1: (8, 4), 2: (16, -4), 3: (4, 0)}
-    assert H._mv_pred_16x16(m, wmb, 1, 1) == (8, 0)
+    m = {(0, 0): (99, 99), (1, 0): (8, 4), (2, 0): (16, -4), (0, 1): (4, 0)}
+    assert pred16(m, 1, 1) == (8, 0)
     # C geometric fallback to D: MB (2,1) has mbx+1 == wmb, so C is
-    # replaced by D=addr1; A=addr5, B=addr2
-    m = {1: (20, 8), 2: (8, 4), 5: (4, 0)}
-    assert H._mv_pred_16x16(m, wmb, 2, 1) == (8, 4)
+    # replaced by D=(1,0); A=(1,1)? no — A=(1,1) not set; use below:
+    m = {(1, 0): (20, 8), (2, 0): (8, 4), (1, 1): (4, 0)}
+    assert pred16(m, 2, 1) == (8, 4)
+
+    def skip(entries, mbx, mby):
+        return _ctx_with(wmb, hmb, entries).skip_mv(mbx, mby)
+
     # skip derivation: unavailable A or B forces zero
-    assert H._skip_mv({}, wmb, 1, 1) == (0, 0)  # neither decoded
-    assert H._skip_mv({1: (4, 4)}, wmb, 1, 1) == (0, 0)  # A missing
+    assert skip({}, 1, 1) == (0, 0)  # neither decoded
+    assert skip({(1, 0): (4, 4)}, 1, 1) == (0, 0)  # A missing
     # zero-vector refIdx-0 A forces zero even with a moving B
-    assert H._skip_mv({1: (4, 4), 3: (0, 0)}, wmb, 1, 1) == (0, 0)
+    assert skip({(1, 0): (4, 4), (0, 1): (0, 0)}, 1, 1) == (0, 0)
     # intra A does NOT force zero (refIdx -1): proceeds to median
-    # A=addr3 intra, B=addr1 (4,8), C=addr2 (12,16):
+    # A=(0,1) intra, B=(1,0) (4,8), C=(2,0) (12,16):
     # two refIdx-0 matches -> median((0,0),(4,8),(12,16)) = (4,8)
-    assert H._skip_mv({1: (4, 8), 2: (12, 16), 3: "I"}, wmb, 1, 1) == (4, 8)
+    assert skip(
+        {(1, 0): (4, 8), (2, 0): (12, 16), (0, 1): "I"}, 1, 1
+    ) == (4, 8)
+
+
+def test_mv_prediction_directional_rules_hand_computed():
+    """r13: the §8.4.1.3 DIRECTIONAL shortcuts for half-MB
+    partitions, hand-computed — including the case an MB-granular
+    motion map cannot represent (a bottom 16x8 partition whose B
+    neighbour is the TOP partition of the SAME macroblock)."""
+    import pagerank_hadoop_spark.operators.h264 as H
+
+    wmb, hmb = 3, 2
+    # 16x8 top partition takes B (the above MB's bottom row)
+    ctx = _ctx_with(wmb, hmb, {(1, 0): (12, 4), (0, 1): (40, 40)})
+    assert ctx.pred(4, 4, 4, 2, 0) == (12, 4)  # MB (1,1) top half
+    # ...but falls to median when B is intra
+    ctx = _ctx_with(
+        wmb, hmb, {(1, 0): "I", (0, 1): (40, 40), (2, 0): (8, 0)}
+    )
+    # A=(40,40) r0, B intra(0,0) r-1, C=(2,0)->(8,0) r0: two matches
+    # -> median((40,40),(0,0),(8,0)) = (8,0)
+    assert ctx.pred(4, 4, 4, 2, 0) == (8, 0)
+    # 16x8 bottom partition takes A; and with A present the SAME-MB
+    # top partition is its B — the block-granular case
+    ctx = _ctx_with(wmb, hmb, {(0, 1): (-8, 12), (1, 0): (1, 1)})
+    ctx.set_inter(4, 4, 4, 2, (99, 99))  # top half of MB (1,1)
+    assert ctx.pred(4, 6, 4, 2, 1) == (-8, 12)  # directional A
+    # bottom 16x8 with INTRA A -> median reads the same-MB top half
+    ctx = _ctx_with(wmb, hmb, {(0, 1): "I"})
+    ctx.set_inter(4, 4, 4, 2, (16, -4))
+    # A intra (0,0) r-1, B=(99?) no: B=(4,5)=top half (16,-4) r0,
+    # C=(8,5) undecoded -> D=(3,5) left MB (intra, r-1):
+    # exactly one refIdx-0 -> (16,-4)
+    assert ctx.pred(4, 6, 4, 2, 1) == (16, -4)
+    # 8x16 left partition takes A
+    ctx = _ctx_with(wmb, hmb, {(0, 1): (20, 0), (1, 0): (1, 1)})
+    assert ctx.pred(4, 4, 2, 4, 0) == (20, 0)
+    # 8x16 right partition takes C (above-right MB's bottom row)
+    ctx = _ctx_with(
+        wmb, hmb, {(1, 0): (1, 1), (2, 0): (-4, 8), (0, 1): (2, 2)}
+    )
+    ctx.set_inter(4, 4, 2, 4, (50, 50))  # left half of MB (1,1)
+    assert ctx.pred(6, 4, 2, 4, 1) == (-4, 8)
+    # ...and C -> D substitution when above-right is unavailable:
+    # MB (2,1) right half: C would be (12,3) out of picture -> D =
+    # (9,3) inside MB (2,0)
+    ctx = _ctx_with(wmb, hmb, {(2, 0): (24, -8), (1, 1): (1, 1)})
+    ctx.set_inter(8, 4, 2, 4, (50, 50))  # left half of MB (2,1)
+    assert ctx.pred(10, 4, 2, 4, 1) == (24, -8)
 
 
 def test_pmv_integer_motion_roundtrip_luma_and_chroma():
@@ -2016,3 +2085,81 @@ def test_pmv_accumulates_across_frames_in_mp4():
     # and the chroma double-shift (+2 chroma samples per frame)
     expc = _gather_clamped(_gather_clamped(cbcr, 2, 0, 16, 8), 2, 0, 16, 8)
     assert (frames[2][2] == expc).all()
+
+
+def test_pmv_partition_roundtrip_16x8_8x16():
+    """r13: encode-decode round trip for 16x8 and 8x16 partitioned
+    motion, verified against the INDEPENDENT clamped-gather model —
+    each half-MB shifts by its own vector (luma rects 16x8 / 8x16,
+    chroma rects 8x4 / 4x8, bilinear on odd pels), and a trailing
+    SKIP derives its vector from the partitioned neighbours via the
+    16x16 median over the 4x4-block context."""
+    import pagerank_hadoop_spark.operators.h264 as H
+    from pagerank_hadoop_spark.operators.h264 import h264_encode_pskip
+
+    rng = np.random.default_rng(31)
+    wmb, hmb = 3, 2
+    y0 = rng.integers(0, 256, (hmb * 16, wmb * 16)).astype(np.uint8)
+    cb0 = rng.integers(0, 256, (hmb * 8, wmb * 8)).astype(np.uint8)
+    cr0 = rng.integers(0, 256, (hmb * 8, wmb * 8)).astype(np.uint8)
+    sps = h264_parse_sps(h264_sps_rbsp(wmb, hmb, (0, 0, 0, 0), 1))
+    pps = h264_parse_pps(h264_pps_rbsp())
+
+    # MB(0,0): 16x8 with distinct top/bottom vectors (odd + even)
+    # MB(1,0): 8x16 with distinct left/right vectors (one negative)
+    # MB(2,0): whole-MB mv; MB(0,1): 16x8 again; MB(1,1)+(2,1): SKIP
+    specs = {
+        (0, 0): ("mv16x8", (12, 4), (8, -8)),    # pels (3,1) / (2,-2)
+        (1, 0): ("mv8x16", (-4, 12), (20, 0)),   # pels (-1,3) / (5,0)
+        (2, 0): ("mv", 8, 8),                    # pel (2,2)
+        (0, 1): ("mv16x8", (8, 8), (8, 8)),      # pel (2,2) both
+    }
+    nal = h264_encode_pskip(wmb, hmb, 1, specs)
+    y, cb, cr = H._h264_decode_picture([nal], sps, pps, (y0, cb0, cr0))
+
+    def check_luma(x0, yy0, w, h, dx, dy):
+        got = y[yy0 : yy0 + h, x0 : x0 + w]
+        exp = _gather_clamped(y0, x0 + dx, yy0 + dy, w, h)
+        assert (got == exp).all(), (x0, yy0, w, h, dx, dy)
+
+    def check_chroma(cx0, cy0, w, h, mvx, mvy):
+        cxi, cyi = mvx >> 3, mvy >> 3
+        cxf, cyf = mvx & 7, mvy & 7
+        for p0, pd in ((cb0, cb), (cr0, cr)):
+            quads = [
+                _gather_clamped(
+                    p0, cx0 + cxi + qx, cy0 + cyi + qy, w, h
+                ).astype(np.int64)
+                for qy in (0, 1) for qx in (0, 1)
+            ]
+            exp = (
+                (8 - cxf) * (8 - cyf) * quads[0]
+                + cxf * (8 - cyf) * quads[1]
+                + (8 - cxf) * cyf * quads[2]
+                + cxf * cyf * quads[3]
+                + 32
+            ) >> 6
+            got = pd[cy0 : cy0 + h, cx0 : cx0 + w]
+            assert (got == exp).all(), (cx0, cy0, mvx, mvy)
+
+    # MB(0,0) 16x8 halves
+    check_luma(0, 0, 16, 8, 3, 1)
+    check_luma(0, 8, 16, 8, 2, -2)
+    check_chroma(0, 0, 8, 4, 12, 4)
+    check_chroma(0, 4, 8, 4, 8, -8)
+    # MB(1,0) 8x16 halves
+    check_luma(16, 0, 8, 16, -1, 3)
+    check_luma(24, 0, 8, 16, 5, 0)
+    check_chroma(8, 0, 4, 8, -4, 12)
+    check_chroma(12, 0, 4, 8, 20, 0)
+    # MB(2,0) whole
+    check_luma(32, 0, 16, 16, 2, 2)
+    # MB(1,1) skip: A = MB(0,1) bottom-right block (8,8); B = MB(1,0)
+    # left-half bottom block (-4,12): neither zero -> median of
+    # A(8,8), B(-4,12), C=MB(2,0)(8,8) -> (8,8)
+    check_luma(16, 16, 16, 16, 2, 2)
+    check_chroma(8, 8, 8, 8, 8, 8)
+    # MB(2,1) skip: A = MB(1,1) skip (8,8); B = MB(2,0) (8,8); C out
+    # -> D = MB(1,0) right half (20,0): median((8,8),(8,8),(20,0))
+    # = (8,8)
+    check_luma(32, 16, 16, 16, 2, 2)
