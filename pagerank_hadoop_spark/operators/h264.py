@@ -654,11 +654,14 @@ def h264_encode_pskip(
     h264_encode_islice macroblock tuple ('pcm' / 'dc' / 'i16' /
     'i4'), an r13 inter spec — ('mv', mvx, mvy) for a whole-MB
     vector, ('mv16x8', (x0,y0), (x1,y1)) for top/bottom halves, or
-    ('mv8x16', (x0,y0), (x1,y1)) for left/right halves, all in
-    QUARTER-PEL units, each written as mvd_l0 = mv - mvp with the
-    decoder-identical §8.4.1.3 prediction (directional shortcut for
-    the half-MB shapes), cbp 0 — or a bare (y16, cb8, cr8) plane
-    triple, accepted as I_PCM shorthand (the pre-r12 calling
+    ('mv8x16', (x0,y0), (x1,y1)) for left/right halves, or
+    ('mv8x8', (sub_type, [vectors]), x4) for P_8x8 with one
+    Table 7-17 sub_mb_type (0 = 8x8 / 1 = 8x4 / 2 = 4x8 / 3 = 4x4)
+    and vector list per 8x8 sub-MB — all in QUARTER-PEL units, each
+    written as mvd_l0 = mv - mvp with the decoder-identical §8.4.1.3
+    prediction (directional shortcut for the half-MB shapes, pure
+    block-granular median below), cbp 0 — or a bare (y16, cb8, cr8)
+    plane triple, accepted as I_PCM shorthand (the pre-r12 calling
     convention). A sub-pel 'mv' spec (component
     & 3 != 0) is written as requested but produces a stream OUTSIDE
     the decodable subset (the decoder's typed six-tap refusal — the
@@ -731,6 +734,33 @@ def h264_encode_pskip(
                 wr.se(mvy - mvp[1])  # mvd_l0 y
                 ctx.set_inter(bx, by, pw, ph, (mvx, mvy))
             wr.ue(0)  # coded_block_pattern 0 (Table 9-4 inter)
+        elif mb[0] == "mv8x8":
+            # ('mv8x8', (sub_type, [vectors]) x 4): P_8x8 with one
+            # (sub_mb_type, per-sub-partition vector list) per 8x8
+            # sub-MB; sub_mb_pred writes all four sub_mb_types, then
+            # all mvds — derivation mirrors the decoder exactly
+            subs = list(mb[1:])
+            if len(subs) != 4:
+                raise ValueError("mv8x8 spec needs 4 sub-MB entries")
+            wr.ue(3)  # mb_type P_8x8
+            for st, vs in subs:
+                if len(vs) != len(_P8_SUBPARTS[st]):
+                    raise ValueError(
+                        f"sub_mb_type {st} needs "
+                        f"{len(_P8_SUBPARTS[st])} vectors"
+                    )
+                wr.ue(st)
+            for s, (st, vs) in enumerate(subs):
+                sx, sy = 2 * (s % 2), 2 * (s // 2)
+                for pi, (ox, oy, pw, ph) in enumerate(_P8_SUBPARTS[st]):
+                    bx = mbx * 4 + sx + ox
+                    by = mby * 4 + sy + oy
+                    mvx, mvy = vs[pi]
+                    mvp = ctx.pred(bx, by, pw, ph, pi)
+                    wr.se(mvx - mvp[0])
+                    wr.se(mvy - mvp[1])
+                    ctx.set_inter(bx, by, pw, ph, (mvx, mvy))
+            wr.ue(0)  # coded_block_pattern 0
         else:
             _write_intra_mb(wr, mb, mbx, mby, mode4x4, type_offset=5)
             ctx.set_intra_mb(mbx, mby)
@@ -1970,6 +2000,16 @@ _P_PARTS = {
     2: [(0, 0, 2, 4), (2, 0, 2, 4)],  # P_L0_L0_8x16 (left, right)
 }
 
+# sub-partition geometry per sub_mb_type inside one 8x8 sub-MB
+# (Table 7-17 / §6.4.2.2), offsets relative to the sub-MB corner
+_P8_SUBPARTS = {
+    0: [(0, 0, 2, 2)],                # P_L0_8x8
+    1: [(0, 0, 2, 1), (0, 1, 2, 1)],  # P_L0_8x4 (top, bottom)
+    2: [(0, 0, 1, 2), (1, 0, 1, 2)],  # P_L0_4x8 (left, right)
+    3: [(0, 0, 1, 1), (1, 0, 1, 1),   # P_L0_4x4 (raster)
+        (0, 1, 1, 1), (1, 1, 1, 1)],
+}
+
 
 def _mc_block(plane, x0: int, y0: int, w: int, h: int):
     """Clamped reference-sample gather (§8.4.2.2.1: every reference
@@ -2142,11 +2182,57 @@ def _decode_pskip_slice(
                 ctx.set_inter(bx, by, pw, ph, mv)
             has_mv = True
             dec[mby * 4 : mby * 4 + 4, mbx * 4 : mbx * 4 + 4] = True
-        else:
-            raise NotImplementedError(
-                f"P macroblock type {mb_type} (P_8x8 sub-partitions) "
-                "needs sub_mb_type parsing and per-sub-block motion"
-            )
+        elif mb_type in (3, 4):  # P_8x8 / P_8x8ref0
+            if n_ref_l0 > 1:
+                raise NotImplementedError(
+                    f"num_ref_idx_l0_active = {n_ref_l0} needs te(v) "
+                    "ref_idx_l0 parsing and a multi-picture DPB "
+                    "(single-reference subset)"
+                )
+            # sub_mb_pred (§7.3.5.2): four sub_mb_types, then — with
+            # one active reference — no ref_idx bits (P_8x8ref0
+            # never has them), then every sub-partition's mvd_l0
+            sub_types = [r.ue() for _ in range(4)]
+            if any(st > 3 for st in sub_types):
+                raise NotImplementedError(
+                    f"sub_mb_type {max(sub_types)} is a B-slice "
+                    "shape (P sub_mb_types are 0..3)"
+                )
+            mvds = [
+                [(r.se(), r.se()) for _ in _P8_SUBPARTS[st]]
+                for st in sub_types
+            ]
+            cbp_codenum = r.ue()
+            if cbp_codenum != 0:
+                raise NotImplementedError(
+                    f"inter coded_block_pattern codeNum {cbp_codenum} "
+                    "needs Table 9-4's inter mapping and the AC "
+                    "residual decoder (only cbp 0 decodes)"
+                )
+            # sub-MBs raster (2x2), sub-partitions in decode order;
+            # prediction is the pure §8.4.1.3 median (no directional
+            # shortcuts below 16x8/8x16) over the block context,
+            # which makes in-MB C-availability (a later block is
+            # undecoded) fall out of the state grid
+            for s, st in enumerate(sub_types):
+                sx, sy = 2 * (s % 2), 2 * (s // 2)
+                for pi, (ox, oy, pw, ph) in enumerate(_P8_SUBPARTS[st]):
+                    bx = mbx * 4 + sx + ox
+                    by = mby * 4 + sy + oy
+                    mvp = ctx.pred(bx, by, pw, ph, pi)
+                    mv = (
+                        mvp[0] + mvds[s][pi][0],
+                        mvp[1] + mvds[s][pi][1],
+                    )
+                    _mc_copy_rect(
+                        ref, bx * 4, by * 4, pw * 4, ph * 4, mv,
+                        y, cb, cr,
+                    )
+                    ctx.set_inter(bx, by, pw, ph, mv)
+            has_mv = True
+            dec[mby * 4 : mby * 4 + 4, mbx * 4 : mbx * 4 + 4] = True
+        # (mb_type 0..4 and >= 5 are exhaustive: Table 7-13's P range
+        # plus the intra offset — no other ue value parses here)
         done += 1
 
 

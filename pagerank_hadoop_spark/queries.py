@@ -16729,3 +16729,268 @@ def q_media_mp4_pmv_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         media_type="video/mp4",
     )
     return mp4_frame_stats(media).orderBy("media_id", "frame_idx")
+
+
+def _mp4_pmv_sub_fixture(spark: SparkSession, n: int = 120) -> DataFrame:
+    """Driver-built MP4s for the r13 P_8x8 SUB-PARTITION subset: the
+    IDR (linear I_PCM planes) is followed by a P frame whose MB(0,0)
+    is a single P_8x8 macroblock exercising ALL FOUR Table 7-17
+    sub_mb_types at once — sub-MB 0 one 8x8 vector w0, sub-MB 1 two
+    8x4 vectors w1/w2, sub-MB 2 two 4x8 vectors w3/w4 (key%10==0
+    plants w4 = (40,40), the far clamp through a quarter-MB rect),
+    sub-MB 3 four 4x4 vectors w5..w8 — nine mvd_l0 pairs whose
+    §8.4.1.3 median predictions read earlier sub-partitions through
+    the 4x4-block context (in-MB C availability falls out of decode
+    order). MB(1,0)/(0,1) carry whole-MB vectors pB/pA (nonzero
+    y-component by construction), and MB(1,1) is SKIPPED — its
+    derived vector medians pA (left MB), pB (above MB), and w8 (the
+    diagonal MB's LAST 4x4 sub-partition), a value only
+    block-granular tracking can supply. Frame 2 is all-skip (fresh
+    slice context, exact repeat). Encoder twins: h264_encode_pskip
+    ('mv8x8' spec: per-sub-MB (sub_mb_type, vectors))."""
+    import numpy as np
+
+    from pagerank_hadoop_spark.operators.h264 import (
+        h264_encode_ipcm,
+        h264_encode_pskip,
+        mp4_mux_avc,
+    )
+
+    rows = []
+    for key in range(n):
+        a = 20 + key % 60
+        u0 = 15 + key % 50
+        v0 = 9 + key % 40
+        w = [
+            ((key + 2 * i) % 7 - 3, (key + 3 * i) % 5 - 2)
+            for i in range(9)
+        ]
+        if key % 10 == 0:
+            w[4] = (40, 40)
+        pb = ((key + 19) % 7 - 3, 1 + (key + 1) % 4)
+        pa = (key % 5 - 2, 1 + key % 3)
+        y0 = np.fromfunction(
+            lambda r, c: a + 2 * c + 3 * r, (32, 32)
+        ).astype(np.uint8)
+        cb0 = np.fromfunction(
+            lambda r, c: u0 + c + r, (16, 16)
+        ).astype(np.uint8)
+        cr0 = np.fromfunction(
+            lambda r, c: v0 + c + r, (16, 16)
+        ).astype(np.uint8)
+
+        def q(p):
+            return (4 * p[0], 4 * p[1])
+
+        f1 = {
+            (0, 0): (
+                "mv8x8",
+                (0, [q(w[0])]),
+                (1, [q(w[1]), q(w[2])]),
+                (2, [q(w[3]), q(w[4])]),
+                (3, [q(w[5]), q(w[6]), q(w[7]), q(w[8])]),
+            ),
+            (1, 0): ("mv",) + q(pb),
+            (0, 1): ("mv",) + q(pa),
+        }
+        nals = [
+            h264_encode_ipcm(y0, cb0, cr0),
+            h264_encode_pskip(2, 2, 1, f1),
+            h264_encode_pskip(2, 2, 2),  # all-skip repeat
+        ]
+        rows.append(
+            (key, bytearray(mp4_mux_avc(nals, dims=(32, 32), max_ref=1)))
+        )
+    return spark.createDataFrame(rows, "media_id long, payload binary")
+
+
+@register(
+    "media_mp4_pmv_sub",
+    """
+WITH f AS (
+  SELECT range AS key,
+         20 + range % 60 AS a, 15 + range % 50 AS u0, 9 + range % 40 AS v0,
+         (range + 0) % 7 - 3 AS w0x, (range + 0) % 5 - 2 AS w0y,
+         (range + 2) % 7 - 3 AS w1x, (range + 3) % 5 - 2 AS w1y,
+         (range + 4) % 7 - 3 AS w2x, (range + 6) % 5 - 2 AS w2y,
+         (range + 6) % 7 - 3 AS w3x, (range + 9) % 5 - 2 AS w3y,
+         CASE WHEN range % 10 = 0 THEN 40 ELSE (range + 8) % 7 - 3 END AS w4x,
+         CASE WHEN range % 10 = 0 THEN 40 ELSE (range + 12) % 5 - 2 END AS w4y,
+         (range + 10) % 7 - 3 AS w5x, (range + 15) % 5 - 2 AS w5y,
+         (range + 12) % 7 - 3 AS w6x, (range + 18) % 5 - 2 AS w6y,
+         (range + 14) % 7 - 3 AS w7x, (range + 21) % 5 - 2 AS w7y,
+         (range + 16) % 7 - 3 AS w8x, (range + 24) % 5 - 2 AS w8y,
+         (range + 19) % 7 - 3 AS pbx, 1 + (range + 1) % 4 AS pby,
+         range % 5 - 2 AS pax, 1 + range % 3 AS pay
+  FROM range(0, 120)),
+g AS (
+  SELECT *,
+    pax + pbx + w8x - GREATEST(pax, pbx, w8x) - LEAST(pax, pbx, w8x) AS psx,
+    pay + pby + w8y - GREATEST(pay, pby, w8y) - LEAST(pay, pby, w8y) AS psy
+  FROM f),
+p0 AS (
+  SELECT *,
+    list_transform(range(0, 1024), i -> a + 2 * (i % 32) + 3 * (i // 32)) AS y0,
+    list_transform(range(0, 256), i -> u0 + (i % 16) + (i // 16)) AS cb0,
+    list_transform(range(0, 256), i -> v0 + (i % 16) + (i // 16)) AS cr0
+  FROM g),
+vec1 AS (
+  SELECT *,
+    list_transform(range(0, 1024), i -> 
+      CASE WHEN (i % 32) < 8 AND (i // 32) < 8 THEN w0x
+           WHEN (i % 32) < 16 AND (i // 32) < 4 THEN w1x
+           WHEN (i % 32) < 16 AND (i // 32) < 8 THEN w2x
+           WHEN (i % 32) < 4 AND (i // 32) < 16 THEN w3x
+           WHEN (i % 32) < 8 AND (i // 32) < 16 THEN w4x
+           WHEN (i % 32) < 12 AND (i // 32) < 12 THEN w5x
+           WHEN (i % 32) < 16 AND (i // 32) < 12 THEN w6x
+           WHEN (i % 32) < 12 AND (i // 32) < 16 THEN w7x
+           WHEN (i % 32) < 16 AND (i // 32) < 16 THEN w8x
+           WHEN (i // 32) < 16 THEN pbx
+           WHEN (i % 32) < 16 THEN pax
+           ELSE psx END
+) AS ldx,
+    list_transform(range(0, 1024), i -> 
+      CASE WHEN (i % 32) < 8 AND (i // 32) < 8 THEN w0y
+           WHEN (i % 32) < 16 AND (i // 32) < 4 THEN w1y
+           WHEN (i % 32) < 16 AND (i // 32) < 8 THEN w2y
+           WHEN (i % 32) < 4 AND (i // 32) < 16 THEN w3y
+           WHEN (i % 32) < 8 AND (i // 32) < 16 THEN w4y
+           WHEN (i % 32) < 12 AND (i // 32) < 12 THEN w5y
+           WHEN (i % 32) < 16 AND (i // 32) < 12 THEN w6y
+           WHEN (i % 32) < 12 AND (i // 32) < 16 THEN w7y
+           WHEN (i % 32) < 16 AND (i // 32) < 16 THEN w8y
+           WHEN (i // 32) < 16 THEN pby
+           WHEN (i % 32) < 16 THEN pay
+           ELSE psy END
+) AS ldy,
+    list_transform(range(0, 256), i -> 
+      CASE WHEN (i % 16) < 4 AND (i // 16) < 4 THEN w0x
+           WHEN (i % 16) < 8 AND (i // 16) < 2 THEN w1x
+           WHEN (i % 16) < 8 AND (i // 16) < 4 THEN w2x
+           WHEN (i % 16) < 2 AND (i // 16) < 8 THEN w3x
+           WHEN (i % 16) < 4 AND (i // 16) < 8 THEN w4x
+           WHEN (i % 16) < 6 AND (i // 16) < 6 THEN w5x
+           WHEN (i % 16) < 8 AND (i // 16) < 6 THEN w6x
+           WHEN (i % 16) < 6 AND (i // 16) < 8 THEN w7x
+           WHEN (i % 16) < 8 AND (i // 16) < 8 THEN w8x
+           WHEN (i // 16) < 8 THEN pbx
+           WHEN (i % 16) < 8 THEN pax
+           ELSE psx END
+) AS cdx,
+    list_transform(range(0, 256), i -> 
+      CASE WHEN (i % 16) < 4 AND (i // 16) < 4 THEN w0y
+           WHEN (i % 16) < 8 AND (i // 16) < 2 THEN w1y
+           WHEN (i % 16) < 8 AND (i // 16) < 4 THEN w2y
+           WHEN (i % 16) < 2 AND (i // 16) < 8 THEN w3y
+           WHEN (i % 16) < 4 AND (i // 16) < 8 THEN w4y
+           WHEN (i % 16) < 6 AND (i // 16) < 6 THEN w5y
+           WHEN (i % 16) < 8 AND (i // 16) < 6 THEN w6y
+           WHEN (i % 16) < 6 AND (i // 16) < 8 THEN w7y
+           WHEN (i % 16) < 8 AND (i // 16) < 8 THEN w8y
+           WHEN (i // 16) < 8 THEN pby
+           WHEN (i % 16) < 8 THEN pay
+           ELSE psy END
+) AS cdy
+  FROM p0),
+vec2 AS (
+  SELECT *,
+    list_transform(cdx, v -> CAST(floor(v / 2.0) AS BIGINT)) AS cxi,
+    list_transform(cdy, v -> CAST(floor(v / 2.0) AS BIGINT)) AS cyi
+  FROM vec1),
+
+p1 AS (
+  SELECT *,
+    list_transform(range(0, 1024), i ->
+      list_extract(y0,
+        LEAST(31, GREATEST(0, (i // 32) + list_extract(ldy, i + 1))) * 32 +
+        LEAST(31, GREATEST(0, (i % 32) + list_extract(ldx, i + 1))) + 1)) AS y1,
+    
+    list_transform(range(0, 256), i ->
+      ((8 - 4 * (list_extract(cdx, i + 1) - 2 * list_extract(cxi, i + 1)))
+         * (8 - 4 * (list_extract(cdy, i + 1) - 2 * list_extract(cyi, i + 1)))
+         * list_extract(cb0,
+             LEAST(15, GREATEST(0, (i // 16) + list_extract(cyi, i + 1))) * 16 +
+             LEAST(15, GREATEST(0, (i % 16) + list_extract(cxi, i + 1))) + 1)
+       + (4 * (list_extract(cdx, i + 1) - 2 * list_extract(cxi, i + 1)))
+         * (8 - 4 * (list_extract(cdy, i + 1) - 2 * list_extract(cyi, i + 1)))
+         * list_extract(cb0,
+             LEAST(15, GREATEST(0, (i // 16) + list_extract(cyi, i + 1))) * 16 +
+             LEAST(15, GREATEST(0, (i % 16) + list_extract(cxi, i + 1) + 1)) + 1)
+       + (8 - 4 * (list_extract(cdx, i + 1) - 2 * list_extract(cxi, i + 1)))
+         * (4 * (list_extract(cdy, i + 1) - 2 * list_extract(cyi, i + 1)))
+         * list_extract(cb0,
+             LEAST(15, GREATEST(0, (i // 16) + list_extract(cyi, i + 1) + 1)) * 16 +
+             LEAST(15, GREATEST(0, (i % 16) + list_extract(cxi, i + 1))) + 1)
+       + (4 * (list_extract(cdx, i + 1) - 2 * list_extract(cxi, i + 1)))
+         * (4 * (list_extract(cdy, i + 1) - 2 * list_extract(cyi, i + 1)))
+         * list_extract(cb0,
+             LEAST(15, GREATEST(0, (i // 16) + list_extract(cyi, i + 1) + 1)) * 16 +
+             LEAST(15, GREATEST(0, (i % 16) + list_extract(cxi, i + 1) + 1)) + 1)
+       + 32) // 64) AS cb1,
+    
+    list_transform(range(0, 256), i ->
+      ((8 - 4 * (list_extract(cdx, i + 1) - 2 * list_extract(cxi, i + 1)))
+         * (8 - 4 * (list_extract(cdy, i + 1) - 2 * list_extract(cyi, i + 1)))
+         * list_extract(cr0,
+             LEAST(15, GREATEST(0, (i // 16) + list_extract(cyi, i + 1))) * 16 +
+             LEAST(15, GREATEST(0, (i % 16) + list_extract(cxi, i + 1))) + 1)
+       + (4 * (list_extract(cdx, i + 1) - 2 * list_extract(cxi, i + 1)))
+         * (8 - 4 * (list_extract(cdy, i + 1) - 2 * list_extract(cyi, i + 1)))
+         * list_extract(cr0,
+             LEAST(15, GREATEST(0, (i // 16) + list_extract(cyi, i + 1))) * 16 +
+             LEAST(15, GREATEST(0, (i % 16) + list_extract(cxi, i + 1) + 1)) + 1)
+       + (8 - 4 * (list_extract(cdx, i + 1) - 2 * list_extract(cxi, i + 1)))
+         * (4 * (list_extract(cdy, i + 1) - 2 * list_extract(cyi, i + 1)))
+         * list_extract(cr0,
+             LEAST(15, GREATEST(0, (i // 16) + list_extract(cyi, i + 1) + 1)) * 16 +
+             LEAST(15, GREATEST(0, (i % 16) + list_extract(cxi, i + 1))) + 1)
+       + (4 * (list_extract(cdx, i + 1) - 2 * list_extract(cxi, i + 1)))
+         * (4 * (list_extract(cdy, i + 1) - 2 * list_extract(cyi, i + 1)))
+         * list_extract(cr0,
+             LEAST(15, GREATEST(0, (i // 16) + list_extract(cyi, i + 1) + 1)) * 16 +
+             LEAST(15, GREATEST(0, (i % 16) + list_extract(cxi, i + 1) + 1)) + 1)
+       + 32) // 64) AS cr1
+  FROM vec2),
+fr AS (SELECT *, unnest(range(0, 3)) AS fi FROM p1),
+v AS (
+  SELECT key, fi,
+    CASE WHEN fi = 0 THEN y0 ELSE y1 END AS yl,
+    CASE WHEN fi = 0 THEN cb0 ELSE cb1 END AS cbl,
+    CASE WHEN fi = 0 THEN cr0 ELSE cr1 END AS crl
+  FROM fr)
+SELECT CAST(key AS BIGINT) AS media_id,
+       CAST(fi AS BIGINT) AS frame_idx,
+       CAST(32 AS INTEGER) AS width, CAST(32 AS INTEGER) AS height,
+       CAST(list_sum(yl) AS BIGINT) AS y_sum,
+       CAST(list_sum(cbl) AS BIGINT) AS cb_sum,
+       CAST(list_sum(crl) AS BIGINT) AS cr_sum,
+       md5(array_to_string(yl, ',')) AS y_md5
+FROM v ORDER BY media_id, frame_idx
+""",
+)
+def q_media_mp4_pmv_sub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5 [r13]: P_8x8 SUB-PARTITION inter decode — with this query
+    the ENTIRE P-partition surface (16x16, 16x8, 8x16, 8x8, 8x4,
+    4x8, 4x4) decodes at integer pel: sub_mb_pred parsing (four
+    sub_mb_types then all nine mvd_l0 pairs), pure block-granular
+    §8.4.1.3 median prediction for every sub-partition (no
+    directional shortcuts below half-MB — in-MB availability of the
+    C neighbour falls out of decode order in _MotionCtx's state
+    grid), per-rect motion compensation down to 4x4 luma / 2x2
+    chroma with the same clamp + bilinear, and a skip whose median
+    reads a 4x4 sub-partition vector through the diagonal
+    neighbour. The oracle replays the 12-region vector map, the
+    median, the clamped gathers, and the bilinear closed-form in
+    SQL on 360 rows. Spec: ISO/IEC 14496-10 §7.3.5.2 / §8.4.1.3 /
+    Table 7-17; completes the media_mp4_pmv / media_mp4_pmv_parts
+    (r13) family; B-shaped sub_mb_types and all residual paths stay
+    refused."""
+    from pagerank_hadoop_spark.operators.h264 import mp4_frame_stats
+    from pagerank_hadoop_spark.operators.multimodal import attach_media
+
+    media = attach_media(
+        _mp4_pmv_sub_fixture(spark), F.col("payload"),
+        media_type="video/mp4",
+    )
+    return mp4_frame_stats(media).orderBy("media_id", "frame_idx")

@@ -228,12 +228,21 @@ def test_pskip_roundtrip_and_refusals():
         w.u(0, 8)  # filler so parsing has bits to chew
         return _nal(2, 1, w.rbsp_trailing())
 
-    # r13: mb_types 0..2 (16x16/16x8/8x16 partitions) now DECODE
-    # (integer MVs); the refusal boundary moved to P_8x8 (3..4)
-    with pytest.raises(NotImplementedError, match="sub_mb_type"):
-        h264_decode_ipcm_frame(p_slice_with(3), sps, pps, ref)
-    with pytest.raises(NotImplementedError, match="sub_mb_type"):
-        h264_decode_ipcm_frame(p_slice_with(4), sps, pps, ref)
+    # r13: every P partition shape (mb_types 0..4) now DECODES at
+    # integer pel; the parse-level refusal is a B-shaped sub_mb_type
+    # inside P_8x8 (Table 7-17 stops at 3)
+    w2 = _BitWriter()
+    w2.ue(0), w2.ue(5), w2.ue(0), w2.u(1, 4)
+    w2.u(0, 1), w2.u(0, 1), w2.u(0, 1), w2.se(0)
+    w2.ue(0)  # skip run
+    w2.ue(3)  # mb_type P_8x8
+    w2.ue(4)  # sub_mb_type 4: a B-slice shape
+    w2.ue(0), w2.ue(0), w2.ue(0)  # remaining sub_mb_types
+    w2.u(0, 8)
+    with pytest.raises(NotImplementedError, match="B-slice shape"):
+        h264_decode_ipcm_frame(
+            _nal(2, 1, w2.rbsp_trailing()), sps, pps, ref
+        )
     # intra-in-P now decodes the predicted types; one carrying AC
     # residuals (intra type 18 = I_16x16 with cbp luma) still refuses
     with pytest.raises(NotImplementedError, match="AC/chroma residuals"):
@@ -2163,3 +2172,82 @@ def test_pmv_partition_roundtrip_16x8_8x16():
     # -> D = MB(1,0) right half (20,0): median((8,8),(8,8),(20,0))
     # = (8,8)
     check_luma(32, 16, 16, 16, 2, 2)
+
+
+def test_pmv_p8x8_subpartition_roundtrip():
+    """r13: P_8x8 round trip — all four Table 7-17 sub_mb_types in
+    one macroblock (8x8 / 8x4 / 4x8 / 4x4, nine vectors), verified
+    against the independent clamped-gather model per sub-partition
+    rect, plus a skip whose median reads a 4x4 sub-partition vector
+    through the block-granular context."""
+    import pagerank_hadoop_spark.operators.h264 as H
+    from pagerank_hadoop_spark.operators.h264 import h264_encode_pskip
+
+    rng = np.random.default_rng(43)
+    wmb, hmb = 2, 2
+    y0 = rng.integers(0, 256, (hmb * 16, wmb * 16)).astype(np.uint8)
+    cb0 = rng.integers(0, 256, (hmb * 8, wmb * 8)).astype(np.uint8)
+    cr0 = rng.integers(0, 256, (hmb * 8, wmb * 8)).astype(np.uint8)
+    sps = h264_parse_sps(h264_sps_rbsp(wmb, hmb, (0, 0, 0, 0), 1))
+    pps = h264_parse_pps(h264_pps_rbsp())
+
+    # pels per sub-partition (mixed parity, signs, one far clamp)
+    w = [(2, 1), (-3, 0), (1, -2), (0, 3), (40, 40),
+         (2, -1), (-1, 1), (3, 2), (1, 1)]
+    q = lambda p: (4 * p[0], 4 * p[1])
+    specs = {
+        (0, 0): ("mv8x8",
+                 (0, [q(w[0])]),
+                 (1, [q(w[1]), q(w[2])]),
+                 (2, [q(w[3]), q(w[4])]),
+                 (3, [q(w[5]), q(w[6]), q(w[7]), q(w[8])])),
+        (1, 0): ("mv",) + q((2, 2)),
+        (0, 1): ("mv",) + q((1, 2)),
+        # (1,1) skipped: A=MB(0,1)=(1,2), B=MB(1,0)=(2,2), C out ->
+        # D = MB(0,0) block (3,3) = w[8]=(1,1):
+        # median((1,2),(2,2),(1,1)) = (1,2)
+    }
+    nal = h264_encode_pskip(wmb, hmb, 1, specs)
+    y, cb, cr = H._h264_decode_picture([nal], sps, pps, (y0, cb0, cr0))
+
+    def check(x0, yy0, wpx, hpx, dx, dy):
+        got = y[yy0 : yy0 + hpx, x0 : x0 + wpx]
+        exp = _gather_clamped(y0, x0 + dx, yy0 + dy, wpx, hpx)
+        assert (got == exp).all(), (x0, yy0, wpx, hpx, dx, dy)
+        # chroma (even-pel vectors check integer path; odd the
+        # bilinear — reuse the frame-level formula for both)
+        mvx, mvy = 4 * dx, 4 * dy
+        cxi, cyi, cxf, cyf = mvx >> 3, mvy >> 3, mvx & 7, mvy & 7
+        cx0, cy0, cw, ch = x0 // 2, yy0 // 2, wpx // 2, hpx // 2
+        quads = [
+            _gather_clamped(
+                cb0, cx0 + cxi + qx, cy0 + cyi + qy, cw, ch
+            ).astype(np.int64)
+            for qy in (0, 1) for qx in (0, 1)
+        ]
+        expc = (
+            (8 - cxf) * (8 - cyf) * quads[0]
+            + cxf * (8 - cyf) * quads[1]
+            + (8 - cxf) * cyf * quads[2]
+            + cxf * cyf * quads[3]
+            + 32
+        ) >> 6
+        assert (cb[cy0 : cy0 + ch, cx0 : cx0 + cw] == expc).all()
+
+    # sub-MB 0: 8x8 at (0,0)
+    check(0, 0, 8, 8, *w[0])
+    # sub-MB 1: 8x4 halves at (8,0) / (8,4)
+    check(8, 0, 8, 4, *w[1])
+    check(8, 4, 8, 4, *w[2])
+    # sub-MB 2: 4x8 halves at (0,8) / (4,8)
+    check(0, 8, 4, 8, *w[3])
+    check(4, 8, 4, 8, *w[4])
+    # sub-MB 3: 4x4 quads at (8,8),(12,8),(8,12),(12,12)
+    check(8, 8, 4, 4, *w[5])
+    check(12, 8, 4, 4, *w[6])
+    check(8, 12, 4, 4, *w[7])
+    check(12, 12, 4, 4, *w[8])
+    # whole-MB neighbours and the derived skip
+    check(16, 0, 16, 16, 2, 2)
+    check(0, 16, 16, 16, 1, 2)
+    check(16, 16, 16, 16, 1, 2)  # skip median picked (1,2)
