@@ -1716,7 +1716,9 @@ def _h264_decode_frame(nal: bytes, sps: dict, pps: dict, ref=None):
     return _h264_decode_picture([nal], sps, pps, ref)
 
 
-def _h264_decode_picture(nals: list, sps: dict, pps: dict, ref=None):
+def _h264_decode_picture(
+    nals: list, sps: dict, pps: dict, ref=None, motion_out: dict | None = None
+):
     """Access-unit reconstruction, returning UNCROPPED planes (the
     reference a following P frame predicts from is the full decoded
     picture, not the display crop). ``nals`` is the picture's
@@ -1727,7 +1729,15 @@ def _h264_decode_picture(nals: list, sps: dict, pps: dict, ref=None):
     intra prediction never crosses a slice boundary (§6.4.9: a
     macroblock in another slice is unavailable) — the property that
     makes slices independently decodable. A picture may mix P and I
-    slices (§7.4.3 allows it); any P slice requires ``ref``."""
+    slices (§7.4.3 allows it); any P slice requires ``ref``.
+
+    ``motion_out``, when a dict, receives the picture's decoded
+    motion field at 4x4-block granularity — 'state' (-1 intra /
+    0 inter refIdx-0; every block of a decoded picture is one or the
+    other), 'mvx', 'mvy' (quarter-pel) — the per-slice
+    :class:`_MotionCtx` grids merged over each slice's extent (intra
+    slices mark theirs intra). This is the parse-side product motion
+    analytics consume: fixed-width stats per frame, no plane bytes."""
     import numpy as np
 
     headers = [_parse_slice_header(nal, sps, pps) for nal in nals]
@@ -1775,13 +1785,25 @@ def _h264_decode_picture(nals: list, sps: dict, pps: dict, ref=None):
         y = np.zeros((hmb * 16, wmb * 16), dtype=np.uint8)
         cb = np.zeros((hmb * 8, wmb * 8), dtype=np.uint8)
         cr = np.zeros((hmb * 8, wmb * 8), dtype=np.uint8)
+    if motion_out is not None:
+        motion_out["state"] = np.full((hmb * 4, wmb * 4), -1, np.int8)
+        motion_out["mvx"] = np.zeros((hmb * 4, wmb * 4), np.int32)
+        motion_out["mvy"] = np.zeros((hmb * 4, wmb * 4), np.int32)
     for h, end in zip(headers, ends):
         r, first = h["r"], h["first_mb"]
         if h["is_p"]:
-            _decode_pskip_slice(
+            ctx = _decode_pskip_slice(
                 r, wmb, hmb, y, cb, cr, h["qp"], first, end - first,
                 ref, h["n_ref_l0"],
             )
+            if motion_out is not None:
+                # merge this slice's decoded blocks into the picture
+                # field (undecoded-elsewhere stays whatever the other
+                # slices wrote; an I slice's blocks default intra)
+                m = ctx.state != -2
+                motion_out["state"][m] = ctx.state[m]
+                motion_out["mvx"][m] = ctx.mvx[m]
+                motion_out["mvy"][m] = ctx.mvy[m]
             continue
         if first == 0 and end == n_mbs:
             # whole-picture I slice: keep the all-I_PCM fast path
@@ -2234,6 +2256,7 @@ def _decode_pskip_slice(
         # (mb_type 0..4 and >= 5 are exhaustive: Table 7-13's P range
         # plus the intra offset — no other ue value parses here)
         done += 1
+    return ctx
 
 
 def _walk(buf: bytes, lo: int, hi: int):
@@ -2500,6 +2523,118 @@ def mp4_decode_ipcm_frames(payload: bytes):
                 prev = pic
             yield idx, *_crop_planes(*pic, sps)
             idx += 1
+
+
+def mp4_decode_motion_fields(payload: bytes):
+    """Demux + decode every picture WITH its motion field; yields
+    (frame_idx, is_p, field) where ``field`` is the
+    :func:`_h264_decode_picture` motion_out dict (4x4-block 'state'
+    -1 intra / 0 inter, 'mvx'/'mvy' quarter-pel). The planes are
+    still reconstructed (P reference threading needs them) but never
+    leave this generator — callers emit fixed-width statistics."""
+    demux = mp4_demux_avc(payload)
+    sps = h264_parse_sps(_ebsp_to_rbsp(demux["sps"][0][1:]))
+    pps = h264_parse_pps(_ebsp_to_rbsp(demux["pps"][0][1:]))
+    idx = 0
+    prev = None
+    for nals in demux["samples"]:
+        slice_nals = []
+        for nal in nals:
+            if not nal:
+                continue
+            t = nal[0] & 0x1F
+            if t == 7:
+                sps = h264_parse_sps(_ebsp_to_rbsp(nal[1:]))
+            elif t == 8:
+                pps = h264_parse_pps(_ebsp_to_rbsp(nal[1:]))
+            elif t in (1, 5):
+                slice_nals.append(nal)
+        if slice_nals:
+            field: dict = {}
+            pic = _h264_decode_picture(
+                slice_nals, sps, pps, prev, motion_out=field
+            )
+            if (slice_nals[0][0] >> 5) & 3:
+                prev = pic
+            is_p = (field["state"] == 0).any()
+            yield idx, bool(is_p), field
+            idx += 1
+
+
+MOTION_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("frame_idx", LongType()),
+        StructField("is_p", IntegerType()),
+        StructField("inter_blocks", LongType()),
+        StructField("intra_blocks", LongType()),
+        StructField("zero_blocks", LongType()),
+        StructField("dom_mvx", IntegerType()),
+        StructField("dom_mvy", IntegerType()),
+        StructField("dom_count", LongType()),
+    ]
+)
+
+
+def mp4_motion_summary(media: DataFrame) -> DataFrame:
+    """Per-frame MOTION-FIELD statistics from the real bitstream —
+    the parse-side metadata a video pipeline extracts to classify
+    static vs panning vs cut content before paying for pixel work:
+    4x4-block counts by kind (inter / intra / zero-vector inter) and
+    the DOMINANT nonzero vector (most blocks; ties broken by the
+    lexicographically smallest (mvx, mvy), so both engines pick the
+    same one; (0,0,count 0) when no block moves). A global integer
+    pan shows up as dom_count == inter_blocks with the pan vector —
+    the signal the motion-compensated dedup family keys on. Scale
+    shape: the shuffle carries NINE fixed-width columns per frame,
+    never planes or fields (Arrow-batched ``mapInPandas``)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        def summarize(mid: int, payload: bytes):
+            for idx, is_p, f in mp4_decode_motion_fields(bytes(payload)):
+                inter = f["state"] == 0
+                n_inter = int(inter.sum())
+                n_intra = int((f["state"] == -1).sum())
+                zero = inter & (f["mvx"] == 0) & (f["mvy"] == 0)
+                n_zero = int(zero.sum())
+                moving = inter & ~zero
+                if moving.any():
+                    vs, counts = np.unique(
+                        np.stack(
+                            [f["mvx"][moving], f["mvy"][moving]], axis=1
+                        ),
+                        axis=0,
+                        return_counts=True,
+                    )
+                    # max count; ties -> smallest (mvx, mvy): np.unique
+                    # returns rows lexicographically sorted, so the
+                    # FIRST argmax hit is the tie-break winner
+                    best = int(np.argmax(counts))
+                    dom = (int(vs[best][0]), int(vs[best][1]))
+                    dom_n = int(counts[best])
+                else:
+                    dom, dom_n = (0, 0), 0
+                yield (
+                    mid, idx, int(is_p), n_inter, n_intra, n_zero,
+                    dom[0], dom[1], dom_n,
+                )
+
+        for pdf in it:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                rows.extend(summarize(int(mid), payload))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "frame_idx", "is_p", "inter_blocks",
+                    "intra_blocks", "zero_blocks", "dom_mvx",
+                    "dom_mvy", "dom_count",
+                ],
+            )
+
+    return media.mapInPandas(batches, MOTION_SCHEMA)
 
 
 AHASH_SCHEMA = StructType(

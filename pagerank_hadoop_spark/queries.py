@@ -16994,3 +16994,90 @@ def q_media_mp4_pmv_sub(spark: SparkSession, sf_dir: str) -> DataFrame:
         media_type="video/mp4",
     )
     return mp4_frame_stats(media).orderBy("media_id", "frame_idx")
+
+
+@register(
+    "media_mp4_motion_summary",
+    """
+    WITH f AS (
+      SELECT range AS key,
+             CASE WHEN range % 10 = 0 THEN 40 ELSE range % 5 - 2 END AS tx,
+             CASE WHEN range % 10 = 0 THEN -40 ELSE range % 7 - 3 END AS ty,
+             range % 3 - 1 AS bx2, range % 9 - 4 AS by2,
+             range % 7 - 3 AS lx, 1 + range % 4 AS ly,
+             range % 9 - 4 AS rx, range % 3 - 1 AS ry,
+             range % 5 - 2 AS ax, 1 + range % 3 AS ay
+      FROM range(0, 120)),
+    g AS (
+      SELECT *,
+        ax + lx + bx2 - GREATEST(ax, lx, bx2) - LEAST(ax, lx, bx2) AS sx,
+        ay + ly + by2 - GREATEST(ay, ly, by2) - LEAST(ay, ly, by2) AS sy
+      FROM f),
+    vecrows AS (
+      SELECT key, vx, vy, SUM(cnt) AS cnt FROM (
+        SELECT key, 4 * tx AS vx, 4 * ty AS vy, 8 AS cnt FROM g
+        UNION ALL SELECT key, 4 * bx2, 4 * by2, 8 FROM g
+        UNION ALL SELECT key, 4 * lx, 4 * ly, 8 FROM g
+        UNION ALL SELECT key, 4 * rx, 4 * ry, 8 FROM g
+        UNION ALL SELECT key, 4 * ax, 4 * ay, 16 FROM g
+        UNION ALL SELECT key, 4 * sx, 4 * sy, 16 FROM g)
+      GROUP BY key, vx, vy),
+    dom AS (
+      SELECT key, vx, vy, cnt,
+             row_number() OVER (
+               PARTITION BY key ORDER BY cnt DESC, vx, vy) AS rn
+      FROM vecrows WHERE NOT (vx = 0 AND vy = 0)),
+    zeroes AS (
+      SELECT key, SUM(cnt) AS z FROM vecrows
+      WHERE vx = 0 AND vy = 0 GROUP BY key),
+    frames AS (
+      SELECT g.key, unnest(range(0, 3)) AS fi FROM g)
+    SELECT CAST(fr.key AS BIGINT) AS media_id,
+           CAST(fr.fi AS BIGINT) AS frame_idx,
+           CAST(CASE WHEN fr.fi = 0 THEN 0 ELSE 1 END AS INTEGER) AS is_p,
+           CAST(CASE WHEN fr.fi = 0 THEN 0 ELSE 64 END AS BIGINT)
+             AS inter_blocks,
+           CAST(CASE WHEN fr.fi = 0 THEN 64 ELSE 0 END AS BIGINT)
+             AS intra_blocks,
+           CAST(CASE WHEN fr.fi = 0 THEN 0
+                     WHEN fr.fi = 1 THEN COALESCE(z.z, 0)
+                     ELSE 64 END AS BIGINT) AS zero_blocks,
+           CAST(CASE WHEN fr.fi = 1 THEN d.vx ELSE 0 END AS INTEGER)
+             AS dom_mvx,
+           CAST(CASE WHEN fr.fi = 1 THEN d.vy ELSE 0 END AS INTEGER)
+             AS dom_mvy,
+           CAST(CASE WHEN fr.fi = 1 THEN d.cnt ELSE 0 END AS BIGINT)
+             AS dom_count
+    FROM frames fr
+    LEFT JOIN (SELECT * FROM dom WHERE rn = 1) d ON fr.key = d.key
+    LEFT JOIN zeroes z ON fr.key = z.key
+    ORDER BY media_id, frame_idx
+    """,
+)
+def q_media_mp4_motion_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5 [r13]: MOTION-FIELD analytics — the parse-side metadata a
+    video pipeline computes to classify static / panning / cut
+    content BEFORE paying for pixel work: per frame, 4x4-block
+    counts by kind (inter / intra / zero-vector) and the DOMINANT
+    nonzero vector with its block count (ties broken by the
+    lexicographically smallest (mvx, mvy) so both engines agree).
+    Runs mp4_motion_summary over the media_mp4_pmv_parts fixture,
+    whose planted per-half-MB vectors make the dominant-vector
+    election nontrivial: six (vector, weight) contributions — four
+    8-block half-MBs, two 16-block MBs, and the skip's DERIVED
+    median — must be grouped by vector equality and argmaxed, which
+    the oracle replays as a closed-form GROUP BY + window rank over
+    the same key arithmetic. The IDR reads all-intra and the
+    all-skip frame reads 64 zero-vector inter blocks, pinning the
+    frame-type split. Scale shape: the shuffle carries nine
+    fixed-width columns per frame, never planes or fields. Spec:
+    ISO/IEC 14496-10 §8.4 (field as decoded); composes the r13
+    MV-decode family into the curation layer."""
+    from pagerank_hadoop_spark.operators.h264 import mp4_motion_summary
+    from pagerank_hadoop_spark.operators.multimodal import attach_media
+
+    media = attach_media(
+        _mp4_pmv_parts_fixture(spark), F.col("payload"),
+        media_type="video/mp4",
+    )
+    return mp4_motion_summary(media).orderBy("media_id", "frame_idx")

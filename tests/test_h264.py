@@ -2251,3 +2251,55 @@ def test_pmv_p8x8_subpartition_roundtrip():
     check(16, 0, 16, 16, 2, 2)
     check(0, 16, 16, 16, 1, 2)
     check(16, 16, 16, 16, 1, 2)  # skip median picked (1,2)
+
+
+def test_motion_summary_kernel_and_tiebreak(spark):
+    """r13: the motion-field summary kernel — block-kind counts per
+    frame and the dominant-vector election, including the
+    DETERMINISTIC tie-break (equal block counts -> smallest
+    (mvx, mvy) lexicographically) and the static/pan/IDR split."""
+    from pyspark.sql import functions as F
+
+    from pagerank_hadoop_spark.operators.h264 import (
+        h264_encode_ipcm,
+        h264_encode_pskip,
+        mp4_motion_summary,
+    )
+    from pagerank_hadoop_spark.operators.multimodal import attach_media
+
+    y0 = np.full((32, 32), 60, np.uint8)
+    c0 = np.full((16, 16), 90, np.uint8)
+    # frame 1: exact 32/32 tie between (-8,4) and (8,4): two MBs each
+    # (explicit zero MVs elsewhere would change counts — MB(0,1) and
+    # MB(1,1) get the OTHER vector)
+    f1 = {
+        (0, 0): ("mv", 8, 4), (1, 0): ("mv", -8, 4),
+        (0, 1): ("mv", -8, 4), (1, 1): ("mv", 8, 4),
+    }
+    payload = mp4_mux_avc(
+        [
+            h264_encode_ipcm(y0, c0, c0),
+            h264_encode_pskip(2, 2, 1, f1),
+            h264_encode_pskip(2, 2, 2),  # all-skip: zero field
+        ],
+        dims=(32, 32), max_ref=1,
+    )
+    df = spark.createDataFrame(
+        [(5, bytearray(payload))], "media_id long, payload binary"
+    )
+    rows = {
+        r["frame_idx"]: r
+        for r in mp4_motion_summary(
+            attach_media(df, F.col("payload"), media_type="video/mp4")
+        ).collect()
+    }
+    assert rows[0]["is_p"] == 0 and rows[0]["intra_blocks"] == 64
+    assert rows[0]["inter_blocks"] == 0 and rows[0]["dom_count"] == 0
+    r1 = rows[1]
+    assert r1["is_p"] == 1 and r1["inter_blocks"] == 64
+    assert r1["zero_blocks"] == 0
+    # 32/32 tie -> lexicographic winner (-8, 4)
+    assert (r1["dom_mvx"], r1["dom_mvy"], r1["dom_count"]) == (-8, 4, 32)
+    r2 = rows[2]
+    assert r2["zero_blocks"] == 64 and r2["dom_count"] == 0
+    assert (r2["dom_mvx"], r2["dom_mvy"]) == (0, 0)
