@@ -2527,11 +2527,13 @@ def mp4_decode_ipcm_frames(payload: bytes):
 
 def mp4_decode_motion_fields(payload: bytes):
     """Demux + decode every picture WITH its motion field; yields
-    (frame_idx, is_p, field) where ``field`` is the
+    (frame_idx, is_p, field, planes) where ``field`` is the
     :func:`_h264_decode_picture` motion_out dict (4x4-block 'state'
-    -1 intra / 0 inter, 'mvx'/'mvy' quarter-pel). The planes are
-    still reconstructed (P reference threading needs them) but never
-    leave this generator — callers emit fixed-width statistics."""
+    -1 intra / 0 inter, 'mvx'/'mvy' quarter-pel) and ``planes`` the
+    CROPPED (y, cb, cr) — callers either drop the planes (motion
+    summaries shuffle fixed-width stats only) or consume them
+    locally (novelty scoring compares against the previous frame
+    in-process; planes still never leave the worker)."""
     demux = mp4_demux_avc(payload)
     sps = h264_parse_sps(_ebsp_to_rbsp(demux["sps"][0][1:]))
     pps = h264_parse_pps(_ebsp_to_rbsp(demux["pps"][0][1:]))
@@ -2557,8 +2559,30 @@ def mp4_decode_motion_fields(payload: bytes):
             if (slice_nals[0][0] >> 5) & 3:
                 prev = pic
             is_p = (field["state"] == 0).any()
-            yield idx, bool(is_p), field
+            yield idx, bool(is_p), field, _crop_planes(*pic, sps)
             idx += 1
+
+
+def _dominant_vector(field: dict):
+    """The motion field's DOMINANT nonzero vector and its 4x4-block
+    count — most blocks wins; exact ties break to the
+    lexicographically smallest (mvx, mvy) (np.unique returns rows
+    sorted, so the first argmax hit IS the tie-break winner), making
+    the election deterministic and oracle-replayable. ((0,0), 0)
+    when no block moves."""
+    import numpy as np
+
+    inter = field["state"] == 0
+    moving = inter & ((field["mvx"] != 0) | (field["mvy"] != 0))
+    if not moving.any():
+        return (0, 0), 0
+    vs, counts = np.unique(
+        np.stack([field["mvx"][moving], field["mvy"][moving]], axis=1),
+        axis=0,
+        return_counts=True,
+    )
+    best = int(np.argmax(counts))
+    return (int(vs[best][0]), int(vs[best][1])), int(counts[best])
 
 
 MOTION_SCHEMA = StructType(
@@ -2590,32 +2614,16 @@ def mp4_motion_summary(media: DataFrame) -> DataFrame:
     never planes or fields (Arrow-batched ``mapInPandas``)."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import numpy as np
-
         def summarize(mid: int, payload: bytes):
-            for idx, is_p, f in mp4_decode_motion_fields(bytes(payload)):
+            for idx, is_p, f, _planes in mp4_decode_motion_fields(
+                bytes(payload)
+            ):
                 inter = f["state"] == 0
                 n_inter = int(inter.sum())
                 n_intra = int((f["state"] == -1).sum())
                 zero = inter & (f["mvx"] == 0) & (f["mvy"] == 0)
                 n_zero = int(zero.sum())
-                moving = inter & ~zero
-                if moving.any():
-                    vs, counts = np.unique(
-                        np.stack(
-                            [f["mvx"][moving], f["mvy"][moving]], axis=1
-                        ),
-                        axis=0,
-                        return_counts=True,
-                    )
-                    # max count; ties -> smallest (mvx, mvy): np.unique
-                    # returns rows lexicographically sorted, so the
-                    # FIRST argmax hit is the tie-break winner
-                    best = int(np.argmax(counts))
-                    dom = (int(vs[best][0]), int(vs[best][1]))
-                    dom_n = int(counts[best])
-                else:
-                    dom, dom_n = (0, 0), 0
+                dom, dom_n = _dominant_vector(f)
                 yield (
                     mid, idx, int(is_p), n_inter, n_intra, n_zero,
                     dom[0], dom[1], dom_n,
@@ -2635,6 +2643,71 @@ def mp4_motion_summary(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(batches, MOTION_SCHEMA)
+
+
+NOVELTY_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("frame_idx", LongType()),
+        StructField("dom_mvx", IntegerType()),
+        StructField("dom_mvy", IntegerType()),
+        StructField("novel_y", LongType()),
+        StructField("total_y", LongType()),
+    ]
+)
+
+
+def mp4_temporal_novelty(media: DataFrame) -> DataFrame:
+    """TEMPORAL NOVELTY score per frame — the frame-sampling signal
+    a video training-data pipeline uses to skip redundant content:
+    a frame fully explained by one global motion from its
+    predecessor carries nothing new. Per frame, elect the dominant
+    vector (:func:`_dominant_vector`), build the pan prediction —
+    the clamped integer-pel gather of the PREVIOUS decoded frame at
+    that vector (the same §8.4.2.2.1 Clip3 replication the decoder
+    uses) — and count luma pixels that differ: a pure-pan or
+    all-skip frame scores 0, an intra patch scores exactly its
+    changed pixels, a cut scores ~everything. The first frame scores
+    total (all new). Frames and predictions stay inside the worker;
+    the shuffle carries six fixed-width columns per frame."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def scores(mid: int, payload: bytes):
+            prev_y = None
+            for idx, _is_p, f, (yp, _cb, _cr) in mp4_decode_motion_fields(
+                bytes(payload)
+            ):
+                total = int(yp.size)
+                if prev_y is None:
+                    yield (mid, idx, 0, 0, total, total)
+                else:
+                    dom, _n = _dominant_vector(f)
+                    if dom[0] & 3 or dom[1] & 3:
+                        raise NotImplementedError(
+                            "sub-pel dominant vector needs the "
+                            "six-tap interpolator"
+                        )
+                    pred = _mc_block(
+                        prev_y, dom[0] >> 2, dom[1] >> 2,
+                        yp.shape[1], yp.shape[0],
+                    )
+                    novel = int((yp != pred).sum())
+                    yield (mid, idx, dom[0], dom[1], novel, total)
+                prev_y = yp
+
+        for pdf in it:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                rows.extend(scores(int(mid), payload))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "frame_idx", "dom_mvx", "dom_mvy",
+                    "novel_y", "total_y",
+                ],
+            )
+
+    return media.mapInPandas(batches, NOVELTY_SCHEMA)
 
 
 AHASH_SCHEMA = StructType(

@@ -17081,3 +17081,114 @@ def q_media_mp4_motion_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         media_type="video/mp4",
     )
     return mp4_motion_summary(media).orderBy("media_id", "frame_idx")
+
+
+def _mp4_novelty_fixture(spark: SparkSession, n: int = 120) -> DataFrame:
+    """Driver-built MP4s for temporal-novelty scoring: the IDR
+    (linear I_PCM planes) is followed by frame 1 — a PURE global pan
+    (every MB an explicit even-pel vector vC, so the frame carries
+    nothing the pan prediction does not) — frame 2, the SAME pan
+    plus an I_PCM patch on MB(1,1) filled with constant
+    pv = 96 + key%100 (its novelty is EXACTLY the count of patch
+    pixels differing from the doubly-clamped pan prediction — for
+    some keys a few plane values coincide with pv, so the count is
+    251..256, pinning the per-pixel equality arithmetic rather than
+    an all-or-nothing flag), and frame 3 — all-skip (novelty 0, zero
+    dominant vector). Encoder twins: h264_encode_ipcm /
+    h264_encode_pskip ('mv' + 'pcm' specs)."""
+    import numpy as np
+
+    from pagerank_hadoop_spark.operators.h264 import (
+        h264_encode_ipcm,
+        h264_encode_pskip,
+        mp4_mux_avc,
+    )
+
+    rows = []
+    for key in range(n):
+        a = 20 + key % 60
+        u0 = 15 + key % 50
+        v0 = 9 + key % 40
+        vc = (2 * ((key % 3) - 1), 2 * ((key % 5) - 2))
+        pv = 96 + key % 100
+        y0 = np.fromfunction(
+            lambda r, c: a + 2 * c + 3 * r, (32, 32)
+        ).astype(np.uint8)
+        cb0 = np.fromfunction(
+            lambda r, c: u0 + c + r, (16, 16)
+        ).astype(np.uint8)
+        cr0 = np.fromfunction(
+            lambda r, c: v0 + c + r, (16, 16)
+        ).astype(np.uint8)
+        q = (4 * vc[0], 4 * vc[1])
+        allmv = {
+            (x, yy): ("mv",) + q for x in range(2) for yy in range(2)
+        }
+        f2 = dict(allmv)
+        f2[(1, 1)] = (
+            "pcm",
+            (bytes([pv]) * 256, bytes([u0]) * 64, bytes([v0]) * 64),
+        )
+        nals = [
+            h264_encode_ipcm(y0, cb0, cr0),
+            h264_encode_pskip(2, 2, 1, allmv),
+            h264_encode_pskip(2, 2, 2, f2),
+            h264_encode_pskip(2, 2, 3),
+        ]
+        rows.append(
+            (key, bytearray(mp4_mux_avc(nals, dims=(32, 32), max_ref=1)))
+        )
+    return spark.createDataFrame(rows, "media_id long, payload binary")
+
+
+@register(
+    "media_mp4_novelty",
+    """
+    WITH f AS (SELECT range AS key, 20 + range % 60 AS a,
+           2 * ((range % 3) - 1) AS dxc, 2 * ((range % 5) - 2) AS dyc,
+           96 + range % 100 AS pv FROM range(0, 120)),
+    fr AS (SELECT *, unnest(range(0, 4)) AS fi FROM f)
+    SELECT CAST(key AS BIGINT) AS media_id, CAST(fi AS BIGINT) AS frame_idx,
+      CAST(CASE WHEN fi IN (1, 2) THEN 4 * dxc ELSE 0 END AS INTEGER)
+        AS dom_mvx,
+      CAST(CASE WHEN fi IN (1, 2) THEN 4 * dyc ELSE 0 END AS INTEGER)
+        AS dom_mvy,
+      CAST(CASE WHEN fi = 0 THEN 1024
+           WHEN fi = 2 THEN list_sum(list_transform(range(0, 256), i ->
+              CASE WHEN pv != a
+                   + 2 * LEAST(31, GREATEST(0,
+                         LEAST(31, GREATEST(0, 16 + (i % 16) + dxc)) + dxc))
+                   + 3 * LEAST(31, GREATEST(0,
+                         LEAST(31, GREATEST(0, 16 + (i // 16) + dyc)) + dyc))
+                   THEN 1 ELSE 0 END))
+           ELSE 0 END AS BIGINT) AS novel_y,
+      CAST(1024 AS BIGINT) AS total_y
+    FROM fr ORDER BY media_id, frame_idx
+    """,
+)
+def q_media_mp4_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5×curation [r13]: TEMPORAL NOVELTY sampling — the payoff
+    composition of the r13 MV-decode family for a training-data
+    pipeline: frames fully explained by one global motion from their
+    predecessor (pure pans, static repeats) score novel_y = 0 and
+    can be SKIPPED by a frame sampler, while new content scores
+    exactly its changed pixels (mp4_temporal_novelty: elect the
+    dominant vector, build the clamped pan prediction of the
+    previous decoded frame, count differing luma pixels — planes
+    never leave the worker, the shuffle carries six fixed-width
+    columns per frame). The oracle replays the doubly-clamped pan
+    prediction and the per-pixel equality count closed-form — a
+    wrong dominant election, a clamp slip, or an off-by-one in the
+    pan composition shifts novel_y on 480 rows. This is the
+    frame-level analogue of the exact-dedup keep/drop decision:
+    perceptual (aHash) dedup misses shifted content, motion
+    canonicalizes it first. Spec: §8.4 field semantics; composes
+    media_mp4_pmv (r13) + mp4_motion_summary (r13)."""
+    from pagerank_hadoop_spark.operators.h264 import mp4_temporal_novelty
+    from pagerank_hadoop_spark.operators.multimodal import attach_media
+
+    media = attach_media(
+        _mp4_novelty_fixture(spark), F.col("payload"),
+        media_type="video/mp4",
+    )
+    return mp4_temporal_novelty(media).orderBy("media_id", "frame_idx")
