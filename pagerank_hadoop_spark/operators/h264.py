@@ -42,8 +42,8 @@ What is REAL here (pure stdlib + NumPy, no codec library):
   0 carries no residual, so the subset needs no entropy decoding
   beyond the codeword itself).
 - **P-slice SKIP+INTRA decode** (r11): the first INTER subset —
-  full P slice-header parse (ref-idx override, list-modification /
-  weighted-pred refusals, non-IDR ref-pic marking), mb_skip_run
+  full P slice-header parse (ref-idx override, list-modification
+  refusal, non-IDR ref-pic marking), mb_skip_run
   slice data, skipped macroblocks copying the co-located block of
   the previous decoded picture (the derived motion vector is
   provably (0,0) in this subset; the induction is documented at
@@ -77,6 +77,14 @@ What is REAL here (pure stdlib + NumPy, no codec library):
   sample — eq 8-266 is a closed formula, inside the decodable
   line). This decodes the motion-shifted-duplicate shape video
   near-dup actually meets: a global integer pan is one mvd + skips.
+- **Explicit weighted prediction** (r13): pred_weight_table parse
+  (§7.3.3.2) and the §8.4.2.3.2 affine weighted-sample formula
+  Clip1(((x*w + 2^(logWD-1)) >> logWD) + o) — another closed
+  formula, applied after the gather/bilinear to luma and both
+  chroma components with independent weights; an all-default table
+  collapses to the unweighted path. A FADE is one all-skip weighted
+  P slice — the temporal-redundancy shape exact frame-repeat
+  detection misses.
 What is honestly refused: AC/chroma residuals (I_16x16 mb_type >= 5
 and I_4x4 cbp != 0, i.e. CAVLC beyond the single-coefficient subset
 — the full Table 9-5 (62 codewords x 4 nC classes) cannot be
@@ -91,6 +99,7 @@ nonzero inter coded_block_pattern (Table 9-4's inter mapping AND
 the residual decoder), P_8x8 sub-partitions (sub_mb_type parsing +
 per-sub-block motion), multi-reference prediction
 (num_ref_idx_l0_active > 1 needs te(v) ref_idx and a real DPB),
+implicit/bipred weighting (B-slice machinery),
 CABAC slices, B/SP/SI slices, FMO
 — each raises a typed NotImplementedError naming the missing decoder
 stage, the same strict-mode contract as multimodal.decode_media.
@@ -317,8 +326,10 @@ def h264_sps_rbsp(
     return w.rbsp_trailing()
 
 
-def h264_pps_rbsp() -> bytes:
-    """CAVLC PPS (entropy_coding_mode 0), one slice group, qp 26."""
+def h264_pps_rbsp(weighted_pred: bool = False) -> bytes:
+    """CAVLC PPS (entropy_coding_mode 0), one slice group, qp 26.
+    ``weighted_pred`` sets weighted_pred_flag, making every P slice
+    under this PPS carry a pred_weight_table (§7.3.3.2)."""
     w = _BitWriter()
     w.ue(0)  # pic_parameter_set_id
     w.ue(0)  # seq_parameter_set_id
@@ -327,7 +338,7 @@ def h264_pps_rbsp() -> bytes:
     w.ue(0)  # num_slice_groups_minus1
     w.ue(0)  # num_ref_idx_l0_default_active_minus1
     w.ue(0)  # num_ref_idx_l1_default_active_minus1
-    w.u(0, 1)  # weighted_pred_flag
+    w.u(1 if weighted_pred else 0, 1)  # weighted_pred_flag
     w.u(0, 2)  # weighted_bipred_idc
     w.se(0)  # pic_init_qp_minus26
     w.se(0)  # pic_init_qs_minus26
@@ -642,6 +653,7 @@ def h264_encode_pskip(
     disposable: bool = False,
     first_mb: int = 0,
     n_mbs: int | None = None,
+    weights: dict | str | None = None,
 ) -> bytes:
     """One non-IDR P-slice NAL in the SKIP + INTRA + P_L0_16x16
     subset: every macroblock is SKIPPED (mb_skip_run — the decoder
@@ -689,7 +701,37 @@ def h264_encode_pskip(
     # poc type 2: no POC fields; non-IDR so no idr_pic_id
     wr.u(0, 1)  # num_ref_idx_active_override_flag
     wr.u(0, 1)  # ref_pic_list_modification_flag_l0
-    # weighted_pred_flag is 0 in h264_pps_rbsp: no pred_weight_table
+    if weights is not None:
+        # pred_weight_table (§7.3.3.2) — the slice belongs under a
+        # weighted_pred=True PPS (h264_pps_rbsp/mp4_mux_avc flag).
+        # 'identity' writes denoms 0 with all per-ref flags 0 (the
+        # table every P slice must carry under that PPS, weighting
+        # nothing); a dict {ld, lw, lo, cd, cbw, cbo, crw, cro}
+        # writes explicit ref-0 luma + chroma weights/offsets
+        if weights == "identity":
+            wr.ue(0)  # luma_log2_weight_denom
+            wr.ue(0)  # chroma_log2_weight_denom
+            wr.u(0, 1)  # luma_weight_l0_flag
+            wr.u(0, 1)  # chroma_weight_l0_flag
+        else:
+            for k in ("ld", "lw", "lo", "cd", "cbw", "cbo", "crw", "cro"):
+                if k not in weights:
+                    raise ValueError(f"weights missing {k!r}")
+            if not 0 <= weights["ld"] <= 7 or not 0 <= weights["cd"] <= 7:
+                raise ValueError("log2 weight denoms must be 0..7")
+            for k in ("lw", "lo", "cbw", "cbo", "crw", "cro"):
+                if not -128 <= weights[k] <= 127:
+                    raise ValueError(f"weight field {k} out of -128..127")
+            wr.ue(weights["ld"])
+            wr.ue(weights["cd"])
+            wr.u(1, 1)  # luma_weight_l0_flag
+            wr.se(weights["lw"])
+            wr.se(weights["lo"])
+            wr.u(1, 1)  # chroma_weight_l0_flag
+            wr.se(weights["cbw"])
+            wr.se(weights["cbo"])
+            wr.se(weights["crw"])
+            wr.se(weights["cro"])
     if not disposable:
         # dec_ref_pic_marking exists only when nal_ref_idc > 0; a
         # disposable picture (ref_idc 0) omits the bit entirely
@@ -790,6 +832,7 @@ def mp4_mux_avc(
     use_co64: bool = False,
     dims: tuple[int, int] | None = None,
     max_ref: int = 0,
+    weighted_pred: bool = False,
 ) -> bytes:
     """Well-formed single-track MP4 around AVC samples. ``frames`` is
     a list of (y, cb, cr) uint8 plane triples (encoded I_PCM, one IDR
@@ -819,7 +862,7 @@ def mp4_mux_avc(
     width = w - 2 * (crop[0] + crop[1])
     height = h - 2 * (crop[2] + crop[3])
     sps = _nal(3, 7, h264_sps_rbsp(w // 16, h // 16, crop, max_ref))
-    pps = _nal(3, 8, h264_pps_rbsp())
+    pps = _nal(3, 8, h264_pps_rbsp(weighted_pred))
     # SEI: payload_type 5 (user_data_unregistered), 16-byte uuid-ish
     # payload, then rbsp trailing — content is skipped by decoders
     sei = _nal(0, 6, bytes([5, 16]) + bytes(range(16)) + b"\x80")
@@ -1794,7 +1837,7 @@ def _h264_decode_picture(
         if h["is_p"]:
             ctx = _decode_pskip_slice(
                 r, wmb, hmb, y, cb, cr, h["qp"], first, end - first,
-                ref, h["n_ref_l0"],
+                ref, h["n_ref_l0"], h["wp"],
             )
             if motion_out is not None:
                 # merge this slice's decoded blocks into the picture
@@ -1858,6 +1901,7 @@ def _parse_slice_header(nal: bytes, sps: dict, pps: dict) -> dict:
     if pps["redundant_pic_cnt_present"]:
         r.ue()
     n_ref_l0 = pps["n_ref_l0_default"]
+    wp = None
     if is_p:
         if r.u(1):  # num_ref_idx_active_override_flag
             n_ref_l0 = r.ue() + 1  # num_ref_idx_l0_active_minus1
@@ -1866,9 +1910,38 @@ def _parse_slice_header(nal: bytes, sps: dict, pps: dict) -> dict:
                 "reference picture list modification is not supported"
             )
         if pps["weighted_pred"]:
-            raise NotImplementedError(
-                "weighted prediction (pred_weight_table) is not supported"
-            )
+            # pred_weight_table (§7.3.3.2): EXPLICIT weighted
+            # prediction is a closed affine formula (§8.4.2.3.2) —
+            # decodable, unlike the residual/interpolation walls.
+            # Only ref 0's weights are kept (single-reference
+            # subset); an all-default table collapses to wp None so
+            # unweighted slices keep the co-located skip no-op.
+            ld = r.ue()  # luma_log2_weight_denom
+            cd = r.ue()  # chroma_log2_weight_denom (4:2:0 always)
+            if ld > 7 or cd > 7:
+                raise ValueError(
+                    f"log2 weight denom out of 0..7 ({ld}, {cd})"
+                )
+            lw, lo = 1 << ld, 0
+            cbw, cbo, crw, cro = 1 << cd, 0, 1 << cd, 0
+            for i in range(n_ref_l0):
+                if r.u(1):  # luma_weight_l0_flag
+                    w_, o_ = r.se(), r.se()
+                    if i == 0:
+                        lw, lo = w_, o_
+                if r.u(1):  # chroma_weight_l0_flag
+                    cw0, co0 = r.se(), r.se()
+                    cw1, co1 = r.se(), r.se()
+                    if i == 0:
+                        cbw, cbo, crw, cro = cw0, co0, cw1, co1
+            if (lw, lo) != (1 << ld, 0) or (cbw, cbo) != (
+                1 << cd, 0,
+            ) or (crw, cro) != (1 << cd, 0):
+                wp = {
+                    "ld": ld, "lw": lw, "lo": lo,
+                    "cd": cd, "cbw": cbw, "cbo": cbo,
+                    "crw": crw, "cro": cro,
+                }
     if nal_ref_idc:
         if nal_type == 5:
             r.u(1)  # no_output_of_prior_pics_flag
@@ -1902,6 +1975,7 @@ def _parse_slice_header(nal: bytes, sps: dict, pps: dict) -> dict:
         "ref_idc": nal_ref_idc,
         "frame_num": frame_num,
         "n_ref_l0": n_ref_l0,
+        "wp": wp,
     }
 
 
@@ -2045,7 +2119,24 @@ def _mc_block(plane, x0: int, y0: int, w: int, h: int):
     return plane[np.ix_(rows, cols)]
 
 
-def _mc_copy_rect(ref, x0: int, y0: int, w: int, h: int, mv, y, cb, cr) -> None:
+def _weight_samples(blk, w: int, o: int, logwd: int):
+    """§8.4.2.3.2 explicit weighted-sample prediction — the affine
+    closed formula: Clip1(((x*w + 2^(logWD-1)) >> logWD) + o) for
+    logWD >= 1, Clip1(x*w + o) for logWD 0. Arithmetic shift on the
+    signed product, exactly as the spec's >>."""
+    import numpy as np
+
+    x = blk.astype(np.int64)
+    if logwd >= 1:
+        v = ((x * w + (1 << (logwd - 1))) >> logwd) + o
+    else:
+        v = x * w + o
+    return np.clip(v, 0, 255).astype(np.uint8)
+
+
+def _mc_copy_rect(
+    ref, x0: int, y0: int, w: int, h: int, mv, y, cb, cr, wp=None
+) -> None:
     """Partition motion compensation at INTEGER luma positions for
     the luma rect (x0, y0, w, h) in samples: the luma block is a
     clamped copy from the reference picture at (mv>>2) samples;
@@ -2068,13 +2159,21 @@ def _mc_copy_rect(ref, x0: int, y0: int, w: int, h: int, mv, y, cb, cr) -> None:
             "interpolator (only integer-pel vectors decode)"
         )
     refy, refcb, refcr = ref
-    y[y0 : y0 + h, x0 : x0 + w] = _mc_block(
-        refy, x0 + (mvx >> 2), y0 + (mvy >> 2), w, h
-    )
+    yblk = _mc_block(refy, x0 + (mvx >> 2), y0 + (mvy >> 2), w, h)
+    if wp is not None:
+        # §8.4.2.3: weighting applies to the PREDICTION samples,
+        # after interpolation and clamping gathers
+        yblk = _weight_samples(yblk, wp["lw"], wp["lo"], wp["ld"])
+    y[y0 : y0 + h, x0 : x0 + w] = yblk
     cxi, cyi = mvx >> 3, mvy >> 3  # arithmetic shift, as the spec's >>
     cxf, cyf = mvx & 7, mvy & 7
     cx0, cy0, cw, ch = x0 // 2, y0 // 2, w // 2, h // 2
-    for plane, out in ((refcb, cb), (refcr, cr)):
+    cwp = (
+        None
+        if wp is None
+        else ((wp["cbw"], wp["cbo"]), (wp["crw"], wp["cro"]))
+    )
+    for ci, (plane, out) in enumerate(((refcb, cb), (refcr, cr))):
         if cxf == 0 and cyf == 0:
             blk = _mc_block(plane, cx0 + cxi, cy0 + cyi, cw, ch)
         else:
@@ -2093,6 +2192,8 @@ def _mc_copy_rect(ref, x0: int, y0: int, w: int, h: int, mv, y, cb, cr) -> None:
                 + 32
             ) >> 6
             blk = blk.astype(np.uint8)
+        if cwp is not None:
+            blk = _weight_samples(blk, cwp[ci][0], cwp[ci][1], wp["cd"])
         out[cy0 : cy0 + ch, cx0 : cx0 + cw] = blk
 
 
@@ -2108,6 +2209,7 @@ def _decode_pskip_slice(
     count: int,
     ref=None,
     n_ref_l0: int = 1,
+    wp: dict | None = None,
 ):
     """P-slice data in the SKIP + INTRA + P_L0_16x16 subset over the
     slice's raster extent [first_mb, first_mb + count): mb_skip_run
@@ -2157,8 +2259,12 @@ def _decode_pskip_slice(
         for mb in range(done, done + run):
             sy, sx = divmod(mb, wmb)
             mv = ctx.skip_mv(sx, sy) if has_mv else (0, 0)
-            if mv != (0, 0):
-                _mc_copy_rect(ref, sx * 16, sy * 16, 16, 16, mv, y, cb, cr)
+            if mv != (0, 0) or wp is not None:
+                # under EXPLICIT weighting even a zero-MV skip must
+                # re-copy: the seeded co-located planes are unweighted
+                _mc_copy_rect(
+                    ref, sx * 16, sy * 16, 16, 16, mv, y, cb, cr, wp
+                )
             ctx.set_inter(sx * 4, sy * 4, 4, 4, mv)
             dec[sy * 4 : sy * 4 + 4, sx * 4 : sx * 4 + 4] = True
         done += run
@@ -2199,7 +2305,8 @@ def _decode_pskip_slice(
                 mvp = ctx.pred(bx, by, pw, ph, pi)
                 mv = (mvp[0] + mvds[pi][0], mvp[1] + mvds[pi][1])
                 _mc_copy_rect(
-                    ref, bx * 4, by * 4, pw * 4, ph * 4, mv, y, cb, cr
+                    ref, bx * 4, by * 4, pw * 4, ph * 4, mv, y, cb, cr,
+                    wp,
                 )
                 ctx.set_inter(bx, by, pw, ph, mv)
             has_mv = True
@@ -2248,7 +2355,7 @@ def _decode_pskip_slice(
                     )
                     _mc_copy_rect(
                         ref, bx * 4, by * 4, pw * 4, ph * 4, mv,
-                        y, cb, cr,
+                        y, cb, cr, wp,
                     )
                     ctx.set_inter(bx, by, pw, ph, mv)
             has_mv = True

@@ -17192,3 +17192,264 @@ def q_media_mp4_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         media_type="video/mp4",
     )
     return mp4_temporal_novelty(media).orderBy("media_id", "frame_idx")
+
+
+@register(
+    "stream_video_motion_index",
+    """
+    WITH f AS (
+      SELECT range AS key,
+             CASE WHEN range % 10 = 0 THEN 40 ELSE range % 5 - 2 END AS tx,
+             CASE WHEN range % 10 = 0 THEN -40 ELSE range % 7 - 3 END AS ty,
+             range % 3 - 1 AS bx2, range % 9 - 4 AS by2,
+             range % 7 - 3 AS lx, 1 + range % 4 AS ly,
+             range % 9 - 4 AS rx, range % 3 - 1 AS ry,
+             range % 5 - 2 AS ax, 1 + range % 3 AS ay
+      FROM range(0, 120)),
+    g AS (
+      SELECT *,
+        ax + lx + bx2 - GREATEST(ax, lx, bx2) - LEAST(ax, lx, bx2) AS sx,
+        ay + ly + by2 - GREATEST(ay, ly, by2) - LEAST(ay, ly, by2) AS sy
+      FROM f),
+    vecrows AS (
+      SELECT key, vx, vy, SUM(cnt) AS cnt FROM (
+        SELECT key, 4 * tx AS vx, 4 * ty AS vy, 8 AS cnt FROM g
+        UNION ALL SELECT key, 4 * bx2, 4 * by2, 8 FROM g
+        UNION ALL SELECT key, 4 * lx, 4 * ly, 8 FROM g
+        UNION ALL SELECT key, 4 * rx, 4 * ry, 8 FROM g
+        UNION ALL SELECT key, 4 * ax, 4 * ay, 16 FROM g
+        UNION ALL SELECT key, 4 * sx, 4 * sy, 16 FROM g)
+      GROUP BY key, vx, vy),
+    dom AS (
+      SELECT key, vx, vy, cnt,
+             row_number() OVER (
+               PARTITION BY key ORDER BY cnt DESC, vx, vy) AS rn
+      FROM vecrows WHERE NOT (vx = 0 AND vy = 0)),
+    zeroes AS (
+      SELECT key, SUM(cnt) AS z FROM vecrows
+      WHERE vx = 0 AND vy = 0 GROUP BY key),
+    frames AS (
+      SELECT g.key, unnest(range(0, 3)) AS fi FROM g)
+    SELECT CAST(fr.key AS BIGINT) AS media_id,
+           CAST(fr.fi AS BIGINT) AS frame_idx,
+           CAST(CASE WHEN fr.fi = 0 THEN 0 ELSE 1 END AS INTEGER) AS is_p,
+           CAST(CASE WHEN fr.fi = 0 THEN 0 ELSE 64 END AS BIGINT)
+             AS inter_blocks,
+           CAST(CASE WHEN fr.fi = 0 THEN 64 ELSE 0 END AS BIGINT)
+             AS intra_blocks,
+           CAST(CASE WHEN fr.fi = 0 THEN 0
+                     WHEN fr.fi = 1 THEN COALESCE(z.z, 0)
+                     ELSE 64 END AS BIGINT) AS zero_blocks,
+           CAST(CASE WHEN fr.fi = 1 THEN d.vx ELSE 0 END AS INTEGER)
+             AS dom_mvx,
+           CAST(CASE WHEN fr.fi = 1 THEN d.vy ELSE 0 END AS INTEGER)
+             AS dom_mvy,
+           CAST(CASE WHEN fr.fi = 1 THEN d.cnt ELSE 0 END AS BIGINT)
+             AS dom_count
+    FROM frames fr
+    LEFT JOIN (SELECT * FROM dom WHERE rn = 1) d ON fr.key = d.key
+    LEFT JOIN zeroes z ON fr.key = z.key
+    ORDER BY media_id, frame_idx
+    """,
+)
+def q_stream_video_motion_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E6×E5 [r13]: STREAMING motion-field ingest — the video twin
+    of stream_audio_fp_index: the media_mp4_pmv_parts fixtures
+    staged as parquet, consumed with a REAL readStream (file source,
+    availableNow trigger), motion-summarized per micro-batch by the
+    same Arrow mp4_motion_summary kernel (stateless mapInPandas runs
+    unchanged under Structured Streaming), drained to a memory
+    sink — the index a continuously-arriving video corpus maintains
+    so pan/static classification and novelty-driven sampling always
+    have fresh per-frame motion stats. Streaming ≡ batch: the oracle
+    is the identical closed-form dominant-vector election, so a
+    trigger-boundary effect in demux, decode, or the election would
+    hash-mismatch on 360 rows."""
+    import tempfile
+
+    from pagerank_hadoop_spark.operators.h264 import mp4_motion_summary
+    from pagerank_hadoop_spark.operators.multimodal import attach_media
+    from pagerank_hadoop_spark.streaming.windows import run_to_memory
+
+    stage = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_vmotion_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    if not os.path.exists(os.path.join(stage, "_SUCCESS")):
+        _mp4_pmv_parts_fixture(spark).write.mode("overwrite").parquet(stage)
+    stream = spark.readStream.schema(
+        "media_id long, payload binary"
+    ).parquet(stage)
+    stats = mp4_motion_summary(
+        attach_media(stream, F.col("payload"), media_type="video/mp4")
+    )
+    _STREAM_SEQ["n"] += 1
+    name = f"stream_video_motion_index_{_STREAM_SEQ['n']}"
+    run_to_memory(stats, name, output_mode="append")
+    return spark.table(name).orderBy("media_id", "frame_idx")
+
+
+def _mp4_fade_fixture(spark: SparkSession, n: int = 120) -> DataFrame:
+    """Driver-built MP4s under a weighted_pred=1 PPS: the IDR (linear
+    I_PCM planes) is followed by frame 1 — an ALL-SKIP weighted P
+    slice, i.e. a pure FADE: every co-located sample runs the
+    §8.4.2.3.2 affine (even keys: luma w=40/denom 5 ≈ 1.25x, a
+    BRIGHTENING fade whose top plane values saturate at 255; odd
+    keys: the logWD=0 branch, pure offsets, darkening to the 0 clip
+    on key%9=8) with INDEPENDENT chroma weights — frame 2, an
+    explicit even global pan COMPOSED with a second, milder weight
+    set (pan + fade in one slice; weighting applies after the
+    clamped gather), and frame 3 — an all-skip slice carrying the
+    IDENTITY pred_weight_table (denoms 0, flags 0 — mandatory under
+    this PPS), which must collapse to the unweighted path: an exact
+    repeat. Encoder twins: h264_encode_pskip(weights=...) /
+    mp4_mux_avc(weighted_pred=True)."""
+    import numpy as np
+
+    from pagerank_hadoop_spark.operators.h264 import (
+        h264_encode_ipcm,
+        h264_encode_pskip,
+        mp4_mux_avc,
+    )
+
+    rows = []
+    for key in range(n):
+        a = 20 + key % 60
+        u0 = 15 + key % 50
+        v0 = 9 + key % 40
+        vc = (2 * ((key % 3) - 1), 2 * ((key % 5) - 2))
+        if key % 2 == 0:
+            w1 = dict(ld=5, lw=40, lo=key % 7 - 3, cd=4, cbw=14,
+                      cbo=key % 5 - 2, crw=18, cro=-(key % 3))
+            w2 = dict(ld=5, lw=28, lo=key % 5 - 2, cd=4, cbw=14,
+                      cbo=0, crw=18, cro=1)
+        else:
+            w1 = dict(ld=0, lw=1, lo=-3 * (key % 9), cd=0, cbw=1,
+                      cbo=-(key % 6), crw=1, cro=key % 4)
+            w2 = dict(ld=0, lw=1, lo=2 * (key % 5), cd=0, cbw=1,
+                      cbo=key % 3, crw=1, cro=-(key % 4))
+        y0 = np.fromfunction(
+            lambda r, c: a + 2 * c + 3 * r, (32, 32)
+        ).astype(np.uint8)
+        cb0 = np.fromfunction(
+            lambda r, c: u0 + c + r, (16, 16)
+        ).astype(np.uint8)
+        cr0 = np.fromfunction(
+            lambda r, c: v0 + c + r, (16, 16)
+        ).astype(np.uint8)
+        allmv = {
+            (x, yy): ("mv", 4 * vc[0], 4 * vc[1])
+            for x in range(2) for yy in range(2)
+        }
+        nals = [
+            h264_encode_ipcm(y0, cb0, cr0),
+            h264_encode_pskip(2, 2, 1, None, weights=w1),
+            h264_encode_pskip(2, 2, 2, allmv, weights=w2),
+            h264_encode_pskip(2, 2, 3, None, weights="identity"),
+        ]
+        rows.append(
+            (key, bytearray(mp4_mux_avc(
+                nals, dims=(32, 32), max_ref=1, weighted_pred=True
+            )))
+        )
+    return spark.createDataFrame(rows, "media_id long, payload binary")
+
+
+@register(
+    "media_mp4_fade",
+    """
+WITH f AS (
+  SELECT range AS key, 20 + range % 60 AS a,
+         15 + range % 50 AS u0, 9 + range % 40 AS v0,
+         2 * ((range % 3) - 1) AS dxc, 2 * ((range % 5) - 2) AS dyc,
+         range % 2 AS vb,
+         CASE WHEN range % 2 = 0 THEN range % 7 - 3
+              ELSE -3 * (range % 9) END AS lo1,
+         CASE WHEN range % 2 = 0 THEN range % 5 - 2
+              ELSE 2 * (range % 5) END AS lo2,
+         CASE WHEN range % 2 = 0 THEN range % 5 - 2
+              ELSE -(range % 6) END AS cbo1,
+         CASE WHEN range % 2 = 0 THEN -(range % 3)
+              ELSE range % 4 END AS cro1,
+         CASE WHEN range % 2 = 0 THEN 0 ELSE range % 3 END AS cbo2,
+         CASE WHEN range % 2 = 0 THEN 1 ELSE -(range % 4) END AS cro2
+  FROM range(0, 120)),
+p0 AS (SELECT *,
+    list_transform(range(0, 1024), i -> a + 2 * (i % 32) + 3 * (i // 32)) AS y0,
+    list_transform(range(0, 256), i -> u0 + (i % 16) + (i // 16)) AS cb0,
+    list_transform(range(0, 256), i -> v0 + (i % 16) + (i // 16)) AS cr0
+  FROM f),
+p1 AS (SELECT *,
+    list_transform(y0, x -> LEAST(255, GREATEST(0,
+      CASE WHEN vb = 0 THEN (x * 40 + 16) // 32 + lo1
+           ELSE x + lo1 END))) AS y1,
+    list_transform(cb0, x -> LEAST(255, GREATEST(0,
+      CASE WHEN vb = 0 THEN (x * 14 + 8) // 16 + cbo1
+           ELSE x + cbo1 END))) AS cb1,
+    list_transform(cr0, x -> LEAST(255, GREATEST(0,
+      CASE WHEN vb = 0 THEN (x * 18 + 8) // 16 + cro1
+           ELSE x + cro1 END))) AS cr1
+  FROM p0),
+p2 AS (SELECT *,
+    list_transform(range(0, 1024), i -> LEAST(255, GREATEST(0,
+      CASE WHEN vb = 0 THEN (list_extract(y1,
+          LEAST(31, GREATEST(0, (i // 32) + dyc)) * 32 +
+          LEAST(31, GREATEST(0, (i % 32) + dxc)) + 1) * 28 + 16) // 32 + lo2
+      ELSE list_extract(y1,
+          LEAST(31, GREATEST(0, (i // 32) + dyc)) * 32 +
+          LEAST(31, GREATEST(0, (i % 32) + dxc)) + 1) + lo2 END))) AS y2,
+    list_transform(range(0, 256), i -> LEAST(255, GREATEST(0,
+      CASE WHEN vb = 0 THEN (list_extract(cb1,
+          LEAST(15, GREATEST(0, (i // 16) + dyc // 2)) * 16 +
+          LEAST(15, GREATEST(0, (i % 16) + dxc // 2)) + 1) * 14 + 8) // 16 + cbo2
+      ELSE list_extract(cb1,
+          LEAST(15, GREATEST(0, (i // 16) + dyc // 2)) * 16 +
+          LEAST(15, GREATEST(0, (i % 16) + dxc // 2)) + 1) + cbo2 END))) AS cb2,
+    list_transform(range(0, 256), i -> LEAST(255, GREATEST(0,
+      CASE WHEN vb = 0 THEN (list_extract(cr1,
+          LEAST(15, GREATEST(0, (i // 16) + dyc // 2)) * 16 +
+          LEAST(15, GREATEST(0, (i % 16) + dxc // 2)) + 1) * 18 + 8) // 16 + cro2
+      ELSE list_extract(cr1,
+          LEAST(15, GREATEST(0, (i // 16) + dyc // 2)) * 16 +
+          LEAST(15, GREATEST(0, (i % 16) + dxc // 2)) + 1) + cro2 END))) AS cr2
+  FROM p1),
+fr AS (SELECT *, unnest(range(0, 4)) AS fi FROM p2),
+v AS (SELECT key, fi,
+    CASE WHEN fi = 0 THEN y0 WHEN fi = 1 THEN y1 ELSE y2 END AS yl,
+    CASE WHEN fi = 0 THEN cb0 WHEN fi = 1 THEN cb1 ELSE cb2 END AS cbl,
+    CASE WHEN fi = 0 THEN cr0 WHEN fi = 1 THEN cr1 ELSE cr2 END AS crl
+  FROM fr)
+SELECT CAST(key AS BIGINT) AS media_id, CAST(fi AS BIGINT) AS frame_idx,
+       CAST(32 AS INTEGER) AS width, CAST(32 AS INTEGER) AS height,
+       CAST(list_sum(yl) AS BIGINT) AS y_sum,
+       CAST(list_sum(cbl) AS BIGINT) AS cb_sum,
+       CAST(list_sum(crl) AS BIGINT) AS cr_sum,
+       md5(array_to_string(yl, ',')) AS y_md5
+FROM v ORDER BY media_id, frame_idx
+""",
+)
+def q_media_mp4_fade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5 [r13]: EXPLICIT WEIGHTED PREDICTION — pred_weight_table
+    parse (§7.3.3.2) + the §8.4.2.3.2 affine weighted-sample formula
+    (Clip1(((x*w + 2^(logWD-1)) >> logWD) + o); the logWD=0 branch
+    is x*w + o), the closed formula that encodes FADES: one all-skip
+    weighted P slice fades the whole co-located picture, the
+    temporal-redundancy shape an exact frame-repeat detector misses
+    but a weighted decoder reconstructs losslessly. Covers both
+    logWD branches, both clip saturations (brightening keys pin 255,
+    key%9=8 darkening pins 0), independent luma/Cb/Cr weights,
+    weighting COMPOSED with motion (applied after the clamped
+    gather), and the identity-table collapse (mandatory table under
+    weighted_pred=1 PPS that must weight nothing — frame 3 is an
+    exact repeat). The oracle replays the affine, the clips, and the
+    pan composition closed-form on 480 rows. Spec: ISO/IEC 14496-10
+    §7.3.3.2/§8.4.2.3; extends the r13 MV family; implicit/bipred
+    weighting stays refused (B-slice machinery)."""
+    from pagerank_hadoop_spark.operators.h264 import mp4_frame_stats
+    from pagerank_hadoop_spark.operators.multimodal import attach_media
+
+    media = attach_media(
+        _mp4_fade_fixture(spark), F.col("payload"),
+        media_type="video/mp4",
+    )
+    return mp4_frame_stats(media).orderBy("media_id", "frame_idx")

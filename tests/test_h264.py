@@ -2303,3 +2303,184 @@ def test_motion_summary_kernel_and_tiebreak(spark):
     r2 = rows[2]
     assert r2["zero_blocks"] == 64 and r2["dom_count"] == 0
     assert (r2["dom_mvx"], r2["dom_mvy"]) == (0, 0)
+
+
+def test_property_random_partition_grids_match_gather_model():
+    """Property (r13): for pictures whose every macroblock is an
+    EXPLICIT-MV partition (any of 16x16 / 16x8 / 8x16 / P_8x8 with
+    random sub_mb_types) with random integer-pel vectors, the
+    encode-decode round trip equals the independent per-rect
+    clamped-gather + bilinear model — prediction/mvd bookkeeping
+    cancels exactly for EVERY partition geometry and every vector
+    assignment, or some rect's pixels diverge."""
+    from hypothesis import given, settings, strategies as st
+
+    import pagerank_hadoop_spark.operators.h264 as H
+    from pagerank_hadoop_spark.operators.h264 import h264_encode_pskip
+
+    pel = st.tuples(st.integers(-6, 6), st.integers(-6, 6))
+
+    def q(p):
+        return (4 * p[0], 4 * p[1])
+
+    sub = st.integers(0, 3).flatmap(
+        lambda t: st.tuples(
+            st.just(t),
+            st.lists(pel, min_size=[1, 2, 2, 4][t],
+                     max_size=[1, 2, 2, 4][t]),
+        )
+    )
+    mbspec = st.one_of(
+        pel.map(lambda p: ("mv",) + q(p)),
+        st.tuples(pel, pel).map(
+            lambda v: ("mv16x8", q(v[0]), q(v[1]))),
+        st.tuples(pel, pel).map(
+            lambda v: ("mv8x16", q(v[0]), q(v[1]))),
+        st.tuples(sub, sub, sub, sub).map(
+            lambda s: ("mv8x8",) + tuple(
+                (t, [q(p) for p in vs]) for t, vs in s)),
+    )
+
+    @settings(max_examples=20, deadline=None)
+    @given(
+        st.integers(2, 3), st.integers(1, 3),
+        st.lists(mbspec, min_size=9, max_size=9),
+        st.integers(0, 2**31 - 1),
+    )
+    def run(wmb, hmb, specs, seed):
+        rng = np.random.default_rng(seed)
+        y0 = rng.integers(0, 256, (hmb * 16, wmb * 16)).astype(np.uint8)
+        cb0 = rng.integers(0, 256, (hmb * 8, wmb * 8)).astype(np.uint8)
+        cr0 = rng.integers(0, 256, (hmb * 8, wmb * 8)).astype(np.uint8)
+        sps = h264_parse_sps(h264_sps_rbsp(wmb, hmb, (0, 0, 0, 0), 1))
+        pps = h264_parse_pps(h264_pps_rbsp())
+        grid = {
+            (mbx, mby): specs[(mby * wmb + mbx) % len(specs)]
+            for mby in range(hmb) for mbx in range(wmb)
+        }
+        nal = h264_encode_pskip(wmb, hmb, 1, grid)
+        y, cb, cr = H._h264_decode_picture(
+            [nal], sps, pps, (y0, cb0, cr0)
+        )
+
+        def rects(spec, mbx, mby):
+            x0, yy0 = mbx * 16, mby * 16
+            if spec[0] == "mv":
+                yield (x0, yy0, 16, 16, spec[1], spec[2])
+            elif spec[0] == "mv16x8":
+                yield (x0, yy0, 16, 8, *spec[1])
+                yield (x0, yy0 + 8, 16, 8, *spec[2])
+            elif spec[0] == "mv8x16":
+                yield (x0, yy0, 8, 16, *spec[1])
+                yield (x0 + 8, yy0, 8, 16, *spec[2])
+            else:
+                for s, (t, vs) in enumerate(spec[1:]):
+                    sx0 = x0 + 8 * (s % 2)
+                    sy0 = yy0 + 8 * (s // 2)
+                    geo = {
+                        0: [(0, 0, 8, 8)],
+                        1: [(0, 0, 8, 4), (0, 4, 8, 4)],
+                        2: [(0, 0, 4, 8), (4, 0, 4, 8)],
+                        3: [(0, 0, 4, 4), (4, 0, 4, 4),
+                            (0, 4, 4, 4), (4, 4, 4, 4)],
+                    }[t]
+                    for (ox, oy, w, h), v in zip(geo, vs):
+                        yield (sx0 + ox, sy0 + oy, w, h, v[0], v[1])
+
+        for (mbx, mby), spec in grid.items():
+            for x0, yy0, w, h, mvx, mvy in rects(spec, mbx, mby):
+                dx, dy = mvx >> 2, mvy >> 2
+                exp = _gather_clamped(y0, x0 + dx, yy0 + dy, w, h)
+                assert (y[yy0:yy0 + h, x0:x0 + w] == exp).all()
+                # chroma via the bilinear model
+                cxi, cyi = mvx >> 3, mvy >> 3
+                cxf, cyf = mvx & 7, mvy & 7
+                cx0, cy0, cw, ch = x0 // 2, yy0 // 2, w // 2, h // 2
+                for p0, pd in ((cb0, cb), (cr0, cr)):
+                    quads = [
+                        _gather_clamped(
+                            p0, cx0 + cxi + qx, cy0 + cyi + qy, cw, ch
+                        ).astype(np.int64)
+                        for qy in (0, 1) for qx in (0, 1)
+                    ]
+                    expc = (
+                        (8 - cxf) * (8 - cyf) * quads[0]
+                        + cxf * (8 - cyf) * quads[1]
+                        + (8 - cxf) * cyf * quads[2]
+                        + cxf * cyf * quads[3]
+                        + 32
+                    ) >> 6
+                    assert (pd[cy0:cy0 + ch, cx0:cx0 + cw] == expc).all()
+
+    run()
+
+
+def test_weighted_prediction_fade_and_pan():
+    """r13: explicit weighted prediction — an all-skip weighted P
+    slice applies the §8.4.2.3.2 affine to every co-located sample
+    (fade), an MV macroblock weights the SHIFTED gather, chroma
+    components carry independent weights, both logWD branches and
+    both clip saturations fire, and an identity table collapses to
+    the plain path (bit-exact repeat)."""
+    import pagerank_hadoop_spark.operators.h264 as H
+    from pagerank_hadoop_spark.operators.h264 import (
+        h264_encode_ipcm,
+        h264_encode_pskip,
+        mp4_decode_ipcm_frames,
+    )
+
+    rng = np.random.default_rng(59)
+    y0 = rng.integers(0, 256, (32, 32)).astype(np.uint8)
+    cb0 = rng.integers(0, 256, (16, 16)).astype(np.uint8)
+    cr0 = rng.integers(0, 256, (16, 16)).astype(np.uint8)
+
+    def aff(x, wgt, off, ld):
+        x = x.astype(np.int64)
+        v = (((x * wgt + (1 << (ld - 1))) >> ld) + off) if ld >= 1 \
+            else x * wgt + off
+        return np.clip(v, 0, 255).astype(np.uint8)
+
+    wA = dict(ld=5, lw=40, lo=5, cd=4, cbw=20, cbo=-3, crw=12, cro=7)
+    wB = dict(ld=0, lw=1, lo=-60, cd=0, cbw=2, cbo=0, crw=1, cro=90)
+    nals = [
+        h264_encode_ipcm(y0, cb0, cr0),
+        h264_encode_pskip(2, 2, 1, None, weights=wA),   # fade (clip hi)
+        h264_encode_pskip(2, 2, 2, None, weights=wB),   # LWD=0 (clip lo)
+        h264_encode_pskip(
+            2, 2, 3, {(0, 0): ("mv", 8, 4)}, weights=wA
+        ),                                              # pan + fade
+        h264_encode_pskip(2, 2, 4, None, weights="identity"),
+    ]
+    payload = mp4_mux_avc(
+        nals, dims=(32, 32), max_ref=1, weighted_pred=True
+    )
+    fr = list(mp4_decode_ipcm_frames(payload))
+    assert len(fr) == 5
+    e1y = aff(y0, 40, 5, 5)
+    assert (fr[1][1] == e1y).all()
+    assert (fr[1][2] == aff(cb0, 20, -3, 4)).all()
+    assert (fr[1][3] == aff(cr0, 12, 7, 4)).all()
+    assert (fr[1][1] == 255).any()  # x*40>>5+5 saturates for x>=200
+    e2y = aff(e1y, 1, -60, 0)
+    assert (fr[2][1] == e2y).all() and (fr[2][1] == 0).any()
+    assert (fr[2][3] == aff(aff(cr0, 12, 7, 4), 1, 90, 0)).all()
+    # frame 3: MB(0,0) weighted SHIFTED gather; skips weighted copy
+    got3 = fr[3][1]
+    exp_mb = aff(_gather_clamped(e2y, 2, 1, 16, 16), 40, 5, 5)
+    assert (got3[0:16, 0:16] == exp_mb).all()
+    assert (got3[16:32, :] == aff(e2y[16:32, :], 40, 5, 5)).all()
+    # frame 4: identity table == exact repeat of frame 3
+    assert (fr[4][1] == got3).all() and (fr[4][2] == fr[3][2]).all()
+
+    # encoder validation
+    with pytest.raises(ValueError, match="missing"):
+        h264_encode_pskip(2, 2, 1, None, weights={"ld": 5})
+    bad = dict(wA, lw=300)
+    with pytest.raises(ValueError, match="-128..127"):
+        h264_encode_pskip(2, 2, 1, None, weights=bad)
+    # a weighted slice under an UNWEIGHTED PPS misparses loudly (the
+    # stray table bits corrupt the stream), never silently
+    with pytest.raises((ValueError, NotImplementedError)):
+        list(mp4_decode_ipcm_frames(mp4_mux_avc(
+            nals, dims=(32, 32), max_ref=1, weighted_pred=False
+        )))
