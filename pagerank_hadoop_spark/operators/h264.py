@@ -85,6 +85,12 @@ What is REAL here (pure stdlib + NumPy, no codec library):
   collapses to the unweighted path. A FADE is one all-skip weighted
   P slice — the temporal-redundancy shape exact frame-repeat
   detection misses.
+- **Multi-reference prediction** (r13): a real sliding-window DPB
+  (§8.2.5.3, most-recent-first list0 per §8.2.4.2.1, IDR flush),
+  te(v) ref_idx_l0 per partition / per P_8x8 sub-MB, refIdx-aware
+  §8.4.1.3 prediction (the motion context stores the reference
+  index per 4x4 block), and per-reference motion compensation —
+  background restoration past an occluding frame decodes.
 What is honestly refused: AC/chroma residuals (I_16x16 mb_type >= 5
 and I_4x4 cbp != 0, i.e. CAVLC beyond the single-coefficient subset
 — the full Table 9-5 (62 codewords x 4 nC classes) cannot be
@@ -97,10 +103,10 @@ quarter-sample averaging — refused so the interpolation wall stays
 intact and every decoded sample remains a closed-form gather),
 nonzero inter coded_block_pattern (Table 9-4's inter mapping AND
 the residual decoder), P_8x8 sub-partitions (sub_mb_type parsing +
-per-sub-block motion), multi-reference prediction
-(num_ref_idx_l0_active > 1 needs te(v) ref_idx and a real DPB),
-implicit/bipred weighting (B-slice machinery),
-CABAC slices, B/SP/SI slices, FMO
+per-sub-block motion), reference-picture-list modification and MMCO adaptive marking
+(reordering machinery), weighted prediction combined with multiple
+references (per-ref weight lists), implicit/bipred weighting
+(B-slice machinery), CABAC slices, B/SP/SI slices, FMO
 — each raises a typed NotImplementedError naming the missing decoder
 stage, the same strict-mode contract as multimodal.decode_media.
 (Table 9-5 re-probed rounds 11–13, 2026-08-16: still no spec text,
@@ -654,6 +660,7 @@ def h264_encode_pskip(
     first_mb: int = 0,
     n_mbs: int | None = None,
     weights: dict | str | None = None,
+    n_ref: int = 1,
 ) -> bytes:
     """One non-IDR P-slice NAL in the SKIP + INTRA + P_L0_16x16
     subset: every macroblock is SKIPPED (mb_skip_run — the decoder
@@ -699,7 +706,11 @@ def h264_encode_pskip(
     wr.ue(0)  # pic_parameter_set_id
     wr.u(frame_num % 16, 4)  # frame_num (log2_max_frame_num = 4)
     # poc type 2: no POC fields; non-IDR so no idr_pic_id
-    wr.u(0, 1)  # num_ref_idx_active_override_flag
+    if n_ref > 1:
+        wr.u(1, 1)  # num_ref_idx_active_override_flag
+        wr.ue(n_ref - 1)  # num_ref_idx_l0_active_minus1
+    else:
+        wr.u(0, 1)  # num_ref_idx_active_override_flag
     wr.u(0, 1)  # ref_pic_list_modification_flag_l0
     if weights is not None:
         # pred_weight_table (§7.3.3.2) — the slice belongs under a
@@ -741,6 +752,16 @@ def h264_encode_pskip(
     count = (
         width_mbs * height_mbs - first_mb if n_mbs is None else n_mbs
     )  # slice extent: [first_mb, first_mb + count) in raster order
+
+    def _write_te(ri):
+        if n_ref <= 1:
+            if ri:
+                raise ValueError("ref_idx > 0 requires n_ref > 1")
+            return
+        if n_ref == 2:
+            wr.u(1 - ri, 1)  # te(v): single inverted bit
+        else:
+            wr.ue(ri)
     ctx = _MotionCtx(width_mbs, height_mbs)  # decoder-mirrored
     for mbi in range(first_mb, first_mb + count):
         mby, mbx = divmod(mbi, width_mbs)
@@ -757,24 +778,35 @@ def h264_encode_pskip(
         mb = intra_mbs[(mbx, mby)]
         if not isinstance(mb[0], str):
             mb = ("pcm", mb)  # legacy bare plane triple
-        if mb[0] in ("mv", "mv16x8", "mv8x16"):
-            mb_type = {"mv": 0, "mv16x8": 1, "mv8x16": 2}[mb[0]]
+        if mb[0] in ("mv", "mvref", "mv16x8", "mv8x16"):
+            mb_type = {"mv": 0, "mvref": 0, "mv16x8": 1, "mv8x16": 2}[
+                mb[0]
+            ]
             parts = _P_PARTS[mb_type]
-            mvs = [mb[1:]] if mb[0] == "mv" else list(mb[1:])
+            if mb[0] == "mv":
+                mvs, rids = [mb[1:]], [0]
+            elif mb[0] == "mvref":
+                # ('mvref', ref_idx, mvx, mvy): whole-MB vector into
+                # list0[ref_idx] — requires n_ref > ref_idx
+                mvs, rids = [mb[2:]], [mb[1]]
+            else:
+                mvs, rids = list(mb[1:]), [0] * len(parts)
             if len(mvs) != len(parts):
                 raise ValueError(
                     f"{mb[0]} spec needs {len(parts)} vectors"
                 )
-            wr.ue(mb_type)  # (ref_idx inferred 0: one active ref)
+            wr.ue(mb_type)
+            for ri in rids:
+                _write_te(ri)  # ref_idx_l0 per partition (te(v))
             # derive-and-write in partIdx order, exactly like the
             # decoder: partition 1's mvp reads partition 0's vector
             for pi, (ox, oy, pw, ph) in enumerate(parts):
                 bx, by = mbx * 4 + ox, mby * 4 + oy
                 mvx, mvy = mvs[pi]
-                mvp = ctx.pred(bx, by, pw, ph, pi)
+                mvp = ctx.pred(bx, by, pw, ph, pi, rids[pi])
                 wr.se(mvx - mvp[0])  # mvd_l0 x
                 wr.se(mvy - mvp[1])  # mvd_l0 y
-                ctx.set_inter(bx, by, pw, ph, (mvx, mvy))
+                ctx.set_inter(bx, by, pw, ph, (mvx, mvy), rids[pi])
             wr.ue(0)  # coded_block_pattern 0 (Table 9-4 inter)
         elif mb[0] == "mv8x8":
             # ('mv8x8', (sub_type, [vectors]) x 4): P_8x8 with one
@@ -792,6 +824,8 @@ def h264_encode_pskip(
                         f"{len(_P8_SUBPARTS[st])} vectors"
                     )
                 wr.ue(st)
+            for _ in range(4):
+                _write_te(0)  # ref_idx_l0 per sub-MB (encoder: ref 0)
             for s, (st, vs) in enumerate(subs):
                 sx, sy = 2 * (s % 2), 2 * (s // 2)
                 for pi, (ox, oy, pw, ph) in enumerate(_P8_SUBPARTS[st]):
@@ -1093,7 +1127,7 @@ def h264_parse_sps(rbsp: bytes) -> dict:
         r.se()  # offset_for_top_to_bottom_field
         for _ in range(r.ue()):  # num_ref_frames_in_pic_order_cnt_cycle
             r.se()
-    r.ue()  # max_num_ref_frames
+    max_num_ref_frames = r.ue()
     r.u(1)  # gaps_in_frame_num_value_allowed_flag
     width_mbs = r.ue() + 1
     height_map_units = r.ue() + 1
@@ -1115,6 +1149,7 @@ def h264_parse_sps(rbsp: bytes) -> dict:
         "width_mbs": width_mbs,
         "height_mbs": height_map_units,
         "crop": crop,
+        "max_ref": max_num_ref_frames,
     }
 
 
@@ -1810,20 +1845,28 @@ def _h264_decode_picture(
     if any(f >= n_mbs for f in firsts):
         raise ValueError("first_mb_in_slice beyond the picture")
     ends = firsts[1:] + [n_mbs]
+    # ``ref``: one (y, cb, cr) triple (the common single-reference
+    # case) or a LIST of triples — the reference picture list0, most
+    # recent first (§8.2.4.2.1: P list0 is short-term refs by
+    # FrameNumWrap descending, which for gap-free streams IS decode
+    # order reversed)
+    refs = None
+    if ref is not None:
+        refs = [ref] if getattr(ref[0], "ndim", None) == 2 else list(ref)
     if any(h["is_p"] for h in headers):
-        if ref is None:
+        if not refs:
             raise ValueError(
                 "P slice with no prior decoded reference picture"
             )
-        if ref[0].shape != (hmb * 16, wmb * 16):
+        if any(r0[0].shape != (hmb * 16, wmb * 16) for r0 in refs):
             raise ValueError(
                 "reference picture dimensions do not match the SPS"
             )
-        # P skips copy the co-located reference block: start from the
-        # reference; every slice then overwrites its coded extent
-        y = ref[0].copy()
-        cb = ref[1].copy()
-        cr = ref[2].copy()
+        # P skips copy the co-located block of list0[0]: start from
+        # it; every slice then overwrites its coded extent
+        y = refs[0][0].copy()
+        cb = refs[0][1].copy()
+        cr = refs[0][2].copy()
     else:
         y = np.zeros((hmb * 16, wmb * 16), dtype=np.uint8)
         cb = np.zeros((hmb * 8, wmb * 8), dtype=np.uint8)
@@ -1837,7 +1880,7 @@ def _h264_decode_picture(
         if h["is_p"]:
             ctx = _decode_pskip_slice(
                 r, wmb, hmb, y, cb, cr, h["qp"], first, end - first,
-                ref, h["n_ref_l0"], h["wp"],
+                refs, h["n_ref_l0"], h["wp"],
             )
             if motion_out is not None:
                 # merge this slice's decoded blocks into the picture
@@ -1910,6 +1953,11 @@ def _parse_slice_header(nal: bytes, sps: dict, pps: dict) -> dict:
                 "reference picture list modification is not supported"
             )
         if pps["weighted_pred"]:
+            if n_ref_l0 > 1:
+                raise NotImplementedError(
+                    "per-reference weight lists (weighted prediction "
+                    "with num_ref_idx_l0_active > 1) are not supported"
+                )
             # pred_weight_table (§7.3.3.2): EXPLICIT weighted
             # prediction is a closed affine formula (§8.4.2.3.2) —
             # decodable, unlike the residual/interpolation walls.
@@ -2001,8 +2049,10 @@ class _MotionCtx:
         self.mvx = np.zeros((self.h, self.w), dtype=np.int32)
         self.mvy = np.zeros((self.h, self.w), dtype=np.int32)
 
-    def set_inter(self, bx: int, by: int, pw: int, ph: int, mv) -> None:
-        self.state[by : by + ph, bx : bx + pw] = 0
+    def set_inter(
+        self, bx: int, by: int, pw: int, ph: int, mv, ref_idx: int = 0
+    ) -> None:
+        self.state[by : by + ph, bx : bx + pw] = ref_idx
         self.mvx[by : by + ph, bx : bx + pw] = mv[0]
         self.mvy[by : by + ph, bx : bx + pw] = mv[1]
 
@@ -2022,9 +2072,9 @@ class _MotionCtx:
             return None
         if s == -1:
             return (-1, (0, 0))
-        return (0, (int(self.mvx[by, bx]), int(self.mvy[by, bx])))
+        return (s, (int(self.mvx[by, bx]), int(self.mvy[by, bx])))
 
-    def _median(self, bx: int, by: int, pw: int):
+    def _median(self, bx: int, by: int, pw: int, cur_ref: int = 0):
         """§8.4.1.3.2 median prediction for the partition whose
         top-left 4x4 block is (bx, by) and width is pw blocks: C
         falls back to D when unavailable (§8.4.1.3.1); if B and the
@@ -2040,14 +2090,17 @@ class _MotionCtx:
         if b is None and c is None and a is not None:
             return a[1]
         trip = [n if n is not None else (-1, (0, 0)) for n in (a, b, c)]
-        same_ref = [n[1] for n in trip if n[0] == 0]
+        same_ref = [n[1] for n in trip if n[0] == cur_ref]
         if len(same_ref) == 1:
             return same_ref[0]
         xs = sorted(n[1][0] for n in trip)
         ys = sorted(n[1][1] for n in trip)
         return (xs[1], ys[1])
 
-    def pred(self, bx: int, by: int, pw: int, ph: int, part_idx: int):
+    def pred(
+        self, bx: int, by: int, pw: int, ph: int, part_idx: int,
+        cur_ref: int = 0,
+    ):
         """§8.4.1.3 luma MV prediction. 16x16 partitions take the
         median; 16x8 and 8x16 partitions first try the DIRECTIONAL
         shortcut — top 16x8 takes B's vector, bottom takes A's, left
@@ -2056,7 +2109,7 @@ class _MotionCtx:
         back to the median otherwise. All closed formulas."""
         if (pw, ph) == (4, 2):  # 16x8
             n = self.nbr(bx, by - 1) if part_idx == 0 else self.nbr(bx - 1, by)
-            if n is not None and n[0] == 0:
+            if n is not None and n[0] == cur_ref:
                 return n[1]
         elif (pw, ph) == (2, 4):  # 8x16
             if part_idx == 0:
@@ -2065,9 +2118,9 @@ class _MotionCtx:
                 n = self.nbr(bx + pw, by - 1)
                 if n is None:
                     n = self.nbr(bx - 1, by - 1)
-            if n is not None and n[0] == 0:
+            if n is not None and n[0] == cur_ref:
                 return n[1]
-        return self._median(bx, by, pw)
+        return self._median(bx, by, pw, cur_ref)
 
     def skip_mv(self, mbx: int, mby: int):
         """§8.4.1.1 P_Skip motion vector: zero when the left or top
@@ -2197,6 +2250,17 @@ def _mc_copy_rect(
         out[cy0 : cy0 + ch, cx0 : cx0 + cw] = blk
 
 
+def _read_te(r: "_BitReader", n_ref_l0: int) -> int:
+    """ref_idx_l0 as te(v) (§9.1.1): absent with one active
+    reference (inferred 0), a single INVERTED bit with two, ue(v)
+    beyond."""
+    if n_ref_l0 <= 1:
+        return 0
+    if n_ref_l0 == 2:
+        return 1 - r.u(1)
+    return r.ue()
+
+
 def _decode_pskip_slice(
     r: "_BitReader",
     wmb: int,
@@ -2207,7 +2271,7 @@ def _decode_pskip_slice(
     slice_qp: int,
     first_mb: int,
     count: int,
-    ref=None,
+    refs=None,
     n_ref_l0: int = 1,
     wp: dict | None = None,
 ):
@@ -2263,7 +2327,7 @@ def _decode_pskip_slice(
                 # under EXPLICIT weighting even a zero-MV skip must
                 # re-copy: the seeded co-located planes are unweighted
                 _mc_copy_rect(
-                    ref, sx * 16, sy * 16, 16, 16, mv, y, cb, cr, wp
+                    refs[0], sx * 16, sy * 16, 16, 16, mv, y, cb, cr, wp
                 )
             ctx.set_inter(sx * 4, sy * 4, 4, 4, mv)
             dec[sy * 4 : sy * 4 + 4, sx * 4 : sx * 4 + 4] = True
@@ -2278,14 +2342,11 @@ def _decode_pskip_slice(
             )
             ctx.set_intra_mb(mbx, mby)
         elif mb_type in _P_PARTS:  # P_L0_16x16 / 16x8 / 8x16
-            if n_ref_l0 > 1:
-                raise NotImplementedError(
-                    f"num_ref_idx_l0_active = {n_ref_l0} needs te(v) "
-                    "ref_idx_l0 parsing and a multi-picture DPB "
-                    "(single-reference subset)"
-                )
             parts = _P_PARTS[mb_type]
-            # mb_pred: every partition's mvd_l0 parses before cbp
+            # mb_pred (§7.3.5.1): every partition's ref_idx_l0
+            # (te(v), present only with >1 active reference), then
+            # every partition's mvd_l0, then cbp
+            ridx = [_read_te(r, n_ref_l0) for _ in parts]
             mvds = [(r.se(), r.se()) for _ in parts]
             cbp_codenum = r.ue()  # coded_block_pattern, me(v)
             if cbp_codenum != 0:
@@ -2302,31 +2363,35 @@ def _decode_pskip_slice(
             # from the context, so derive-and-write in partIdx order
             for pi, (ox, oy, pw, ph) in enumerate(parts):
                 bx, by = mbx * 4 + ox, mby * 4 + oy
-                mvp = ctx.pred(bx, by, pw, ph, pi)
+                if ridx[pi] >= len(refs):
+                    raise ValueError(
+                        f"ref_idx_l0 {ridx[pi]} beyond the "
+                        f"{len(refs)}-picture DPB"
+                    )
+                mvp = ctx.pred(bx, by, pw, ph, pi, ridx[pi])
                 mv = (mvp[0] + mvds[pi][0], mvp[1] + mvds[pi][1])
                 _mc_copy_rect(
-                    ref, bx * 4, by * 4, pw * 4, ph * 4, mv, y, cb, cr,
-                    wp,
+                    refs[ridx[pi]], bx * 4, by * 4, pw * 4, ph * 4,
+                    mv, y, cb, cr, wp,
                 )
-                ctx.set_inter(bx, by, pw, ph, mv)
+                ctx.set_inter(bx, by, pw, ph, mv, ridx[pi])
             has_mv = True
             dec[mby * 4 : mby * 4 + 4, mbx * 4 : mbx * 4 + 4] = True
         elif mb_type in (3, 4):  # P_8x8 / P_8x8ref0
-            if n_ref_l0 > 1:
-                raise NotImplementedError(
-                    f"num_ref_idx_l0_active = {n_ref_l0} needs te(v) "
-                    "ref_idx_l0 parsing and a multi-picture DPB "
-                    "(single-reference subset)"
-                )
-            # sub_mb_pred (§7.3.5.2): four sub_mb_types, then — with
-            # one active reference — no ref_idx bits (P_8x8ref0
-            # never has them), then every sub-partition's mvd_l0
+            # sub_mb_pred (§7.3.5.2): four sub_mb_types, then one
+            # ref_idx_l0 per SUB-MB (te(v); P_8x8ref0 infers 0 and
+            # never carries the bits), then every sub-partition's
+            # mvd_l0
             sub_types = [r.ue() for _ in range(4)]
             if any(st > 3 for st in sub_types):
                 raise NotImplementedError(
                     f"sub_mb_type {max(sub_types)} is a B-slice "
                     "shape (P sub_mb_types are 0..3)"
                 )
+            sridx = [
+                _read_te(r, n_ref_l0) if mb_type == 3 else 0
+                for _ in range(4)
+            ]
             mvds = [
                 [(r.se(), r.se()) for _ in _P8_SUBPARTS[st]]
                 for st in sub_types
@@ -2344,20 +2409,25 @@ def _decode_pskip_slice(
             # which makes in-MB C-availability (a later block is
             # undecoded) fall out of the state grid
             for s, st in enumerate(sub_types):
+                if sridx[s] >= len(refs):
+                    raise ValueError(
+                        f"ref_idx_l0 {sridx[s]} beyond the "
+                        f"{len(refs)}-picture DPB"
+                    )
                 sx, sy = 2 * (s % 2), 2 * (s // 2)
                 for pi, (ox, oy, pw, ph) in enumerate(_P8_SUBPARTS[st]):
                     bx = mbx * 4 + sx + ox
                     by = mby * 4 + sy + oy
-                    mvp = ctx.pred(bx, by, pw, ph, pi)
+                    mvp = ctx.pred(bx, by, pw, ph, pi, sridx[s])
                     mv = (
                         mvp[0] + mvds[s][pi][0],
                         mvp[1] + mvds[s][pi][1],
                     )
                     _mc_copy_rect(
-                        ref, bx * 4, by * 4, pw * 4, ph * 4, mv,
-                        y, cb, cr, wp,
+                        refs[sridx[s]], bx * 4, by * 4, pw * 4, ph * 4,
+                        mv, y, cb, cr, wp,
                     )
-                    ctx.set_inter(bx, by, pw, ph, mv)
+                    ctx.set_inter(bx, by, pw, ph, mv, sridx[s])
             has_mv = True
             dec[mby * 4 : mby * 4 + 4, mbx * 4 : mbx * 4 + 4] = True
         # (mb_type 0..4 and >= 5 are exhaustive: Table 7-13's P range
@@ -2577,7 +2647,7 @@ def mp4_decode_frame_seek(payload: bytes | dict, target: int):
     start = max(preceding)
     sps = h264_parse_sps(_ebsp_to_rbsp(demux["sps"][0][1:]))
     pps = h264_parse_pps(_ebsp_to_rbsp(demux["pps"][0][1:]))
-    prev = None
+    dpb: list = []
     for idx in range(start, target + 1):
         slice_nals = []
         for nal in demux["samples"][idx]:
@@ -2592,9 +2662,12 @@ def mp4_decode_frame_seek(payload: bytes | dict, target: int):
                 slice_nals.append(nal)
         if not slice_nals:
             raise ValueError(f"sample {idx} carries no coded slice")
-        pic = _h264_decode_picture(slice_nals, sps, pps, prev)
+        if slice_nals[0][0] & 0x1F == 5:
+            dpb.clear()
+        pic = _h264_decode_picture(slice_nals, sps, pps, dpb or None)
         if (slice_nals[0][0] >> 5) & 3:
-            prev = pic
+            dpb.insert(0, pic)
+            del dpb[max(1, sps["max_ref"]) :]
     return (start, *_crop_planes(*pic, sps))
 
 
@@ -2606,9 +2679,11 @@ def mp4_decode_ipcm_frames(payload: bytes):
     sps = h264_parse_sps(_ebsp_to_rbsp(demux["sps"][0][1:]))
     pps = h264_parse_pps(_ebsp_to_rbsp(demux["pps"][0][1:]))
     idx = 0
-    prev = None  # UNCROPPED planes of the last decoded REFERENCE
-    # picture — a non-reference picture (nal_ref_idc == 0) never
-    # enters the DPB, so a following P slice must not predict from it
+    # DPB list0, most recent first: UNCROPPED planes of decoded
+    # REFERENCE pictures — a non-reference picture (nal_ref_idc == 0)
+    # never enters, an IDR clears it, and the sliding window keeps at
+    # most max_num_ref_frames entries (§8.2.5.3)
+    dpb: list = []
     for nals in demux["samples"]:
         # one MP4 sample = one access unit = one picture: every
         # coded-slice NAL in the sample is a slice of the SAME
@@ -2625,9 +2700,12 @@ def mp4_decode_ipcm_frames(payload: bytes):
             elif t in (1, 5):
                 slice_nals.append(nal)
         if slice_nals:
-            pic = _h264_decode_picture(slice_nals, sps, pps, prev)
+            if slice_nals[0][0] & 0x1F == 5:
+                dpb.clear()  # IDR: all prior references are flushed
+            pic = _h264_decode_picture(slice_nals, sps, pps, dpb or None)
             if (slice_nals[0][0] >> 5) & 3:
-                prev = pic
+                dpb.insert(0, pic)
+                del dpb[max(1, sps["max_ref"]) :]
             yield idx, *_crop_planes(*pic, sps)
             idx += 1
 
@@ -2645,7 +2723,7 @@ def mp4_decode_motion_fields(payload: bytes):
     sps = h264_parse_sps(_ebsp_to_rbsp(demux["sps"][0][1:]))
     pps = h264_parse_pps(_ebsp_to_rbsp(demux["pps"][0][1:]))
     idx = 0
-    prev = None
+    dpb: list = []
     for nals in demux["samples"]:
         slice_nals = []
         for nal in nals:
@@ -2660,12 +2738,15 @@ def mp4_decode_motion_fields(payload: bytes):
                 slice_nals.append(nal)
         if slice_nals:
             field: dict = {}
+            if slice_nals[0][0] & 0x1F == 5:
+                dpb.clear()
             pic = _h264_decode_picture(
-                slice_nals, sps, pps, prev, motion_out=field
+                slice_nals, sps, pps, dpb or None, motion_out=field
             )
             if (slice_nals[0][0] >> 5) & 3:
-                prev = pic
-            is_p = (field["state"] == 0).any()
+                dpb.insert(0, pic)
+                del dpb[max(1, sps["max_ref"]) :]
+            is_p = (field["state"] >= 0).any()
             yield idx, bool(is_p), field, _crop_planes(*pic, sps)
             idx += 1
 
@@ -2679,7 +2760,7 @@ def _dominant_vector(field: dict):
     when no block moves."""
     import numpy as np
 
-    inter = field["state"] == 0
+    inter = field["state"] >= 0  # any reference index is inter
     moving = inter & ((field["mvx"] != 0) | (field["mvy"] != 0))
     if not moving.any():
         return (0, 0), 0
@@ -2725,7 +2806,7 @@ def mp4_motion_summary(media: DataFrame) -> DataFrame:
             for idx, is_p, f, _planes in mp4_decode_motion_fields(
                 bytes(payload)
             ):
-                inter = f["state"] == 0
+                inter = f["state"] >= 0  # any refIdx is inter
                 n_inter = int(inter.sum())
                 n_intra = int((f["state"] == -1).sum())
                 zero = inter & (f["mvx"] == 0) & (f["mvy"] == 0)

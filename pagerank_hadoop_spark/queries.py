@@ -17453,3 +17453,217 @@ def q_media_mp4_fade(spark: SparkSession, sf_dir: str) -> DataFrame:
         media_type="video/mp4",
     )
     return mp4_frame_stats(media).orderBy("media_id", "frame_idx")
+
+
+def _mp4_multiref_fixture(spark: SparkSession, n: int = 120) -> DataFrame:
+    """Driver-built MP4s with a TWO-PICTURE DPB (SPS
+    max_num_ref_frames = 2): after the IDR (linear I_PCM planes),
+    frame 1 OCCLUDES MB(1,1) with a constant PCM patch
+    (pv = 96 + key%100), and frame 2 — a P slice with
+    num_ref_idx_l0_active = 2 via the header override — RESTORES the
+    BACKGROUND on MB(0,0) by referencing list0[1], the IDR, past the
+    occluded frame (te(v)-coded ref_idx, vector vA), while MB(1,0)
+    references list0[0], the PATCHED frame (vector vB reads the
+    patch edge for positive vB), and the bottom row skips co-located
+    (refIdx 0). Frame 3 is all-skip (exact repeat; n_ref back to 1).
+    This is the reference shape a single-picture DPB cannot express.
+    Encoder twins: h264_encode_pskip('mvref' specs, n_ref=2) /
+    mp4_mux_avc(max_ref=2)."""
+    import numpy as np
+
+    from pagerank_hadoop_spark.operators.h264 import (
+        h264_encode_ipcm,
+        h264_encode_pskip,
+        mp4_mux_avc,
+    )
+
+    rows = []
+    for key in range(n):
+        a = 20 + key % 60
+        u0 = 15 + key % 50
+        v0 = 9 + key % 40
+        pv = 96 + key % 100
+        va = (key % 5 - 2, key % 7 - 3)
+        vb = (key % 3 - 1, key % 9 - 4)
+        y0 = np.fromfunction(
+            lambda r, c: a + 2 * c + 3 * r, (32, 32)
+        ).astype(np.uint8)
+        cb0 = np.fromfunction(
+            lambda r, c: u0 + c + r, (16, 16)
+        ).astype(np.uint8)
+        cr0 = np.fromfunction(
+            lambda r, c: v0 + c + r, (16, 16)
+        ).astype(np.uint8)
+        patch = (bytes([pv]) * 256, bytes([u0]) * 64, bytes([v0]) * 64)
+        nals = [
+            h264_encode_ipcm(y0, cb0, cr0),
+            h264_encode_pskip(2, 2, 1, {(1, 1): ("pcm", patch)}),
+            h264_encode_pskip(
+                2, 2, 2,
+                {
+                    (0, 0): ("mvref", 1, 4 * va[0], 4 * va[1]),
+                    (1, 0): ("mvref", 0, 4 * vb[0], 4 * vb[1]),
+                },
+                n_ref=2,
+            ),
+            h264_encode_pskip(2, 2, 3),
+        ]
+        rows.append(
+            (key, bytearray(mp4_mux_avc(nals, dims=(32, 32), max_ref=2)))
+        )
+    return spark.createDataFrame(rows, "media_id long, payload binary")
+
+
+@register(
+    "media_mp4_multiref",
+    """
+WITH f AS (
+  SELECT range AS key, 20 + range % 60 AS a,
+         15 + range % 50 AS u0, 9 + range % 40 AS v0,
+         96 + range % 100 AS pv,
+         range % 5 - 2 AS vax, range % 7 - 3 AS vay,
+         range % 3 - 1 AS vbx, range % 9 - 4 AS vby
+  FROM range(0, 120)),
+p0 AS (SELECT *,
+    list_transform(range(0, 1024), i -> a + 2 * (i % 32) + 3 * (i // 32)) AS y0,
+    list_transform(range(0, 256), i -> u0 + (i % 16) + (i // 16)) AS cb0,
+    list_transform(range(0, 256), i -> v0 + (i % 16) + (i // 16)) AS cr0
+  FROM f),
+p1 AS (SELECT *,
+    -- f1: IDR content with the MB(1,1) PCM patch
+    list_transform(range(0, 1024), i ->
+      CASE WHEN (i % 32) >= 16 AND (i // 32) >= 16 THEN pv
+           ELSE list_extract(y0, i + 1) END) AS y1,
+    list_transform(range(0, 256), i ->
+      CASE WHEN (i % 16) >= 8 AND (i // 16) >= 8 THEN u0
+           ELSE list_extract(cb0, i + 1) END) AS cb1,
+    list_transform(range(0, 256), i ->
+      CASE WHEN (i % 16) >= 8 AND (i // 16) >= 8 THEN v0
+           ELSE list_extract(cr0, i + 1) END) AS cr1
+  FROM p0),
+cvec AS (SELECT *,
+    CAST(floor(vax / 2.0) AS BIGINT) AS axi,
+    CAST(floor(vay / 2.0) AS BIGINT) AS ayi,
+    4 * (vax - 2 * CAST(floor(vax / 2.0) AS BIGINT)) AS axf,
+    4 * (vay - 2 * CAST(floor(vay / 2.0) AS BIGINT)) AS ayf,
+    CAST(floor(vbx / 2.0) AS BIGINT) AS bxi,
+    CAST(floor(vby / 2.0) AS BIGINT) AS byi,
+    4 * (vbx - 2 * CAST(floor(vbx / 2.0) AS BIGINT)) AS bxf,
+    4 * (vby - 2 * CAST(floor(vby / 2.0) AS BIGINT)) AS byf
+  FROM p1),
+p2 AS (SELECT *,
+    -- f2 luma: MB(0,0) gathers the IDR at vA (ref 1); MB(1,0)
+    -- gathers the PATCHED f1 at vB (ref 0); bottom row co-located f1
+    list_transform(range(0, 1024), i ->
+      CASE WHEN (i % 32) < 16 AND (i // 32) < 16 THEN
+        list_extract(y0,
+          LEAST(31, GREATEST(0, (i // 32) + vay)) * 32 +
+          LEAST(31, GREATEST(0, (i % 32) + vax)) + 1)
+      WHEN (i % 32) >= 16 AND (i // 32) < 16 THEN
+        list_extract(y1,
+          LEAST(31, GREATEST(0, (i // 32) + vby)) * 32 +
+          LEAST(31, GREATEST(0, (i % 32) + vbx)) + 1)
+      ELSE list_extract(y1, i + 1) END) AS y2,
+    list_transform(range(0, 256), i ->
+      CASE WHEN (i % 16) < 8 AND (i // 16) < 8 THEN
+        ((8 - axf) * (8 - ayf) * list_extract(cb0,
+            LEAST(15, GREATEST(0, (i // 16) + ayi)) * 16 +
+            LEAST(15, GREATEST(0, (i % 16) + axi)) + 1)
+         + axf * (8 - ayf) * list_extract(cb0,
+            LEAST(15, GREATEST(0, (i // 16) + ayi)) * 16 +
+            LEAST(15, GREATEST(0, (i % 16) + axi + 1)) + 1)
+         + (8 - axf) * ayf * list_extract(cb0,
+            LEAST(15, GREATEST(0, (i // 16) + ayi + 1)) * 16 +
+            LEAST(15, GREATEST(0, (i % 16) + axi)) + 1)
+         + axf * ayf * list_extract(cb0,
+            LEAST(15, GREATEST(0, (i // 16) + ayi + 1)) * 16 +
+            LEAST(15, GREATEST(0, (i % 16) + axi + 1)) + 1)
+         + 32) // 64
+      WHEN (i % 16) >= 8 AND (i // 16) < 8 THEN
+        ((8 - bxf) * (8 - byf) * list_extract(cb1,
+            LEAST(15, GREATEST(0, (i // 16) + byi)) * 16 +
+            LEAST(15, GREATEST(0, (i % 16) + bxi)) + 1)
+         + bxf * (8 - byf) * list_extract(cb1,
+            LEAST(15, GREATEST(0, (i // 16) + byi)) * 16 +
+            LEAST(15, GREATEST(0, (i % 16) + bxi + 1)) + 1)
+         + (8 - bxf) * byf * list_extract(cb1,
+            LEAST(15, GREATEST(0, (i // 16) + byi + 1)) * 16 +
+            LEAST(15, GREATEST(0, (i % 16) + bxi)) + 1)
+         + bxf * byf * list_extract(cb1,
+            LEAST(15, GREATEST(0, (i // 16) + byi + 1)) * 16 +
+            LEAST(15, GREATEST(0, (i % 16) + bxi + 1)) + 1)
+         + 32) // 64
+      ELSE list_extract(cb1, i + 1) END) AS cb2,
+    list_transform(range(0, 256), i ->
+      CASE WHEN (i % 16) < 8 AND (i // 16) < 8 THEN
+        ((8 - axf) * (8 - ayf) * list_extract(cr0,
+            LEAST(15, GREATEST(0, (i // 16) + ayi)) * 16 +
+            LEAST(15, GREATEST(0, (i % 16) + axi)) + 1)
+         + axf * (8 - ayf) * list_extract(cr0,
+            LEAST(15, GREATEST(0, (i // 16) + ayi)) * 16 +
+            LEAST(15, GREATEST(0, (i % 16) + axi + 1)) + 1)
+         + (8 - axf) * ayf * list_extract(cr0,
+            LEAST(15, GREATEST(0, (i // 16) + ayi + 1)) * 16 +
+            LEAST(15, GREATEST(0, (i % 16) + axi)) + 1)
+         + axf * ayf * list_extract(cr0,
+            LEAST(15, GREATEST(0, (i // 16) + ayi + 1)) * 16 +
+            LEAST(15, GREATEST(0, (i % 16) + axi + 1)) + 1)
+         + 32) // 64
+      WHEN (i % 16) >= 8 AND (i // 16) < 8 THEN
+        ((8 - bxf) * (8 - byf) * list_extract(cr1,
+            LEAST(15, GREATEST(0, (i // 16) + byi)) * 16 +
+            LEAST(15, GREATEST(0, (i % 16) + bxi)) + 1)
+         + bxf * (8 - byf) * list_extract(cr1,
+            LEAST(15, GREATEST(0, (i // 16) + byi)) * 16 +
+            LEAST(15, GREATEST(0, (i % 16) + bxi + 1)) + 1)
+         + (8 - bxf) * byf * list_extract(cr1,
+            LEAST(15, GREATEST(0, (i // 16) + byi + 1)) * 16 +
+            LEAST(15, GREATEST(0, (i % 16) + bxi)) + 1)
+         + bxf * byf * list_extract(cr1,
+            LEAST(15, GREATEST(0, (i // 16) + byi + 1)) * 16 +
+            LEAST(15, GREATEST(0, (i % 16) + bxi + 1)) + 1)
+         + 32) // 64
+      ELSE list_extract(cr1, i + 1) END) AS cr2
+  FROM cvec),
+fr AS (SELECT *, unnest(range(0, 4)) AS fi FROM p2),
+v AS (SELECT key, fi,
+    CASE WHEN fi = 0 THEN y0 WHEN fi = 1 THEN y1 ELSE y2 END AS yl,
+    CASE WHEN fi = 0 THEN cb0 WHEN fi = 1 THEN cb1 ELSE cb2 END AS cbl,
+    CASE WHEN fi = 0 THEN cr0 WHEN fi = 1 THEN cr1 ELSE cr2 END AS crl
+  FROM fr)
+SELECT CAST(key AS BIGINT) AS media_id, CAST(fi AS BIGINT) AS frame_idx,
+       CAST(32 AS INTEGER) AS width, CAST(32 AS INTEGER) AS height,
+       CAST(list_sum(yl) AS BIGINT) AS y_sum,
+       CAST(list_sum(cbl) AS BIGINT) AS cb_sum,
+       CAST(list_sum(crl) AS BIGINT) AS cr_sum,
+       md5(array_to_string(yl, ',')) AS y_md5
+FROM v ORDER BY media_id, frame_idx
+""",
+)
+def q_media_mp4_multiref(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5 [r13]: MULTI-REFERENCE prediction — a real sliding-window
+    DPB (§8.2.5.3: reference pictures retained up to
+    max_num_ref_frames, most recent first per §8.2.4.2.1's
+    FrameNumWrap order; IDRs flush it) with te(v) ref_idx_l0 parsing
+    and per-partition reference selection: frame 2 restores an
+    occluded BACKGROUND from the picture BEFORE last (ref_idx 1)
+    while another macroblock reads the occluding frame (ref_idx 0) —
+    the long-term-background shape single-reference decode cannot
+    express, and the second temporal-redundancy axis (alongside
+    motion and fades) a video-dedup pipeline meets. The motion
+    context tracks refIdx per 4x4 block, so §8.4.1.3's
+    same-reference tests stay exact across mixed-reference
+    neighbours. The oracle replays both reference planes (pristine
+    IDR and patched f1), the per-region gathers with the chroma
+    bilinear, and the all-skip repeat closed-form on 480 rows. Spec:
+    ISO/IEC 14496-10 §7.4.3/§8.2.4/§8.2.5; completes the r13 inter
+    family; ref-list modification, MMCO adaptive marking, and
+    weighted+multi-ref stay refused."""
+    from pagerank_hadoop_spark.operators.h264 import mp4_frame_stats
+    from pagerank_hadoop_spark.operators.multimodal import attach_media
+
+    media = attach_media(
+        _mp4_multiref_fixture(spark), F.col("payload"),
+        media_type="video/mp4",
+    )
+    return mp4_frame_stats(media).orderBy("media_id", "frame_idx")

@@ -2051,7 +2051,9 @@ def test_pmv_refusals_subpel_cbp_partitions_multiref():
     with pytest.raises(NotImplementedError, match="inter coded_block_pattern"):
         H._h264_decode_picture([_nal(2, 1, w.rbsp_trailing())], sps, pps, ref)
 
-    # num_ref_idx_l0_active > 1 via the slice-header override
+    # r13: num_ref_idx_l0_active = 2 now PARSES (te(v) ref_idx); a
+    # ref_idx pointing past the decoded DPB is malformed, not
+    # unimplemented
     w = _BitWriter()
     p_header(w)
     w.u(1, 1)  # num_ref_idx_active_override_flag
@@ -2060,7 +2062,10 @@ def test_pmv_refusals_subpel_cbp_partitions_multiref():
     w.se(0)
     w.ue(0)  # skip run
     w.ue(0)  # P_L0_16x16
-    with pytest.raises(NotImplementedError, match="multi-picture DPB"):
+    w.u(0, 1)  # te(v) ref_idx_l0 = 1 (inverted bit)
+    w.se(4), w.se(0)  # integer mvd
+    w.ue(0)  # cbp 0
+    with pytest.raises(ValueError, match="beyond the 1-picture DPB"):
         H._h264_decode_picture([_nal(2, 1, w.rbsp_trailing())], sps, pps, ref)
 
 
@@ -2484,3 +2489,67 @@ def test_weighted_prediction_fade_and_pan():
         list(mp4_decode_ipcm_frames(mp4_mux_avc(
             nals, dims=(32, 32), max_ref=1, weighted_pred=False
         )))
+
+
+def test_multiref_background_restore_and_dpb_rules():
+    """r13: multi-reference prediction — a P frame reaches PAST the
+    previous picture to the IDR (ref_idx 1, te(v) coded), the
+    background-restoration shape a single-ref decoder cannot
+    express; the sliding-window DPB caps at max_num_ref_frames; and
+    an IDR flushes it."""
+    from pagerank_hadoop_spark.operators.h264 import (
+        h264_encode_ipcm,
+        h264_encode_pskip,
+        mp4_decode_ipcm_frames,
+    )
+
+    rng = np.random.default_rng(67)
+    y0 = rng.integers(0, 256, (32, 32)).astype(np.uint8)
+    c0 = rng.integers(0, 256, (16, 16)).astype(np.uint8)
+    patch = (bytes([200]) * 256, bytes([90]) * 64, bytes([60]) * 64)
+    nals = [
+        h264_encode_ipcm(y0, c0, c0),
+        # f1: occlude MB(0,0) with a PCM patch
+        h264_encode_pskip(2, 2, 1, {(0, 0): ("pcm", patch)}),
+        # f2: MB(0,0) restores the BACKGROUND from the IDR (ref 1,
+        # shifted +1 pel right); MB(1,0) re-references f1 (ref 0)
+        h264_encode_pskip(
+            2, 2, 2,
+            {(0, 0): ("mvref", 1, 4, 0), (1, 0): ("mvref", 0, 8, 0)},
+            n_ref=2,
+        ),
+    ]
+    payload = mp4_mux_avc(nals, dims=(32, 32), max_ref=2)
+    fr = list(mp4_decode_ipcm_frames(payload))
+    y1 = fr[1][1]
+    assert (y1[0:16, 0:16] == 200).all()
+    y2 = fr[2][1]
+    # MB(0,0): gather from the IDR (NOT the patched f1) at +1 pel
+    assert (y2[0:16, 0:16] == _gather_clamped(y0, 1, 0, 16, 16)).all()
+    # MB(1,0): gather from f1 at +2 pels — reads the patch edge
+    assert (y2[0:16, 16:32] == _gather_clamped(y1, 18, 0, 16, 16)).all()
+    # skips (bottom row) stay co-located with f1
+    assert (y2[16:32, :] == y1[16:32, :]).all()
+
+    # DPB cap: with max_ref=1 in the SPS, the same ref-1 stream must
+    # fail typed (the second reference was never retained)
+    bad = mp4_mux_avc(nals, dims=(32, 32), max_ref=1)
+    with pytest.raises(ValueError, match="beyond the 1-picture DPB"):
+        list(mp4_decode_ipcm_frames(bad))
+
+    # IDR flush: IDR, P, IDR, then ref-1 P -> only ONE ref since the
+    # second IDR; must fail even with max_ref=2
+    nals_flush = [
+        h264_encode_ipcm(y0, c0, c0),
+        h264_encode_pskip(2, 2, 1),
+        h264_encode_ipcm(y0, c0, c0, idr_pic_id=1),
+        h264_encode_pskip(2, 2, 1, {(0, 0): ("mvref", 1, 0, 0)}, n_ref=2),
+    ]
+    with pytest.raises(ValueError, match="beyond the 1-picture DPB"):
+        list(mp4_decode_ipcm_frames(
+            mp4_mux_avc(nals_flush, dims=(32, 32), max_ref=2)
+        ))
+
+    # encoder guard: ref_idx > 0 without n_ref
+    with pytest.raises(ValueError, match="requires n_ref"):
+        h264_encode_pskip(2, 2, 1, {(0, 0): ("mvref", 1, 0, 0)})
