@@ -580,6 +580,68 @@ def bmp_ahash(media: DataFrame) -> DataFrame:
     return media.mapInPandas(batches, AHASH_SCHEMA)
 
 
+CELL_AHASH_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("ahash", StringType()),
+    ]
+)
+
+
+def bmp_cell_ahash(media: DataFrame) -> DataFrame:
+    """CROSS-MODAL aHash adapter: the 8x8 average hash of a 24-bit
+    BMP computed with the VIDEO family's bit rule and representation
+    (h264.mp4_frame_ahash: bit g, raster over the cell grid, is 1
+    iff 64 * cell_sum(g) > total_sum; '0'/'1' string) instead of
+    bmp_ahash's packed-int64 floor-mean rule. The two rules agree on
+    most content but NOT always (floor divisions vs exact integer
+    cross-multiplication differ on marginal cells), and the
+    representations never join — so a corpus that wants image stills
+    to bucket-join against a video-frame perceptual index must
+    re-hash one side into the other's family. This is that pass:
+    grayscale = (r + g + b) // 3 (identical to bmp_ahash), then the
+    video bit rule, so a still whose grayscale equals a decoded
+    frame's luma produces the identical string."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        def one(payload: bytes) -> str:
+            hdr = parse_bmp_header(payload)
+            if hdr is None or hdr[2] != 24:
+                raise ValueError("payload is not a 24-bit BMP")
+            w, h, _bpp = hdr
+            if w % 8 or h % 8:
+                raise ValueError("aHash needs w, h multiples of 8")
+            off = int.from_bytes(payload[10:14], "little")
+            stride = (w * 3 + 3) // 4 * 4
+            arr = (
+                np.frombuffer(
+                    payload, dtype=np.uint8, count=stride * h, offset=off
+                )
+                .reshape(h, stride)[:, : w * 3]
+                .reshape(h, w, 3)
+                .astype(np.int64)
+            )
+            gray = arr.sum(axis=2) // 3
+            cells = gray.reshape(8, h // 8, 8, w // 8).sum(axis=(1, 3))
+            total = int(cells.sum())
+            return "".join(
+                "1" if v else "0"
+                for v in (64 * cells > total).flatten()
+            )
+
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "ahash": pdf["payload"].map(one),
+                }
+            )
+
+    return media.mapInPandas(batches, CELL_AHASH_SCHEMA)
+
+
 def parse_png_meta(payload: bytes) -> tuple[int, int, int, int] | None:
     """Parse a PNG signature + IHDR chunk: ``(width, height,
     bit_depth, color_type)`` or None if not a plausible PNG. Pure

@@ -17667,3 +17667,189 @@ def q_media_mp4_multiref(spark: SparkSession, sf_dir: str) -> DataFrame:
         media_type="video/mp4",
     )
     return mp4_frame_stats(media).orderBy("media_id", "frame_idx")
+
+
+def _cross_modal_fixture(spark: SparkSession):
+    """Videos + image stills for the cross-modal perceptual screen:
+    60 two-frame MP4s (I_PCM IDR with the mod-quadratic plane
+    y0[i] = (a + 37i² + 11i) % 236 + 10 — structurally distinct per
+    key, unlike linear ramps whose aHash is offset-invariant — and a
+    global even pan frame), plus 90 24-bit BMPs: 30 STILLS whose
+    grayscale equals video 2b's DECODED pan frame exactly
+    (r = g = b = luma, so (r+g+b)//3 reproduces the luma byte), 30
+    RE-EXPORTS of the same stills with one perturbed pixel (raster
+    600 — bytes differ, aHash survives), and 30 decoys from a
+    different quadratic family. Returns (videos_df, stills_df);
+    still ids ride at 1000+b."""
+    import numpy as np
+
+    from pagerank_hadoop_spark.operators.h264 import (
+        h264_encode_ipcm,
+        h264_encode_pskip,
+        mp4_mux_avc,
+    )
+
+    def luma0(key):
+        i = np.arange(1024, dtype=np.int64)
+        return (
+            (20 + key % 60 + 37 * i * i + 11 * i) % 236 + 10
+        ).reshape(32, 32).astype(np.uint8)
+
+    def vc(key):
+        return (2 * ((key % 3) - 1), 2 * ((key % 5) - 2))
+
+    vids = []
+    for key in range(60):
+        y0 = luma0(key)
+        u0 = np.full((16, 16), 15 + key % 50, np.uint8)
+        v0 = np.full((16, 16), 9 + key % 40, np.uint8)
+        dx, dy = vc(key)
+        allmv = {
+            (x, yy): ("mv", 4 * dx, 4 * dy)
+            for x in range(2) for yy in range(2)
+        }
+        vids.append((key, bytearray(mp4_mux_avc([
+            h264_encode_ipcm(y0, u0, v0),
+            h264_encode_pskip(2, 2, 1, allmv),
+        ], dims=(32, 32), max_ref=1))))
+
+    def bmp_from_gray(g):
+        img = 96 * 32
+        hdr = (
+            b"BM" + (54 + img).to_bytes(4, "little") + b"\x00" * 4
+            + (54).to_bytes(4, "little")
+        )
+        ih = (
+            (40).to_bytes(4, "little") + (32).to_bytes(4, "little")
+            + (32).to_bytes(4, "little") + (1).to_bytes(2, "little")
+            + (24).to_bytes(2, "little") + b"\x00" * 4
+            + img.to_bytes(4, "little") + b"\x00" * 16
+        )
+        raster = np.repeat(g.reshape(-1), 3).astype(np.uint8).tobytes()
+        return hdr + ih + raster
+
+    stills = []
+    for b in range(90):
+        if b < 60:
+            key = 2 * (b % 30)
+            dx, dy = vc(key)
+            y0 = luma0(key)
+            rows = np.clip(np.arange(dy, dy + 32), 0, 31)
+            cols = np.clip(np.arange(dx, dx + 32), 0, 31)
+            g = y0[np.ix_(rows, cols)].copy()
+            if b >= 30:
+                f = g.reshape(-1)
+                f[600] = f[600] + 1
+                g = f.reshape(32, 32)
+        else:
+            i = np.arange(1024, dtype=np.int64)
+            g = (
+                (20 + b % 60 + 53 * i * i + 17 * i) % 236 + 10
+            ).reshape(32, 32).astype(np.uint8)
+        stills.append((1000 + b, bytearray(bmp_from_gray(g))))
+    return (
+        spark.createDataFrame(vids, "media_id long, payload binary"),
+        spark.createDataFrame(stills, "media_id long, payload binary"),
+    )
+
+
+@register(
+    "media_cross_modal_ahash",
+    """
+WITH vf AS (
+  SELECT range AS key, 20 + range % 60 AS a,
+         2 * ((range % 3) - 1) AS dxc, 2 * ((range % 5) - 2) AS dyc
+  FROM range(0, 60)),
+v0 AS (SELECT *,
+    list_transform(range(0, 1024), i ->
+      (a + 37 * i * i + 11 * i) % 236 + 10) AS y0 FROM vf),
+v1 AS (SELECT *,
+    list_transform(range(0, 1024), i ->
+      list_extract(y0,
+        LEAST(31, GREATEST(0, (i // 32) + dyc)) * 32 +
+        LEAST(31, GREATEST(0, (i % 32) + dxc)) + 1)) AS y1 FROM v0),
+vframes AS (
+  SELECT key, unnest(range(0, 2)) AS fi,
+         CASE WHEN unnest(range(0, 2)) = 0 THEN y0 ELSE y1 END AS yl
+  FROM v1),
+vhash AS MATERIALIZED (
+  SELECT key, fi,
+    array_to_string(list_transform(range(0, 64), g ->
+      CASE WHEN 64 * list_sum(list_transform(range(0, 16), j ->
+             yl[(4 * (g // 8) + j // 4) * 32 + 4 * (g % 8) + (j % 4) + 1]))
+           > list_sum(yl) THEN 1 ELSE 0 END), '') AS ahash
+  FROM vframes),
+bf AS (
+  SELECT 1000 + range AS bid, range AS b,
+         CASE WHEN range < 60 THEN 2 * (range % 30) ELSE -1 END AS src,
+         CASE WHEN range >= 30 AND range < 60 THEN 1 ELSE 0 END AS tweak
+  FROM range(0, 90)),
+bx AS (SELECT bf.bid, bf.b, bf.tweak, bf.src, v1.dxc, v1.dyc, v1.y0
+       FROM bf LEFT JOIN v1 ON bf.src = v1.key),
+bgray AS (
+  SELECT bid,
+    CASE WHEN src >= 0 THEN
+      list_transform(range(0, 1024), i ->
+        list_extract(y0,
+          LEAST(31, GREATEST(0, (i // 32) + dyc)) * 32 +
+          LEAST(31, GREATEST(0, (i % 32) + dxc)) + 1)
+        + CASE WHEN tweak = 1 AND i = 600 THEN 1 ELSE 0 END)
+    ELSE
+      list_transform(range(0, 1024), i ->
+        (20 + b % 60 + 53 * i * i + 17 * i) % 236 + 10)
+    END AS gl
+  FROM bx),
+bhash AS MATERIALIZED (
+  SELECT bid,
+    array_to_string(list_transform(range(0, 64), g ->
+      CASE WHEN 64 * list_sum(list_transform(range(0, 16), j ->
+             gl[(4 * (g // 8) + j // 4) * 32 + 4 * (g % 8) + (j % 4) + 1]))
+           > list_sum(gl) THEN 1 ELSE 0 END), '') AS ahash
+  FROM bgray)
+SELECT CAST(b.bid AS BIGINT) AS bmp_id,
+       CAST(v.key AS BIGINT) AS media_id,
+       CAST(v.fi AS BIGINT) AS frame_idx,
+       v.ahash AS ahash
+FROM bhash b JOIN vhash v ON b.ahash = v.ahash
+ORDER BY bmp_id, media_id, frame_idx
+""",
+)
+def q_media_cross_modal_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5×E2 [r13]: CROSS-MODAL perceptual join — image stills
+    bucket-joined against a VIDEO-FRAME perceptual index, the screen
+    that catches the same visual content appearing in two
+    modalities (a benchmark figure re-exported as a still, a video
+    frame leaked as an image). The honest part is the ADAPTER:
+    bmp_ahash's packed-int64 floor-mean rule and mp4_frame_ahash's
+    exact 64*cell>total string rule neither join nor always agree,
+    so the image side is RE-HASHED into the video family
+    (multimodal.bmp_cell_ahash — identical grayscale, identical bit
+    rule, identical representation). Decoded pan frames match their
+    planted stills exactly (r=g=b content makes grayscale == luma),
+    one-pixel re-exports survive the hash (bytes differ — exact
+    dedup misses them), decoys surface nothing, and every
+    content-derived extra collision is replayed identically by the
+    oracle, which recomputes BOTH hash sides and the join
+    closed-form on mod-quadratic planes. 100 TB shape: the still
+    index (small side) broadcasts; video frames never shuffle
+    planes — only 64-bit-ish hash strings. Composes the r13
+    MV-decode (the matched frame is MOTION-COMPENSATED output, not
+    PCM input) with the E2 bucket-join economy."""
+    from pagerank_hadoop_spark.operators.h264 import mp4_frame_ahash
+    from pagerank_hadoop_spark.operators.multimodal import (
+        attach_media,
+        bmp_cell_ahash,
+    )
+
+    videos, stills = _cross_modal_fixture(spark)
+    vhash = mp4_frame_ahash(
+        attach_media(videos, F.col("payload"), media_type="video/mp4")
+    ).select("media_id", "frame_idx", "ahash")
+    shash = bmp_cell_ahash(
+        attach_media(stills, F.col("payload"), media_type="image/bmp")
+    ).select(F.col("media_id").alias("bmp_id"), "ahash")
+    return (
+        vhash.join(F.broadcast(shash), "ahash")
+        .select("bmp_id", "media_id", "frame_idx", "ahash")
+        .orderBy("bmp_id", "media_id", "frame_idx")
+    )

@@ -1116,3 +1116,77 @@ def test_mp4_short_boxes_raise_typed():
     short_tkhd = box(b"tkhd", bytes(40))
     with _pytest.raises(ValueError, match="truncated tkhd"):
         parse_mp4_meta(ftyp + box(b"moov", mvhd + box(b"trak", short_tkhd)))
+
+
+def test_bmp_cell_ahash_adapter_identity_and_rule_divergence(spark):
+    """r13: the cross-modal aHash adapter — (1) a BMP whose
+    grayscale equals a decoded video frame's luma produces the
+    IDENTICAL hash string as mp4_frame_ahash (the join key works);
+    (2) the adapter's exact 64*cell>total rule provably DIVERGES
+    from bmp_ahash's floor-mean rule on crafted marginal content, so
+    re-hashing (not format conversion) is genuinely required."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from pagerank_hadoop_spark.operators.h264 import (
+        h264_encode_ipcm,
+        mp4_frame_ahash,
+        mp4_mux_avc,
+    )
+    from pagerank_hadoop_spark.operators.multimodal import (
+        attach_media,
+        bmp_ahash,
+        bmp_cell_ahash,
+    )
+
+    def bmp_from_gray(g):
+        img = 96 * 32
+        hdr = (b"BM" + (54 + img).to_bytes(4, "little") + b"\x00" * 4
+               + (54).to_bytes(4, "little"))
+        ih = ((40).to_bytes(4, "little") + (32).to_bytes(4, "little")
+              + (32).to_bytes(4, "little") + (1).to_bytes(2, "little")
+              + (24).to_bytes(2, "little") + b"\x00" * 4
+              + img.to_bytes(4, "little") + b"\x00" * 16)
+        return hdr + ih + np.repeat(
+            g.reshape(-1), 3
+        ).astype(np.uint8).tobytes()
+
+    i = np.arange(1024, dtype=np.int64)
+    y = ((37 * i * i + 11 * i) % 236 + 10).reshape(32, 32).astype(np.uint8)
+    c = np.full((16, 16), 99, np.uint8)
+    vids = spark.createDataFrame(
+        [(0, bytearray(mp4_mux_avc([h264_encode_ipcm(y, c, c)],
+                           dims=(32, 32))))],
+        "media_id long, payload binary",
+    )
+    bmps = spark.createDataFrame(
+        [(0, bytearray(bmp_from_gray(y)))],
+        "media_id long, payload binary",
+    )
+    vh = mp4_frame_ahash(
+        attach_media(vids, F.col("payload"), media_type="video/mp4")
+    ).collect()[0]["ahash"]
+    bh = bmp_cell_ahash(
+        attach_media(bmps, F.col("payload"), media_type="image/bmp")
+    ).collect()[0]["ahash"]
+    assert vh == bh and len(bh) == 64
+
+    # rule divergence: a flat-64 image with ONE pixel at 79. The
+    # floor-mean rule loses the sub-cell margin (cell_sum 1039 //
+    # 16 = 64 == every other mean -> 0 bits), while the exact rule
+    # keeps it (64*1039 = 66496 > total 65551 -> 1 bit). Cell-uniform
+    # content provably never diverges; this is the minimal
+    # non-uniform case.
+    g = np.full((32, 32), 64, np.uint8)
+    g[0, 0] = 79
+    bmps2 = attach_media(
+        spark.createDataFrame(
+            [(1, bytearray(bmp_from_gray(g)))],
+            "media_id long, payload binary",
+        ),
+        F.col("payload"), media_type="image/bmp",
+    )
+    cell_bits = bmp_cell_ahash(bmps2).collect()[0]["ahash"].count("1")
+    packed = bmp_ahash(bmps2).collect()[0]["ahash"]
+    mean_bits = bin(packed & ((1 << 64) - 1)).count("1")
+    assert cell_bits != mean_bits
