@@ -672,3 +672,24 @@ def test_ivf_pq_incremental_encode_law(spark, sf_dir):
         ).collect()
     }
     assert ra == rb
+
+
+def test_audio_containment_broadcasts_clip_fingerprints(spark, sf_dir):
+    """r13: the audio containment screen's asymmetry in the PLAN —
+    the phase-swept CLIP side (small) is broadcast; the corpus side
+    joins map-side and never shuffles its fingerprints. No
+    cartesian."""
+    df = Q.queries()["audio_containment_screen"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert_no_cartesian(df)
+
+
+def test_cross_modal_screen_broadcasts_still_index(spark, sf_dir):
+    """r13: the cross-modal perceptual join broadcasts the still
+    (image) hash index; video-frame hashes join map-side — planes
+    never reach an exchange (the shuffle carries hash strings)."""
+    df = Q.queries()["media_cross_modal_ahash"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert_no_cartesian(df)
