@@ -642,6 +642,101 @@ def bmp_cell_ahash(media: DataFrame) -> DataFrame:
     return media.mapInPandas(batches, CELL_AHASH_SCHEMA)
 
 
+WAV_FP_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("window_idx", IntegerType()),
+        StructField("fp", StringType()),
+        StructField("pcm_md5", StringType()),
+    ]
+)
+
+
+def wav_window_fingerprint(
+    media: DataFrame, window: int = 512, cells: int = 64
+) -> DataFrame:
+    """CODEC-INDEPENDENT perceptual audio fingerprint over RIFF/WAVE
+    PCM — bit-rule-identical and digest-identical to
+    ``flac.flac_window_fingerprint`` (channel 0, non-overlapping
+    windows, short tail dropped, bit g = 1 iff
+    cells * cell_energy(g) > window_energy, md5 of the decimal-CSV
+    window), so the SAME recording distributed losslessly in two
+    containers produces the SAME keys and the cross-format join is
+    plain fp equality. This is the property a perceptual index must
+    have at corpus scale: keys derive from the AUDIO, not the
+    container, or every format needs its own index. 16-bit PCM only
+    (other depths raise typed — the FLAC twin's fixtures are 16-bit,
+    and a depth change WOULD legitimately change the keys)."""
+    if window % cells:
+        raise ValueError(f"window {window} not divisible by cells {cells}")
+    step = window // cells
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        import numpy as np
+
+        def fps(payload: bytes):
+            payload = bytes(payload)
+            hdr = parse_wav_header(payload)
+            if hdr is None:
+                raise ValueError("payload is not a PCM RIFF/WAVE file")
+            channels, _rate, bits, n_samples = hdr
+            if bits != 16:
+                raise NotImplementedError(
+                    f"{bits}-bit WAV fingerprinting (16-bit PCM only)"
+                )
+            pos = 12
+            while pos + 8 <= len(payload):
+                cid = payload[pos : pos + 4]
+                csize = int.from_bytes(payload[pos + 4 : pos + 8], "little")
+                if cid == b"data":
+                    break
+                pos += 8 + csize + (csize & 1)
+            x = (
+                np.frombuffer(
+                    payload,
+                    dtype="<i2",
+                    count=n_samples * channels,
+                    offset=pos + 8,
+                )
+                .reshape(n_samples, channels)[:, 0]
+                .tolist()
+            )
+            out = []
+            for wi in range(len(x) // window):
+                w = x[wi * window : (wi + 1) * window]
+                cell = [
+                    sum(v * v for v in w[g * step : (g + 1) * step])
+                    for g in range(cells)
+                ]
+                total = sum(cell)
+                fp = "".join(
+                    "1" if cells * c > total else "0" for c in cell
+                )
+                out.append(
+                    (
+                        wi,
+                        fp,
+                        hashlib.md5(
+                            ",".join(str(v) for v in w).encode()
+                        ).hexdigest(),
+                    )
+                )
+            return out
+
+        for pdf in it:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                for wi, fp, md in fps(payload):
+                    rows.append((int(mid), wi, fp, md))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "window_idx", "fp", "pcm_md5"]
+            )
+
+    return media.mapInPandas(batches, WAV_FP_SCHEMA)
+
+
 def parse_png_meta(payload: bytes) -> tuple[int, int, int, int] | None:
     """Parse a PNG signature + IHDR chunk: ``(width, height,
     bit_depth, color_type)`` or None if not a plausible PNG. Pure

@@ -17853,3 +17853,166 @@ def q_media_cross_modal_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("bmp_id", "media_id", "frame_idx", "ahash")
         .orderBy("bmp_id", "media_id", "frame_idx")
     )
+
+
+def _cross_format_audio_fixture(spark: SparkSession):
+    """FLAC corpus + WAV benchmark for the cross-FORMAT audio join:
+    120 FLAC recordings (the media_audio_fp_dedup PCM family,
+    x[i] = (23i+7k)%2000-1000, total = 512*(1+k%2)+k%9), and 30
+    RIFF/WAVE files — 24 carrying THE SAME PCM as FLAC file 4b
+    (every third one re-mastered: +1 on sample 0, so its window-0
+    bytes differ while the energy fingerprint survives) and 6 decoys
+    from a different PCM family. Lossless containers, identical
+    audio: the perceptual keys must join across formats. WAV ids
+    ride at 1000+b."""
+    import numpy as np
+
+    from pagerank_hadoop_spark.operators.flac import flac_encode
+
+    def corpus_pcm(k: int):
+        total = 512 * (1 + k % 2) + k % 9
+        i = np.arange(total, dtype=np.int64)
+        return (23 * i + 7 * k) % 2000 - 1000
+
+    def wav_pcm(b: int):
+        if b >= 24:
+            i = np.arange(1024, dtype=np.int64)
+            return (31 * i + 13 * b) % 1800 - 900
+        x = corpus_pcm(4 * b).copy()
+        if b % 3 == 0:
+            x[0] += 1
+        return x
+
+    def wav_bytes(x):
+        data = x.astype("<i2").tobytes()
+        return (
+            b"RIFF" + (36 + len(data)).to_bytes(4, "little") + b"WAVE"
+            + b"fmt " + (16).to_bytes(4, "little")
+            + (1).to_bytes(2, "little") + (1).to_bytes(2, "little")
+            + (8000).to_bytes(4, "little")
+            + (16000).to_bytes(4, "little")
+            + (2).to_bytes(2, "little") + (16).to_bytes(2, "little")
+            + b"data" + len(data).to_bytes(4, "little") + data
+        )
+
+    corpus = spark.createDataFrame(
+        [
+            (
+                k,
+                bytearray(
+                    flac_encode(
+                        corpus_pcm(k)[:, None], 8000 + k, 16,
+                        block_size=256, fixed_order=k % 5,
+                        partition_order=k % 3,
+                    )
+                ),
+            )
+            for k in range(120)
+        ],
+        "media_id long, payload binary",
+    )
+    wavs = spark.createDataFrame(
+        [(1000 + b, bytearray(wav_bytes(wav_pcm(b)))) for b in range(30)],
+        "media_id long, payload binary",
+    )
+    return corpus, wavs
+
+
+@register(
+    "media_cross_format_audio",
+    """
+WITH cg AS (SELECT range AS key, 512 * (1 + range % 2) + range % 9 AS total,
+                   1 + range % 2 AS nw FROM range(0, 120)),
+cx AS MATERIALIZED (SELECT key, nw,
+    list_transform(range(0, total), i -> (23 * i + 7 * key) % 2000 - 1000) AS x
+  FROM cg),
+cw AS (SELECT key, unnest(range(0, nw)) AS wi, x FROM cx),
+cfp AS MATERIALIZED (SELECT key, wi,
+    array_to_string(list_transform(range(0, 64), g ->
+      CASE WHEN 64 * list_sum(list_transform(range(0, 8),
+             j -> x[wi * 512 + g * 8 + j + 1] * x[wi * 512 + g * 8 + j + 1]))
+           > list_sum(list_transform(range(0, 512),
+             j -> x[wi * 512 + j + 1] * x[wi * 512 + j + 1]))
+           THEN 1 ELSE 0 END), '') AS fp,
+    md5(array_to_string(list_transform(range(0, 512),
+        j -> x[wi * 512 + j + 1]), ',')) AS pcm_md5
+  FROM cw),
+wg AS (SELECT 1000 + range AS wid, range AS b,
+              CASE WHEN range < 24 THEN 4 * range ELSE -1 END AS k0,
+              CASE WHEN range < 24 AND range % 3 = 0 THEN 1 ELSE 0 END AS remaster
+       FROM range(0, 30)),
+wx AS MATERIALIZED (SELECT wid, b, k0,
+    CASE WHEN k0 >= 0 THEN
+      list_transform(range(0, 512 * (1 + k0 % 2) + k0 % 9), i ->
+        (23 * i + 7 * k0) % 2000 - 1000
+        + CASE WHEN remaster = 1 AND i = 0 THEN 1 ELSE 0 END)
+    ELSE
+      list_transform(range(0, 1024), i -> (31 * i + 13 * b) % 1800 - 900)
+    END AS x
+  FROM wg),
+ww AS (SELECT wid, unnest(range(0, len(x) // 512)) AS wi, x FROM wx),
+wfp AS MATERIALIZED (SELECT wid, wi,
+    array_to_string(list_transform(range(0, 64), g ->
+      CASE WHEN 64 * list_sum(list_transform(range(0, 8),
+             j -> x[wi * 512 + g * 8 + j + 1] * x[wi * 512 + g * 8 + j + 1]))
+           > list_sum(list_transform(range(0, 512),
+             j -> x[wi * 512 + j + 1] * x[wi * 512 + j + 1]))
+           THEN 1 ELSE 0 END), '') AS fp,
+    md5(array_to_string(list_transform(range(0, 512),
+        j -> x[wi * 512 + j + 1]), ',')) AS pcm_md5
+  FROM ww)
+SELECT CAST(w.wid AS BIGINT) AS wav_id,
+       CAST(c.key AS BIGINT) AS flac_id,
+       CAST(count(*) AS BIGINT) AS n_matched,
+       CAST(sum(CASE WHEN w.pcm_md5 = c.pcm_md5 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_exact
+FROM wfp w JOIN cfp c ON w.fp = c.fp
+GROUP BY w.wid, c.key ORDER BY wav_id, flac_id
+""",
+)
+def q_media_cross_format_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5×E2 [r13]: CROSS-FORMAT audio join — the same recording
+    distributed losslessly in two containers (FLAC corpus, WAV
+    benchmark) must meet on perceptual keys derived from the AUDIO,
+    not the container: multimodal.wav_window_fingerprint is
+    bit-rule- and digest-identical to flac.flac_window_fingerprint
+    (channel 0, window cut, integer cell-energy bits, md5-CSV), so
+    the join is plain fp equality with the small WAV side BROADCAST.
+    One decode stack runs a real compressed-domain codec
+    (subframes/Rice/CRCs), the other raw PCM extraction — identical
+    keys out of both is the codec-independence property a 100 TB
+    perceptual index needs (or every format needs its own index).
+    Re-mastered WAVs (+1 on sample 0) split perceptual-only from
+    byte-exact via the md5 second stage; 6 decoys surface nothing.
+    The oracle replays both PCM families and both fingerprint sides
+    closed-form on 102 grouped rows (24/24 planted sources found).
+    Composes media_audio_fp_dedup (r12) + audio_containment_screen
+    (r13) into the cross-container axis."""
+    from pagerank_hadoop_spark.operators.flac import flac_window_fingerprint
+    from pagerank_hadoop_spark.operators.multimodal import (
+        attach_media,
+        wav_window_fingerprint,
+    )
+
+    corpus, wavs = _cross_format_audio_fixture(spark)
+    cfp = flac_window_fingerprint(
+        attach_media(corpus, F.col("payload"), media_type="audio/flac")
+    )
+    wfp = wav_window_fingerprint(
+        attach_media(wavs, F.col("payload"), media_type="audio/wav")
+    ).select(
+        F.col("media_id").alias("wav_id"),
+        "fp",
+        F.col("pcm_md5").alias("wav_md5"),
+    )
+    return (
+        cfp.join(F.broadcast(wfp), "fp")
+        .groupBy("wav_id", F.col("media_id").alias("flac_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_matched"),
+            F.sum(
+                (F.col("pcm_md5") == F.col("wav_md5")).cast("bigint")
+            ).alias("n_exact"),
+        )
+        .orderBy("wav_id", "flac_id")
+    )

@@ -1190,3 +1190,80 @@ def test_bmp_cell_ahash_adapter_identity_and_rule_divergence(spark):
     packed = bmp_ahash(bmps2).collect()[0]["ahash"]
     mean_bits = bin(packed & ((1 << 64) - 1)).count("1")
     assert cell_bits != mean_bits
+
+
+def test_wav_window_fingerprint_crossformat_identity(spark):
+    """r13: codec independence — the SAME PCM encoded as FLAC and
+    wrapped as WAV produces IDENTICAL fingerprint rows (fp AND
+    md5-CSV digest) from the two kernels, including the short-tail
+    drop and a stereo channel-0 cut; depth and container errors are
+    typed."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from pagerank_hadoop_spark.operators.flac import (
+        flac_encode,
+        flac_window_fingerprint,
+    )
+    from pagerank_hadoop_spark.operators.multimodal import (
+        attach_media,
+        wav_window_fingerprint,
+    )
+
+    def wav_bytes(x, channels=1, bits=16):
+        data = x.astype("<i2").tobytes()
+        frame = channels * (bits // 8)
+        return (b"RIFF" + (36 + len(data)).to_bytes(4, "little")
+                + b"WAVE" + b"fmt " + (16).to_bytes(4, "little")
+                + (1).to_bytes(2, "little")
+                + channels.to_bytes(2, "little")
+                + (8000).to_bytes(4, "little")
+                + (8000 * frame).to_bytes(4, "little")
+                + frame.to_bytes(2, "little")
+                + bits.to_bytes(2, "little")
+                + b"data" + len(data).to_bytes(4, "little") + data)
+
+    i = np.arange(512 * 2 + 7, dtype=np.int64)
+    mono = (29 * i + 3) % 2000 - 1000
+    # stereo: channel 0 = mono, channel 1 = junk the cut must ignore
+    stereo = np.stack([mono, (mono * 7) % 500], axis=1)
+    flacs = attach_media(
+        spark.createDataFrame(
+            [
+                (0, bytearray(flac_encode(mono[:, None], 8000, 16,
+                                          block_size=256))),
+                (1, bytearray(flac_encode(stereo, 8000, 16,
+                                          block_size=256))),
+            ],
+            "media_id long, payload binary",
+        ),
+        F.col("payload"), media_type="audio/flac",
+    )
+    wavs = attach_media(
+        spark.createDataFrame(
+            [
+                (0, bytearray(wav_bytes(mono))),
+                (1, bytearray(wav_bytes(stereo.reshape(-1), channels=2))),
+            ],
+            "media_id long, payload binary",
+        ),
+        F.col("payload"), media_type="audio/wav",
+    )
+    fr = sorted(
+        tuple(r) for r in flac_window_fingerprint(flacs).collect()
+    )
+    wr = sorted(
+        tuple(r) for r in wav_window_fingerprint(wavs).collect()
+    )
+    assert fr == wr and len(fr) == 4  # 2 files x 2 windows, tail dropped
+
+    bad = attach_media(
+        spark.createDataFrame(
+            [(9, bytearray(b"RIFF\x00\x00\x00\x00JUNK"))],
+            "media_id long, payload binary",
+        ),
+        F.col("payload"), media_type="audio/wav",
+    )
+    import pytest as _pytest
+    with _pytest.raises(Exception, match="not a PCM RIFF/WAVE"):
+        wav_window_fingerprint(bad).collect()
