@@ -96,13 +96,18 @@ DECODED_SCHEMA = StructType(
 )
 
 
-def parse_bmp_header(payload: bytes) -> tuple[int, int, int] | None:
+def parse_bmp_header(payload: bytes) -> tuple[int, int, int, bool] | None:
     """Parse a Windows BMP (BITMAPINFOHEADER) header; returns
-    ``(width, height, bits_per_pixel)`` or None if the payload is not
-    a plausible BMP. Pure byte arithmetic — the real decode for the
-    one image format that needs no codec library. Top-down BMPs store
-    a negative height; we return its magnitude (the orientation does
-    not change the raster dimensions)."""
+    ``(width, height, bits_per_pixel, top_down)`` or None if the
+    payload is not a plausible BMP. Pure byte arithmetic — the real
+    decode for the one image format that needs no codec library.
+    ``top_down`` carries the HEIGHT SIGN: a negative stored height
+    means rows are in image order (top-down); the standard positive
+    height means rows are stored BOTTOM-UP, so an orientation-aware
+    consumer (the cross-modal hash) must flip file rows to recover
+    the image. Orientation-invariant consumers (pixel sums,
+    within-family aHash where base and candidate share a container)
+    may ignore it."""
     if len(payload) < 54 or payload[:2] != b"BM":
         return None
     bi_size = int.from_bytes(payload[14:18], "little")
@@ -114,7 +119,7 @@ def parse_bmp_header(payload: bytes) -> tuple[int, int, int] | None:
     bpp = int.from_bytes(payload[28:30], "little")
     if width <= 0 or height == 0 or planes != 1 or bpp == 0:
         return None
-    return width, abs(height), bpp
+    return width, abs(height), bpp, height < 0
 
 
 def parse_wav_header(payload: bytes) -> tuple[int, int, int, int] | None:
@@ -377,7 +382,7 @@ def bmp_pixel_stats(media: DataFrame) -> DataFrame:
             hdr = parse_bmp_header(payload)
             if hdr is None or hdr[2] != 24:
                 raise ValueError("payload is not a 24-bit BMP")
-            w, h, _bpp = hdr
+            w, h, _bpp, _top_down = hdr  # sums are orientation-invariant
             off = int.from_bytes(payload[10:14], "little")
             stride = (w * 3 + 3) // 4 * 4
             arr = np.frombuffer(
@@ -545,7 +550,7 @@ def bmp_ahash(media: DataFrame) -> DataFrame:
             hdr = parse_bmp_header(payload)
             if hdr is None or hdr[2] != 24:
                 raise ValueError("payload is not a 24-bit BMP")
-            w, h, _bpp = hdr
+            w, h, _bpp, _top_down = hdr  # file row order (see docstring)
             if w % 8 or h % 8:
                 raise ValueError("aHash needs w, h multiples of 8")
             off = int.from_bytes(payload[10:14], "little")
@@ -601,7 +606,15 @@ def bmp_cell_ahash(media: DataFrame) -> DataFrame:
     re-hash one side into the other's family. This is that pass:
     grayscale = (r + g + b) // 3 (identical to bmp_ahash), then the
     video bit rule, so a still whose grayscale equals a decoded
-    frame's luma produces the identical string."""
+    frame's luma produces the identical string.
+
+    Unlike bmp_ahash (within-family: both sides share the container,
+    so FILE row order is flip-consistent), here the video side is
+    decoded luma in IMAGE order (top-down) — so the BMP raster is
+    normalized to image orientation first: positive-height BMPs (the
+    standard case) store rows BOTTOM-UP and are flipped; negative
+    height means top-down, no flip. Hashing file order would
+    silently miss every spec-correct bottom-up still."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -610,7 +623,7 @@ def bmp_cell_ahash(media: DataFrame) -> DataFrame:
             hdr = parse_bmp_header(payload)
             if hdr is None or hdr[2] != 24:
                 raise ValueError("payload is not a 24-bit BMP")
-            w, h, _bpp = hdr
+            w, h, _bpp, top_down = hdr
             if w % 8 or h % 8:
                 raise ValueError("aHash needs w, h multiples of 8")
             off = int.from_bytes(payload[10:14], "little")
@@ -623,6 +636,8 @@ def bmp_cell_ahash(media: DataFrame) -> DataFrame:
                 .reshape(h, w, 3)
                 .astype(np.int64)
             )
+            if not top_down:  # bottom-up file rows -> image order
+                arr = arr[::-1]
             gray = arr.sum(axis=2) // 3
             cells = gray.reshape(8, h // 8, 8, w // 8).sum(axis=(1, 3))
             total = int(cells.sum())

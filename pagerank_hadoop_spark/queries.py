@@ -16120,7 +16120,7 @@ def _mp4_pmv_fixture(spark: SparkSession, n: int = 120) -> DataFrame:
     and vB = vA+(2,-2) on (1,0), while MB (1,1) is SKIPPED so the
     decoder must DERIVE its vector (§8.4.1.1: the A/B/C median is vA
     unless vB == 0, in which case the zero-forcing rule fires — both
-    branches are live across keys: 75 and 110 hit vB == 0). Odd vA
+    branches are live across keys: 5, 75 and 110 hit vB == 0). Odd vA
     components land chroma on HALF-sample positions (§8.4.2.2.2
     bilinear); key%8==0 plants vA = (40,-40), far outside the
     picture, exercising the §8.4.2.2.1 Clip3 edge replication over
@@ -16319,7 +16319,7 @@ def q_media_mp4_pmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     the exactly-one-refIdx short-circuit), §8.4.1.1 DERIVED skip
     vectors that inherit a preceding MV block\'s motion (the pre-r13
     zero-MV induction is now a computed special case — and its
-    zero-forcing branch is live on keys 75/110 where vB = 0),
+    zero-forcing branch is live on keys 5/75/110 where vB = 0),
     clamped out-of-picture gathers, and the §8.4.2.2.2 chroma
     bilinear at half-sample positions from odd pel vectors. The
     oracle replays every stage closed-form in SQL — region-wise
@@ -17713,19 +17713,26 @@ def _cross_modal_fixture(spark: SparkSession):
             h264_encode_pskip(2, 2, 1, allmv),
         ], dims=(32, 32), max_ref=1))))
 
-    def bmp_from_gray(g):
+    def bmp_from_gray(g, top_down):
+        """Spec-correct BMP writer: a negative stored height means
+        the raster is in image (top-down) order; the standard
+        positive height stores rows BOTTOM-UP — so the same image g
+        round-trips through either container orientation."""
         img = 96 * 32
         hdr = (
             b"BM" + (54 + img).to_bytes(4, "little") + b"\x00" * 4
             + (54).to_bytes(4, "little")
         )
+        stored_h = -32 if top_down else 32
         ih = (
             (40).to_bytes(4, "little") + (32).to_bytes(4, "little")
-            + (32).to_bytes(4, "little") + (1).to_bytes(2, "little")
+            + stored_h.to_bytes(4, "little", signed=True)
+            + (1).to_bytes(2, "little")
             + (24).to_bytes(2, "little") + b"\x00" * 4
             + img.to_bytes(4, "little") + b"\x00" * 16
         )
-        raster = np.repeat(g.reshape(-1), 3).astype(np.uint8).tobytes()
+        rows = g if top_down else g[::-1]
+        raster = np.repeat(rows.reshape(-1), 3).astype(np.uint8).tobytes()
         return hdr + ih + raster
 
     stills = []
@@ -17746,7 +17753,10 @@ def _cross_modal_fixture(spark: SparkSession):
             g = (
                 (20 + b % 60 + 53 * i * i + 17 * i) % 236 + 10
             ).reshape(32, 32).astype(np.uint8)
-        stills.append((1000 + b, bytearray(bmp_from_gray(g))))
+        # alternate container orientation: even b bottom-up (the
+        # standard positive-height case the r13 fixture got wrong),
+        # odd b top-down — the hash must be identical either way
+        stills.append((1000 + b, bytearray(bmp_from_gray(g, b % 2 == 1))))
     return (
         spark.createDataFrame(vids, "media_id long, payload binary"),
         spark.createDataFrame(stills, "media_id long, payload binary"),

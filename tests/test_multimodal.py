@@ -125,9 +125,10 @@ def _wav(channels, rate, bits, n_samples, extra_chunk_first=False):
 def test_parse_bmp_header():
     from pagerank_hadoop_spark.operators.multimodal import parse_bmp_header
 
-    assert parse_bmp_header(_bmp(7, 3)) == (7, 3, 24)
-    # top-down BMP stores negative height; magnitude comes back
-    assert parse_bmp_header(_bmp(5, 2, top_down=True)) == (5, 2, 24)
+    # positive height = bottom-up file rows (top_down flag False)
+    assert parse_bmp_header(_bmp(7, 3)) == (7, 3, 24, False)
+    # top-down BMP stores negative height; magnitude + sign come back
+    assert parse_bmp_header(_bmp(5, 2, top_down=True)) == (5, 2, 24, True)
     assert parse_bmp_header(b"BM" + b"\x00" * 10) is None  # truncated
     assert parse_bmp_header(b"PNG" + b"\x00" * 60) is None  # wrong magic
     assert parse_bmp_header(_wav(1, 8000, 16, 10)) is None
@@ -1139,16 +1140,21 @@ def test_bmp_cell_ahash_adapter_identity_and_rule_divergence(spark):
         bmp_cell_ahash,
     )
 
-    def bmp_from_gray(g):
+    def bmp_from_gray(g, top_down=False):
+        # spec-correct writer: positive height stores rows bottom-up,
+        # negative height top-down (same image either way)
         img = 96 * 32
         hdr = (b"BM" + (54 + img).to_bytes(4, "little") + b"\x00" * 4
                + (54).to_bytes(4, "little"))
+        stored_h = -32 if top_down else 32
         ih = ((40).to_bytes(4, "little") + (32).to_bytes(4, "little")
-              + (32).to_bytes(4, "little") + (1).to_bytes(2, "little")
+              + stored_h.to_bytes(4, "little", signed=True)
+              + (1).to_bytes(2, "little")
               + (24).to_bytes(2, "little") + b"\x00" * 4
               + img.to_bytes(4, "little") + b"\x00" * 16)
+        rows = g if top_down else g[::-1]
         return hdr + ih + np.repeat(
-            g.reshape(-1), 3
+            rows.reshape(-1), 3
         ).astype(np.uint8).tobytes()
 
     i = np.arange(1024, dtype=np.int64)
@@ -1159,17 +1165,24 @@ def test_bmp_cell_ahash_adapter_identity_and_rule_divergence(spark):
                            dims=(32, 32))))],
         "media_id long, payload binary",
     )
+    # the SAME image in both container orientations: the standard
+    # bottom-up (positive height — the case the r13 adapter hashed
+    # vertically flipped) and top-down (negative height) must both
+    # produce the video frame's hash
     bmps = spark.createDataFrame(
-        [(0, bytearray(bmp_from_gray(y)))],
+        [(0, bytearray(bmp_from_gray(y, top_down=False))),
+         (1, bytearray(bmp_from_gray(y, top_down=True)))],
         "media_id long, payload binary",
     )
     vh = mp4_frame_ahash(
         attach_media(vids, F.col("payload"), media_type="video/mp4")
     ).collect()[0]["ahash"]
-    bh = bmp_cell_ahash(
+    brows = bmp_cell_ahash(
         attach_media(bmps, F.col("payload"), media_type="image/bmp")
-    ).collect()[0]["ahash"]
-    assert vh == bh and len(bh) == 64
+    ).collect()
+    assert len(brows) == 2
+    for row in brows:
+        assert row["ahash"] == vh and len(vh) == 64
 
     # rule divergence: a flat-64 image with ONE pixel at 79. The
     # floor-mean rule loses the sub-cell margin (cell_sum 1039 //

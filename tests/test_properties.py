@@ -257,7 +257,7 @@ def test_bmp_header_roundtrip(w, h, bpp, top_down):
             "<IiiHHIIiiII", 40, w, -h if top_down else h, 1, bpp, 0, 0, 0, 0, 0, 0
         )
     )
-    assert parse_bmp_header(hdr) == (w, h, bpp)
+    assert parse_bmp_header(hdr) == (w, h, bpp, top_down)
 
 
 @given(
