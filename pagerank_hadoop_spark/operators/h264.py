@@ -91,19 +91,26 @@ What is REAL here (pure stdlib + NumPy, no codec library):
   §8.4.1.3 prediction (the motion context stores the reference
   index per 4x4 block), and per-reference motion compensation —
   background restoration past an occluding frame decodes.
+- **Quarter-pel luma motion compensation** (r14): the §8.4.2.2.1
+  six-tap half-sample FIR (1,-5,20,20,-5,1; Clip1((b1+16)>>5), the
+  center position filtering unclipped intermediates with
+  Clip1((j1+512)>>10)) and Table 8-12's upward-rounding quarter
+  averages — closed formulas, NOT behind the Table 9-5 wall
+  (:func:`_luma_qpel_block`, vectorized as NumPy slices of one
+  clamped (h+5)x(w+5) gather window, equivalent to the spec's
+  per-tap Clip3 because taps sit at consecutive offsets and
+  clamping is monotone). Real P streams are overwhelmingly sub-pel;
+  this is the motion video near-dup/containment actually meets.
 What is honestly refused: AC/chroma residuals (I_16x16 mb_type >= 5
 and I_4x4 cbp != 0, i.e. CAVLC beyond the single-coefficient subset
 — the full Table 9-5 (62 codewords x 4 nC classes) cannot be
 validated in this container, which has no reference decoder or table
 source, and a from-memory table would be
 encoder/decoder-self-consistent yet unverifiable, the exact failure
-mode the oracle discipline exists to prevent), FRACTIONAL luma
-motion vectors (the §8.4.2.2.1 six-tap half-sample interpolator +
-quarter-sample averaging — refused so the interpolation wall stays
-intact and every decoded sample remains a closed-form gather),
+mode the oracle discipline exists to prevent),
 nonzero inter coded_block_pattern (Table 9-4's inter mapping AND
-the residual decoder), P_8x8 sub-partitions (sub_mb_type parsing +
-per-sub-block motion), reference-picture-list modification and MMCO adaptive marking
+the residual decoder), B-slice-shaped sub_mb_types (P sub_mb_types
+0..3 decode; 4+ are B shapes), reference-picture-list modification and MMCO adaptive marking
 (reordering machinery), weighted prediction combined with multiple
 references (per-ref weight lists), implicit/bipred weighting
 (B-slice machinery), CABAC slices, B/SP/SI slices, FMO
@@ -681,10 +688,9 @@ def h264_encode_pskip(
     prediction (directional shortcut for the half-MB shapes, pure
     block-granular median below), cbp 0 — or a bare (y16, cb8, cr8)
     plane triple, accepted as I_PCM shorthand (the pre-r12 calling
-    convention). A sub-pel 'mv' spec (component
-    & 3 != 0) is written as requested but produces a stream OUTSIDE
-    the decodable subset (the decoder's typed six-tap refusal — the
-    tests pin exactly that). NOTE: macroblocks skipped AFTER an 'mv'
+    convention). Sub-pel 'mv' specs (component & 3 != 0) decode via
+    the §8.4.2.2.1 six-tap/quarter-average interpolator as of r14.
+    NOTE: macroblocks skipped AFTER an 'mv'
     macroblock inherit its motion through the skip derivation; list
     explicit ('mv', 0, 0) specs to hold a region co-located. ``qp``
     rides in slice_qp_delta, as in the I twins.
@@ -2187,32 +2193,100 @@ def _weight_samples(blk, w: int, o: int, logwd: int):
     return np.clip(v, 0, 255).astype(np.uint8)
 
 
+def _luma_qpel_block(plane, x0: int, y0: int, w: int, h: int, mvx: int, mvy: int):
+    """§8.4.2.2.1 quarter-sample luma prediction — the CLOSED-FORM
+    interpolation (no lookup tables, unlike the Table 9-5 wall):
+
+    * half-sample positions via the six-tap FIR (1, -5, 20, 20, -5, 1):
+      ``b1 = E - 5F + 20G + 20H - 5I + J``, ``b = Clip1((b1+16)>>5)``;
+      the center position j filters the UNCLIPPED horizontal
+      intermediates vertically, ``j = Clip1((j1+512)>>10)``;
+    * quarter-sample positions by pairwise upward-rounding averages
+      (Table 8-12): ``(u + v + 1) >> 1`` of the two nearest
+      integer/half samples — the diagonal quarters (e/g/p/r) average
+      the two ADJACENT half-pel values b/h/m/s, never j.
+
+    Every reference coordinate is Clip3'd individually, which equals
+    gathering one clamped (h+5)x(w+5) window (taps sit at consecutive
+    integer offsets, clamping is monotone) and filtering it — so the
+    whole block vectorizes as NumPy slices of that window. Integer
+    vectors short-circuit to the plain clamped copy."""
+    import numpy as np
+
+    xi, yi = mvx >> 2, mvy >> 2  # arithmetic shift, as the spec's >>
+    fx, fy = mvx & 3, mvy & 3
+    if fx == 0 and fy == 0:
+        return _mc_block(plane, x0 + xi, y0 + yi, w, h)
+    win = _mc_block(
+        plane, x0 + xi - 2, y0 + yi - 2, w + 5, h + 5
+    ).astype(np.int64)
+
+    def hfilt(a):  # six-tap across columns; output width = in - 5
+        return (
+            a[:, :-5] - 5 * a[:, 1:-4] + 20 * a[:, 2:-3]
+            + 20 * a[:, 3:-2] - 5 * a[:, 4:-1] + a[:, 5:]
+        )
+
+    def vfilt(a):  # six-tap down rows; output height = in - 5
+        return (
+            a[:-5] - 5 * a[1:-4] + 20 * a[2:-3]
+            + 20 * a[3:-2] - 5 * a[4:-1] + a[5:]
+        )
+
+    def clip1(v):
+        return np.clip(v, 0, 255)
+
+    def avg(u, v):  # quarter positions: upward-rounding average
+        return (u + v + 1) >> 1
+
+    G = win[2 : 2 + h, 2 : 2 + w]  # the integer sample grid
+    b1 = hfilt(win)  # horizontal intermediates, shape (h+5, w)
+    h1 = vfilt(win)  # vertical intermediates, shape (h, w+5)
+    bb = clip1((b1[2 : 2 + h] + 16) >> 5)  # half right of G
+    hh = clip1((h1[:, 2 : 2 + w] + 16) >> 5)  # half below G
+    if fx == 0:  # d/h/n column: only vertical halves + integer M
+        M = win[3 : 3 + h, 2 : 2 + w]
+        out = {1: avg(G, hh), 2: hh, 3: avg(M, hh)}[fy]
+    elif fy == 0:  # a/b/c row
+        H_ = win[2 : 2 + h, 3 : 3 + w]
+        out = {1: avg(G, bb), 2: bb, 3: avg(H_, bb)}[fx]
+    else:
+        mm = clip1((h1[:, 3 : 3 + w] + 16) >> 5)  # half below H
+        ss = clip1((b1[3 : 3 + h] + 16) >> 5)  # half right of M
+        if fx == 2 or fy == 2:  # f/i/j/k/q need the center j
+            jj = clip1((vfilt(b1) + 512) >> 10)
+        out = {
+            (1, 1): lambda: avg(bb, hh),  # e
+            (2, 1): lambda: avg(bb, jj),  # f
+            (3, 1): lambda: avg(bb, mm),  # g
+            (1, 2): lambda: avg(hh, jj),  # i
+            (2, 2): lambda: jj,  # j
+            (3, 2): lambda: avg(jj, mm),  # k
+            (1, 3): lambda: avg(hh, ss),  # p
+            (2, 3): lambda: avg(jj, ss),  # q
+            (3, 3): lambda: avg(mm, ss),  # r
+        }[(fx, fy)]()
+    return out.astype(np.uint8)
+
+
 def _mc_copy_rect(
     ref, x0: int, y0: int, w: int, h: int, mv, y, cb, cr, wp=None
 ) -> None:
-    """Partition motion compensation at INTEGER luma positions for
-    the luma rect (x0, y0, w, h) in samples: the luma block is a
-    clamped copy from the reference picture at (mv>>2) samples;
-    chroma (the half-resolution rect) reuses the same vector at
-    eighth-chroma-sample resolution (§8.4.2.2.1: xFracC = mvx & 7 —
-    an integer luma vector with an ODD sample offset lands on a HALF
-    chroma sample), resolved by the §8.4.2.2.2 bilinear formula
-    (eq 8-266: ((8-xF)(8-yF)A + xF(8-yF)B + (8-xF)yF·C + xF·yF·D
-    + 32) >> 6) — a closed formula, in-bounds by convexity. Only
-    fractional LUMA positions (mv & 3 != 0), which need the six-tap
-    half-sample interpolator, raise the typed refusal — that wall
-    stays intact."""
+    """Partition motion compensation at QUARTER-pel luma positions
+    for the luma rect (x0, y0, w, h) in samples: the luma block is
+    the §8.4.2.2.1 quarter-sample prediction (:func:`_luma_qpel_block`
+    — clamped copy at integer vectors, six-tap halves + rounding
+    averages at fractional ones); chroma (the half-resolution rect)
+    reuses the same vector at eighth-chroma-sample resolution
+    (§8.4.2.2.1: xFracC = mvx & 7), resolved by the §8.4.2.2.2
+    bilinear formula (eq 8-266: ((8-xF)(8-yF)A + xF(8-yF)B
+    + (8-xF)yF·C + xF·yF·D + 32) >> 6) — a closed formula, in-bounds
+    by convexity."""
     import numpy as np
 
     mvx, mvy = mv
-    if mvx & 3 or mvy & 3:
-        raise NotImplementedError(
-            f"sub-pel luma motion vector ({mvx},{mvy}) quarter-pel "
-            "units needs the §8.4.2.2.1 six-tap half-sample "
-            "interpolator (only integer-pel vectors decode)"
-        )
     refy, refcb, refcr = ref
-    yblk = _mc_block(refy, x0 + (mvx >> 2), y0 + (mvy >> 2), w, h)
+    yblk = _luma_qpel_block(refy, x0, y0, w, h, mvx, mvy)
     if wp is not None:
         # §8.4.2.3: weighting applies to the PREDICTION samples,
         # after interpolation and clamping gathers
@@ -2870,14 +2944,12 @@ def mp4_temporal_novelty(media: DataFrame) -> DataFrame:
                     yield (mid, idx, 0, 0, total, total)
                 else:
                     dom, _n = _dominant_vector(f)
-                    if dom[0] & 3 or dom[1] & 3:
-                        raise NotImplementedError(
-                            "sub-pel dominant vector needs the "
-                            "six-tap interpolator"
-                        )
-                    pred = _mc_block(
-                        prev_y, dom[0] >> 2, dom[1] >> 2,
-                        yp.shape[1], yp.shape[0],
+                    # quarter-pel prediction (r14): a sub-pel
+                    # dominant vector scores against the §8.4.2.2.1
+                    # interpolated plane, same kernel the decoder uses
+                    pred = _luma_qpel_block(
+                        prev_y, 0, 0, yp.shape[1], yp.shape[0],
+                        dom[0], dom[1],
                     )
                     novel = int((yp != pred).sum())
                     yield (mid, idx, dom[0], dom[1], novel, total)

@@ -2004,10 +2004,13 @@ def test_pmv_skip_inheritance_and_explicit_zero_hold():
 
 
 def test_pmv_refusals_subpel_cbp_partitions_multiref():
-    """Typed boundaries of the r13 inter subset: fractional luma
-    vectors (six-tap wall), nonzero inter coded_block_pattern
-    (residual wall), sub-MB partition types, and multi-reference
-    slices all refuse with NotImplementedError naming the stage."""
+    """Typed boundaries of the inter subset: nonzero inter
+    coded_block_pattern (residual wall) and B-shaped sub_mb_types
+    refuse with NotImplementedError naming the stage; fractional
+    luma vectors DECODE as of r14 (checked here on a constant
+    reference; the interpolation itself is pinned in
+    test_subpel_interpolation_vs_scalar_model and the
+    media_mp4_subpel oracle)."""
     import pagerank_hadoop_spark.operators.h264 as H
     from pagerank_hadoop_spark.operators.h264 import (
         _BitWriter,
@@ -2024,14 +2027,16 @@ def test_pmv_refusals_subpel_cbp_partitions_multiref():
     sps = h264_parse_sps(h264_sps_rbsp(wmb, hmb, (0, 0, 0, 0), 1))
     pps = h264_parse_pps(h264_pps_rbsp())
 
-    # sub-pel: the encoder writes the stream as asked; the decoder's
-    # six-tap refusal is the pinned boundary
+    # sub-pel luma vectors decode as of r14 (the six-tap refusal was
+    # lifted — test_subpel_* pin the interpolation itself); on a
+    # CONSTANT reference every quarter position equals the constant,
+    # which isolates "it decodes" from "it interpolates correctly"
     nal = h264_encode_pskip(wmb, hmb, 1, {(0, 0): ("mv", 2, 0)})
-    with pytest.raises(NotImplementedError, match="six-tap"):
-        H._h264_decode_picture([nal], sps, pps, ref)
+    yd, _cb, _cr = H._h264_decode_picture([nal], sps, pps, ref)
+    assert (yd == 77).all()
     nal = h264_encode_pskip(wmb, hmb, 1, {(0, 0): ("mv", 0, -1)})
-    with pytest.raises(NotImplementedError, match="six-tap"):
-        H._h264_decode_picture([nal], sps, pps, ref)
+    yd, _cb, _cr = H._h264_decode_picture([nal], sps, pps, ref)
+    assert (yd == 77).all()
 
     def p_header(w):
         w.ue(0)  # first_mb_in_slice
@@ -2553,3 +2558,152 @@ def test_multiref_background_restore_and_dpb_rules():
     # encoder guard: ref_idx > 0 without n_ref
     with pytest.raises(ValueError, match="requires n_ref"):
         h264_encode_pskip(2, 2, 1, {(0, 0): ("mvref", 1, 0, 0)})
+
+
+def _naive_qpel(plane, x0, y0, w, h, mvx, mvy):
+    """Decoder-independent scalar §8.4.2.2.1/Table 8-12 model: every
+    sample coordinate Clip3'd individually, six-tap halves computed
+    per pixel from raw gathers, the center j from UNCLIPPED
+    horizontal intermediates, quarter positions as upward-rounding
+    averages. Deliberately shares no code with _luma_qpel_block."""
+
+    def clip3(lo, hi, v):
+        return max(lo, min(hi, v))
+
+    def clip1(v):
+        return clip3(0, 255, v)
+
+    hh_, ww_ = plane.shape
+
+    def S(x, yy):
+        return int(plane[clip3(0, hh_ - 1, yy), clip3(0, ww_ - 1, x)])
+
+    taps = (1, -5, 20, 20, -5, 1)
+    xi, yi, fx, fy = mvx >> 2, mvy >> 2, mvx & 3, mvy & 3
+    out = np.zeros((h, w), np.uint8)
+    for r in range(h):
+        for c in range(w):
+            xb, yb = x0 + c + xi, y0 + r + yi
+
+            def b1_at(dy):
+                return sum(
+                    t * S(xb + o - 2, yb + dy) for o, t in enumerate(taps)
+                )
+
+            def h1_at(dx):
+                return sum(
+                    t * S(xb + dx, yb + o - 2) for o, t in enumerate(taps)
+                )
+
+            G = S(xb, yb)
+            H_ = S(xb + 1, yb)
+            M = S(xb, yb + 1)
+            b = clip1((b1_at(0) + 16) >> 5)
+            s = clip1((b1_at(1) + 16) >> 5)
+            hv = clip1((h1_at(0) + 16) >> 5)
+            m = clip1((h1_at(1) + 16) >> 5)
+            j1 = sum(t * b1_at(o - 2) for o, t in enumerate(taps))
+            j = clip1((j1 + 512) >> 10)
+            tab = {
+                (0, 0): G,
+                (1, 0): (G + b + 1) >> 1,
+                (2, 0): b,
+                (3, 0): (H_ + b + 1) >> 1,
+                (0, 1): (G + hv + 1) >> 1,
+                (1, 1): (b + hv + 1) >> 1,
+                (2, 1): (b + j + 1) >> 1,
+                (3, 1): (b + m + 1) >> 1,
+                (0, 2): hv,
+                (1, 2): (hv + j + 1) >> 1,
+                (2, 2): j,
+                (3, 2): (j + m + 1) >> 1,
+                (0, 3): (M + hv + 1) >> 1,
+                (1, 3): (hv + s + 1) >> 1,
+                (2, 3): (j + s + 1) >> 1,
+                (3, 3): (m + s + 1) >> 1,
+            }
+            out[r, c] = tab[(fx, fy)]
+    return out
+
+
+def test_subpel_interpolation_vs_scalar_model():
+    """r14 property gate: the vectorized quarter-pel interpolator
+    equals the independent scalar spec model on random content for
+    ALL 16 fractional classes, including vectors far outside the
+    picture (whole-window edge replication)."""
+    import pagerank_hadoop_spark.operators.h264 as H
+
+    rng = np.random.default_rng(14)
+    plane = rng.integers(0, 256, (48, 48), dtype=np.uint8)
+    for fx in range(4):
+        for fy in range(4):
+            for (xi, yi) in [(0, 0), (-3, 2), (5, -4), (-50, 60)]:
+                mvx, mvy = 4 * xi + fx, 4 * yi + fy
+                got = H._luma_qpel_block(plane, 8, 8, 16, 16, mvx, mvy)
+                want = _naive_qpel(plane, 8, 8, 16, 16, mvx, mvy)
+                assert (got == want).all(), (fx, fy, xi, yi)
+
+
+def test_subpel_end_to_end_decode():
+    """r14: encode a P frame whose four macroblocks carry vectors in
+    four DIFFERENT fractional classes (pure-horizontal half,
+    pure-vertical half, center j, diagonal quarter), decode the
+    stream, and compare each 16x16 luma region against the scalar
+    model; chroma must match the eighth-sample bilinear at the
+    sub-pel-induced fractions."""
+    import pagerank_hadoop_spark.operators.h264 as H
+    from pagerank_hadoop_spark.operators.h264 import (
+        h264_encode_ipcm,
+        h264_encode_pskip,
+        mp4_mux_avc,
+    )
+
+    rng = np.random.default_rng(41)
+    y0 = rng.integers(0, 256, (32, 32), dtype=np.uint8)
+    cb0 = rng.integers(0, 256, (16, 16), dtype=np.uint8)
+    cr0 = rng.integers(0, 256, (16, 16), dtype=np.uint8)
+    mvs = {
+        (0, 0): ("mv", 4 * 1 + 2, 4 * -2 + 0),   # (2,0): half b
+        (1, 0): ("mv", 4 * -1 + 0, 4 * 1 + 2),   # (0,2): half h
+        (0, 1): ("mv", 4 * 2 + 2, 4 * 0 + 2),    # (2,2): center j
+        (1, 1): ("mv", 4 * 0 + 3, 4 * -1 + 1),   # (3,1): quarter g
+    }
+    payload = mp4_mux_avc(
+        [
+            h264_encode_ipcm(y0, cb0, cr0),
+            h264_encode_pskip(2, 2, 1, mvs),
+        ],
+        dims=(32, 32),
+        max_ref=1,
+    )
+    frames = list(H.mp4_decode_ipcm_frames(bytes(payload)))
+    _, y1, cb1, cr1 = frames[1]
+    for (mbx, mby), (_, mvx, mvy) in mvs.items():
+        want = _naive_qpel(y0, mbx * 16, mby * 16, 16, 16, mvx, mvy)
+        got = y1[mby * 16 : mby * 16 + 16, mbx * 16 : mbx * 16 + 16]
+        assert (got == want).all(), (mbx, mby)
+        # chroma: eighth-sample bilinear replay per region
+        cxi, cyi = mvx >> 3, mvy >> 3
+        cxf, cyf = mvx & 7, mvy & 7
+        for ref, dec in ((cb0, cb1), (cr0, cr1)):
+            for rr in range(8):
+                for cc in range(8):
+                    px, py = mbx * 8 + cc, mby * 8 + rr
+
+                    def cs(x, yy):
+                        return int(
+                            ref[max(0, min(15, yy)), max(0, min(15, x))]
+                        )
+
+                    a = cs(px + cxi, py + cyi)
+                    b_ = cs(px + cxi + 1, py + cyi)
+                    c_ = cs(px + cxi, py + cyi + 1)
+                    d = cs(px + cxi + 1, py + cyi + 1)
+                    want_c = (
+                        (8 - cxf) * (8 - cyf) * a
+                        + cxf * (8 - cyf) * b_
+                        + (8 - cxf) * cyf * c_
+                        + cxf * cyf * d
+                        + 32
+                    ) >> 6
+                    assert int(dec[py, px]) == want_c, (mbx, mby, rr, cc)
