@@ -18316,3 +18316,247 @@ def q_media_mp4_subpel(spark: SparkSession, sf_dir: str) -> DataFrame:
         media_type="video/mp4",
     )
     return mp4_frame_stats(media).orderBy("media_id", "frame_idx")
+
+
+def _video_containment_fixture(spark: SparkSession):
+    """Corpus of 60 panning videos (IDR mod-quadratic plane
+    y0[i] = (20 + k%60 + 37i² + 11i) % 236 + 10, then nf = 8 + k%5
+    frames via per-frame integer pan (dx, dy) = (1 + k%3, (k%5)-2) —
+    each frame a motion-compensated gather of the previous, so the
+    corpus side of the screen is DECODED P-frame output, not PCM
+    input) plus 30 short clips: clips 0..23 are RE-ENCODES of
+    L = 3 + (b//3)%3 consecutive DECODED frames of corpus video
+    k0 = 2*(b%25)+3 starting MID-VIDEO at frame o = 1 + b%3 (never a
+    prefix — a first-frame join would miss every plant), wrapped as
+    all-I_PCM MP4s (different container path, same content); clips
+    with b % 4 == 0 are additionally RE-MASTERED (+1 on raster 600
+    of clip frame 1 — bytes differ, the frame aHash survives, so the
+    exact-verify stage separates them). Clips 24..29 are DECOYS from
+    a different quadratic family (53i² + 17i). Returns
+    (corpus_df(media_id, payload), clips_df); clip ids ride at
+    1000+b."""
+    import numpy as np
+
+    from pagerank_hadoop_spark.operators.h264 import (
+        h264_encode_ipcm,
+        h264_encode_pskip,
+        mp4_mux_avc,
+    )
+
+    def quad(key):
+        i = np.arange(1024, dtype=np.int64)
+        return (
+            (20 + key % 60 + 37 * i * i + 11 * i) % 236 + 10
+        ).reshape(32, 32).astype(np.uint8)
+
+    def corpus_frames(k):
+        nf = 8 + k % 5
+        dx, dy = 1 + k % 3, (k % 5) - 2
+        y = quad(k)
+        out = [y]
+        for _ in range(nf - 1):
+            rows = np.clip(np.arange(dy, dy + 32), 0, 31)
+            cols = np.clip(np.arange(dx, dx + 32), 0, 31)
+            y = y[np.ix_(rows, cols)].copy()
+            out.append(y)
+        return out, dx, dy
+
+    corp = []
+    for k in range(60):
+        frames, dx, dy = corpus_frames(k)
+        u0 = np.full((16, 16), 15 + k % 50, np.uint8)
+        v0 = np.full((16, 16), 9 + k % 40, np.uint8)
+        allmv = {
+            (x, yy): ("mv", 4 * dx, 4 * dy)
+            for x in range(2)
+            for yy in range(2)
+        }
+        nals = [h264_encode_ipcm(frames[0], u0, v0)]
+        for f in range(1, len(frames)):
+            nals.append(h264_encode_pskip(2, 2, f, allmv))
+        corp.append(
+            (k, bytearray(mp4_mux_avc(nals, dims=(32, 32), max_ref=1)))
+        )
+
+    clips = []
+    for b in range(30):
+        if b >= 24:
+            planes = []
+            for j in range(3):
+                i = np.arange(1024, dtype=np.int64)
+                planes.append(
+                    (
+                        (20 + (4 * b + j) % 60 + 53 * i * i + 17 * i)
+                        % 236 + 10
+                    ).reshape(32, 32).astype(np.uint8)
+                )
+        else:
+            k0 = 2 * (b % 25) + 3
+            o = 1 + b % 3
+            length = 3 + (b // 3) % 3
+            frames, _, _ = corpus_frames(k0)
+            planes = [frames[o + j].copy() for j in range(length)]
+            if b % 4 == 0:
+                f = planes[1].reshape(-1)
+                f[600] = f[600] + 1
+        u = np.full((16, 16), 70, np.uint8)
+        v = np.full((16, 16), 80, np.uint8)
+        nals = [h264_encode_ipcm(y, u, v) for y in planes]
+        clips.append(
+            (
+                1000 + b,
+                bytearray(mp4_mux_avc(nals, dims=(32, 32), max_ref=1)),
+            )
+        )
+    return (
+        spark.createDataFrame(corp, "media_id long, payload binary"),
+        spark.createDataFrame(clips, "media_id long, payload binary"),
+    )
+
+
+@register(
+    "video_containment_screen",
+    """
+WITH RECURSIVE corp_g AS (
+  SELECT range AS key, 8 + range % 5 AS nf,
+         1 + range % 3 AS dx, (range % 5) - 2 AS dy,
+         list_transform(range(0, 1024), i ->
+           (20 + range % 60 + 37 * i * i + 11 * i) % 236 + 10) AS y0
+  FROM range(0, 60)),
+corp_f AS (
+  SELECT key, nf, dx, dy, 0 AS fi, y0 AS yl FROM corp_g
+  UNION ALL
+  SELECT key, nf, dx, dy, fi + 1,
+    list_transform(range(0, 1024), i ->
+      list_extract(yl,
+        LEAST(31, GREATEST(0, (i // 32) + dy)) * 32 +
+        LEAST(31, GREATEST(0, (i % 32) + dx)) + 1))
+  FROM corp_f WHERE fi + 1 < nf),
+corp_h AS MATERIALIZED (
+  SELECT key, fi,
+    array_to_string(list_transform(range(0, 64), g ->
+      CASE WHEN 64 * list_sum(list_transform(range(0, 16), j ->
+             yl[(4 * (g // 8) + j // 4) * 32 + 4 * (g % 8) + (j % 4) + 1]))
+           > list_sum(yl) THEN 1 ELSE 0 END), '') AS h,
+    md5(array_to_string(yl, ',')) AS m
+  FROM corp_f),
+corp_sh AS (
+  SELECT a.key, a.fi,
+         a.h || '|' || b.h || '|' || c.h AS shingle,
+         a.m || '|' || b.m || '|' || c.m AS exact_key
+  FROM corp_h a
+  JOIN corp_h b ON b.key = a.key AND b.fi = a.fi + 1
+  JOIN corp_h c ON c.key = a.key AND c.fi = a.fi + 2),
+clip_g AS (
+  SELECT 1000 + range AS bid, range AS b,
+         CASE WHEN range < 24 THEN 2 * (range % 25) + 3 ELSE -1 END AS k0,
+         CASE WHEN range < 24 THEN 1 + range % 3 ELSE 0 END AS o,
+         CASE WHEN range < 24 THEN 3 + (range // 3) % 3 ELSE 3 END AS len
+  FROM range(0, 30)),
+clip_j AS (SELECT *, unnest(range(0, len)) AS j FROM clip_g),
+clip_f AS (
+  SELECT bid, j AS fi,
+    CASE WHEN k0 >= 0 THEN
+      list_transform(range(0, 1024), i ->
+        list_extract(cf.yl, i + 1)
+        + CASE WHEN b % 4 = 0 AND j = 1 AND i = 600 THEN 1 ELSE 0 END)
+    ELSE
+      list_transform(range(0, 1024), i ->
+        (20 + (4 * b + j) % 60 + 53 * i * i + 17 * i) % 236 + 10)
+    END AS yl
+  FROM clip_j LEFT JOIN corp_f cf ON cf.key = clip_j.k0 AND cf.fi = clip_j.o + clip_j.j),
+clip_h AS MATERIALIZED (
+  SELECT bid, fi,
+    array_to_string(list_transform(range(0, 64), g ->
+      CASE WHEN 64 * list_sum(list_transform(range(0, 16), j ->
+             yl[(4 * (g // 8) + j // 4) * 32 + 4 * (g % 8) + (j % 4) + 1]))
+           > list_sum(yl) THEN 1 ELSE 0 END), '') AS h,
+    md5(array_to_string(yl, ',')) AS m
+  FROM clip_f),
+clip_sh AS (
+  SELECT a.bid, a.fi,
+         a.h || '|' || b.h || '|' || c.h AS shingle,
+         a.m || '|' || b.m || '|' || c.m AS exact_key
+  FROM clip_h a
+  JOIN clip_h b ON b.bid = a.bid AND b.fi = a.fi + 1
+  JOIN clip_h c ON c.bid = a.bid AND c.fi = a.fi + 2)
+SELECT CAST(c.bid AS BIGINT) AS clip_id,
+       CAST(f.key AS BIGINT) AS media_id,
+       CAST(count(*) AS BIGINT) AS n_matched,
+       CAST(sum(CASE WHEN f.exact_key = c.exact_key THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_exact
+FROM corp_sh f JOIN clip_sh c ON f.shingle = c.shingle
+GROUP BY c.bid, f.key ORDER BY clip_id, media_id
+""",
+)
+def q_video_containment_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5×E2 [r14]: CLIP-LEVEL video containment screen — finds a
+    SHORT clip of frames embedded MID-VIDEO in longer corpus videos,
+    completing the containment family across all three modalities
+    (text r12 fuzzy_contamination_screen, audio r13
+    audio_containment_screen, video r14). Single frame-hash equality
+    is sequence-blind (a static logo frame matches everywhere); the
+    screen key is a SHINGLE of 3 consecutive frame aHashes
+    (mp4_frame_ahash output n-grammed per video in frame order), so
+    a match asserts the same visual SEQUENCE. Unlike audio, frame
+    boundaries are the natural alignment grid — no phase sweep
+    needed; the clip side is simply shingled the same way and
+    BROADCAST, while corpus frames are hashed ONCE and never shuffle
+    planes (the join carries 64-char hash strings + md5 keys only).
+    Matched pairs split perceptual-only vs byte-exact via the
+    per-frame luma md5 riding in the same decode pass (re-mastered
+    clips: aHash shingle matches, exact_key fails). The oracle
+    replays BOTH sides closed-form — corpus pan recursion
+    (WITH RECURSIVE over the clamped gather), cell bit rule, md5-CSV,
+    shingling joins — and the fixture pins negatives: 6 decoy clips
+    surface zero rows, and every planted clip is found with
+    n_matched >= L-2. 100 TB shape: clip side small + broadcast;
+    corpus cost is the one decode + a per-video window (shuffles
+    hashes, never frames); shingle width 3 is the precision knob."""
+    from pagerank_hadoop_spark.operators.h264 import mp4_frame_ahash
+    from pagerank_hadoop_spark.operators.multimodal import attach_media
+
+    corpus, clips = _video_containment_fixture(spark)
+
+    def shingled(df: DataFrame, idcol: str) -> DataFrame:
+        w = Window.partitionBy("media_id").orderBy("frame_idx")
+        return (
+            mp4_frame_ahash(
+                attach_media(df, F.col("payload"), media_type="video/mp4")
+            )
+            .select(
+                "media_id",
+                "frame_idx",
+                F.concat_ws(
+                    "|",
+                    F.col("ahash"),
+                    F.lead("ahash", 1).over(w),
+                    F.lead("ahash", 2).over(w),
+                ).alias("shingle"),
+                F.concat_ws(
+                    "|",
+                    F.col("y_md5"),
+                    F.lead("y_md5", 1).over(w),
+                    F.lead("y_md5", 2).over(w),
+                ).alias("exact_key"),
+                F.lead("ahash", 2).over(w).alias("_h2"),
+            )
+            .where(F.col("_h2").isNotNull())
+            .select(F.col("media_id").alias(idcol), "shingle", "exact_key")
+        )
+
+    corp_sh = shingled(corpus, "media_id")
+    clip_sh = shingled(clips, "clip_id").withColumnRenamed(
+        "exact_key", "clip_exact"
+    )
+    return (
+        corp_sh.join(F.broadcast(clip_sh), "shingle")
+        .groupBy("clip_id", "media_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_matched"),
+            F.sum(
+                (F.col("exact_key") == F.col("clip_exact")).cast("bigint")
+            ).alias("n_exact"),
+        )
+        .orderBy("clip_id", "media_id")
+    )

@@ -693,3 +693,15 @@ def test_cross_modal_screen_broadcasts_still_index(spark, sf_dir):
     plan = formatted_plan(df)
     assert "BroadcastHashJoin" in plan
     assert_no_cartesian(df)
+
+
+def test_video_containment_broadcasts_clip_shingles(spark, sf_dir):
+    """r14: the video containment screen's asymmetry in the PLAN —
+    the shingled CLIP side (small) is broadcast; corpus frame-hash
+    shingles join map-side and decoded planes never reach an
+    exchange (the join carries 64-char hash strings + md5 keys). No
+    cartesian."""
+    df = Q.queries()["video_containment_screen"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert_no_cartesian(df)
