@@ -718,27 +718,329 @@ def wav_window_fingerprint(
                 .reshape(n_samples, channels)[:, 0]
                 .tolist()
             )
-            out = []
-            for wi in range(len(x) // window):
-                w = x[wi * window : (wi + 1) * window]
-                cell = [
-                    sum(v * v for v in w[g * step : (g + 1) * step])
-                    for g in range(cells)
-                ]
-                total = sum(cell)
-                fp = "".join(
-                    "1" if cells * c > total else "0" for c in cell
+            return _pcm_fingerprint_rows(x, window, cells)
+
+        for pdf in it:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                for wi, fp, md in fps(payload):
+                    rows.append((int(mid), wi, fp, md))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "window_idx", "fp", "pcm_md5"]
+            )
+
+    return media.mapInPandas(batches, WAV_FP_SCHEMA)
+
+
+def _pcm_fingerprint_rows(x, window: int, cells: int):
+    """The ONE window-fingerprint rule shared by every PCM container
+    kernel (FLAC via operators/flac.py's original, WAV, PCM-in-MP4):
+    non-overlapping windows over channel 0, short tail dropped,
+    bit g = 1 iff cells * cell_energy(g) > window_energy (exact
+    integer cross-multiplication, no float division), md5 over the
+    decimal-CSV window. Bit- and digest-identical across containers
+    by construction — the property that makes the cross-format join
+    plain fp equality."""
+    import hashlib
+
+    step = window // cells
+    out = []
+    for wi in range(len(x) // window):
+        w = x[wi * window : (wi + 1) * window]
+        cell = [
+            sum(v * v for v in w[g * step : (g + 1) * step])
+            for g in range(cells)
+        ]
+        total = sum(cell)
+        fp = "".join("1" if cells * c > total else "0" for c in cell)
+        out.append(
+            (
+                wi,
+                fp,
+                hashlib.md5(
+                    ",".join(str(v) for v in w).encode()
+                ).hexdigest(),
+            )
+        )
+    return out
+
+
+def _mp4_box(btype: bytes, *payloads: bytes) -> bytes:
+    body = b"".join(payloads)
+    return (8 + len(body)).to_bytes(4, "big") + btype + body
+
+
+def _mp4_full(btype: bytes, version: int, flags: int, *payloads: bytes) -> bytes:
+    return _mp4_box(
+        btype, version.to_bytes(1, "big") + flags.to_bytes(3, "big"), *payloads
+    )
+
+
+def mp4_mux_pcm(x, rate: int, fmt: str = "sowt") -> bytes:
+    """Encoder twin: a minimal ISO-BMFF (MP4/QuickTime) audio-only
+    file carrying UNCOMPRESSED 16-bit signed integer PCM — the
+    container real A/V corpora ship PCM in. ``x`` is an
+    (n_samples, channels) int array; ``fmt`` picks the sample-entry
+    flavor: ``sowt`` (little-endian v0 SoundDescription), ``twos``
+    (big-endian v0), or ``lpcm`` (v2 SoundDescription with explicit
+    formatSpecificFlags — written signed-int, packed,
+    little-endian). Layout: ftyp + mdat + moov, one audio trak, one
+    chunk, one sample per PCM frame (stsz constant frame size) —
+    all pure big-endian byte arithmetic, spec-only (ISO/IEC
+    14496-12 box grammar; QuickTime SoundSampleDescription v0/v2),
+    written independently of the parser."""
+    import numpy as np
+
+    x = np.asarray(x)
+    if x.ndim == 1:
+        x = x[:, None]
+    n, channels = x.shape
+    frame = channels * 2
+    if fmt == "sowt":
+        data = x.astype("<i2").tobytes()
+    elif fmt in ("twos", "lpcm"):
+        data = x.astype(">i2" if fmt == "twos" else "<i2").tobytes()
+    else:
+        raise ValueError(f"unsupported PCM sample-entry format {fmt!r}")
+    ftyp = _mp4_box(b"ftyp", b"isom", (0).to_bytes(4, "big"), b"isom")
+    mdat = _mp4_box(b"mdat", data)
+    data_off = len(ftyp) + 8  # mdat body follows ftyp immediately
+
+    if fmt == "lpcm":
+        import struct
+
+        entry = _mp4_box(
+            b"lpcm",
+            bytes(6) + (1).to_bytes(2, "big"),  # reserved + dref idx
+            (2).to_bytes(2, "big") + bytes(2) + bytes(4),  # v2, rev, vendor
+            (3).to_bytes(2, "big") + (16).to_bytes(2, "big"),  # always3/16
+            (0xFFFE).to_bytes(2, "big") + bytes(2),  # always-2/0
+            (65536).to_bytes(4, "big") + (72).to_bytes(4, "big"),
+            struct.pack(">d", float(rate)),  # audioSampleRate
+            channels.to_bytes(4, "big") + (0x7F000000).to_bytes(4, "big"),
+            (16).to_bytes(4, "big"),  # constBitsPerChannel
+            # kAudioFormatFlagIsSignedInteger | kAudioFormatFlagIsPacked
+            (0x4 | 0x8).to_bytes(4, "big"),
+            frame.to_bytes(4, "big") + (1).to_bytes(4, "big"),
+        )
+    else:
+        entry = _mp4_box(
+            fmt.encode(),
+            bytes(6) + (1).to_bytes(2, "big"),  # reserved + dref idx
+            bytes(2) + bytes(2) + bytes(4),  # version 0, revision, vendor
+            channels.to_bytes(2, "big") + (16).to_bytes(2, "big"),
+            bytes(2) + bytes(2),  # compression_id, packet_size
+            (rate << 16).to_bytes(4, "big"),  # 16.16 fixed
+        )
+    stsd = _mp4_full(b"stsd", 0, 0, (1).to_bytes(4, "big"), entry)
+    stts = _mp4_full(
+        b"stts", 0, 0,
+        (1).to_bytes(4, "big"),
+        n.to_bytes(4, "big") + (1).to_bytes(4, "big"),
+    )
+    stsc = _mp4_full(
+        b"stsc", 0, 0,
+        (1).to_bytes(4, "big"),
+        (1).to_bytes(4, "big") + n.to_bytes(4, "big") + (1).to_bytes(4, "big"),
+    )
+    stsz = _mp4_full(
+        b"stsz", 0, 0, frame.to_bytes(4, "big") + n.to_bytes(4, "big")
+    )
+    stco = _mp4_full(
+        b"stco", 0, 0, (1).to_bytes(4, "big") + data_off.to_bytes(4, "big")
+    )
+    stbl = _mp4_box(b"stbl", stsd, stts, stsc, stsz, stco)
+    dinf = _mp4_box(
+        b"dinf",
+        _mp4_full(b"dref", 0, 0, (1).to_bytes(4, "big"),
+                  _mp4_full(b"url ", 0, 1)),
+    )
+    smhd = _mp4_full(b"smhd", 0, 0, bytes(4))
+    minf = _mp4_box(b"minf", smhd, dinf, stbl)
+    hdlr = _mp4_full(
+        b"hdlr", 0, 0, bytes(4), b"soun", bytes(12), b"SoundHandler\x00"
+    )
+    mdhd = _mp4_full(
+        b"mdhd", 0, 0,
+        bytes(8),
+        rate.to_bytes(4, "big") + n.to_bytes(4, "big"),
+        (0x55C4).to_bytes(2, "big") + bytes(2),  # und language
+    )
+    mdia = _mp4_box(b"mdia", mdhd, hdlr, minf)
+    tkhd = _mp4_full(
+        b"tkhd", 0, 7,
+        bytes(8),
+        (1).to_bytes(4, "big") + bytes(4) + n.to_bytes(4, "big"),
+        bytes(8),
+        bytes(2) + (0x0100).to_bytes(2, "big") + bytes(2) + bytes(2),
+        (0x00010000).to_bytes(4, "big") + bytes(4) + bytes(4)
+        + bytes(4) + (0x00010000).to_bytes(4, "big") + bytes(4)
+        + bytes(4) + bytes(4) + (0x40000000).to_bytes(4, "big"),
+        bytes(8),  # width/height 0 (audio)
+    )
+    trak = _mp4_box(b"trak", tkhd, mdia)
+    mvhd = _mp4_full(
+        b"mvhd", 0, 0,
+        bytes(8),
+        rate.to_bytes(4, "big") + n.to_bytes(4, "big"),
+        (0x00010000).to_bytes(4, "big")
+        + (0x0100).to_bytes(2, "big") + bytes(2) + bytes(8),
+        (0x00010000).to_bytes(4, "big") + bytes(4) + bytes(4)
+        + bytes(4) + (0x00010000).to_bytes(4, "big") + bytes(4)
+        + bytes(4) + bytes(4) + (0x40000000).to_bytes(4, "big"),
+        bytes(24) + (2).to_bytes(4, "big"),
+    )
+    moov = _mp4_box(b"moov", mvhd, trak)
+    return ftyp + mdat + moov
+
+
+def parse_mp4_pcm(payload: bytes):
+    """REAL PCM extraction from an ISO-BMFF audio track (stsd
+    ``sowt`` / ``twos`` / ``lpcm`` — formula-only sample entries, no
+    entropy coding): walk the box tree to the first ``soun`` trak,
+    read the sample description (channels / bits / rate / byte
+    order — v0 entries for sowt/twos, the v2 SoundDescription for
+    lpcm with its float64 sample rate and formatSpecificFlags), then
+    gather the PCM run via stsz x stco. Returns ``(channels, rate,
+    bits, samples)`` with samples an (n, channels) int16 ndarray, or
+    None if the payload is not an MP4 (no ftyp). Typed errors on the
+    honest boundaries: non-PCM audio tracks, non-16-bit depth, float
+    or multi-chunk layouts."""
+    import struct
+
+    import numpy as np
+
+    payload = bytes(payload)
+    if len(payload) < 12 or payload[4:8] != b"ftyp":
+        return None
+
+    def children(lo: int, hi: int):
+        pos = lo
+        while pos + 8 <= hi:
+            size = int.from_bytes(payload[pos : pos + 4], "big")
+            btype = payload[pos + 4 : pos + 8]
+            body = pos + 8
+            if size == 1:
+                if pos + 16 > hi:
+                    raise ValueError("truncated MP4 largesize box")
+                size = int.from_bytes(payload[pos + 8 : pos + 16], "big")
+                body = pos + 16
+            elif size == 0:
+                size = hi - pos
+            if size < 8 or pos + size > hi:
+                raise ValueError(
+                    f"MP4 box {btype!r} size {size} overruns its parent"
                 )
-                out.append(
-                    (
-                        wi,
-                        fp,
-                        hashlib.md5(
-                            ",".join(str(v) for v in w).encode()
-                        ).hexdigest(),
-                    )
+            yield btype, body, pos + size
+            pos += size
+
+    def find(lo: int, hi: int, btype: bytes):
+        for t, b, e in children(lo, hi):
+            if t == btype:
+                return b, e
+        raise ValueError(f"MP4 box {btype!r} not found")
+
+    moov = find(0, len(payload), b"moov")
+    for t, b, e in children(*moov):
+        if t != b"trak":
+            continue
+        mdia = find(b, e, b"mdia")
+        hb, he = find(*mdia, b"hdlr")
+        if payload[hb + 8 : hb + 12] != b"soun":
+            continue
+        minf = find(*mdia, b"minf")
+        stbl = find(*minf, b"stbl")
+        sb, se = find(*stbl, b"stsd")
+        eb = sb + 8  # past version/flags + entry_count
+        esize = int.from_bytes(payload[eb : eb + 4], "big")
+        fmt = payload[eb + 4 : eb + 8]
+        if fmt not in (b"sowt", b"twos", b"lpcm"):
+            raise NotImplementedError(
+                f"MP4 audio sample entry {fmt!r} is not uncompressed "
+                "PCM (sowt/twos/lpcm only)"
+            )
+        if eb + esize > se:
+            raise ValueError("stsd entry overruns stsd")
+        ver = int.from_bytes(payload[eb + 16 : eb + 18], "big")
+        if fmt == b"lpcm":
+            if ver != 2:
+                raise NotImplementedError(
+                    f"lpcm SoundDescription version {ver} (v2 only)"
                 )
-            return out
+            rate = int(struct.unpack(">d", payload[eb + 40 : eb + 48])[0])
+            channels = int.from_bytes(payload[eb + 48 : eb + 52], "big")
+            bits = int.from_bytes(payload[eb + 56 : eb + 60], "big")
+            lpcm_flags = int.from_bytes(payload[eb + 60 : eb + 64], "big")
+            if lpcm_flags & 0x1:
+                raise NotImplementedError(
+                    "float lpcm (kAudioFormatFlagIsFloat) — integer "
+                    "PCM only"
+                )
+            big_endian = bool(lpcm_flags & 0x2)
+        else:
+            if ver != 0:
+                raise NotImplementedError(
+                    f"{fmt.decode()} SoundDescription version {ver} "
+                    "(v0 only)"
+                )
+            channels = int.from_bytes(payload[eb + 24 : eb + 26], "big")
+            bits = int.from_bytes(payload[eb + 26 : eb + 28], "big")
+            rate = int.from_bytes(payload[eb + 32 : eb + 36], "big") >> 16
+            big_endian = fmt == b"twos"
+        if bits != 16:
+            raise NotImplementedError(
+                f"{bits}-bit PCM-in-MP4 (16-bit only)"
+            )
+        zb, _ze = find(*stbl, b"stsz")
+        sample_size = int.from_bytes(payload[zb + 4 : zb + 8], "big")
+        n = int.from_bytes(payload[zb + 8 : zb + 12], "big")
+        if sample_size == 0:
+            raise NotImplementedError(
+                "variable-size PCM samples (constant stsz only)"
+            )
+        cb, _ce = find(*stbl, b"stco")
+        n_chunks = int.from_bytes(payload[cb + 4 : cb + 8], "big")
+        if n_chunks != 1:
+            raise NotImplementedError(
+                f"{n_chunks}-chunk PCM layout (single contiguous "
+                "chunk only)"
+            )
+        off = int.from_bytes(payload[cb + 8 : cb + 12], "big")
+        total = sample_size * n
+        if off + total > len(payload):
+            raise ValueError("PCM chunk overruns the file")
+        samples = np.frombuffer(
+            payload, dtype=">i2" if big_endian else "<i2",
+            count=n * channels, offset=off,
+        ).reshape(n, channels)
+        return channels, rate, bits, samples
+    raise ValueError("MP4 has no audio (soun) track")
+
+
+def mp4_pcm_window_fingerprint(
+    media: DataFrame, window: int = 512, cells: int = 64
+) -> DataFrame:
+    """The THIRD container feeding the one PCM fingerprint rule
+    (:func:`_pcm_fingerprint_rows` — FLAC r13, WAV r13, PCM-in-MP4
+    r14): extract the audio track's PCM via :func:`parse_mp4_pcm`
+    (stsd sowt/twos/lpcm, byte order per the sample entry) and emit
+    rows bit- and digest-identical to flac_window_fingerprint /
+    wav_window_fingerprint on the same recording — so an A/V corpus
+    whose audio ships inside MP4 joins the existing FLAC/WAV
+    perceptual index with NO new index, the codec-independence
+    property at 100 TB. 16-bit integer PCM only (typed otherwise)."""
+    if window % cells:
+        raise ValueError(f"window {window} not divisible by cells {cells}")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def fps(payload: bytes):
+            parsed = parse_mp4_pcm(payload)
+            if parsed is None:
+                raise ValueError("payload is not an ISO-BMFF (MP4) file")
+            _channels, _rate, _bits, samples = parsed
+            return _pcm_fingerprint_rows(
+                samples[:, 0].tolist(), window, cells
+            )
 
         for pdf in it:
             rows = []

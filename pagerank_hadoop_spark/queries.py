@@ -18560,3 +18560,155 @@ def q_video_containment_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("clip_id", "media_id")
     )
+
+
+def _mp4_pcm_audio_fixture(spark: SparkSession):
+    """FLAC corpus + MP4-PCM benchmark for the third-container audio
+    join: 120 FLAC recordings (PCM x[i] = (19i + 11k) % 2000 - 1000,
+    total = 512*(1 + k%3) + k%7) and 30 ISO-BMFF audio files cycling
+    ALL THREE uncompressed stsd flavors (fmt = [sowt, twos,
+    lpcm][b % 3] — little-endian, big-endian, and the v2
+    SoundDescription) — 24 carrying THE SAME PCM as FLAC file
+    4b + 1 (every fourth one re-mastered: +1 on sample 0, so window
+    0's bytes differ while the energy fingerprint survives) and 6
+    decoys from a different PCM family. Returns (corpus_df,
+    mp4s_df); MP4 ids ride at 1000+b."""
+    import numpy as np
+
+    from pagerank_hadoop_spark.operators.flac import flac_encode
+    from pagerank_hadoop_spark.operators.multimodal import mp4_mux_pcm
+
+    def corpus_pcm(k: int):
+        total = 512 * (1 + k % 3) + k % 7
+        i = np.arange(total, dtype=np.int64)
+        return (19 * i + 11 * k) % 2000 - 1000
+
+    def mp4_pcm(b: int):
+        if b >= 24:
+            i = np.arange(1024, dtype=np.int64)
+            return (41 * i + 9 * b) % 1800 - 900
+        x = corpus_pcm(4 * b + 1).copy()
+        if b % 4 == 0:
+            x[0] += 1
+        return x
+
+    corpus = spark.createDataFrame(
+        [
+            (k, bytearray(flac_encode(corpus_pcm(k)[:, None], 8000, 16,
+                                      block_size=256)))
+            for k in range(120)
+        ],
+        "media_id long, payload binary",
+    )
+    fmts = ("sowt", "twos", "lpcm")
+    mp4s = spark.createDataFrame(
+        [
+            (1000 + b, bytearray(mp4_mux_pcm(mp4_pcm(b)[:, None], 8000,
+                                             fmts[b % 3])))
+            for b in range(30)
+        ],
+        "media_id long, payload binary",
+    )
+    return corpus, mp4s
+
+
+@register(
+    "media_mp4_pcm_audio",
+    """
+WITH cg AS (SELECT range AS key, 512 * (1 + range % 3) + range % 7 AS total,
+                   1 + range % 3 AS nw FROM range(0, 120)),
+cx AS MATERIALIZED (SELECT key, nw,
+    list_transform(range(0, total), i -> (19 * i + 11 * key) % 2000 - 1000) AS x
+  FROM cg),
+cw AS (SELECT key, unnest(range(0, nw)) AS wi, x FROM cx),
+cfp AS MATERIALIZED (SELECT key, wi,
+    array_to_string(list_transform(range(0, 64), g ->
+      CASE WHEN 64 * list_sum(list_transform(range(0, 8),
+             j -> x[wi * 512 + g * 8 + j + 1] * x[wi * 512 + g * 8 + j + 1]))
+           > list_sum(list_transform(range(0, 512),
+             j -> x[wi * 512 + j + 1] * x[wi * 512 + j + 1]))
+           THEN 1 ELSE 0 END), '') AS fp,
+    md5(array_to_string(list_transform(range(0, 512),
+        j -> x[wi * 512 + j + 1]), ',')) AS pcm_md5
+  FROM cw),
+mg AS (SELECT 1000 + range AS mid, range AS b,
+              CASE WHEN range < 24 THEN 4 * range + 1 ELSE -1 END AS k0,
+              CASE WHEN range < 24 AND range % 4 = 0 THEN 1 ELSE 0 END AS remaster
+       FROM range(0, 30)),
+mx AS MATERIALIZED (SELECT mid, b, k0,
+    CASE WHEN k0 >= 0 THEN
+      list_transform(range(0, 512 * (1 + k0 % 3) + k0 % 7), i ->
+        (19 * i + 11 * k0) % 2000 - 1000
+        + CASE WHEN remaster = 1 AND i = 0 THEN 1 ELSE 0 END)
+    ELSE
+      list_transform(range(0, 1024), i -> (41 * i + 9 * b) % 1800 - 900)
+    END AS x
+  FROM mg),
+mw AS (SELECT mid, unnest(range(0, len(x) // 512)) AS wi, x FROM mx),
+mfp AS MATERIALIZED (SELECT mid, wi,
+    array_to_string(list_transform(range(0, 64), g ->
+      CASE WHEN 64 * list_sum(list_transform(range(0, 8),
+             j -> x[wi * 512 + g * 8 + j + 1] * x[wi * 512 + g * 8 + j + 1]))
+           > list_sum(list_transform(range(0, 512),
+             j -> x[wi * 512 + j + 1] * x[wi * 512 + j + 1]))
+           THEN 1 ELSE 0 END), '') AS fp,
+    md5(array_to_string(list_transform(range(0, 512),
+        j -> x[wi * 512 + j + 1]), ',')) AS pcm_md5
+  FROM mw)
+SELECT CAST(m.mid AS BIGINT) AS mp4_id,
+       CAST(c.key AS BIGINT) AS flac_id,
+       CAST(count(*) AS BIGINT) AS n_matched,
+       CAST(sum(CASE WHEN m.pcm_md5 = c.pcm_md5 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_exact
+FROM mfp m JOIN cfp c ON m.fp = c.fp
+GROUP BY m.mid, c.key ORDER BY mp4_id, flac_id
+""",
+)
+def q_media_mp4_pcm_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5×E2 [r14]: PCM-in-MP4 — the container real A/V corpora
+    actually ship audio in joins the existing perceptual index with
+    NO new index: multimodal.parse_mp4_pcm extracts the audio
+    track's PCM from the ISO-BMFF sample tables (stsd sowt / twos /
+    lpcm — formula-only sample entries covering both byte orders and
+    the v2 SoundDescription, stsz x stco gather; typed refusals on
+    float/multi-chunk/odd-depth), and
+    multimodal.mp4_pcm_window_fingerprint feeds the ONE shared bit
+    rule (_pcm_fingerprint_rows), emitting rows bit- and
+    digest-identical to the FLAC and WAV kernels on the same
+    recording (three-container identity unit-pinned in
+    tests/test_multimodal.py). The join is plain fp equality with
+    the small MP4 side BROADCAST; re-mastered files (+1 on sample 0)
+    split perceptual-only from byte-exact via the md5 second stage;
+    6 decoys surface nothing. The oracle replays both PCM families
+    and both fingerprint sides closed-form. 100 TB shape: identical
+    to the r13 cross-format join — corpus fingerprints computed
+    once, the shuffle carries 64-bit-ish keys + md5s, never
+    samples."""
+    from pagerank_hadoop_spark.operators.flac import flac_window_fingerprint
+    from pagerank_hadoop_spark.operators.multimodal import (
+        attach_media,
+        mp4_pcm_window_fingerprint,
+    )
+
+    corpus, mp4s = _mp4_pcm_audio_fixture(spark)
+    cfp = flac_window_fingerprint(
+        attach_media(corpus, F.col("payload"), media_type="audio/flac")
+    )
+    mfp = mp4_pcm_window_fingerprint(
+        attach_media(mp4s, F.col("payload"), media_type="audio/mp4")
+    ).select(
+        F.col("media_id").alias("mp4_id"),
+        "fp",
+        F.col("pcm_md5").alias("mp4_md5"),
+    )
+    return (
+        cfp.join(F.broadcast(mfp), "fp")
+        .groupBy("mp4_id", F.col("media_id").alias("flac_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_matched"),
+            F.sum(
+                (F.col("pcm_md5") == F.col("mp4_md5")).cast("bigint")
+            ).alias("n_exact"),
+        )
+        .orderBy("mp4_id", "flac_id")
+    )

@@ -1280,3 +1280,100 @@ def test_wav_window_fingerprint_crossformat_identity(spark):
     import pytest as _pytest
     with _pytest.raises(Exception, match="not a PCM RIFF/WAVE"):
         wav_window_fingerprint(bad).collect()
+
+
+def test_mp4_pcm_three_container_fingerprint_identity(spark):
+    """r14: the THIRD container — the SAME PCM encoded as FLAC,
+    wrapped as WAV, and muxed into an MP4 audio track (all three
+    stsd flavors: sowt little-endian, twos big-endian, lpcm v2)
+    produces IDENTICAL fingerprint rows (fp AND md5-CSV digest) from
+    all three kernels, stereo channel-0 cut included; non-PCM and
+    depth errors are typed."""
+    import numpy as np
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from pagerank_hadoop_spark.operators.flac import (
+        flac_encode,
+        flac_window_fingerprint,
+    )
+    from pagerank_hadoop_spark.operators.multimodal import (
+        attach_media,
+        mp4_mux_pcm,
+        mp4_pcm_window_fingerprint,
+        parse_mp4_pcm,
+        wav_window_fingerprint,
+    )
+
+    def wav_bytes(x, channels=1, bits=16):
+        data = x.astype("<i2").tobytes()
+        frame = channels * (bits // 8)
+        return (b"RIFF" + (36 + len(data)).to_bytes(4, "little")
+                + b"WAVE" + b"fmt " + (16).to_bytes(4, "little")
+                + (1).to_bytes(2, "little")
+                + channels.to_bytes(2, "little")
+                + (8000).to_bytes(4, "little")
+                + (8000 * frame).to_bytes(4, "little")
+                + frame.to_bytes(2, "little")
+                + bits.to_bytes(2, "little")
+                + b"data" + len(data).to_bytes(4, "little") + data)
+
+    i = np.arange(512 * 2 + 7, dtype=np.int64)
+    mono = (29 * i + 3) % 2000 - 1000
+    stereo = np.stack([mono, (mono * 7) % 500], axis=1)
+    flacs = attach_media(
+        spark.createDataFrame(
+            [(0, bytearray(flac_encode(mono[:, None], 8000, 16,
+                                       block_size=256))),
+             (1, bytearray(flac_encode(stereo, 8000, 16,
+                                       block_size=256)))],
+            "media_id long, payload binary",
+        ),
+        F.col("payload"), media_type="audio/flac",
+    )
+    wavs = attach_media(
+        spark.createDataFrame(
+            [(0, bytearray(wav_bytes(mono))),
+             (1, bytearray(wav_bytes(stereo.reshape(-1), channels=2)))],
+            "media_id long, payload binary",
+        ),
+        F.col("payload"), media_type="audio/wav",
+    )
+    # each stsd flavor must individually reproduce the rows; use
+    # sowt for file 0 and lpcm (stereo) for file 1, plus a separate
+    # twos == sowt check below
+    mp4s = attach_media(
+        spark.createDataFrame(
+            [(0, bytearray(mp4_mux_pcm(mono[:, None], 8000, "sowt"))),
+             (1, bytearray(mp4_mux_pcm(stereo, 8000, "lpcm")))],
+            "media_id long, payload binary",
+        ),
+        F.col("payload"), media_type="audio/mp4",
+    )
+    fr = sorted(tuple(r) for r in flac_window_fingerprint(flacs).collect())
+    wr = sorted(tuple(r) for r in wav_window_fingerprint(wavs).collect())
+    mr = sorted(
+        tuple(r) for r in mp4_pcm_window_fingerprint(mp4s).collect()
+    )
+    assert fr == wr == mr and len(mr) == 4
+
+    # twos (big-endian) carries the same samples as sowt
+    _, _, _, s_le = parse_mp4_pcm(mp4_mux_pcm(mono[:, None], 8000, "sowt"))
+    _, _, _, s_be = parse_mp4_pcm(mp4_mux_pcm(mono[:, None], 8000, "twos"))
+    assert (s_le == s_be).all()
+
+    # typed boundaries: a video MP4 has no soun track; junk is None
+    from pagerank_hadoop_spark.operators.h264 import (
+        h264_encode_ipcm,
+        mp4_mux_avc,
+    )
+
+    vid = mp4_mux_avc(
+        [h264_encode_ipcm(np.full((32, 32), 5, np.uint8),
+                          np.full((16, 16), 5, np.uint8),
+                          np.full((16, 16), 5, np.uint8))],
+        dims=(32, 32),
+    )
+    with _pytest.raises(ValueError, match="no audio"):
+        parse_mp4_pcm(bytes(vid))
+    assert parse_mp4_pcm(b"\x00" * 20) is None

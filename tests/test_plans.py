@@ -705,3 +705,13 @@ def test_video_containment_broadcasts_clip_shingles(spark, sf_dir):
     plan = formatted_plan(df)
     assert "BroadcastHashJoin" in plan
     assert_no_cartesian(df)
+
+
+def test_mp4_pcm_audio_join_broadcasts_mp4_fingerprints(spark, sf_dir):
+    """r14: the PCM-in-MP4 cross-container join broadcasts the small
+    MP4 side; FLAC corpus fingerprints join map-side — samples never
+    reach an exchange. No cartesian."""
+    df = Q.queries()["media_mp4_pcm_audio"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert_no_cartesian(df)
