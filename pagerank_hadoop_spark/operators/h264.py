@@ -2170,11 +2170,23 @@ def _mc_block(plane, x0: int, y0: int, w: int, h: int):
     """Clamped reference-sample gather (§8.4.2.2.1: every reference
     coordinate is Clip3'd to the picture bounds, so motion vectors
     may legally point outside the decoded area — edge samples
-    replicate)."""
+    replicate). Fully in-bounds rects — the overwhelmingly common
+    case — return a zero-copy SLICE VIEW (identical samples: Clip3
+    is the identity inside the picture); only rects that actually
+    cross an edge pay the index-array gather. This fast path moved
+    the P-inter decode 2.5x (integer-pel 2.0 -> 5.0 MB/s/core,
+    quarter-pel 1.2 -> 2.1 — SCALE.md r14): at 4 gathers per chroma
+    bilinear per partition, the per-call numpy index setup dominated
+    the whole decode; what remains is the six-tap FIR arithmetic and
+    per-block small-array ops, profiled and recorded rather than
+    hidden."""
     import numpy as np
 
-    rows = np.clip(np.arange(y0, y0 + h), 0, plane.shape[0] - 1)
-    cols = np.clip(np.arange(x0, x0 + w), 0, plane.shape[1] - 1)
+    ph, pw = plane.shape
+    if 0 <= y0 and y0 + h <= ph and 0 <= x0 and x0 + w <= pw:
+        return plane[y0 : y0 + h, x0 : x0 + w]
+    rows = np.clip(np.arange(y0, y0 + h), 0, ph - 1)
+    cols = np.clip(np.arange(x0, x0 + w), 0, pw - 1)
     return plane[np.ix_(rows, cols)]
 
 
