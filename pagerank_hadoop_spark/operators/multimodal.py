@@ -776,7 +776,7 @@ def _mp4_full(btype: bytes, version: int, flags: int, *payloads: bytes) -> bytes
     )
 
 
-def mp4_mux_pcm(x, rate: int, fmt: str = "sowt") -> bytes:
+def mp4_mux_pcm(x, rate: int, fmt: str = "sowt", chunks: int = 1) -> bytes:
     """Encoder twin: a minimal ISO-BMFF (MP4/QuickTime) audio-only
     file carrying UNCOMPRESSED 16-bit signed integer PCM — the
     container real A/V corpora ship PCM in. ``x`` is an
@@ -785,10 +785,14 @@ def mp4_mux_pcm(x, rate: int, fmt: str = "sowt") -> bytes:
     (big-endian v0), or ``lpcm`` (v2 SoundDescription with explicit
     formatSpecificFlags — written signed-int, packed,
     little-endian). Layout: ftyp + mdat + moov, one audio trak, one
-    chunk, one sample per PCM frame (stsz constant frame size) —
-    all pure big-endian byte arithmetic, spec-only (ISO/IEC
-    14496-12 box grammar; QuickTime SoundSampleDescription v0/v2),
-    written independently of the parser."""
+    sample per PCM frame (stsz constant frame size); ``chunks > 1``
+    splits the run across that many stco chunks with spacer bytes
+    between them inside mdat — the INTERLEAVED layout real A/V
+    files use (audio chunks alternating with video), which a
+    contiguity-assuming parser mis-reads. All pure big-endian byte
+    arithmetic, spec-only (ISO/IEC 14496-12 box grammar; QuickTime
+    SoundSampleDescription v0/v2), written independently of the
+    parser."""
     import numpy as np
 
     x = np.asarray(x)
@@ -802,9 +806,35 @@ def mp4_mux_pcm(x, rate: int, fmt: str = "sowt") -> bytes:
         data = x.astype(">i2" if fmt == "twos" else "<i2").tobytes()
     else:
         raise ValueError(f"unsupported PCM sample-entry format {fmt!r}")
+    if chunks < 1 or chunks > max(1, n):
+        raise ValueError(f"chunks {chunks} out of 1..{max(1, n)}")
+    # chunk the PCM run the way real interleaved files do: stsc maps
+    # samples-per-chunk, stco points at each chunk, and the chunks
+    # are separated by 8-byte spacer runs inside mdat (standing in
+    # for the other track's interleaved data) so a parser that
+    # assumes contiguity reads garbage
+    spc = (n + chunks - 1) // chunks  # samples per chunk (last short)
+    counts = [
+        min(spc, n - c * spc) for c in range(chunks) if min(spc, n - c * spc) > 0
+    ]
+    gap = b"\xA5" * 8 if len(counts) > 1 else b""
+    body = b""
+    offsets = []
+    pos = 0
+    for ci, cnt in enumerate(counts):
+        if ci:
+            body += gap
+            pos += len(gap)
+        offsets.append(pos)
+        seg = data[
+            sum(counts[:ci]) * frame : (sum(counts[:ci]) + cnt) * frame
+        ]
+        body += seg
+        pos += len(seg)
     ftyp = _mp4_box(b"ftyp", b"isom", (0).to_bytes(4, "big"), b"isom")
-    mdat = _mp4_box(b"mdat", data)
+    mdat = _mp4_box(b"mdat", body)
     data_off = len(ftyp) + 8  # mdat body follows ftyp immediately
+    offsets = [data_off + o for o in offsets]
 
     if fmt == "lpcm":
         import struct
@@ -838,16 +868,27 @@ def mp4_mux_pcm(x, rate: int, fmt: str = "sowt") -> bytes:
         (1).to_bytes(4, "big"),
         n.to_bytes(4, "big") + (1).to_bytes(4, "big"),
     )
+    # stsc run-length entries: one row per CHANGE in samples-per-chunk
+    stsc_rows = []
+    for ci, cnt in enumerate(counts):
+        if not stsc_rows or stsc_rows[-1][1] != cnt:
+            stsc_rows.append((ci + 1, cnt))
     stsc = _mp4_full(
         b"stsc", 0, 0,
-        (1).to_bytes(4, "big"),
-        (1).to_bytes(4, "big") + n.to_bytes(4, "big") + (1).to_bytes(4, "big"),
+        len(stsc_rows).to_bytes(4, "big"),
+        *(
+            fc.to_bytes(4, "big") + cnt.to_bytes(4, "big")
+            + (1).to_bytes(4, "big")
+            for fc, cnt in stsc_rows
+        ),
     )
     stsz = _mp4_full(
         b"stsz", 0, 0, frame.to_bytes(4, "big") + n.to_bytes(4, "big")
     )
     stco = _mp4_full(
-        b"stco", 0, 0, (1).to_bytes(4, "big") + data_off.to_bytes(4, "big")
+        b"stco", 0, 0,
+        len(offsets).to_bytes(4, "big"),
+        *(o.to_bytes(4, "big") for o in offsets),
     )
     stbl = _mp4_box(b"stbl", stsd, stts, stsc, stsz, stco)
     dinf = _mp4_box(
@@ -901,11 +942,15 @@ def parse_mp4_pcm(payload: bytes):
     read the sample description (channels / bits / rate / byte
     order — v0 entries for sowt/twos, the v2 SoundDescription for
     lpcm with its float64 sample rate and formatSpecificFlags), then
-    gather the PCM run via stsz x stco. Returns ``(channels, rate,
-    bits, samples)`` with samples an (n, channels) int16 ndarray, or
-    None if the payload is not an MP4 (no ftyp). Typed errors on the
-    honest boundaries: non-PCM audio tracks, non-16-bit depth, float
-    or multi-chunk layouts."""
+    gather the PCM run via the REAL sample-to-chunk walk (stsc
+    run-length entries x stco offsets x stsz count — so the
+    interleaved multi-chunk layout real A/V files use reassembles
+    correctly, spacer/video bytes between chunks skipped). Returns
+    ``(channels, rate, bits, samples)`` with samples an
+    (n, channels) int16 ndarray, or None if the payload is not an
+    MP4 (no ftyp). Typed errors on the honest boundaries: non-PCM
+    audio tracks, non-16-bit depth, float lpcm, variable-size
+    stsz."""
     import struct
 
     import numpy as np
@@ -1000,19 +1045,52 @@ def parse_mp4_pcm(payload: bytes):
             )
         cb, _ce = find(*stbl, b"stco")
         n_chunks = int.from_bytes(payload[cb + 4 : cb + 8], "big")
-        if n_chunks != 1:
-            raise NotImplementedError(
-                f"{n_chunks}-chunk PCM layout (single contiguous "
-                "chunk only)"
+        offsets = [
+            int.from_bytes(payload[cb + 8 + 4 * c : cb + 12 + 4 * c], "big")
+            for c in range(n_chunks)
+        ]
+        # stsc run-length walk (§8.7.4): entry (first_chunk, spc)
+        # applies from first_chunk until the next entry's first_chunk
+        scb, _sce = find(*stbl, b"stsc")
+        n_sc = int.from_bytes(payload[scb + 4 : scb + 8], "big")
+        sc_rows = [
+            (
+                int.from_bytes(
+                    payload[scb + 8 + 12 * e : scb + 12 + 12 * e], "big"
+                ),
+                int.from_bytes(
+                    payload[scb + 12 + 12 * e : scb + 16 + 12 * e], "big"
+                ),
             )
-        off = int.from_bytes(payload[cb + 8 : cb + 12], "big")
-        total = sample_size * n
-        if off + total > len(payload):
-            raise ValueError("PCM chunk overruns the file")
-        samples = np.frombuffer(
-            payload, dtype=">i2" if big_endian else "<i2",
-            count=n * channels, offset=off,
-        ).reshape(n, channels)
+            for e in range(n_sc)
+        ]
+        dtype = ">i2" if big_endian else "<i2"
+        parts = []
+        got = 0
+        for c in range(n_chunks):
+            spc = 0
+            for fc, cnt in sc_rows:
+                if fc <= c + 1:
+                    spc = cnt
+                else:
+                    break
+            take = min(spc, n - got)
+            if take <= 0:
+                break
+            off = offsets[c]
+            if off + take * sample_size > len(payload):
+                raise ValueError("PCM chunk overruns the file")
+            parts.append(
+                np.frombuffer(
+                    payload, dtype=dtype, count=take * channels, offset=off
+                )
+            )
+            got += take
+        if got != n:
+            raise ValueError(
+                f"sample tables declare {n} samples but chunks hold {got}"
+            )
+        samples = np.concatenate(parts).reshape(n, channels)
         return channels, rate, bits, samples
     raise ValueError("MP4 has no audio (soun) track")
 

@@ -18568,11 +18568,13 @@ def _mp4_pcm_audio_fixture(spark: SparkSession):
     total = 512*(1 + k%3) + k%7) and 30 ISO-BMFF audio files cycling
     ALL THREE uncompressed stsd flavors (fmt = [sowt, twos,
     lpcm][b % 3] — little-endian, big-endian, and the v2
-    SoundDescription) — 24 carrying THE SAME PCM as FLAC file
-    4b + 1 (every fourth one re-mastered: +1 on sample 0, so window
-    0's bytes differ while the energy fingerprint survives) and 6
-    decoys from a different PCM family. Returns (corpus_df,
-    mp4s_df); MP4 ids ride at 1000+b."""
+    SoundDescription) AND all chunk layouts (chunks = 1 + b % 4:
+    contiguous plus three interleaved multi-chunk shapes whose
+    stsc x stco tables the parser must walk) — 24 carrying THE SAME
+    PCM as FLAC file 4b + 1 (every fourth one re-mastered: +1 on
+    sample 0, so window 0's bytes differ while the energy
+    fingerprint survives) and 6 decoys from a different PCM family.
+    Returns (corpus_df, mp4s_df); MP4 ids ride at 1000+b."""
     import numpy as np
 
     from pagerank_hadoop_spark.operators.flac import flac_encode
@@ -18601,10 +18603,14 @@ def _mp4_pcm_audio_fixture(spark: SparkSession):
         "media_id long, payload binary",
     )
     fmts = ("sowt", "twos", "lpcm")
+    # chunks cycles 1..4: most files use the INTERLEAVED multi-chunk
+    # layout (stsc x stco reassembly), same PCM either way — the
+    # fingerprint rows, and so the oracle, are container-invariant
     mp4s = spark.createDataFrame(
         [
             (1000 + b, bytearray(mp4_mux_pcm(mp4_pcm(b)[:, None], 8000,
-                                             fmts[b % 3])))
+                                             fmts[b % 3],
+                                             chunks=1 + b % 4)))
             for b in range(30)
         ],
         "media_id long, payload binary",
@@ -18670,8 +18676,9 @@ def q_media_mp4_pcm_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
     NO new index: multimodal.parse_mp4_pcm extracts the audio
     track's PCM from the ISO-BMFF sample tables (stsd sowt / twos /
     lpcm — formula-only sample entries covering both byte orders and
-    the v2 SoundDescription, stsz x stco gather; typed refusals on
-    float/multi-chunk/odd-depth), and
+    the v2 SoundDescription, the real stsc x stco x stsz
+    sample-to-chunk walk so interleaved multi-chunk layouts
+    reassemble; typed refusals on float/odd-depth), and
     multimodal.mp4_pcm_window_fingerprint feeds the ONE shared bit
     rule (_pcm_fingerprint_rows), emitting rows bit- and
     digest-identical to the FLAC and WAV kernels on the same

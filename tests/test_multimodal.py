@@ -1377,3 +1377,40 @@ def test_mp4_pcm_three_container_fingerprint_identity(spark):
     with _pytest.raises(ValueError, match="no audio"):
         parse_mp4_pcm(bytes(vid))
     assert parse_mp4_pcm(b"\x00" * 20) is None
+
+
+def test_mp4_pcm_multichunk_reassembly():
+    """r14: the interleaved multi-chunk layout (stsc run-length
+    entries x stco offsets, spacer bytes between chunks standing in
+    for the video track) reassembles to the identical PCM as the
+    contiguous layout — for every stsd flavor, uneven last chunks
+    included; a truncated chunk and a sample-count mismatch are
+    typed."""
+    import numpy as np
+    import pytest as _pytest
+
+    from pagerank_hadoop_spark.operators.multimodal import (
+        mp4_mux_pcm,
+        parse_mp4_pcm,
+    )
+
+    m = np.arange(777, dtype=np.int64) * 13 % 2000 - 1000
+    base = parse_mp4_pcm(mp4_mux_pcm(m[:, None], 8000, "sowt"))[3]
+    for fmt in ("sowt", "twos", "lpcm"):
+        for chunks in (2, 5, 16, 777):
+            got = parse_mp4_pcm(
+                mp4_mux_pcm(m[:, None], 8000, fmt, chunks=chunks)
+            )[3]
+            assert (got == base).all(), (fmt, chunks)
+    # stereo multi-chunk keeps frame alignment
+    st = np.stack([m, (m * 3) % 700], axis=1)
+    got = parse_mp4_pcm(mp4_mux_pcm(st, 8000, "twos", chunks=4))[3]
+    assert (got == st).all()
+    # corrupt: declare one extra sample (parser must notice shortfall)
+    p = mp4_mux_pcm(m[:, None], 8000, "sowt", chunks=3)
+    idx = p.index(b"stsz")
+    n_off = idx + 12  # size(4)+'stsz'... box: [4 size][4 type][4 vf][4 ss][4 n]
+    n = int.from_bytes(p[n_off : n_off + 4], "big")
+    bad = p[:n_off] + (n + 1).to_bytes(4, "big") + p[n_off + 4 :]
+    with _pytest.raises(ValueError, match="chunks hold"):
+        parse_mp4_pcm(bad)
