@@ -84,7 +84,11 @@ What is REAL here (pure stdlib + NumPy, no codec library):
   chroma components with independent weights; an all-default table
   collapses to the unweighted path. A FADE is one all-skip weighted
   P slice — the temporal-redundancy shape exact frame-repeat
-  detection misses.
+  detection misses. As of r14 the table parses ONE WEIGHT SET PER
+  ACTIVE REFERENCE (§7.3.3.2's actual shape) and compensation
+  selects by ref_idx, so weighting composes with the multi-reference
+  DPB: a fade against the recent reference and an identity-weighted
+  background restore decode in the same slice.
 - **Multi-reference prediction** (r13): a real sliding-window DPB
   (§8.2.5.3, most-recent-first list0 per §8.2.4.2.1, IDR flush),
   te(v) ref_idx_l0 per partition / per P_8x8 sub-MB, refIdx-aware
@@ -111,8 +115,7 @@ mode the oracle discipline exists to prevent),
 nonzero inter coded_block_pattern (Table 9-4's inter mapping AND
 the residual decoder), B-slice-shaped sub_mb_types (P sub_mb_types
 0..3 decode; 4+ are B shapes), reference-picture-list modification and MMCO adaptive marking
-(reordering machinery), weighted prediction combined with multiple
-references (per-ref weight lists), implicit/bipred weighting
+(reordering machinery), implicit/bipred weighting
 (B-slice machinery), CABAC slices, B/SP/SI slices, FMO
 — each raises a typed NotImplementedError naming the missing decoder
 stage, the same strict-mode contract as multimodal.decode_media.
@@ -724,31 +727,63 @@ def h264_encode_pskip(
         # 'identity' writes denoms 0 with all per-ref flags 0 (the
         # table every P slice must carry under that PPS, weighting
         # nothing); a dict {ld, lw, lo, cd, cbw, cbo, crw, cro}
-        # writes explicit ref-0 luma + chroma weights/offsets
+        # writes explicit ref-0 weights (single-reference slices);
+        # a LIST of n_ref entries (each a dict or None/'identity')
+        # writes one weight set PER ACTIVE REFERENCE (r14) — the
+        # denoms come from the first dict entry and every dict entry
+        # must agree on them (the table carries ONE ld/cd pair)
         if weights == "identity":
-            wr.ue(0)  # luma_log2_weight_denom
-            wr.ue(0)  # chroma_log2_weight_denom
-            wr.u(0, 1)  # luma_weight_l0_flag
-            wr.u(0, 1)  # chroma_weight_l0_flag
+            wlist: list[dict | None] = [None] * n_ref
+        elif isinstance(weights, dict):
+            if n_ref > 1:
+                raise ValueError(
+                    "n_ref > 1 needs a per-reference weights LIST "
+                    "(one entry per active reference)"
+                )
+            wlist = [weights]
         else:
+            wlist = [
+                None if w in (None, "identity") else w for w in weights
+            ]
+            if len(wlist) != n_ref:
+                raise ValueError(
+                    f"weights list has {len(wlist)} entries for "
+                    f"n_ref {n_ref}"
+                )
+        dicts = [w for w in wlist if w is not None]
+        for w in dicts:
             for k in ("ld", "lw", "lo", "cd", "cbw", "cbo", "crw", "cro"):
-                if k not in weights:
+                if k not in w:
                     raise ValueError(f"weights missing {k!r}")
-            if not 0 <= weights["ld"] <= 7 or not 0 <= weights["cd"] <= 7:
+            if not 0 <= w["ld"] <= 7 or not 0 <= w["cd"] <= 7:
                 raise ValueError("log2 weight denoms must be 0..7")
             for k in ("lw", "lo", "cbw", "cbo", "crw", "cro"):
-                if not -128 <= weights[k] <= 127:
+                if not -128 <= w[k] <= 127:
                     raise ValueError(f"weight field {k} out of -128..127")
-            wr.ue(weights["ld"])
-            wr.ue(weights["cd"])
+        if dicts and any(
+            (w["ld"], w["cd"]) != (dicts[0]["ld"], dicts[0]["cd"])
+            for w in dicts
+        ):
+            raise ValueError(
+                "all weight entries share one ld/cd denom pair"
+            )
+        ld0 = dicts[0]["ld"] if dicts else 0
+        cd0 = dicts[0]["cd"] if dicts else 0
+        wr.ue(ld0)  # luma_log2_weight_denom
+        wr.ue(cd0)  # chroma_log2_weight_denom
+        for w in wlist:
+            if w is None:
+                wr.u(0, 1)  # luma_weight_l0_flag
+                wr.u(0, 1)  # chroma_weight_l0_flag
+                continue
             wr.u(1, 1)  # luma_weight_l0_flag
-            wr.se(weights["lw"])
-            wr.se(weights["lo"])
+            wr.se(w["lw"])
+            wr.se(w["lo"])
             wr.u(1, 1)  # chroma_weight_l0_flag
-            wr.se(weights["cbw"])
-            wr.se(weights["cbo"])
-            wr.se(weights["crw"])
-            wr.se(weights["cro"])
+            wr.se(w["cbw"])
+            wr.se(w["cbo"])
+            wr.se(w["crw"])
+            wr.se(w["cro"])
     if not disposable:
         # dec_ref_pic_marking exists only when nal_ref_idc > 0; a
         # disposable picture (ref_idc 0) omits the bit entirely
@@ -1959,16 +1994,13 @@ def _parse_slice_header(nal: bytes, sps: dict, pps: dict) -> dict:
                 "reference picture list modification is not supported"
             )
         if pps["weighted_pred"]:
-            if n_ref_l0 > 1:
-                raise NotImplementedError(
-                    "per-reference weight lists (weighted prediction "
-                    "with num_ref_idx_l0_active > 1) are not supported"
-                )
             # pred_weight_table (§7.3.3.2): EXPLICIT weighted
             # prediction is a closed affine formula (§8.4.2.3.2) —
-            # decodable, unlike the residual/interpolation walls.
-            # Only ref 0's weights are kept (single-reference
-            # subset); an all-default table collapses to wp None so
+            # decodable, unlike the residual walls. The table
+            # carries ONE weight set PER ACTIVE REFERENCE (r14:
+            # per-ref lists — a fade against the recent reference
+            # composes with an identity-weighted background
+            # restore); an all-default table collapses to wp None so
             # unweighted slices keep the co-located skip no-op.
             ld = r.ue()  # luma_log2_weight_denom
             cd = r.ue()  # chroma_log2_weight_denom (4:2:0 always)
@@ -1976,26 +2008,27 @@ def _parse_slice_header(nal: bytes, sps: dict, pps: dict) -> dict:
                 raise ValueError(
                     f"log2 weight denom out of 0..7 ({ld}, {cd})"
                 )
-            lw, lo = 1 << ld, 0
-            cbw, cbo, crw, cro = 1 << cd, 0, 1 << cd, 0
-            for i in range(n_ref_l0):
+            wps: list[dict | None] = []
+            for _i in range(n_ref_l0):
+                lw, lo = 1 << ld, 0
+                cbw, cbo, crw, cro = 1 << cd, 0, 1 << cd, 0
                 if r.u(1):  # luma_weight_l0_flag
-                    w_, o_ = r.se(), r.se()
-                    if i == 0:
-                        lw, lo = w_, o_
+                    lw, lo = r.se(), r.se()
                 if r.u(1):  # chroma_weight_l0_flag
-                    cw0, co0 = r.se(), r.se()
-                    cw1, co1 = r.se(), r.se()
-                    if i == 0:
-                        cbw, cbo, crw, cro = cw0, co0, cw1, co1
-            if (lw, lo) != (1 << ld, 0) or (cbw, cbo) != (
-                1 << cd, 0,
-            ) or (crw, cro) != (1 << cd, 0):
-                wp = {
-                    "ld": ld, "lw": lw, "lo": lo,
-                    "cd": cd, "cbw": cbw, "cbo": cbo,
-                    "crw": crw, "cro": cro,
-                }
+                    cbw, cbo = r.se(), r.se()
+                    crw, cro = r.se(), r.se()
+                if (lw, lo) == (1 << ld, 0) and (cbw, cbo) == (
+                    1 << cd, 0,
+                ) and (crw, cro) == (1 << cd, 0):
+                    wps.append(None)  # identity for this reference
+                else:
+                    wps.append({
+                        "ld": ld, "lw": lw, "lo": lo,
+                        "cd": cd, "cbw": cbw, "cbo": cbo,
+                        "crw": crw, "cro": cro,
+                    })
+            if any(w is not None for w in wps):
+                wp = wps  # list indexed by ref_idx_l0
     if nal_ref_idc:
         if nal_type == 5:
             r.u(1)  # no_output_of_prior_pics_flag
@@ -2359,7 +2392,7 @@ def _decode_pskip_slice(
     count: int,
     refs=None,
     n_ref_l0: int = 1,
-    wp: dict | None = None,
+    wp: list | None = None,
 ):
     """P-slice data in the SKIP + INTRA + P_L0_16x16 subset over the
     slice's raster extent [first_mb, first_mb + count): mb_skip_run
@@ -2371,11 +2404,15 @@ def _decode_pskip_slice(
     prediction context, following skips inherit it through the
     median and explicitly motion-compensate); P_L0_16x16 macroblocks
     (mb_type 0, r13) carry an exp-Golomb mvd_l0 added to the
-    §8.4.1.3 median prediction and copy the INTEGER-pel-shifted
-    reference block (coded_block_pattern must be 0 — the residual
-    decoder and Table 9-4's inter mapping stay behind the CAVLC
-    wall, as do fractional luma positions, 16x8/8x16/8x8 partitions,
-    and multi-reference prediction); INTRA macroblocks (Table 7-13:
+    §8.4.1.3 median prediction and motion-compensate at QUARTER-pel
+    (r14; coded_block_pattern must be 0 — the residual decoder and
+    Table 9-4's inter mapping stay behind the CAVLC wall); 16x8 /
+    8x16 / P_8x8 partitions, multi-reference prediction, and (r14)
+    per-reference explicit weighting all decode — ``wp`` is a LIST
+    of per-ref_idx weight dicts (None entry = identity for that
+    reference), so a fade against list0[0] composes with an
+    identity-weighted background restore from list0[1] in the same
+    slice; INTRA macroblocks (Table 7-13:
     mb_type - 5 indexes the I table) reach the FULL decoded intra
     surface via :func:`_decode_intra_mb` (I_PCM, I_4x4 cbp-0,
     I_16x16 DC-only), predicting from the current picture's
@@ -2393,8 +2430,21 @@ def _decode_pskip_slice(
     # never I_4x4, so its mode stays -1 (→ DC in §8.3.1.1 context)
     dec = np.zeros((hmb * 4, wmb * 4), dtype=bool)
     mode4x4 = np.full((hmb * 4, wmb * 4), -1, dtype=np.int64)
-    # slice-scoped motion context at 4x4-block granularity (quarter-
-    # pel vectors, refIdx always 0 — single-reference subset)
+
+    def _wsel(ri: int):
+        # per-reference weight entry (§7.3.3.2: one set per active
+        # reference; None = identity for that reference)
+        if wp is None:
+            return None
+        if ri >= len(wp):
+            raise ValueError(
+                f"ref_idx_l0 {ri} beyond the {len(wp)}-entry "
+                "pred_weight_table"
+            )
+        return wp[ri]
+
+    # slice-scoped motion context at 4x4-block granularity
+    # (quarter-pel vectors + per-block refIdx)
     ctx = _MotionCtx(wmb, hmb)
     has_mv = False  # no MV-carrying MB yet => every skip MV is (0,0)
     qp = slice_qp
@@ -2409,11 +2459,14 @@ def _decode_pskip_slice(
         for mb in range(done, done + run):
             sy, sx = divmod(mb, wmb)
             mv = ctx.skip_mv(sx, sy) if has_mv else (0, 0)
-            if mv != (0, 0) or wp is not None:
-                # under EXPLICIT weighting even a zero-MV skip must
-                # re-copy: the seeded co-located planes are unweighted
+            if mv != (0, 0) or _wsel(0) is not None:
+                # under EXPLICIT weighting of ref 0 even a zero-MV
+                # skip must re-copy: the seeded co-located planes are
+                # unweighted (an identity entry for ref 0 keeps the
+                # no-op even when OTHER references carry weights)
                 _mc_copy_rect(
-                    refs[0], sx * 16, sy * 16, 16, 16, mv, y, cb, cr, wp
+                    refs[0], sx * 16, sy * 16, 16, 16, mv, y, cb, cr,
+                    _wsel(0),
                 )
             ctx.set_inter(sx * 4, sy * 4, 4, 4, mv)
             dec[sy * 4 : sy * 4 + 4, sx * 4 : sx * 4 + 4] = True
@@ -2458,7 +2511,7 @@ def _decode_pskip_slice(
                 mv = (mvp[0] + mvds[pi][0], mvp[1] + mvds[pi][1])
                 _mc_copy_rect(
                     refs[ridx[pi]], bx * 4, by * 4, pw * 4, ph * 4,
-                    mv, y, cb, cr, wp,
+                    mv, y, cb, cr, _wsel(ridx[pi]),
                 )
                 ctx.set_inter(bx, by, pw, ph, mv, ridx[pi])
             has_mv = True
@@ -2511,7 +2564,7 @@ def _decode_pskip_slice(
                     )
                     _mc_copy_rect(
                         refs[sridx[s]], bx * 4, by * 4, pw * 4, ph * 4,
-                        mv, y, cb, cr, wp,
+                        mv, y, cb, cr, _wsel(sridx[s]),
                     )
                     ctx.set_inter(bx, by, pw, ph, mv, sridx[s])
             has_mv = True

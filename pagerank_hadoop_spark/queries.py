@@ -18719,3 +18719,248 @@ def q_media_mp4_pcm_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("mp4_id", "flac_id")
     )
+
+
+def _mp4_wmultiref_fixture(spark: SparkSession, n: int = 120) -> DataFrame:
+    """Driver-built MP4s combining EXPLICIT WEIGHTING with the
+    TWO-PICTURE DPB (the r13 boundary "weighted prediction combined
+    with multiple references", closed in r14): after the IDR (linear
+    I_PCM planes) and an occluding PCM patch on MB(1,1), frame 2 is
+    a P slice with num_ref_idx_l0_active = 2 whose pred_weight_table
+    carries ONE WEIGHT SET PER REFERENCE — for key%3 != 0 the RECENT
+    reference (list0[0], the patched frame) is faded (affine
+    lw/lo + chroma weights, §8.4.2.3.2) while the IDR restore from
+    list0[1] is identity; for key%3 == 0 the assignment flips (the
+    BACKGROUND fades, the recent reference is identity — and the
+    identity entry for ref 0 keeps zero-MV skips as true no-ops, the
+    branch a single-weight table cannot express). MB(0,0) restores
+    the background from list0[1] at vector vA, MB(1,0) gathers from
+    list0[0] at vB, the bottom row skips co-located (derived zero
+    vectors via the §8.4.1.1 zero-forcing rule: A unavailable /
+    A zero). Frame 3 is an all-skip identity-table repeat. Vectors
+    are even-pel so the chroma path stays at integer offsets (the
+    weight x bilinear composition is pinned by media_mp4_fade).
+    Encoder twins: h264_encode_pskip(weights=[...per-ref...],
+    n_ref=2) / mp4_mux_avc(max_ref=2, weighted_pred=True)."""
+    import numpy as np
+
+    from pagerank_hadoop_spark.operators.h264 import (
+        h264_encode_ipcm,
+        h264_encode_pskip,
+        mp4_mux_avc,
+    )
+
+    rows = []
+    for key in range(n):
+        a = 20 + key % 60
+        u0 = 15 + key % 50
+        v0 = 9 + key % 40
+        pv = 96 + key % 100
+        vax, vay = 2 * (key % 3 - 1), 2 * (key % 5 - 2)
+        vbx, vby = 2 * (key % 4 - 1), 2 * (key % 7 - 3)
+        wf = {"ld": 5, "lw": 16 + key % 9, "lo": key % 7 - 3,
+              "cd": 5, "cbw": 20 + key % 8, "cbo": key % 5 - 2,
+              "crw": 25 + key % 6, "cro": -(key % 4)}
+        weights = [None, wf] if key % 3 == 0 else [wf, None]
+        y0 = np.fromfunction(
+            lambda r, c: a + 2 * c + 3 * r, (32, 32)
+        ).astype(np.uint8)
+        cb0 = np.fromfunction(
+            lambda r, c: u0 + c + r, (16, 16)
+        ).astype(np.uint8)
+        cr0 = np.fromfunction(
+            lambda r, c: v0 + c + r, (16, 16)
+        ).astype(np.uint8)
+        patch = (bytes([pv]) * 256, bytes([u0]) * 64, bytes([v0]) * 64)
+        nals = [
+            h264_encode_ipcm(y0, cb0, cr0),
+            h264_encode_pskip(
+                2, 2, 1, {(1, 1): ("pcm", patch)}, weights="identity"
+            ),
+            h264_encode_pskip(
+                2, 2, 2,
+                {
+                    (0, 0): ("mvref", 1, 4 * vax, 4 * vay),
+                    (1, 0): ("mvref", 0, 4 * vbx, 4 * vby),
+                },
+                n_ref=2,
+                weights=weights,
+            ),
+            h264_encode_pskip(2, 2, 3, weights="identity"),
+        ]
+        rows.append(
+            (key, bytearray(mp4_mux_avc(
+                nals, dims=(32, 32), max_ref=2, weighted_pred=True
+            )))
+        )
+    return spark.createDataFrame(rows, "media_id long, payload binary")
+
+
+@register(
+    "media_mp4_wmultiref",
+    """
+WITH f AS (
+  SELECT range AS key, 20 + range % 60 AS a,
+         15 + range % 50 AS u0, 9 + range % 40 AS v0,
+         96 + range % 100 AS pv,
+         2 * (range % 3 - 1) AS vax, 2 * (range % 5 - 2) AS vay,
+         2 * (range % 4 - 1) AS vbx, 2 * (range % 7 - 3) AS vby,
+         16 + range % 9 AS lw, range % 7 - 3 AS lo,
+         20 + range % 8 AS cbw, range % 5 - 2 AS cbo,
+         25 + range % 6 AS crw, -(range % 4) AS cro,
+         CASE WHEN range % 3 = 0 THEN 1 ELSE 0 END AS fade_on_bg
+  FROM range(0, 120)),
+p0 AS (SELECT *,
+    list_transform(range(0, 1024), i -> a + 2 * (i % 32) + 3 * (i // 32)) AS y0,
+    list_transform(range(0, 256), i -> u0 + (i % 16) + (i // 16)) AS cb0,
+    list_transform(range(0, 256), i -> v0 + (i % 16) + (i // 16)) AS cr0
+  FROM f),
+p1 AS (SELECT *,
+    list_transform(range(0, 1024), i ->
+      CASE WHEN (i % 32) >= 16 AND (i // 32) >= 16 THEN pv
+           ELSE list_extract(y0, i + 1) END) AS y1,
+    list_transform(range(0, 256), i ->
+      CASE WHEN (i % 16) >= 8 AND (i // 16) >= 8 THEN u0
+           ELSE list_extract(cb0, i + 1) END) AS cb1,
+    list_transform(range(0, 256), i ->
+      CASE WHEN (i % 16) >= 8 AND (i // 16) >= 8 THEN v0
+           ELSE list_extract(cr0, i + 1) END) AS cr1
+  FROM p0),
+-- frame 2 per-pixel: region (0,0) <- ref1(IDR) @ va; region (1,0) <-
+-- ref0(patched) @ vb; regions (0,1)/(1,1) skip <- ref0 co-located.
+-- Weight applies to the FADED reference only: ref0 when fade_on_bg=0,
+-- ref1 when fade_on_bg=1.
+p2 AS (SELECT *,
+    list_transform(range(0, 1024), i ->
+      CASE
+        WHEN (i % 32) < 16 AND (i // 32) < 16 THEN
+          CASE WHEN fade_on_bg = 1 THEN
+            LEAST(255, GREATEST(0,
+              (list_extract(y0,
+                 LEAST(31, GREATEST(0, (i // 32) + vay)) * 32 +
+                 LEAST(31, GREATEST(0, (i % 32) + vax)) + 1) * lw + 16) // 32 + lo))
+          ELSE
+            list_extract(y0,
+              LEAST(31, GREATEST(0, (i // 32) + vay)) * 32 +
+              LEAST(31, GREATEST(0, (i % 32) + vax)) + 1)
+          END
+        WHEN (i % 32) >= 16 AND (i // 32) < 16 THEN
+          CASE WHEN fade_on_bg = 0 THEN
+            LEAST(255, GREATEST(0,
+              (list_extract(y1,
+                 LEAST(31, GREATEST(0, (i // 32) + vby)) * 32 +
+                 LEAST(31, GREATEST(0, (i % 32) + vbx)) + 1) * lw + 16) // 32 + lo))
+          ELSE
+            list_extract(y1,
+              LEAST(31, GREATEST(0, (i // 32) + vby)) * 32 +
+              LEAST(31, GREATEST(0, (i % 32) + vbx)) + 1)
+          END
+        ELSE
+          CASE WHEN fade_on_bg = 0 THEN
+            LEAST(255, GREATEST(0,
+              (list_extract(y1, i + 1) * lw + 16) // 32 + lo))
+          ELSE list_extract(y1, i + 1) END
+      END) AS y2,
+    list_transform(range(0, 256), i ->
+      CASE
+        WHEN (i % 16) < 8 AND (i // 16) < 8 THEN
+          CASE WHEN fade_on_bg = 1 THEN
+            LEAST(255, GREATEST(0,
+              (list_extract(cb0,
+                 LEAST(15, GREATEST(0, (i // 16) + vay // 2)) * 16 +
+                 LEAST(15, GREATEST(0, (i % 16) + vax // 2)) + 1) * cbw + 16) // 32 + cbo))
+          ELSE
+            list_extract(cb0,
+              LEAST(15, GREATEST(0, (i // 16) + vay // 2)) * 16 +
+              LEAST(15, GREATEST(0, (i % 16) + vax // 2)) + 1)
+          END
+        WHEN (i % 16) >= 8 AND (i // 16) < 8 THEN
+          CASE WHEN fade_on_bg = 0 THEN
+            LEAST(255, GREATEST(0,
+              (list_extract(cb1,
+                 LEAST(15, GREATEST(0, (i // 16) + vby // 2)) * 16 +
+                 LEAST(15, GREATEST(0, (i % 16) + vbx // 2)) + 1) * cbw + 16) // 32 + cbo))
+          ELSE
+            list_extract(cb1,
+              LEAST(15, GREATEST(0, (i // 16) + vby // 2)) * 16 +
+              LEAST(15, GREATEST(0, (i % 16) + vbx // 2)) + 1)
+          END
+        ELSE
+          CASE WHEN fade_on_bg = 0 THEN
+            LEAST(255, GREATEST(0,
+              (list_extract(cb1, i + 1) * cbw + 16) // 32 + cbo))
+          ELSE list_extract(cb1, i + 1) END
+      END) AS cb2,
+    list_transform(range(0, 256), i ->
+      CASE
+        WHEN (i % 16) < 8 AND (i // 16) < 8 THEN
+          CASE WHEN fade_on_bg = 1 THEN
+            LEAST(255, GREATEST(0,
+              (list_extract(cr0,
+                 LEAST(15, GREATEST(0, (i // 16) + vay // 2)) * 16 +
+                 LEAST(15, GREATEST(0, (i % 16) + vax // 2)) + 1) * crw + 16) // 32 + cro))
+          ELSE
+            list_extract(cr0,
+              LEAST(15, GREATEST(0, (i // 16) + vay // 2)) * 16 +
+              LEAST(15, GREATEST(0, (i % 16) + vax // 2)) + 1)
+          END
+        WHEN (i % 16) >= 8 AND (i // 16) < 8 THEN
+          CASE WHEN fade_on_bg = 0 THEN
+            LEAST(255, GREATEST(0,
+              (list_extract(cr1,
+                 LEAST(15, GREATEST(0, (i // 16) + vby // 2)) * 16 +
+                 LEAST(15, GREATEST(0, (i % 16) + vbx // 2)) + 1) * crw + 16) // 32 + cro))
+          ELSE
+            list_extract(cr1,
+              LEAST(15, GREATEST(0, (i // 16) + vby // 2)) * 16 +
+              LEAST(15, GREATEST(0, (i % 16) + vbx // 2)) + 1)
+          END
+        ELSE
+          CASE WHEN fade_on_bg = 0 THEN
+            LEAST(255, GREATEST(0,
+              (list_extract(cr1, i + 1) * crw + 16) // 32 + cro))
+          ELSE list_extract(cr1, i + 1) END
+      END) AS cr2
+  FROM p1),
+fr AS (SELECT *, unnest(range(0, 4)) AS fi FROM p2),
+v AS (
+  SELECT key, fi,
+    CASE WHEN fi = 0 THEN y0 WHEN fi = 1 THEN y1 ELSE y2 END AS yl,
+    CASE WHEN fi = 0 THEN cb0 WHEN fi = 1 THEN cb1 ELSE cb2 END AS cbl,
+    CASE WHEN fi = 0 THEN cr0 WHEN fi = 1 THEN cr1 ELSE cr2 END AS crl
+  FROM fr)
+SELECT CAST(key AS BIGINT) AS media_id,
+       CAST(fi AS BIGINT) AS frame_idx,
+       CAST(32 AS INTEGER) AS width, CAST(32 AS INTEGER) AS height,
+       CAST(list_sum(yl) AS BIGINT) AS y_sum,
+       CAST(list_sum(cbl) AS BIGINT) AS cb_sum,
+       CAST(list_sum(crl) AS BIGINT) AS cr_sum,
+       md5(array_to_string(yl, ',')) AS y_md5
+FROM v ORDER BY media_id, frame_idx
+""",
+)
+def q_media_mp4_wmultiref(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5 [r14]: WEIGHTED prediction COMBINED with MULTI-REFERENCE —
+    the §7.3.3.2 pred_weight_table's actual shape (one weight set
+    per active reference) parsed in full and compensation selecting
+    the weight entry by ref_idx, closing the r13 refusal line. The
+    fixture decodes a fade against one reference composed with an
+    identity-weighted gather from the OTHER reference in the same
+    slice — both assignment directions across keys — plus weighted
+    zero-MV skip re-copies (and the true no-op when ref 0's entry is
+    identity, a branch a single-weight table cannot express). The
+    oracle replays both reference planes, per-region gathers, the
+    affine Clip1(((x*w + 2^(ld-1)) >> ld) + o) per plane, and the
+    all-skip repeat closed-form — a wrong per-ref selection, a
+    denom mixup, or a skip-recopy-under-identity slip reddens
+    y_md5/sums on 480 rows. Spec: ISO/IEC 14496-10 §7.3.3.2,
+    §8.4.2.3.2; reference has no video path (mandated [EXT]
+    layer)."""
+    from pagerank_hadoop_spark.operators.h264 import mp4_frame_stats
+    from pagerank_hadoop_spark.operators.multimodal import attach_media
+
+    media = attach_media(
+        _mp4_wmultiref_fixture(spark), F.col("payload"),
+        media_type="video/mp4",
+    )
+    return mp4_frame_stats(media).orderBy("media_id", "frame_idx")

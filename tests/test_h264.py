@@ -2707,3 +2707,93 @@ def test_subpel_end_to_end_decode():
                         + 32
                     ) >> 6
                     assert int(dec[py, px]) == want_c, (mbx, mby, rr, cc)
+
+
+def test_weighted_multiref_per_ref_selection():
+    """r14: the pred_weight_table's per-reference shape — a fade
+    against one reference composes with an identity gather from the
+    other in the same slice; skips under a weighted ref-0 entry are
+    weighted re-copies, under an identity ref-0 entry true no-ops;
+    encoder guards pin the list contract."""
+    import pagerank_hadoop_spark.operators.h264 as H
+    from pagerank_hadoop_spark.operators.h264 import (
+        h264_encode_ipcm,
+        h264_encode_pskip,
+        mp4_decode_ipcm_frames,
+        mp4_mux_avc,
+    )
+
+    y0 = np.fromfunction(
+        lambda r, c: (30 + 2 * c + 3 * r) % 200, (32, 32)
+    ).astype(np.uint8)
+    cb0 = np.fromfunction(lambda r, c: 40 + c + r, (16, 16)).astype(np.uint8)
+    cr0 = np.fromfunction(lambda r, c: 50 + c + r, (16, 16)).astype(np.uint8)
+    patch = (bytes([200]) * 256, bytes([90]) * 64, bytes([80]) * 64)
+    wf = {"ld": 5, "lw": 20, "lo": 4,
+          "cd": 5, "cbw": 28, "cbo": 2, "crw": 30, "cro": -3}
+
+    def decode(weights):
+        nals = [
+            h264_encode_ipcm(y0, cb0, cr0),
+            h264_encode_pskip(
+                2, 2, 1, {(1, 1): ("pcm", patch)}, weights="identity"
+            ),
+            h264_encode_pskip(
+                2, 2, 2,
+                {(0, 0): ("mvref", 1, 4, -4), (1, 0): ("mvref", 0, -4, 8)},
+                n_ref=2, weights=weights,
+            ),
+        ]
+        payload = mp4_mux_avc(
+            nals, dims=(32, 32), max_ref=2, weighted_pred=True
+        )
+        frames = list(mp4_decode_ipcm_frames(bytes(payload)))
+        return frames[1][1], frames[2][1]  # y1, y2
+
+    def gather(plane, dx, dy, x0, yy0):
+        out = np.empty((16, 16), np.int64)
+        for r in range(16):
+            for c in range(16):
+                out[r, c] = plane[
+                    max(0, min(31, yy0 + r + dy)), max(0, min(31, x0 + c + dx))
+                ]
+        return out
+
+    def wsamp(v, w, o, ld):
+        return np.clip(((v * w + (1 << (ld - 1))) >> ld) + o, 0, 255)
+
+    # fade on ref 0 (the patched frame): restore identity, gather faded,
+    # skips WEIGHTED re-copies
+    y1, y2 = decode([wf, None])
+    assert (y2[:16, :16] == gather(y0.astype(np.int64), 1, -1, 0, 0)).all()
+    assert (
+        y2[:16, 16:] == wsamp(gather(y1.astype(np.int64), -1, 2, 16, 0),
+                              20, 4, 5)
+    ).all()
+    assert (y2[16:, :] == wsamp(y1[16:, :].astype(np.int64), 20, 4, 5)).all()
+
+    # flip: fade on ref 1 (the IDR background), identity recent ref —
+    # skips are TRUE no-ops (co-located copy)
+    y1b, y2b = decode([None, wf])
+    assert (
+        y2b[:16, :16] == wsamp(gather(y0.astype(np.int64), 1, -1, 0, 0),
+                               20, 4, 5)
+    ).all()
+    assert (y2b[:16, 16:] == gather(y1b.astype(np.int64), -1, 2, 16, 0)).all()
+    assert (y2b[16:, :] == y1b[16:, :]).all()
+
+    # encoder guards: dict with n_ref > 1; wrong list length;
+    # mismatched denoms across entries
+    with pytest.raises(ValueError, match="per-reference weights LIST"):
+        h264_encode_pskip(
+            2, 2, 2, {(0, 0): ("mvref", 1, 0, 0)}, n_ref=2, weights=wf
+        )
+    with pytest.raises(ValueError, match="entries for"):
+        h264_encode_pskip(
+            2, 2, 2, {(0, 0): ("mv", 0, 0)}, n_ref=2, weights=[wf]
+        )
+    wf2 = dict(wf, ld=3)
+    with pytest.raises(ValueError, match="one ld/cd denom pair"):
+        h264_encode_pskip(
+            2, 2, 2, {(0, 0): ("mv", 0, 0)}, n_ref=2, weights=[wf, wf2]
+        )
