@@ -2316,22 +2316,25 @@ def test_motion_summary_kernel_and_tiebreak(spark):
 
 
 def test_property_random_partition_grids_match_gather_model():
-    """Property (r13): for pictures whose every macroblock is an
-    EXPLICIT-MV partition (any of 16x16 / 16x8 / 8x16 / P_8x8 with
-    random sub_mb_types) with random integer-pel vectors, the
-    encode-decode round trip equals the independent per-rect
-    clamped-gather + bilinear model — prediction/mvd bookkeeping
-    cancels exactly for EVERY partition geometry and every vector
-    assignment, or some rect's pixels diverge."""
+    """Property (r13, widened r14 to QUARTER-PEL): for pictures whose
+    every macroblock is an EXPLICIT-MV partition (any of 16x16 /
+    16x8 / 8x16 / P_8x8 with random sub_mb_types) with random
+    quarter-pel vectors (any fractional class, any rect size down to
+    4x4), the encode-decode round trip equals the independent
+    per-rect scalar §8.4.2.2.1 model (_naive_qpel — integer vectors
+    reduce it to the clamped gather) + the chroma bilinear model —
+    prediction/mvd bookkeeping AND interpolation cancel exactly for
+    EVERY partition geometry, or some rect's pixels diverge."""
     from hypothesis import given, settings, strategies as st
 
     import pagerank_hadoop_spark.operators.h264 as H
     from pagerank_hadoop_spark.operators.h264 import h264_encode_pskip
 
-    pel = st.tuples(st.integers(-6, 6), st.integers(-6, 6))
+    # raw QUARTER-pel components: integer part -6..6, any frac class
+    pel = st.tuples(st.integers(-24, 24), st.integers(-24, 24))
 
     def q(p):
-        return (4 * p[0], 4 * p[1])
+        return (p[0], p[1])
 
     sub = st.integers(0, 3).flatmap(
         lambda t: st.tuples(
@@ -2399,8 +2402,7 @@ def test_property_random_partition_grids_match_gather_model():
 
         for (mbx, mby), spec in grid.items():
             for x0, yy0, w, h, mvx, mvy in rects(spec, mbx, mby):
-                dx, dy = mvx >> 2, mvy >> 2
-                exp = _gather_clamped(y0, x0 + dx, yy0 + dy, w, h)
+                exp = _naive_qpel(y0, x0, yy0, w, h, mvx, mvy)
                 assert (y[yy0:yy0 + h, x0:x0 + w] == exp).all()
                 # chroma via the bilinear model
                 cxi, cyi = mvx >> 3, mvy >> 3
