@@ -1474,33 +1474,19 @@ def flac_window_fingerprint(
     samples)."""
     if window % cells:
         raise ValueError(f"window {window} not divisible by cells {cells}")
-    step = window // cells
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # the ONE shared rule (r14): bit- and digest-identical across
+        # FLAC / WAV / PCM-in-MP4 by sharing the code, not a copy
+        from pagerank_hadoop_spark.operators.multimodal import (
+            _pcm_fingerprint_rows,
+        )
+
         def fps(payload: bytes):
             d = flac_decode(bytes(payload))
-            x = d["samples"][:, 0].tolist()
-            out = []
-            for wi in range(len(x) // window):
-                w = x[wi * window : (wi + 1) * window]
-                cell = [
-                    sum(v * v for v in w[g * step : (g + 1) * step])
-                    for g in range(cells)
-                ]
-                total = sum(cell)
-                fp = "".join(
-                    "1" if cells * c > total else "0" for c in cell
-                )
-                out.append(
-                    (
-                        wi,
-                        fp,
-                        hashlib.md5(
-                            ",".join(str(v) for v in w).encode()
-                        ).hexdigest(),
-                    )
-                )
-            return out
+            return _pcm_fingerprint_rows(
+                d["samples"][:, 0].tolist(), window, cells
+            )
 
         for pdf in it:
             rows = []
@@ -1553,34 +1539,23 @@ def flac_phase_fingerprints(
         raise ValueError(f"window {window} not divisible by cells {cells}")
     if not 1 <= phase_step <= window:
         raise ValueError(f"phase_step {phase_step} out of 1..{window}")
-    step = window // cells
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # each phase is the shared rule applied to the phase-shifted
+        # stream (phase 0 is bit-for-bit flac_window_fingerprint)
+        from pagerank_hadoop_spark.operators.multimodal import (
+            _pcm_fingerprint_rows,
+        )
+
         def fps(payload: bytes):
             d = flac_decode(bytes(payload))
             x = d["samples"][:, 0].tolist()
             out = []
             for phase in range(0, window, phase_step):
-                for wi in range((len(x) - phase) // window):
-                    w = x[phase + wi * window : phase + (wi + 1) * window]
-                    cell = [
-                        sum(v * v for v in w[g * step : (g + 1) * step])
-                        for g in range(cells)
-                    ]
-                    total = sum(cell)
-                    fp = "".join(
-                        "1" if cells * c > total else "0" for c in cell
-                    )
-                    out.append(
-                        (
-                            phase,
-                            wi,
-                            fp,
-                            hashlib.md5(
-                                ",".join(str(v) for v in w).encode()
-                            ).hexdigest(),
-                        )
-                    )
+                for wi, fp, md in _pcm_fingerprint_rows(
+                    x[phase:], window, cells
+                ):
+                    out.append((phase, wi, fp, md))
             return out
 
         for pdf in it:

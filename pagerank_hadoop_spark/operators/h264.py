@@ -669,7 +669,7 @@ def h264_encode_pskip(
     disposable: bool = False,
     first_mb: int = 0,
     n_mbs: int | None = None,
-    weights: dict | str | None = None,
+    weights: list | dict | str | None = None,
     n_ref: int = 1,
 ) -> bytes:
     """One non-IDR P-slice NAL in the SKIP + INTRA + P_L0_16x16
@@ -2285,17 +2285,23 @@ def _luma_qpel_block(plane, x0: int, y0: int, w: int, h: int, mvx: int, mvy: int
         return (u + v + 1) >> 1
 
     G = win[2 : 2 + h, 2 : 2 + w]  # the integer sample grid
-    b1 = hfilt(win)  # horizontal intermediates, shape (h+5, w)
-    h1 = vfilt(win)  # vertical intermediates, shape (h, w+5)
-    bb = clip1((b1[2 : 2 + h] + 16) >> 5)  # half right of G
-    hh = clip1((h1[:, 2 : 2 + w] + 16) >> 5)  # half below G
+    # each FIR pass only where its fractional axis needs it — the
+    # on-axis classes (fx==0 or fy==0) pay exactly one pass
     if fx == 0:  # d/h/n column: only vertical halves + integer M
+        h1 = vfilt(win)  # vertical intermediates, shape (h, w+5)
+        hh = clip1((h1[:, 2 : 2 + w] + 16) >> 5)  # half below G
         M = win[3 : 3 + h, 2 : 2 + w]
         out = {1: avg(G, hh), 2: hh, 3: avg(M, hh)}[fy]
     elif fy == 0:  # a/b/c row
+        b1 = hfilt(win)  # horizontal intermediates, shape (h+5, w)
+        bb = clip1((b1[2 : 2 + h] + 16) >> 5)  # half right of G
         H_ = win[2 : 2 + h, 3 : 3 + w]
         out = {1: avg(G, bb), 2: bb, 3: avg(H_, bb)}[fx]
     else:
+        b1 = hfilt(win)
+        h1 = vfilt(win)
+        bb = clip1((b1[2 : 2 + h] + 16) >> 5)
+        hh = clip1((h1[:, 2 : 2 + w] + 16) >> 5)
         mm = clip1((h1[:, 3 : 3 + w] + 16) >> 5)  # half below H
         ss = clip1((b1[3 : 3 + h] + 16) >> 5)  # half right of M
         if fx == 2 or fy == 2:  # f/i/j/k/q need the center j

@@ -684,11 +684,8 @@ def wav_window_fingerprint(
     and a depth change WOULD legitimately change the keys)."""
     if window % cells:
         raise ValueError(f"window {window} not divisible by cells {cells}")
-    step = window // cells
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import hashlib
-
         import numpy as np
 
         def fps(payload: bytes):
@@ -913,7 +910,8 @@ def mp4_mux_pcm(x, rate: int, fmt: str = "sowt", chunks: int = 1) -> bytes:
         bytes(8),
         (1).to_bytes(4, "big") + bytes(4) + n.to_bytes(4, "big"),
         bytes(8),
-        bytes(2) + (0x0100).to_bytes(2, "big") + bytes(2) + bytes(2),
+        # layer, alternate_group, volume (8.8 fixed: 1.0), reserved
+        bytes(2) + bytes(2) + (0x0100).to_bytes(2, "big") + bytes(2),
         (0x00010000).to_bytes(4, "big") + bytes(4) + bytes(4)
         + bytes(4) + (0x00010000).to_bytes(4, "big") + bytes(4)
         + bytes(4) + bytes(4) + (0x40000000).to_bytes(4, "big"),
@@ -1019,6 +1017,15 @@ def parse_mp4_pcm(payload: bytes):
             if lpcm_flags & 0x1:
                 raise NotImplementedError(
                     "float lpcm (kAudioFormatFlagIsFloat) — integer "
+                    "PCM only"
+                )
+            if not lpcm_flags & 0x4:
+                # unsigned 16-bit would silently decode as signed,
+                # emitting wrong fingerprint keys — refuse typed
+                # like the float/odd-depth boundaries
+                raise NotImplementedError(
+                    "unsigned-integer lpcm (missing "
+                    "kAudioFormatFlagIsSignedInteger) — signed 16-bit "
                     "PCM only"
                 )
             big_endian = bool(lpcm_flags & 0x2)

@@ -1414,3 +1414,26 @@ def test_mp4_pcm_multichunk_reassembly():
     bad = p[:n_off] + (n + 1).to_bytes(4, "big") + p[n_off + 4 :]
     with _pytest.raises(ValueError, match="chunks hold"):
         parse_mp4_pcm(bad)
+
+
+def test_lpcm_unsigned_flag_refused():
+    """r14 review close: an lpcm v2 entry whose formatSpecificFlags
+    lack kAudioFormatFlagIsSignedInteger would silently decode
+    unsigned samples as signed — it must refuse typed instead."""
+    import pytest as _pytest
+
+    from pagerank_hadoop_spark.operators.multimodal import (
+        mp4_mux_pcm,
+        parse_mp4_pcm,
+    )
+    import numpy as np
+
+    p = bytearray(mp4_mux_pcm(np.arange(100)[:, None], 8000, "lpcm"))
+    i = bytes(p).index(b"lpcm")
+    # formatSpecificFlags ride 56 bytes past the format fourcc
+    # (v2 layout); clear the signed bit (keep packed)
+    flags_off = i + 56
+    assert int.from_bytes(p[flags_off : flags_off + 4], "big") == 0xC
+    p[flags_off : flags_off + 4] = (0x8).to_bytes(4, "big")
+    with _pytest.raises(NotImplementedError, match="unsigned-integer lpcm"):
+        parse_mp4_pcm(bytes(p))
