@@ -253,12 +253,22 @@ def fuzzy_contaminated_pairs(
     from pagerank_hadoop_spark.operators.dedup import (
         _band_cols,
         _minhash_sig_arrow,
+        _spread,
         md5_shingle_hashes,
     )
 
     sig_kernel = _minhash_sig_arrow(num_hashes)
 
     def sigs(df, out_id, in_id):
+        # the md5-per-shingle projection is the CPU-heavy stage of the
+        # screen and inherits the scan's split count — a small corpus
+        # arrives as 1-2 parquet splits and serializes ~|corpus| md5
+        # rounds onto as many cores (measured 12.6 s → 1.9 s for the
+        # 5000-doc signature stage at sf0.1/local[32]); _spread
+        # repartitions small inputs to the default parallelism and is
+        # a no-op on scans past one split per core (100 TB posture
+        # unchanged: no shuffle of document text at scale).
+        df = _spread(df)
         return (
             df.select(
                 F.col(in_id).alias(out_id),

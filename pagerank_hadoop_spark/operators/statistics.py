@@ -85,14 +85,19 @@ def poisson_bootstrap_mean(
     b = F.explode(F.sequence(F.lit(0), F.lit(n_replicas - 1))).alias("b")
     # the n_replicas× explode inherits the input's partitioning — a
     # 1-2-split parquet scan would serialize ~n_replicas·N rows onto
-    # 2 cores (measured 47 s at sf0.1); spread small inputs first
-    rows = _spread(df.select(key_col, value_col)).select(
+    # 2 cores (measured 47 s at sf0.1); spread small inputs first.
+    # The md5 row hash is PROJECTED IN ITS OWN SELECT below, before
+    # the generator select: a projection fused with the explode is
+    # evaluated per OUTPUT row, i.e. n_replicas md5 rounds per input
+    # row instead of one (measured 2.64 s → 0.80 s on the exploded
+    # aggregate at sf0.1; same values — the hash is per-row constant).
+    pre = _spread(df.select(key_col, value_col)).select(
         row_hash(F.col(key_col)).alias("__h"),
         F.col(value_col)
         .cast(f"decimal(28,{decimal_scale})")
         .alias("__x"),
-        b,
     )
+    rows = pre.select("__h", "__x", b)
     w = poisson_weight(F.col("__h"), F.col("b"))
     weighted = rows.select(
         "b", "__x", w.alias("__w")
