@@ -730,32 +730,18 @@ def embedding_near_dups(
     ``n_planes`` × dim literal floats) swaps in explicit hyperplanes:
     the oracle-checkable form (``embedding_near_dups_lit``)."""
     from pagerank_hadoop_spark.functions.vectors import cosine_similarity
-    from pagerank_hadoop_spark.operators.similarity import _lit_dot
+    from pagerank_hadoop_spark.operators.similarity import (
+        _hyperplane_bucket,
+    )
 
     v = F.col(vec_col).cast("array<double>")
     # sign bit per pseudo-random plane: sum_d vec[d] * u(plane, d),
-    # u in [-1, 1) from a hash of (plane, dim)
-    def plane_bit(p: int) -> Column:
-        if planes is not None:
-            proj = _lit_dot(v, planes[p])
-        else:
-            proj = F.aggregate(
-                F.zip_with(
-                    v,
-                    F.sequence(F.lit(0), F.size(v) - 1),
-                    lambda x, d: x
-                    * (
-                        (F.xxhash64(F.lit(p), d).cast("double") / F.lit(float(2**63)))
-                    ),
-                ),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-        return F.when(proj >= 0, F.lit(1)).otherwise(F.lit(0)).cast("long")
-
-    sketch = F.lit(0).cast("long")
-    for p in range(n_planes):
-        sketch = sketch + F.shiftleft(plane_bit(p), p)
+    # u in [-1, 1) from a hash of (plane, dim) — the sketch expression
+    # is similarity's hyperplane bucket (one F.expr parse; the local
+    # per-plane Column build cost ~n_planes HOF py4j exchanges)
+    sketch = _hyperplane_bucket(
+        f"CAST(`{vec_col}` AS ARRAY<DOUBLE>)", n_planes, planes
+    )
 
     sk = emb.select(
         F.col(id_col).alias("id"), v.alias("v"), sketch.alias("bucket")
@@ -1255,39 +1241,36 @@ def semantic_dedup(
     sample, as ivf_kmeans_topk does) and raise n_clusters so cluster
     populations stay bounded as the corpus grows.
     """
-    from pagerank_hadoop_spark.functions.vectors import cosine_similarity
-    from pagerank_hadoop_spark.operators.similarity import _lit_dot
-
-    v = F.col(vec_col)
-
-    def cell_sims(vec):
-        return F.array(*[
-            F.struct(
-                F.round(
-                    _lit_dot(vec, c)
-                    / (F.sqrt(_lit_dot_self(vec)) * _NORMS[i]),
-                    6,
-                ).alias("sim"),
-                F.lit(i).alias("cell"),
-            )
-            for i, c in enumerate(centroids)
-        ])
-
-    # centroid norms are plan-time constants; vector norm computed once
     import math
 
-    _NORMS = [
-        F.lit(math.sqrt(sum(x * x for x in c))) for c in centroids
-    ]
+    from pagerank_hadoop_spark.operators.similarity import (
+        _lit_dot_sql,
+        _sql_dlit,
+    )
 
-    def _lit_dot_self(vec):
-        return F.aggregate(
-            F.zip_with(vec, vec, lambda a, b: a * b),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
+    v = F.col(vec_col)
+    vec_sql = f"`{vec_col}`"
+    # centroid norms are plan-time constants; vector self-dot computed
+    # per row. The whole n_clusters struct array is ONE F.expr parse
+    # (identical tree to the former per-centroid Column build, which
+    # paid ~2 HOF py4j exchanges per centroid).
+    self_dot = (
+        f"aggregate(zip_with({vec_sql}, {vec_sql}, (a, b) -> a * b), "
+        f"0.0D, (acc, x) -> acc + x)"
+    )
+    cell_sims = F.expr(
+        "array("
+        + ", ".join(
+            f"named_struct('sim', round({_lit_dot_sql(vec_sql, c)}"
+            f" / (sqrt({self_dot}) *"
+            f" {_sql_dlit(math.sqrt(sum(x * x for x in c)))}), 6),"
+            f" 'cell', {i})"
+            for i, c in enumerate(centroids)
         )
+        + ")"
+    )
 
-    best = F.array_max(cell_sims(v))
+    best = F.array_max(cell_sims)
     assigned = emb.select(
         F.col(id_col).alias("id"),
         v.alias("__v"),

@@ -156,6 +156,41 @@ def multivector_maxsim_topk(
     )
 
 
+def _sql_dlit(x: float) -> str:
+    """SQL DOUBLE literal with exact round-trip: ``repr`` emits the
+    shortest decimal that parses back to the same bits, and Spark's
+    parser (Java ``parseDouble``) is correctly rounded — so the SQL
+    literal is bit-identical to the ``F.lit(float)`` it replaces."""
+    return repr(float(x)) + "D"
+
+
+def _sql_dvec(consts: list[float]) -> str:
+    return "array(" + ", ".join(_sql_dlit(x) for x in consts) + ")"
+
+
+def _sql_fold_dot(vec_sql: str, terms_sql: str) -> str:
+    """The engine's sequential-fold dot product as a SQL string —
+    the SAME expression tree as ``functions.vectors.dot`` /
+    ``_lit_dot`` (zip_with product, left-fold sum from 0.0), built in
+    ONE ``F.expr`` parse instead of per-node py4j round trips. A
+    literal-codebook LUT is m·n_codes of these: the Column-API build
+    cost ~17k py4j calls / 13 s of driver wall per pq_topk invocation
+    (measured, sf0.1); the string form parses JVM-side in
+    milliseconds. Results are bit-identical by construction (same
+    operators, same literals — see :func:`_sql_dlit`)."""
+    return (
+        f"aggregate(zip_with({vec_sql}, {terms_sql}, (x, c) -> x * c), "
+        f"0.0D, (acc, x) -> acc + x)"
+    )
+
+
+def _lit_dot_sql(vec_sql: str, consts: list[float]) -> str:
+    """Dot product of an array-column SQL expression with a literal
+    float vector — JVM array expressions, the vector never leaves the
+    row (SQL-string twin of the retired Column builder)."""
+    return _sql_fold_dot(vec_sql, _sql_dvec(consts))
+
+
 def _lit_dot(vec, consts: list[float]):
     """Dot product of an array column with a literal float vector —
     JVM array expressions, the vector never leaves the row."""
@@ -408,7 +443,7 @@ def maxsim_screened_topk(
 
 
 def _hyperplane_bucket(
-    vec, n_planes: int = 12, planes: list[list[float]] | None = None
+    vec_sql: str, n_planes: int = 12, planes: list[list[float]] | None = None
 ):
     """Deterministic random-hyperplane sign sketch (see dedup module).
 
@@ -416,26 +451,33 @@ def _hyperplane_bucket(
     the xxhash64-derived pseudo-random components with explicit
     hyperplanes — same plan shape, but reproducible by any engine
     (the oracle-checkable form; xxhash64 exists only in Spark).
-    """
-    def plane_bit(p: int):
-        if planes is not None:
-            proj = _lit_dot(vec, planes[p])
-        else:
-            proj = F.aggregate(
-                F.zip_with(
-                    vec,
-                    F.sequence(F.lit(0), F.size(vec) - 1),
-                    lambda x, d: x * (F.xxhash64(F.lit(p), d).cast("double") / F.lit(float(2**63))),
-                ),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-        return F.when(proj >= 0, F.lit(1)).otherwise(F.lit(0)).cast("long")
 
-    sketch = F.lit(0).cast("long")
+    ``vec_sql`` is the vector column as a SQL expression string: the
+    whole n_planes-projection sketch is built in ONE ``F.expr`` parse
+    instead of ~n_planes HOF Column constructions (each a multi-ms
+    py4j exchange — the plan-build cost dominated these queries at
+    small scale). The expression tree is unchanged node-for-node.
+    """
+    inv63 = _sql_dlit(float(2**63))
+
+    def plane_bit(p: int) -> str:
+        if planes is not None:
+            proj = _lit_dot_sql(vec_sql, planes[p])
+        else:
+            proj = (
+                f"aggregate(zip_with({vec_sql}, "
+                f"sequence(0, size({vec_sql}) - 1), "
+                f"(x, d) -> x * (CAST(xxhash64({p}, d) AS DOUBLE) / {inv63})), "
+                f"0.0D, (acc, x) -> acc + x)"
+            )
+        return (
+            f"CAST(CASE WHEN ({proj}) >= 0 THEN 1 ELSE 0 END AS BIGINT)"
+        )
+
+    sketch = "CAST(0 AS BIGINT)"
     for p in range(n_planes):
-        sketch = sketch + F.shiftleft(plane_bit(p), p)
-    return sketch
+        sketch = f"{sketch} + shiftleft({plane_bit(p)}, {p})"
+    return F.expr(sketch)
 
 
 def lsh_topk(
@@ -460,7 +502,7 @@ def lsh_topk(
     mask = (1 << width) - 1
 
     def banded(df: DataFrame, vcol: str, idc: str, prefix: str) -> DataFrame:
-        sk = _hyperplane_bucket(F.col(vcol), n_planes, planes)
+        sk = _hyperplane_bucket(f"`{vcol}`", n_planes, planes)
         return df.select(
             idc,
             vcol,
@@ -515,44 +557,41 @@ def ivf_topk(
     replaces the xxhash64-derived pseudo-random centroids with
     explicit ones — the oracle-checkable form (``recall_ivf_topk``).
     """
-    def centroid(cell: int):
-        # unit-ish pseudo-random centroid component per dim via hash
-        return lambda d: (F.xxhash64(F.lit(7919 * cell), d).cast("double") / F.lit(float(2**63)))
+    inv63 = _sql_dlit(float(2**63))
 
-    def _dot_with_centroid(c: int):
-        # bind the cell id via closure (a default arg would change the
-        # lambda's arity, which zip_with validates)
-        return lambda x, d: x * centroid(c)(d)
-
-    def one_cell_sim(vec, cell: int):
+    def one_cell_sim(vec_sql: str, cell: int) -> str:
         if centroids is not None:
-            return _lit_dot(vec, centroids[cell])
-        return F.aggregate(
-            F.zip_with(
-                vec,
-                F.sequence(F.lit(0), F.size(vec) - 1),
-                _dot_with_centroid(cell),
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
+            return _lit_dot_sql(vec_sql, centroids[cell])
+        # unit-ish pseudo-random centroid component per dim via hash
+        return (
+            f"aggregate(zip_with({vec_sql}, "
+            f"sequence(0, size({vec_sql}) - 1), "
+            f"(x, d) -> x * (CAST(xxhash64({7919 * cell}, d) AS DOUBLE)"
+            f" / {inv63})), 0.0D, (acc, x) -> acc + x)"
         )
 
-    def cell_sims(vec):
-        return F.array(*[
-            F.struct(
-                one_cell_sim(vec, cell).alias("sim"),
-                F.lit(cell).alias("cell"),
+    def cell_sims(vcol: str):
+        # the whole n_cells struct array in ONE F.expr parse — the
+        # Column-API build paid ~2 HOF py4j exchanges per cell per
+        # side; tree unchanged (named_struct == F.struct.alias)
+        vec_sql = f"`{vcol}`"
+        return F.expr(
+            "array("
+            + ", ".join(
+                f"named_struct('sim', {one_cell_sim(vec_sql, cell)},"
+                f" 'cell', {cell})"
+                for cell in range(n_cells)
             )
-            for cell in range(n_cells)
-        ])
+            + ")"
+        )
 
     # corpus: argmax cell
-    c_assigned = corpus.withColumn("cell", F.array_max(cell_sims(F.col(vec_col)))["cell"])
+    c_assigned = corpus.withColumn("cell", F.array_max(cell_sims(vec_col))["cell"])
     # queries: top-nprobe cells
     q_probed = (
         queries.withColumn(
             "cells",
-            F.slice(F.reverse(F.array_sort(cell_sims(F.col(q_vec_col)))), 1, nprobe),
+            F.slice(F.reverse(F.array_sort(cell_sims(q_vec_col))), 1, nprobe),
         )
         .select(q_id_col, q_vec_col, F.explode("cells").alias("pc"))
         .select(q_id_col, q_vec_col, F.col("pc.cell").alias("cell"))
@@ -638,29 +677,29 @@ def ivf_kmeans_topk(
     )
     centers = [[float(x) for x in c] for c in _lloyd(sample, n_cells, seed)]
 
-    def center_dot(vec, center: list[float]):
-        lits = F.array(*[F.lit(x) for x in center])
-        return F.aggregate(
-            F.zip_with(vec, lits, lambda x, c: x * c),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
+    def cell_sims(vcol: str):
+        # one F.expr parse for the trained-centroid struct array (the
+        # per-F.lit / per-HOF Column build was ~2 s of py4j driver
+        # wall per invocation — and trained literals defeat the plan
+        # cache anyway, so the cheap-to-build form matters)
+        vec_sql = f"`{vcol}`"
+        return F.expr(
+            "array("
+            + ", ".join(
+                f"named_struct('sim', {_lit_dot_sql(vec_sql, c)},"
+                f" 'cell', {i})"
+                for i, c in enumerate(centers)
+            )
+            + ")"
         )
 
-    def cell_sims(vec):
-        return F.array(*[
-            F.struct(
-                center_dot(vec, c).alias("sim"), F.lit(i).alias("cell")
-            )
-            for i, c in enumerate(centers)
-        ])
-
     c_assigned = corpus.withColumn(
-        "cell", F.array_max(cell_sims(F.col(vec_col)))["cell"]
+        "cell", F.array_max(cell_sims(vec_col))["cell"]
     )
     q_probed = (
         queries.withColumn(
             "cells",
-            F.slice(F.reverse(F.array_sort(cell_sims(F.col(q_vec_col)))), 1, nprobe),
+            F.slice(F.reverse(F.array_sort(cell_sims(q_vec_col))), 1, nprobe),
         )
         .select(q_id_col, q_vec_col, F.explode("cells").alias("pc"))
         .select(q_id_col, q_vec_col, F.col("pc.cell").alias("cell"))
@@ -764,16 +803,8 @@ def pq_topk(
                 f" dim {first['d']}"
             )
 
-    def sub_slice(vec, s: int):
-        return F.slice(vec, s * sub + 1, sub)
-
-    def sub_dot(vec, s: int, center: list[float]):
-        lits = F.array(*[F.lit(x) for x in center])
-        return F.aggregate(
-            F.zip_with(sub_slice(vec, s), lits, lambda x, c: x * c),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
+    def sub_dot_sql(vec_sql: str, s: int, center: list[float]) -> str:
+        return _lit_dot_sql(f"slice({vec_sql}, {s * sub + 1}, {sub})", center)
 
     # corpus-side encoder: per subspace argmin_c ||x_sub - c||^2, with
     # the row-constant ||x_sub||^2 dropped -> argmin(||c||^2 - 2 x.c).
@@ -804,11 +835,23 @@ def pq_topk(
     def encode(vec):
         return encode_udf(vec)
 
-    def luts(vec):
-        return F.array(*[
-            F.array(*[sub_dot(vec, s, c) for c in books[s]])
-            for s in range(m)
-        ])
+    def luts(vcol: str):
+        # the m × n_codes LUT as ONE F.expr parse: the Column-API
+        # build of 128 fold-dots cost ~17k py4j round trips / ~13 s of
+        # driver wall per invocation at sf0.1 (measured — more than
+        # the query's whole execution); the string form parses
+        # JVM-side with an identical expression tree.
+        vec_sql = f"`{vcol}`"
+        return F.expr(
+            "array("
+            + ", ".join(
+                "array("
+                + ", ".join(sub_dot_sql(vec_sql, s, c) for c in books[s])
+                + ")"
+                for s in range(m)
+            )
+            + ")"
+        )
 
     # the ADC scan touches ONLY (id, codes): the float vectors stay in
     # the parquet files until the refine join below. Materialize the
@@ -818,7 +861,7 @@ def pq_topk(
     encoded = corpus.select(
         id_col, encode(F.col(vec_col)).alias("codes")
     ).localCheckpoint(eager=True)
-    q_luts = queries.select(q_id_col, luts(F.col(q_vec_col)).alias("luts"))
+    q_luts = queries.select(q_id_col, luts(q_vec_col).alias("luts"))
 
     adc = F.round(
         F.aggregate(
