@@ -107,11 +107,43 @@ def _loop_shuffle_scope(spark, parts: int | None):
     if parts >= current:
         yield
         return
+    # In the narrowed (small-graph) regime the loop's wall is driver
+    # planning, not data: every round pays a full Catalyst pass at its
+    # localCheckpoint (toRdd) plus one at the fixpoint count. AQE's
+    # per-stage re-planning and the runtime bloom-filter injection
+    # rule are pure overhead on 1-3-partition rounds (measured ~25%
+    # of per-round wall at sf0.1) and physically cannot help there —
+    # AQE coalesces by bytes on already-tiny exchanges and the bloom
+    # rule never fires on checkpointed-RDD join sides (no scan to
+    # prune). Scope them off WITH the width narrowing: the same
+    # stats-derived condition that says "this graph is small" says
+    # "these rules cannot pay here". At production scale parts >=
+    # current, the scope is a no-op, and AQE skew-splitting + runtime
+    # filters stay on. Both knobs are physical-only; the loops
+    # admitted to this scope aggregate order-insensitively (min /
+    # count / mode / bool-or), so results cannot move.
+    # (A/B evidence, interleaved same-box 2x2 at sf0.1: scc 7.7/8.4 s
+    # lean vs 13.0/10.4 s session-AQE, sssp 7.8/8.4 vs 12.5/8.6,
+    # k_truss_precore 3.8/4.4 vs 7.1/4.5; mis/lpa neutral.
+    # SPARK_GRAFT_LOOP_LEAN=0 restores session AQE/bloom inside the
+    # narrowed scope — the measurement toggle behind those numbers.)
+    import os as _os
+
+    lean = _os.environ.get("SPARK_GRAFT_LOOP_LEAN", "1") != "0"
+    aqe_key = "spark.sql.adaptive.enabled"
+    bloom_key = "spark.sql.optimizer.runtime.bloomFilter.enabled"
+    prev_aqe = spark.conf.get(aqe_key, "true")
+    prev_bloom = spark.conf.get(bloom_key, "true")
     spark.conf.set(key, str(parts))
+    if lean:
+        spark.conf.set(aqe_key, "false")
+        spark.conf.set(bloom_key, "false")
     try:
         yield
     finally:
         spark.conf.set(key, str(current))
+        spark.conf.set(aqe_key, prev_aqe)
+        spark.conf.set(bloom_key, prev_bloom)
 
 
 def pregel(

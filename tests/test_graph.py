@@ -559,11 +559,20 @@ def test_loop_shuffle_scope_semantics(spark):
     from pagerank_hadoop_spark.operators.graph import _loop_shuffle_scope
 
     key = "spark.sql.shuffle.partitions"
+    aqe_key = "spark.sql.adaptive.enabled"
+    bloom_key = "spark.sql.optimizer.runtime.bloomFilter.enabled"
     before = spark.conf.get(key)
-    # narrows inside, restores after
+    before_aqe = spark.conf.get(aqe_key)
+    before_bloom = spark.conf.get(bloom_key)
+    # narrows inside (and scopes AQE + runtime bloom off with the
+    # width — both physical-only; r15), restores all three after
     with _loop_shuffle_scope(spark, 4):
         assert spark.conf.get(key) == "4"
+        assert spark.conf.get(aqe_key) == "false"
+        assert spark.conf.get(bloom_key) == "false"
     assert spark.conf.get(key) == before
+    assert spark.conf.get(aqe_key) == before_aqe
+    assert spark.conf.get(bloom_key) == before_bloom
     # never widens
     with _loop_shuffle_scope(spark, 10_000):
         assert spark.conf.get(key) == before
@@ -575,6 +584,21 @@ def test_loop_shuffle_scope_semantics(spark):
         with _loop_shuffle_scope(spark, 2):
             assert spark.conf.get(key) == "2"
             raise RuntimeError("boom")
+    assert spark.conf.get(key) == before
+    assert spark.conf.get(aqe_key) == before_aqe
+    assert spark.conf.get(bloom_key) == before_bloom
+    # SPARK_GRAFT_LOOP_LEAN=0 (the A/B measurement toggle) narrows
+    # the width but leaves AQE/bloom at the session setting
+    import os as _os
+
+    _os.environ["SPARK_GRAFT_LOOP_LEAN"] = "0"
+    try:
+        with _loop_shuffle_scope(spark, 4):
+            assert spark.conf.get(key) == "4"
+            assert spark.conf.get(aqe_key) == before_aqe
+            assert spark.conf.get(bloom_key) == before_bloom
+    finally:
+        _os.environ.pop("SPARK_GRAFT_LOOP_LEAN", None)
     assert spark.conf.get(key) == before
     # (the non-integer "auto" session-value guard can't be exercised
     # here — this Spark build validates the conf as an int on set —
