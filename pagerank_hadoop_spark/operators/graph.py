@@ -935,7 +935,40 @@ def bipartite_project(
     # scan+distinct re-ran per consumer (the repo-documented
     # double-consumption pitfall; ~10% here where the pair explosion
     # dominates, proportionally more with an expensive edge source)
-    e = edges.select("src", "dst").distinct().localCheckpoint(eager=True)
+    #
+    # The self-join EXPLODES rows (Σ_d C(deg, 2) pairs from |E|
+    # edges), and the pair stream's partial aggregation runs on the
+    # probe side's task layout — which for a small edge list is the
+    # 1-8 partitions AQE coalesced the distinct down to, serializing
+    # the dominant stage (measured: 8 tasks / 3.6 s for an 8.7 M-pair
+    # projection at sf0.1 that 32 tasks finish in ~1 s). Spread the
+    # checkpointed frame to the cluster's parallelism when the edge
+    # list is small (same stats gate as dedup._spread, decided on the
+    # PRE-checkpoint plan — a LogicalRDD reports no stats); a large
+    # edge list keeps its already-parallel layout, so nothing moves
+    # at 100 TB. Output values cannot change: the pair aggregate is
+    # an exact integer count, layout-insensitive.
+    spark = edges.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    try:
+        size = int(
+            edges._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+        max_split = int(
+            spark.conf.get(
+                "spark.sql.files.maxPartitionBytes", str(128 << 20)
+            )
+        )
+        small = size < target * max_split
+    except Exception:  # stats unavailable: assume small (local regime)
+        small = True
+
+    def _wide(df: DataFrame) -> DataFrame:
+        return df.repartition(target) if small else df
+
+    e = _wide(edges.select("src", "dst").distinct()).localCheckpoint(
+        eager=True
+    )
     if max_degree is not None:
         ok = (
             e.groupBy("dst")
@@ -943,7 +976,9 @@ def bipartite_project(
             .where(F.col("__deg") <= max_degree)
             .select("dst")
         )
-        e = e.join(ok, "dst", "left_semi").localCheckpoint(eager=True)
+        e = _wide(e.join(ok, "dst", "left_semi")).localCheckpoint(
+            eager=True
+        )
     a = e.select(F.col("src").alias("src_a"), "dst")
     b = e.select(F.col("src").alias("src_b"), "dst")
     return (

@@ -9014,7 +9014,20 @@ def q_message_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
         aggregate_messages,
     )
 
-    edges = _pagerank_edges(spark, sf_dir).dropDuplicates(["src", "dst"])
+    from pagerank_hadoop_spark.operators.dedup import _spread
+
+    # _spread (stats-gated, no-op on a wide scan): the facade's
+    # message explode + partial aggregation run on the edge frame's
+    # task layout, and a small deduped edge list arrives on the 1-8
+    # partitions AQE coalesced the dropDuplicates to — serializing
+    # the only heavy stage. Messages here are integer 1s summed, so
+    # layout cannot move the result (float-message callers must NOT
+    # do this — partial-sum order). Eager-checkpointed because the
+    # edge frame feeds BOTH the vertex derivation and the triplet
+    # join — un-pinned, each consumer re-runs scan+dedup+spread.
+    edges = _spread(
+        _pagerank_edges(spark, sf_dir).dropDuplicates(["src", "dst"])
+    ).localCheckpoint(eager=True)
     g = PropertyGraph.from_edges(edges)
     # the derived vertex set feeds BOTH endpoint joins; pin it once so
     # the union+distinct over the edge scan doesn't run twice
