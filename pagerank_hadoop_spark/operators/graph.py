@@ -1378,10 +1378,11 @@ def random_walks(
             edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         )
     e = e.distinct()
+    parts = _edge_partitions(e, doubled=False)
     adj = (
         e.groupBy("src")
         .agg(F.sort_array(F.collect_set("dst")).alias("nbrs"))
-        .repartition(_edge_partitions(e, doubled=False), "src")
+        .repartition(parts, "src")
         .localCheckpoint(eager=True)
     )
 
@@ -1403,23 +1404,33 @@ def random_walks(
     )
 
     out = frontier.withColumn("step", F.lit(0))
-    for step in range(1, walk_len + 1):
-        h = F.conv(
-            F.substring(
-                F.md5(F.concat(F.lit("w:"), F.col("walk_id"), F.lit(f":{step}"))),
-                1,
-                15,
-            ),
-            16,
-            10,
-        ).cast("long")
-        pre_ckpt = frontier.join(adj, frontier.pos == adj.src).select(
-            "walk_id",
-            F.element_at(
-                "nbrs", (F.pmod(h, F.size("nbrs")) + 1).cast("int")
-            ).alias("pos"),
-        )
-        runtime_counters.note_round(pre_ckpt)
-        frontier = pre_ckpt.localCheckpoint(eager=False)
-        out = out.unionByName(frontier.withColumn("step", F.lit(step)))
+    # the step loop is pure join + element_at pick — NO aggregation
+    # anywhere, so partitioning/AQE cannot move a single value: the
+    # loop-width scope (narrow shuffles + AQE/bloom off per round) is
+    # trivially hash-safe here, and each lazy checkpoint's toRdd
+    # otherwise pays AQE's eager per-stage execution per step
+    with _loop_shuffle_scope(edges.sparkSession, parts):
+        for step in range(1, walk_len + 1):
+            h = F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit("w:"), F.col("walk_id"), F.lit(f":{step}")
+                        )
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long")
+            pre_ckpt = frontier.join(adj, frontier.pos == adj.src).select(
+                "walk_id",
+                F.element_at(
+                    "nbrs", (F.pmod(h, F.size("nbrs")) + 1).cast("int")
+                ).alias("pos"),
+            )
+            runtime_counters.note_round(pre_ckpt)
+            frontier = pre_ckpt.localCheckpoint(eager=False)
+            out = out.unionByName(frontier.withColumn("step", F.lit(step)))
     return out
