@@ -734,6 +734,14 @@ def h264_encode_pskip(
         # must agree on them (the table carries ONE ld/cd pair)
         if weights == "identity":
             wlist: list[dict | None] = [None] * n_ref
+        elif isinstance(weights, str):
+            # any other string would fall into the list branch below
+            # and be iterated character-by-character — reject clearly
+            raise ValueError(
+                f"weights string {weights!r} — accepted forms: "
+                "'identity', a weight dict, or a list of per-reference "
+                "entries (dict or None/'identity')"
+            )
         elif isinstance(weights, dict):
             if n_ref > 1:
                 raise ValueError(

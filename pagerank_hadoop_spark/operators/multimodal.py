@@ -539,8 +539,15 @@ def bmp_ahash(media: DataFrame) -> DataFrame:
     so fingerprints are exact and engine-replayable. Requires width
     and height to be multiples of 8 (exact block tiling — real
     pipelines resize first; the resize stage exists separately).
-    Blocks tile the raster in FILE row order; base and candidate
-    images share orientation, so the comparison is flip-consistent.
+    Blocks tile the raster in FILE row order, so the hash is an
+    orientation-SENSITIVE within-family fingerprint: two BMPs of the
+    identical image stored with opposite height signs (bottom-up vs
+    top-down) hash differently and will NOT match each other. That is
+    deliberate and frozen — these hashes are pinned by registered
+    query oracles, and every fixture family shares one orientation.
+    For cross-family / cross-container comparison use
+    :func:`bmp_cell_ahash`, which normalizes to image row order
+    (flips bottom-up rasters) before hashing.
     """
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -1049,6 +1056,16 @@ def parse_mp4_pcm(payload: bytes):
         if sample_size == 0:
             raise NotImplementedError(
                 "variable-size PCM samples (constant stsz only)"
+            )
+        if sample_size != channels * (bits // 8):
+            # the chunk reads below take sample_size-strided bounds
+            # but frombuffer consumes channels*2 bytes per sample — a
+            # foreign file where they disagree would pass the overrun
+            # check yet read misaligned samples; refuse typed instead
+            raise ValueError(
+                f"stsz sample_size {sample_size} != channels*bytes "
+                f"({channels}*{bits // 8}) — non-interleaved or "
+                "padded PCM framing"
             )
         cb, _ce = find(*stbl, b"stco")
         n_chunks = int.from_bytes(payload[cb + 4 : cb + 8], "big")

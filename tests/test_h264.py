@@ -2490,6 +2490,10 @@ def test_weighted_prediction_fade_and_pan():
     bad = dict(wA, lw=300)
     with pytest.raises(ValueError, match="-128..127"):
         h264_encode_pskip(2, 2, 1, None, weights=bad)
+    # a string other than 'identity' must be rejected by name, not
+    # iterated character-by-character into the per-reference branch
+    with pytest.raises(ValueError, match="accepted forms"):
+        h264_encode_pskip(2, 2, 1, None, weights="default")
     # a weighted slice under an UNWEIGHTED PPS misparses loudly (the
     # stray table bits corrupt the stream), never silently
     with pytest.raises((ValueError, NotImplementedError)):

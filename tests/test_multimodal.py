@@ -1377,6 +1377,14 @@ def test_mp4_pcm_three_container_fingerprint_identity(spark):
     with _pytest.raises(ValueError, match="no audio"):
         parse_mp4_pcm(bytes(vid))
     assert parse_mp4_pcm(b"\x00" * 20) is None
+    # a foreign file whose stsz sample_size disagrees with
+    # channels * bytes-per-sample must refuse typed, not read
+    # misaligned samples past the per-chunk bounds check
+    good = bytearray(mp4_mux_pcm(mono[:, None], 8000, "sowt"))
+    zi = bytes(good).index(b"stsz")
+    good[zi + 8 : zi + 12] = (4).to_bytes(4, "big")  # mono 16-bit is 2
+    with _pytest.raises(ValueError, match="sample_size"):
+        parse_mp4_pcm(bytes(good))
 
 
 def test_mp4_pcm_multichunk_reassembly():
