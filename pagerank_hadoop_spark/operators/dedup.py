@@ -136,8 +136,12 @@ def _spread(df: DataFrame) -> DataFrame:
             spark.conf.get("spark.sql.files.maxPartitionBytes", str(128 << 20))
         )
         small = size < target * max_split
-    except Exception:  # stats unavailable (non-JVM plan edge): assume small
-        small = True
+    except Exception:
+        # stats unavailable (non-JVM plan edge): FAIL CLOSED (treat as
+        # big) — the spread is a local-regime perf assist, and a probe
+        # failure at production scale must not round-robin a 100 TB
+        # text scan down to defaultParallelism
+        small = False
     return df.repartition(target) if small else df
 
 
@@ -732,6 +736,7 @@ def embedding_near_dups(
     from pagerank_hadoop_spark.functions.vectors import cosine_similarity
     from pagerank_hadoop_spark.operators.similarity import (
         _hyperplane_bucket,
+        _sql_ident,
     )
 
     v = F.col(vec_col).cast("array<double>")
@@ -740,7 +745,7 @@ def embedding_near_dups(
     # is similarity's hyperplane bucket (one F.expr parse; the local
     # per-plane Column build cost ~n_planes HOF py4j exchanges)
     sketch = _hyperplane_bucket(
-        f"CAST(`{vec_col}` AS ARRAY<DOUBLE>)", n_planes, planes
+        f"CAST({_sql_ident(vec_col)} AS ARRAY<DOUBLE>)", n_planes, planes
     )
 
     sk = emb.select(
@@ -1246,10 +1251,11 @@ def semantic_dedup(
     from pagerank_hadoop_spark.operators.similarity import (
         _lit_dot_sql,
         _sql_dlit,
+        _sql_ident,
     )
 
     v = F.col(vec_col)
-    vec_sql = f"`{vec_col}`"
+    vec_sql = _sql_ident(vec_col)
     # centroid norms are plan-time constants; vector self-dot computed
     # per row. The whole n_clusters struct array is ONE F.expr parse
     # (identical tree to the former per-centroid Column build, which

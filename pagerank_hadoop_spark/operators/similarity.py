@@ -16,6 +16,8 @@ All cosine math is JVM array expressions (functions.vectors); no UDF.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.window import Window
 
@@ -160,8 +162,28 @@ def _sql_dlit(x: float) -> str:
     """SQL DOUBLE literal with exact round-trip: ``repr`` emits the
     shortest decimal that parses back to the same bits, and Spark's
     parser (Java ``parseDouble``) is correctly rounded — so the SQL
-    literal is bit-identical to the ``F.lit(float)`` it replaces."""
-    return repr(float(x)) + "D"
+    literal is bit-identical to the ``F.lit(float)`` it replaces.
+
+    Non-finite floats have no SQL double-literal spelling
+    (``repr(nan)+'D'`` → ``nanD``, an opaque ParseException buried in
+    a huge generated string), and a NaN/Inf centroid or hyperplane
+    component is always a caller bug — refuse it by name."""
+    x = float(x)
+    if not math.isfinite(x):
+        raise ValueError(
+            f"non-finite vector component {x!r}: centroids/planes must "
+            "contain finite floats (NaN/Infinity have no SQL double "
+            "literal and poison every distance they touch)"
+        )
+    return repr(x) + "D"
+
+
+def _sql_ident(name: str) -> str:
+    """Quote a column name for interpolation into a generated SQL
+    expression string: backticks inside the identifier are doubled
+    (the Spark SQL escape), so a hostile/odd column name cannot break
+    or re-shape the parse."""
+    return "`" + name.replace("`", "``") + "`"
 
 
 def _sql_dvec(consts: list[float]) -> str:
@@ -502,7 +524,7 @@ def lsh_topk(
     mask = (1 << width) - 1
 
     def banded(df: DataFrame, vcol: str, idc: str, prefix: str) -> DataFrame:
-        sk = _hyperplane_bucket(f"`{vcol}`", n_planes, planes)
+        sk = _hyperplane_bucket(_sql_ident(vcol), n_planes, planes)
         return df.select(
             idc,
             vcol,
@@ -574,7 +596,7 @@ def ivf_topk(
         # the whole n_cells struct array in ONE F.expr parse — the
         # Column-API build paid ~2 HOF py4j exchanges per cell per
         # side; tree unchanged (named_struct == F.struct.alias)
-        vec_sql = f"`{vcol}`"
+        vec_sql = _sql_ident(vcol)
         return F.expr(
             "array("
             + ", ".join(
@@ -682,7 +704,7 @@ def ivf_kmeans_topk(
         # per-F.lit / per-HOF Column build was ~2 s of py4j driver
         # wall per invocation — and trained literals defeat the plan
         # cache anyway, so the cheap-to-build form matters)
-        vec_sql = f"`{vcol}`"
+        vec_sql = _sql_ident(vcol)
         return F.expr(
             "array("
             + ", ".join(
@@ -841,7 +863,7 @@ def pq_topk(
         # driver wall per invocation at sf0.1 (measured — more than
         # the query's whole execution); the string form parses
         # JVM-side with an identical expression tree.
-        vec_sql = f"`{vcol}`"
+        vec_sql = _sql_ident(vcol)
         return F.expr(
             "array("
             + ", ".join(

@@ -59,8 +59,14 @@ def main() -> None:
     for name in names:
         try:
             qs[name](spark, warm_sf).count()
-        except Exception:
-            pass
+        except Exception as exc:
+            # a failed warm-up means this query is profiled COLD (its
+            # first timed row includes JIT/first-touch) — say so
+            print(
+                f"# WARN warm-up failed for {name}: "
+                f"{type(exc).__name__} — profiled cold",
+                file=sys.stderr,
+            )
     print(f"{'build_s':>8} {'exec_s':>8} {'total_s':>8} {'rounds':>6}  name")
     for name in names:
         runtime_counters.reset()

@@ -413,3 +413,30 @@ def test_maxsim_null_vector_scores_null_not_crash(spark):
     got = {r.vec_id: r.score for r in rows}
     assert got[1] == 2.0
     assert got[2] is None  # null vector -> null score, no crash
+
+
+def test_sql_dlit_refuses_non_finite():
+    """r15 ADVICE: repr(nan)+'D' is not SQL — a NaN/Inf centroid or
+    plane component must raise a typed ValueError naming the value,
+    not an opaque ParseException on a huge generated string."""
+    import math
+
+    import pytest
+
+    from pagerank_hadoop_spark.operators.similarity import _sql_dlit
+
+    for bad in (float("nan"), float("inf"), float("-inf")):
+        with pytest.raises(ValueError, match="non-finite"):
+            _sql_dlit(bad)
+    # finite values still round-trip exactly
+    assert _sql_dlit(0.1) == repr(0.1) + "D"
+    assert float(_sql_dlit(math.pi)[:-1]) == math.pi
+
+
+def test_sql_ident_escapes_backticks():
+    """r15 ADVICE: column names interpolated into generated SQL must
+    escape embedded backticks (doubled, the Spark SQL escape)."""
+    from pagerank_hadoop_spark.operators.similarity import _sql_ident
+
+    assert _sql_ident("v") == "`v`"
+    assert _sql_ident("odd`name") == "`odd``name`"
