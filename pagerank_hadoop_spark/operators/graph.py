@@ -1002,9 +1002,12 @@ def bipartite_project(
             .where(F.col("__deg") <= max_degree)
             .select("dst")
         )
-        e = _wide(e.join(ok, "dst", "left_semi")).localCheckpoint(
-            eager=True
-        )
+        # no second _wide: a semi-join preserves its probe side's
+        # partitioning, and e is already spread — the repartition here
+        # was a pure extra exchange paid inside the checkpoint
+        # materialization (measured: 5.6 → 2.7-3.2 s on the sf0.1
+        # projection, identical output hash)
+        e = e.join(ok, "dst", "left_semi").localCheckpoint(eager=True)
     a = e.select(F.col("src").alias("src_a"), "dst")
     b = e.select(F.col("src").alias("src_b"), "dst")
     return (

@@ -1035,6 +1035,7 @@ def ivf_pq_encode(
     model: dict,
     id_col: str = "vec_id",
     vec_col: str = "v",
+    spread: bool = True,
 ) -> DataFrame:
     """Encode vectors against a FROZEN model to ``(id, cell, codes)``
     — the IVF-PQ index rows. A pure shuffle-free Arrow map, so
@@ -1072,9 +1073,18 @@ def ivf_pq_encode(
                 }
             )
 
-    par = corpus.sparkSession.sparkContext.defaultParallelism
+    # spread=True widens a (possibly few-split) batch scan so the
+    # numpy encode uses every core. Streaming callers pass False: a
+    # micro-batch is already tiny, and a per-batch repartition both
+    # adds a shuffle to every trigger and multiplies the files the
+    # partitionBy(cell) sink writes (measured: 2594 files for 2000
+    # rows across 4 triggers at 32-way spread; ~70 without). Encode
+    # is a pure per-row map, so layout cannot change any row.
+    if spread:
+        par = corpus.sparkSession.sparkContext.defaultParallelism
+        corpus = corpus.repartition(par)
     return (
-        corpus.repartition(par)
+        corpus
         .select(id_col, F.col(vec_col).cast("array<double>").alias("__v"))
         .mapInPandas(encode_batches, enc_schema)
     )

@@ -53,6 +53,11 @@ def stream_index_ingest(
         model,
         id_col=id_col,
         vec_col="__vec",
+        # no per-trigger spread: a micro-batch is one staged file, and
+        # repartitioning it 32-way inside every trigger shuffled the
+        # batch AND wrote ~32x the index files under partitionBy(cell)
+        # (file-listing + open cost on every later index read)
+        spread=False,
     )
     q = (
         enc.writeStream.format("parquet")
