@@ -55,13 +55,11 @@ def get_spark(app_name: str = "pagerank-hadoop-spark") -> SparkSession:
         # NOT set — on this Spark build turning it on deadlocks the
         # very first job of the session (reproduced on range().count();
         # bisected 2026-08 across the two runtime-filter confs)
-        # generated-class cache (static conf, default 100 entries): a
-        # session serving hundreds of distinct queries (this registry,
-        # or any long-lived production service) evicts every compiled
-        # class before it re-runs, paying Janino again per re-plan;
-        # 2000 entries keeps the full registry's codegen warm for the
-        # cost of a few hundred MB of class metadata at worst.
-        .config("spark.sql.codegen.cache.maxEntries", "2000")
+        # codegen cache maxEntries deliberately NOT set: the r15 guess
+        # (2000 entries for a multi-query session) was A/B'd in r16
+        # with one full-registry sweep per arm — canary-divided
+        # difference 0.8%, below the 2% keep-bar VERDICT r15 set — so
+        # the session stays minimal at the Spark default (100).
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # Arrow-batch Python UDTF exchange too (defaults to pickled
         # row-at-a-time); with it every Python hop in the engine is
