@@ -1306,6 +1306,11 @@ def strongly_connected_components(
         binit = colors.select(
             "id", "color", (F.col("color") == F.col("id")).alias("in_scc")
         )
+        # pinned ONCE per outer round: the backward pregel references
+        # its edge frame EVERY inner round, and un-pinned this 2-join
+        # color restriction re-executed per round (r16 measured; the
+        # pregel contract says "shape the edge frame first, eager-
+        # checkpoint" — every other loop driver does)
         ce = (
             e.join(colors.select(F.col("id").alias("src"), "color"), "src")
             .join(
@@ -1317,6 +1322,7 @@ def strongly_connected_components(
             )
             .where(F.col("color") == F.col("__dc"))
             .select("src", "dst")
+            .localCheckpoint(eager=True)
         )
 
         def back_step(ed, state, changed):
@@ -1351,16 +1357,17 @@ def strongly_connected_components(
             shuffle_parts=loop_parts,
         ).localCheckpoint(eager=True)
 
+        # settled/verts are narrow filter+projections over the PINNED
+        # swept RDD — re-deriving them per consumer is a pinned-scan +
+        # filter, while each dropped eager localCheckpoint was a whole
+        # synchronous job per outer round (r16: two barriers removed
+        # per outer round, values untouched)
         settled = swept.where(F.col("in_scc")).select(
             "id", F.col("color").alias("scc")
         )
-        done_parts.append(settled.localCheckpoint(eager=True))
+        done_parts.append(settled)
 
-        verts = (
-            swept.where(~F.col("in_scc"))
-            .select("id")
-            .localCheckpoint(eager=True)
-        )
+        verts = swept.where(~F.col("in_scc")).select("id")
         surv = verts.select(F.col("id").alias("src"))
         e = (
             e.join(surv, "src", "left_semi")
